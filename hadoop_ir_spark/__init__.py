@@ -1,0 +1,26 @@
+"""hadoop_ir_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of the craig-willis/hadoop-ir reference toolkit.
+
+The reference (see SURVEY.md) is a Hadoop-MapReduce information-retrieval
+experimentation toolkit: scan-and-score retrieval without an inverted index
+(the MIREX pattern), collection statistics, co-occurrence / mutual
+information, pseudo-relevance feedback (RM3), kernel-density temporal
+re-ranking, spam filtering, anchor-text extraction, KBA stream filtering and
+a trec_eval-style metric library.
+
+This package re-expresses every one of those capabilities Spark-first:
+declarative DataFrame/SQL plans that Catalyst can optimize (predicate
+pushdown, broadcast joins, partial aggregation, AQE), with Python UDFs only
+where built-ins genuinely cannot express the semantics (Krovetz-style
+stemming, KDE re-ranking, WARC byte parsing).
+
+Layout:
+    functions/   scalar text/hash expression factories (T1-T15 in SURVEY §2.2)
+    operators/   relational operators: stats, scoring, ranking, co-occurrence,
+                 feedback, evaluation, dedup, similarity, text analysis
+    io/          readers/writers: TREC-SGML, WARC, topics, qrels, run files
+    streaming/   Structured Streaming flavors of the KBA/event workloads
+    plans/       plan-inspection helpers (broadcast/pushdown assertions)
+"""
+
+__version__ = "0.1.0"

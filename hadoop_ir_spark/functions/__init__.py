@@ -1,0 +1,9 @@
+from hadoop_ir_spark.functions.text import (  # noqa: F401
+    TOKEN_SPLIT_RE,
+    html_to_text,
+    normalize_url,
+    remove_stopwords,
+    tokenize,
+    tokens_col,
+)
+from hadoop_ir_spark.functions.hashes import hash64, minhash_sigs  # noqa: F401

@@ -1,0 +1,129 @@
+"""Scalar text expression factories (SURVEY.md §2.2, T1-T15).
+
+Everything here is a pure Column expression — JVM-side, whole-stage
+codegen'd, no Python in the hot path. Reference behaviors re-expressed:
+
+- T1 html_to_text:  regex pipeline of TrecUtils.java:9-26 (strip HTTP-header
+  prefix, <script> blocks, all tags, collapse whitespace, lowercase).
+- T3 tokenize:      split on ``[^0-9A-Za-z]+`` + lowercase, the dominant
+  tokenizer (TrecRun.java:76, ClueWebRunQueries.java:46).
+- T4 number filter: drop pure-number tokens ``\\d+(\\.\\d+)?``
+  (TrecWordCount.java:50-77).
+- T6 stopwords:     side-loaded stoplist (TrecQueryStats.java:85-96).
+- T15 normalize_url: protocol strip, /index.html strip, whitespace removal
+  (AnchorExtract.java:87-102).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# T3 — the dominant tokenizer regex (TrecRun.java:76)
+TOKEN_SPLIT_RE = "[^0-9A-Za-z]+"
+
+# T4 — Lucene-path pure-number token filter (TrecWordCount.java:64)
+NUMBER_TOKEN_RE = r"^\d+(\.\d+)?$"
+
+
+def html_to_text(col: Column | str) -> Column:
+    """T1: HTML → plain lowercase text (TrecUtils.java:9-26 pipeline).
+
+    Order matters and mirrors the reference: (1) drop everything before the
+    first '<' when the blob starts with an HTTP response header, (2) remove
+    <script>..</script> blocks, (3) remove remaining tags, (4) collapse
+    entities/whitespace, (5) lowercase.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # (1) strip HTTP header prefix (headers end at the first blank line)
+    c = F.regexp_replace(c, r"(?s)\AHTTP/[^\r\n]*\r?\n(?:[^\r\n]+\r?\n)*\r?\n", "")
+    # (2) script/style blocks, case-insensitive, dot-matches-newline
+    c = F.regexp_replace(c, r"(?is)<script.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style.*?</style>", " ")
+    # (3) all remaining tags
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    # (4) entities + whitespace collapse
+    c = F.regexp_replace(c, r"&[a-zA-Z]+;|&#[0-9]+;", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    # (5) lowercase
+    return F.lower(c)
+
+
+def tokens_col(col: Column | str, drop_numbers: bool = False) -> Column:
+    """T3/T4: lowercase + split on ``[^0-9A-Za-z]+`` → array<string>.
+
+    Empty tokens (leading/trailing separators) are removed, matching the
+    reference's behavior of skipping zero-length tokens. With
+    ``drop_numbers`` also removes pure-number tokens (the Lucene path,
+    TrecWordCount.java:64-66).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.split(F.lower(c), TOKEN_SPLIT_RE)
+    arr = F.filter(arr, lambda t: t != "")
+    if drop_numbers:
+        arr = F.filter(arr, lambda t: ~t.rlike(NUMBER_TOKEN_RE))
+    return arr
+
+
+def tokenize(df, text_col: str = "text", out_col: str = "term",
+             drop_numbers: bool = False):
+    """Explode a text column into one row per token (keeps all other cols)."""
+    return df.withColumn(out_col, F.explode(tokens_col(text_col, drop_numbers)))
+
+
+def remove_stopwords(arr: Column, stopwords: Iterable[str]) -> Column:
+    """T6: drop stoplist terms from a token array (broadcast-as-literal)."""
+    stopset = F.array(*[F.lit(s) for s in sorted(set(stopwords))])
+    return F.array_except(arr, stopset)
+
+
+def skip_patterns(col: Column | str, patterns: Iterable[str],
+                  case_sensitive: bool = True) -> Column:
+    """T13: WordCount ``-skip`` — regex-delete each side-loaded pattern
+    (WordCount.java:26-66). Patterns are applied in order, like the
+    reference's per-line replaceAll loop.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for p in patterns:
+        if not case_sensitive:
+            p = "(?i)" + p
+        c = F.regexp_replace(c, p, "")
+    return c
+
+
+def normalize_url(col: Column | str) -> Column:
+    """T15: URL normalization (AnchorExtract.java:87-102) — strip protocol,
+    strip a trailing ``/index.html``, remove whitespace, lowercase host part.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"\s+", "")
+    c = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    c = F.regexp_replace(c, r"/index\.html?$", "/")
+    return F.lower(c)
+
+
+def resolve_url(base: Column | str, href: Column | str) -> Column:
+    """T15: relative→absolute resolution, expression-only approximation of
+    AnchorExtract.java:87-102: absolute hrefs pass through; hrefs starting
+    with '/' attach to the base host; other relative hrefs attach to the
+    base directory.
+    """
+    b = F.col(base) if isinstance(base, str) else base
+    h = F.col(href) if isinstance(href, str) else href
+    host = F.regexp_extract(b, r"^((?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/]+)", 1)
+    bdir = F.regexp_replace(b, r"[^/]*$", "")
+    return (
+        F.when(h.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
+        .when(h.startswith("/"), F.concat(host, h))
+        .otherwise(F.concat(bdir, h))
+    )
+
+
+def clean_feedback_term(term: Column | str) -> Column:
+    """T12: feedback-model term guard — keep terms with length>=3 and no
+    digits (GenerateFeedbackQueriesHBase.java:366-377). Returns a boolean.
+    """
+    c = F.col(term) if isinstance(term, str) else term
+    return (F.length(c) >= 3) & (~c.rlike("[0-9]"))

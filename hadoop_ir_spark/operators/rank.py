@@ -1,0 +1,50 @@
+"""Ranking / top-k operators (SURVEY.md §2.5, K1-K4).
+
+The reference implements per-query top-1000 twice: a bounded insertion sort
+used as combiner+reducer (TrecRun.java:156-196) and a full sort + subList
+(ClueWebRunQueries.java:234-257). In Spark both collapse to one window
+rank — Catalyst already performs partial per-partition top-k for
+sort+limit, and AQE handles skewed qids.
+
+Tie-break contract (K3, SearchResult.java:20-27): descending score, then
+*descending* docno — required for deterministic tests and oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_order(score_col: str = "score", docno_col: str = "docno"):
+    """The SearchResult ordering: score desc, docno desc (K3)."""
+    return [F.desc(score_col), F.desc(docno_col)]
+
+
+def topk(scored: DataFrame, k: int = 1000, qid_col: str = "qid",
+         score_col: str = "score", docno_col: str = "docno") -> DataFrame:
+    """K1/K2: per-query top-k with the K3 tie-break; adds ``rank``.
+
+    Scale note: a window over partitionBy(qid) sorts each query's postings
+    list once — O(n log n) per query partition, and Spark's TakeOrdered
+    semantics keep memory bounded. If a qid is pathologically hot, AQE skew
+    split applies because the shuffle is a plain hash partition on qid.
+    """
+    w = Window.partitionBy(qid_col).orderBy(*rank_order(score_col, docno_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def clip_vector(weighted: DataFrame, k: int, qid_col: str = "qid",
+                term_col: str = "term", weight_col: str = "weight") -> DataFrame:
+    """K4 (FeatureVector.java:66-84): keep the k highest-weight terms per
+    query vector (tie-break on term desc for determinism), renormalizing is
+    left to the caller (feedback.normalize)."""
+    w = Window.partitionBy(qid_col).orderBy(F.desc(weight_col), F.desc(term_col))
+    return (
+        weighted.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )

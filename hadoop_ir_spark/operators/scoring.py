@@ -1,0 +1,248 @@
+"""Retrieval scoring models (SURVEY.md §2.7, M1-M8) as Column expressions.
+
+Every model is one ``groupBy(qid, docno).agg(sum(expr))`` — no UDFs, fully
+whole-stage-codegen'd. Two semantic families, faithfully reproduced:
+
+- **MIREX family (M1-M4)** — TrecRunBaselines.java:139-222: only documents
+  containing query terms are scored; a missing term either zeroes the score
+  (M1) or simply contributes nothing (M2-M4).
+- **GSLIS family (M5-M8)** — RunQueryHBase.java:183-245: *every* document
+  gets a score; a missing query term still contributes its smoothed
+  background probability (tf=0 term).
+
+Scale design: the naive reference plan emits |docs|x|queries| rows from
+every mapper. Here the heavy side (postings) is joined to the broadcast
+query-term table first, so only matching (docno, term) rows survive; the
+GSLIS "missing term still scores" semantics is recovered algebraically by
+splitting each model into  matched-term delta + per-query constant +
+per-doc length term  (see ``score_gslis``), which turns the doc x query
+cross product into a cheap crossJoin of per-doc lengths with a tiny
+per-query constants table — no q x d x term blowup, no extra shuffle.
+Only the two-stage model (M7) is non-separable and uses the explicit
+qterm x doc frame.
+
+All scores that the reference computes as raw probability products (M1) are
+returned in log space — the ranking is identical (log is monotone) and it
+avoids the underflow the reference suffers on long queries; documented here
+for the parity check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# frame builders
+# --------------------------------------------------------------------------
+
+def matched_terms(post: DataFrame, topics: DataFrame,
+                  doc_len: DataFrame | None = None,
+                  stats: DataFrame | None = None) -> DataFrame:
+    """Join postings to the (broadcast) query-term table.
+
+    ``topics`` columns: qid, term, and optionally qtf / qweight / df / cf.
+    Output: one row per (qid, docno, term) with tf and whatever query-side
+    and stats-side columns exist. This is J1 (the reference's
+    DistributedCache map-side join, TrecRun.java:140-149) as a broadcast
+    hash join — the 100 TB postings side never shuffles.
+    """
+    out = post.join(F.broadcast(topics), "term")
+    if stats is not None:
+        out = out.join(F.broadcast(stats), "term", "left")
+    if doc_len is not None:
+        out = out.join(doc_len, "docno")
+    return out
+
+
+# --------------------------------------------------------------------------
+# MIREX family (TrecRunBaselines.java) — matched terms only
+# --------------------------------------------------------------------------
+
+def score_lm_no_smoothing(matched: DataFrame, topics: DataFrame) -> DataFrame:
+    """M1 (LMno, TrecRunBaselines.java:148-159): query likelihood with no
+    smoothing and a doc-length prior; zero (dropped) unless the document
+    contains *every* query term. Log-space:
+    ``sum(qtf * ln(tf/len)) + ln(len)``.
+    """
+    n_q = topics.groupBy("qid").agg(F.countDistinct("term").alias("n_qterms"))
+    scored = (
+        matched.groupBy("qid", "docno")
+        .agg(
+            F.sum(F.col("qtf") * F.log(F.col("tf") / F.col("doc_len"))).alias("_s"),
+            F.first("doc_len").alias("_len"),
+            F.countDistinct("term").alias("_nmatch"),
+        )
+        .join(F.broadcast(n_q), "qid")
+        .filter(F.col("_nmatch") == F.col("n_qterms"))
+    )
+    return scored.select(
+        "qid", "docno", (F.col("_s") + F.log(F.col("_len"))).alias("score")
+    )
+
+
+def score_jm_mirex(matched: DataFrame, coll_len: float,
+                   lambda_: float = 0.15) -> DataFrame:
+    """M2 (LMs, TrecRunBaselines.java:168-180): Jelinek-Mercer in MIREX
+    form: ``sum(qtf * ln(1 + tf*C*lambda / (cf*len*(1-lambda)))) + ln(len)``,
+    emitted only when positive.
+    """
+    expr = F.col("qtf") * F.log(
+        1.0
+        + (F.col("tf") * F.lit(float(coll_len)) * F.lit(lambda_))
+        / (F.col("cf") * F.col("doc_len") * F.lit(1.0 - lambda_))
+    )
+    scored = (
+        matched.filter(F.col("cf") > 0)
+        .groupBy("qid", "docno")
+        .agg((F.sum(expr) + F.log(F.first("doc_len"))).alias("score"))
+    )
+    return scored.filter(F.col("score") > 0)
+
+
+def score_dirichlet_mirex(matched: DataFrame, coll_len: float,
+                          mu: float = 2500.0) -> DataFrame:
+    """M3 (LMdi, TrecRunBaselines.java:210-220): Dirichlet in MIREX form
+    over matched terms only:
+    ``sum(qtf * (ln(tf * (C/cf) + mu) - ln(len + mu)))``.
+    """
+    expr = F.col("qtf") * (
+        F.log(F.col("tf") * (F.lit(float(coll_len)) / F.col("cf")) + F.lit(mu))
+        - F.log(F.col("doc_len") + F.lit(mu))
+    )
+    return (
+        matched.filter(F.col("cf") > 0)
+        .groupBy("qid", "docno")
+        .agg(F.sum(expr).alias("score"))
+    )
+
+
+def score_bm25(matched: DataFrame, n_docs: float, avg_len: float,
+               k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """M4 (BM25, TrecRunBaselines.java:190-201), k1=1.2 b=0.75 defaults
+    (:268). ``K = k1*((1-b) + b*len/avglen)``; idf uses the
+    ``ln((N-df+0.5)/(df+0.5))`` form.
+    """
+    K = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(float(avg_len)))
+    expr = (
+        F.col("qtf")
+        * ((F.lit(k1 + 1.0) * F.col("tf")) / (K + F.col("tf")))
+        * F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    )
+    return matched.groupBy("qid", "docno").agg(F.sum(expr).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# GSLIS family (RunQueryHBase.java:183-245) — every doc scores
+# --------------------------------------------------------------------------
+
+def _coll_prob(cf_col: Column, coll_len: float) -> Column:
+    """Background model p(t|C) with the reference's cf floor of 1
+    (ClueWebRunQueries.java:150-156: absent terms get cf=1)."""
+    return F.greatest(cf_col, F.lit(1)).cast("double") / F.lit(float(coll_len))
+
+
+def score_gslis(matched: DataFrame, qstats: DataFrame, doc_len: DataFrame,
+                coll_len: float, model: str = "dirichlet",
+                mu: float = 2500.0, lambda_: float = 0.5) -> DataFrame:
+    """M5 (dirichlet), M6 (jm), M8 (cross_entropy) with full GSLIS
+    semantics: every document receives a score; missing query terms
+    contribute their background probability.
+
+    Algebraic split (scale-critical — avoids materializing q x d x term):
+
+    - M5:  ``sum_t qw*ln((tf+mu*cp)/(len+mu))``
+           = sum_matched qw*[ln(tf+mu*cp) - ln(mu*cp)]
+           + sum_q qw*ln(mu*cp)  -  (sum_q qw)*ln(len+mu)
+    - M6:  ``sum_t qw*ln((1-l)tf/len + l*cp)``
+           = sum_matched qw*[ln((1-l)tf/len + l*cp) - ln(l*cp)]
+           + sum_q qw*ln(l*cp)          (no per-doc length term)
+    - M8:  ``sum_t (qf/qlen)*ln(dirichlet_p / cp)``  — same split as M5
+           with weights normalized by query length and the ln(cp) removed:
+           constant term collapses to  W*ln(mu)  (RunQueryHBase.java:226-245).
+
+    ``qstats``: (qid, term, qweight, cf) — query terms with collection
+    frequency. ``matched`` must carry qweight, cf, tf, doc_len.
+    """
+    cl = float(coll_len)
+    cp_m = _coll_prob(F.col("cf"), cl)
+
+    if model == "dirichlet":
+        delta = F.col("qweight") * (
+            F.log(F.col("tf") + F.lit(mu) * cp_m) - F.log(F.lit(mu) * cp_m)
+        )
+    elif model == "jm":
+        delta = F.col("qweight") * (
+            F.log(
+                F.lit(1.0 - lambda_) * F.col("tf") / F.col("doc_len")
+                + F.lit(lambda_) * cp_m
+            )
+            - F.log(F.lit(lambda_) * cp_m)
+        )
+    elif model == "cross_entropy":
+        delta = F.col("qnorm") * (
+            F.log(F.col("tf") + F.lit(mu) * cp_m) - F.log(F.lit(mu) * cp_m)
+        )
+    else:
+        raise ValueError(f"unknown GSLIS model {model!r}")
+
+    match_sum = matched.groupBy("qid", "docno").agg(F.sum(delta).alias("msum"))
+
+    cp_q = _coll_prob(F.col("cf"), cl)
+    if model == "dirichlet":
+        qconst = qstats.groupBy("qid").agg(
+            F.sum(F.col("qweight") * F.log(F.lit(mu) * cp_q)).alias("qconst"),
+            F.sum("qweight").alias("wsum"),
+        )
+        len_term = -F.col("wsum") * F.log(F.col("doc_len") + F.lit(mu))
+    elif model == "jm":
+        qconst = qstats.groupBy("qid").agg(
+            F.sum(F.col("qweight") * F.log(F.lit(lambda_) * cp_q)).alias("qconst"),
+            F.sum("qweight").alias("wsum"),
+        )
+        len_term = F.lit(0.0)
+    else:  # cross_entropy: weights are qf / query_len
+        qconst = qstats.groupBy("qid").agg(
+            (F.sum("qnorm") * F.log(F.lit(mu))).alias("qconst"),
+            F.sum("qnorm").alias("wsum"),
+        )
+        len_term = -F.col("wsum") * F.log(F.col("doc_len") + F.lit(mu))
+
+    # every (doc, query) pair: tiny per-query constants table cross-joined
+    # onto per-doc lengths (broadcast nested loop, no shuffle), then the
+    # matched deltas patched in with a left join.
+    frame = doc_len.crossJoin(F.broadcast(qconst))
+    out = frame.join(match_sum, ["qid", "docno"], "left").select(
+        "qid",
+        "docno",
+        (
+            F.coalesce(F.col("msum"), F.lit(0.0))
+            + F.col("qconst")
+            + len_term
+        ).alias("score"),
+    )
+    return out
+
+
+def score_two_stage(qstats: DataFrame, post: DataFrame, doc_len: DataFrame,
+                    coll_len: float, mu: float = 2500.0,
+                    lambda_: float = 0.5) -> DataFrame:
+    """M7 (RunQueryHBase.java:212-224):
+    ``sum_t qw*ln((1-l)*(tf+mu*cp)/(len+mu) + l*cp)``.
+
+    Non-separable (the missing-term contribution depends on doc length), so
+    this one materializes the qterm x doc frame explicitly: per-doc lengths
+    cross-joined with the broadcast query-term table, then tf patched in.
+    Row count = n_docs * total_query_terms — the same work the reference's
+    mapper does for every document (RunQueryHBase.java:76-113).
+    """
+    cl = float(coll_len)
+    frame = doc_len.crossJoin(F.broadcast(qstats.select("qid", "term", "qweight", "cf")))
+    frame = frame.join(post, ["docno", "term"], "left").fillna({"tf": 0})
+    cp = _coll_prob(F.col("cf"), cl)
+    expr = F.col("qweight") * F.log(
+        F.lit(1.0 - lambda_) * (F.col("tf") + F.lit(mu) * cp) / (F.col("doc_len") + F.lit(mu))
+        + F.lit(lambda_) * cp
+    )
+    return frame.groupBy("qid", "docno").agg(F.sum(expr).alias("score"))

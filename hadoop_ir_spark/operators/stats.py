@@ -1,0 +1,114 @@
+"""Collection-statistics operators (SURVEY.md §2.3, A1-A6).
+
+The reference computes these as separate MapReduce jobs with hand-rolled
+combiners; here each is one declarative aggregation, so Spark's partial
+(hash) aggregation replaces the combiner and AQE sizes the shuffle.
+
+Scale notes (100 TB): ``postings`` is the one heavy shuffle of the whole
+engine — groupBy(docno, term) over exploded tokens. Exploding multiplies
+rows ~doclen×, but partial aggregation collapses per-partition duplicates
+before shuffle, so the shuffled volume is the number of *distinct*
+(docno, term) pairs, which is the postings size of a real index. Downstream
+per-term stats (df/cf) re-shuffle only the postings, not the tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.functions.text import tokens_col
+
+
+def postings(docs: DataFrame, id_col: str = "docno", text_col: str = "text",
+             drop_numbers: bool = False) -> DataFrame:
+    """A2: exploded postings ``(docno, term, tf)``.
+
+    Reference: per-document HashMap<term,tf> built in every mapper
+    (TrecRun.java:123-136, ClueWebRunQueries.java:196-214).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("docno"),
+        F.explode(tokens_col(text_col, drop_numbers)).alias("term"),
+    )
+    return toks.groupBy("docno", "term").agg(F.count("*").alias("tf"))
+
+
+def doc_lengths(docs: DataFrame, id_col: str = "docno",
+                text_col: str = "text") -> DataFrame:
+    """A2: ``(docno, doc_len)`` — token count per document.
+
+    Computed without exploding (array size of the token split), so it is a
+    pure map-side projection: no shuffle at all.
+    """
+    return docs.select(
+        F.col(id_col).alias("docno"),
+        F.size(tokens_col(text_col)).alias("doc_len"),
+    )
+
+
+def word_count(docs: DataFrame, id_col: str = "docno",
+               text_col: str = "text") -> DataFrame:
+    """A1: classic word count ``(term, cf)`` (WordCount.java:61-89)."""
+    return (
+        docs.select(F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+    )
+
+
+def term_stats(post: DataFrame, min_cf: int = 0) -> DataFrame:
+    """A3+A4: per-term ``(term, df, cf)`` from postings
+    (ClueWebCollectionStats.java:78-131: df = docs containing term,
+    cf = total occurrences). ``min_cf`` reproduces the MIN_OCCUR HAVING
+    filter (T10, TrecWordCount.java:106-118) when > 0.
+    """
+    out = post.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+    if min_cf > 0:
+        out = out.filter(F.col("cf") > min_cf)
+    return out
+
+
+def collection_globals(post: DataFrame) -> DataFrame:
+    """A5: one-row ``(n_docs, n_terms, n_tokens)`` global stats.
+
+    The reference carries these as Hadoop counters written into ``#KEY=``
+    header lines (ClueWebCollectionStats.java:61-65,158-161); here it is a
+    single global aggregate.
+    """
+    return post.select(
+        F.countDistinct("docno").alias("n_docs"),
+        F.countDistinct("term").alias("n_terms"),
+        F.sum("tf").alias("n_tokens"),
+    )
+
+
+def query_term_stats(post: DataFrame, topics: DataFrame) -> DataFrame:
+    """A6: MIREX QueryTermCount (QueryTermCount.java:84-172) — per query
+    term: qtf (=1 in the reference writer), df and cf in the corpus; terms
+    absent from the corpus get df=0, cf=0 (left join).
+
+    ``topics``: (qid, term)-shaped DataFrame. The stats side is aggregated
+    *before* the join so the broadcast is per-distinct-term, and the topics
+    side is tiny → broadcast join, no shuffle of the postings.
+    """
+    qterms = topics.select("qid", "term").distinct()
+    needed = qterms.select("term").distinct()
+    stats = (
+        post.join(F.broadcast(needed), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    )
+    return (
+        qterms.join(stats, "term", "left")
+        .select(
+            "qid",
+            "term",
+            F.lit(1).alias("qtf"),
+            F.coalesce("df", F.lit(0)).cast("long").alias("df"),
+            F.coalesce("cf", F.lit(0)).cast("long").alias("cf"),
+        )
+    )

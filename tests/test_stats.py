@@ -1,0 +1,73 @@
+"""Stats operators (A1-A6) — exact expected rows on a 3-doc corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_ir_spark.operators import stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [("d1", "a b a c"), ("d2", "b b d"), ("d3", "")],
+        ["docno", "text"],
+    )
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_postings(spark, docs):
+    post = stats.postings(docs)
+    assert rows(post, "docno", "term", "tf") == [
+        ("d1", "a", 2), ("d1", "b", 1), ("d1", "c", 1),
+        ("d2", "b", 2), ("d2", "d", 1),
+    ]
+
+
+def test_doc_lengths_includes_empty_doc(spark, docs):
+    assert rows(stats.doc_lengths(docs), "docno", "doc_len") == [
+        ("d1", 4), ("d2", 3), ("d3", 0),
+    ]
+
+
+def test_word_count(spark, docs):
+    assert rows(stats.word_count(docs), "term", "cf") == [
+        ("a", 2), ("b", 3), ("c", 1), ("d", 1),
+    ]
+
+
+def test_term_stats_df_cf(spark, docs):
+    post = stats.postings(docs)
+    assert rows(stats.term_stats(post), "term", "df", "cf") == [
+        ("a", 1, 2), ("b", 2, 3), ("c", 1, 1), ("d", 1, 1),
+    ]
+
+
+def test_term_stats_min_cf(spark, docs):
+    post = stats.postings(docs)
+    # T10 HAVING: cf > 1
+    assert rows(stats.term_stats(post, min_cf=1), "term", "df", "cf") == [
+        ("a", 1, 2), ("b", 2, 3),
+    ]
+
+
+def test_collection_globals(spark, docs):
+    post = stats.postings(docs)
+    g = stats.collection_globals(post).collect()[0]
+    assert (g["n_docs"], g["n_terms"], g["n_tokens"]) == (2, 4, 7)
+
+
+def test_query_term_stats_absent_term(spark, docs):
+    post = stats.postings(docs)
+    topics = spark.createDataFrame(
+        [("q1", "a"), ("q1", "zzz"), ("q2", "b")], ["qid", "term"]
+    )
+    out = rows(stats.query_term_stats(post, topics), "qid", "term", "qtf", "df", "cf")
+    assert out == [
+        ("q1", "a", 1, 1, 2),
+        ("q1", "zzz", 1, 0, 0),
+        ("q2", "b", 1, 2, 3),
+    ]

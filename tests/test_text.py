@@ -1,0 +1,93 @@
+"""Operator-level golden I/O tests in the reference's MRUnit spirit
+(SURVEY.md §5): tiny inputs, exact expected outputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.functions import text as X
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_tokens_basic(spark):
+    df = spark.createDataFrame([("The cat, the CAT!",)], ["text"])
+    out = df.select(X.tokens_col("text").alias("t")).collect()[0]["t"]
+    assert out == ["the", "cat", "the", "cat"]
+
+
+def test_tokens_empty_and_numbers(spark):
+    df = spark.createDataFrame([("  3.14 foo 42 bar7 ",)], ["text"])
+    plain = df.select(X.tokens_col("text").alias("t")).collect()[0]["t"]
+    # [^0-9A-Za-z]+ splits "3.14" into "3","14" — matches the reference T3
+    assert plain == ["3", "14", "foo", "42", "bar7"]
+    nonum = df.select(X.tokens_col("text", drop_numbers=True).alias("t")).collect()[0]["t"]
+    assert nonum == ["foo", "bar7"]
+
+
+def test_empty_text_yields_no_tokens(spark):
+    df = spark.createDataFrame([("",), ("   ",)], ["text"])
+    rows = df.select(F.size(X.tokens_col("text")).alias("n")).collect()
+    assert [r["n"] for r in rows] == [0, 0]
+
+
+def test_html_to_text(spark):
+    html = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        "<html><head><script>var x=1;</script></head>"
+        "<body><h1>Hello</h1> <p>World &amp; Friends</p></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], ["text"])
+    out = df.select(X.html_to_text("text").alias("t")).collect()[0]["t"]
+    assert out == "hello world friends"
+
+
+def test_stopword_removal(spark):
+    df = spark.createDataFrame([("the cat sat",)], ["text"])
+    out = df.select(
+        X.remove_stopwords(X.tokens_col("text"), ["the", "a"]).alias("t")
+    ).collect()[0]["t"]
+    assert out == ["cat", "sat"]
+
+
+def test_skip_patterns(spark):
+    df = spark.createDataFrame([("Hello dirty world",)], ["text"])
+    out = df.select(X.skip_patterns("text", ["dirty\\s*"]).alias("t")).collect()[0]["t"]
+    assert out == "Hello world"
+    out_i = df.select(
+        X.skip_patterns("text", ["DIRTY\\s*"], case_sensitive=False).alias("t")
+    ).collect()[0]["t"]
+    assert out_i == "Hello world"
+
+
+def test_normalize_url(spark):
+    df = spark.createDataFrame(
+        [("http://Example.COM/a/index.html",), ("https://x.org/p q",)], ["u"]
+    )
+    out = [r["t"] for r in df.select(X.normalize_url("u").alias("t")).collect()]
+    assert out == ["example.com/a/", "x.org/pq"]
+
+
+def test_resolve_url(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://a.com/dir/page.html", "http://b.com/x"),
+            ("http://a.com/dir/page.html", "/root.html"),
+            ("http://a.com/dir/page.html", "sib.html"),
+        ],
+        ["base", "href"],
+    )
+    out = [r["t"] for r in df.select(X.resolve_url("base", "href").alias("t")).collect()]
+    assert out == [
+        "http://b.com/x",
+        "http://a.com/root.html",
+        "http://a.com/dir/sib.html",
+    ]
+
+
+def test_clean_feedback_term(spark):
+    df = spark.createDataFrame([("cat",), ("ab",), ("h2o",), ("term",)], ["w"])
+    out = [r["k"] for r in df.select(X.clean_feedback_term("w").alias("k")).collect()]
+    assert out == [True, False, False, True]
