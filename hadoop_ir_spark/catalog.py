@@ -178,12 +178,17 @@ def dirichlet_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFram
     per-query top-k with SearchResult tie-break.
     """
     docs = _docs(spark, sf_dir)
-    post = stats.postings(docs, id_col="doc_id")
-    dlen = stats.doc_lengths(docs, id_col="doc_id")
+    dlen = stats.doc_lengths(docs, id_col="doc_id").cache()
     topics = _topics_df(spark).withColumn("qweight", F.lit(1.0))
 
-    coll_len = post.agg(F.sum("tf")).collect()[0][0]
-    tstats = stats.term_stats(post).select("term", "cf")
+    # coll_len from per-doc lengths: map-side only, no explode+shuffle
+    coll_len = dlen.agg(F.sum("doc_len")).collect()[0][0]
+
+    # postings restricted to query terms *before* the (docno,term) agg —
+    # the one shuffle carries only query-term rows (TrecRun.java:124-136)
+    qterm_list = sorted({t for _, q in TOPICS for t in q.split()})
+    post = stats.postings_for_terms(docs, qterm_list, id_col="doc_id").cache()
+    tstats = post.groupBy("term").agg(F.sum("tf").alias("cf"))
     qstats = topics.join(tstats, "term", "left").fillna({"cf": 0})
 
     matched = scoring.matched_terms(post, qstats, doc_len=dlen)
@@ -268,16 +273,17 @@ SELECT qid, docno, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {T
 """)
 def q_bm25_topk(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    post = stats.postings(docs, id_col="doc_id")
-    dlen = stats.doc_lengths(docs, id_col="doc_id")
+    dlen = stats.doc_lengths(docs, id_col="doc_id").cache()
     topics = _topics_df(spark).withColumn("qtf", F.lit(1))
 
-    glob = post.agg(
-        F.countDistinct("docno").alias("n_docs"), F.sum("tf").alias("n_tokens")
+    glob = dlen.filter(F.col("doc_len") > 0).agg(
+        F.count("*").alias("n_docs"), F.sum("doc_len").alias("n_tokens")
     ).collect()[0]
     n_docs, avg_len = glob["n_docs"], glob["n_tokens"] / glob["n_docs"]
 
-    tstats = stats.term_stats(post).select("term", "df")
+    qterm_list = sorted({t for _, q in TOPICS for t in q.split()})
+    post = stats.postings_for_terms(docs, qterm_list, id_col="doc_id")
+    tstats = post.groupBy("term").agg(F.count("*").alias("df"))
     matched = scoring.matched_terms(post, topics, doc_len=dlen, stats=tstats)
     scored = scoring.score_bm25(matched, n_docs, avg_len, BM25_K1, BM25_B)
     scored = scored.withColumn("score", F.round("score", 6))

@@ -1,0 +1,139 @@
+"""Co-occurrence statistics (SURVEY.md §2.3, A7-A9): pair stats, EMIM, NPMI.
+
+The reference computes these with MapWritable "stripes" per document and a
+side-loaded marginals file (TrecMutualInfo.java:78-185, 243-353). Here the
+stripes become a distinct-(docno, term) self-join on docno; marginals are a
+DataFrame joined in; N (numDocs) is a plain count.
+
+Scale notes: the self-join on docno is quadratic in per-document *distinct*
+vocabulary — exactly the reference's stripe size. The optional ``word_list``
+filter (T11) restricts the left side before the join, which is the only way
+this survives web-scale vocabularies; same knob the reference exposes.
+
+Reference defects deliberately NOT replicated (SURVEY.md §3):
+- TrecMutualInfo2 computes NPMI with totalNumDocs=0 (conf key never read,
+  TrecMutualInfo2.java:182,246-293) — we use the real N.
+- Its NPMI divides twice (``pmi / Math.log(pX1Y1) / Math.log(2)``,
+  TrecMutualInfo2.java:323) instead of dividing by log2(p) — we implement
+  the ACL W13-0102 definition npmi = pmi / -log2(p(x,y)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LOG2 = 0.6931471805599453  # ln(2)
+
+
+def doc_term_sets(post: DataFrame) -> DataFrame:
+    """Distinct (docno, term) pairs — the reference's per-doc HashSet
+    (TrecMutualInfo.java:131-137)."""
+    return post.select("docno", "term").distinct()
+
+
+def pair_counts(doc_terms: DataFrame, word_list: DataFrame | None = None) -> DataFrame:
+    """A8 stripes → joint document counts ``(w1, w2, n_joint)``, symmetric,
+    excluding w1==w2 (TrecMutualInfo.java:139-166). ``word_list`` (T11)
+    restricts w1 like the reference's wordList.contains check."""
+    left = doc_terms
+    if word_list is not None:
+        left = left.join(F.broadcast(word_list), "term", "left_semi")
+    a = left.select(F.col("docno"), F.col("term").alias("w1"))
+    b = doc_terms.select(F.col("docno"), F.col("term").alias("w2"))
+    return (
+        a.join(b, "docno")
+        .filter(F.col("w1") != F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_joint"))
+    )
+
+
+def _cells(n_docs_col: Column):
+    """Smoothed 2x2 contingency probabilities (TrecMutualInfo.java:308-345):
+    marginals +0.5, joints +0.25, all over (1+N)."""
+    N = n_docs_col.cast("double")
+    nX1, nY1, nX1Y1 = F.col("df1").cast("double"), F.col("df2").cast("double"), F.col("n_joint").cast("double")
+    nX0, nY0 = N - nX1, N - nY1
+    nX1Y0 = nX1 - nX1Y1
+    nX0Y1 = nY1 - nX1Y1
+    nX0Y0 = nX0 - nX0Y1
+    denom = F.lit(1.0) + N
+    p = {
+        "pX1": (nX1 + 0.5) / denom, "pX0": (nX0 + 0.5) / denom,
+        "pY1": (nY1 + 0.5) / denom, "pY0": (nY0 + 0.5) / denom,
+        "pX1Y1": (nX1Y1 + 0.25) / denom, "pX1Y0": (nX1Y0 + 0.25) / denom,
+        "pX0Y1": (nX0Y1 + 0.25) / denom, "pX0Y0": (nX0Y0 + 0.25) / denom,
+    }
+    return p
+
+
+def _log2_ratio(num: Column, denom: Column) -> Column:
+    """log2(num/denom) with the reference's 0-guard (TrecMutualInfo.java:348-353)."""
+    return F.when((num == 0) | (denom == 0), 0.0).otherwise(
+        F.log(num / denom) / F.lit(LOG2)
+    )
+
+
+def emim(pairs: DataFrame, marginals: DataFrame, n_docs: int) -> DataFrame:
+    """A8: smoothed expected mutual information per word pair
+    (TrecMutualInfo.java:308-345). ``marginals``: (term, df). Pairs where
+    either word lacks a marginal are dropped (reference's containsKey
+    guard at :279-281)."""
+    j = (
+        pairs
+        .join(F.broadcast(marginals.select(F.col("term").alias("w1"),
+                                           F.col("df").alias("df1"))), "w1")
+        .join(F.broadcast(marginals.select(F.col("term").alias("w2"),
+                                           F.col("df").alias("df2"))), "w2")
+    )
+    p = _cells(F.lit(n_docs))
+    expr = (
+        p["pX1Y1"] * _log2_ratio(p["pX1Y1"], p["pX1"] * p["pY1"])
+        + p["pX1Y0"] * _log2_ratio(p["pX1Y0"], p["pX1"] * p["pY0"])
+        + p["pX0Y1"] * _log2_ratio(p["pX0Y1"], p["pX0"] * p["pY1"])
+        + p["pX0Y0"] * _log2_ratio(p["pX0Y0"], p["pX0"] * p["pY0"])
+    )
+    return j.select("w1", "w2", expr.alias("emim"))
+
+
+def npmi(pairs: DataFrame, marginals: DataFrame, n_docs: int) -> DataFrame:
+    """A9: normalized PMI (ACL W13-0102): pmi / -log2(p(x,y)), smoothed like
+    EMIM. Corrected semantics — see module docstring for the two reference
+    bugs we do not replicate (TrecMutualInfo2.java:182,323)."""
+    j = (
+        pairs
+        .join(F.broadcast(marginals.select(F.col("term").alias("w1"),
+                                           F.col("df").alias("df1"))), "w1")
+        .join(F.broadcast(marginals.select(F.col("term").alias("w2"),
+                                           F.col("df").alias("df2"))), "w2")
+    )
+    p = _cells(F.lit(n_docs))
+    pmi = _log2_ratio(p["pX1Y1"], p["pX1"] * p["pY1"])
+    denom = -(F.log(p["pX1Y1"]) / F.lit(LOG2))
+    return j.select("w1", "w2", (pmi / denom).alias("npmi"))
+
+
+def query_pair_stats(post: DataFrame, query_terms: list[str],
+                     stopwords: list[str] | None = None) -> DataFrame:
+    """A7 (TrecQueryStats.java:128-186): for each query term q and each
+    document term t co-occurring in a document, the number of co-occurring
+    documents and the sum over docs of min(tf_q, tf_t).
+
+    Note the reference emits the (q, q) self-pair too (its inner loop runs
+    over all doc terms including q itself) — preserved here.
+    """
+    if stopwords:
+        post = post.filter(~F.col("term").isin(stopwords))
+        query_terms = [q for q in query_terms if q not in stopwords]
+    qpost = post.filter(F.col("term").isin(query_terms)).select(
+        "docno", F.col("term").alias("qterm"), F.col("tf").alias("qtf")
+    )
+    return (
+        qpost.join(post, "docno")
+        .groupBy("qterm", F.col("term").alias("dterm"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.least(F.col("qtf"), F.col("tf"))).alias("sum_min_tf"),
+        )
+    )

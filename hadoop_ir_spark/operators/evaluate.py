@@ -1,0 +1,152 @@
+"""trec_eval-subset metrics (SURVEY.md §2.8, E1-E6) over run + qrels
+DataFrames.
+
+Reference: edu.gslis.hbase.trec.Eval — precision/recall (Eval.java:23-80),
+P@k (:34-47), F1/Fβ (:82-111), KBA utility (:114-123), AP/MAP
+(:154-194) — driver-side Java loops there; one window + aggregate here.
+
+Inputs:
+- run:   (qid, docno, score, rank)  — rank 1-based with the K3 tie-break
+- qrels: (qid, docno, rel)          — graded; relevant = rel >= min_rel
+
+Reference defect NOT replicated (documented in SURVEY.md §3): Eval.map
+NPEs when a query has no relevant qrels (Eval.java:159); here such
+queries produce ap=NULL and are excluded from MAP, with num_rel=0 rows
+still visible in per-query output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _judged(run: DataFrame, qrels: DataFrame, min_rel: int = 1) -> DataFrame:
+    """run left-joined with binary relevance (unjudged docs count as
+    non-relevant, the trec_eval convention the reference follows)."""
+    rel = (
+        qrels.filter(F.col("rel") >= min_rel)
+        .select("qid", "docno")
+        .distinct()
+        .withColumn("is_rel", F.lit(1))
+    )
+    return run.join(F.broadcast(rel), ["qid", "docno"], "left").fillna({"is_rel": 0})
+
+
+def num_rel(qrels: DataFrame, min_rel: int = 1) -> DataFrame:
+    """(qid, num_rel): distinct relevant docs per query (Qrels.java:96-101)."""
+    return (
+        qrels.filter(F.col("rel") >= min_rel)
+        .select("qid", "docno")
+        .distinct()
+        .groupBy("qid")
+        .agg(F.count("*").alias("num_rel"))
+    )
+
+
+def precision_recall(run: DataFrame, qrels: DataFrame, min_rel: int = 1) -> DataFrame:
+    """E1 (Eval.java:23-80): per-query precision, recall, num_rel_ret over
+    the full run depth."""
+    j = _judged(run, qrels, min_rel)
+    per_q = j.groupBy("qid").agg(
+        F.sum("is_rel").alias("num_rel_ret"),
+        F.count("*").alias("num_ret"),
+    )
+    nr = num_rel(qrels, min_rel)
+    return (
+        per_q.join(nr, "qid", "left")
+        .fillna({"num_rel": 0})
+        .select(
+            "qid",
+            "num_rel_ret",
+            "num_ret",
+            "num_rel",
+            (F.col("num_rel_ret") / F.col("num_ret")).alias("precision"),
+            F.when(F.col("num_rel") > 0,
+                   F.col("num_rel_ret") / F.col("num_rel")).alias("recall"),
+        )
+    )
+
+
+def precision_at_k(run: DataFrame, qrels: DataFrame, k: int,
+                   min_rel: int = 1) -> DataFrame:
+    """E2 (Eval.java:34-47): P@k — denominator is k even when fewer than k
+    docs were retrieved (the reference divides by the cutoff)."""
+    j = _judged(run, qrels, min_rel).filter(F.col("rank") <= k)
+    return j.groupBy("qid").agg(
+        (F.sum("is_rel") / F.lit(float(k))).alias(f"p_at_{k}")
+    )
+
+
+def f1(precision_col, recall_col, beta: float = 1.0):
+    """E3 (Eval.java:82-111): Fβ column expression; 0 when degenerate."""
+    b2 = beta * beta
+    denom = b2 * precision_col + recall_col
+    return F.when(denom > 0,
+                  (1 + b2) * precision_col * recall_col / denom).otherwise(0.0)
+
+
+def utility(run: DataFrame, qrels: DataFrame, min_rel: int = 1,
+            floor: float = -100.0) -> DataFrame:
+    """E4 (Eval.java:114-123): KBA utility = 2*rel_ret - num_ret, floored."""
+    j = _judged(run, qrels, min_rel)
+    return j.groupBy("qid").agg(
+        F.greatest(
+            F.lit(floor),
+            (2.0 * F.sum("is_rel") - F.count("*")).cast("double"),
+        ).alias("utility")
+    )
+
+
+def average_precision(run: DataFrame, qrels: DataFrame, min_rel: int = 1,
+                      by_num_ret: bool = False) -> DataFrame:
+    """E5 (Eval.java:154-194): AP = mean over relevant retrieved docs of
+    precision@their-rank; denominator num_rel (trec_eval) or num_ret (the
+    reference's second variant, Eval.java:175-194).
+
+    The cumulative sum is a window over rank — the reference's sequential
+    loop re-expressed as `sum(is_rel) OVER (ORDER BY rank)` partitioned by
+    qid, so it distributes per-query.
+    """
+    j = _judged(run, qrels, min_rel)
+    w = Window.partitionBy("qid").orderBy("rank")
+    j = j.withColumn("cum_rel", F.sum("is_rel").over(w))
+    psum = j.filter(F.col("is_rel") == 1).groupBy("qid").agg(
+        F.sum(F.col("cum_rel") / F.col("rank")).alias("psum"),
+        F.count("*").alias("num_rel_ret"),
+    )
+    if by_num_ret:
+        denom = run.groupBy("qid").agg(F.count("*").alias("denom"))
+    else:
+        denom = num_rel(qrels, min_rel).withColumnRenamed("num_rel", "denom")
+    qids = run.select("qid").distinct()
+    return (
+        qids.join(psum, "qid", "left")
+        .join(denom, "qid", "left")
+        .select(
+            "qid",
+            F.when(
+                F.coalesce(F.col("denom"), F.lit(0)) > 0,
+                F.coalesce(F.col("psum"), F.lit(0.0)) / F.col("denom"),
+            ).alias("ap"),
+        )
+    )
+
+
+def mean_average_precision(run: DataFrame, qrels: DataFrame,
+                           min_rel: int = 1) -> DataFrame:
+    """E5: MAP — mean of per-query AP over queries that have relevant docs
+    (NULL-ap queries excluded; see module docstring on the reference NPE)."""
+    ap = average_precision(run, qrels, min_rel)
+    return ap.agg(F.avg("ap").alias("map"))
+
+
+def evaluate_run(run: DataFrame, qrels: DataFrame, min_rel: int = 1,
+                 ks: tuple[int, ...] = (10, 20)) -> DataFrame:
+    """The reference's in-reducer eval block (RunQueryHBase.java:292-296):
+    per-query MAP-style AP + P@10 + P@20 in one frame."""
+    out = average_precision(run, qrels, min_rel)
+    for k in ks:
+        out = out.join(precision_at_k(run, qrels, k, min_rel), "qid", "left")
+        out = out.fillna({f"p_at_{k}": 0.0})
+    return out

@@ -34,6 +34,20 @@ def postings(docs: DataFrame, id_col: str = "docno", text_col: str = "text",
     return toks.groupBy("docno", "term").agg(F.count("*").alias("tf"))
 
 
+def postings_for_terms(docs: DataFrame, terms: list[str], id_col: str = "docno",
+                       text_col: str = "text") -> DataFrame:
+    """A2 with the reference's hand-rolled projection pushdown
+    (TrecRun.java:124-136: docTF kept *only for query terms*): the term
+    filter is applied to the exploded tokens BEFORE the (docno, term)
+    aggregation, so the one heavy shuffle carries only query-term rows.
+    ``terms`` must be a small literal list (query vocabulary)."""
+    toks = docs.select(
+        F.col(id_col).alias("docno"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    return toks.groupBy("docno", "term").agg(F.count("*").alias("tf"))
+
+
 def doc_lengths(docs: DataFrame, id_col: str = "docno",
                 text_col: str = "text") -> DataFrame:
     """A2: ``(docno, doc_len)`` — token count per document.
