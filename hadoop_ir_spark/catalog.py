@@ -291,3 +291,79 @@ def q_bm25_topk(spark, sf_dir):
         rank.topk(scored, k=TOP_K)
         .select("qid", "docno", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Reusable oracle-SQL building blocks for the domain query modules
+# ---------------------------------------------------------------------------
+
+# The full Dirichlet run as a CTE chain ending in `run(qid, docno, score, rank)`
+# — the SQL twin of dirichlet_topk(), reused by the eval/feedback oracles.
+SQL_RUN_DIRICHLET = f"""
+{SQL_TOK},
+coll AS (SELECT sum(tf) AS coll_len FROM post),
+topics AS (SELECT * FROM {_topics_values_sql(weighted=True)}),
+qstats AS (
+  SELECT t.qid, t.term, t.qweight, coalesce(s.cf, 0) AS cf
+  FROM topics t
+  LEFT JOIN (SELECT term, sum(tf) AS cf FROM post GROUP BY term) s USING (term)
+),
+frame AS (
+  SELECT q.qid, d.docno, d.doc_len, q.qweight,
+         greatest(q.cf, 1)::DOUBLE / (SELECT coll_len FROM coll) AS cp,
+         coalesce(p.tf, 0) AS tf
+  FROM dlen d
+  CROSS JOIN qstats q
+  LEFT JOIN post p ON p.docno = d.docno AND p.term = q.term
+),
+scored AS (
+  SELECT qid, docno,
+         round(sum(qweight * ln((tf + {DIR_MU} * cp) / (doc_len + {DIR_MU}))), 6) AS score
+  FROM frame GROUP BY qid, docno
+),
+ranked AS (
+  SELECT qid, docno, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno DESC) AS rank
+  FROM scored
+),
+run AS (
+  SELECT qid, docno, score, CAST(rank AS INT) AS rank
+  FROM ranked WHERE rank <= {TOP_K}
+)
+"""
+
+# Synthetic-but-derived qrels: a document is relevant to a topic iff it
+# contains the topic's FIRST term; rel=2 when tf>=3 else 1. Deterministic and
+# expressible identically in Spark and SQL, so eval metrics get real oracles.
+QREL_TERMS: list[tuple[str, str]] = [(qid, q.split()[0]) for qid, q in TOPICS]
+
+SQL_QRELS = (
+    "qrels AS (SELECT t.qid, p.docno, "
+    "CASE WHEN p.tf >= 3 THEN 2 ELSE 1 END AS rel "
+    "FROM post p JOIN (VALUES "
+    + ", ".join(f"('{qid}', '{t}')" for qid, t in QREL_TERMS)
+    + ") AS t(qid, term) ON p.term = t.term)"
+)
+
+
+def qrels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of SQL_QRELS: (qid, docno, rel)."""
+    docs = _docs(spark, sf_dir)
+    post = stats.postings_for_terms(
+        docs, sorted({t for _, t in QREL_TERMS}), id_col="doc_id"
+    )
+    tmap = spark.createDataFrame(QREL_TERMS, "qid string, term string")
+    return post.join(F.broadcast(tmap), "term").select(
+        "qid", "docno",
+        F.when(F.col("tf") >= 3, 2).otherwise(1).alias("rel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain query modules register themselves on import (must stay at the
+# bottom: they import `register` & the SQL blocks defined above).
+# ---------------------------------------------------------------------------
+
+from hadoop_ir_spark import queries as _queries  # noqa: E402,F401
+
+_queries.load_all()

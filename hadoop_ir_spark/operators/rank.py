@@ -21,16 +21,21 @@ def rank_order(score_col: str = "score", docno_col: str = "docno"):
     return [F.desc(score_col), F.desc(docno_col)]
 
 
-def topk(scored: DataFrame, k: int = 1000, qid_col: str = "qid",
+def topk(scored: DataFrame, k: int = 1000,
+         qid_col: str | list[str] = "qid",
          score_col: str = "score", docno_col: str = "docno") -> DataFrame:
     """K1/K2: per-query top-k with the K3 tie-break; adds ``rank``.
+
+    ``qid_col`` may be a list for parameter sweeps (partition by
+    (param..., qid) — J3, RunQueryHBase.java:82-87 emits key "model,qid,mu").
 
     Scale note: a window over partitionBy(qid) sorts each query's postings
     list once — O(n log n) per query partition, and Spark's TakeOrdered
     semantics keep memory bounded. If a qid is pathologically hot, AQE skew
     split applies because the shuffle is a plain hash partition on qid.
     """
-    w = Window.partitionBy(qid_col).orderBy(*rank_order(score_col, docno_col))
+    keys = [qid_col] if isinstance(qid_col, str) else list(qid_col)
+    w = Window.partitionBy(*keys).orderBy(*rank_order(score_col, docno_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -1,0 +1,17 @@
+"""Domain query modules — each registers (Spark plan, DuckDB oracle) pairs
+into hadoop_ir_spark.catalog on import. Loaded by catalog at module bottom."""
+
+from __future__ import annotations
+
+import importlib
+
+_MODULES = [
+    "ir_eval",
+    "cooccur",
+    "scoring_models",
+]
+
+
+def load_all() -> None:
+    for m in _MODULES:
+        importlib.import_module(f"{__name__}.{m}")

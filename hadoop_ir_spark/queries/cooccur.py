@@ -1,0 +1,110 @@
+"""Catalog entries for co-occurrence statistics (SURVEY.md §2.3, A7-A9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import SQL_TOK, TOPICS, _docs, register
+from hadoop_ir_spark.operators import cooccur, stats
+
+# dts = distinct (docno, term) — the reference's per-doc HashSet; pairs /
+# marginals / N all derive from it (TrecMutualInfo.java:131-166).
+SQL_COOCCUR = f"""
+{SQL_TOK},
+dts AS (SELECT DISTINCT docno, term FROM tok WHERE term <> ''),
+pairs AS (
+  SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS n_joint
+  FROM dts a JOIN dts b USING (docno)
+  WHERE a.term <> b.term
+  GROUP BY 1, 2
+),
+marg AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dts GROUP BY term),
+nd AS (SELECT count(DISTINCT docno)::DOUBLE AS n FROM dts),
+cells AS (
+  SELECT p.w1, p.w2,
+         (m1.df + 0.5)                      / (1 + nd.n) AS pX1,
+         (nd.n - m1.df + 0.5)               / (1 + nd.n) AS pX0,
+         (m2.df + 0.5)                      / (1 + nd.n) AS pY1,
+         (nd.n - m2.df + 0.5)               / (1 + nd.n) AS pY0,
+         (p.n_joint + 0.25)                 / (1 + nd.n) AS pX1Y1,
+         (m1.df - p.n_joint + 0.25)         / (1 + nd.n) AS pX1Y0,
+         (m2.df - p.n_joint + 0.25)         / (1 + nd.n) AS pX0Y1,
+         (nd.n - m1.df - m2.df + p.n_joint + 0.25) / (1 + nd.n) AS pX0Y0
+  FROM pairs p
+  JOIN marg m1 ON m1.term = p.w1
+  JOIN marg m2 ON m2.term = p.w2
+  CROSS JOIN nd
+)
+"""
+
+
+def _doc_terms(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return cooccur.doc_term_sets(stats.postings(docs, id_col="doc_id"))
+
+
+@register("cooccur_pairs", f"""
+WITH {SQL_TOK},
+dts AS (SELECT DISTINCT docno, term FROM tok WHERE term <> '')
+SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS n_joint
+FROM dts a JOIN dts b USING (docno)
+WHERE a.term <> b.term
+GROUP BY 1, 2
+""")
+def q_cooccur_pairs(spark, sf_dir):
+    return cooccur.pair_counts(_doc_terms(spark, sf_dir))
+
+
+@register("emim", f"""
+WITH {SQL_COOCCUR}
+SELECT w1, w2,
+       round(  pX1Y1 * log2(pX1Y1 / (pX1 * pY1))
+             + pX1Y0 * log2(pX1Y0 / (pX1 * pY0))
+             + pX0Y1 * log2(pX0Y1 / (pX0 * pY1))
+             + pX0Y0 * log2(pX0Y0 / (pX0 * pY0)), 6) AS emim
+FROM cells
+""")
+def q_emim(spark, sf_dir):
+    dts = _doc_terms(spark, sf_dir).cache()
+    n_docs = dts.select("docno").distinct().count()
+    pairs = cooccur.pair_counts(dts)
+    marg = dts.groupBy("term").agg(F.count("*").alias("df"))
+    out = cooccur.emim(pairs, marg, n_docs)
+    return out.withColumn("emim", F.round("emim", 6))
+
+
+@register("npmi", f"""
+WITH {SQL_COOCCUR}
+SELECT w1, w2,
+       round( log2(pX1Y1 / (pX1 * pY1)) / (-log2(pX1Y1)), 6) AS npmi
+FROM cells
+""")
+def q_npmi(spark, sf_dir):
+    dts = _doc_terms(spark, sf_dir).cache()
+    n_docs = dts.select("docno").distinct().count()
+    pairs = cooccur.pair_counts(dts)
+    marg = dts.groupBy("term").agg(F.count("*").alias("df"))
+    out = cooccur.npmi(pairs, marg, n_docs)
+    return out.withColumn("npmi", F.round("npmi", 6))
+
+
+_QTERMS = sorted({t for _, q in TOPICS for t in q.split()})
+_QTERMS_IN = ", ".join(f"'{t}'" for t in _QTERMS)
+
+
+@register("query_pair_stats", f"""
+WITH {SQL_TOK},
+qp AS (
+  SELECT docno, term AS qterm, tf AS qtf
+  FROM post WHERE term IN ({_QTERMS_IN})
+)
+SELECT qp.qterm, p.term AS dterm,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(least(qp.qtf, p.tf)) AS BIGINT) AS sum_min_tf
+FROM qp JOIN post p USING (docno)
+GROUP BY 1, 2
+""")
+def q_query_pair_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    post = stats.postings(docs, id_col="doc_id")
+    return cooccur.query_pair_stats(post, _QTERMS)

@@ -1,0 +1,121 @@
+"""Catalog entries for the evaluation operators (SURVEY.md §2.8, E1-E6).
+
+Run under evaluation = the Dirichlet flagship run (catalog.dirichlet_topk);
+qrels = catalog.qrels_df / SQL_QRELS (derived deterministically from the
+corpus so DuckDB can reproduce them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import (
+    SQL_QRELS,
+    SQL_RUN_DIRICHLET,
+    dirichlet_topk,
+    qrels_df,
+    register,
+)
+from hadoop_ir_spark.operators import evaluate
+
+
+@register("qrels_synth", f"""
+WITH {SQL_RUN_DIRICHLET}, {SQL_QRELS}
+SELECT qid, docno, rel FROM qrels
+""")
+def q_qrels(spark, sf_dir):
+    return qrels_df(spark, sf_dir)
+
+
+@register("eval_precision_recall", f"""
+WITH {SQL_RUN_DIRICHLET}, {SQL_QRELS},
+judged AS (
+  SELECT r.qid, r.docno, r.rank,
+         CASE WHEN q.docno IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM run r
+  LEFT JOIN (SELECT DISTINCT qid, docno FROM qrels WHERE rel >= 1) q
+    USING (qid, docno)
+),
+perq AS (
+  SELECT qid, CAST(sum(is_rel) AS BIGINT) AS num_rel_ret,
+         CAST(count(*) AS BIGINT) AS num_ret
+  FROM judged GROUP BY qid
+),
+nr AS (
+  SELECT qid, CAST(count(DISTINCT docno) AS BIGINT) AS num_rel
+  FROM qrels WHERE rel >= 1 GROUP BY qid
+)
+SELECT p.qid, p.num_rel_ret, p.num_ret,
+       coalesce(nr.num_rel, 0) AS num_rel,
+       round(p.num_rel_ret::DOUBLE / p.num_ret, 6) AS precision,
+       CASE WHEN coalesce(nr.num_rel, 0) > 0
+            THEN round(p.num_rel_ret::DOUBLE / nr.num_rel, 6) END AS recall
+FROM perq p LEFT JOIN nr USING (qid)
+""")
+def q_eval_precision_recall(spark, sf_dir):
+    run = dirichlet_topk(spark, sf_dir)
+    qrels = qrels_df(spark, sf_dir)
+    out = evaluate.precision_recall(run, qrels)
+    return out.select(
+        "qid",
+        F.col("num_rel_ret").cast("long").alias("num_rel_ret"),
+        F.col("num_ret").cast("long").alias("num_ret"),
+        F.col("num_rel").cast("long").alias("num_rel"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+    )
+
+
+@register("eval_map_pk", f"""
+WITH {SQL_RUN_DIRICHLET}, {SQL_QRELS},
+judged AS (
+  SELECT r.qid, r.docno, r.rank,
+         CASE WHEN q.docno IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM run r
+  LEFT JOIN (SELECT DISTINCT qid, docno FROM qrels WHERE rel >= 1) q
+    USING (qid, docno)
+),
+cum AS (
+  SELECT qid, rank, is_rel,
+         sum(is_rel) OVER (PARTITION BY qid ORDER BY rank) AS cum_rel
+  FROM judged
+),
+psum AS (
+  SELECT qid, sum(cum_rel::DOUBLE / rank) AS psum
+  FROM cum WHERE is_rel = 1 GROUP BY qid
+),
+nr AS (
+  SELECT qid, count(DISTINCT docno) AS num_rel
+  FROM qrels WHERE rel >= 1 GROUP BY qid
+),
+ap AS (
+  SELECT q.qid,
+         CASE WHEN coalesce(nr.num_rel, 0) > 0
+              THEN round(coalesce(psum.psum, 0) / nr.num_rel, 6) END AS ap
+  FROM (SELECT DISTINCT qid FROM run) q
+  LEFT JOIN psum USING (qid)
+  LEFT JOIN nr USING (qid)
+),
+pk10 AS (
+  SELECT qid, round(sum(is_rel)::DOUBLE / 10, 6) AS p_at_10
+  FROM judged WHERE rank <= 10 GROUP BY qid
+),
+pk20 AS (
+  SELECT qid, round(sum(is_rel)::DOUBLE / 20, 6) AS p_at_20
+  FROM judged WHERE rank <= 20 GROUP BY qid
+)
+SELECT ap.qid, ap.ap,
+       coalesce(pk10.p_at_10, 0) AS p_at_10,
+       coalesce(pk20.p_at_20, 0) AS p_at_20
+FROM ap LEFT JOIN pk10 USING (qid) LEFT JOIN pk20 USING (qid)
+""")
+def q_eval_map_pk(spark, sf_dir):
+    run = dirichlet_topk(spark, sf_dir)
+    qrels = qrels_df(spark, sf_dir)
+    out = evaluate.evaluate_run(run, qrels, ks=(10, 20))
+    return out.select(
+        "qid",
+        F.round("ap", 6).alias("ap"),
+        F.round("p_at_10", 6).alias("p_at_10"),
+        F.round("p_at_20", 6).alias("p_at_20"),
+    )

@@ -1,0 +1,309 @@
+"""Catalog entries for the full scoring library (SURVEY.md §2.7, M1-M8) and
+the J3 parameter-grid sweep.
+
+Every query returns a ranked run (qid[, param], docno, score, rank) at
+depth TOP_K with the K3 tie-break, scores rounded to 6 places on both the
+Spark and oracle sides so fp summation order cannot flip ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import (
+    SQL_TOK,
+    TOP_K,
+    TOPICS,
+    _docs,
+    _topics_df,
+    _topics_values_sql,
+    register,
+)
+from hadoop_ir_spark.operators import rank, scoring, stats
+
+JM_LAMBDA = 0.15      # M2 MIREX default (TrecRunBaselines.java sweep midpoint)
+DIR_MU = 2500.0       # M3/M7/M8 (TrecRunBaselines.java:265, RunQueryHBase.java:46)
+GSLIS_LAMBDA = 0.5    # M6/M7
+MU_GRID = [500.0, 1000.0, 2500.0]  # J3 sweep (subset of RunQueryHBase.java:46)
+
+_QTERMS = sorted({t for _, q in TOPICS for t in q.split()})
+
+# Shared oracle prelude: query terms + per-term cf/df + doc lengths + globals.
+SQL_SCORING = f"""
+{SQL_TOK},
+coll AS (SELECT sum(tf) AS coll_len FROM post),
+topics AS (SELECT DISTINCT qid, term FROM {_topics_values_sql()}),
+tstats AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM post GROUP BY term),
+matched AS (
+  SELECT t.qid, p.docno, p.term, p.tf, d.doc_len, s.df, s.cf
+  FROM post p
+  JOIN topics t USING (term)
+  JOIN tstats s ON s.term = p.term
+  JOIN dlen d ON d.docno = p.docno
+)
+"""
+
+SQL_RANK = f"""
+ranked AS (
+  SELECT qid, docno, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docno DESC) AS rank
+  FROM scored
+)
+SELECT qid, docno, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _prep(spark, sf_dir, with_weights: bool = False):
+    """Shared Spark-side inputs: query-term postings, doc lengths, stats."""
+    docs = _docs(spark, sf_dir)
+    dlen = stats.doc_lengths(docs, id_col="doc_id")
+    post = stats.postings_for_terms(docs, _QTERMS, id_col="doc_id")
+    tstats = post.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    topics = _topics_df(spark)
+    if with_weights:
+        topics = topics.withColumn("qweight", F.lit(1.0))
+    else:
+        topics = topics.withColumn("qtf", F.lit(1))
+    coll_len = dlen.agg(F.sum("doc_len")).collect()[0][0]
+    return docs, dlen, post, tstats, topics, coll_len
+
+
+def _finish(scored):
+    scored = scored.withColumn("score", F.round("score", 6))
+    return rank.topk(scored, k=TOP_K).select(
+        "qid", "docno", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# M1 — LM no smoothing + length prior (log space; all-terms-required)
+# --------------------------------------------------------------------------
+
+@register("lm_no_smoothing_topk", f"""
+WITH {SQL_SCORING},
+nq AS (SELECT qid, count(DISTINCT term) AS n_qterms FROM topics GROUP BY qid),
+scored AS (
+  SELECT m.qid, m.docno,
+         round(sum(ln(m.tf::DOUBLE / m.doc_len)) + ln(min(m.doc_len)), 6) AS score
+  FROM matched m
+  GROUP BY m.qid, m.docno
+  HAVING count(DISTINCT m.term) = (SELECT n_qterms FROM nq WHERE nq.qid = m.qid)
+),
+{SQL_RANK}
+""")
+def q_lm_no_smoothing(spark, sf_dir):
+    _, dlen, post, tstats, topics, _ = _prep(spark, sf_dir)
+    matched = scoring.matched_terms(post, topics, doc_len=dlen)
+    return _finish(scoring.score_lm_no_smoothing(matched, topics))
+
+
+# --------------------------------------------------------------------------
+# M2 — Jelinek-Mercer, MIREX form (positive scores only)
+# --------------------------------------------------------------------------
+
+@register("jm_mirex_topk", f"""
+WITH {SQL_SCORING},
+scored AS (
+  SELECT qid, docno,
+         round(sum(ln(1 + (tf * (SELECT coll_len FROM coll) * {JM_LAMBDA})
+                        / (cf * doc_len * (1 - {JM_LAMBDA}))))
+               + ln(min(doc_len)), 6) AS score
+  FROM matched WHERE cf > 0
+  GROUP BY qid, docno
+  HAVING sum(ln(1 + (tf * (SELECT coll_len FROM coll) * {JM_LAMBDA})
+                   / (cf * doc_len * (1 - {JM_LAMBDA})))) + ln(min(doc_len)) > 0
+),
+{SQL_RANK}
+""")
+def q_jm_mirex(spark, sf_dir):
+    _, dlen, post, tstats, topics, coll_len = _prep(spark, sf_dir)
+    matched = scoring.matched_terms(post, topics, doc_len=dlen, stats=tstats)
+    return _finish(scoring.score_jm_mirex(matched, coll_len, JM_LAMBDA))
+
+
+# --------------------------------------------------------------------------
+# M3 — Dirichlet, MIREX form (matched terms only)
+# --------------------------------------------------------------------------
+
+@register("dirichlet_mirex_topk", f"""
+WITH {SQL_SCORING},
+scored AS (
+  SELECT qid, docno,
+         round(sum(ln(tf * ((SELECT coll_len FROM coll)::DOUBLE / cf) + {DIR_MU})
+                   - ln(doc_len + {DIR_MU})), 6) AS score
+  FROM matched WHERE cf > 0
+  GROUP BY qid, docno
+),
+{SQL_RANK}
+""")
+def q_dirichlet_mirex(spark, sf_dir):
+    _, dlen, post, tstats, topics, coll_len = _prep(spark, sf_dir)
+    matched = scoring.matched_terms(post, topics, doc_len=dlen, stats=tstats)
+    return _finish(scoring.score_dirichlet_mirex(matched, coll_len, DIR_MU))
+
+
+# --------------------------------------------------------------------------
+# M6 — GSLIS Jelinek-Mercer (every doc scores; missing terms smooth)
+# --------------------------------------------------------------------------
+
+SQL_GSLIS_FRAME = f"""
+{SQL_TOK},
+coll AS (SELECT sum(tf) AS coll_len FROM post),
+topics AS (SELECT * FROM {_topics_values_sql(weighted=True)}),
+qstats AS (
+  SELECT t.qid, t.term, t.qweight, coalesce(s.cf, 0) AS cf
+  FROM topics t
+  LEFT JOIN (SELECT term, sum(tf) AS cf FROM post GROUP BY term) s USING (term)
+),
+frame AS (
+  SELECT q.qid, d.docno, d.doc_len, q.qweight,
+         greatest(q.cf, 1)::DOUBLE / (SELECT coll_len FROM coll) AS cp,
+         coalesce(p.tf, 0) AS tf
+  FROM dlen d
+  CROSS JOIN qstats q
+  LEFT JOIN post p ON p.docno = d.docno AND p.term = q.term
+)
+"""
+
+
+@register("jm_gslis_topk", f"""
+WITH {SQL_GSLIS_FRAME},
+scored AS (
+  SELECT qid, docno,
+         round(sum(qweight * ln((1 - {GSLIS_LAMBDA}) * tf / doc_len
+                                + {GSLIS_LAMBDA} * cp)), 6) AS score
+  FROM frame GROUP BY qid, docno
+),
+{SQL_RANK}
+""")
+def q_jm_gslis(spark, sf_dir):
+    _, dlen, post, tstats, topics, coll_len = _prep(spark, sf_dir, with_weights=True)
+    qstats = topics.join(
+        tstats.select("term", "cf"), "term", "left"
+    ).fillna({"cf": 0})
+    matched = scoring.matched_terms(post, qstats, doc_len=dlen)
+    scored = scoring.score_gslis(matched, qstats, dlen, coll_len,
+                                 model="jm", lambda_=GSLIS_LAMBDA)
+    return _finish(scored)
+
+
+# --------------------------------------------------------------------------
+# M7 — two-stage smoothing (non-separable: explicit q x d frame)
+# --------------------------------------------------------------------------
+
+@register("two_stage_topk", f"""
+WITH {SQL_GSLIS_FRAME},
+scored AS (
+  SELECT qid, docno,
+         round(sum(qweight * ln((1 - {GSLIS_LAMBDA}) * (tf + {DIR_MU} * cp)
+                                  / (doc_len + {DIR_MU})
+                                + {GSLIS_LAMBDA} * cp)), 6) AS score
+  FROM frame GROUP BY qid, docno
+),
+{SQL_RANK}
+""")
+def q_two_stage(spark, sf_dir):
+    _, dlen, post, tstats, topics, coll_len = _prep(spark, sf_dir, with_weights=True)
+    qstats = topics.join(
+        tstats.select("term", "cf"), "term", "left"
+    ).fillna({"cf": 0})
+    scored = scoring.score_two_stage(qstats, post, dlen, coll_len,
+                                     mu=DIR_MU, lambda_=GSLIS_LAMBDA)
+    return _finish(scored)
+
+
+# --------------------------------------------------------------------------
+# M8 — cross-entropy (qnorm = qtf / |q|)
+# --------------------------------------------------------------------------
+
+@register("cross_entropy_topk", f"""
+WITH {SQL_GSLIS_FRAME},
+qlen AS (SELECT qid, count(*) AS n FROM qstats GROUP BY qid),
+scored AS (
+  SELECT f.qid, f.docno,
+         round(sum((1.0 / ql.n) * (ln((f.tf + {DIR_MU} * f.cp) / (f.doc_len + {DIR_MU}))
+                                   - ln(f.cp))), 6) AS score
+  FROM frame f JOIN qlen ql ON ql.qid = f.qid
+  GROUP BY f.qid, f.docno
+),
+{SQL_RANK}
+""")
+def q_cross_entropy(spark, sf_dir):
+    _, dlen, post, tstats, topics, coll_len = _prep(spark, sf_dir, with_weights=True)
+    qstats = topics.join(
+        tstats.select("term", "cf"), "term", "left"
+    ).fillna({"cf": 0})
+    qn = qstats.groupBy("qid").agg((1.0 / F.count("*")).alias("qnorm"))
+    qstats = qstats.join(F.broadcast(qn), "qid")
+    matched = scoring.matched_terms(post, qstats, doc_len=dlen)
+    scored = scoring.score_gslis(matched, qstats, dlen, coll_len,
+                                 model="cross_entropy", mu=DIR_MU)
+    return _finish(scored)
+
+
+# --------------------------------------------------------------------------
+# J3 — Dirichlet mu-sweep: param grid crossJoin, top-k per (mu, qid)
+# --------------------------------------------------------------------------
+
+_MU_VALUES = ", ".join(f"({m})" for m in MU_GRID)
+
+
+@register("dirichlet_mu_sweep", f"""
+WITH {SQL_GSLIS_FRAME},
+grid AS (SELECT * FROM (VALUES {_MU_VALUES}) AS g(mu)),
+scored AS (
+  SELECT g.mu, f.qid, f.docno,
+         round(sum(f.qweight * ln((f.tf + g.mu * f.cp) / (f.doc_len + g.mu))), 6) AS score
+  FROM frame f CROSS JOIN grid g
+  GROUP BY g.mu, f.qid, f.docno
+),
+ranked AS (
+  SELECT mu, qid, docno, score,
+         row_number() OVER (PARTITION BY mu, qid ORDER BY score DESC, docno DESC) AS rank
+  FROM scored
+)
+SELECT mu, qid, docno, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def q_dirichlet_mu_sweep(spark, sf_dir):
+    """J3 (RunQueryHBase.java:82-87): the sweep grid is a tiny broadcast
+    crossJoin applied AFTER the per-(qid,docno) matched aggregation — the
+    heavy postings join runs once, not once per mu."""
+    _, dlen, post, tstats, topics, coll_len = _prep(spark, sf_dir, with_weights=True)
+    qstats = topics.join(
+        tstats.select("term", "cf"), "term", "left"
+    ).fillna({"cf": 0})
+    cl = float(coll_len)
+    grid = spark.createDataFrame([(m,) for m in MU_GRID], "mu double")
+
+    cp = F.greatest(F.col("cf"), F.lit(1)).cast("double") / F.lit(cl)
+    matched = scoring.matched_terms(post, qstats, doc_len=dlen)
+    # delta per (mu, qid, docno): ln(tf + mu*cp) - ln(mu*cp)
+    mg = matched.crossJoin(F.broadcast(grid))
+    delta = F.col("qweight") * (
+        F.log(F.col("tf") + F.col("mu") * cp) - F.log(F.col("mu") * cp)
+    )
+    msum = mg.groupBy("mu", "qid", "docno").agg(F.sum(delta).alias("msum"))
+
+    qconst = (
+        qstats.crossJoin(F.broadcast(grid))
+        .groupBy("mu", "qid")
+        .agg(
+            F.sum(F.col("qweight") * F.log(F.col("mu") * cp)).alias("qconst"),
+            F.sum("qweight").alias("wsum"),
+        )
+    )
+    frame = dlen.crossJoin(F.broadcast(qconst))
+    scored = frame.join(msum, ["mu", "qid", "docno"], "left").select(
+        "mu", "qid", "docno",
+        F.round(
+            F.coalesce(F.col("msum"), F.lit(0.0)) + F.col("qconst")
+            - F.col("wsum") * F.log(F.col("doc_len") + F.col("mu")),
+            6,
+        ).alias("score"),
+    )
+    return rank.topk(scored, k=TOP_K, qid_col=["mu", "qid"]).select(
+        "mu", "qid", "docno", "score", F.col("rank").cast("int").alias("rank")
+    )
