@@ -1,0 +1,30 @@
+"""TREC qrels reader (SURVEY.md §2.8 E6; reference Qrels.java:25-130).
+
+4 whitespace-separated columns ``qid iter docno rel``; relevance is graded,
+"relevant" = rel >= min_rel (the reference's minRelLevel)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_qrels(spark: SparkSession, path: str) -> DataFrame:
+    """→ (qid, docno, rel); tolerant of runs of spaces/tabs."""
+    raw = spark.read.text(path)
+    parts = F.split(F.trim("value"), r"\s+")
+    return (
+        raw.filter(F.trim("value") != "")
+        .select(
+            parts[0].alias("qid"),
+            parts[2].alias("docno"),
+            parts[3].cast("int").alias("rel"),
+        )
+    )
+
+
+def relevant(qrels: DataFrame, min_rel: int = 1) -> DataFrame:
+    """E6 filter (Qrels.java:96-101): distinct relevant (qid, docno)."""
+    return (
+        qrels.filter(F.col("rel") >= min_rel).select("qid", "docno").distinct()
+    )

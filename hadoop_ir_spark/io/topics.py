@@ -1,0 +1,107 @@
+"""Topic/query file formats (SURVEY.md §1.1 "Query / topic" row).
+
+Three formats coexist in the reference; all parse to a DataFrame
+``(qid, term, qweight?, qtf?, df?, cf?)``:
+
+1. plain      ``qid:term term …``           (ClueWebRunQueries.java:120-133,
+                                             wt2010-topics.queries-only)
+2. weighted   ``qid \\t term:weight …``     (RunQueryHBase.java:138-161)
+3. MIREX      ``qid:term=qtf=df=cf …`` with ``#MIREX-LENGTH:`` /
+              ``#MIREX-NDOCS:`` header lines (TrecRunBaselines.java:78-136,
+              written by QueryTermCount.java:262-318)
+
+Parsing is DataFrame-native (spark.read.text + split/explode) so the same
+code handles a 10-line topics file or a million-query batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_topics_plain(spark: SparkSession, path: str) -> DataFrame:
+    """Format 1 → (qid, term) with terms lowercased by the T3 tokenizer
+    convention (query terms are tokenized like documents)."""
+    raw = spark.read.text(path)
+    lines = raw.filter(~F.col("value").startswith("#") & (F.trim("value") != ""))
+    qid = F.substring_index("value", ":", 1)
+    rest = F.expr("substring(value, length(substring_index(value, ':', 1)) + 2)")
+    return (
+        lines.select(qid.alias("qid"), rest.alias("terms"))
+        .select("qid", F.explode(F.split(F.lower("terms"), "[^0-9a-z]+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def read_topics_weighted(spark: SparkSession, path: str) -> DataFrame:
+    """Format 2 → (qid, term, qweight)."""
+    raw = spark.read.text(path)
+    lines = raw.filter(~F.col("value").startswith("#") & (F.trim("value") != ""))
+    parts = F.split("value", "\t", 2)
+    pairs = F.split(parts[1], r"\s+")
+    return (
+        lines.select(parts[0].alias("qid"), F.explode(pairs).alias("pair"))
+        .filter(F.col("pair").contains(":"))
+        .select(
+            "qid",
+            F.substring_index("pair", ":", 1).alias("term"),
+            F.substring_index("pair", ":", -1).cast("double").alias("qweight"),
+        )
+    )
+
+
+def read_topics_mirex(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Format 3 → ((qid, term, qtf, df, cf), globals) where globals carries
+    the ``#MIREX-LENGTH`` / ``#MIREX-NDOCS`` header values
+    (TrecRunBaselines.java:95-116)."""
+    raw = spark.read.text(path)
+    headers = {
+        r["value"].split(":", 1)[0].lstrip("#").strip():
+            int(r["value"].split(":", 1)[1].strip())
+        for r in raw.filter(F.col("value").startswith("#MIREX")).collect()
+    }
+    glob = {
+        "coll_len": headers.get("MIREX-LENGTH"),
+        "n_docs": headers.get("MIREX-NDOCS"),
+    }
+    lines = raw.filter(~F.col("value").startswith("#") & (F.trim("value") != ""))
+    qid = F.substring_index("value", ":", 1)
+    rest = F.expr("substring(value, length(substring_index(value, ':', 1)) + 2)")
+    toks = F.split(rest, r"\s+")
+    fields = F.split("tok", "=")
+    return (
+        lines.select(qid.alias("qid"), F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(
+            "qid",
+            fields[0].alias("term"),
+            fields[1].cast("long").alias("qtf"),
+            fields[2].cast("long").alias("df"),
+            fields[3].cast("long").alias("cf"),
+        ),
+        glob,
+    )
+
+
+def write_topics_mirex(qstats, coll_len: int, n_docs: int, path: str) -> None:
+    """QueryTermCount's driver-side merge (QueryTermCount.java:262-318):
+    rewrite the topic file as ``qid:term=qtf=df=cf …`` with global header
+    lines. Topics are small by construction → collect + single local file.
+
+    ``qstats``: (qid, term, qtf, df, cf) DataFrame.
+    """
+    rows = qstats.orderBy("qid", "term").collect()
+    by_qid: dict[str, list[str]] = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(
+            f"{r['term']}={r['qtf']}={r['df']}={r['cf']}"
+        )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(f"#MIREX-LENGTH:{coll_len}\n")
+        f.write(f"#MIREX-NDOCS:{n_docs}\n")
+        for qid in sorted(by_qid):
+            f.write(f"{qid}:" + " ".join(by_qid[qid]) + "\n")

@@ -1,0 +1,58 @@
+"""TREC-SGML document reader (SURVEY.md §2.1 S1).
+
+The reference splits files on ``<DOC>…</DOC>`` with a streaming byte matcher
+(XmlInputFormat.java:38-116) and regex-extracts DOCNO/TEXT/EPOCH per record
+(TrecUtils.java:31-60, IndexTrecToHBase.java:74-97). Here the splittable scan
+is ``spark.read.text(lineSep="</DOC>")`` — Spark splits on the same closing
+tag, so a 100 TB collection parallelizes identically — and field extraction
+is JVM-side ``regexp_extract`` (whole-stage codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "docno string, text string, epoch bigint"
+
+
+def read_trec_sgml(spark: SparkSession, path: str) -> DataFrame:
+    """S1: one row per ``<DOC>`` block: (docno, text, epoch).
+
+    - docno: trimmed ``<DOCNO>`` body (TrecUtils.java:31-41)
+    - text:  raw ``<TEXT>`` body (TrecUtils.java:43-53); empty if absent
+    - epoch: first integer inside ``<EPOCH>``, NULL if absent
+      (IndexTrecToHBase.java:86-97 regex)
+    """
+    raw = spark.read.text(path, lineSep="</DOC>")
+    docs = raw.filter(F.col("value").contains("<DOC>"))
+    return docs.select(
+        F.trim(F.regexp_extract("value", r"(?s)<DOCNO>\s*(.*?)\s*</DOCNO>", 1))
+         .alias("docno"),
+        F.regexp_extract("value", r"(?s)<TEXT>\s*(.*?)\s*</TEXT>", 1)
+         .alias("text"),
+        F.nullif(
+            F.regexp_extract("value", r"<EPOCH>\s*(\d+)\s*</EPOCH>", 1), F.lit("")
+        ).cast("bigint").alias("epoch"),
+    ).filter(F.col("docno") != "")
+
+
+def format_trec_sgml(docs: DataFrame, docno_col: str = "docno",
+                     text_col: str = "text",
+                     epoch_col: str | None = None) -> DataFrame:
+    """Inverse writer: one ``value`` column of <DOC> blocks, suitable for
+    ``df.write.text`` (S9-style sink used to build test fixtures)."""
+    epoch_part = (
+        F.when(F.col(epoch_col).isNotNull(),
+               F.concat(F.lit("\n<EPOCH>"), F.col(epoch_col).cast("string"),
+                        F.lit("</EPOCH>")))
+         .otherwise(F.lit(""))
+        if epoch_col else F.lit("")
+    )
+    return docs.select(
+        F.concat(
+            F.lit("<DOC>\n<DOCNO>"), F.col(docno_col), F.lit("</DOCNO>"),
+            epoch_part,
+            F.lit("\n<TEXT>\n"), F.col(text_col), F.lit("\n</TEXT>\n</DOC>"),
+        ).alias("value")
+    )
