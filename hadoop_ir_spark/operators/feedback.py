@@ -1,0 +1,99 @@
+"""Pseudo-relevance feedback: RM1 relevance model + RM3 interpolation
+(SURVEY.md §2.7 M10; reference GenerateFeedbackQueriesHBase.java:438-488
+for RM1, :309-329 for the sweep+RM3, FeatureVector.java:86-107 normalize,
+:173-190 interpolate).
+
+All joins + window clip + aggregations — no UDFs. The reference loops over
+HBase point-gets per feedback doc (J2); here the feedback-doc set is a tiny
+DataFrame joined against postings, so the 100 TB postings side is touched
+once with a broadcast semi-join.
+
+Numerical note: the reference weights docs by ``Math.exp(score)`` on raw
+log-likelihood scores (GenerateFeedbackQueriesHBase.java:449), which
+underflows for long documents. We subtract the per-query max score before
+exponentiating; after the final normalization the weights are identical,
+without the underflow. Documented divergence, same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators.rank import clip_vector
+
+
+def clean_terms(weighted: DataFrame, term_col: str = "term") -> DataFrame:
+    """T12 (GenerateFeedbackQueriesHBase.java:366-377): drop terms shorter
+    than 3 chars or containing digits. Renormalization is the caller's
+    ``normalize`` step, as in the reference."""
+    return weighted.filter(
+        (F.length(term_col) >= 3) & ~F.col(term_col).rlike("[0-9]")
+    )
+
+
+def normalize(weighted: DataFrame, qid_col: str = "qid",
+              weight_col: str = "weight") -> DataFrame:
+    """FeatureVector.normalize (FeatureVector.java:86-107): weights sum to 1
+    per query vector."""
+    w = Window.partitionBy(qid_col)
+    return weighted.withColumn(
+        weight_col, F.col(weight_col) / F.sum(weight_col).over(w)
+    )
+
+
+def rm1(run: DataFrame, post: DataFrame, doc_len: DataFrame,
+        fb_docs: int = 10, fb_terms: int = 20) -> DataFrame:
+    """RM1 (GenerateFeedbackQueriesHBase.java:438-488):
+    ``P(w|R) ∝ Σ_d p(w|d) · exp(score_d)`` over the top ``fb_docs``
+    documents of ``run`` (qid, docno, score, rank); then clean (T12),
+    clip to ``fb_terms`` (K4), normalize.
+
+    Returns (qid, term, weight), weights summing to 1 per qid.
+    """
+    top = run.filter(F.col("rank") <= fb_docs).select("qid", "docno", "score")
+    wq = Window.partitionBy("qid")
+    top = top.withColumn(
+        "doc_w", F.exp(F.col("score") - F.max("score").over(wq))
+    ).drop("score")
+
+    joined = (
+        post.join(top, "docno")          # semi-restricts postings to fb docs
+        .join(doc_len, "docno")
+    )
+    weights = joined.groupBy("qid", "term").agg(
+        F.sum((F.col("tf") / F.col("doc_len")) * F.col("doc_w")).alias("weight")
+    )
+    cleaned = clean_terms(weights)
+    # clip orders by rounded weight so fp summation order cannot flip the
+    # cut (term-desc tie-break, K4)
+    cleaned = cleaned.withColumn("weight", F.round("weight", 9))
+    clipped = clip_vector(cleaned, fb_terms, weight_col="weight")
+    return normalize(clipped)
+
+
+def rm3(rm1_weights: DataFrame, topics: DataFrame,
+        orig_lambda: float = 0.5) -> DataFrame:
+    """RM3 (GenerateFeedbackQueriesHBase.java:309-329 + FeatureVector.java:
+    173-190): ``λ·P(w|q) + (1−λ)·P(w|RM1)`` over the vocabulary union
+    (full outer join), then normalize.
+
+    ``topics``: (qid, term[, qweight]) original query; uniform weights are
+    assumed when qweight is absent (qtf=1 queries normalize to 1/|q|).
+    """
+    if "qweight" not in topics.columns:
+        topics = topics.withColumn("qweight", F.lit(1.0))
+    qv = normalize(
+        topics.select("qid", "term", F.col("qweight").alias("weight")),
+    ).withColumnRenamed("weight", "q_w")
+
+    j = qv.join(rm1_weights.withColumnRenamed("weight", "rm1_w"),
+                ["qid", "term"], "full_outer")
+    out = j.select(
+        "qid", "term",
+        (
+            F.lit(orig_lambda) * F.coalesce("q_w", F.lit(0.0))
+            + F.lit(1.0 - orig_lambda) * F.coalesce("rm1_w", F.lit(0.0))
+        ).alias("weight"),
+    )
+    return normalize(out)

@@ -1,0 +1,106 @@
+"""KDE temporal re-ranking (SURVEY.md §2.7 M9; reference
+RunQueryKDEHBase.java:73-113 + RKernelDensity.java:22-69).
+
+The reference ships epochs of a query's top-k docs to R via Rserve and
+evaluates a score-weighted Gaussian KDE (bw="SJ-dpi", n=1024), then
+rescores ``α·log(kde(epoch)) + (1−α)·loglik``. Here the out-of-process R
+bridge becomes ``groupBy(qid).applyInPandas`` — the same "custom compute
+near the data" pattern with Arrow batches instead of Rserve RPC.
+
+Bandwidth: numpy-only Silverman rule-of-thumb (scipy absent in this
+environment; RKernelDensity's "SJ-dpi" is approximated — documented
+divergence, the α-interpolation semantics are what parity requires).
+Weighted KDE matches R's ``density(x, weights=w)``: weights normalized to
+sum 1, density = Σ_i w_i · N(x; x_i, h).
+
+Scale: one pandas group per (qid) over only that query's top-k (≤1000
+rows) — the heavy scoring stays in the JVM; the Python stage touches
+k·|queries| rows total.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def gaussian_kde_weighted(x: np.ndarray, weights: np.ndarray,
+                          eval_points: np.ndarray) -> np.ndarray:
+    """Score-weighted Gaussian KDE with Silverman bandwidth.
+
+    density(t) = Σ_i w_i · φ((t − x_i)/h) / h,  Σ w_i = 1
+    """
+    x = np.asarray(x, dtype=float)
+    w = np.asarray(weights, dtype=float)
+    w = w / w.sum()
+    n = len(x)
+    if n == 1:
+        h = 1.0
+    else:
+        mean = (x * w).sum()
+        var = ((x - mean) ** 2 * w).sum()
+        sd = math.sqrt(max(var, 1e-300))
+        # weighted quantiles for IQR
+        order = np.argsort(x)
+        cw = np.cumsum(w[order])
+        q25 = x[order][np.searchsorted(cw, 0.25)]
+        q75 = x[order][np.searchsorted(cw, min(0.75, cw[-1]))]
+        iqr = max(q75 - q25, 0.0)
+        sigma = min(sd, iqr / 1.349) if iqr > 0 else sd
+        neff = 1.0 / (w ** 2).sum()
+        h = 0.9 * max(sigma, 1e-12) * neff ** (-0.2)
+    z = (eval_points[:, None] - x[None, :]) / h
+    dens = (np.exp(-0.5 * z ** 2) / math.sqrt(2 * math.pi)) @ w / h
+    return dens
+
+
+def kde_rescore(run: DataFrame, alpha: float = 0.5,
+                epoch_col: str = "epoch", floor: float = 1e-300) -> DataFrame:
+    """M9: per-query temporal rescore of a run (qid, docno, score, epoch):
+
+    ``score' = α·ln(kde(epoch)) + (1−α)·score``
+
+    Docs with NULL epoch keep their original score (the reference skips
+    docs without an <EPOCH>; lenient per SURVEY.md §3 defect 5).
+    """
+    def rescore(pdf: pd.DataFrame) -> pd.DataFrame:
+        has = pdf[epoch_col].notna()
+        if has.sum() >= 1:
+            x = pdf.loc[has, epoch_col].to_numpy(dtype=float)
+            w = np.exp(pdf.loc[has, "score"] - pdf.loc[has, "score"].max())
+            dens = gaussian_kde_weighted(x, w.to_numpy(), x)
+            dens = np.maximum(dens, floor)
+            pdf.loc[has, "score"] = (
+                alpha * np.log(dens) + (1 - alpha) * pdf.loc[has, "score"]
+            )
+        return pdf
+
+    cols = [f.name for f in run.schema.fields if f.name != "rank"]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in run.schema.fields if f.name != "rank"
+    )
+    return (
+        run.select(*cols)
+        .groupBy("qid")
+        .applyInPandas(rescore, schema=schema)
+    )
+
+
+def alpha_sweep(run: DataFrame, alphas=tuple(a / 10 for a in range(1, 10)),
+                epoch_col: str = "epoch") -> DataFrame:
+    """The reference's α ∈ {0.1..0.9} sweep (RunQueryKDEHBase.java:30):
+    one KDE pass per α, results unioned with an ``alpha`` column."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    outs = [
+        kde_rescore(run, alpha=a, epoch_col=epoch_col)
+        .withColumn("alpha", F.lit(a))
+        for a in alphas
+    ]
+    return functools.reduce(DataFrame.unionByName, outs)

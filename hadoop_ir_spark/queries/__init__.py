@@ -9,6 +9,7 @@ _MODULES = [
     "ir_eval",
     "cooccur",
     "scoring_models",
+    "feedback_rerank",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Catalog entries for RM1/RM3 feedback (M10) and KDE rerank (M9).
+
+RM1/RM3 are pure join+window+agg pipelines → full DuckDB oracles.
+KDE rerank is a pandas-UDF stateful computation (the reference used an R
+bridge) → registered without an oracle (driver records the rows-only
+check), with the math unit-tested against numpy in tests/test_feedback.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import (
+    SQL_RUN_DIRICHLET,
+    TOP_K,
+    _docs,
+    _topics_df,
+    _topics_values_sql,
+    dirichlet_topk,
+    register,
+)
+from hadoop_ir_spark.operators import feedback, rerank, stats
+
+FB_DOCS = 10
+FB_TERMS = 5
+RM3_LAMBDA = 0.5
+
+# RM1 on top of the Dirichlet run CTE. Mirrors operators/feedback.py step
+# for step, incl. the max-score exp-normalization and the rounded-weight
+# clip ordering.
+SQL_RM1 = f"""
+fbdocs AS (
+  SELECT qid, docno,
+         exp(score - max(score) OVER (PARTITION BY qid)) AS doc_w
+  FROM run WHERE rank <= {FB_DOCS}
+),
+rm1_raw AS (
+  SELECT f.qid, p.term,
+         round(sum((p.tf::DOUBLE / d.doc_len) * f.doc_w), 9) AS weight
+  FROM fbdocs f
+  JOIN post p ON p.docno = f.docno
+  JOIN dlen d ON d.docno = f.docno
+  GROUP BY f.qid, p.term
+),
+rm1_clean AS (
+  SELECT * FROM rm1_raw
+  WHERE length(term) >= 3 AND NOT regexp_matches(term, '[0-9]')
+),
+rm1_clip AS (
+  SELECT qid, term, weight,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY weight DESC, term DESC) AS rnk
+  FROM rm1_clean
+),
+rm1 AS (
+  SELECT qid, term,
+         weight / sum(weight) OVER (PARTITION BY qid) AS weight
+  FROM rm1_clip WHERE rnk <= {FB_TERMS}
+)
+"""
+
+
+def _rm1_df(spark, sf_dir):
+    run = dirichlet_topk(spark, sf_dir, k=TOP_K)
+    docs = _docs(spark, sf_dir)
+    post = stats.postings(docs, id_col="doc_id")
+    dlen = stats.doc_lengths(docs, id_col="doc_id")
+    return feedback.rm1(run, post, dlen, fb_docs=FB_DOCS, fb_terms=FB_TERMS)
+
+
+@register("rm1_feedback", f"""
+WITH {SQL_RUN_DIRICHLET}, {SQL_RM1}
+SELECT qid, term, round(weight, 6) AS weight FROM rm1
+""")
+def q_rm1(spark, sf_dir):
+    out = _rm1_df(spark, sf_dir)
+    return out.withColumn("weight", F.round("weight", 6))
+
+
+@register("rm3_feedback", f"""
+WITH {SQL_RUN_DIRICHLET}, {SQL_RM1},
+qv AS (
+  SELECT qid, term,
+         qweight / sum(qweight) OVER (PARTITION BY qid) AS q_w
+  FROM {_topics_values_sql(weighted=True)}
+),
+merged AS (
+  SELECT coalesce(q.qid, r.qid) AS qid,
+         coalesce(q.term, r.term) AS term,
+         {RM3_LAMBDA} * coalesce(q.q_w, 0) + (1 - {RM3_LAMBDA}) * coalesce(r.weight, 0) AS w
+  FROM qv q FULL OUTER JOIN rm1 r ON q.qid = r.qid AND q.term = r.term
+)
+SELECT qid, term,
+       round(w / sum(w) OVER (PARTITION BY qid), 6) AS weight
+FROM merged
+""")
+def q_rm3(spark, sf_dir):
+    rm1_w = _rm1_df(spark, sf_dir)
+    topics = _topics_df(spark).withColumn("qweight", F.lit(1.0))
+    out = feedback.rm3(rm1_w, topics, orig_lambda=RM3_LAMBDA)
+    return out.withColumn("weight", F.round("weight", 6))
+
+
+# --------------------------------------------------------------------------
+# M9 — KDE temporal rerank (pandas UDF; no SQL oracle, rows-only check)
+# --------------------------------------------------------------------------
+
+@register("kde_rerank")
+def q_kde_rerank(spark, sf_dir):
+    """Dirichlet run + synthetic deterministic epochs (epoch := docno as
+    seconds — the synthetic documents table has no timestamp) → per-query
+    score-weighted Gaussian-KDE temporal rescore at α=0.5."""
+    run = dirichlet_topk(spark, sf_dir, k=TOP_K)
+    run = run.withColumn("epoch", F.col("docno").cast("long"))
+    out = rerank.kde_rescore(run, alpha=0.5)
+    return out.select(
+        "qid", "docno", F.round("score", 6).alias("score"), "epoch"
+    )

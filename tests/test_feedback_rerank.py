@@ -1,0 +1,142 @@
+"""RM1/RM3 and KDE-rerank golden tests with hand-computed values."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators import feedback, rerank
+
+
+@pytest.fixture(scope="module")
+def fb_inputs(spark):
+    # one query, two feedback docs with scores ln(1) and ln(2):
+    # doc weights after exp-max-normalization: 0.5, 1.0
+    run = spark.createDataFrame(
+        [("q1", "d1", 0.0 - math.log(2), 1), ("q1", "d2", 0.0, 2)],
+        "qid string, docno string, score double, rank int",
+    )
+    post = spark.createDataFrame(
+        [("d1", "alpha", 2), ("d1", "beta", 2),
+         ("d2", "alpha", 1), ("d2", "gamma", 3)],
+        "docno string, term string, tf int",
+    )
+    dlen = spark.createDataFrame(
+        [("d1", 4), ("d2", 4)], "docno string, doc_len int"
+    )
+    return run, post, dlen
+
+
+def test_rm1_weights(fb_inputs):
+    run, post, dlen = fb_inputs
+    out = {r["term"]: r["weight"]
+           for r in feedback.rm1(run, post, dlen, fb_docs=10, fb_terms=10).collect()}
+    # raw: alpha = (2/4)*0.5 + (1/4)*1.0 = 0.5 ; beta = (2/4)*0.5 = 0.25 ;
+    #      gamma = (3/4)*1.0 = 0.75  -> total 1.5
+    assert out["alpha"] == pytest.approx(0.5 / 1.5, abs=1e-9)
+    assert out["beta"] == pytest.approx(0.25 / 1.5, abs=1e-9)
+    assert out["gamma"] == pytest.approx(0.75 / 1.5, abs=1e-9)
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_rm1_clip_and_clean(fb_inputs, spark):
+    run, post, dlen = fb_inputs
+    # add a short term and a digit term: both must be cleaned (T12)
+    extra = spark.createDataFrame(
+        [("d2", "ab", 5), ("d2", "x9y", 5)], "docno string, term string, tf int"
+    )
+    out = feedback.rm1(run, post.unionByName(extra), dlen,
+                       fb_docs=10, fb_terms=2)
+    rows = {r["term"]: r["weight"] for r in out.collect()}
+    # cleaned: ab (len<3), x9y (digit); clipped to top-2 by weight: gamma, alpha
+    assert set(rows) == {"gamma", "alpha"}
+    assert rows["gamma"] == pytest.approx(0.75 / 1.25, abs=1e-9)
+
+
+def test_rm3_interpolation(fb_inputs, spark):
+    run, post, dlen = fb_inputs
+    rm1_w = feedback.rm1(run, post, dlen, fb_docs=10, fb_terms=10)
+    topics = spark.createDataFrame(
+        [("q1", "alpha"), ("q1", "delta")], "qid string, term string"
+    )
+    out = {r["term"]: r["weight"]
+           for r in feedback.rm3(rm1_w, topics, orig_lambda=0.5).collect()}
+    # qv: alpha=0.5, delta=0.5 ; rm1: alpha=1/3, beta=1/6, gamma=1/2
+    assert out["alpha"] == pytest.approx(0.5 * 0.5 + 0.5 / 3, abs=1e-9)
+    assert out["delta"] == pytest.approx(0.25, abs=1e-9)
+    assert out["beta"] == pytest.approx(0.5 / 6, abs=1e-9)
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_kde_weighted_matches_direct_formula():
+    x = np.array([0.0, 1.0, 5.0])
+    w = np.array([1.0, 2.0, 1.0])
+    pts = np.array([0.5, 4.0])
+    dens = rerank.gaussian_kde_weighted(x, w, pts)
+    # recompute independently
+    wn = w / w.sum()
+    mean = (x * wn).sum()
+    sd = math.sqrt(((x - mean) ** 2 * wn).sum())
+    order = np.argsort(x)
+    cw = np.cumsum(wn[order])
+    q25 = x[order][np.searchsorted(cw, 0.25)]
+    q75 = x[order][np.searchsorted(cw, 0.75)]
+    sigma = min(sd, (q75 - q25) / 1.349) if q75 > q25 else sd
+    neff = 1.0 / (wn ** 2).sum()
+    h = 0.9 * sigma * neff ** (-0.2)
+    expect = [
+        sum(wn[i] * math.exp(-0.5 * ((p - x[i]) / h) ** 2)
+            / math.sqrt(2 * math.pi) for i in range(3)) / h
+        for p in pts
+    ]
+    assert dens == pytest.approx(expect, rel=1e-12)
+    # density integrates to ~1 over a wide grid
+    grid = np.linspace(-40, 45, 4000)
+    total = rerank.gaussian_kde_weighted(x, w, grid).sum() * (grid[1] - grid[0])
+    assert total == pytest.approx(1.0, abs=1e-3)
+
+
+def test_kde_rescore_interpolates(spark):
+    run = spark.createDataFrame(
+        [("q1", "d1", -1.0, 1, 100), ("q1", "d2", -2.0, 2, 110),
+         ("q1", "d3", -3.0, 3, 500)],
+        "qid string, docno string, score double, rank int, epoch bigint",
+    )
+    out = {r["docno"]: r["score"]
+           for r in rerank.kde_rescore(run, alpha=0.5).collect()}
+    # independent recomputation of the alpha-blend
+    x = np.array([100.0, 110.0, 500.0])
+    s = np.array([-1.0, -2.0, -3.0])
+    w = np.exp(s - s.max())
+    dens = rerank.gaussian_kde_weighted(x, w, x)
+    expect = 0.5 * np.log(dens) + 0.5 * s
+    for d, e in zip(["d1", "d2", "d3"], expect):
+        assert out[d] == pytest.approx(e, rel=1e-9)
+    # alpha=0 is a no-op on scores
+    out0 = {r["docno"]: r["score"]
+            for r in rerank.kde_rescore(run, alpha=0.0).collect()}
+    assert out0["d1"] == pytest.approx(-1.0)
+
+
+def test_kde_rescore_null_epoch_passthrough(spark):
+    run = spark.createDataFrame(
+        [("q1", "d1", -1.0, 1, 100), ("q1", "d2", -2.0, 2, None)],
+        "qid string, docno string, score double, rank int, epoch bigint",
+    )
+    out = {r["docno"]: r["score"]
+           for r in rerank.kde_rescore(run, alpha=0.5).collect()}
+    assert out["d2"] == pytest.approx(-2.0)  # NULL epoch keeps original score
+
+
+def test_alpha_sweep_shape(spark):
+    run = spark.createDataFrame(
+        [("q1", "d1", -1.0, 1, 100), ("q1", "d2", -2.0, 2, 110)],
+        "qid string, docno string, score double, rank int, epoch bigint",
+    )
+    out = rerank.alpha_sweep(run, alphas=(0.1, 0.9))
+    assert out.count() == 4
+    assert {r["alpha"] for r in out.select("alpha").distinct().collect()} \
+        == {0.1, 0.9}
