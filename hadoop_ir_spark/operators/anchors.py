@@ -1,0 +1,149 @@
+"""Anchor-text extraction pipeline (SURVEY.md §2.2 T14/T15, §2.3 A10).
+
+Re-expresses nl.utwente.mirex.AnchorExtract (reference :60-215) as pure
+Column expressions over a DataFrame of WARC responses — the map's regex
+loop becomes ``regexp_extract_all`` + ``transform``; the reduce's
+string-glue becomes ``collect_list`` + ``aggregate`` with the same 10 MB
+append-while-under-cap rule (AnchorExtract.java:62, :190-205).
+
+Observable behaviors reproduced (MRUnit-verified in tests/test_anchors.py
+against AnchorExtractTest.java:41-79 expectations):
+- pages truncated at 50 KB, <script> blocks removed first (:72, :125-127)
+- anchor pattern ``<a ([^>]*)href=["']?([^> '"]+)([^>]*)>(.*?)</a>``
+  case-insensitive/dotall (:81); rel=nofollow links skipped (:84)
+- anchor text: inner tags and whitespace runs → single space (:133)
+- URL normalization (T15, makeAbsoluteUrl :87-102): protocol stripped from
+  the base, whitespace removed from the link, leading-/ links resolve
+  against the host, scheme-less relative links against the base directory,
+  ``//`` and ``/x/../`` collapsed, trailing ``/`` or ``/index.htm(l)``
+  stripped, ``http://`` prefix restored
+- A10 reduce: anchors glued tab-separated after the URL, appended only
+  while the buffer is under 10 MB; rows emitted only for URLs that are a
+  known document (MIREX-ID marker) AND received at least one anchor
+
+Determinism divergence (documented): the reference concatenates anchors in
+shuffle arrival order; here anchors are ordered by (source docno, position
+in page) so output is stable across runs — required for golden tests.
+
+Scale: one wide-but-flat explode (links per page), one shuffle on
+target-URL. Skewed targets (a URL everyone links to) are bounded by the
+10 MB cap the reference also applies; AQE skew-join handles the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_HTML = 50_000          # bytes of page considered (AnchorExtract.java:63)
+MAX_ANCHORS = 10_000_000   # anchor-buffer cap per URL (AnchorExtract.java:62)
+
+ANCHOR_RE = "(?is)<a ([^>]*)href=[\"']?([^> '\"]+)([^>]*)>(.*?)</a>"
+NO_INDEX_HTML = r"/$|/index\.[a-z][a-z][a-z][a-z]?$"
+
+
+def normalize_base_url(url: Column | str) -> Column:
+    """The base-URI normalization applied to a page's own URL
+    (AnchorExtract.java:117): strip a trailing ``/`` or ``/index.htm(l)``."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.regexp_replace(c, NO_INDEX_HTML, "")
+
+
+def make_absolute_url(base: Column, rel: Column) -> Column:
+    """T15 (makeAbsoluteUrl, AnchorExtract.java:87-102), expression form."""
+    target = F.regexp_replace(base, "^[a-z]+://", "")
+    rel = F.regexp_replace(rel, "[ \\n\\r\\t]", "")
+    host = F.regexp_replace(target, "/.*$", "")
+    basedir = F.regexp_replace(target, "/[^/]+$", "")
+    abs_url = (
+        F.when(rel.rlike("^/"), F.concat(host, rel))
+        .when(rel.rlike("^[a-z]+://"), F.regexp_replace(rel, "^[a-z]+://", ""))
+        .otherwise(F.concat(basedir, F.lit("/"), rel))
+    )
+    cleaned = F.regexp_replace(abs_url, r"/.[^/]+/\.\./|//", "/")
+    return F.concat(F.lit("http://"),
+                    F.regexp_replace(cleaned, NO_INDEX_HTML, ""))
+
+
+def extract_anchors(docs: DataFrame, docno_col: str = "docno",
+                    url_col: str = "url",
+                    content_col: str = "content") -> DataFrame:
+    """T14 map side: one row per extracted link:
+    ``(src_docno, pos, url, anchor)`` with normalized target URL and
+    cleaned anchor text; nofollow links dropped."""
+    page = F.regexp_replace(
+        F.substring(F.col(content_col), 1, MAX_HTML),
+        "(?is)<script(.*?)</script>", " ",
+    )
+    matches = F.regexp_extract_all(page, F.lit(ANCHOR_RE), 0)
+    exploded = docs.select(
+        F.col(docno_col).alias("src_docno"),
+        normalize_base_url(F.col(url_col)).alias("base_url"),
+        F.posexplode(matches).alias("pos", "m"),
+    )
+    attrs = F.concat(
+        F.regexp_extract("m", ANCHOR_RE, 1),
+        F.regexp_extract("m", ANCHOR_RE, 3),
+    )
+    href = F.regexp_extract("m", ANCHOR_RE, 2)
+    anchor_text = F.regexp_replace(
+        F.regexp_extract("m", ANCHOR_RE, 4), "<[^>]+>|[ \\n\\t\\r]+", " "
+    )
+    return (
+        exploded.filter(~attrs.rlike("(?i)rel=[\"']?nofollow"))
+        .select(
+            "src_docno", "pos",
+            make_absolute_url(F.col("base_url"), href).alias("url"),
+            anchor_text.alias("anchor"),
+        )
+    )
+
+
+def page_ids(docs: DataFrame, docno_col: str = "docno",
+             url_col: str = "url") -> DataFrame:
+    """The map's MIREX-ID marker tuples (AnchorExtract.java:118-121):
+    ``(url, docno)`` keyed by the page's own normalized URL."""
+    return docs.select(
+        normalize_base_url(F.col(url_col)).alias("url"),
+        F.col(docno_col).alias("docno"),
+    )
+
+
+def collect_anchor_text(anchors: DataFrame, ids: DataFrame,
+                        max_capacity: int = MAX_ANCHORS) -> DataFrame:
+    """A10 reduce (AnchorExtract.java:177-209): group anchors by target URL
+    in (src_docno, pos) order, glue ``url \\t anchor1 \\t anchor2 …`` while
+    the buffer is under ``max_capacity``, keep only URLs that are known
+    documents AND received anchors. → ``(docno, anchors)``."""
+    grouped = (
+        anchors.groupBy("url")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("src_docno", "pos", "anchor"))
+                ),
+                lambda s: s["anchor"],
+            ).alias("anchor_list")
+        )
+    )
+    glued = grouped.select(
+        "url",
+        F.aggregate(
+            "anchor_list",
+            F.col("url"),
+            lambda acc, x: F.when(
+                F.length(acc) < max_capacity, F.concat(acc, F.lit("\t"), x)
+            ).otherwise(acc),
+        ).alias("anchors"),
+    )
+    return glued.join(ids, "url").select("docno", "anchors")
+
+
+def anchor_pipeline(docs: DataFrame, **kwargs) -> DataFrame:
+    """Full AnchorExtract job: responses (docno, url, content) →
+    (docno, anchors)."""
+    return collect_anchor_text(
+        extract_anchors(docs, **kwargs), page_ids(docs,
+            docno_col=kwargs.get("docno_col", "docno"),
+            url_col=kwargs.get("url_col", "url")),
+    )

@@ -1,0 +1,129 @@
+"""KBA 2014 stream-filter threshold tuning (SURVEY.md §2.3 A12, §2.7 M11;
+reference edu/gslis/hadoop/kba/KBAStaticFilter.java:40-280).
+
+Semantics reconstructed from the orchestration (the reference's helper
+classes ThresholdFinderEmpiricalThresh / FilterEvaluation live outside the
+repo — SURVEY.md §7 step 9 documents the assumptions):
+
+- every weight vector in a grid re-scores each (query, doc) hit as
+  ``score + Σ w_i·f_i`` (KBAStaticFilter.java:228-236; infinite feature
+  values zeroed, :171-172)
+- a per-query threshold is learned on the *train* split as the combined
+  score maximizing empirical F1 against train relevance (rel >= min_rel,
+  REL_LEVEL=2 at :52)
+- *test* hits are emitted when ``combined >= threshold``; a query with no
+  learnable threshold (no relevant train docs) emits everything
+  (``Double.isInfinite(threshold) || thresholder.emit(score)``, :262)
+- per-query F1 of emitted test hits (Eval.java:82-111 form:
+  ``2·relRet / (ret + numRel)``), averaged over ALL queries → one row per
+  weight vector (:270-277)
+
+The reference keys the shuffle by weight vector and loops in one reducer;
+here the grid is a tiny broadcast crossJoin and every (weights, query)
+pair computes independently — at 100 TB the hits table shuffles once on
+(wid, qid) for the two windows, and the grid multiplies rows only by
+|grid| (the reference pays the same factor in map output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def weight_grid(spark, feature_cols: list[str],
+                values: list[float]) -> DataFrame:
+    """Full factorial grid over ``values`` for each feature:
+    (wid, w_<feature>...). |grid| = len(values) ** len(features)."""
+    import itertools
+
+    combos = list(itertools.product(values, repeat=len(feature_cols)))
+    rows = [(i, *c) for i, c in enumerate(combos)]
+    schema = "wid int, " + ", ".join(f"w_{f} double" for f in feature_cols)
+    return spark.createDataFrame(rows, schema)
+
+
+def combined_scores(hits: DataFrame, grid: DataFrame,
+                    feature_cols: list[str]) -> DataFrame:
+    """M11: ``combined = score + Σ w_i·f_i`` for every grid row; infinite
+    features contribute 0 (KBAStaticFilter.java:171-172)."""
+    out = hits.crossJoin(F.broadcast(grid))
+    expr = F.col("score")
+    for f in feature_cols:
+        fv = F.when(F.abs(F.col(f)) == float("inf"), 0.0).otherwise(F.col(f))
+        expr = expr + F.col(f"w_{f}") * fv
+    return out.withColumn("combined", expr)
+
+
+def train_thresholds(scored: DataFrame, min_rel: int = 2) -> DataFrame:
+    """Empirical best-F1 threshold per (wid, qid) from the train split:
+    sweep every train score as a candidate cutoff; F1 at a cutoff =
+    ``2·cum_rel / (rank + num_rel)``; keep the score at the best F1
+    (tie-break: higher threshold). Queries with no relevant train docs are
+    absent (→ emit-all downstream)."""
+    train = scored.filter(F.col("split") == "train")
+    is_rel = (F.col("rel") >= min_rel).cast("int")
+    w = Window.partitionBy("wid", "qid").orderBy(
+        F.desc("combined"), F.desc("docno")
+    )
+    nrel = (
+        train.filter(F.col("rel") >= min_rel)
+        .groupBy("wid", "qid")
+        .agg(F.count("*").alias("num_rel"))
+    )
+    ranked = (
+        train.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_rel", F.sum(is_rel).over(w))
+        .join(nrel, ["wid", "qid"])  # inner: drops no-rel queries
+        .withColumn("f1_at", 2.0 * F.col("cum_rel")
+                    / (F.col("rank") + F.col("num_rel")))
+    )
+    return ranked.groupBy("wid", "qid").agg(
+        F.max_by(
+            F.col("combined"), F.struct(F.col("f1_at"), F.col("combined"))
+        ).alias("threshold")
+    )
+
+
+def test_f1(scored: DataFrame, thresholds: DataFrame,
+            min_rel: int = 2) -> DataFrame:
+    """Classify the test split against the learned thresholds and score
+    per-(wid, qid) F1 = 2·relRet / (ret + numRel); queries emitting
+    nothing (or without relevant test docs making the denominator 0)
+    score 0, and every query counts toward the average."""
+    test = scored.filter(F.col("split") == "test")
+    t = test.join(thresholds, ["wid", "qid"], "left")
+    emitted = t.filter(
+        F.col("threshold").isNull() | (F.col("combined") >= F.col("threshold"))
+    )
+    stats = emitted.groupBy("wid", "qid").agg(
+        F.count("*").alias("num_ret"),
+        F.sum((F.col("rel") >= min_rel).cast("int")).alias("rel_ret"),
+    )
+    nrel = test.groupBy("wid", "qid").agg(
+        F.sum((F.col("rel") >= min_rel).cast("int")).alias("num_rel")
+    )
+    allq = test.select("wid", "qid").distinct()
+    j = (
+        allq.join(stats, ["wid", "qid"], "left")
+        .join(nrel, ["wid", "qid"], "left")
+        .fillna({"num_ret": 0, "rel_ret": 0, "num_rel": 0})
+    )
+    return j.select(
+        "wid", "qid",
+        F.when(F.col("num_ret") + F.col("num_rel") > 0,
+               2.0 * F.col("rel_ret") / (F.col("num_ret") + F.col("num_rel")))
+         .otherwise(0.0).alias("f1"),
+    )
+
+
+def kba_static_filter(hits: DataFrame, grid: DataFrame,
+                      feature_cols: list[str], min_rel: int = 2) -> DataFrame:
+    """A12 end-to-end: ``hits`` (qid, docno, score, split∈{train,test},
+    rel, features...) × ``grid`` → (wid, w_..., avg_f1), one row per
+    weight vector (the reference's reducer output, :276-277)."""
+    scored = combined_scores(hits, grid, feature_cols)
+    thr = train_thresholds(scored, min_rel)
+    f1 = test_f1(scored, thr, min_rel)
+    avg = f1.groupBy("wid").agg(F.avg("f1").alias("avg_f1"))
+    return grid.join(avg, "wid", "left").fillna({"avg_f1": 0.0})

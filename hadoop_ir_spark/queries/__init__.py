@@ -10,6 +10,7 @@ _MODULES = [
     "cooccur",
     "scoring_models",
     "feedback_rerank",
+    "anchors_kba",
 ]
 
 

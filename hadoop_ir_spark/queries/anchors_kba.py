@@ -1,0 +1,181 @@
+"""Catalog entries for the anchor-extraction pipeline (T14/T15/A10) and
+the KBA grid-search filter (A12/M11).
+
+Both run over deterministically synthesized inputs derived from the
+driver's tables, so the full pipelines get DuckDB oracles:
+
+- anchors: every document becomes an HTML page at
+  ``http://site<doc_id>.com/index.html`` linking to
+  ``http://site<doc_id % 100>.com/`` (plus a rel=nofollow link and a
+  relative link that must be dropped/resolved) — the oracle computes the
+  expected grouped output directly.
+- kba: hits derive from the events table (qid=event_type); features avoid
+  transcendentals so Spark(JVM) and DuckDB produce bit-identical doubles
+  and the learned thresholds match exactly.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.operators import anchors, kba
+
+# --------------------------------------------------------------------------
+# anchors
+# --------------------------------------------------------------------------
+
+
+def _html_docs(spark, sf_dir):
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    url = F.concat(F.lit("http://site"), F.col("doc_id"), F.lit(".com/index.html"))
+    target = F.concat(F.lit("http://site"), F.col("doc_id") % 100, F.lit(".com/"))
+    content = F.concat(
+        F.lit('<html><a href="'), target, F.lit('">d'), F.col("doc_id"),
+        F.lit('</a> <a rel="nofollow" href="http://site0.com/">skip</a>'
+              '<a href="sub/page.html">rel</a></html>'),
+    )
+    return docs.select(
+        F.col("doc_id").alias("docno"), url.alias("url"), content.alias("content")
+    )
+
+
+@register("anchor_text", """
+WITH links AS (
+  SELECT doc_id AS src,
+         'http://site' || (doc_id % 100) || '.com' AS url,
+         'd' || doc_id AS anchor
+  FROM documents
+),
+ids AS (SELECT 'http://site' || doc_id || '.com' AS url, doc_id AS docno
+        FROM documents),
+grouped AS (
+  SELECT url, string_agg(anchor, chr(9) ORDER BY src) AS anchors
+  FROM links GROUP BY url
+)
+SELECT i.docno, g.url || chr(9) || g.anchors AS anchors
+FROM grouped g JOIN ids i USING (url)
+""")
+def q_anchor_text(spark, sf_dir):
+    """Full AnchorExtract pipeline: the nofollow link must be skipped and
+    the relative link resolves to an unknown page (dropped by the ID
+    join) — only the cross-site links survive into the grouped output."""
+    return anchors.anchor_pipeline(_html_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# kba
+# --------------------------------------------------------------------------
+
+KBA_FEATURES = ["f_burst", "f_src"]
+KBA_GRID_VALUES = [0.0, 1.0]
+KBA_SPLIT_TS = "2024-01-15"
+
+_GRID_ROWS = [
+    (i, *c) for i, c in enumerate(
+        itertools.product(KBA_GRID_VALUES, repeat=len(KBA_FEATURES))
+    )
+]
+_GRID_VALUES_SQL = ", ".join(
+    f"({wid}, {w1}, {w2})" for wid, w1, w2 in _GRID_ROWS
+)
+
+
+# events.ts reads as long nanos (see session.py nanosAsLong); the split
+# cutoff is its epoch-nanos value. 2024-01-15T00:00:00Z = 1705276800 s.
+_SPLIT_NANOS = 1705276800 * 10**9
+
+
+def _kba_hits(spark, sf_dir):
+    import os
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.select(
+        F.col("event_type").alias("qid"),
+        F.col("event_id").alias("docno"),
+        (F.col("value") / 10).alias("score"),
+        F.abs("value").alias("f_burst"),
+        ((F.col("user_id") % 10) / 10.0).alias("f_src"),
+        F.when(F.col("ts") < F.lit(_SPLIT_NANOS), "train")
+         .otherwise("test").alias("split"),
+        F.when(F.get_json_object("props", "$.k").cast("int") >= 80, 2)
+         .otherwise(0).alias("rel"),
+    )
+
+
+@register("kba_filter_grid", f"""
+WITH ev AS (
+  SELECT event_type AS qid, event_id AS docno, value / 10 AS score,
+         abs(value) AS f_burst, (user_id % 10) / 10.0 AS f_src,
+         CASE WHEN ts < TIMESTAMP '{KBA_SPLIT_TS}' THEN 'train'
+              ELSE 'test' END AS split,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 80
+              THEN 2 ELSE 0 END AS rel
+  FROM events
+),
+grid AS (SELECT * FROM (VALUES {_GRID_VALUES_SQL}) AS g(wid, w_f_burst, w_f_src)),
+scored AS (
+  SELECT g.wid, g.w_f_burst, g.w_f_src, e.*,
+         e.score + g.w_f_burst * e.f_burst + g.w_f_src * e.f_src AS combined
+  FROM ev e CROSS JOIN grid g
+),
+train AS (SELECT * FROM scored WHERE split = 'train'),
+nrel AS (SELECT wid, qid, count(*) AS num_rel
+         FROM train WHERE rel >= 2 GROUP BY wid, qid),
+ranked AS (
+  SELECT t.wid, t.qid, t.combined,
+         row_number() OVER (PARTITION BY t.wid, t.qid
+                            ORDER BY t.combined DESC, t.docno DESC) AS rank,
+         sum(CASE WHEN t.rel >= 2 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY t.wid, t.qid
+                 ORDER BY t.combined DESC, t.docno DESC) AS cum_rel,
+         n.num_rel
+  FROM train t JOIN nrel n USING (wid, qid)
+),
+thr AS (
+  SELECT wid, qid, combined AS threshold FROM (
+    SELECT wid, qid, combined,
+           row_number() OVER (PARTITION BY wid, qid
+                              ORDER BY 2.0 * cum_rel / (rank + num_rel) DESC,
+                                       combined DESC) AS rn
+    FROM ranked
+  ) WHERE rn = 1
+),
+test AS (SELECT * FROM scored WHERE split = 'test'),
+tj AS (SELECT t.*, th.threshold
+       FROM test t LEFT JOIN thr th USING (wid, qid)),
+emitted AS (SELECT * FROM tj
+            WHERE threshold IS NULL OR combined >= threshold),
+est AS (SELECT wid, qid, count(*) AS num_ret,
+               sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS rel_ret
+        FROM emitted GROUP BY wid, qid),
+ntest AS (SELECT wid, qid,
+                 sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS num_rel
+          FROM test GROUP BY wid, qid),
+allq AS (SELECT DISTINCT wid, qid FROM test),
+f1 AS (
+  SELECT a.wid, a.qid,
+         CASE WHEN coalesce(e.num_ret, 0) + coalesce(n.num_rel, 0) > 0
+              THEN 2.0 * coalesce(e.rel_ret, 0)
+                   / (coalesce(e.num_ret, 0) + coalesce(n.num_rel, 0))
+              ELSE 0 END AS f1
+  FROM allq a
+  LEFT JOIN est e USING (wid, qid)
+  LEFT JOIN ntest n USING (wid, qid)
+)
+SELECT g.wid, g.w_f_burst, g.w_f_src,
+       round(coalesce(avg(f1.f1), 0), 6) AS avg_f1
+FROM grid g LEFT JOIN f1 ON f1.wid = g.wid
+GROUP BY g.wid, g.w_f_burst, g.w_f_src
+""")
+def q_kba_filter_grid(spark, sf_dir):
+    hits = _kba_hits(spark, sf_dir)
+    grid = kba.weight_grid(spark, KBA_FEATURES, KBA_GRID_VALUES)
+    out = kba.kba_static_filter(hits, grid, KBA_FEATURES, min_rel=2)
+    return out.select(
+        "wid", "w_f_burst", "w_f_src", F.round("avg_f1", 6).alias("avg_f1")
+    )

@@ -1,0 +1,155 @@
+"""Anchor extraction golden tests — the expectations mirror the reference's
+only unit test (AnchorExtractTest.java:41-79) — plus KBA grid-search tests
+with hand-computed thresholds/F1."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators import anchors, kba
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "docno string, url string, content string")
+
+
+def test_mapper_golden(spark):
+    """AnchorExtractTest.testMapper: inner comment stripped to a space
+    (double space preserved), absolute link kept verbatim."""
+    docs = _docs(spark, [(
+        "TREC0001", "http://utwente.nl",
+        "<html><a href='http://mirex.sf.net'>MIREX <!-- test -->rocks</a>!</html>",
+    )])
+    out = anchors.extract_anchors(docs).collect()
+    assert len(out) == 1
+    assert out[0]["url"] == "http://mirex.sf.net"
+    assert out[0]["anchor"] == "MIREX  rocks"
+    ids = anchors.page_ids(docs).collect()
+    assert (ids[0]["url"], ids[0]["docno"]) == ("http://utwente.nl", "TREC0001")
+
+
+def test_reducer_golden(spark):
+    """AnchorExtractTest.testReducer: url + tab-joined anchors keyed by
+    TREC id."""
+    a = spark.createDataFrame(
+        [("s1", 0, "http://utwente.nl", "University of Twente"),
+         ("s2", 0, "http://utwente.nl", "UT")],
+        "src_docno string, pos int, url string, anchor string",
+    )
+    ids = spark.createDataFrame(
+        [("http://utwente.nl", "TREC0001")], "url string, docno string"
+    )
+    out = anchors.collect_anchor_text(a, ids).collect()
+    assert len(out) == 1
+    assert out[0]["docno"] == "TREC0001"
+    assert out[0]["anchors"] == "http://utwente.nl\tUniversity of Twente\tUT"
+
+
+def test_nofollow_and_script_skipped(spark):
+    docs = _docs(spark, [(
+        "d1", "http://a.com/index.html",
+        '<a rel="nofollow" href="http://x.com/">no</a>'
+        '<script><a href="http://y.com/">in script</a></script>'
+        '<a href="http://z.com/">yes</a>',
+    )])
+    out = anchors.extract_anchors(docs).collect()
+    assert [(r["url"], r["anchor"]) for r in out] == [("http://z.com", "yes")]
+
+
+def test_url_normalization(spark):
+    """makeAbsoluteUrl cases (AnchorExtract.java:87-102): root-relative,
+    dir-relative, absolute, index-suffix strip, whitespace removal."""
+    docs = _docs(spark, [(
+        "d1", "http://host.com/dir/page.html",
+        '<a href="/root.html">a</a>'
+        '<a href="sub.html">b</a>'
+        '<a href="https://other.com/index.html">c</a>'
+        '<a href="http://x.com/p/\nq.html">d</a>',
+    )])
+    out = {r["anchor"]: r["url"] for r in anchors.extract_anchors(docs).collect()}
+    assert out["a"] == "http://host.com/root.html"
+    assert out["b"] == "http://host.com/dir/sub.html"
+    assert out["c"] == "http://other.com"          # index.html stripped
+    # the href pattern captures \n (only >, space, quotes break it) and
+    # makeAbsoluteUrl strips the embedded newline — reference-exact
+    assert out["d"] == "http://x.com/p/q.html"
+
+
+def test_anchor_cap(spark):
+    a = spark.createDataFrame(
+        [("s", i, "http://t.com", "x" * 10) for i in range(5)],
+        "src_docno string, pos int, url string, anchor string",
+    )
+    ids = spark.createDataFrame([("http://t.com", "T1")], "url string, docno string")
+    out = anchors.collect_anchor_text(a, ids, max_capacity=35).collect()
+    # url(12) +tab+10 => 23 < 35 ; +tab+10 => 34 < 35 ; +tab+10 => 45, stop
+    assert out[0]["anchors"].count("x" * 10) == 3
+
+
+# --------------------------------------------------------------------------
+# KBA
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def kba_hits(spark):
+    # one query; train: rel docs at high scores; test: mixture
+    rows = [
+        # qid docno score split rel f
+        ("q", 1, 5.0, "train", 2, 1.0),
+        ("q", 2, 4.0, "train", 2, 1.0),
+        ("q", 3, 3.0, "train", 0, 1.0),
+        ("q", 4, 1.0, "train", 0, 1.0),
+        ("q", 5, 4.5, "test", 2, 1.0),
+        ("q", 6, 3.5, "test", 0, 1.0),
+        ("q", 7, 0.5, "test", 2, 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "qid string, docno int, score double, split string, rel int, f double"
+    )
+
+
+def test_threshold_learning(spark, kba_hits):
+    grid = spark.createDataFrame([(0, 0.0)], "wid int, w_f double")
+    scored = kba.combined_scores(kba_hits, grid, ["f"])
+    thr = kba.train_thresholds(scored, min_rel=2).collect()
+    # train sweep: cut@5.0 F1=2*1/(1+2)=.67, cut@4.0 F1=2*2/(2+2)=1.0 (best)
+    assert thr[0]["threshold"] == pytest.approx(4.0)
+
+
+def test_kba_end_to_end(spark, kba_hits):
+    grid = spark.createDataFrame([(0, 0.0), (1, 10.0)], "wid int, w_f double")
+    out = {r["wid"]: r["avg_f1"]
+           for r in kba.kba_static_filter(kba_hits, grid, ["f"], min_rel=2).collect()}
+    # wid 0: thr=4.0 -> test emits d5 (4.5): relRet=1, ret=1, numRel=2
+    #         F1 = 2*1/(1+2) = 2/3
+    assert out[0] == pytest.approx(2 / 3)
+    # wid 1: all scores +10 uniformly -> same ordering, thr=14.0,
+    #         emits d5 (14.5) -> same F1
+    assert out[1] == pytest.approx(2 / 3)
+
+
+def test_kba_no_train_rel_emits_all(spark):
+    rows = [
+        ("q", 1, 5.0, "train", 0, 0.0),
+        ("q", 2, 1.0, "test", 2, 0.0),
+        ("q", 3, 0.5, "test", 0, 0.0),
+    ]
+    hits = spark.createDataFrame(
+        rows, "qid string, docno int, score double, split string, rel int, f double"
+    )
+    grid = spark.createDataFrame([(0, 0.0)], "wid int, w_f double")
+    out = kba.kba_static_filter(hits, grid, ["f"], min_rel=2).collect()
+    # no relevant train docs -> infinite threshold -> emit all test:
+    # relRet=1, ret=2, numRel=1 -> F1 = 2*1/(2+1)
+    assert out[0]["avg_f1"] == pytest.approx(2 / 3)
+
+
+def test_kba_infinite_feature_zeroed(spark):
+    rows = [("q", 1, 1.0, "test", 0, float("inf"))]
+    hits = spark.createDataFrame(
+        rows, "qid string, docno int, score double, split string, rel int, f double"
+    )
+    grid = spark.createDataFrame([(0, 1.0)], "wid int, w_f double")
+    scored = kba.combined_scores(hits, grid, ["f"]).collect()
+    assert scored[0]["combined"] == pytest.approx(1.0)
