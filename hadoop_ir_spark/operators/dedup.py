@@ -1,0 +1,315 @@
+"""Deduplication suite for large-scale training-data pipelines (beyond the
+reference's surface; BASELINE.json north-star operators).
+
+Five families, all shuffle-conscious:
+
+- exact:     content-hash groupBy, keep lowest docno per group
+- minhash:   word-shingles → n permuted min-hashes → banded LSH buckets →
+             candidate pairs → exact-Jaccard verification
+- simhash:   per-term hash bits weighted by tf → sign fingerprint →
+             banded or brute-force Hamming pairs
+- ngram:     exact Jaccard over shingle sets via shingle equi-join
+- embedding: cosine near-dup pairs over a vector column
+
+Hashing: every function takes its hash from ``hash60`` (portable: first 15
+hex digits of md5 → 60-bit int, reproducible in DuckDB for the oracle gate)
+or native ``xxhash64`` (`portable=False`, JVM-fast, the 100 TB path — same
+algebra, different fingerprints).
+
+Scale notes:
+- the shingle equi-join (J: pairs sharing a shingle) is the classic
+  quadratic trap; ``max_shingle_df`` drops shingles occurring in more than
+  N docs (stopword-shingles) before the join — the standard web-dedup
+  mitigation.
+- minhash signatures are one groupBy(docno) with n min() partial aggs — a
+  single shuffle of the shingle table.
+- simhash banding with ``bands > max_hamming`` is exact (pigeonhole): a
+  pair within Hamming k must agree on ≥1 of k+1 bands, so candidates =
+  band-equality buckets, verify = bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def hash60(col: Column, salt: int | None = None) -> Column:
+    """Portable 60-bit hash: int(md5(salt ':' x)[0:15], 16). DuckDB twin:
+    ``CAST('0x' || substr(md5(salt || ':' || x), 1, 15) AS BIGINT)``."""
+    if salt is not None:
+        col = F.concat(F.lit(str(salt)), F.lit(":"), col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def native_hash(col: Column, salt: int | None = None) -> Column:
+    """xxhash64 — the JVM-fast variant for production scale."""
+    if salt is not None:
+        return F.xxhash64(F.lit(salt), col)
+    return F.xxhash64(col)
+
+
+def _hash(portable: bool):
+    return hash60 if portable else native_hash
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "docno",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content md5, keep the lowest id.
+    → (keep_docno, n_copies) one row per distinct content."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_docno"),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("content_hash")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles + exact n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, k: int = 3, id_col: str = "docno",
+             text_col: str = "text") -> DataFrame:
+    """Distinct word k-gram shingles per document: (docno, shingle).
+    Tokenization = the engine's T3 (lower + [^0-9a-z]+ split)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^0-9a-zA-Z]+"), lambda t: t != ""
+    )
+    # sequence() descends when stop < start, so short docs need an explicit
+    # empty index list rather than sequence(0, size-k)
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return (
+        docs.select(F.col(id_col).alias("docno"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, tau: float = 0.5,
+                  max_shingle_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing ≥1 shingle:
+    (docno_a, docno_b, jaccard), a < b, jaccard >= tau.
+
+    ``max_shingle_df`` drops shingles present in more than N docs before
+    the self-join (the anti-quadratic-blowup knob)."""
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy("docno").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("docno").alias("docno_a"), "shingle")
+    b = sh.select(F.col("docno").alias("docno_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("docno_a") < F.col("docno_b"))
+        .groupBy("docno_a", "docno_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("docno", "docno_a")
+                   .withColumnRenamed("n", "na"), "docno_a")
+        .join(sizes.withColumnRenamed("docno", "docno_b")
+                   .withColumnRenamed("n", "nb"), "docno_b")
+        .select(
+            "docno_a", "docno_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+# --------------------------------------------------------------------------
+# minhash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 24,
+                       portable: bool = True) -> DataFrame:
+    """(docno, sig: array<bigint>[num_hashes]) — one groupBy(docno) with
+    num_hashes min() aggregates (map-side partial, single shuffle)."""
+    h = _hash(portable)
+    aggs = [
+        F.min(h(F.col("shingle"), salt=i)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("docno").agg(*aggs)
+    return sig.select(
+        "docno", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidates(sigs: DataFrame, bands: int = 8) -> DataFrame:
+    """Band the signatures and self-join buckets → candidate pairs
+    (docno_a < docno_b). rows-per-band = len(sig)/bands."""
+    n = bands
+    banded = sigs.select(
+        "docno",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda b: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(
+                            "sig",
+                            b * (F.size("sig") / n).cast("int") + 1,
+                            (F.size("sig") / n).cast("int"),
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band", "key"),
+    )
+    a = banded.select(F.col("docno").alias("docno_a"), "band", "key")
+    b = banded.select(F.col("docno").alias("docno_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("docno_a") < F.col("docno_b"))
+        .select("docno_a", "docno_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(docs: DataFrame, tau: float = 0.9, k: int = 3,
+                      num_hashes: int = 24, bands: int = 8,
+                      id_col: str = "docno", text_col: str = "text",
+                      portable: bool = True) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
+    exact-Jaccard verify ≥ tau. → (docno_a, docno_b, jaccard)."""
+    sh = shingles(docs, k=k, id_col=id_col, text_col=text_col).cache()
+    sigs = minhash_signatures(sh, num_hashes=num_hashes, portable=portable)
+    cand = lsh_candidates(sigs, bands=bands)
+    sets = sh.groupBy("docno").agg(F.collect_set("shingle").alias("s"))
+    verified = (
+        cand
+        .join(sets.select(F.col("docno").alias("docno_a"),
+                          F.col("s").alias("sa")), "docno_a")
+        .join(sets.select(F.col("docno").alias("docno_b"),
+                          F.col("s").alias("sb")), "docno_b")
+        .select(
+            "docno_a", "docno_b",
+            (F.size(F.array_intersect("sa", "sb"))
+             / F.size(F.array_union("sa", "sb"))).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= tau)
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # portable hash width (fits signed 64-bit on both engines)
+
+
+def simhash_fingerprints(post: DataFrame, bits: int = SIMHASH_BITS,
+                         portable: bool = True) -> DataFrame:
+    """(docno, fingerprint): per-term hash bits weighted ±tf, sign per bit.
+
+    Column form: ``bits`` sum-aggregates in one groupBy(docno) — no row
+    blowup, single shuffle of the postings."""
+    h = _hash(portable)(F.col("term"))
+    aggs = [
+        F.sum(
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("tf")
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = post.groupBy("docno").agg(*aggs)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (1 << i)) \
+               .otherwise(F.lit(0).cast("bigint"))
+        fp = bit if fp is None else fp + bit
+    return sums.select("docno", fp.alias("fingerprint"))
+
+
+def simhash_near_dups(fps: DataFrame, max_hamming: int = 3,
+                      bands: int | None = None) -> DataFrame:
+    """(docno_a, docno_b, hamming ≤ max_hamming). With ``bands`` set to
+    ≥ max_hamming+1 the banded plan is exact (pigeonhole) and avoids the
+    all-pairs product; bands=None brute-forces (small inputs only)."""
+    xor = F.col("fa").bitwiseXOR(F.col("fb"))
+    if bands is None:
+        a = fps.select(F.col("docno").alias("docno_a"), F.col("fingerprint").alias("fa"))
+        b = fps.select(F.col("docno").alias("docno_b"), F.col("fingerprint").alias("fb"))
+        pairs = a.crossJoin(b).filter(F.col("docno_a") < F.col("docno_b"))
+    else:
+        width = SIMHASH_BITS // bands
+        chunks = F.array(*[
+            F.shiftright("fingerprint", b * width)
+             .bitwiseAND(F.lit((1 << width) - 1))
+            for b in range(bands)
+        ])
+        banded = fps.select(
+            "docno", F.col("fingerprint"),
+            F.posexplode(chunks).alias("band", "key"),
+        )
+        a = banded.select(F.col("docno").alias("docno_a"),
+                          F.col("fingerprint").alias("fa"), "band", "key")
+        b = banded.select(F.col("docno").alias("docno_b"),
+                          F.col("fingerprint").alias("fb"), "band", "key")
+        pairs = (
+            a.join(b, ["band", "key"])
+            .filter(F.col("docno_a") < F.col("docno_b"))
+            .select("docno_a", "docno_b", "fa", "fb")
+            .distinct()
+        )
+    return (
+        pairs.select(
+            "docno_a", "docno_b", F.bit_count(xor).alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dups
+# --------------------------------------------------------------------------
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, double math."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+    nb = F.sqrt(F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(emb: DataFrame, tau: float = 0.45,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """All-pairs cosine ≥ tau (brute force — the LSH-bucketed scale path
+    lives in operators/similarity.py). → (id_a, id_b, cosine)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= tau)
+    )

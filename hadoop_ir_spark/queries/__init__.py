@@ -11,6 +11,7 @@ _MODULES = [
     "scoring_models",
     "feedback_rerank",
     "anchors_kba",
+    "dedup",
 ]
 
 

@@ -1,0 +1,157 @@
+"""Catalog entries for the dedup suite (exact, n-gram Jaccard, MinHash-LSH,
+SimHash, embedding cosine).
+
+Oracle strategy: the Spark side runs the real pipelines (banded LSH etc.);
+the DuckDB side brute-forces the mathematically-equivalent definition.
+Where the pipelines are approximate by construction, parameters are chosen
+so the approximation is exact on this data regime:
+- MinHash-LSH: 24 hashes / 8 bands ⇒ recall ≥ 0.997 per pair at J=0.9, and
+  every planted near-dup pair here sits at J ≥ 0.96 (recall 0.9999+) —
+  verified candidates then equal the brute-force J ≥ 0.9 pairs.
+- SimHash banding: bands(4) > max_hamming(3) is pigeonhole-exact.
+Hashes are the portable md5-derived 60-bit form (operators/dedup.hash60)
+so both engines compute identical fingerprints.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import SQL_TOK, register
+from hadoop_ir_spark.operators import dedup, stats
+
+JACCARD_TAU = 0.5
+MINHASH_TAU = 0.9
+SIMHASH_MAX_HAMMING = 3
+COSINE_TAU = 0.45
+
+# Shared shingle CTE (word 3-grams, distinct per doc) over SQL_TOK's tokens.
+SQL_SHINGLES = f"""
+{SQL_TOK},
+toklist AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT docno,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)]) AS shingle
+  FROM toklist WHERE len(toks) >= 3
+),
+sizes AS (SELECT docno, count(*) AS n FROM sh GROUP BY docno),
+jac AS (
+  SELECT a.docno AS docno_a, b.docno AS docno_b,
+         count(*)::DOUBLE
+           / (min(sa.n) + min(sb.n) - count(*)) AS jaccard
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.docno < b.docno
+  JOIN sizes sa ON sa.docno = a.docno
+  JOIN sizes sb ON sb.docno = b.docno
+  GROUP BY a.docno, b.docno
+)
+"""
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@register("dedup_exact", """
+WITH uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT min(doc_id) AS keep_docno, CAST(count(*) AS BIGINT) AS n_copies
+FROM uni GROUP BY text
+""")
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup over the corpus plus injected duplicates (every 7th doc
+    re-appears under a new id) — keeps the lowest id per content group."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dupes = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    return dedup.exact_dedup(docs.unionByName(dupes), id_col="doc_id")
+
+
+@register("ngram_jaccard_pairs", f"""
+WITH {SQL_SHINGLES}
+SELECT docno_a, docno_b, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= {JACCARD_TAU}
+""")
+def q_ngram_jaccard(spark, sf_dir):
+    sh = dedup.shingles(_docs(spark, sf_dir), k=3, id_col="doc_id")
+    out = dedup.jaccard_pairs(sh, tau=JACCARD_TAU)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@register("dedup_minhash_lsh", f"""
+WITH {SQL_SHINGLES}
+SELECT docno_a, docno_b, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= {MINHASH_TAU}
+""")
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup detection; the oracle is the brute-force
+    J >= tau pair set (see module docstring on exactness)."""
+    out = dedup.minhash_near_dups(
+        _docs(spark, sf_dir), tau=MINHASH_TAU, k=3,
+        num_hashes=24, bands=8, id_col="doc_id", portable=True,
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@register("simhash_near_dups", f"""
+WITH {SQL_TOK},
+h AS (SELECT docno, term, tf,
+             CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+      FROM post),
+bitsums AS (
+  SELECT docno, t.bit,
+         sum(CASE WHEN (h >> t.bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h, (SELECT unnest(range(60)) AS bit) t
+  GROUP BY docno, t.bit
+),
+fp AS (
+  SELECT docno,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS f
+  FROM bitsums GROUP BY docno
+)
+SELECT a.docno AS docno_a, b.docno AS docno_b,
+       CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+FROM fp a, fp b
+WHERE a.docno < b.docno
+  AND bit_count(xor(a.f, b.f)) <= {SIMHASH_MAX_HAMMING}
+""")
+def q_simhash(spark, sf_dir):
+    post = stats.postings(_docs(spark, sf_dir), id_col="doc_id")
+    fps = dedup.simhash_fingerprints(post, portable=True)
+    out = dedup.simhash_near_dups(
+        fps, max_hamming=SIMHASH_MAX_HAMMING, bands=SIMHASH_MAX_HAMMING + 1
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@register("embedding_near_dups", f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+         6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+      >= {COSINE_TAU}
+""")
+def q_embedding_near_dups(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = dedup.embedding_near_dups(emb, tau=COSINE_TAU)
+    return out.withColumn("cosine", F.round("cosine", 6))

@@ -1,0 +1,125 @@
+"""Dedup operator tests on tiny hand-built inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators import dedup
+
+
+def test_exact_dedup(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y")],
+        "docno int, text string",
+    )
+    out = {r["keep_docno"]: r["n_copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], "docno int, text string")
+    sh = {r["shingle"] for r in dedup.shingles(docs, k=3).collect()}
+    assert sh == {"a b c", "b c d"}
+    # doc shorter than k yields no shingles
+    short = spark.createDataFrame([(1, "a b")], "docno int, text string")
+    assert dedup.shingles(short, k=3).count() == 0
+
+
+def test_jaccard_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")],
+        "docno int, text string",
+    )
+    sh = dedup.shingles(docs, k=3)
+    out = {(r["docno_a"], r["docno_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(sh, tau=0.0).collect()}
+    # doc1: {abc,bcd,cde} doc2: {abc,bcd,cdx} -> inter 2, union 4
+    assert out[(1, 2)] == pytest.approx(0.5)
+    assert (1, 3) not in out
+
+
+def test_jaccard_max_shingle_df_drops_common(spark):
+    docs = spark.createDataFrame(
+        [(i, "common one two three") for i in range(1, 5)],
+        "docno int, text string",
+    )
+    sh = dedup.shingles(docs, k=3)
+    # every shingle occurs in 4 docs; cap at 3 -> no pairs at all
+    assert dedup.jaccard_pairs(sh, tau=0.0, max_shingle_df=3).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " ok"), (3, "totally different words here now")],
+        "docno int, text string",
+    )
+    out = dedup.minhash_near_dups(docs, tau=0.5, num_hashes=24, bands=8)
+    pairs = {(r["docno_a"], r["docno_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_identical_docs_full_jaccard(spark):
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5")],
+        "docno int, text string",
+    )
+    out = dedup.minhash_near_dups(docs, tau=0.99, num_hashes=24, bands=8).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == pytest.approx(1.0)
+
+
+def test_simhash_identical_and_banded_equals_brute(spark):
+    post = spark.createDataFrame(
+        [(1, "alpha", 3), (1, "beta", 1),
+         (2, "alpha", 3), (2, "beta", 1),     # identical -> hamming 0
+         (3, "gamma", 5), (3, "delta", 2)],
+        "docno int, term string, tf int",
+    )
+    fps = dedup.simhash_fingerprints(post)
+    rows = {r["docno"]: r["fingerprint"] for r in fps.collect()}
+    assert rows[1] == rows[2]
+    brute = {(r["docno_a"], r["docno_b"], r["hamming"])
+             for r in dedup.simhash_near_dups(fps, max_hamming=3, bands=None).collect()}
+    banded = {(r["docno_a"], r["docno_b"], r["hamming"])
+              for r in dedup.simhash_near_dups(fps, max_hamming=3, bands=4).collect()}
+    assert brute == banded
+    assert (1, 2, 0) in brute
+
+
+def test_cosine_expr(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]),
+         ([3.0, 4.0], [4.0, 3.0])],
+        "a array<double>, b array<double>",
+    )
+    vals = [r["c"] for r in
+            df.select(dedup.cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert vals[0] == pytest.approx(0.0)
+    assert vals[1] == pytest.approx(1.0)
+    assert vals[2] == pytest.approx(24 / 25)
+
+
+def test_embedding_near_dups(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = {(r["id_a"], r["id_b"]) for r in
+           dedup.embedding_near_dups(emb, tau=0.9).collect()}
+    assert out == {(1, 2)}
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+
+    vals = ["hello", "spark shingle text", "x"]
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    got = [r["h"] for r in df.select(dedup.hash60(F.col("x")).alias("h")).collect()]
+    con = duckdb.connect()
+    for v, g in zip(vals, got):
+        (d,) = con.execute(
+            "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [v]
+        ).fetchone()
+        assert d == g
