@@ -1,0 +1,117 @@
+"""Similarity search over an embedding column (beyond-reference operator
+set; BASELINE.json north star).
+
+Two paths:
+- ``cosine_topk``: exact brute-force top-k — broadcast the (small) query
+  set against the corpus, one window per query. The correctness baseline.
+- ``ivf_topk``: IVF-style approximate search — vectors are pre-assigned to
+  their nearest centroid (one-off pass, like building an index); a query
+  probes only the ``nprobe`` nearest centroid lists. At 100 TB the assign
+  step is the only full scan; queries touch ~nprobe/|C| of the data. The
+  centroid set here is a deterministic id-sample; swap in KMeans centroids
+  (pyspark.ml) for production without changing the query plan.
+
+Everything is Column-expression math (zip_with/aggregate dot products) —
+JVM-side, no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators.dedup import cosine_expr
+
+
+def _norm(vec):
+    return F.sqrt(F.aggregate(
+        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "qid") -> DataFrame:
+    """Exact cosine top-k per query: (qid, vec_id, cosine, rank).
+
+    ``queries``: (qid, embedding) — small, broadcast. Self-matches (a query
+    vector finding itself) are NOT excluded; callers filter if needed.
+    Ranking uses the rounded cosine with vec_id-desc tie-break so results
+    are deterministic and oracle-comparable.
+    """
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "vec_id",
+        F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.desc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def centroid_sample(emb: DataFrame, every: int = 50, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Deterministic centroid set: every ``every``-th vector by id.
+    → (centroid_id, cv). Production: replace with KMeans cluster centers —
+    downstream plans are unchanged."""
+    return emb.filter(F.col(id_col) % every == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine; tie-break
+    lowest centroid_id): (vec_id, centroid_id). One broadcast crossJoin +
+    max_by — the 'index build' scan."""
+    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    scored = c.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "centroid_id",
+        cosine_expr(F.col("v"), F.col("cv")).alias("sim"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("centroid_id"), F.struct(F.col("sim"), -F.col("centroid_id"))
+        ).alias("centroid_id")
+    )
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: int = 10, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "qid") -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` centroids nearest each
+    query, score only vectors assigned to those lists.
+    → (qid, vec_id, cosine, rank)."""
+    assign = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qv"))
+    qprobe = q.crossJoin(F.broadcast(centroids)).select(
+        "qid", "qv", "centroid_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("csim"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    probes = (
+        qprobe.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("qid", "qv", "centroid_id")
+    )
+
+    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    cand = (
+        assign.join(F.broadcast(probes), "centroid_id")
+        .join(c, "vec_id")
+    )
+    scored = cand.select(
+        "qid", "vec_id",
+        F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.desc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -12,6 +12,7 @@ _MODULES = [
     "feedback_rerank",
     "anchors_kba",
     "dedup",
+    "similarity",
 ]
 
 

@@ -1,0 +1,73 @@
+"""Catalog entries for similarity search over the embeddings table.
+
+Queries = every 50th vector (10 queries at sf0.01). The exact brute-force
+top-k gets a full DuckDB oracle; the IVF approximate path is rows-only
+(its recall against brute force is pytest-asserted in
+tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.operators import similarity
+
+ANN_K = 10
+QUERY_EVERY = 50
+IVF_CENTROID_EVERY = 25
+IVF_NPROBE = 4
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") % QUERY_EVERY == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+
+@register("ann_cosine_topk", f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id % {QUERY_EVERY} = 0
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))),
+           6) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id DESC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+""")
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = similarity.cosine_topk(emb, _queries(emb), k=ANN_K)
+    return out.select("qid", "vec_id", "cosine",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+@register("ann_ivf_topk")
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (nprobe=4 of ~20 centroid lists) — rows-only
+    driver check; recall vs. brute force is asserted in unit tests."""
+    emb = _emb(spark, sf_dir)
+    cents = similarity.centroid_sample(emb, every=IVF_CENTROID_EVERY)
+    out = similarity.ivf_topk(emb, _queries(emb), cents,
+                              k=ANN_K, nprobe=IVF_NPROBE)
+    return out.select("qid", "vec_id", "cosine",
+                      F.col("rank").cast("int").alias("rank"))

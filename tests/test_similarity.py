@@ -1,0 +1,71 @@
+"""Similarity-search tests: exact top-k on hand vectors; IVF recall vs the
+exact baseline on the sf0.001 embeddings table."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators import similarity
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    q = spark.createDataFrame([(100, [1.0, 0.0])],
+                              "qid int, embedding array<float>")
+    out = similarity.cosine_topk(emb, q, k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine"] == pytest.approx(1.0)
+    assert out[0]["rank"] == 1
+
+
+def test_ivf_assign_nearest(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.2]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])], "centroid_id int, cv array<float>"
+    )
+    out = {r["vec_id"]: r["centroid_id"]
+           for r in similarity.ivf_assign(emb, cents).collect()}
+    assert out == {1: 10, 2: 10, 3: 20}
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    cents = similarity.centroid_sample(emb, every=10)
+    approx = similarity.ivf_topk(emb, queries, cents, k=10, nprobe=4)
+
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+    # the query vector always finds itself (it lives in a probed list)
+    qids = {r["qid"] for r in queries.collect()}
+    assert all((q, q) in a for q in qids)
+
+
+def test_ivf_probes_limit_candidates(spark):
+    # 2 well-separated clusters; probing 1 centroid must not cross clusters
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.01]), (2, [0.98, 0.02]),
+         (10, [0.0, 1.0]), (11, [0.01, 0.99])],
+        "vec_id int, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id int, cv array<float>"
+    )
+    q = spark.createDataFrame([(99, [1.0, 0.05])],
+                              "qid int, embedding array<float>")
+    out = similarity.ivf_topk(emb, q, cents, k=10, nprobe=1).collect()
+    assert {r["vec_id"] for r in out} == {0, 1, 2}
