@@ -1,0 +1,165 @@
+"""Text analysis for training-data pipelines (beyond-reference operator
+set): language-ID, quality scoring, token counting, fingerprinting.
+
+All pure Column expressions (JVM, whole-stage codegen). Each operator is
+one groupBy(docno) or a map-only projection — nothing here shuffles more
+than the postings explode, and the fingerprint/quality projections don't
+shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.functions.text import tokens_col
+from hadoop_ir_spark.operators.dedup import hash60
+
+# Small public function-word profiles; the langid heuristic scores a doc by
+# the fraction of its tokens hitting each profile and argmaxes.
+STOPWORD_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ich", "mit", "ein", "von"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "del", "se"],
+    "fr": ["le", "les", "des", "est", "une", "dans", "que", "pour", "qui", "nous"],
+}
+
+# BPE-ish token pattern: word runs, digit runs, punctuation runs — a cheap
+# proxy for subword tokenizer counts (same regex semantics in Java & RE2).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+"
+
+
+def langid(docs: DataFrame, id_col: str = "docno", text_col: str = "text",
+           profiles: dict[str, list[str]] | None = None) -> DataFrame:
+    """(docno, lang_pred, lang_score): stopword-profile n-gram heuristic.
+
+    score(lang) = |tokens ∩ profile(lang)| / n_tokens; argmax wins with
+    lang-ascending tie-break; docs hitting no profile (or empty docs)
+    predict 'und' with score 0.
+    """
+    profiles = profiles or STOPWORD_PROFILES
+    prof_rows = [(lang, t) for lang, terms in profiles.items() for t in terms]
+    spark = docs.sparkSession
+    prof = spark.createDataFrame(prof_rows, "lang string, term string")
+
+    toks = docs.select(
+        F.col(id_col).alias("docno"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    )
+    nt = toks.groupBy("docno").agg(F.count("*").alias("n_tokens"))
+    hits = (
+        toks.join(F.broadcast(prof), "term")
+        .groupBy("docno", "lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    # argmax on hits; ties prefer the lexicographically-smallest lang
+    best = hits.groupBy("docno").agg(
+        F.min_by(
+            F.struct(
+                F.col("n_hits").alias("h"), F.col("lang").alias("lang")
+            ),
+            F.struct((-F.col("n_hits")).alias("a"), F.col("lang").alias("b")),
+        ).alias("b")
+    )
+    all_docs = docs.select(F.col(id_col).alias("docno"))
+    return (
+        all_docs.join(best, "docno", "left")
+        .join(nt, "docno", "left")
+        .select(
+            "docno",
+            F.coalesce(F.col("b.lang"), F.lit("und")).alias("lang_pred"),
+            F.coalesce(
+                F.col("b.h") / F.col("n_tokens"), F.lit(0.0)
+            ).alias("lang_score"),
+        )
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "docno",
+                   text_col: str = "text") -> DataFrame:
+    """Per-doc quality signals + a composite score in [0, 1]:
+
+    - n_chars, n_tokens, mean_token_len
+    - alpha_ratio:    alphabetic chars / chars
+    - punct_ratio:    non-alnum-non-space chars / chars
+    - stopword_ratio: English function-word hits / tokens
+    - quality: 0.4·min(1, n_tokens/64) + 0.3·alpha_ratio
+               + 0.3·min(1, 4·stopword_ratio) − 0.2·min(1, 4·punct_ratio)
+      (length + naturalness up, symbol soup down), clamped to [0, 1].
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(text, "[A-Za-z0-9 \\t\\n\\r]", ""))
+    sw = F.array([F.lit(w) for w in STOPWORD_PROFILES["en"]])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, sw_hits / n_tokens).otherwise(0.0)
+    mean_tok = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tokens,
+    ).otherwise(0.0)
+
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(64.0))
+        + 0.3 * alpha_ratio
+        + 0.3 * F.least(F.lit(1.0), 4.0 * stop_ratio)
+        - 0.2 * F.least(F.lit(1.0), 4.0 * punct_ratio)
+    )
+    quality = F.greatest(F.lit(0.0), F.least(F.lit(1.0), quality))
+
+    return docs.select(
+        F.col(id_col).alias("docno"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_tok.alias("mean_token_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "docno",
+                 text_col: str = "text") -> DataFrame:
+    """Three token-count estimators per doc: whitespace split, BPE-ish
+    regex runs, chars/4 (the LLM rule of thumb)."""
+    text = F.col(text_col)
+    ws = F.size(F.filter(F.split(text, "\\s+"), lambda t: t != ""))
+    bpe = F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+    return docs.select(
+        F.col(id_col).alias("docno"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.ceil(F.length(text) / 4).cast("long").alias("char_est_tokens"),
+    )
+
+
+def char_ngrams(docs: DataFrame, n: int = 8, id_col: str = "docno",
+                text_col: str = "text") -> DataFrame:
+    """(docno, gram): all char n-grams; short docs yield the whole text."""
+    text = F.col(text_col)
+    idx = F.when(
+        F.length(text) >= n, F.sequence(F.lit(1), F.length(text) - n + 1)
+    ).otherwise(F.array(F.lit(1)))
+    grams = F.transform(idx, lambda i: text.substr(i, F.lit(n)))
+    return docs.select(
+        F.col(id_col).alias("docno"), F.explode(grams).alias("gram")
+    )
+
+
+def doc_fingerprints(docs: DataFrame, n: int = 8, id_col: str = "docno",
+                     text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style min selection):
+    (docno, fingerprint, n_grams) where fingerprint = min 60-bit hash over
+    all char n-grams — equal prefixes/suffixes/shuffles of a doc shift
+    most grams but the min survives with high probability."""
+    g = char_ngrams(docs, n=n, id_col=id_col, text_col=text_col)
+    return g.groupBy("docno").agg(
+        F.min(hash60(F.col("gram"))).alias("fingerprint"),
+        F.countDistinct("gram").alias("n_grams"),
+    )

@@ -1,0 +1,131 @@
+"""Catalog entries for the text-analysis operators (langid, quality,
+token counts, fingerprints) with full DuckDB oracles."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.operators import textstats
+from hadoop_ir_spark.operators.textstats import BPE_TOKEN_RE, STOPWORD_PROFILES
+
+_PROF_VALUES = ", ".join(
+    f"('{lang}', '{t}')"
+    for lang, terms in STOPWORD_PROFILES.items() for t in terms
+)
+_EN_SW = ", ".join(f"'{w}'" for w in STOPWORD_PROFILES["en"])
+
+SQL_TOKS = """
+toklist AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+toks AS (SELECT docno, unnest(toks) AS term FROM toklist)
+"""
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@register("langid", f"""
+WITH {SQL_TOKS},
+prof AS (SELECT * FROM (VALUES {_PROF_VALUES}) p(lang, term)),
+nt AS (SELECT docno, count(*) AS n_tokens FROM toks GROUP BY docno),
+hits AS (
+  SELECT t.docno, p.lang, count(*) AS n_hits
+  FROM toks t JOIN prof p USING (term) GROUP BY 1, 2
+),
+best AS (
+  SELECT docno, lang, n_hits FROM (
+    SELECT *, row_number() OVER (PARTITION BY docno
+                                 ORDER BY n_hits DESC, lang ASC) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT d.doc_id AS docno,
+       coalesce(b.lang, 'und') AS lang_pred,
+       round(coalesce(b.n_hits::DOUBLE / nt.n_tokens, 0), 6) AS lang_score
+FROM documents d
+LEFT JOIN best b ON b.docno = d.doc_id
+LEFT JOIN nt ON nt.docno = d.doc_id
+""")
+def q_langid(spark, sf_dir):
+    out = textstats.langid(_docs(spark, sf_dir), id_col="doc_id")
+    return out.withColumn("lang_score", F.round("lang_score", 6))
+
+
+@register("quality_scores", f"""
+WITH {SQL_TOKS},
+base AS (
+  SELECT docno, toks, len(toks) AS n_tokens FROM toklist
+),
+q AS (
+  SELECT b.docno,
+         length(d.text) AS n_chars,
+         b.n_tokens,
+         CASE WHEN b.n_tokens > 0
+              THEN list_sum(list_transform(b.toks, t -> length(t)))::DOUBLE
+                   / b.n_tokens ELSE 0 END AS mean_token_len,
+         CASE WHEN length(d.text) > 0
+              THEN length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                   / length(d.text) ELSE 0 END AS alpha_ratio,
+         CASE WHEN length(d.text) > 0
+              THEN length(regexp_replace(d.text,
+                          '[A-Za-z0-9 \\t\\n\\r]', '', 'g'))::DOUBLE
+                   / length(d.text) ELSE 0 END AS punct_ratio,
+         CASE WHEN b.n_tokens > 0
+              THEN len(list_filter(b.toks, t -> t IN ({_EN_SW})))::DOUBLE
+                   / b.n_tokens ELSE 0 END AS stopword_ratio
+  FROM base b JOIN documents d ON d.doc_id = b.docno
+)
+SELECT docno, n_chars, n_tokens,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(greatest(0, least(1,
+             0.4 * least(1, n_tokens / 64.0)
+             + 0.3 * alpha_ratio
+             + 0.3 * least(1, 4.0 * stopword_ratio)
+             - 0.2 * least(1, 4.0 * punct_ratio))), 6) AS quality
+FROM q
+""")
+def q_quality(spark, sf_dir):
+    out = textstats.quality_scores(_docs(spark, sf_dir), id_col="doc_id")
+    for c in ("mean_token_len", "alpha_ratio", "punct_ratio",
+              "stopword_ratio", "quality"):
+        out = out.withColumn(c, F.round(c, 6))
+    return out
+
+
+@register("token_counts", f"""
+SELECT doc_id AS docno,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+         AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bpe_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS char_est_tokens
+FROM documents
+""")
+def q_token_counts(spark, sf_dir):
+    return textstats.token_counts(_docs(spark, sf_dir), id_col="doc_id")
+
+
+@register("doc_fingerprints", """
+WITH grams AS (
+  SELECT doc_id AS docno,
+         unnest([substr(text, i, 8)
+                 for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS gram
+  FROM documents
+)
+SELECT docno,
+       min(CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)) AS fingerprint,
+       count(DISTINCT gram) AS n_grams
+FROM grams GROUP BY docno
+""")
+def q_doc_fingerprints(spark, sf_dir):
+    return textstats.doc_fingerprints(_docs(spark, sf_dir), id_col="doc_id")

@@ -1,0 +1,88 @@
+"""Text-analysis operator tests on hand-built fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_ir_spark.operators import textstats
+
+
+def test_langid_profiles(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is happy"),
+         (2, "der hund ist nicht mit der katze und das haus"),
+         (3, "el perro y la casa de los vecinos en el parque"),
+         (4, "xyzzy qwerty plugh")],
+        "docno int, text string",
+    )
+    out = {r["docno"]: (r["lang_pred"], r["lang_score"])
+           for r in textstats.langid(docs).collect()}
+    assert out[1][0] == "en"
+    assert out[2][0] == "de"
+    assert out[3][0] == "es"
+    assert out[4] == ("und", 0.0)
+    # doc1: hits the,on(x0),the,and,it,is -> the,the,and,it,is = 5 of 10 toks
+    assert out[1][1] == pytest.approx(0.5)
+
+
+def test_langid_tie_breaks_lexicographic(spark):
+    # "de la" hits de(es profile: 'de') and fr profile: 'la'? both 1 hit ->
+    # es vs fr tie -> lexicographically smaller lang wins
+    docs = spark.createDataFrame([(1, "de la")], "docno int, text string")
+    out = textstats.langid(docs).collect()[0]
+    assert out["lang_pred"] == "es"
+
+
+def test_quality_scores(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, "!!! ### $$$")],
+        "docno int, text string",
+    )
+    out = {r["docno"]: r for r in textstats.quality_scores(docs).collect()}
+    r1 = out[1]
+    assert r1["n_chars"] == 19
+    assert r1["n_tokens"] == 4
+    assert r1["mean_token_len"] == pytest.approx(16 / 4)
+    assert r1["alpha_ratio"] == pytest.approx(16 / 19)
+    assert r1["punct_ratio"] == 0.0
+    assert r1["stopword_ratio"] == pytest.approx(0.25)
+    assert out[2]["quality"] == 0.0
+    # symbol soup: high punct, zero alpha -> floor at 0
+    assert out[3]["alpha_ratio"] == 0.0
+    assert out[3]["quality"] == pytest.approx(0.0)
+
+
+def test_token_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world, it's 42")], "docno int, text string"
+    )
+    r = textstats.token_counts(docs).collect()[0]
+    assert r["ws_tokens"] == 4
+    # BPE-ish runs: hello|world|,|it|'|s|42 = 7
+    assert r["bpe_tokens"] == 7
+    assert r["char_est_tokens"] == 5  # ceil(20/4)
+
+
+def test_doc_fingerprints(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz"), (4, "ab")],
+        "docno int, text string",
+    )
+    out = {r["docno"]: r for r in textstats.doc_fingerprints(docs).collect()}
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]
+    assert out[1]["fingerprint"] != out[3]["fingerprint"]
+    assert out[1]["n_grams"] == 3   # 10 chars -> 3 distinct 8-grams
+    assert out[3]["n_grams"] == 1   # all grams identical
+    assert out[4]["n_grams"] == 1   # short doc -> whole text
+
+
+def test_fingerprint_order_sensitivity(spark):
+    # same multiset of grams (rotation) keeps the min-hash fingerprint
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 3), (2, "fghijabcde" * 3)],
+        "docno int, text string",
+    )
+    out = {r["docno"]: r["fingerprint"]
+           for r in textstats.doc_fingerprints(docs).collect()}
+    # rotations of a repeated string share all interior 8-grams
+    assert out[1] == out[2]
