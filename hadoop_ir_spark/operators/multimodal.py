@@ -1,0 +1,147 @@
+"""Multimodal column plumbing (beyond-reference operator set): image/audio/
+video as opaque ``binary`` payload columns with typed metadata, processed by
+Arrow-batched ``mapInPandas`` stages.
+
+The decode layer is pluggable:
+- REAL path: PIL / soundfile / av decode — gated behind import-try; these
+  libraries are absent in this container, so the real branch raises a
+  clearly-marked NotImplementedError if forced.
+- FAKE path (default when libs are missing): a deterministic byte-level
+  "decode" — payload bytes ARE the samples. Feature math (exact integer
+  sums → mean/variance) is reproducible in DuckDB for the oracle gate, so
+  the Spark-side plumbing (schema, batch shape, UDF signature,
+  partitioning) is fully correctness-tested even without codecs.
+
+Scale notes: payloads ride through Arrow record batches;
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory for
+fat rows. Feature extraction is embarrassingly parallel (map-only, no
+shuffle); frame sampling explodes rows but stays map-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),          # image | audio | video
+    StructField("payload", BinaryType()),       # opaque encoded bytes
+    StructField("format", StringType()),        # e.g. raw8 | png | wav
+    StructField("width", IntegerType()),        # images/video
+    StructField("height", IntegerType()),
+    StructField("frame_size", IntegerType()),   # video: bytes per frame
+])
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def synth_media_from_docs(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          frame_size: int = 64) -> DataFrame:
+    """Deterministic media table derived from a text corpus: the UTF-8
+    bytes of each document become a raw8 'image' payload (and double as a
+    'video' byte stream of ``frame_size``-byte frames)."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("raw8").alias("format"),
+        F.length(text_col).cast("int").alias("width"),
+        F.lit(1).cast("int").alias("height"),
+        F.lit(frame_size).cast("int").alias("frame_size"),
+    )
+
+
+FEATURE_SCHEMA = ("media_id long, n_bytes long, byte_sum long, "
+                  "mean_byte double, var_byte double")
+
+
+def image_features(media: DataFrame, use_real_decode: bool = False) -> DataFrame:
+    """Per-payload byte statistics via mapInPandas: (media_id, n_bytes,
+    byte_sum, mean_byte, var_byte). Sums are exact integers so the result
+    is bit-reproducible (and DuckDB-oracle-checkable).
+
+    ``use_real_decode=True`` requires PIL (decode to pixel array first);
+    absent in this environment → NotImplementedError (stub documented in
+    the module docstring)."""
+    if use_real_decode and not _pil_available():
+        raise NotImplementedError(
+            "real image decode requires PIL, which is not installed; "
+            "use the deterministic byte-level fake (use_real_decode=False)"
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                s = sum(b)                       # exact int
+                sq = sum(x * x for x in b)       # exact int
+                mean = s / n if n else 0.0
+                var = sq / n - mean * mean if n else 0.0
+                rows.append((int(mid), n, s, mean, var))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "byte_sum",
+                               "mean_byte", "var_byte"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=FEATURE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_len int, frame_md5 string"
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video-style frame sampling: split each payload into consecutive
+    ``frame_size``-byte frames, keep every ``every_n``-th (frame 0, n,
+    2n, …): (media_id, frame_idx, frame_len, frame_md5). The md5 stands in
+    for the decoded frame tensor (deterministic + oracle-checkable); a
+    real pipeline would emit the frame bytes for a downstream decoder."""
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, fs in zip(pdf["media_id"], pdf["payload"],
+                                        pdf["frame_size"]):
+                b = bytes(payload)
+                fs = int(fs)
+                n_frames = (len(b) + fs - 1) // fs if fs > 0 else 0
+                for i in range(0, n_frames, every_n):
+                    fr = b[i * fs:(i + 1) * fs]
+                    rows.append((int(mid), i, len(fr),
+                                 hashlib.md5(fr).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_len",
+                               "frame_md5"],
+            )
+
+    return media.select("media_id", "payload", "frame_size").mapInPandas(
+        sample, schema=FRAME_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB: real resize needs an image codec (PIL), absent here. The
+    plumbing contract (signature + schema) is fixed so swapping in the
+    real kernel is a one-function change."""
+    if not _pil_available():
+        raise NotImplementedError(
+            "resize_images requires PIL; not available in this environment"
+        )
+    raise NotImplementedError("real decode path not wired yet")

@@ -14,6 +14,7 @@ _MODULES = [
     "dedup",
     "similarity",
     "textstats",
+    "multimodal",
 ]
 
 

@@ -1,0 +1,61 @@
+"""Catalog entries for multimodal plumbing over media synthesized from the
+documents table (ASCII text bytes = payload, so DuckDB can mirror the byte
+math on the text column)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.operators import multimodal
+
+FRAME_SIZE = 64
+FRAME_EVERY = 2
+
+
+def _media(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return multimodal.synth_media_from_docs(docs, frame_size=FRAME_SIZE)
+
+
+@register("media_image_features", """
+WITH bytes AS (
+  SELECT doc_id AS media_id, length(text) AS n,
+         [ascii(substr(text, i, 1)) for i in range(1, length(text) + 1)] AS bs
+  FROM documents
+)
+SELECT media_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(list_sum(bs) AS BIGINT) AS byte_sum,
+       round(list_sum(bs)::DOUBLE / n, 6) AS mean_byte,
+       round(list_sum(list_transform(bs, x -> x * x))::DOUBLE / n
+             - (list_sum(bs)::DOUBLE / n) * (list_sum(bs)::DOUBLE / n),
+             6) AS var_byte
+FROM bytes
+""")
+def q_media_features(spark, sf_dir):
+    out = multimodal.image_features(_media(spark, sf_dir))
+    return out.select(
+        "media_id", "n_bytes", "byte_sum",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        F.round("var_byte", 6).alias("var_byte"),
+    )
+
+
+@register("media_frame_sample", f"""
+WITH frames AS (
+  SELECT doc_id AS media_id, i AS frame_idx,
+         substr(text, i * {FRAME_SIZE} + 1, {FRAME_SIZE}) AS frame
+  FROM documents,
+       (SELECT unnest(range(0, 1000, {FRAME_EVERY})) AS i)
+  WHERE i * {FRAME_SIZE} < length(text)
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(length(frame) AS INT) AS frame_len,
+       md5(frame) AS frame_md5
+FROM frames
+""")
+def q_media_frame_sample(spark, sf_dir):
+    return multimodal.frame_sample(_media(spark, sf_dir), every_n=FRAME_EVERY)

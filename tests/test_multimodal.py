@@ -1,0 +1,56 @@
+"""Multimodal plumbing tests: batch shapes, byte math, frame sampling,
+stub gating."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from hadoop_ir_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, ""), (3, "x" * 100)], "doc_id long, text string"
+    )
+    return multimodal.synth_media_from_docs(docs, frame_size=32)
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "kind", "payload", "format", "width", "height",
+        "frame_size",
+    ]
+    assert media.schema["payload"].dataType.simpleString() == "binary"
+
+
+def test_image_features_byte_math(media):
+    out = {r["media_id"]: r for r in multimodal.image_features(media).collect()}
+    r1 = out[1]  # 'abcd' = 97,98,99,100
+    assert r1["n_bytes"] == 4
+    assert r1["byte_sum"] == 97 + 98 + 99 + 100
+    assert r1["mean_byte"] == pytest.approx(98.5)
+    assert r1["var_byte"] == pytest.approx(1.25)
+    assert out[2]["n_bytes"] == 0 and out[2]["mean_byte"] == 0.0
+    assert out[3]["var_byte"] == pytest.approx(0.0)
+
+
+def test_frame_sample(media):
+    out = [r for r in multimodal.frame_sample(media, every_n=2).collect()
+           if r["media_id"] == 3]
+    # 100 bytes @32 -> frames 0..3 (sizes 32,32,32,4); every 2nd -> 0, 2
+    assert [(r["frame_idx"], r["frame_len"]) for r in
+            sorted(out, key=lambda r: r["frame_idx"])] == [(0, 32), (2, 32)]
+    assert out[0]["frame_md5"] == hashlib.md5(b"x" * 32).hexdigest()
+
+
+def test_resize_stub_raises(media):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.resize_images(media, 64, 64)
+
+
+def test_real_decode_gated(media):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.image_features(media, use_real_decode=True)
