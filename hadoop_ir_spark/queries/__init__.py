@@ -15,6 +15,7 @@ _MODULES = [
     "similarity",
     "textstats",
     "multimodal",
+    "streaming_q",
 ]
 
 

@@ -1,0 +1,55 @@
+"""Catalog entries for the streaming operators' batch twins (the stream
+path itself runs in tests/test_streaming.py; the driver oracle checks the
+same transformations on the batch frame)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.streaming import events as ev
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+@register("event_window_counts", """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def q_event_window_counts(spark, sf_dir):
+    out = ev.windowed_counts(_events(spark, sf_dir), window="1 hour")
+    return out.withColumn("sum_value", F.round("sum_value", 6))
+
+
+@register("event_threshold_filter", """
+WITH thr AS (
+  SELECT event_type, quantile_cont(value, 0.9) AS threshold
+  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, round(e.value, 6) AS value
+FROM events e JOIN thr t USING (event_type)
+WHERE e.ts >= TIMESTAMP '2024-01-15' AND e.value >= t.threshold
+""")
+def q_event_threshold_filter(spark, sf_dir):
+    """KBA-style: thresholds learned on the 'train' period (p90 of value
+    per type), applied as a stream-static filter to the rest."""
+    from hadoop_ir_spark.queries.anchors_kba import _SPLIT_NANOS
+
+    e = _events(spark, sf_dir)
+    train = e.filter(F.col("ts") < _SPLIT_NANOS)
+    thr = train.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.9)).alias("threshold")
+    )
+    test = e.filter(F.col("ts") >= _SPLIT_NANOS)
+    out = ev.threshold_filter(test, thr)
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )

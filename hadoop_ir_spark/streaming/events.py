@@ -1,0 +1,99 @@
+"""Structured Streaming over the events stream (SURVEY.md §2.9: the
+reference's KBA job is the streaming-flavored workload, executed as batch;
+this module provides the true-streaming expression, additive to parity).
+
+Design: every transformation here takes a DataFrame and works identically
+for a batch frame and a ``readStream`` frame — the batch twin is what the
+oracle gate checks, the streaming path is exercised in tests with an
+``availableNow`` trigger and a memory sink.
+
+Scale notes: windowed aggregation with a watermark bounds state; the
+stream-static threshold join broadcasts the small static side so the
+stream never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),          # nanos (see session.nanosAsLong)
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch by default). File streams read directories, so the scale
+    dir is the source with a glob pinned to the events table."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    """nanos-long ``ts`` → proper timestamp column ``event_time``."""
+    return events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling-window per-type aggregation with late-data watermark:
+    (window_start, event_type, n_events, sum_value). Works on batch and
+    stream frames alike (watermark is a no-op in batch)."""
+    e = with_event_time(events)
+    if e.isStreaming:
+        e = e.withWatermark("event_time", watermark)
+    return (
+        e.groupBy(
+            F.window("event_time", window).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def threshold_filter(events: DataFrame, thresholds: DataFrame) -> DataFrame:
+    """KBA-style stream filter: keep events whose value clears their
+    type's threshold (stream-static broadcast join; the static side is the
+    'learned' threshold table, cf. KBAStaticFilter's train phase)."""
+    return (
+        events.join(F.broadcast(thresholds), "event_type")
+        .filter(F.col("value") >= F.col("threshold"))
+        .drop("threshold")
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str):
+    """Drain a stream with availableNow into a memory sink; returns the
+    finished query (caller reads ``spark.table(name)``)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,70 @@
+"""Structured Streaming tests: the stream path must produce exactly the
+batch twin's results when drained with availableNow."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.streaming import events as ev
+
+
+def test_stream_windowed_counts_match_batch(spark, sf_dir):
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    expected = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"],
+                                                    round(r["sum_value"], 6))
+        for r in ev.windowed_counts(batch).collect()
+    }
+
+    stream = ev.events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    agg = ev.windowed_counts(stream, watermark="30 minutes")
+    ev.run_stream_to_memory(agg, "wc_test")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"],
+                                                    round(r["sum_value"], 6))
+        for r in spark.table("wc_test").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stream_threshold_filter(spark, sf_dir):
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    thr = spark.createDataFrame(
+        [(t, 10.0) for t in
+         [r["event_type"] for r in batch.select("event_type").distinct().collect()]],
+        "event_type string, threshold double",
+    )
+    expected = batch.filter(F.col("value") >= 10.0).count()
+
+    stream = ev.events_stream(spark, sf_dir)
+    filtered = ev.threshold_filter(stream, thr)
+    q = (
+        filtered.writeStream.format("memory").queryName("tf_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert spark.table("tf_test").count() == expected
+
+
+def test_windowed_counts_watermark_is_set(spark, sf_dir):
+    stream = ev.events_stream(spark, sf_dir)
+    agg = ev.windowed_counts(stream, watermark="10 minutes")
+    # watermark shows up in the analyzed plan as an EventTimeWatermark node
+    plan = agg._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
+    assert agg.isStreaming
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _cleanup(spark):
+    yield
+    for t in ("wc_test", "tf_test"):
+        try:
+            spark.catalog.dropTempView(t)
+        except Exception:
+            pass
