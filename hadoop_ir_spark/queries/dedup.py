@@ -138,18 +138,19 @@ def q_simhash(spark, sf_dir):
 
 
 @register("embedding_near_dups", f"""
+WITH n AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS v
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(
-         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-         6) AS cosine
-FROM embeddings a, embeddings b
+       round(list_dot_product(a.v, b.v), 6) AS cosine
+FROM n a, n b
 WHERE a.vec_id < b.vec_id
-  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-      >= {COSINE_TAU}
+  AND list_dot_product(a.v, b.v) >= {COSINE_TAU}
 """)
 def q_embedding_near_dups(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
