@@ -20,6 +20,8 @@ HEADLINE = [
     "dirichlet_topk",       # flagship scan-and-score retrieval
     "bm25_topk",
     "dirichlet_mu_sweep",   # J3 param grid
+    "mirex_baselines",      # 4 models, one scan
+    "indexed_dirichlet_topk",
     "term_stats",
     "wordcount",
     "collection_globals",

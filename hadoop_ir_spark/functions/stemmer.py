@@ -1,0 +1,112 @@
+"""Pluggable stemming (SURVEY.md §2.2 T5).
+
+The reference stems with the Lemur KrovetzStemmer after ``[^A-Za-z0-9]``→
+space + lowercase, dropping pure-number tokens (TrecWordCount2.java:57-79,
+TrecMutualInfo2.java:131-146). The true Krovetz algorithm is
+dictionary-backed; this module:
+
+- uses the ``krovetzstemmer`` package when installed (import-gated), else
+- falls back to ``krovetz_lite`` — the inflectional layer of Krovetz
+  (plural -s/-es/-ies, past -ed, gerund -ing, with doubled-consonant and
+  final-e recoding), which covers the overwhelming share of stem events on
+  English text. Documented approximation, pluggable by argument.
+
+Stemming runs as an Arrow-batched pandas UDF over token arrays — the one
+place (with KDE) the engine intentionally leaves the JVM, per the
+reference's own out-of-process precedent (Rserve, SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+VOWELS = set("aeiou")
+
+
+def krovetz_lite(word: str) -> str:
+    """Inflectional stemming: plural, past, gerund, with basic recoding."""
+    w = word
+    if len(w) < 4:
+        return w
+    # plural: -ies -> -y ; -es -> -e/- ; -s (not -ss/-us)
+    if w.endswith("ies") and len(w) > 4:
+        return w[:-3] + "y"
+    if w.endswith("sses"):
+        return w[:-2]
+    if w.endswith("es") and len(w) > 4 and not w.endswith("ses"):
+        stem = w[:-1]
+        return stem if stem.endswith("e") else w[:-2]
+    if w.endswith("s") and not w.endswith("ss") and not w.endswith("us"):
+        return w[:-1]
+    # past: -ied -> -y ; -ed with recoding
+    if w.endswith("ied") and len(w) > 4:
+        return w[:-3] + "y"
+    if w.endswith("ed") and len(w) > 4:
+        stem = w[:-2]
+        if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in VOWELS:
+            return stem[:-1]          # stopped -> stop
+        if not any(ch in VOWELS for ch in stem):
+            return w
+        return stem + "e" if _wants_e(stem) else stem
+    # gerund: -ing with recoding
+    if w.endswith("ing") and len(w) > 5:
+        stem = w[:-3]
+        if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in VOWELS:
+            return stem[:-1]          # running -> run
+        if not any(ch in VOWELS for ch in stem):
+            return w
+        return stem + "e" if _wants_e(stem) else stem
+    return w
+
+
+def _wants_e(stem: str) -> bool:
+    """CVC-ish heuristic for restoring a dropped final e (making -> make)."""
+    if len(stem) < 3:
+        return False
+    c1, v, c2 = stem[-3], stem[-2], stem[-1]
+    return (c1 not in VOWELS and v in VOWELS
+            and c2 not in VOWELS and c2 not in "wxy")
+
+
+def get_stemmer(name: str = "auto"):
+    """'krovetz' (requires the package), 'krovetz_lite', 'none', or 'auto'
+    (package if present, else lite)."""
+    if name in ("auto", "krovetz"):
+        try:
+            import krovetzstemmer  # type: ignore
+
+            ks = krovetzstemmer.Stemmer()
+            return ks.stem
+        except ImportError:
+            if name == "krovetz":
+                raise NotImplementedError(
+                    "krovetzstemmer package not installed; use 'krovetz_lite'"
+                )
+    if name == "none":
+        return lambda w: w
+    return krovetz_lite
+
+
+def stem_tokens_udf(stemmer_name: str = "auto"):
+    """pandas UDF: array<string> tokens → stemmed array<string>; pure-number
+    tokens dropped (the T5 contract, TrecWordCount2.java:64-66)."""
+    stem = get_stemmer(stemmer_name)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _stem(tokens: pd.Series) -> pd.Series:
+        import re
+
+        num = re.compile(r"^\d+$")
+        return tokens.map(
+            lambda arr: [stem(t) for t in arr if not num.match(t)]
+            if arr is not None else None
+        )
+
+    return _stem
+
+
+def stem_column(tokens_col: Column, stemmer_name: str = "auto") -> Column:
+    return stem_tokens_udf(stemmer_name)(tokens_col)

@@ -1,0 +1,68 @@
+"""Parquet index build/load — the Spark-native equivalent of the
+reference's HBase indexing pipeline (SURVEY.md §3.2):
+
+- IndexTrecToHBase (doc vectors + epoch keyed by docno,
+  IndexTrecToHBase.java:51-147)      → ``postings`` + ``doc_lengths``
+- CollectionStatsHBase (term cf table + #collstats row,
+  CollectionStatsHBase.java:45-134)  → ``term_stats`` + ``globals``
+
+The HBase point-get access pattern (RunQueryHBase.java:249-265) becomes
+plain joins against these tables; Spark's join strategy replaces the
+reference's per-row RPC + memoization cache.
+
+Scale design: ``postings`` is repartitioned by ``docno`` on write so
+doc-sided operations (scoring joins against doc_lengths, feedback-doc
+lookups) co-locate without a re-shuffle; per-term stats are tiny after
+aggregation. At warehouse scale the same tables would be bucketed
+(``bucketBy(docno)``) via saveAsTable for shuffle-free repeated joins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators import stats
+
+TABLES = ("postings", "doc_lengths", "term_stats", "globals")
+
+
+def build_index(docs: DataFrame, out_dir: str, id_col: str = "docno",
+                text_col: str = "text", partitions: int | None = None) -> None:
+    """One pass over the corpus → four parquet tables under ``out_dir``:
+    postings(docno, term, tf), doc_lengths(docno, doc_len),
+    term_stats(term, df, cf), globals(n_docs, n_terms, n_tokens)."""
+    post = stats.postings(docs, id_col=id_col, text_col=text_col)
+    if partitions:
+        post = post.repartition(partitions, "docno")
+    post.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+
+    spark = docs.sparkSession
+    post = spark.read.parquet(os.path.join(out_dir, "postings"))
+
+    dlen = post.groupBy("docno").agg(F.sum("tf").alias("doc_len"))
+    dlen.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_lengths"))
+
+    tstats = stats.term_stats(post)
+    tstats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+
+    stats.collection_globals(post).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "globals")
+    )
+
+
+def load_index(spark: SparkSession, index_dir: str) -> dict[str, DataFrame]:
+    """Load the four index tables → {name: DataFrame}."""
+    return {
+        t: spark.read.parquet(os.path.join(index_dir, t)) for t in TABLES
+    }
+
+
+def index_globals(spark: SparkSession, index_dir: str) -> dict:
+    """The #collstats row as a plain dict (CollectionStatsHBase.java:127-133
+    wrote it to a magic HBase row; here it is a 1-row parquet)."""
+    row = spark.read.parquet(os.path.join(index_dir, "globals")).collect()[0]
+    return {"n_docs": row["n_docs"], "n_terms": row["n_terms"],
+            "n_tokens": row["n_tokens"]}

@@ -1,0 +1,62 @@
+"""Collection-stats text file IO (SURVEY.md §2.1 S9; reference
+ClueWebCollectionStats.java:153-177 writes ``term \\t df,cf`` lines and the
+driver prepends ``#KEY=value`` global header lines after merging part
+files; ClueWebRunQueriesSideLoad.java:69-90 parses them back)."""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_stats_file(term_stats: DataFrame, globals_row: dict,
+                     path: str) -> None:
+    """Single stats file: ``#DOCS=…/#TERMS=…/#TOKENS=…`` headers then
+    ``term \\t df,cf`` lines (term-sorted for determinism). Reproduces the
+    reference's driver-side part merge: Spark writes parts, the driver
+    concatenates — no giant collect."""
+    tmp = tempfile.mkdtemp(prefix="statsfile_")
+    try:
+        (
+            term_stats.orderBy("term")
+            .select(F.concat_ws("\t", F.col("term"),
+                    F.concat_ws(",", F.col("df"), F.col("cf"))).alias("value"))
+            .write.mode("overwrite").text(tmp)
+        )
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as out:
+            out.write(f"#DOCS={globals_row['n_docs']}\n")
+            out.write(f"#TERMS={globals_row['n_terms']}\n")
+            out.write(f"#TOKENS={globals_row['n_tokens']}\n")
+            for part in sorted(_glob.glob(os.path.join(tmp, "part-*"))):
+                with open(part) as f:
+                    shutil.copyfileobj(f, out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def read_stats_file(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """→ ((term, df, cf), {n_docs, n_terms, n_tokens})."""
+    raw = spark.read.text(path)
+    headers = {
+        r["value"].split("=", 1)[0].lstrip("#"): int(r["value"].split("=", 1)[1])
+        for r in raw.filter(F.col("value").startswith("#")).collect()
+    }
+    glob = {"n_docs": headers.get("DOCS"), "n_terms": headers.get("TERMS"),
+            "n_tokens": headers.get("TOKENS")}
+    parts = F.split("value", "\t")
+    nums = F.split(parts[1], ",")
+    df = (
+        raw.filter(~F.col("value").startswith("#") & (F.trim("value") != ""))
+        .select(
+            parts[0].alias("term"),
+            nums[0].cast("long").alias("df"),
+            nums[1].cast("long").alias("cf"),
+        )
+    )
+    return df, glob

@@ -1,0 +1,44 @@
+"""Waterloo spam-score filtering (SURVEY.md §2.2 T7; reference
+ClueWebSpamFilter.java:46-146).
+
+The reference point-gets a percentile per docid from a remote H2 store with
+a HashMap memo (J2, :66-79), keeps docs with percentile >= 70 (:110), and
+counts kept / filtered / unscored via Hadoop counters (:104-118). Here the
+score store is a DataFrame joined once; the counters become a 1-row
+aggregate — no RPC, no driver-side counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SPAM_THRESHOLD = 70  # percentile >= 70 kept (ClueWebSpamFilter.java:110)
+
+
+def spam_filter(docs: DataFrame, scores: DataFrame,
+                threshold: int = SPAM_THRESHOLD,
+                id_col: str = "docno") -> DataFrame:
+    """Keep documents whose spam percentile clears ``threshold``.
+    ``scores``: (docno, percentile). Docs without a score are DROPPED
+    (reference: unscored docs are counted but not emitted, :114-117).
+    Equivalent to a semi-join with the predicate pre-applied to the
+    (small) score side — the corpus side never shuffles."""
+    keep = scores.filter(F.col("percentile") >= threshold) \
+                 .select(F.col(id_col))
+    return docs.join(F.broadcast(keep), id_col, "left_semi")
+
+
+def spam_filter_counts(docs: DataFrame, scores: DataFrame,
+                       threshold: int = SPAM_THRESHOLD,
+                       id_col: str = "docno") -> DataFrame:
+    """The reference's counters as a 1-row frame:
+    (kept, filtered, unscored)."""
+    j = docs.select(id_col).join(
+        F.broadcast(scores.select(id_col, "percentile")), id_col, "left"
+    )
+    return j.agg(
+        F.sum((F.col("percentile") >= threshold).cast("int")).alias("kept"),
+        F.sum((F.col("percentile") < threshold).cast("int")).alias("filtered"),
+        F.sum(F.col("percentile").isNull().cast("int")).alias("unscored"),
+    )

@@ -16,6 +16,9 @@ _MODULES = [
     "textstats",
     "multimodal",
     "streaming_q",
+    "indexed",
+    "spam",
+    "baselines",
 ]
 
 

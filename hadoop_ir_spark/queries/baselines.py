@@ -1,0 +1,164 @@
+"""Catalog entries: the MIREX TrecRunBaselines single-pass multi-model run
+(all four baseline models over one postings scan, TrecRunBaselines.java:
+139-222 runs them per document in one mapper), F1/utility evaluation, and
+the KDE alpha sweep."""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import (
+    SQL_QRELS,
+    SQL_RUN_DIRICHLET,
+    TOP_K,
+    dirichlet_topk,
+    qrels_df,
+    register,
+)
+from hadoop_ir_spark.operators import evaluate, rank, rerank, scoring
+from hadoop_ir_spark.queries import scoring_models as sm
+
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+@register("mirex_baselines", f"""
+WITH {sm.SQL_SCORING},
+nq AS (SELECT qid, count(DISTINCT term) AS n_qterms FROM topics GROUP BY qid),
+gstat AS (
+  SELECT count(DISTINCT docno) AS n_docs,
+         sum(tf)::DOUBLE / count(DISTINCT docno) AS avg_len
+  FROM post
+),
+lmno AS (
+  SELECT 'LMno' AS model, m.qid, m.docno,
+         round(sum(ln(m.tf::DOUBLE / m.doc_len)) + ln(min(m.doc_len)), 6) AS score
+  FROM matched m GROUP BY m.qid, m.docno
+  HAVING count(DISTINCT m.term) = (SELECT n_qterms FROM nq WHERE nq.qid = m.qid)
+),
+lms AS (
+  SELECT 'LMs' AS model, qid, docno,
+         round(sum(ln(1 + (tf * (SELECT coll_len FROM coll) * {sm.JM_LAMBDA})
+                        / (cf * doc_len * (1 - {sm.JM_LAMBDA}))))
+               + ln(min(doc_len)), 6) AS score
+  FROM matched WHERE cf > 0 GROUP BY qid, docno
+  HAVING sum(ln(1 + (tf * (SELECT coll_len FROM coll) * {sm.JM_LAMBDA})
+                   / (cf * doc_len * (1 - {sm.JM_LAMBDA})))) + ln(min(doc_len)) > 0
+),
+lmdi AS (
+  SELECT 'LMdi' AS model, qid, docno,
+         round(sum(ln(tf * ((SELECT coll_len FROM coll)::DOUBLE / cf) + {sm.DIR_MU})
+                   - ln(doc_len + {sm.DIR_MU})), 6) AS score
+  FROM matched WHERE cf > 0 GROUP BY qid, docno
+),
+bm25 AS (
+  SELECT 'BM25' AS model, qid, docno,
+         round(sum(
+           (({BM25_K1} + 1) * tf)
+           / ({BM25_K1} * ((1 - {BM25_B}) + {BM25_B} * doc_len
+                           / (SELECT avg_len FROM gstat)) + tf)
+           * ln(((SELECT n_docs FROM gstat) - df + 0.5) / (df + 0.5))
+         ), 6) AS score
+  FROM matched GROUP BY qid, docno
+),
+allm AS (
+  SELECT * FROM lmno UNION ALL SELECT * FROM lms
+  UNION ALL SELECT * FROM lmdi UNION ALL SELECT * FROM bm25
+),
+ranked AS (
+  SELECT model, qid, docno, score,
+         row_number() OVER (PARTITION BY model, qid
+                            ORDER BY score DESC, docno DESC) AS rank
+  FROM allm
+)
+SELECT model, qid, docno, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def q_mirex_baselines(spark, sf_dir):
+    """TrecRunBaselines: all four baseline models from ONE cached matched
+    frame — the postings scan and joins run once, each model is another
+    aggregate over the same frame (the reference computes all models per
+    document in a single mapper pass)."""
+    _, dlen, post, tstats, topics, coll_len = sm._prep(spark, sf_dir)
+    matched = scoring.matched_terms(post, topics, doc_len=dlen,
+                                    stats=tstats).cache()
+
+    glob = dlen.filter(F.col("doc_len") > 0).agg(
+        F.count("*").alias("n_docs"), F.sum("doc_len").alias("n_tokens")
+    ).collect()[0]
+    n_docs, avg_len = glob["n_docs"], glob["n_tokens"] / glob["n_docs"]
+
+    outs = [
+        scoring.score_lm_no_smoothing(matched, topics)
+        .withColumn("model", F.lit("LMno")),
+        scoring.score_jm_mirex(matched, coll_len, sm.JM_LAMBDA)
+        .withColumn("model", F.lit("LMs")),
+        scoring.score_dirichlet_mirex(matched, coll_len, sm.DIR_MU)
+        .withColumn("model", F.lit("LMdi")),
+        scoring.score_bm25(matched, n_docs, avg_len, BM25_K1, BM25_B)
+        .withColumn("model", F.lit("BM25")),
+    ]
+    allm = functools.reduce(DataFrame.unionByName, outs)
+    allm = allm.withColumn("score", F.round("score", 6))
+    return rank.topk(allm, k=TOP_K, qid_col=["model", "qid"]).select(
+        "model", "qid", "docno", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register("eval_f1_utility", f"""
+WITH {SQL_RUN_DIRICHLET}, {SQL_QRELS},
+judged AS (
+  SELECT r.qid, r.docno,
+         CASE WHEN q.docno IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM run r
+  LEFT JOIN (SELECT DISTINCT qid, docno FROM qrels WHERE rel >= 1) q
+    USING (qid, docno)
+),
+perq AS (
+  SELECT qid, sum(is_rel) AS rel_ret, count(*) AS num_ret FROM judged
+  GROUP BY qid
+),
+nr AS (SELECT qid, count(DISTINCT docno) AS num_rel FROM qrels
+       WHERE rel >= 1 GROUP BY qid),
+pr AS (
+  SELECT p.qid,
+         p.rel_ret::DOUBLE / p.num_ret AS precision,
+         CASE WHEN coalesce(nr.num_rel, 0) > 0
+              THEN p.rel_ret::DOUBLE / nr.num_rel ELSE 0 END AS recall,
+         greatest(-100.0, 2.0 * p.rel_ret - p.num_ret) AS utility
+  FROM perq p LEFT JOIN nr USING (qid)
+)
+SELECT qid,
+       round(CASE WHEN precision + recall > 0
+                  THEN 2 * precision * recall / (precision + recall)
+                  ELSE 0 END, 6) AS f1,
+       round(utility, 6) AS utility
+FROM pr
+""")
+def q_eval_f1_utility(spark, sf_dir):
+    """E3 + E4 over the Dirichlet run (recall denominator num_rel; missing
+    qrels → recall 0 → F1 0, the Eval.java:82-111 degenerate-case rule)."""
+    run = dirichlet_topk(spark, sf_dir)
+    qrels = qrels_df(spark, sf_dir)
+    pr = evaluate.precision_recall(run, qrels).fillna({"recall": 0.0})
+    util = evaluate.utility(run, qrels)
+    out = pr.join(util, "qid")
+    return out.select(
+        "qid",
+        F.round(evaluate.f1(F.col("precision"), F.col("recall")), 6).alias("f1"),
+        F.round("utility", 6).alias("utility"),
+    )
+
+
+@register("kde_alpha_sweep")
+def q_kde_alpha_sweep(spark, sf_dir):
+    """M9's alpha in {0.1..0.9} sweep (RunQueryKDEHBase.java:30) — pandas
+    UDF per alpha; rows-only driver check (math unit-tested)."""
+    run = dirichlet_topk(spark, sf_dir, k=TOP_K)
+    run = run.withColumn("epoch", F.col("docno").cast("long"))
+    out = rerank.alpha_sweep(run, alphas=(0.1, 0.5, 0.9))
+    return out.select(
+        "alpha", "qid", "docno", F.round("score", 6).alias("score")
+    )

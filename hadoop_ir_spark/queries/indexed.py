@@ -1,0 +1,71 @@
+"""Catalog entry for index-backed retrieval: build the parquet index once
+per (process, sf_dir) — the reference's separate indexing jobs — then score
+from the index tables. The oracle is the same SQL as the scan-and-score
+flagship: the index is an equivalent materialization, so values must match
+exactly."""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import (
+    DIR_MU,
+    ORACLES,
+    TOP_K,
+    TOPICS,
+    _docs,
+    _topics_df,
+    register,
+)
+from hadoop_ir_spark.io import index as index_io
+from hadoop_ir_spark.operators import rank, scoring
+
+_INDEX_CACHE: dict[str, str] = {}
+_TMPROOT = tempfile.mkdtemp(prefix="hadoop_ir_spark_index_")
+atexit.register(shutil.rmtree, _TMPROOT, ignore_errors=True)
+
+
+def _index_dir(spark, sf_dir: str) -> str:
+    key = os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        out = os.path.join(_TMPROOT, key.strip("/").replace("/", "_"))
+        index_io.build_index(_docs(spark, sf_dir), out, id_col="doc_id")
+        _INDEX_CACHE[key] = out
+    return _INDEX_CACHE[key]
+
+
+@register("indexed_dirichlet_topk")
+def q_indexed_dirichlet(spark, sf_dir):
+    """SURVEY §3.2 pipeline on parquet: index build (memoized per sf) →
+    Dirichlet scoring from the index tables → top-k. The query-term filter
+    is pushed into the postings parquet scan."""
+    idx_dir = _index_dir(spark, sf_dir)
+    idx = index_io.load_index(spark, idx_dir)
+    glob = index_io.index_globals(spark, idx_dir)
+
+    topics = _topics_df(spark).withColumn("qweight", F.lit(1.0))
+    qterm_list = sorted({t for _, q in TOPICS for t in q.split()})
+
+    post = idx["postings"].filter(F.col("term").isin(qterm_list))
+    dlen = idx["doc_lengths"]
+    tstats = idx["term_stats"].filter(F.col("term").isin(qterm_list))
+    qstats = topics.join(
+        F.broadcast(tstats.select("term", "cf")), "term", "left"
+    ).fillna({"cf": 0})
+
+    matched = scoring.matched_terms(post, qstats, doc_len=dlen)
+    scored = scoring.score_gslis(matched, qstats, dlen, glob["n_tokens"],
+                                 model="dirichlet", mu=DIR_MU)
+    scored = scored.withColumn("score", F.round("score", 6))
+    return rank.topk(scored, k=TOP_K).select(
+        "qid", "docno", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# identical semantics to the scan-and-score flagship ⇒ identical oracle
+ORACLES["indexed_dirichlet_topk"] = ORACLES["dirichlet_topk"]

@@ -1,0 +1,60 @@
+"""Catalog entries for the spam-score filter (T7) over deterministic
+synthetic Waterloo-style percentiles: docs with doc_id % 11 == 0 are
+unscored; the rest score (doc_id * 37) % 100."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.operators import spamfilter
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _scores(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 11 != 0)
+        .select(
+            F.col("doc_id").alias("docno"),
+            ((F.col("doc_id") * 37) % 100).alias("percentile"),
+        )
+    )
+
+
+@register("spam_filter_kept", """
+WITH scores AS (
+  SELECT doc_id AS docno, (doc_id * 37) % 100 AS percentile
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT d.doc_id AS docno
+FROM documents d JOIN scores s ON s.docno = d.doc_id
+WHERE s.percentile >= 70
+""")
+def q_spam_kept(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docno"))
+    return spamfilter.spam_filter(docs, _scores(spark, sf_dir))
+
+
+@register("spam_filter_counts", """
+WITH scores AS (
+  SELECT doc_id AS docno, (doc_id * 37) % 100 AS percentile
+  FROM documents WHERE doc_id % 11 <> 0
+),
+j AS (SELECT d.doc_id AS docno, s.percentile
+      FROM documents d LEFT JOIN scores s ON s.docno = d.doc_id)
+SELECT CAST(sum(CASE WHEN percentile >= 70 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(sum(CASE WHEN percentile < 70 THEN 1 ELSE 0 END) AS BIGINT) AS filtered,
+       CAST(sum(CASE WHEN percentile IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unscored
+FROM j
+""")
+def q_spam_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docno"))
+    out = spamfilter.spam_filter_counts(docs, _scores(spark, sf_dir))
+    return out.select(*[F.col(c).cast("long").alias(c)
+                        for c in ("kept", "filtered", "unscored")])

@@ -1,0 +1,92 @@
+"""Tests for index build/load, spam filter, pattern-skip, stemmer, and the
+stats-file sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.functions import stemmer
+from hadoop_ir_spark.functions.text import skip_patterns
+from hadoop_ir_spark.io import index as index_io
+from hadoop_ir_spark.io import statsfile
+from hadoop_ir_spark.operators import spamfilter
+
+
+def test_index_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("d1", "a b a"), ("d2", "b c")], "docno string, text string"
+    )
+    out = str(tmp_path / "idx")
+    index_io.build_index(docs, out)
+    idx = index_io.load_index(spark, out)
+    post = {(r["docno"], r["term"]): r["tf"] for r in idx["postings"].collect()}
+    assert post == {("d1", "a"): 2, ("d1", "b"): 1, ("d2", "b"): 1, ("d2", "c"): 1}
+    dlen = {r["docno"]: r["doc_len"] for r in idx["doc_lengths"].collect()}
+    assert dlen == {"d1": 3, "d2": 2}
+    ts = {r["term"]: (r["df"], r["cf"]) for r in idx["term_stats"].collect()}
+    assert ts == {"a": (1, 2), "b": (2, 2), "c": (1, 1)}
+    assert index_io.index_globals(spark, out) == {
+        "n_docs": 2, "n_terms": 3, "n_tokens": 5
+    }
+
+
+def test_spam_filter(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "docno int")
+    scores = spark.createDataFrame(
+        [(1, 90), (2, 70), (3, 69)], "docno int, percentile int"
+    )
+    kept = {r["docno"] for r in spamfilter.spam_filter(docs, scores).collect()}
+    assert kept == {1, 2}
+    counts = spamfilter.spam_filter_counts(docs, scores).collect()[0]
+    assert (counts["kept"], counts["filtered"], counts["unscored"]) == (2, 1, 2)
+
+
+def test_skip_patterns(spark):
+    df = spark.createDataFrame([("Hello WORLD foo",)], "s string")
+    out = df.select(
+        skip_patterns("s", ["hello", "foo"], case_sensitive=False).alias("a"),
+        skip_patterns("s", ["hello"], case_sensitive=True).alias("b"),
+    ).collect()[0]
+    assert out["a"].strip() == "WORLD"
+    assert out["b"] == "Hello WORLD foo"  # case-sensitive: no match
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("cats", "cat"), ("glasses", "glass"), ("cities", "city"),
+    ("stopped", "stop"), ("making", "make"), ("running", "run"),
+    ("tried", "try"), ("walked", "walke" if False else "walk"),
+    ("sing", "sing"), ("the", "the"), ("bus", "bus"),
+])
+def test_krovetz_lite(word, stem):
+    assert stemmer.krovetz_lite(word) == stem
+
+
+def test_stem_udf_drops_numbers(spark):
+    df = spark.createDataFrame([(["cats", "42", "running"],)],
+                               "toks array<string>")
+    out = df.select(stemmer.stem_column(F.col("toks"),
+                                        "krovetz_lite").alias("s")).collect()
+    assert out[0]["s"] == ["cat", "run"]
+
+
+def test_krovetz_package_gated():
+    with pytest.raises(NotImplementedError, match="krovetzstemmer"):
+        stemmer.get_stemmer("krovetz")
+
+
+def test_stats_file_roundtrip(spark, tmp_path):
+    ts = spark.createDataFrame(
+        [("b", 2, 5), ("a", 1, 3)], "term string, df long, cf long"
+    )
+    path = str(tmp_path / "stats.txt")
+    statsfile.write_stats_file(ts, {"n_docs": 2, "n_terms": 2, "n_tokens": 8},
+                               path)
+    with open(path) as f:
+        lines = f.read().splitlines()
+    assert lines[:3] == ["#DOCS=2", "#TERMS=2", "#TOKENS=8"]
+    assert lines[3] == "a\t1,3"
+    back, glob = statsfile.read_stats_file(spark, path)
+    assert glob == {"n_docs": 2, "n_terms": 2, "n_tokens": 8}
+    assert {(r["term"], r["df"], r["cf"]) for r in back.collect()} \
+        == {("a", 1, 3), ("b", 2, 5)}
