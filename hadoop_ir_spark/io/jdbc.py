@@ -1,0 +1,46 @@
+"""JDBC lookup source (SURVEY.md §2.1 S11).
+
+The reference point-queries a remote H2 database per key for term stats
+and spam scores with a HashMap memo (ClueWebRunQueries.java:70-106,
+ClueWebSpamFilter.java:46-79). The Spark-native pattern: read the table
+ONCE via ``spark.read.jdbc`` and broadcast-join it — no per-row RPC, the
+join strategy replaces the memo cache.
+
+No JDBC driver jar ships in this environment, so usage is gated: callers
+get a clear error instead of a class-not-found deep in the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_jdbc_table(spark: SparkSession, url: str, table: str,
+                    driver: str | None = None, **options) -> DataFrame:
+    """``spark.read.jdbc`` wrapper; raises NotImplementedError when the
+    driver class is absent from the JVM classpath (add the jar via
+    ``spark.jars`` on a real deployment)."""
+    if driver:
+        jvm = spark.sparkContext._jvm
+        try:
+            jvm.java.lang.Class.forName(driver)
+        except Exception as exc:
+            raise NotImplementedError(
+                f"JDBC driver {driver!r} not on the classpath; add the jar "
+                "via spark.jars / --jars"
+            ) from exc
+    reader = spark.read.format("jdbc").option("url", url) \
+        .option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def lookup_join(big: DataFrame, lookup: DataFrame, on: str,
+                how: str = "left") -> DataFrame:
+    """J2 as a broadcast join: the reference's per-record RPC + HashMap
+    memo collapses to one broadcast of the lookup table."""
+    return big.join(F.broadcast(lookup), on, how)

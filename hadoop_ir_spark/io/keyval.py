@@ -1,0 +1,40 @@
+"""Key-value text scan (SURVEY.md §2.1 S4): tab-separated ``key \\t value``
+lines — the anchor-text representation TrecRun consumes in KEYVAL mode
+(TrecRun.java:242-244 via KeyValueTextInputFormat; the value is
+``url \\t anchor1 \\t anchor2 …`` as written by AnchorExtract's reduce)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_keyval(spark: SparkSession, path: str) -> DataFrame:
+    """→ (docno, text): key before the first tab, everything after is the
+    document text (KeyValueTextInputFormat semantics)."""
+    raw = spark.read.text(path)
+    return (
+        raw.filter(F.trim("value") != "")
+        .select(
+            F.substring_index("value", "\t", 1).alias("docno"),
+            F.expr(
+                "substring(value, length(substring_index(value, '\t', 1)) + 2)"
+            ).alias("text"),
+        )
+    )
+
+
+def write_keyval(df: DataFrame, path: str, key_col: str = "docno",
+                 value_col: str = "text", compression: str | None = None,
+                 single_file: bool = False) -> None:
+    """Inverse sink; ``compression='gzip'`` reproduces the S10 gzipped text
+    sink (AnchorExtract.java:250-251)."""
+    out = df.select(
+        F.concat_ws("\t", F.col(key_col), F.col(value_col)).alias("value")
+    )
+    if single_file:
+        out = out.coalesce(1)
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)

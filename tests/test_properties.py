@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) — beyond the reference's test surface
+(SURVEY.md §5): invariants that must hold for arbitrary inputs."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.functions.stemmer import krovetz_lite
+from hadoop_ir_spark.operators import rank
+
+TEXTS = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    max_size=120,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=5))
+def test_tokenizer_invariants(spark, texts):
+    """Tokens are lowercase alnum-only and non-empty; doc_len equals the
+    exploded token count."""
+    from hadoop_ir_spark.functions.text import tokens_col
+    from hadoop_ir_spark.operators import stats
+
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "docno string, text string"
+    )
+    toks = docs.select(F.explode(tokens_col("text")).alias("t")).collect()
+    assert all(re.fullmatch(r"[0-9a-z]+", r["t"]) for r in toks)
+
+    dlen = {r["docno"]: r["doc_len"]
+            for r in stats.doc_lengths(docs).collect()}
+    exploded = docs.select(
+        "docno", F.explode(tokens_col("text")).alias("t")
+    ).groupBy("docno").count().collect()
+    counts = {r["docno"]: r["count"] for r in exploded}
+    for d, n in dlen.items():
+        assert counts.get(d, 0) == n
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["q1", "q2"]),
+                  st.integers(0, 50),
+                  st.floats(-10, 10, allow_nan=False)),
+        min_size=1, max_size=30,
+    ),
+    st.integers(1, 5),
+)
+def test_topk_matches_python_sort(spark, rows, k):
+    """rank.topk == per-qid python sort desc(score), desc(docno), take k."""
+    data = [(q, str(d), float(s)) for q, d, s in rows]
+    df = spark.createDataFrame(data, "qid string, docno string, score double")
+    got = {(r["qid"], r["docno"], r["rank"])
+           for r in rank.topk(df, k=k).collect()}
+    expect = set()
+    for q in {q for q, _, _ in data}:
+        items = [(s, d) for qq, d, s in data if qq == q]
+        items.sort(key=lambda x: x[1], reverse=True)   # docno desc
+        items.sort(key=lambda x: x[0], reverse=True)   # stable: score desc
+        for i, (s, d) in enumerate(items[:k], 1):
+            expect.add((q, d, i))
+    assert got == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii",
+                                      min_codepoint=97, max_codepoint=122),
+               min_size=1, max_size=12))
+def test_stemmer_total_and_shortening(word):
+    """The stemmer never raises, never returns empty, and never grows a
+    word by more than one char (the +e recodings)."""
+    s = krovetz_lite(word)
+    assert s
+    assert len(s) <= len(word) + 1
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(0, 9), min_size=2, max_size=8))
+def test_minhash_jaccard_monotone_identical(spark, vocab_ids):
+    """Identical token sequences always produce identical signatures."""
+    from hadoop_ir_spark.operators import dedup
+
+    text = " ".join(f"w{v}" for v in vocab_ids) + " pad pad pad"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "docno int, text string"
+    )
+    sh = dedup.shingles(docs, k=3)
+    sigs = {r["docno"]: tuple(r["sig"])
+            for r in dedup.minhash_signatures(sh, 8).collect()}
+    assert sigs[1] == sigs[2]
