@@ -49,16 +49,25 @@ def postings_for_terms(docs: DataFrame, terms: list[str], id_col: str = "docno",
 
 
 def doc_lengths(docs: DataFrame, id_col: str = "docno",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                skip_empty: bool = True) -> DataFrame:
     """A2: ``(docno, doc_len)`` — token count per document.
 
     Computed without exploding (array size of the token split), so it is a
     pure map-side projection: no shuffle at all.
+
+    ``skip_empty`` applies the T9 doc-length guard (doclength == 0 docs
+    skipped before scoring, TrecRun.java:139, ClueWebRunQueries.java:217);
+    it also matches the oracle SQL, whose dlen CTE only contains docs with
+    at least one token.
     """
-    return docs.select(
+    out = docs.select(
         F.col(id_col).alias("docno"),
         F.size(tokens_col(text_col)).alias("doc_len"),
     )
+    if skip_empty:
+        out = out.filter(F.col("doc_len") > 0)
+    return out
 
 
 def word_count(docs: DataFrame, id_col: str = "docno",

@@ -157,7 +157,9 @@ def q_kde_alpha_sweep(spark, sf_dir):
     """M9's alpha in {0.1..0.9} sweep (RunQueryKDEHBase.java:30) — pandas
     UDF per alpha; rows-only driver check (math unit-tested)."""
     run = dirichlet_topk(spark, sf_dir, k=TOP_K)
-    run = run.withColumn("epoch", F.col("docno").cast("long"))
+    # cache: each alpha pass re-reads the run (3x the retrieval pipeline
+    # otherwise)
+    run = run.withColumn("epoch", F.col("docno").cast("long")).cache()
     out = rerank.alpha_sweep(run, alphas=(0.1, 0.5, 0.9))
     return out.select(
         "alpha", "qid", "docno", F.round("score", 6).alias("score")

@@ -21,7 +21,9 @@ def corpus(spark):
         [("d1", "a b a c"), ("d2", "b b d"), ("d3", "")], ["docno", "text"]
     )
     post = stats.postings(docs)
-    dlen = stats.doc_lengths(docs)
+    # GSLIS family has no T9 guard (RunQueryHBase scores every indexed
+    # doc, even empty ones) — keep d3 to pin that semantics here
+    dlen = stats.doc_lengths(docs, skip_empty=False)
     tstats = stats.term_stats(post)
     return docs, post, dlen, tstats
 

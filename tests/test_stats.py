@@ -27,8 +27,13 @@ def test_postings(spark, docs):
     ]
 
 
-def test_doc_lengths_includes_empty_doc(spark, docs):
+def test_doc_lengths_skips_empty_doc_by_default(spark, docs):
+    # T9 guard (TrecRun.java:139): zero-length docs dropped before scoring
     assert rows(stats.doc_lengths(docs), "docno", "doc_len") == [
+        ("d1", 4), ("d2", 3),
+    ]
+    assert rows(stats.doc_lengths(docs, skip_empty=False),
+                "docno", "doc_len") == [
         ("d1", 4), ("d2", 3), ("d3", 0),
     ]
 
