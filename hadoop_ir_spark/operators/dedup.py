@@ -278,15 +278,20 @@ def simhash_fingerprints(post: DataFrame, bits: int = SIMHASH_BITS,
     """(docno, fingerprint): per-term hash bits weighted ±tf, sign per bit.
 
     Column form: ``bits`` sum-aggregates in one groupBy(docno) — no row
-    blowup, single shuffle of the postings."""
-    h = _hash(portable)(F.col("term"))
+    blowup, single shuffle of the postings. The term hash is hoisted into
+    a pre-agg projection (aggregate expressions get no CSE, so embedding
+    it would evaluate the hash ``bits``× per row)."""
+    hashed = post.select(
+        "docno", "tf", _hash(portable)(F.col("term")).alias("_h")
+    )
     aggs = [
         F.sum(
-            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("tf")
+            (F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            * F.col("tf")
         ).alias(f"b{i}")
         for i in range(bits)
     ]
-    sums = post.groupBy("docno").agg(*aggs)
+    sums = hashed.groupBy("docno").agg(*aggs)
     fp = None
     for i in range(bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (1 << i)) \

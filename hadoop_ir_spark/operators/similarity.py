@@ -66,17 +66,40 @@ def centroid_sample(emb: DataFrame, every: int = 50, id_col: str = "vec_id",
 def ivf_assign(emb: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine; tie-break
-    lowest centroid_id): (vec_id, centroid_id). One broadcast crossJoin +
-    max_by — the 'index build' scan."""
-    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    scored = c.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "centroid_id",
-        cosine_expr(F.col("v"), F.col("cv")).alias("sim"),
-    )
-    return scored.groupBy("vec_id").agg(
-        F.max_by(
-            F.col("centroid_id"), F.struct(F.col("sim"), -F.col("centroid_id"))
-        ).alias("centroid_id")
+    lowest centroid_id): (vec_id, centroid_id) — the 'index build' scan.
+
+    Kernel: the centroid matrix is tiny → broadcast as numpy; each Arrow
+    batch argmaxes a BLAS matmul block (the flop-dense inner loop stays
+    out of expression interpretation, cf. dedup.embedding_near_dups)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = centroids.collect()
+    cids = np.array([r["centroid_id"] for r in cents], dtype=np.int64)
+    C = np.array([r["cv"] for r in cents], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    # tie-break lowest centroid_id: stable argmax over id-ascending order
+    order = np.argsort(cids)
+    cids_sorted, C_sorted = cids[order], C[order]
+    bc = emb.sparkSession.sparkContext.broadcast((cids_sorted, C_sorted))
+
+    def assign(batches):
+        cids_b, Cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            # argmax returns the FIRST max -> lowest centroid_id on ties
+            best = cids_b[np.argmax(A @ Cb.T, axis=1)]
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                "centroid_id": best,
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema="vec_id long, centroid_id long"
     )
 
 
