@@ -92,7 +92,7 @@ dlen AS (
 
 @register("wordcount", f"""
 WITH {SQL_TOK}
-SELECT term, sum(tf) AS cf FROM post GROUP BY term
+SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM post GROUP BY term
 """)
 def q_wordcount(spark, sf_dir):
     docs = _docs(spark, sf_dir)
@@ -105,7 +105,8 @@ def q_wordcount(spark, sf_dir):
 
 @register("term_stats", f"""
 WITH {SQL_TOK}
-SELECT term, count(*) AS df, sum(tf) AS cf FROM post GROUP BY term
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM post GROUP BY term
 """)
 def q_term_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
@@ -133,7 +134,7 @@ def q_doc_lengths(spark, sf_dir):
 WITH {SQL_TOK}
 SELECT count(DISTINCT docno) AS n_docs,
        count(DISTINCT term)  AS n_terms,
-       sum(tf)               AS n_tokens
+       CAST(sum(tf) AS BIGINT) AS n_tokens
 FROM post
 """)
 def q_collection_globals(spark, sf_dir):
@@ -149,7 +150,7 @@ def q_collection_globals(spark, sf_dir):
 WITH {SQL_TOK},
 qterms AS (SELECT DISTINCT qid, term FROM {_topics_values_sql()}),
 tstats AS (
-  SELECT term, count(*) AS df, sum(tf) AS cf FROM post
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM post
   WHERE term IN (SELECT term FROM qterms) GROUP BY term
 )
 SELECT q.qid, q.term, 1 AS qtf,
