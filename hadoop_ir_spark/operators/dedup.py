@@ -432,3 +432,60 @@ def embedding_near_dups(emb: DataFrame, tau: float = 0.45,
     return emb.select(id_col, vec_col).mapInPandas(
         block, schema="id_a long, id_b long, cosine double"
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, a_col: str = "docno_a",
+                         b_col: str = "docno_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: (docno, cluster_id)
+    where cluster_id = min docno of the connected component. A real dedup
+    pipeline keeps one representative per cluster, not per pair.
+
+    Iterative min-label propagation (each round: every node takes the min
+    of its own and its neighbors' labels), converging in O(component
+    diameter) rounds — near-dup components are tiny, so 2-3 rounds in
+    practice. Lineage is truncated per round with localCheckpoint, the
+    standard Spark pattern for iterative algorithms (each round is one
+    shuffle of the edge list; at cluster scale swap in a large-star/
+    small-star variant for skewed mega-components).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"),
+                            F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nmin, labels.node == nmin.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"),
+                        F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

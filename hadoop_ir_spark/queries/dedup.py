@@ -156,3 +156,28 @@ def q_embedding_near_dups(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     out = dedup.embedding_near_dups(emb, tau=COSINE_TAU)
     return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@register("dedup_clusters", f"""
+WITH RECURSIVE
+{SQL_SHINGLES.strip().lstrip(',')},
+np AS (SELECT docno_a AS a, docno_b AS b FROM jac
+       WHERE jaccard >= {JACCARD_TAU}),
+edges AS (SELECT a, b FROM np UNION SELECT b, a FROM np),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS docno, CAST(min(root) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+""")
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate clusters (connected components, min-id
+    label). The pipeline step after pair generation: keep one doc per
+    CLUSTER. Oracle: DuckDB recursive-CTE reachability."""
+    sh = dedup.shingles(_docs(spark, sf_dir), k=3, id_col="doc_id")
+    pairs = dedup.jaccard_pairs(sh, tau=JACCARD_TAU)
+    out = dedup.connected_components(pairs)
+    return out.select(F.col("node").alias("docno"), "cluster_id")

@@ -123,3 +123,25 @@ def test_portable_hash_matches_duckdb(spark):
             "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [v]
         ).fetchone()
         assert d == g
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3, pair 10-11, isolated pair 20-21 joined via 21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 22), (20, 21)],
+        "docno_a int, docno_b int",
+    )
+    out = {r["node"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "docno_a int, docno_b int"
+    )
+    out = {r["node"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == n + 1
