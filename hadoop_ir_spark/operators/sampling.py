@@ -1,0 +1,54 @@
+"""Corpus sampling / data-mixing operators (beyond-reference; the step
+that turns a deduped corpus into a training mixture).
+
+Deterministic by construction: strata are ordered by an explicit key (or a
+portable hash of the id for a pseudo-random-but-reproducible shuffle), so
+the same inputs always produce the same sample — a requirement for
+reproducible training sets, and what makes these oracle-checkable.
+
+Scale: both operators are one window over partitionBy(stratum) — a single
+shuffle on the stratum key; AQE handles stratum skew. No sampling state on
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators.dedup import hash60
+
+
+def shuffle_key(id_col: Column) -> Column:
+    """Reproducible pseudo-random order: portable 60-bit hash of the id
+    (same values in DuckDB — see dedup.hash60)."""
+    return hash60(id_col.cast("string"))
+
+
+def stratified_sample(docs: DataFrame, strata_cols: list[str], n: int,
+                      id_col: str = "docno") -> DataFrame:
+    """Keep the first ``n`` docs per stratum in shuffle-key order:
+    adds ``sample_rank`` (1-based within stratum)."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        shuffle_key(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+    )
+
+
+def token_budget_sample(docs: DataFrame, group_col: str, budget: int,
+                        id_col: str = "docno",
+                        n_tokens_col: str = "n_tokens") -> DataFrame:
+    """Data mixing by token budget: per group, admit docs in shuffle-key
+    order while the RUNNING TOTAL BEFORE the doc is under ``budget`` (so
+    the doc that crosses the budget is still admitted — every group with
+    any data gets at least one doc). Adds ``cum_tokens``."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(shuffle_key(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = docs.withColumn("cum_tokens", F.sum(n_tokens_col).over(w))
+    return out.filter(F.col("cum_tokens") - F.col(n_tokens_col) < budget)

@@ -19,6 +19,7 @@ _MODULES = [
     "indexed",
     "spam",
     "baselines",
+    "sampling_q",
 ]
 
 

@@ -1,0 +1,78 @@
+"""Catalog entries for stratified / token-budget sampling over the
+documents table (strata = (lang, source); token counts = T3 tokens)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.operators import sampling, textstats
+
+STRATA_N = 3
+TOKEN_BUDGET = 500
+
+# DuckDB twin of sampling.shuffle_key
+SQL_SHUF = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@register("stratified_sample", f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY {SQL_SHUF}, doc_id) AS sample_rank
+  FROM documents
+)
+SELECT doc_id AS docno, lang, source, CAST(sample_rank AS INT) AS sample_rank
+FROM ranked WHERE sample_rank <= {STRATA_N}
+""")
+def q_stratified_sample(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docno"), "lang", "source"
+    )
+    out = sampling.stratified_sample(docs, ["lang", "source"], STRATA_N)
+    return out.select("docno", "lang", "source",
+                      F.col("sample_rank").cast("int").alias("sample_rank"))
+
+
+@register("token_budget_sample", f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                         t -> t <> '')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY {SQL_SHUF}, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id AS docno, lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
+""")
+def q_token_budget_sample(spark, sf_dir):
+    """Per-language token-budget mixture: admit docs in reproducible
+    shuffle order until each language hits ~{budget} tokens."""
+    docs = _docs(spark, sf_dir)
+    with_counts = docs.select(
+        F.col("doc_id").alias("docno"), "lang",
+    ).join(
+        textstats.quality_scores(docs, id_col="doc_id")
+        .select("docno", "n_tokens"),
+        "docno",
+    )
+    out = sampling.token_budget_sample(with_counts, "lang", TOKEN_BUDGET)
+    return out.select(
+        "docno", "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )

@@ -1,0 +1,44 @@
+"""Sampling operator tests: determinism, stratum caps, budget semantics."""
+
+from __future__ import annotations
+
+from hadoop_ir_spark.operators import sampling
+
+
+def test_stratified_sample_caps_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(20)],
+        "docno int, lang string",
+    )
+    a = sampling.stratified_sample(docs, ["lang"], 3)
+    b = sampling.stratified_sample(docs, ["lang"], 3)
+    ra = sorted((r["lang"], r["docno"], r["sample_rank"]) for r in a.collect())
+    rb = sorted((r["lang"], r["docno"], r["sample_rank"]) for r in b.collect())
+    assert ra == rb                       # reproducible
+    per_lang = {}
+    for lang, _, rank in ra:
+        per_lang.setdefault(lang, []).append(rank)
+    assert all(sorted(v) == [1, 2, 3] for v in per_lang.values())
+
+
+def test_token_budget_admits_crossing_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", 400), (2, "en", 400), (3, "en", 400), (4, "de", 999)],
+        "docno int, lang string, n_tokens int",
+    )
+    out = sampling.token_budget_sample(docs, "lang", budget=500)
+    rows = {r["docno"]: r["cum_tokens"] for r in out.collect()}
+    # en: first admitted (cum 400 < 500 before), second admitted (cum-before
+    # 400 < 500 -> crossing doc kept), third rejected (cum-before 800)
+    en = [d for d in rows if d in (1, 2, 3)]
+    assert len(en) == 2
+    # de: huge single doc still admitted (cum-before 0)
+    assert 4 in rows and rows[4] == 999
+
+
+def test_token_budget_group_isolation(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", 600), (2, "de", 600)], "docno int, lang string, n_tokens int"
+    )
+    out = sampling.token_budget_sample(docs, "lang", budget=500)
+    assert out.count() == 2  # budgets are per group, not global
