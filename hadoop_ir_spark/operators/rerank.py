@@ -92,15 +92,38 @@ def kde_rescore(run: DataFrame, alpha: float = 0.5,
 
 def alpha_sweep(run: DataFrame, alphas=tuple(a / 10 for a in range(1, 10)),
                 epoch_col: str = "epoch") -> DataFrame:
-    """The reference's α ∈ {0.1..0.9} sweep (RunQueryKDEHBase.java:30):
-    one KDE pass per α, results unioned with an ``alpha`` column."""
-    import functools
+    """The reference's α ∈ {0.1..0.9} sweep (RunQueryKDEHBase.java:30).
 
-    from pyspark.sql import functions as F
+    The KDE is evaluated ONCE per query group; every α is a cheap blend of
+    the same density values (the reference also computes the density once
+    and loops α, RunQueryKDEHBase.java:73-113) — |alphas|× fewer Python
+    stages than rescoring per α."""
+    cols = [f.name for f in run.schema.fields if f.name != "rank"]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in run.schema.fields if f.name != "rank"
+    ) + ", alpha double"
 
-    outs = [
-        kde_rescore(run, alpha=a, epoch_col=epoch_col)
-        .withColumn("alpha", F.lit(a))
-        for a in alphas
-    ]
-    return functools.reduce(DataFrame.unionByName, outs)
+    def rescore_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        has = pdf[epoch_col].notna()
+        outs = []
+        dens = None
+        if has.sum() >= 1:
+            x = pdf.loc[has, epoch_col].to_numpy(dtype=float)
+            w = np.exp(pdf.loc[has, "score"] - pdf.loc[has, "score"].max())
+            dens = np.maximum(
+                gaussian_kde_weighted(x, w.to_numpy(), x), 1e-300
+            )
+        for a in alphas:
+            out = pdf.copy()
+            if dens is not None:
+                out.loc[has, "score"] = (
+                    a * np.log(dens) + (1 - a) * pdf.loc[has, "score"]
+                )
+            out["alpha"] = a
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True)
+
+    return run.select(*cols).groupBy("qid").applyInPandas(
+        rescore_all, schema=schema
+    )
