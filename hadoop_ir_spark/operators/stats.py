@@ -135,3 +135,20 @@ def query_term_stats(post: DataFrame, topics: DataFrame) -> DataFrame:
             F.coalesce("cf", F.lit(0)).cast("long").alias("cf"),
         )
     )
+
+
+def doc_vectors(post: DataFrame) -> DataFrame:
+    """The reference's FeatureVector (HashMap<String,Double> + length,
+    FeatureVector.java:25-64, Java-serialized into HBase cells at
+    IndexTrecToHBase.java:118-146) as a NATIVE MapType column:
+    ``(docno, vector: map<term,bigint>, doc_len)``.
+
+    Preferred at scale only for per-doc point access; set-algebra over
+    vocabularies (interpolation, clipping) stays on the exploded postings
+    form, which joins and aggregates columnar."""
+    return post.groupBy("docno").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("term", "tf")))
+        ).alias("vector"),
+        F.sum("tf").alias("doc_len"),
+    )

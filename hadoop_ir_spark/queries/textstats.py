@@ -129,3 +129,37 @@ FROM grams GROUP BY docno
 """)
 def q_doc_fingerprints(spark, sf_dir):
     return textstats.doc_fingerprints(_docs(spark, sf_dir), id_col="doc_id")
+
+
+@register("doc_vectors", """
+WITH tok AS (
+  SELECT doc_id AS docno,
+         unnest(string_split_regex(lower(text), '[^0-9a-zA-Z]+')) AS term
+  FROM documents
+),
+post AS (
+  SELECT docno, term, count(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY docno, term
+)
+SELECT docno,
+       string_agg(term || ':' || tf, ' ' ORDER BY term) AS vector,
+       CAST(sum(tf) AS BIGINT) AS doc_len
+FROM post GROUP BY docno
+""")
+def q_doc_vectors(spark, sf_dir):
+    """FeatureVector as a native map column; serialized term-sorted to a
+    'term:tf ...' string for the cross-engine compare (DuckDB has no
+    comparable MAP literal ordering)."""
+    from hadoop_ir_spark.operators import stats as _stats
+
+    post = _stats.postings(_docs(spark, sf_dir), id_col="doc_id")
+    dv = _stats.doc_vectors(post)
+    ser = F.array_join(
+        F.transform(
+            F.map_entries("vector"),
+            lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+        ),
+        " ",
+    )
+    return dv.select("docno", ser.alias("vector"),
+                     F.col("doc_len").cast("long").alias("doc_len"))
