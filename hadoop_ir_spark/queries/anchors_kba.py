@@ -91,9 +91,9 @@ _SPLIT_NANOS = 1705276800 * 10**9
 
 
 def _kba_hits(spark, sf_dir):
-    import os
+    from hadoop_ir_spark.streaming.events import read_events
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = read_events(spark, sf_dir)
     return ev.select(
         F.col("event_type").alias("qid"),
         F.col("event_id").alias("docno"),

@@ -4,8 +4,6 @@ same transformations on the batch frame)."""
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import functions as F
 
 from hadoop_ir_spark.catalog import register
@@ -13,7 +11,7 @@ from hadoop_ir_spark.streaming import events as ev
 
 
 def _events(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.read_events(spark, sf_dir)
 
 
 @register("event_window_counts", """
