@@ -387,50 +387,87 @@ def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
 
 def embedding_near_dups(emb: DataFrame, tau: float = 0.45,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        n_blocks: int = 8) -> DataFrame:
     """All-pairs cosine ≥ tau → (id_a, id_b, cosine), id_a < id_b.
 
-    Implementation: one side of the pair space is collected into a
-    broadcast numpy matrix (L2-normalized float64); each Arrow batch of
-    the other side computes a BLAS matmul block against it and emits only
-    the ≥ tau pairs — the O(n²) term runs at memory bandwidth instead of
-    per-element expression interpretation (measured ~50× vs the unrolled
-    Column-expression dot at n=5000, d=64).
+    Triangle-blocked pair join — fully distributed, no driver-side
+    collect or whole-corpus broadcast anywhere in the lineage:
 
-    Scale: the broadcast side must fit in executor memory (n·d·8 bytes —
-    ~5 GB at 10M×64). Beyond that, grid-partition both sides into blocks
-    and union the block joins, or use the LSH/IVF candidates path
-    (operators/similarity.py) which avoids the quadratic term entirely.
+    1. each vector hashes into one of ``n_blocks`` blocks
+       (``xxhash64(id) mod B`` for balance regardless of id skew);
+    2. every vector is replicated to the B unordered block pairs it
+       participates in (one ``explode`` → shuffle volume B·n rows);
+    3. each (p, q) group computes its cross-block (or within-block when
+       p == q) similarity matrix as ONE BLAS matmul inside
+       ``applyInPandas`` and emits only the ≥ tau pairs. A vector pair
+       lands in exactly one group, so no dedup pass is needed.
+
+    The O(n²) similarity term runs at memory bandwidth (float64 GEMM),
+    and the per-task working set is ~2·(n/B)·d doubles — size B so that
+    fits executor memory (B = 32 keeps 10M×64-d under 2 GB/task). The
+    quadratic FLOP count is inherent to exact all-pairs; use the LSH
+    (minhash_lsh) or IVF (operators/similarity.py) candidates path when
+    approximate recall is acceptable.
     """
     import numpy as np
-
-    spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([r[1] for r in rows], dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, M))
-
     import pandas as pd
 
-    def block(batches):
-        ids_all, Mb = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            sims = A @ Mb.T
-            out_a, out_b, out_c = [], [], []
-            for i, ida in enumerate(pdf[id_col].to_numpy(dtype=np.int64)):
-                mask = (sims[i] >= tau) & (ids_all > ida)
-                out_a.extend([ida] * int(mask.sum()))
-                out_b.extend(ids_all[mask].tolist())
-                out_c.extend(sims[i][mask].tolist())
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+    pair_keys = F.array(*[
+        F.struct(
+            F.least(F.col("_blk"), F.lit(o)).alias("pa"),
+            F.greatest(F.col("_blk"), F.lit(o)).alias("pb"),
+        )
+        for o in range(n_blocks)
+    ])
+    replicated = (
+        emb.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+             .cast("int").alias("_blk"),
+        )
+        .withColumn("_p", F.explode(pair_keys))
+        .select("_id", "_vec", "_blk",
+                F.col("_p.pa").alias("pa"), F.col("_p.pb").alias("pb"))
+    )
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        block, schema="id_a long, id_b long, cosine double"
+    def pair_sims(key, pdf):
+        p, q = key
+        empty = pd.DataFrame({
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        })
+        if not len(pdf):
+            return empty
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        if p == q:
+            sims = M @ M.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sims[ii, jj] >= tau
+            ii, jj = ii[keep], jj[keep]
+            ia, ib = ids[ii], ids[jj]
+            cos = sims[ii, jj]
+        else:
+            on_p = pdf["_blk"].to_numpy() == p
+            A, Bm = M[on_p], M[~on_p]
+            if not len(A) or not len(Bm):
+                return empty
+            sims = A @ Bm.T
+            ii, jj = np.nonzero(sims >= tau)
+            ia, ib = ids[on_p][ii], ids[~on_p][jj]
+            cos = sims[ii, jj]
+        return pd.DataFrame({
+            "id_a": np.minimum(ia, ib),
+            "id_b": np.maximum(ia, ib),
+            "cosine": cos,
+        })
+
+    return replicated.groupBy("pa", "pb").applyInPandas(
+        pair_sims, schema="id_a long, id_b long, cosine double"
     )
 
 

@@ -111,6 +111,37 @@ def test_embedding_near_dups(spark):
     assert out == {(1, 2)}
 
 
+def test_embedding_near_dups_blocked_matches_brute_force(spark):
+    """Triangle-blocked path vs a numpy brute force, with enough vectors
+    to populate several (p, q) block-pair groups — and a plan check that
+    the lineage is a grouped-map (distributed), not a driver collect."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8))
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    tau = 0.5
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    expected = {
+        (i, j): float(norm[i] @ norm[j])
+        for i, j in itertools.combinations(range(len(vecs)), 2)
+        if norm[i] @ norm[j] >= tau
+    }
+
+    out = dedup.embedding_near_dups(emb, tau=tau, n_blocks=4)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-12)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_portable_hash_matches_duckdb(spark):
     import duckdb
 
