@@ -4,8 +4,11 @@ Every model is one ``groupBy(qid, docno).agg(sum(expr))`` — no UDFs, fully
 whole-stage-codegen'd. Two semantic families, faithfully reproduced:
 
 - **MIREX family (M1-M4)** — TrecRunBaselines.java:139-222: only documents
-  containing query terms are scored; a missing term either zeroes the score
-  (M1) or simply contributes nothing (M2-M4).
+  containing query terms can score; a missing term zeroes the score (M1),
+  contributes nothing (M2, M4), or contributes its tf=0 smoothed value
+  (M3, recovered algebraically — see ``score_dirichlet_mirex``). Query
+  terms with cf<=0 are dropped at query-parse time (:129-131), so M1's
+  all-terms-required count and M3's missing-term sum run over cf>0 terms.
 - **GSLIS family (M5-M8)** — RunQueryHBase.java:183-245: *every* document
   gets a score; a missing query term still contributes its smoothed
   background probability (tf=0 term).
@@ -60,13 +63,21 @@ def matched_terms(post: DataFrame, topics: DataFrame,
 # MIREX family (TrecRunBaselines.java) — matched terms only
 # --------------------------------------------------------------------------
 
-def score_lm_no_smoothing(matched: DataFrame, topics: DataFrame) -> DataFrame:
+def score_lm_no_smoothing(matched: DataFrame, qstats: DataFrame) -> DataFrame:
     """M1 (LMno, TrecRunBaselines.java:148-159): query likelihood with no
     smoothing and a doc-length prior; zero (dropped) unless the document
     contains *every* query term. Log-space:
     ``sum(qtf * ln(tf/len)) + ln(len)``.
+
+    ``qstats`` must carry cf: the reference drops query terms with cf<=0
+    at parse time (:129-131), so the all-terms-required count runs over
+    corpus-present terms only — a query with one corpus-absent term still
+    scores documents on its remaining terms.
     """
-    n_q = topics.groupBy("qid").agg(F.countDistinct("term").alias("n_qterms"))
+    n_q = (
+        qstats.filter(F.col("cf") > 0)
+        .groupBy("qid").agg(F.countDistinct("term").alias("n_qterms"))
+    )
     scored = (
         matched.groupBy("qid", "docno")
         .agg(
@@ -101,21 +112,45 @@ def score_jm_mirex(matched: DataFrame, coll_len: float,
     return scored.filter(F.col("score") > 0)
 
 
-def score_dirichlet_mirex(matched: DataFrame, coll_len: float,
-                          mu: float = 2500.0) -> DataFrame:
-    """M3 (LMdi, TrecRunBaselines.java:210-220): Dirichlet in MIREX form
-    over matched terms only:
-    ``sum(qtf * (ln(tf * (C/cf) + mu) - ln(len + mu)))``.
+def score_dirichlet_mirex(matched: DataFrame, qstats: DataFrame,
+                          coll_len: float, mu: float = 2500.0) -> DataFrame:
+    """M3 (LMdi, TrecRunBaselines.java:210-220): Dirichlet in MIREX form,
+    full reference semantics:
+
+    - EVERY query term contributes, matched or not — a missing term scores
+      tf=0, i.e. ``qtf*(ln(mu) - ln(len+mu))``. Recovered algebraically as
+      matched-delta + (sum qtf)*(ln(mu) - ln(len+mu)) so only matched rows
+      are materialized; a document with zero matched terms is all-negative
+      and can never survive the clamp, so the matched frame suffices.
+    - ``C/cf`` is Java LONG division (globalCollLength and TermInfo.cf are
+      both Long, :81-82,218) — reproduced with integer ``div``.
+    - Non-positive totals are clamped to 0 and never emitted (:219).
+    - Query terms with cf<=0 were dropped at parse (:129-131): the qtf sum
+      covers cf>0 terms only.
     """
-    expr = F.col("qtf") * (
-        F.log(F.col("tf") * (F.lit(float(coll_len)) / F.col("cf")) + F.lit(mu))
-        - F.log(F.col("doc_len") + F.lit(mu))
+    cdiv = F.expr(f"cast({int(coll_len)} as bigint) div cf")
+    delta = F.col("qtf") * (
+        F.log(F.col("tf") * cdiv + F.lit(mu)) - F.log(F.lit(mu))
     )
-    return (
+    qsum = (
+        qstats.filter(F.col("cf") > 0)
+        .groupBy("qid").agg(F.sum("qtf").alias("qtf_sum"))
+    )
+    scored = (
         matched.filter(F.col("cf") > 0)
         .groupBy("qid", "docno")
-        .agg(F.sum(expr).alias("score"))
+        .agg(F.sum(delta).alias("_msum"), F.first("doc_len").alias("_len"))
+        .join(F.broadcast(qsum), "qid")
+        .select(
+            "qid", "docno",
+            (
+                F.col("_msum")
+                + F.col("qtf_sum")
+                * (F.log(F.lit(mu)) - F.log(F.col("_len") + F.lit(mu)))
+            ).alias("score"),
+        )
     )
+    return scored.filter(F.col("score") > 0)
 
 
 def score_bm25(matched: DataFrame, n_docs: float, avg_len: float,

@@ -26,7 +26,12 @@ BM25_K1, BM25_B = 1.2, 0.75
 
 @register("mirex_baselines", f"""
 WITH {sm.SQL_SCORING},
-nq AS (SELECT qid, count(DISTINCT term) AS n_qterms FROM topics GROUP BY qid),
+nq AS (SELECT t.qid, count(DISTINCT t.term) AS n_qterms
+       FROM topics t JOIN tstats s USING (term)
+       WHERE s.cf > 0 GROUP BY t.qid),
+qsum AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS qtf_sum
+         FROM topics t JOIN tstats s USING (term)
+         WHERE s.cf > 0 GROUP BY t.qid),
 gstat AS (
   SELECT count(DISTINCT docno) AS n_docs,
          sum(tf)::DOUBLE / count(DISTINCT docno) AS avg_len
@@ -48,10 +53,16 @@ lms AS (
                    / (cf * doc_len * (1 - {sm.JM_LAMBDA})))) + ln(min(doc_len)) > 0
 ),
 lmdi AS (
-  SELECT 'LMdi' AS model, qid, docno,
-         round(sum(ln(tf * ((SELECT coll_len FROM coll)::DOUBLE / cf) + {sm.DIR_MU})
-                   - ln(doc_len + {sm.DIR_MU})), 6) AS score
-  FROM matched WHERE cf > 0 GROUP BY qid, docno
+  SELECT 'LMdi' AS model, m.qid, m.docno,
+         round(sum(ln(m.tf * ((SELECT coll_len FROM coll) // m.cf) + {sm.DIR_MU})
+                   - ln({sm.DIR_MU}))
+               + min(q.qtf_sum) * (ln({sm.DIR_MU}) - ln(min(m.doc_len) + {sm.DIR_MU})),
+               6) AS score
+  FROM matched m JOIN qsum q USING (qid)
+  WHERE m.cf > 0 GROUP BY m.qid, m.docno
+  HAVING sum(ln(m.tf * ((SELECT coll_len FROM coll) // m.cf) + {sm.DIR_MU})
+             - ln({sm.DIR_MU}))
+         + min(q.qtf_sum) * (ln({sm.DIR_MU}) - ln(min(m.doc_len) + {sm.DIR_MU})) > 0
 ),
 bm25 AS (
   SELECT 'BM25' AS model, qid, docno,
@@ -82,6 +93,9 @@ def q_mirex_baselines(spark, sf_dir):
     aggregate over the same frame (the reference computes all models per
     document in a single mapper pass)."""
     _, dlen, post, tstats, topics, coll_len = sm._prep(spark, sf_dir)
+    qstats = topics.join(
+        tstats.select("term", "cf"), "term", "left"
+    ).fillna({"cf": 0})
     matched = scoring.matched_terms(post, topics, doc_len=dlen,
                                     stats=tstats).cache()
 
@@ -91,11 +105,11 @@ def q_mirex_baselines(spark, sf_dir):
     n_docs, avg_len = glob["n_docs"], glob["n_tokens"] / glob["n_docs"]
 
     outs = [
-        scoring.score_lm_no_smoothing(matched, topics)
+        scoring.score_lm_no_smoothing(matched, qstats)
         .withColumn("model", F.lit("LMno")),
         scoring.score_jm_mirex(matched, coll_len, sm.JM_LAMBDA)
         .withColumn("model", F.lit("LMs")),
-        scoring.score_dirichlet_mirex(matched, coll_len, sm.DIR_MU)
+        scoring.score_dirichlet_mirex(matched, qstats, coll_len, sm.DIR_MU)
         .withColumn("model", F.lit("LMdi")),
         scoring.score_bm25(matched, n_docs, avg_len, BM25_K1, BM25_B)
         .withColumn("model", F.lit("BM25")),

@@ -83,7 +83,9 @@ def _finish(scored):
 
 @register("lm_no_smoothing_topk", f"""
 WITH {SQL_SCORING},
-nq AS (SELECT qid, count(DISTINCT term) AS n_qterms FROM topics GROUP BY qid),
+nq AS (SELECT t.qid, count(DISTINCT t.term) AS n_qterms
+       FROM topics t JOIN tstats s USING (term)
+       WHERE s.cf > 0 GROUP BY t.qid),
 scored AS (
   SELECT m.qid, m.docno,
          round(sum(ln(m.tf::DOUBLE / m.doc_len)) + ln(min(m.doc_len)), 6) AS score
@@ -95,8 +97,11 @@ scored AS (
 """)
 def q_lm_no_smoothing(spark, sf_dir):
     _, dlen, post, tstats, topics, _ = _prep(spark, sf_dir)
+    qstats = topics.join(
+        tstats.select("term", "cf"), "term", "left"
+    ).fillna({"cf": 0})
     matched = scoring.matched_terms(post, topics, doc_len=dlen)
-    return _finish(scoring.score_lm_no_smoothing(matched, topics))
+    return _finish(scoring.score_lm_no_smoothing(matched, qstats))
 
 
 # --------------------------------------------------------------------------
@@ -124,24 +129,43 @@ def q_jm_mirex(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# M3 — Dirichlet, MIREX form (matched terms only)
+# M3 — Dirichlet, MIREX form (every query term scores; tf=0 for missing;
+#      long-division C/cf; positive totals only)
 # --------------------------------------------------------------------------
+
+SQL_LMDI_SCORED = f"""
+qsum AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS qtf_sum
+         FROM topics t JOIN tstats s USING (term)
+         WHERE s.cf > 0 GROUP BY t.qid),
+scored AS (
+  SELECT m.qid, m.docno,
+         round(sum(ln(m.tf * ((SELECT coll_len FROM coll) // m.cf) + {DIR_MU})
+                   - ln({DIR_MU}))
+               + min(q.qtf_sum) * (ln({DIR_MU}) - ln(min(m.doc_len) + {DIR_MU})),
+               6) AS score
+  FROM matched m JOIN qsum q USING (qid)
+  WHERE m.cf > 0
+  GROUP BY m.qid, m.docno
+  HAVING sum(ln(m.tf * ((SELECT coll_len FROM coll) // m.cf) + {DIR_MU})
+             - ln({DIR_MU}))
+         + min(q.qtf_sum) * (ln({DIR_MU}) - ln(min(m.doc_len) + {DIR_MU})) > 0
+)"""
+
 
 @register("dirichlet_mirex_topk", f"""
 WITH {SQL_SCORING},
-scored AS (
-  SELECT qid, docno,
-         round(sum(ln(tf * ((SELECT coll_len FROM coll)::DOUBLE / cf) + {DIR_MU})
-                   - ln(doc_len + {DIR_MU})), 6) AS score
-  FROM matched WHERE cf > 0
-  GROUP BY qid, docno
-),
+{SQL_LMDI_SCORED},
 {SQL_RANK}
 """)
 def q_dirichlet_mirex(spark, sf_dir):
     _, dlen, post, tstats, topics, coll_len = _prep(spark, sf_dir)
+    qstats = topics.join(
+        tstats.select("term", "cf"), "term", "left"
+    ).fillna({"cf": 0})
     matched = scoring.matched_terms(post, topics, doc_len=dlen, stats=tstats)
-    return _finish(scoring.score_dirichlet_mirex(matched, coll_len, DIR_MU))
+    return _finish(
+        scoring.score_dirichlet_mirex(matched, qstats, coll_len, DIR_MU)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -45,8 +45,10 @@ def test_trecrun_keyval_mode(spark, anchor_keyval):
     tps = topics.read_topics_plain(spark, REF_TOPICS).withColumn("qtf", F.lit(1))
     post = stats.postings(anchor_keyval)
     dlen = stats.doc_lengths(anchor_keyval)
+    tstats = post.groupBy("term").agg(F.sum("tf").alias("cf"))
+    qstats = tps.join(tstats, "term", "left").fillna({"cf": 0})
     matched = scoring.matched_terms(post, tps, doc_len=dlen)
-    run = rank.topk(scoring.score_lm_no_smoothing(matched, tps), k=1000)
+    run = rank.topk(scoring.score_lm_no_smoothing(matched, qstats), k=1000)
     hits = {(r["qid"], r["docno"]) for r in run.collect()}
     assert ("53", "test2") in hits
 
@@ -92,7 +94,7 @@ def test_baselines_keyval_mode(spark, anchor_keyval, tmp_path):
     runs = {
         "LMno": scoring.score_lm_no_smoothing(matched, mirex),
         "LMs": scoring.score_jm_mirex(matched, coll_len, 0.15),
-        "LMdi": scoring.score_dirichlet_mirex(matched, coll_len, 2500.0),
+        "LMdi": scoring.score_dirichlet_mirex(matched, mirex, coll_len, 2500.0),
     }
     for name, scored in runs.items():
         hits = {(r["qid"], r["docno"])

@@ -58,8 +58,10 @@ def test_e2e_testsh_retrieval(spark, warc_df):
 
     post = stats.postings(docs)
     dlen = stats.doc_lengths(docs)
+    tstats = post.groupBy("term").agg(F.sum("tf").alias("cf"))
+    qstats = tps.join(tstats, "term", "left").fillna({"cf": 0})
     matched = scoring.matched_terms(post, tps, doc_len=dlen)
-    scored = scoring.score_lm_no_smoothing(matched, tps)
+    scored = scoring.score_lm_no_smoothing(matched, qstats)
     run = rank.topk(scored, k=1000)
     hits = {(r["qid"], r["docno"]) for r in run.collect()}
     assert ("53", "test1") in hits

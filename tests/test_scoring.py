@@ -95,12 +95,15 @@ def test_bm25_hand_value(spark, corpus):
 
 
 def test_lm_no_smoothing_requires_all_terms(spark, corpus):
-    _, post, dlen, _ = corpus
+    _, post, dlen, tstats = corpus
     topics = spark.createDataFrame(
-        [("q1", "a", 1), ("q1", "b", 1), ("q2", "b", 1)], ["qid", "term", "qtf"]
+        [("q1", "a", 1), ("q1", "b", 1), ("q2", "b", 1),
+         ("q3", "b", 1), ("q3", "zzz", 1)],
+        ["qid", "term", "qtf"],
     )
+    qstats = topics.join(tstats.select("term", "cf"), "term", "left").fillna({"cf": 0})
     matched = scoring.matched_terms(post, topics, doc_len=dlen)
-    out = scores(scoring.score_lm_no_smoothing(matched, topics))
+    out = scores(scoring.score_lm_no_smoothing(matched, qstats))
     # d2 lacks 'a' → no score for q1; d1 has both
     assert ("q1", "d2") not in out
     exp = math.log(2 / 4) + math.log(1 / 4) + math.log(4)
@@ -108,16 +111,49 @@ def test_lm_no_smoothing_requires_all_terms(spark, corpus):
     # q2 single-term matches both docs
     assert out[("q2", "d1")] == pytest.approx(math.log(1 / 4) + math.log(4))
     assert out[("q2", "d2")] == pytest.approx(math.log(2 / 3) + math.log(3))
+    # q3: 'zzz' has cf=0 → dropped at query parse (TrecRunBaselines
+    # TermInfo loop) — docs still score on the remaining term
+    assert out[("q3", "d2")] == pytest.approx(math.log(2 / 3) + math.log(3))
+
+
+def test_dirichlet_mirex_missing_term_and_clamp(spark, corpus):
+    """LMdi reference semantics: missing query terms contribute their tf=0
+    value qtf*(ln mu - ln(len+mu)); C/cf is Java long division; totals <= 0
+    are clamped to zero and never emitted (TrecRunBaselines.java:210-220)."""
+    _, post, dlen, tstats = corpus
+    mu = 10.0
+    topics = spark.createDataFrame(
+        [("q2", "a", 1), ("q2", "d", 1), ("q2", "zzz", 1)],
+        ["qid", "term", "qtf"],
+    )
+    qstats = topics.join(tstats.select("term", "cf"), "term", "left").fillna({"cf": 0})
+    matched = scoring.matched_terms(post, topics, doc_len=dlen, stats=tstats)
+    out = scores(scoring.score_dirichlet_mirex(matched, qstats, COLL_LEN, mu=mu))
+    # d2 matches 'd' (tf=1, cf=1, 7 div 1 = 7), misses 'a'; 'zzz' (cf=0)
+    # was dropped at parse so qtf_sum = 2
+    exp_d2 = (math.log(1 * 7 + mu) - math.log(mu)) \
+        + 2 * (math.log(mu) - math.log(3 + mu))
+    assert exp_d2 > 0
+    assert out[("q2", "d2")] == pytest.approx(exp_d2)
+    # d1 matches 'a' (tf=2, cf=2, 7 div 2 = 3 — LONG division), misses 'd';
+    # its total is negative → clamped → absent
+    exp_d1 = (math.log(2 * 3 + mu) - math.log(mu)) \
+        + 2 * (math.log(mu) - math.log(4 + mu))
+    assert exp_d1 < 0
+    assert ("q2", "d1") not in out
 
 
 def test_dirichlet_mirex(spark, corpus):
     _, post, dlen, tstats = corpus
     mu = 10.0
     topics = spark.createDataFrame([("q1", "a", 1)], ["qid", "term", "qtf"])
+    qstats = topics.join(tstats.select("term", "cf"), "term", "left").fillna({"cf": 0})
     matched = scoring.matched_terms(post, topics, doc_len=dlen, stats=tstats)
-    out = scores(scoring.score_dirichlet_mirex(matched, COLL_LEN, mu=mu))
-    exp = math.log(2 * (7 / 2) + mu) - math.log(4 + mu)
+    out = scores(scoring.score_dirichlet_mirex(matched, qstats, COLL_LEN, mu=mu))
+    # single-term query: tf=2, cf=2, 7 div 2 = 3 (long division)
+    exp = math.log(2 * 3 + mu) - math.log(4 + mu)
     assert out[("q1", "d1")] == pytest.approx(exp)
+    # d2 doesn't contain 'a': all-missing total is negative → clamped
     assert ("q1", "d2") not in out
 
 
