@@ -129,12 +129,3 @@ def clean_feedback_term(term: Column | str) -> Column:
     return (F.length(c) >= 3) & (~c.rlike("[0-9]"))
 
 
-def skip_patterns(col: Column | str, patterns: Iterable[str],
-                  case_sensitive: bool = True) -> Column:
-    """T13 (WordCount.java:26-66, the ``-skip`` flag): regex-delete each
-    side-loaded pattern from the line; the case-sensitivity flag lowercases
-    matching like the reference's conf toggle."""
-    c = F.col(col) if isinstance(col, str) else col
-    for p in patterns:
-        c = F.regexp_replace(c, p if case_sensitive else f"(?i){p}", "")
-    return c

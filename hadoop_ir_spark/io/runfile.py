@@ -22,7 +22,7 @@ def write_run(run: DataFrame, path: str, tag: str = "hadoop_ir_spark",
         F.concat_ws(" ",
                     F.col("qid"), F.lit("Q0"), F.col("docno"),
                     F.col("rank").cast("string"),
-                    F.format_number(F.col("score"), 6),
+                    F.format_string("%.6f", F.col("score")),
                     F.lit(tag)).alias("value")
     ).orderBy("qid", "rank" if "rank" in run.columns else "docno")
     if single_file:
