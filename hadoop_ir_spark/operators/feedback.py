@@ -72,6 +72,102 @@ def rm1(run: DataFrame, post: DataFrame, doc_len: DataFrame,
     return normalize(clipped)
 
 
+def rm1_sweep(run: DataFrame, post: DataFrame, doc_len: DataFrame,
+              fb_docs_grid: list[int], fb_terms_grid: list[int]) -> DataFrame:
+    """RM1 over the full fbDocs × fbTerms grid in ONE postings pass
+    (GenerateFeedbackQueriesHBase.java:56-59 sweeps fbDocs and fbTerms;
+    :306-329 loops the reranks per combo).
+
+    Scale design (the J3 pattern from dirichlet_mu_sweep): per-(qid, docno,
+    term) contributions are computed once against the top max(fbDocs) run —
+    the doc weight ``exp(score - max_q score)`` is fbDocs-invariant because
+    the per-query max is always the rank-1 score — then the fbDocs
+    dimension is a broadcast-grid filter over the tiny contributions frame
+    and fbTerms a per-(fbD, fbT, qid) window clip. The postings join never
+    re-runs per grid point.
+
+    Returns (fb_docs, fb_terms, qid, term, weight), weights summing to 1
+    per (fb_docs, fb_terms, qid).
+    """
+    spark = run.sparkSession
+    wq = Window.partitionBy("qid")
+    top = (
+        run.filter(F.col("rank") <= max(fb_docs_grid))
+        .select(
+            "qid", "docno", "rank",
+            F.exp(F.col("score") - F.max("score").over(wq)).alias("doc_w"),
+        )
+    )
+    contrib = (
+        post.join(top, "docno")
+        .join(doc_len, "docno")
+        .select(
+            "qid", "rank", "term",
+            ((F.col("tf") / F.col("doc_len")) * F.col("doc_w")).alias("c"),
+        )
+    )
+    gd = spark.createDataFrame([(d,) for d in fb_docs_grid], "fb_docs int")
+    raw = (
+        contrib.crossJoin(F.broadcast(gd))
+        .filter(F.col("rank") <= F.col("fb_docs"))
+        .groupBy("fb_docs", "qid", "term")
+        .agg(F.round(F.sum("c"), 9).alias("weight"))
+    )
+    cleaned = clean_terms(raw)
+    gt = spark.createDataFrame([(t,) for t in fb_terms_grid], "fb_terms int")
+    wclip = Window.partitionBy("fb_docs", "fb_terms", "qid").orderBy(
+        F.col("weight").desc(), F.col("term").desc()
+    )
+    clipped = (
+        cleaned.crossJoin(F.broadcast(gt))
+        .withColumn("rnk", F.row_number().over(wclip))
+        .filter(F.col("rnk") <= F.col("fb_terms"))
+        .drop("rnk")
+    )
+    wn = Window.partitionBy("fb_docs", "fb_terms", "qid")
+    return clipped.withColumn(
+        "weight", F.col("weight") / F.sum("weight").over(wn)
+    )
+
+
+def rm3_sweep(rm1_grid: DataFrame, topics: DataFrame,
+              fb_docs_grid: list[int], fb_terms_grid: list[int],
+              lambda_grid: list[float]) -> DataFrame:
+    """RM3 interpolation over the λ grid on top of an ``rm1_sweep`` frame
+    (GenerateFeedbackQueriesHBase.java:56-59: ORIG_QUERY_WEIGHT 0.1..0.9).
+
+    The λ dimension multiplies AFTER the single vocabulary-union join — the
+    join runs once, each λ is one more column expression over it. Returns
+    (fb_docs, fb_terms, lam, qid, term, weight) normalized per
+    (fb_docs, fb_terms, lam, qid).
+    """
+    spark = rm1_grid.sparkSession
+    if "qweight" not in topics.columns:
+        topics = topics.withColumn("qweight", F.lit(1.0))
+    qv = normalize(
+        topics.select("qid", "term", F.col("qweight").alias("weight"))
+    ).withColumnRenamed("weight", "q_w")
+    grid = spark.createDataFrame(
+        [(d, t) for d in fb_docs_grid for t in fb_terms_grid],
+        "fb_docs int, fb_terms int",
+    )
+    qvg = qv.crossJoin(F.broadcast(grid))
+    j = qvg.join(
+        rm1_grid.withColumnRenamed("weight", "rm1_w"),
+        ["fb_docs", "fb_terms", "qid", "term"], "full_outer",
+    )
+    gl = spark.createDataFrame([(l,) for l in lambda_grid], "lam double")
+    out = j.crossJoin(F.broadcast(gl)).select(
+        "fb_docs", "fb_terms", "lam", "qid", "term",
+        (
+            F.col("lam") * F.coalesce("q_w", F.lit(0.0))
+            + (F.lit(1.0) - F.col("lam")) * F.coalesce("rm1_w", F.lit(0.0))
+        ).alias("weight"),
+    )
+    wn = Window.partitionBy("fb_docs", "fb_terms", "lam", "qid")
+    return out.withColumn("weight", F.col("weight") / F.sum("weight").over(wn))
+
+
 def rm3(rm1_weights: DataFrame, topics: DataFrame,
         orig_lambda: float = 0.5) -> DataFrame:
     """RM3 (GenerateFeedbackQueriesHBase.java:309-329 + FeatureVector.java:

@@ -102,6 +102,104 @@ def q_rm3(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# RM3 full sweep — fbDocs × fbTerms × λ (J3 on the feedback path;
+# GenerateFeedbackQueriesHBase.java:56-59,306-329)
+# --------------------------------------------------------------------------
+
+SWEEP_FB_DOCS = [5, 10]
+SWEEP_FB_TERMS = [3, 5]
+SWEEP_LAMBDA = [0.2, 0.5, 0.8]
+
+_GD_SQL = ", ".join(f"({d})" for d in SWEEP_FB_DOCS)
+_GT_SQL = ", ".join(f"({t})" for t in SWEEP_FB_TERMS)
+_GL_SQL = ", ".join(f"({l})" for l in SWEEP_LAMBDA)
+
+
+@register("rm3_sweep", f"""
+WITH {SQL_RUN_DIRICHLET},
+gd AS (SELECT fb_docs::INT AS fb_docs FROM (VALUES {_GD_SQL}) AS g(fb_docs)),
+gt AS (SELECT fb_terms::INT AS fb_terms FROM (VALUES {_GT_SQL}) AS g(fb_terms)),
+gl AS (SELECT lam::DOUBLE AS lam FROM (VALUES {_GL_SQL}) AS g(lam)),
+fbdocs AS (
+  SELECT qid, docno, rank,
+         exp(score - max(score) OVER (PARTITION BY qid)) AS doc_w
+  FROM run WHERE rank <= {max(SWEEP_FB_DOCS)}
+),
+contrib AS (
+  SELECT f.qid, f.rank, p.term, (p.tf::DOUBLE / d.doc_len) * f.doc_w AS c
+  FROM fbdocs f
+  JOIN post p ON p.docno = f.docno
+  JOIN dlen d ON d.docno = f.docno
+),
+rm1_raw AS (
+  SELECT g.fb_docs, c.qid, c.term, round(sum(c.c), 9) AS weight
+  FROM contrib c CROSS JOIN gd g
+  WHERE c.rank <= g.fb_docs
+  GROUP BY g.fb_docs, c.qid, c.term
+),
+rm1_clean AS (
+  SELECT * FROM rm1_raw
+  WHERE length(term) >= 3 AND NOT regexp_matches(term, '[0-9]')
+),
+rm1_clip AS (
+  SELECT r.*, g.fb_terms,
+         row_number() OVER (PARTITION BY r.fb_docs, g.fb_terms, r.qid
+                            ORDER BY r.weight DESC, r.term DESC) AS rnk
+  FROM rm1_clean r CROSS JOIN gt g
+),
+rm1g AS (
+  SELECT fb_docs, fb_terms, qid, term,
+         weight / sum(weight) OVER (PARTITION BY fb_docs, fb_terms, qid)
+           AS weight
+  FROM rm1_clip WHERE rnk <= fb_terms
+),
+qv AS (
+  SELECT qid, term,
+         qweight / sum(qweight) OVER (PARTITION BY qid) AS q_w
+  FROM {_topics_values_sql(weighted=True)}
+),
+qvg AS (
+  SELECT g.fb_docs, g2.fb_terms, q.qid, q.term, q.q_w
+  FROM qv q CROSS JOIN gd g CROSS JOIN gt g2
+),
+merged AS (
+  SELECT coalesce(q.fb_docs, r.fb_docs) AS fb_docs,
+         coalesce(q.fb_terms, r.fb_terms) AS fb_terms,
+         coalesce(q.qid, r.qid) AS qid,
+         coalesce(q.term, r.term) AS term,
+         q.q_w, r.weight AS rm1_w
+  FROM qvg q FULL OUTER JOIN rm1g r
+    ON q.fb_docs = r.fb_docs AND q.fb_terms = r.fb_terms
+   AND q.qid = r.qid AND q.term = r.term
+),
+lamd AS (
+  SELECT m.fb_docs, m.fb_terms, g.lam, m.qid, m.term,
+         g.lam * coalesce(m.q_w, 0) + (1 - g.lam) * coalesce(m.rm1_w, 0) AS w
+  FROM merged m CROSS JOIN gl g
+)
+SELECT fb_docs, fb_terms, lam, qid, term,
+       round(w / sum(w) OVER (PARTITION BY fb_docs, fb_terms, lam, qid), 6)
+         AS weight
+FROM lamd
+""")
+def q_rm3_sweep(spark, sf_dir):
+    """The reference's full feedback grid search — fbDocs × fbTerms × λ —
+    with the heavy joins amortized: one postings pass (rm1_sweep), one
+    vocabulary-union join (rm3_sweep); every grid dimension is a broadcast
+    crossJoin over already-aggregated tiny frames."""
+    run = dirichlet_topk(spark, sf_dir, k=TOP_K)
+    docs = _docs(spark, sf_dir)
+    post = stats.postings(docs, id_col="doc_id")
+    dlen = stats.doc_lengths(docs, id_col="doc_id")
+    rm1_grid = feedback.rm1_sweep(run, post, dlen,
+                                  SWEEP_FB_DOCS, SWEEP_FB_TERMS)
+    topics = _topics_df(spark).withColumn("qweight", F.lit(1.0))
+    out = feedback.rm3_sweep(rm1_grid, topics, SWEEP_FB_DOCS,
+                             SWEEP_FB_TERMS, SWEEP_LAMBDA)
+    return out.withColumn("weight", F.round("weight", 6))
+
+
+# --------------------------------------------------------------------------
 # M9 — KDE temporal rerank (pandas UDF; no SQL oracle, rows-only check)
 # --------------------------------------------------------------------------
 

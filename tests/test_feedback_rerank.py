@@ -71,6 +71,37 @@ def test_rm3_interpolation(fb_inputs, spark):
     assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_rm3_sweep_matches_pointwise(fb_inputs, spark):
+    """Each (fbD, fbT, λ) cell of the sweep equals the pointwise rm1→rm3
+    pipeline run at that combo."""
+    run, post, dlen = fb_inputs
+    topics = spark.createDataFrame(
+        [("q1", "alpha", 1.0), ("q1", "delta", 1.0)],
+        "qid string, term string, qweight double",
+    )
+    fbd, fbt, lam = 2, 2, 0.3
+    point = feedback.rm3(
+        feedback.rm1(run, post, dlen, fb_docs=fbd, fb_terms=fbt),
+        topics, orig_lambda=lam,
+    )
+    exp = {r["term"]: r["weight"] for r in point.collect()}
+
+    sweep = feedback.rm3_sweep(
+        feedback.rm1_sweep(run, post, dlen, [1, fbd], [fbt, 5]),
+        topics, [1, fbd], [fbt, 5], [lam, 0.9],
+    )
+    cell = {
+        r["term"]: r["weight"]
+        for r in sweep.filter(
+            (F.col("fb_docs") == fbd) & (F.col("fb_terms") == fbt)
+            & (F.col("lam") == lam)
+        ).collect()
+    }
+    assert set(cell) == set(exp)
+    for t in exp:
+        assert cell[t] == pytest.approx(exp[t], abs=1e-12), t
+
+
 def test_kde_weighted_matches_direct_formula():
     x = np.array([0.0, 1.0, 5.0])
     w = np.array([1.0, 2.0, 1.0])
