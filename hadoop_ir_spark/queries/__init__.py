@@ -13,6 +13,7 @@ _MODULES = [
     "anchors_kba",
     "dedup",
     "similarity",
+    "stemmed",
     "textstats",
     "multimodal",
     "streaming_q",

@@ -1,0 +1,145 @@
+"""Catalog entries exercising the T5 stemming path end-to-end
+(TrecWordCount2.java:57-79 stems then counts; TrecMutualInfo2.java:131-146
+stems then builds the per-doc term sets the A9 marginals derive from).
+
+The synthetic documents vocabulary carries no inflected forms, so the
+corpus is deterministically "inflected" first: every token of document d
+gets the suffix ('', 's', 'ed', 'ing')[d % 4]. That drives every rule of
+``krovetz_lite`` (plural strip, past/gerund with doubled-consonant and
+final-e recoding) through the REAL pandas-UDF stemmer on the Spark side,
+while remaining exactly replicable in DuckDB SQL — the oracle implements
+the same rules as a CASE chain (RE2 has no backreferences, so the
+doubled-consonant test uses substr equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import _docs, register
+from hadoop_ir_spark.functions import stemmer, text
+from hadoop_ir_spark.operators import cooccur
+
+_V = "('a','e','i','o','u')"
+
+
+def _stem_case_sql(w: str) -> str:
+    """DuckDB CASE expression replicating ``stemmer.krovetz_lite(w)``."""
+    n = f"length({w})"
+    stem2 = f"substr({w}, 1, {n}-2)"   # w[:-2]
+    stem3 = f"substr({w}, 1, {n}-3)"   # w[:-3]
+    return f"""CASE
+      WHEN {n} < 4 THEN {w}
+      WHEN {w} LIKE '%ies' AND {n} > 4 THEN {stem3} || 'y'
+      WHEN {w} LIKE '%sses' THEN {stem2}
+      WHEN {w} LIKE '%es' AND {n} > 4 AND {w} NOT LIKE '%ses'
+        THEN substr({w}, 1, {n}-1)
+      WHEN {w} LIKE '%s' AND {w} NOT LIKE '%ss' AND {w} NOT LIKE '%us'
+        THEN substr({w}, 1, {n}-1)
+      WHEN {w} LIKE '%ied' AND {n} > 4 THEN {stem3} || 'y'
+      WHEN {w} LIKE '%ed' AND {n} > 4 THEN CASE
+        WHEN {n}-2 > 2 AND substr({w}, {n}-2, 1) = substr({w}, {n}-3, 1)
+             AND substr({w}, {n}-2, 1) NOT IN {_V}
+          THEN {stem3}
+        WHEN NOT regexp_matches({stem2}, '[aeiou]') THEN {w}
+        WHEN regexp_matches({stem2}, '[^aeiou][aeiou][^aeiouwxy]$')
+          THEN {stem2} || 'e'
+        ELSE {stem2}
+      END
+      WHEN {w} LIKE '%ing' AND {n} > 5 THEN CASE
+        WHEN {n}-3 > 2 AND substr({w}, {n}-3, 1) = substr({w}, {n}-4, 1)
+             AND substr({w}, {n}-3, 1) NOT IN {_V}
+          THEN substr({w}, 1, {n}-4)
+        WHEN NOT regexp_matches({stem3}, '[aeiou]') THEN {w}
+        WHEN regexp_matches({stem3}, '[^aeiou][aeiou][^aeiouwxy]$')
+          THEN {stem3} || 'e'
+        ELSE {stem3}
+      END
+      ELSE {w}
+    END"""
+
+
+# Deterministic "inflection" + stem, shared by both oracles: tokenize,
+# suffix per doc, drop pure-number tokens (the UDF's T4 contract), stem.
+SQL_STEMMED_TOK = f"""
+tok0 AS (
+  SELECT doc_id AS docno, doc_id % 4 AS m,
+         unnest(string_split_regex(lower(text), '[^0-9a-zA-Z]+')) AS t
+  FROM documents
+),
+toks AS (
+  SELECT docno,
+         t || CASE m WHEN 1 THEN 's' WHEN 2 THEN 'ed'
+                     WHEN 3 THEN 'ing' ELSE '' END AS w
+  FROM tok0 WHERE t <> ''
+),
+stok AS (
+  SELECT docno, {_stem_case_sql("w")} AS term
+  FROM toks WHERE NOT regexp_matches(w, '^[0-9]+$')
+)
+"""
+
+
+def _stemmed_terms(spark, sf_dir):
+    """(docno, term) rows through the real pandas-UDF stemmer."""
+    docs = _docs(spark, sf_dir)
+    suffix = F.element_at(
+        F.array(F.lit(""), F.lit("s"), F.lit("ed"), F.lit("ing")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    toks = text.tokens_col(F.col("text"))
+    suffixed = F.transform(toks, lambda t: F.concat(t, suffix))
+    stemmed = stemmer.stem_column(suffixed, "krovetz_lite")
+    return docs.select(
+        F.col("doc_id").alias("docno"), F.explode(stemmed).alias("term")
+    )
+
+
+@register("wordcount_stemmed", f"""
+WITH {SQL_STEMMED_TOK}
+SELECT term, CAST(count(*) AS BIGINT) AS cf FROM stok GROUP BY term
+""")
+def q_wordcount_stemmed(spark, sf_dir):
+    """T5→A1: the TrecWordCount2 pipeline — tokenize, stem (pandas UDF),
+    count. One shuffle; the stemmer runs Arrow-batched before the
+    aggregation's map-side partials."""
+    return _stemmed_terms(spark, sf_dir).groupBy("term").agg(
+        F.count("*").alias("cf")
+    )
+
+
+@register("npmi_stemmed", f"""
+WITH {SQL_STEMMED_TOK},
+dts AS (SELECT DISTINCT docno, term FROM stok),
+pairs AS (
+  SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS n_joint
+  FROM dts a JOIN dts b USING (docno)
+  WHERE a.term <> b.term
+  GROUP BY 1, 2
+),
+marg AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dts GROUP BY term),
+nd AS (SELECT count(DISTINCT docno)::DOUBLE AS n FROM dts),
+cells AS (
+  SELECT p.w1, p.w2,
+         (m1.df + 0.5)              / (1 + nd.n) AS pX1,
+         (m2.df + 0.5)              / (1 + nd.n) AS pY1,
+         (p.n_joint + 0.25)         / (1 + nd.n) AS pX1Y1
+  FROM pairs p
+  JOIN marg m1 ON m1.term = p.w1
+  JOIN marg m2 ON m2.term = p.w2
+  CROSS JOIN nd
+)
+SELECT w1, w2,
+       round(log2(pX1Y1 / (pX1 * pY1)) / (-log2(pX1Y1)), 6) AS npmi
+FROM cells
+""")
+def q_npmi_stemmed(spark, sf_dir):
+    """T5→A9: NPMI whose marginals derive from STEMMED per-doc term sets —
+    the TrecMutualInfo2 fidelity point (stem first, then the distinct
+    (doc, term) sets feed pairs, marginals and N)."""
+    dts = cooccur.doc_term_sets(_stemmed_terms(spark, sf_dir)).cache()
+    n_docs = dts.select("docno").distinct().count()
+    pairs = cooccur.pair_counts(dts)
+    marg = dts.groupBy("term").agg(F.count("*").alias("df"))
+    out = cooccur.npmi(pairs, marg, n_docs)
+    return out.withColumn("npmi", F.round("npmi", 6))
