@@ -6,14 +6,25 @@ ClueWebSpamFilter.java:46-79). The Spark-native pattern: read the table
 ONCE via ``spark.read.jdbc`` and broadcast-join it — no per-row RPC, the
 join strategy replaces the memo cache.
 
-No JDBC driver jar ships in this environment, so usage is gated: callers
-get a clear error instead of a class-not-found deep in the JVM.
+Exercised end-to-end against embedded Apache Derby (its jars ship with
+Spark for the Hive metastore; driver ``org.apache.derby.jdbc.
+EmbeddedDriver``) — tests/test_jdbc.py round-trips a stats table through
+``spark.write.jdbc`` → ``read_jdbc_table`` → ``lookup_join`` and asserts
+the broadcast. Other drivers stay gated: callers get a clear error instead
+of a class-not-found deep in the JVM.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_path: str, create: bool = True) -> str:
+    """JDBC URL for an embedded Derby database at ``db_path``."""
+    return f"jdbc:derby:{db_path}" + (";create=true" if create else "")
 
 
 def read_jdbc_table(spark: SparkSession, url: str, table: str,

@@ -1,0 +1,83 @@
+"""S11 JDBC lookup source, end-to-end against embedded Apache Derby
+(the jars Spark ships for its Hive metastore — no network, no extra
+install).
+
+Mirrors the reference's two lookup flows:
+- term-stats lookup feeding a scorer (ClueWebRunQueries.java:70-106)
+- spam-score lookup feeding a threshold filter (ClueWebSpamFilter.java:46-79)
+both re-expressed as read-ONCE + broadcast join instead of per-key RPC.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.io import jdbc
+
+
+@pytest.fixture(scope="module")
+def derby(spark, tmp_path_factory):
+    """A Derby database holding a term-stats table and a spam-score table,
+    written through Spark's own JDBC sink."""
+    url = jdbc.derby_url(str(tmp_path_factory.mktemp("derby") / "statsdb"))
+    stats = spark.createDataFrame(
+        [("spark", 10, 3), ("join", 5, 2), ("merge", 4, 2)],
+        "term string, cf long, df long",
+    )
+    spam = spark.createDataFrame(
+        [("d1", 90), ("d2", 10), ("d3", 55)], "docno string, spam_pct int"
+    )
+    for df, table in [(stats, "term_stats"), (spam, "spam_scores")]:
+        (df.write.format("jdbc").option("url", url)
+           .option("dbtable", table).option("driver", jdbc.DERBY_DRIVER)
+           .mode("overwrite").save())
+    return url
+
+
+def test_read_jdbc_roundtrip(spark, derby):
+    back = jdbc.read_jdbc_table(spark, derby, "term_stats",
+                                driver=jdbc.DERBY_DRIVER)
+    rows = {r["term"]: (r["cf"], r["df"]) for r in back.collect()}
+    assert rows == {"spark": (10, 3), "join": (5, 2), "merge": (4, 2)}
+
+
+def test_lookup_join_broadcasts(spark, derby):
+    """ClueWebRunQueries pattern: postings enriched with DB-side term
+    stats; the lookup table is read once and broadcast (the plan must show
+    a BroadcastHashJoin, not a shuffle join)."""
+    post = spark.createDataFrame(
+        [("doc1", "spark", 2), ("doc1", "join", 1), ("doc2", "unseen", 4)],
+        "docno string, term string, tf int",
+    )
+    stats = jdbc.read_jdbc_table(spark, derby, "term_stats",
+                                 driver=jdbc.DERBY_DRIVER)
+    out = jdbc.lookup_join(post, stats, "term")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {(r["docno"], r["term"]): r["cf"] for r in out.collect()}
+    assert rows[("doc1", "spark")] == 10
+    assert rows[("doc2", "unseen")] is None  # left join keeps unmatched
+
+
+def test_spam_lookup_filter(spark, derby):
+    """ClueWebSpamFilter pattern: keep documents whose DB-side spam
+    percentile clears the threshold (score >= 50 kept, like the
+    reference's runtime arg)."""
+    docs = spark.createDataFrame(
+        [("d1", "x"), ("d2", "y"), ("d3", "z"), ("d4", "w")],
+        "docno string, text string",
+    )
+    spam = jdbc.read_jdbc_table(spark, derby, "spam_scores",
+                                driver=jdbc.DERBY_DRIVER)
+    kept = (
+        jdbc.lookup_join(docs, spam, "docno")
+        .filter(F.coalesce("spam_pct", F.lit(0)) >= 50)
+    )
+    assert {r["docno"] for r in kept.collect()} == {"d1", "d3"}
+
+
+def test_missing_driver_is_gated(spark):
+    with pytest.raises(NotImplementedError, match="classpath"):
+        jdbc.read_jdbc_table(spark, "jdbc:h2:mem:x", "t",
+                             driver="org.h2.NoSuchDriver")
