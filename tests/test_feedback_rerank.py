@@ -130,6 +130,42 @@ def test_kde_weighted_matches_direct_formula():
     assert total == pytest.approx(1.0, abs=1e-3)
 
 
+def test_kde_rescore_golden_constants(spark):
+    """Two-query golden fixture with hand-derived constants.
+
+    The constants below were computed by hand from the documented model
+    (density = Σ w_i·φ((t−x_i)/h)/h, Silverman h = 0.9·σ·neff^-0.2,
+    blend = α·ln(kde) + (1−α)·score) with plain ``math`` arithmetic —
+    independent of the numpy implementation under test, pinning the KDE
+    chain end-to-end (weight normalization, bandwidth, density, α-blend).
+    R itself (reference RKernelDensity.java:22-69 uses density(x,
+    weights=)) is not installed in this environment; its semantics are
+    what the formula above reproduces.
+
+    q1: epochs (0, 100, 200), equal scores → uniform weights,
+        σ = √(20000/3), neff = 3, h = 58.98921664912303.
+    q2: epochs (0, 50), scores (0, ln 3) → weights (0.25, 0.75),
+        σ = √468.75, neff = 1.6, h = 17.737367051713004.
+    """
+    run = spark.createDataFrame(
+        [("q1", "a", 0.0, 0), ("q1", "b", 0.0, 100), ("q1", "c", 0.0, 200),
+         ("q2", "d", 0.0, 0), ("q2", "e", math.log(3), 50)],
+        "qid string, docno string, score double, epoch long",
+    )
+    out = {(r["qid"], r["docno"]): r["score"]
+           for r in rerank.kde_rescore(run, alpha=0.5).collect()}
+    golden = {
+        ("q1", "a"): -2.9395522930553586,
+        ("q1", "b"): -2.853012036795485,
+        ("q1", "c"): -2.939552293055358,
+        ("q2", "d"): -2.562998989080325,
+        ("q2", "e"): -1.4887149516083986,
+    }
+    assert set(out) == set(golden)
+    for k, v in golden.items():
+        assert out[k] == pytest.approx(v, rel=1e-12), k
+
+
 def test_kde_rescore_interpolates(spark):
     run = spark.createDataFrame(
         [("q1", "d1", -1.0, 1, 100), ("q1", "d2", -2.0, 2, 110),
