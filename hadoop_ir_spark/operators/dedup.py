@@ -236,21 +236,55 @@ def lsh_candidates(sigs: DataFrame, bands: int = 8) -> DataFrame:
     return pairs.select("p.docno_a", "p.docno_b").distinct()
 
 
+def _materialize(df: DataFrame, mode: str) -> DataFrame:
+    """Branch-point materialization policy.
+
+    - ``cache``: executor-memory cache — right for interactive / small-SF
+      runs; evictable, and recomputation re-derives the full lineage.
+    - ``checkpoint``: truncates lineage so a branch can NEVER silently
+      re-derive the upstream shingle+hash scan — the 100 TB-safe choice.
+      Uses a reliable ``checkpoint()`` when the context has a checkpoint
+      dir configured, else ``localCheckpoint`` (executor-local, no HDFS
+      round-trip, non-fault-tolerant).
+    - ``none``: leave the plan alone (lets AQE see the whole DAG; each
+      branch recomputes).
+    """
+    if mode == "cache":
+        return df.cache()
+    if mode == "checkpoint":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            return df.checkpoint()
+        return df.localCheckpoint()
+    if mode == "none":
+        return df
+    raise ValueError(f"unknown materialize mode {mode!r}")
+
+
 def minhash_near_dups(docs: DataFrame, tau: float = 0.9, k: int = 3,
                       num_hashes: int = 24, bands: int = 8,
                       id_col: str = "docno", text_col: str = "text",
-                      portable: bool = True) -> DataFrame:
+                      portable: bool = True,
+                      materialize: str = "cache") -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
-    exact-Jaccard verify ≥ tau. → (docno_a, docno_b, jaccard)."""
-    # cache the branch points: sigs feeds both sides of the bucket
-    # self-join, sets feeds both sides of the verify join — without the
-    # cache each branch re-derives the full shingle+hash lineage (at
-    # cluster scale these would be checkpointed tables)
-    sh = shingles(docs, k=k, id_col=id_col, text_col=text_col).cache()
-    sigs = minhash_signatures(sh, num_hashes=num_hashes,
-                              portable=portable).cache()
+    exact-Jaccard verify ≥ tau. → (docno_a, docno_b, jaccard).
+
+    ``materialize`` picks the branch-point policy (see ``_materialize``):
+    sigs feeds both sides of the bucket expansion and sets both sides of
+    the verify join, so without materialization each branch re-derives the
+    full shingle+hash lineage."""
+    sh = _materialize(
+        shingles(docs, k=k, id_col=id_col, text_col=text_col), materialize
+    )
+    sigs = _materialize(
+        minhash_signatures(sh, num_hashes=num_hashes, portable=portable),
+        materialize,
+    )
     cand = lsh_candidates(sigs, bands=bands)
-    sets = sh.groupBy("docno").agg(F.collect_set("shingle").alias("s")).cache()
+    sets = _materialize(
+        sh.groupBy("docno").agg(F.collect_set("shingle").alias("s")),
+        materialize,
+    )
     verified = (
         cand
         .join(sets.select(F.col("docno").alias("docno_a"),
