@@ -27,6 +27,38 @@ def q_event_window_counts(spark, sf_dir):
     return out.withColumn("sum_value", F.round("sum_value", 6))
 
 
+ANOMALY_K = 2.0
+ANOMALY_MIN_OBS = 20
+
+
+@register("event_anomaly_filter", f"""
+WITH w AS (
+  SELECT event_id, event_type, value,
+         count(*) OVER win AS cnt,
+         sum(value) OVER win AS s,
+         sum(value * value) OVER win AS s2
+  FROM events
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, round(value, 6) AS value
+FROM w
+WHERE cnt >= {ANOMALY_MIN_OBS}
+  AND value > s / cnt
+              + {ANOMALY_K} * sqrt(greatest(s2 / cnt - (s / cnt) * (s / cnt), 0))
+""")
+def q_event_anomaly_filter(spark, sf_dir):
+    """Online per-type anomaly filter — the driver checks the batch twin;
+    the applyInPandasWithState stream path produces bit-identical output
+    (tests/test_streaming.py)."""
+    from hadoop_ir_spark.streaming import stateful
+
+    out = stateful.anomaly_filter_batch(
+        _events(spark, sf_dir), k=ANOMALY_K, min_obs=ANOMALY_MIN_OBS
+    )
+    return out.withColumn("value", F.round("value", 6))
+
+
 @register("event_threshold_filter", """
 WITH thr AS (
   SELECT event_type, quantile_cont(value, 0.9) AS threshold

@@ -1,0 +1,99 @@
+"""Custom STATEFUL streaming operator (SURVEY.md §2.9 additive streaming
+surface): an online per-key anomaly filter in the KBA spirit
+(KBAStaticFilter learns a threshold then filters; here the threshold
+adapts online as the stream runs).
+
+Semantics (identical batch twin, so the driver oracle can hash-check it):
+for each event type, processed in (ts, event_id) order, emit an event iff
+at least ``min_obs`` PRIOR events of its type were seen AND its value
+exceeds  mean + k·sigma  of those prior values. Every event (emitted or
+not) then updates the running (count, sum, sum-of-squares) state.
+
+- Batch twin: one window frame ``rowsBetween(unboundedPreceding, -1)`` —
+  pure JVM expressions, no UDF, one shuffle on event_type.
+- Stream: ``groupBy(event_type).applyInPandasWithState`` carrying
+  (cnt, s, s2) across micro-batches. The update uses a sequential
+  prefix-sum seeded with the carried state (np.cumsum over
+  ``[state, v0, v1, ...]``), so the float addition ORDER is exactly the
+  batch twin's running-window order — stream and batch agree bit-for-bit,
+  not just approximately.
+
+Scale: state is three scalars per key; the stream shuffles once on the
+group key, exactly like the batch twin. Watermarking is orthogonal
+(ordering within a micro-batch is enforced by the sort; cross-batch order
+is the file-source's responsibility, as with any event-time pipeline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OUT_SCHEMA = "event_id long, event_type string, value double"
+STATE_SCHEMA = "cnt long, s double, s2 double"
+
+
+def anomaly_filter_batch(events: DataFrame, k: float = 2.0,
+                         min_obs: int = 20) -> DataFrame:
+    """Batch twin: emit events whose value > mean + k·sigma of all PRIOR
+    same-type events (population sigma), prior = (ts, event_id) order."""
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cnt = F.count("value").over(win)
+    s = F.sum("value").over(win)
+    s2 = F.sum(F.col("value") * F.col("value")).over(win)
+    m = s / cnt
+    var = F.greatest(s2 / cnt - m * m, F.lit(0.0))
+    return (
+        events.withColumn("_cnt", cnt)
+        .withColumn("_thr", m + F.lit(k) * F.sqrt(var))
+        .filter((F.col("_cnt") >= min_obs) & (F.col("value") > F.col("_thr")))
+        .select("event_id", "event_type", "value")
+    )
+
+
+def _advance(cnt: int, s: float, s2: float, pdf: pd.DataFrame,
+             k: float, min_obs: int):
+    """One sorted chunk through the running filter; returns (kept rows,
+    new state). Prefix sums are seeded with the carried state so the
+    addition order matches the batch twin's running window exactly."""
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    v = pdf["value"].to_numpy(dtype=float)
+    inc_s = np.cumsum(np.concatenate([[s], v]))
+    inc_s2 = np.cumsum(np.concatenate([[s2], v * v]))
+    prior_s, prior_s2 = inc_s[:-1], inc_s2[:-1]
+    prior_cnt = cnt + np.arange(len(v))
+    safe = np.maximum(prior_cnt, 1)
+    m = prior_s / safe
+    var = np.maximum(prior_s2 / safe - m * m, 0.0)
+    mask = (prior_cnt >= min_obs) & (v > m + k * np.sqrt(var))
+    kept = pdf.loc[mask, ["event_id", "event_type", "value"]]
+    return kept, (cnt + len(v), float(inc_s[-1]), float(inc_s2[-1]))
+
+
+def anomaly_filter_stream(events: DataFrame, k: float = 2.0,
+                          min_obs: int = 20) -> DataFrame:
+    """Streaming (or batch) frame → stateful filter via
+    ``applyInPandasWithState`` with (cnt, s, s2) state per event_type."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: "GroupState"):
+        cnt, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            kept, (cnt, s, s2) = _advance(cnt, s, s2, pdf, k, min_obs)
+            if len(kept):
+                yield kept
+        state.update((cnt, s, s2))
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

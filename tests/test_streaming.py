@@ -60,10 +60,59 @@ def test_windowed_counts_watermark_is_set(spark, sf_dir):
     assert agg.isStreaming
 
 
+def test_stateful_anomaly_stream_matches_batch(spark, sf_dir):
+    """applyInPandasWithState online anomaly filter: the stream output must
+    be BIT-identical to the window-frame batch twin (same addition order
+    by construction)."""
+    from hadoop_ir_spark.streaming import stateful
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    expected = {
+        (r["event_id"], r["value"])
+        for r in stateful.anomaly_filter_batch(batch, k=2.0, min_obs=20).collect()
+    }
+    assert expected  # the fixture must actually emit anomalies
+
+    stream = ev.events_stream(spark, sf_dir)
+    out = stateful.anomaly_filter_stream(stream, k=2.0, min_obs=20)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("anom_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r["event_id"], r["value"]) for r in spark.table("anom_test").collect()}
+    assert got == expected
+
+
+def test_anomaly_state_carries_across_chunks():
+    """Feeding the running filter two chunks equals one concatenated chunk
+    bit-for-bit — the cross-micro-batch state contract."""
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_ir_spark.streaming import stateful
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "event_id": np.arange(100),
+        "event_type": "t",
+        "ts": np.arange(100),
+        "value": rng.normal(10, 2, size=100),
+    })
+    kept_all, st_all = stateful._advance(0, 0.0, 0.0, pdf, 2.0, 10)
+    k1, st1 = stateful._advance(0, 0.0, 0.0, pdf.iloc[:37], 2.0, 10)
+    k2, st2 = stateful._advance(*st1, pdf.iloc[37:], 2.0, 10)
+    assert st2 == st_all
+    merged = pd.concat([k1, k2], ignore_index=True)
+    assert list(merged["event_id"]) == list(kept_all["event_id"])
+    assert list(merged["value"]) == list(kept_all["value"])
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _cleanup(spark):
     yield
-    for t in ("wc_test", "tf_test"):
+    for t in ("wc_test", "tf_test", "anom_test"):
         try:
             spark.catalog.dropTempView(t)
         except Exception:
