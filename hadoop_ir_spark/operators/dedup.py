@@ -511,19 +511,33 @@ def embedding_near_dups(emb: DataFrame, tau: float = 0.45,
 
 def connected_components(pairs: DataFrame, a_col: str = "docno_a",
                          b_col: str = "docno_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         algorithm: str = "label") -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: (docno, cluster_id)
     where cluster_id = min docno of the connected component. A real dedup
     pipeline keeps one representative per cluster, not per pair.
 
-    Iterative min-label propagation (each round: every node takes the min
-    of its own and its neighbors' labels), converging in O(component
-    diameter) rounds — near-dup components are tiny, so 2-3 rounds in
-    practice. Lineage is truncated per round with localCheckpoint, the
-    standard Spark pattern for iterative algorithms (each round is one
-    shuffle of the edge list; at cluster scale swap in a large-star/
-    small-star variant for skewed mega-components).
+    Two interchangeable algorithms (identical output):
+
+    - ``label``: iterative min-label propagation (each round every node
+      takes the min of its own and its neighbors' labels), converging in
+      O(component diameter) rounds — near-dup components are tiny, so 2-3
+      rounds in practice.
+    - ``star``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond") — O(log n) rounds
+      regardless of diameter AND skew-safe: each round re-points edges at
+      per-node minima, so a mega-component never funnels through one
+      reducer key the way long label-propagation chains can. The choice
+      for 100 TB-scale near-dup graphs; ``queries/dedup.py`` runs this
+      path under the recursive-CTE oracle.
+
+    Lineage is truncated per round with localCheckpoint, the standard
+    Spark pattern for iterative algorithms.
     """
+    if algorithm == "star":
+        return _cc_star(pairs, a_col, b_col, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"),
@@ -560,3 +574,60 @@ def connected_components(pairs: DataFrame, a_col: str = "docno_a",
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _canon_edges(df: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Undirected edge set in canonical (min, max) form, no self-loops."""
+    return (
+        df.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_star(pairs: DataFrame, a_col: str, b_col: str,
+             max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Per round (one shuffle each):
+    - large-star: over SYMMETRIC neighborhoods, attach every
+      strictly-larger neighbor of u to min(Γ(u) ∪ {u});
+    - small-star: key canonical edges by their LARGER endpoint, attach
+      that node and its smaller neighbors to the neighborhood min.
+
+    Converges to star graphs centered at each component's min id; stops
+    when the edge set is a fixpoint. Labels = star edges + centers.
+    """
+    e = _canon_edges(pairs, a_col, b_col).localCheckpoint()
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (
+            sym.groupBy("u").agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        e1 = _canon_edges(large).localCheckpoint()
+
+        smin = e1.groupBy("v").agg(F.min("u").alias("m"))
+        small = (
+            e1.join(smin, "v")
+            .select(F.col("u").alias("a"), F.col("m").alias("b"))
+            .union(smin.select(F.col("v").alias("a"), F.col("m").alias("b")))
+        )
+        e2 = _canon_edges(small).localCheckpoint()
+
+        changed = (
+            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        )
+        e = e2
+        if changed == 0:
+            break
+    return (
+        e.select(F.col("v").alias("node"), F.col("u").alias("cluster_id"))
+        .union(e.select(F.col("u").alias("node"), F.col("u").alias("cluster_id")))
+        .distinct()
+    )

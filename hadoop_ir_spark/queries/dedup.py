@@ -176,8 +176,10 @@ FROM reach GROUP BY node
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → duplicate clusters (connected components, min-id
     label). The pipeline step after pair generation: keep one doc per
-    CLUSTER. Oracle: DuckDB recursive-CTE reachability."""
+    CLUSTER. Runs the skew-safe large-star/small-star algorithm (the
+    100 TB path; label-propagation equivalence is pytest-pinned).
+    Oracle: DuckDB recursive-CTE reachability."""
     sh = dedup.shingles(_docs(spark, sf_dir), k=3, id_col="doc_id")
     pairs = dedup.jaccard_pairs(sh, tau=JACCARD_TAU)
-    out = dedup.connected_components(pairs)
+    out = dedup.connected_components(pairs, algorithm="star")
     return out.select(F.col("node").alias("docno"), "cluster_id")

@@ -196,3 +196,31 @@ def test_connected_components_long_chain_converges(spark):
            for r in dedup.connected_components(pairs).collect()}
     assert set(out.values()) == {0}
     assert len(out) == n + 1
+
+
+def test_connected_components_star_matches_label(spark):
+    """large-star/small-star == label propagation on chains, islands, a
+    star hub, and a seeded random graph (incl. a long chain that needs
+    the log-round behavior)."""
+    import random
+
+    rng = random.Random(11)
+    rand_edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(45)]
+    cases = [
+        [(1, 2), (2, 3), (10, 11), (21, 22), (20, 21)],
+        [(i, i + 1) for i in range(25)],                 # long chain
+        [(100, x) for x in range(101, 120)],             # skewed hub
+        [(a, b) for a, b in rand_edges if a != b],
+    ]
+    for pairs_py in cases:
+        pairs = spark.createDataFrame(pairs_py, "docno_a int, docno_b int")
+        lab = {r["node"]: r["cluster_id"]
+               for r in dedup.connected_components(pairs, algorithm="label").collect()}
+        star = {r["node"]: r["cluster_id"]
+                for r in dedup.connected_components(pairs, algorithm="star").collect()}
+        assert star == lab, pairs_py
+    with pytest.raises(ValueError):
+        dedup.connected_components(
+            spark.createDataFrame([(1, 2)], "docno_a int, docno_b int"),
+            algorithm="bogus",
+        )
