@@ -129,6 +129,63 @@ def q_jm_mirex(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# M2/J3 — the reference's in-mapper λ sweep for LMs
+# (TrecRunBaselines.java:262-266: lambda = 0.1, 0.3, 0.5, 0.7, 0.9)
+# --------------------------------------------------------------------------
+
+LMS_LAMBDA_GRID = [0.1, 0.3, 0.5, 0.7, 0.9]
+_LMS_GRID_SQL = ", ".join(f"({l})" for l in LMS_LAMBDA_GRID)
+
+
+@register("lms_lambda_sweep", f"""
+WITH {SQL_SCORING},
+grid AS (SELECT lam::DOUBLE AS lam FROM (VALUES {_LMS_GRID_SQL}) AS g(lam)),
+scored AS (
+  SELECT g.lam, m.qid, m.docno,
+         round(sum(ln(1 + (m.tf * (SELECT coll_len FROM coll) * g.lam)
+                        / (m.cf * m.doc_len * (1 - g.lam))))
+               + ln(min(m.doc_len)), 6) AS score
+  FROM matched m CROSS JOIN grid g
+  WHERE m.cf > 0
+  GROUP BY g.lam, m.qid, m.docno
+  HAVING sum(ln(1 + (m.tf * (SELECT coll_len FROM coll) * g.lam)
+                  / (m.cf * m.doc_len * (1 - g.lam)))) + ln(min(m.doc_len)) > 0
+),
+ranked AS (
+  SELECT lam, qid, docno, score,
+         row_number() OVER (PARTITION BY lam, qid
+                            ORDER BY score DESC, docno DESC) AS rank
+  FROM scored
+)
+SELECT lam, qid, docno, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def q_lms_lambda_sweep(spark, sf_dir):
+    """The TrecRunBaselines mapper's λ loop as a J3 grid: λ sits inside
+    the log, so the grid crossJoins the MATCHED frame (query-matched rows
+    only — the same per-λ work the reference's mapper does, the postings
+    join still runs once) before one aggregation over (λ, qid, docno)."""
+    _, dlen, post, tstats, topics, coll_len = _prep(spark, sf_dir)
+    matched = scoring.matched_terms(post, topics, doc_len=dlen, stats=tstats)
+    grid = spark.createDataFrame([(l,) for l in LMS_LAMBDA_GRID], "lam double")
+    mg = matched.filter(F.col("cf") > 0).crossJoin(F.broadcast(grid))
+    expr = F.col("qtf") * F.log(
+        1.0
+        + (F.col("tf") * F.lit(float(coll_len)) * F.col("lam"))
+        / (F.col("cf") * F.col("doc_len") * (F.lit(1.0) - F.col("lam")))
+    )
+    scored = (
+        mg.groupBy("lam", "qid", "docno")
+        .agg((F.sum(expr) + F.log(F.first("doc_len"))).alias("score"))
+        .filter(F.col("score") > 0)
+        .withColumn("score", F.round("score", 6))
+    )
+    return rank.topk(scored, k=TOP_K, qid_col=["lam", "qid"]).select(
+        "lam", "qid", "docno", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# --------------------------------------------------------------------------
 # M3 — Dirichlet, MIREX form (every query term scores; tf=0 for missing;
 #      long-division C/cf; positive totals only)
 # --------------------------------------------------------------------------
