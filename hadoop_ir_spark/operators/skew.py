@@ -1,0 +1,39 @@
+"""Skew mitigation utilities (README "Design for scale": salting).
+
+AQE's skew-join splitting (enabled in session.py) handles most skewed
+sort-merge joins automatically; explicit salting remains the tool when
+(a) AQE is unavailable (streaming stages, some nested plans), or (b) the
+skew is in a single hot KEY whose matching rows must still colocate —
+e.g. joining anchor text to a handful of mega-popular pages, or postings
+to a stop-word-like term. The reference has no equivalent (MapReduce
+skew just runs long, e.g. AnchorExtract's reduce on popular URLs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(big: DataFrame, dim: DataFrame, on: str | list[str],
+                buckets: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join where a hot key on the ``big`` side would overwhelm one
+    shuffle partition: salt the big side into ``buckets`` pseudo-random
+    sub-keys (deterministic xxhash64 of the whole row), replicate the
+    ``dim`` side once per bucket, and join on (keys + salt) — the hot
+    key's rows now spread over ``buckets`` partitions.
+
+    Result is row-identical to ``big.join(dim, on, how)``; cost is a
+    ``buckets``× blow-up of the dim side, so use it dim-small /
+    big-skewed (for dim-side skew, swap the arguments).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                  F.lit(buckets)).cast("int")
+    b = big.withColumn(SALT_COL, salt)
+    d = dim.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return b.join(d, keys + [SALT_COL], how).drop(SALT_COL)

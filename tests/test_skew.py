@@ -1,0 +1,49 @@
+"""Salted-join skew mitigation: result parity with the plain join and the
+salt's partition-spreading effect."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators import skew
+
+
+def _fixture(spark):
+    # 'hot' carries 90% of the big side — the classic single-hot-key skew
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(900)] + [(f"k{i}", i) for i in range(100)],
+        "term string, payload int",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1.5)] + [(f"k{i}", float(i)) for i in range(0, 100, 2)],
+        "term string, weight double",
+    )
+    return big, dim
+
+
+def test_salted_join_matches_plain(spark):
+    big, dim = _fixture(spark)
+    for how in ("inner", "left"):
+        plain = Counter(
+            (r["term"], r["payload"], r["weight"])
+            for r in big.join(dim, "term", how).collect()
+        )
+        salted = Counter(
+            (r["term"], r["payload"], r["weight"])
+            for r in skew.salted_join(big, dim, "term", buckets=8, how=how).collect()
+        )
+        assert salted == plain, how
+        assert skew.SALT_COL not in skew.salted_join(big, dim, "term").columns
+
+
+def test_salt_spreads_hot_key(spark):
+    big, _ = _fixture(spark)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8))
+    n_buckets = (
+        big.filter(F.col("term") == "hot")
+        .select(salt.alias("s")).distinct().count()
+    )
+    # the hot key's 900 rows land in (essentially) all 8 sub-keys
+    assert n_buckets >= 6
