@@ -1,0 +1,43 @@
+"""Training-dataset parquet sink: size-controlled shards, optional
+partition columns (the write-side counterpart of the LLM-pipeline
+operators — dedup/quality/sampling feed this).
+
+Spark-native controls only: ``repartition`` for shard count,
+``maxRecordsPerFile`` as the hard cap, hive-style ``partitionBy`` for
+downstream partition pruning. No driver-side data movement.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_dataset(df: DataFrame, path: str,
+                  partition_by: list[str] | None = None,
+                  rows_per_shard: int = 1_000_000,
+                  total_rows: int | None = None,
+                  mode: str = "overwrite") -> None:
+    """Write ``df`` as a sharded parquet dataset.
+
+    ``rows_per_shard`` sets the target shard size; when ``total_rows`` is
+    known (or cheaply countable) the frame is repartitioned to
+    ``ceil(total/rows_per_shard)`` up front so shards come out evenly;
+    ``maxRecordsPerFile`` stays as the hard upper bound either way (it
+    splits oversized tasks without a shuffle).
+    """
+    if total_rows is None:
+        total_rows = df.count()
+    n_shards = max(1, math.ceil(total_rows / rows_per_shard))
+    out = df.repartition(n_shards)
+    writer = out.write.mode(mode).option("maxRecordsPerFile", rows_per_shard)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_dataset(spark: SparkSession, path: str) -> DataFrame:
+    """Read a sharded dataset back (partition columns are restored from
+    the hive-style directory layout)."""
+    return spark.read.parquet(path)
