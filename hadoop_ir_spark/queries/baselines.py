@@ -24,6 +24,29 @@ from hadoop_ir_spark.queries import scoring_models as sm
 BM25_K1, BM25_B = 1.2, 0.75
 
 
+def _lms_sweep(spark, matched, coll_len):
+    """LMs over the reference's λ grid, model-tagged 'LMs%.1f' — grid
+    crossJoin on the matched frame, one aggregation for all λ."""
+    grid = spark.createDataFrame(
+        [(l,) for l in sm.LMS_LAMBDA_GRID], "lam double"
+    )
+    mg = matched.filter(F.col("cf") > 0).crossJoin(F.broadcast(grid))
+    expr = F.col("qtf") * F.log(
+        1.0
+        + (F.col("tf") * F.lit(float(coll_len)) * F.col("lam"))
+        / (F.col("cf") * F.col("doc_len") * (F.lit(1.0) - F.col("lam")))
+    )
+    return (
+        mg.groupBy("lam", "qid", "docno")
+        .agg((F.sum(expr) + F.log(F.first("doc_len"))).alias("score"))
+        .filter(F.col("score") > 0)
+        .select(
+            F.concat(F.lit("LMs"), F.format_string("%.1f", "lam")).alias("model"),
+            "qid", "docno", "score",
+        )
+    )
+
+
 @register("mirex_baselines", f"""
 WITH {sm.SQL_SCORING},
 nq AS (SELECT t.qid, count(DISTINCT t.term) AS n_qterms
@@ -43,14 +66,17 @@ lmno AS (
   FROM matched m GROUP BY m.qid, m.docno
   HAVING count(DISTINCT m.term) = (SELECT n_qterms FROM nq WHERE nq.qid = m.qid)
 ),
+lmsgrid AS (SELECT lam::DOUBLE AS lam
+            FROM (VALUES {", ".join(f"({l})" for l in sm.LMS_LAMBDA_GRID)})
+                 AS g(lam)),
 lms AS (
-  SELECT 'LMs' AS model, qid, docno,
-         round(sum(ln(1 + (tf * (SELECT coll_len FROM coll) * {sm.JM_LAMBDA})
-                        / (cf * doc_len * (1 - {sm.JM_LAMBDA}))))
+  SELECT 'LMs' || printf('%.1f', g.lam) AS model, qid, docno,
+         round(sum(ln(1 + (tf * (SELECT coll_len FROM coll) * g.lam)
+                        / (cf * doc_len * (1 - g.lam))))
                + ln(min(doc_len)), 6) AS score
-  FROM matched WHERE cf > 0 GROUP BY qid, docno
-  HAVING sum(ln(1 + (tf * (SELECT coll_len FROM coll) * {sm.JM_LAMBDA})
-                   / (cf * doc_len * (1 - {sm.JM_LAMBDA})))) + ln(min(doc_len)) > 0
+  FROM matched CROSS JOIN lmsgrid g WHERE cf > 0 GROUP BY g.lam, qid, docno
+  HAVING sum(ln(1 + (tf * (SELECT coll_len FROM coll) * g.lam)
+                   / (cf * doc_len * (1 - g.lam)))) + ln(min(doc_len)) > 0
 ),
 lmdi AS (
   SELECT 'LMdi' AS model, m.qid, m.docno,
@@ -88,10 +114,12 @@ SELECT model, qid, docno, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 """)
 def q_mirex_baselines(spark, sf_dir):
-    """TrecRunBaselines: all four baseline models from ONE cached matched
-    frame — the postings scan and joins run once, each model is another
-    aggregate over the same frame (the reference computes all models per
-    document in a single mapper pass)."""
+    """TrecRunBaselines: the reference mapper's full EIGHT runs — LMno,
+    LMs at λ ∈ {0.1,0.3,0.5,0.7,0.9} (TrecRunBaselines.java:262-266),
+    LMdi, BM25 — from ONE cached matched frame: the postings scan and
+    joins run once, each model is another aggregate over the same frame
+    (the reference computes all models per document in a single mapper
+    pass)."""
     _, dlen, post, tstats, topics, coll_len = sm._prep(spark, sf_dir)
     qstats = topics.join(
         tstats.select("term", "cf"), "term", "left"
@@ -107,8 +135,7 @@ def q_mirex_baselines(spark, sf_dir):
     outs = [
         scoring.score_lm_no_smoothing(matched, qstats)
         .withColumn("model", F.lit("LMno")),
-        scoring.score_jm_mirex(matched, coll_len, sm.JM_LAMBDA)
-        .withColumn("model", F.lit("LMs")),
+        _lms_sweep(spark, matched, coll_len),
         scoring.score_dirichlet_mirex(matched, qstats, coll_len, sm.DIR_MU)
         .withColumn("model", F.lit("LMdi")),
         scoring.score_bm25(matched, n_docs, avg_len, BM25_K1, BM25_B)
