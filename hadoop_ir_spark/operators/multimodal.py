@@ -136,6 +136,61 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
+def _soundfile_available() -> bool:
+    try:
+        import soundfile  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+AUDIO_SCHEMA = ("media_id long, window_idx int, n_samples int, "
+                "energy long, rms double")
+
+
+def audio_window_features(media: DataFrame, window: int = 32,
+                          use_real_decode: bool = False) -> DataFrame:
+    """Windowed audio energy via mapInPandas: payload treated as 8-bit
+    PCM mono samples, consecutive ``window``-sample windows (hop =
+    window): (media_id, window_idx, n_samples, energy, rms) with
+    ``energy = Σ (x−128)²`` (exact integer, oracle-checkable) and
+    ``rms = sqrt(energy / n)``.
+
+    ``use_real_decode=True`` requires soundfile (decode wav/flac to PCM
+    first) — absent in this container → NotImplementedError; the fake
+    byte-level path keeps schema, batching, and window plumbing real."""
+    if use_real_decode and not _soundfile_available():
+        raise NotImplementedError(
+            "real audio decode requires soundfile, which is not installed; "
+            "use the deterministic byte-level fake (use_real_decode=False)"
+        )
+    import math
+
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                samples = samples.astype(np.int64) - 128
+                for w in range(0, len(samples), window):
+                    chunk = samples[w:w + window]
+                    energy = int((chunk * chunk).sum())
+                    rows.append((
+                        int(mid), w // window, len(chunk), energy,
+                        math.sqrt(energy / len(chunk)),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "window_idx", "n_samples",
+                               "energy", "rms"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=AUDIO_SCHEMA
+    )
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """STUB: real resize needs an image codec (PIL), absent here. The
     plumbing contract (signature + schema) is fixed so swapping in the

@@ -13,6 +13,7 @@ from hadoop_ir_spark.operators import multimodal
 
 FRAME_SIZE = 64
 FRAME_EVERY = 2
+AUDIO_WINDOW = 32
 
 
 def _media(spark, sf_dir):
@@ -59,3 +60,33 @@ FROM frames
 """)
 def q_media_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(_media(spark, sf_dir), every_n=FRAME_EVERY)
+
+
+@register("media_audio_energy", f"""
+WITH wins AS (
+  SELECT doc_id AS media_id, w AS window_idx,
+         substr(text, w * {AUDIO_WINDOW} + 1, {AUDIO_WINDOW}) AS chunk
+  FROM documents,
+       (SELECT unnest(range(0, 1000)) AS w)
+  WHERE w * {AUDIO_WINDOW} < length(text)
+),
+stats AS (
+  SELECT media_id, window_idx, length(chunk) AS n,
+         list_sum(list_transform(
+           [ascii(substr(chunk, i, 1)) for i in range(1, length(chunk) + 1)],
+           x -> (x - 128) * (x - 128))) AS energy
+  FROM wins
+)
+SELECT media_id, CAST(window_idx AS INT) AS window_idx,
+       CAST(n AS INT) AS n_samples, CAST(energy AS BIGINT) AS energy,
+       round(sqrt(energy::DOUBLE / n), 6) AS rms
+FROM stats
+""")
+def q_media_audio_energy(spark, sf_dir):
+    """Audio-style windowed energy over the byte-fake PCM payloads — the
+    mapInPandas plumbing (schema, per-window loop, Arrow batching) is the
+    real pipeline; only the codec is faked (module docstring)."""
+    out = multimodal.audio_window_features(
+        _media(spark, sf_dir), window=AUDIO_WINDOW
+    )
+    return out.withColumn("rms", F.round("rms", 6))

@@ -46,6 +46,25 @@ def test_frame_sample(media):
     assert out[0]["frame_md5"] == hashlib.md5(b"x" * 32).hexdigest()
 
 
+def test_audio_window_features(media):
+    """Window edges: doc1 'abcd' (4 bytes < window) → one short window;
+    doc3 100×'x' with window 32 → 3 full + one 4-sample tail; doc2 empty →
+    no windows. Energy math hand-checked (x−128 on ascii)."""
+    out = multimodal.audio_window_features(media, window=32)
+    rows = {(r["media_id"], r["window_idx"]): r for r in out.collect()}
+    e_abcd = sum((ord(c) - 128) ** 2 for c in "abcd")
+    assert rows[(1, 0)]["n_samples"] == 4
+    assert rows[(1, 0)]["energy"] == e_abcd
+    assert rows[(1, 0)]["rms"] == pytest.approx((e_abcd / 4) ** 0.5)
+    assert not any(m == 2 for m, _ in rows)
+    xs = (ord("x") - 128) ** 2
+    assert rows[(3, 0)]["energy"] == 32 * xs
+    assert rows[(3, 3)]["n_samples"] == 4 and rows[(3, 3)]["energy"] == 4 * xs
+    assert (3, 4) not in rows
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        multimodal.audio_window_features(media, use_real_decode=True).collect()
+
+
 def test_resize_stub_raises(media):
     with pytest.raises(NotImplementedError, match="PIL"):
         multimodal.resize_images(media, 64, 64)
