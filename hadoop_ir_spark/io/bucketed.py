@@ -1,0 +1,33 @@
+"""Bucketed-table layout for co-located joins (README "Design for scale":
+bucketing / pre-partitioning).
+
+Writing both sides of a recurring join bucketed (and sorted) on the join
+key lets Spark's sort-merge join run WITHOUT any Exchange — at 100 TB the
+postings ⋈ doc-lengths (or postings ⋈ doc-vectors) join shuffles nothing
+because matching buckets are read pairwise. This is the Spark-native
+replacement for the reference's HBase row-key locality (RunQueryHBase
+reads postings and doc stats through the same row key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 8,
+                   sort_cols: list[str] | None = None) -> None:
+    """Save ``df`` as a managed parquet table bucketed (and optionally
+    sorted) on ``bucket_cols``. Joins between tables bucketed the same
+    way on the join key plan with zero Exchange."""
+    writer = (
+        df.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -1,0 +1,61 @@
+"""Bucketed co-located join: same-bucketed tables must join with ZERO
+Exchange in the physical plan (the 100 TB no-shuffle join path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.io import bucketed
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    post = spark.range(0, 2000).select(
+        (F.col("id") % 500).alias("docno"),
+        F.concat(F.lit("t"), F.col("id") % 37).alias("term"),
+        F.lit(1).alias("tf"),
+    )
+    dlen = spark.range(0, 500).select(
+        F.col("id").alias("docno"), (F.col("id") % 90 + 10).alias("doc_len")
+    )
+    bucketed.write_bucketed(post, "bt_post", ["docno"], n_buckets=8,
+                            sort_cols=["docno"])
+    bucketed.write_bucketed(dlen, "bt_dlen", ["docno"], n_buckets=8,
+                            sort_cols=["docno"])
+    yield "bt_post", "bt_dlen"
+    for t in ("bt_post", "bt_dlen"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_exchange(spark, tables):
+    tp, td = tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed.read_table(spark, tp).join(
+            bucketed.read_table(spark, td), "docno"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        # and the result is still correct
+        assert joined.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_unbucketed_join_shuffles(spark, tables):
+    """Control: the same join off plain frames needs exchanges."""
+    tp, _ = tables
+    plain = spark.range(0, 500).select(
+        F.col("id").alias("docno"), F.lit(5).alias("doc_len")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed.read_table(spark, tp).join(plain, "docno")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
