@@ -13,8 +13,10 @@ reference's per-row RPC + memoization cache.
 Scale design: ``postings`` is repartitioned by ``docno`` on write so
 doc-sided operations (scoring joins against doc_lengths, feedback-doc
 lookups) co-locate without a re-shuffle; per-term stats are tiny after
-aggregation. At warehouse scale the same tables would be bucketed
-(``bucketBy(docno)``) via saveAsTable for shuffle-free repeated joins.
+aggregation. ``build_bucketed_index`` is the warehouse-scale variant:
+postings and doc_lengths saved ``bucketBy(docno)`` + sorted, so the
+repeated postings ⋈ doc_lengths join plans with ZERO Exchange
+(tests/test_bucketed.py asserts this on the physical plan).
 """
 
 from __future__ import annotations
@@ -51,6 +53,35 @@ def build_index(docs: DataFrame, out_dir: str, id_col: str = "docno",
     stats.collection_globals(post).write.mode("overwrite").parquet(
         os.path.join(out_dir, "globals")
     )
+
+
+def build_bucketed_index(docs: DataFrame, table_prefix: str,
+                         n_buckets: int = 8, id_col: str = "docno",
+                         text_col: str = "text") -> None:
+    """Warehouse-scale index: same four tables as ``build_index`` but as
+    managed tables with postings and doc_lengths bucketed + sorted on
+    docno — repeated doc-key joins between them shuffle nothing."""
+    from hadoop_ir_spark.io.bucketed import write_bucketed
+
+    spark = docs.sparkSession
+    post = stats.postings(docs, id_col=id_col, text_col=text_col)
+    write_bucketed(post, f"{table_prefix}_postings", ["docno"],
+                   n_buckets=n_buckets, sort_cols=["docno"])
+    post = spark.table(f"{table_prefix}_postings")
+
+    dlen = post.groupBy("docno").agg(F.sum("tf").alias("doc_len"))
+    write_bucketed(dlen, f"{table_prefix}_doc_lengths", ["docno"],
+                   n_buckets=n_buckets, sort_cols=["docno"])
+
+    stats.term_stats(post).write.mode("overwrite").format("parquet") \
+        .saveAsTable(f"{table_prefix}_term_stats")
+    stats.collection_globals(post).write.mode("overwrite").format("parquet") \
+        .saveAsTable(f"{table_prefix}_globals")
+
+
+def load_bucketed_index(spark: SparkSession,
+                        table_prefix: str) -> dict[str, DataFrame]:
+    return {t: spark.table(f"{table_prefix}_{t}") for t in TABLES}
 
 
 def load_index(spark: SparkSession, index_dir: str) -> dict[str, DataFrame]:

@@ -45,6 +45,35 @@ def test_bucketed_join_has_no_exchange(spark, tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_bucketed_index_join_no_exchange(spark):
+    """The warehouse-scale index: postings ⋈ doc_lengths (both bucketed
+    on docno) must join with zero Exchange, and score the same as the
+    plain-parquet index path."""
+    from hadoop_ir_spark.io import index as index_io
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{i % 3} common") for i in range(200)],
+        "docno long, text string",
+    )
+    index_io.build_bucketed_index(docs, "bt_idx", n_buckets=4)
+    try:
+        idx = index_io.load_bucketed_index(spark, "bt_idx")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = idx["postings"].join(idx["doc_lengths"], "docno")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            assert joined.count() == idx["postings"].count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        g = idx["globals"].collect()[0]
+        assert g["n_docs"] == 200 and g["n_tokens"] == 600
+    finally:
+        for t in index_io.TABLES:
+            spark.sql(f"DROP TABLE IF EXISTS bt_idx_{t}")
+
+
 def test_unbucketed_join_shuffles(spark, tables):
     """Control: the same join off plain frames needs exchanges."""
     tp, _ = tables
