@@ -4,7 +4,11 @@ Runs every ``queries()`` entry in Spark and its ``oracle_sql()`` twin in
 DuckDB at the given scale factor, then compares row count, column names and
 an order-insensitive value comparison (columns sorted by name, rows sorted).
 
-Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+Usage:  python tools/check_oracle.py [--strict] [sf_dir] [query ...]
+
+``--strict`` additionally requires BYTE-exact equality (string compare
+after canonicalization) instead of the 1e-9 float tolerance — the
+regression guard for the README's byte-exactness claim.
 """
 
 from __future__ import annotations
@@ -42,7 +46,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame,
+            strict: bool = False) -> list[str]:
     problems = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(f"columns: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
@@ -53,7 +58,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
-            if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
+            if strict:
+                bad = av.astype(str) != bv.astype(str)
+            elif str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
                 bad = ~((av.astype(float) - bv.astype(float)).abs() < 1e-9)
                 bad |= av.isna() != bv.isna()
                 bad &= ~(av.isna() & bv.isna())
@@ -69,8 +76,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    strict = "--strict" in args
+    args = [a for a in args if a != "--strict"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as E
     from hadoop_ir_spark.session import get_spark
@@ -100,7 +110,7 @@ def main():
             print(f"FAIL {name}: duckdb error: {ex}")
             failed.append(name)
             continue
-        problems = compare(name, spark_pdf, duck_pdf)
+        problems = compare(name, spark_pdf, duck_pdf, strict=strict)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failed.append(name)
