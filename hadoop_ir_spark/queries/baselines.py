@@ -20,6 +20,7 @@ from hadoop_ir_spark.catalog import (
 )
 from hadoop_ir_spark.operators import evaluate, rank, rerank, scoring
 from hadoop_ir_spark.queries import scoring_models as sm
+from hadoop_ir_spark.queries.feedback_rerank import SQL_KDE
 
 BM25_K1, BM25_B = 1.2, 0.75
 
@@ -193,10 +194,23 @@ def q_eval_f1_utility(spark, sf_dir):
     )
 
 
-@register("kde_alpha_sweep")
+KDE_SWEEP_ALPHAS = (0.1, 0.5, 0.9)
+
+
+@register("kde_alpha_sweep", f"""
+WITH {SQL_RUN_DIRICHLET}, {SQL_KDE},
+alphas AS (SELECT CAST(a AS DOUBLE) AS alpha
+           FROM (VALUES {", ".join(f"({a})" for a in KDE_SWEEP_ALPHAS)})
+                AS g(a))
+SELECT g.alpha, k.qid, k.docno,
+       round(g.alpha * ln(greatest(k.dens, 1e-300))
+             + (1 - g.alpha) * k.score, 6) AS score
+FROM kdens k CROSS JOIN alphas g
+""")
 def q_kde_alpha_sweep(spark, sf_dir):
-    """M9's alpha in {0.1..0.9} sweep (RunQueryKDEHBase.java:30) — pandas
-    UDF per alpha; rows-only driver check (math unit-tested)."""
+    """M9's alpha in {0.1..0.9} sweep (RunQueryKDEHBase.java:30) — the KDE
+    density is evaluated once per query group, every α is a vectorized
+    blend (same single-density-pass structure as the oracle SQL)."""
     run = dirichlet_topk(spark, sf_dir, k=TOP_K)
     # cache: each alpha pass re-reads the run (3x the retrieval pipeline
     # otherwise)

@@ -200,17 +200,90 @@ def q_rm3_sweep(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# M9 — KDE temporal rerank (pandas UDF; no SQL oracle, rows-only check)
+# M9 — KDE temporal rerank (pandas UDF) with a full SQL oracle: the
+# Silverman-bandwidth weighted Gaussian KDE (rerank.gaussian_kde_weighted)
+# is SQL-expressible — weighted moments are plain aggregates, the weighted
+# IQR quantiles are a cumulative-weight window scan (np.searchsorted side=
+# 'left' ≡ first x in ascending order with cum_w >= q), and the density is
+# a per-qid self-join aggregate over the top-k rows. Run scores are rounded
+# to 6 decimals on both sides before the KDE, so inputs are byte-identical;
+# summation-order fp noise is absorbed by the final round(. , 6).
 # --------------------------------------------------------------------------
 
-@register("kde_rerank")
+# CTE chain on top of `run`: ends in kdens(qid, docno, score, dens).
+SQL_KDE = """
+kw AS (
+  SELECT qid, docno, score, CAST(docno AS DOUBLE) AS x,
+         exp(score - max(score) OVER (PARTITION BY qid)) AS w0
+  FROM run
+),
+kwn AS (
+  SELECT qid, docno, score, x,
+         w0 / sum(w0) OVER (PARTITION BY qid) AS w
+  FROM kw
+),
+kmom AS (
+  SELECT qid, sum(x * w) AS mean_x, sum(w * w) AS sumw2
+  FROM kwn GROUP BY qid
+),
+ksd AS (
+  SELECT k.qid,
+         sqrt(greatest(sum((k.x - m.mean_x) * (k.x - m.mean_x) * k.w),
+                       1e-300)) AS sd,
+         1.0 / any_value(m.sumw2) AS neff
+  FROM kwn k JOIN kmom m ON m.qid = k.qid
+  GROUP BY k.qid
+),
+kcum AS (
+  SELECT qid, x,
+         sum(w) OVER (PARTITION BY qid ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM kwn
+),
+kq AS (
+  SELECT qid,
+         min(CASE WHEN cw >= 0.25 THEN x END) AS q25,
+         min(CASE WHEN cw >= 0.75 THEN x END) AS q75
+  FROM kcum GROUP BY qid
+),
+kh AS (
+  SELECT s.qid,
+         0.9 * greatest(
+           CASE WHEN (q.q75 - q.q25) > 0
+                THEN least(s.sd, (q.q75 - q.q25) / 1.349)
+                ELSE s.sd END,
+           1e-12) * pow(s.neff, -0.2) AS h
+  FROM ksd s JOIN kq q ON q.qid = s.qid
+),
+kdens AS (
+  SELECT a.qid, a.docno, a.score,
+         sum(b.w * exp(-0.5 * ((a.x - b.x) / h.h) * ((a.x - b.x) / h.h)))
+           / sqrt(2 * pi()) / h.h AS dens
+  FROM kwn a
+  JOIN kwn b ON b.qid = a.qid
+  JOIN kh h ON h.qid = a.qid
+  GROUP BY a.qid, a.docno, a.score, h.h
+)
+"""
+
+KDE_ALPHA = 0.5
+
+
+@register("kde_rerank", f"""
+WITH {SQL_RUN_DIRICHLET}, {SQL_KDE}
+SELECT qid, docno,
+       round({KDE_ALPHA} * ln(greatest(dens, 1e-300))
+             + (1 - {KDE_ALPHA}) * score, 6) AS score,
+       CAST(docno AS BIGINT) AS epoch
+FROM kdens
+""")
 def q_kde_rerank(spark, sf_dir):
     """Dirichlet run + synthetic deterministic epochs (epoch := docno as
     seconds — the synthetic documents table has no timestamp) → per-query
     score-weighted Gaussian-KDE temporal rescore at α=0.5."""
     run = dirichlet_topk(spark, sf_dir, k=TOP_K)
     run = run.withColumn("epoch", F.col("docno").cast("long"))
-    out = rerank.kde_rescore(run, alpha=0.5)
+    out = rerank.kde_rescore(run, alpha=KDE_ALPHA)
     return out.select(
         "qid", "docno", F.round("score", 6).alias("score"), "epoch"
     )
