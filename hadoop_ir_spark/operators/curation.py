@@ -1,0 +1,239 @@
+"""Corpus curation for LLM training-data pipelines (beyond-reference
+operator set, companion to textstats/dedup/sampling): Gopher-style
+quality rules, repetition metrics, benchmark-contamination screening,
+and concat-and-chunk sequence packing.
+
+Scale design:
+
+- ``gopher_metrics``: the word-level signals are map-only higher-order
+  array expressions (JVM, no shuffle); the n-gram repetition signals are
+  one explode + two-level groupBy each — the postings-explode shape, the
+  same single shuffle ``stats.postings`` pays.
+- ``contamination``: the benchmark side of the join is tiny by
+  construction (an eval suite vs a training corpus), so its n-gram
+  profile is broadcast — the corpus side streams map-side, no shuffle.
+- ``pack_sequences``: the global running token count is a two-phase
+  distributed prefix sum (range partition → per-partition subtotals →
+  broadcast offsets → in-partition window), NOT a global single-partition
+  window; the only driver-side state is one row per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Gopher's required function words (Rae et al. 2021 §A1.1 uses a "must
+# contain 2 of 8 stop words" rule); threshold relaxed to >=1 for the
+# synthetic corpus whose vocabulary only contains 'the'/'a'/'data'.
+GOPHER_STOP_WORDS = ("the", "a", "and", "to", "of", "that", "have", "with")
+
+
+def words_col(text_col: str = "text") -> Column:
+    """Whitespace word split with empties dropped (Gopher counts words,
+    not alnum tokens — distinct from functions.text.tokens_col)."""
+    return F.filter(
+        F.split(F.col(text_col), "\\s+"), lambda w: w != F.lit("")
+    )
+
+
+def word_ngrams_col(words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams; [] when the doc is shorter."""
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _ngram_rep_stats(docs: DataFrame, n: int, id_col: str, text_col: str,
+                     top: bool) -> DataFrame:
+    """Per-doc n-gram repetition: top=True → max-count fraction (Gopher's
+    top-n-gram rule), top=False → fraction of occurrences whose gram
+    appears >=2 times (duplicate-n-gram rule)."""
+    g = docs.select(
+        F.col(id_col).alias("docno"),
+        F.explode(word_ngrams_col(words_col(text_col), n)).alias("g"),
+    )
+    gc = g.groupBy("docno", "g").agg(F.count("*").alias("c"))
+    if top:
+        expr = (F.max("c") / F.sum("c")).alias("frac")
+    else:
+        expr = (
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            / F.sum("c")
+        ).alias("frac")
+    return gc.groupBy("docno").agg(expr)
+
+
+def gopher_metrics(docs: DataFrame, id_col: str = "docno",
+                   text_col: str = "text",
+                   stop_words=GOPHER_STOP_WORDS) -> DataFrame:
+    """Per-doc Gopher-rule quality signals (Rae et al. 2021, §A1.1):
+
+    - n_words, mean_word_len       (whitespace words)
+    - alpha_word_frac              (words containing >=1 [A-Za-z])
+    - stop_hits                    (distinct required function words seen)
+    - top_bigram_frac              (occurrence share of the modal bigram)
+    - dup_trigram_frac             (share of trigram occurrences repeated)
+
+    Every doc row survives (empty docs get zeros) so a downstream filter
+    sees the whole corpus.
+    """
+    words = words_col(text_col)
+    n = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in stop_words])
+    base = docs.select(
+        F.col(id_col).alias("docno"),
+        n.cast("long").alias("n_words"),
+        F.when(
+            n > 0,
+            F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+            .cast("double") / n,
+        ).otherwise(0.0).alias("mean_word_len"),
+        F.when(
+            n > 0,
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+            .cast("double") / n,
+        ).otherwise(0.0).alias("alpha_word_frac"),
+        F.size(F.array_intersect(words, stop_arr)).cast("long")
+        .alias("stop_hits"),
+    )
+    bg = _ngram_rep_stats(docs, 2, id_col, text_col, top=True) \
+        .withColumnRenamed("frac", "top_bigram_frac")
+    tg = _ngram_rep_stats(docs, 3, id_col, text_col, top=False) \
+        .withColumnRenamed("frac", "dup_trigram_frac")
+    return (
+        base.join(bg, "docno", "left").join(tg, "docno", "left")
+        .fillna({"top_bigram_frac": 0.0, "dup_trigram_frac": 0.0})
+    )
+
+
+def gopher_keep(min_words: int = 15, max_words: int = 100_000,
+                min_mean_len: float = 3.0, max_mean_len: float = 6.0,
+                min_alpha_frac: float = 0.8, min_stop_hits: int = 1,
+                max_top_bigram: float = 0.10,
+                max_dup_trigram: float = 0.25) -> Column:
+    """Boolean keep predicate over gopher_metrics columns. Thresholds are
+    calibrated to the synthetic corpus (Gopher's originals are 50 words /
+    2 stop hits / 0.2 top-2-gram over web text)."""
+    return (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_len, max_mean_len)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+        & (F.col("top_bigram_frac") <= max_top_bigram)
+        & (F.col("dup_trigram_frac") <= max_dup_trigram)
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+def ngram_profile(docs: DataFrame, n: int = 3, id_col: str = "docno",
+                  text_col: str = "text", hashed: bool = False) -> DataFrame:
+    """(docno, gram): each doc's DISTINCT word n-grams. ``hashed=True``
+    replaces the gram string with xxhash64 — at 100 TB the join key should
+    be 8 bytes, not a string (collision odds ~n_grams²/2⁶⁴ are
+    negligible); the string form is kept for exact oracles."""
+    grams = docs.select(
+        F.col(id_col).alias("docno"),
+        F.explode(word_ngrams_col(words_col(text_col), n)).alias("gram"),
+    ).distinct()
+    if hashed:
+        grams = grams.select("docno", F.xxhash64("gram").alias("gram"))
+    return grams
+
+
+def contamination(train: DataFrame, bench: DataFrame, n: int = 3,
+                  id_col: str = "docno", text_col: str = "text",
+                  hashed: bool = False) -> DataFrame:
+    """Benchmark-overlap screening (the GPT-3/PaLM n-gram decontamination
+    pattern): flag each training doc sharing >=1 word n-gram with any
+    benchmark doc.
+
+    Returns (docno, n_shared_grams, n_bench_docs) for contaminated train
+    docs only. The benchmark profile is broadcast — an eval suite is MBs
+    against a corpus of TBs, so the corpus side never shuffles.
+    """
+    tg = ngram_profile(train, n, id_col, text_col, hashed)
+    bg = ngram_profile(bench, n, id_col, text_col, hashed) \
+        .withColumnRenamed("docno", "bench_docno")
+    return (
+        tg.join(F.broadcast(bg), "gram")
+        .groupBy("docno")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_docno").alias("n_bench_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(toks: DataFrame, budget: int, id_col: str = "docno",
+                   tok_col: str = "n_tokens",
+                   num_parts: int | None = None) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    ascending ``id_col`` order into one global token stream, which is cut
+    into fixed-``budget`` chunks; each doc is assigned to every chunk its
+    token span overlaps (the standard pre-tokenized LM training layout —
+    docs may straddle chunk boundaries).
+
+    Returns (chunk_id, docno, n_tokens) where n_tokens is the doc's token
+    count inside that chunk.
+
+    The global running total is a two-phase distributed prefix sum:
+    range-partition on id, per-partition subtotals (one collected row PER
+    PARTITION, not per doc), exclusive offsets broadcast back, window
+    cumsum WITHIN each partition. The result equals the single global
+    window but every stage is partition-parallel.
+    """
+    spark = toks.sparkSession
+    n = num_parts or spark.sparkContext.defaultParallelism
+    part = (
+        toks.select(F.col(id_col).alias("docno"),
+                    F.col(tok_col).cast("long").alias("n"))
+        .repartitionByRange(n, "docno")
+        .withColumn("_pid", F.spark_partition_id())
+    ).cache()  # scanned twice: subtotals + main pass
+
+    subtotals = sorted(
+        part.groupBy("_pid").agg(F.sum("n").alias("s")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets, acc = [], 0
+    for r in subtotals:
+        offsets.append((r["_pid"], acc))
+        acc += r["s"]
+    off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+
+    w = Window.partitionBy("_pid").orderBy("docno")
+    spans = (
+        part.join(F.broadcast(off), "_pid")
+        .withColumn("_end", F.sum("n").over(w) + F.col("_off"))
+        .withColumn("_start", F.col("_end") - F.col("n"))
+        .filter(F.col("n") > 0)
+    )
+    b = F.lit(budget)
+    first = F.floor(F.col("_start") / b)
+    last = F.floor((F.col("_end") - 1) / b)
+    return (
+        spans.withColumn("chunk_id", F.explode(F.sequence(first, last)))
+        .select(
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "docno",
+            (
+                F.least(F.col("_end"), (F.col("chunk_id") + 1) * b)
+                - F.greatest(F.col("_start"), F.col("chunk_id") * b)
+            ).cast("long").alias("n_tokens"),
+        )
+    )

@@ -21,6 +21,7 @@ _MODULES = [
     "spam",
     "baselines",
     "sampling_q",
+    "curation",
 ]
 
 

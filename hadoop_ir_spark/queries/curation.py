@@ -1,0 +1,182 @@
+"""Catalog entries for corpus curation (beyond-reference LLM-pipeline
+operators): Gopher quality rules, sequence packing, contamination.
+
+All three have full DuckDB value oracles. Word split parity: Spark
+``split(text, '\\s+')`` with empties filtered ≡ DuckDB
+``list_filter(string_split_regex(text, '\\s+'), w -> w <> '')``; all
+ratio divisions are exact small-int divisions, identical doubles in both
+engines, so keep-flag threshold comparisons cannot flip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import _docs, register
+from hadoop_ir_spark.operators import curation
+
+# Shared oracle CTE: per-doc word lists + ordered word stream.
+SQL_WORDS = """
+wdoc AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+words AS (
+  SELECT docno, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS ord
+  FROM wdoc
+)
+"""
+
+_STOPS_SQL = ", ".join(f"'{w}'" for w in curation.GOPHER_STOP_WORDS)
+
+# gopher_keep thresholds (duplicated in the SQL keep CASE below).
+G_MIN_WORDS, G_MAX_WORDS = 15, 100_000
+G_MIN_MEAN, G_MAX_MEAN = 3.0, 6.0
+G_MIN_ALPHA, G_MIN_STOPS = 0.8, 1
+G_MAX_TOP_BIGRAM, G_MAX_DUP_TRIGRAM = 0.10, 0.25
+
+
+@register("gopher_quality", f"""
+WITH {SQL_WORDS},
+base AS (
+  SELECT docno, count(*) AS n_words,
+         sum(length(word)) AS lens,
+         count(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN 1 END)
+           AS alpha_w,
+         count(DISTINCT CASE WHEN word IN ({_STOPS_SQL}) THEN word END)
+           AS stop_hits
+  FROM words GROUP BY docno
+),
+big AS (
+  SELECT docno,
+         word || ' ' || lead(word) OVER (PARTITION BY docno ORDER BY ord)
+           AS g
+  FROM words QUALIFY g IS NOT NULL
+),
+bgc AS (SELECT docno, g, count(*) AS c FROM big GROUP BY docno, g),
+bgs AS (SELECT docno, max(c)::DOUBLE / sum(c) AS topbg
+        FROM bgc GROUP BY docno),
+tri AS (
+  SELECT docno,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+           AS g
+  FROM words WINDOW w AS (PARTITION BY docno ORDER BY ord)
+  QUALIFY g IS NOT NULL
+),
+tgc AS (SELECT docno, g, count(*) AS c FROM tri GROUP BY docno, g),
+tgs AS (SELECT docno,
+               sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c)
+                 AS duptg
+        FROM tgc GROUP BY docno),
+m AS (
+  SELECT d.docno,
+         CAST(coalesce(b.n_words, 0) AS BIGINT) AS n_words,
+         coalesce(b.lens::DOUBLE / b.n_words, 0.0) AS mean_word_len,
+         coalesce(b.alpha_w::DOUBLE / b.n_words, 0.0) AS alpha_word_frac,
+         CAST(coalesce(b.stop_hits, 0) AS BIGINT) AS stop_hits,
+         coalesce(g.topbg, 0.0) AS top_bigram_frac,
+         coalesce(t.duptg, 0.0) AS dup_trigram_frac
+  FROM (SELECT doc_id AS docno FROM documents) d
+  LEFT JOIN base b USING (docno)
+  LEFT JOIN bgs g USING (docno)
+  LEFT JOIN tgs t USING (docno)
+)
+SELECT docno, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(alpha_word_frac, 6) AS alpha_word_frac,
+       stop_hits,
+       round(top_bigram_frac, 6) AS top_bigram_frac,
+       round(dup_trigram_frac, 6) AS dup_trigram_frac,
+       (n_words BETWEEN {G_MIN_WORDS} AND {G_MAX_WORDS}
+        AND mean_word_len BETWEEN {G_MIN_MEAN} AND {G_MAX_MEAN}
+        AND alpha_word_frac >= {G_MIN_ALPHA}
+        AND stop_hits >= {G_MIN_STOPS}
+        AND top_bigram_frac <= {G_MAX_TOP_BIGRAM}
+        AND dup_trigram_frac <= {G_MAX_DUP_TRIGRAM}) AS keep
+FROM m
+""")
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality metrics + keep flag over every document."""
+    m = curation.gopher_metrics(_docs(spark, sf_dir), id_col="doc_id")
+    keep = curation.gopher_keep(
+        G_MIN_WORDS, G_MAX_WORDS, G_MIN_MEAN, G_MAX_MEAN,
+        G_MIN_ALPHA, G_MIN_STOPS, G_MAX_TOP_BIGRAM, G_MAX_DUP_TRIGRAM,
+    )
+    return m.select(
+        "docno", "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "stop_hits",
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+        keep.alias("keep"),
+    )
+
+
+PACK_BUDGET = 128
+
+
+@register("pack_chunks", f"""
+WITH {SQL_WORDS},
+toks AS (SELECT docno, len(ws) AS n FROM wdoc),
+cum AS (
+  SELECT docno, n,
+         sum(n) OVER (ORDER BY docno
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS e
+  FROM toks
+),
+spans AS (SELECT docno, n, e - n AS s, e FROM cum WHERE n > 0)
+SELECT CAST(t.chunk_id AS BIGINT) AS chunk_id, sp.docno,
+       CAST(least(sp.e, (t.chunk_id + 1) * {PACK_BUDGET})
+            - greatest(sp.s, t.chunk_id * {PACK_BUDGET}) AS BIGINT)
+         AS n_tokens
+FROM spans sp,
+     unnest(generate_series(CAST(floor(sp.s / {PACK_BUDGET}) AS BIGINT),
+                            CAST(floor((sp.e - 1) / {PACK_BUDGET}) AS BIGINT)))
+       AS t(chunk_id)
+""")
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing of the corpus (docs in doc_id
+    order, whitespace token counts, fixed chunk budget) via the
+    distributed two-phase prefix sum."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.col("doc_id").alias("docno"),
+        F.size(curation.words_col("text")).alias("n_tokens"),
+    )
+    return curation.pack_sequences(toks, budget=PACK_BUDGET)
+
+
+CONTAM_N = 3
+BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark suite
+
+
+@register("contamination_ngrams", f"""
+WITH {SQL_WORDS},
+grams AS (
+  SELECT docno,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+           AS g
+  FROM words WINDOW w AS (PARTITION BY docno ORDER BY ord)
+  QUALIFY g IS NOT NULL
+),
+tg AS (SELECT DISTINCT docno, g FROM grams),
+bg AS (SELECT docno AS bdoc, g FROM tg WHERE docno % {BENCH_MOD} = 0),
+trg AS (SELECT docno, g FROM tg WHERE docno % {BENCH_MOD} <> 0)
+SELECT t.docno,
+       count(DISTINCT t.g) AS n_shared_grams,
+       count(DISTINCT b.bdoc) AS n_bench_docs
+FROM trg t JOIN bg b ON b.g = t.g
+GROUP BY t.docno
+""")
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination screening: training docs sharing a word
+    {CONTAM_N}-gram with the deterministic benchmark subset."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docno"), "text"
+    )
+    bench = docs.filter(F.col("docno") % BENCH_MOD == 0)
+    train = docs.filter(F.col("docno") % BENCH_MOD != 0)
+    return curation.contamination(train, bench, n=CONTAM_N)

@@ -1,0 +1,126 @@
+"""Curation operator tests: Gopher metrics on handcrafted docs, sequence
+packing vs a pure-Python reference, contamination on known overlaps."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators import curation
+
+
+def test_gopher_metrics_handcrafted(spark):
+    docs = spark.createDataFrame(
+        [
+            # 6 words, 'the' present, bigram "big cat" twice (of 5)
+            (1, "the big cat big cat runs"),
+            # empty doc survives with zeros
+            (2, ""),
+            # trigram "a b c" twice -> 6 of 7 trigram occurrences duplicated
+            (3, "a b c a b c a b c"),
+        ],
+        "docno long, text string",
+    )
+    m = {r["docno"]: r for r in curation.gopher_metrics(docs).collect()}
+
+    r1 = m[1]
+    assert r1["n_words"] == 6
+    assert abs(r1["mean_word_len"] - 19 / 6) < 1e-12
+    assert r1["alpha_word_frac"] == 1.0
+    assert r1["stop_hits"] == 1          # 'the'
+    assert abs(r1["top_bigram_frac"] - 2 / 5) < 1e-12
+
+    r2 = m[2]
+    assert r2["n_words"] == 0 and r2["stop_hits"] == 0
+    assert r2["top_bigram_frac"] == 0.0 and r2["dup_trigram_frac"] == 0.0
+
+    r3 = m[3]
+    # trigrams: abc,bca,cab,abc,bca,cab,abc -> counts 3,2,2 -> all 7 dup'd
+    assert abs(r3["dup_trigram_frac"] - 1.0) < 1e-12
+    assert r3["stop_hits"] == 1          # 'a'
+
+
+def test_gopher_keep_splits(spark):
+    good = ("the quick brown fox jumps over lazy dogs while birds sing "
+            "songs about warm rivers under bright skies every single day")
+    docs = spark.createDataFrame(
+        [(1, good), (2, "xx yy")], "docno long, text string"
+    )
+    m = curation.gopher_metrics(docs).withColumn(
+        "keep", curation.gopher_keep(min_words=10)
+    )
+    got = {r["docno"]: r["keep"] for r in m.collect()}
+    assert got[1] is True and got[2] is False
+
+
+def _ref_pack(tokens: list[tuple[int, int]], budget: int):
+    out, acc = [], 0
+    for docno, n in sorted(tokens):
+        if n <= 0:
+            acc += max(n, 0)
+            continue
+        start, end = acc, acc + n
+        for c in range(start // budget, (end - 1) // budget + 1):
+            out.append(
+                (c, docno, min(end, (c + 1) * budget) - max(start, c * budget))
+            )
+        acc = end
+    return sorted(out)
+
+
+def test_pack_sequences_matches_reference(spark):
+    tokens = [(i, (i * 37) % 90 + 1) for i in range(25)] + [(25, 0)]
+    toks = spark.createDataFrame(tokens, "docno long, n_tokens long")
+    got = sorted(
+        (r["chunk_id"], r["docno"], r["n_tokens"])
+        for r in curation.pack_sequences(toks, budget=64, num_parts=4)
+        .collect()
+    )
+    assert got == _ref_pack(tokens, 64)
+    # chunk totals: every chunk except the last is exactly full
+    per_chunk = {}
+    for c, _, n in got:
+        per_chunk[c] = per_chunk.get(c, 0) + n
+    full = sorted(per_chunk)[:-1]
+    assert all(per_chunk[c] == 64 for c in full)
+    assert sum(per_chunk.values()) == sum(max(n, 0) for _, n in tokens)
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The prefix sum must be partition-parallel: no window spec without
+    a partitionBy (which would force a single-partition exchange)."""
+    toks = spark.createDataFrame(
+        [(i, 10) for i in range(8)], "docno long, n_tokens long"
+    )
+    plan = curation.pack_sequences(toks, budget=16, num_parts=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_contamination_known_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "nothing shared here")],
+        "docno long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "x alpha beta gamma y"), (101, "beta gamma delta z")],
+        "docno long, text string",
+    )
+    got = {
+        r["docno"]: (r["n_shared_grams"], r["n_bench_docs"])
+        for r in curation.contamination(train, bench, n=3).collect()
+    }
+    # doc 1 shares 'alpha beta gamma' with 100 and 'beta gamma delta' with 101
+    assert got == {1: (2, 2)}
+
+
+def test_contamination_hashed_equivalent(spark):
+    docs = [(i, f"w{i % 4} common words here w{i % 3}") for i in range(10)]
+    train = spark.createDataFrame(docs[:7], "docno long, text string")
+    bench = spark.createDataFrame(docs[7:], "docno long, text string")
+    plain = sorted(
+        curation.contamination(train, bench, n=2, hashed=False).collect()
+    )
+    hashed = sorted(
+        curation.contamination(train, bench, n=2, hashed=True).collect()
+    )
+    assert [tuple(r) for r in plain] == [tuple(r) for r in hashed]
