@@ -1,0 +1,152 @@
+"""Temporal join & rollup operators Spark lacks as built-ins: as-of join,
+interval (range) join, sessionization, multi-resolution time rollup.
+
+Scale design — none of these is a theta-join at the physical level:
+
+- ``asof_join``: the classic union-tag trick. Both sides are tagged and
+  unioned, ONE shuffle partitions by key, an in-partition sort-ordered
+  window carries the latest right row forward (``last(ignorenulls)``),
+  and left rows are filtered back out. Cost = one sort-merge-shaped pass;
+  no range-condition nested loop, no per-row probe. Hot keys skew the
+  sort, not a join blowup (state per key is one carried struct).
+- ``interval_join``: bucketed equi-join. The right side is bucketed once
+  by ``ts div W`` (W = window span); each left row explodes to the <= 2
+  buckets its [ts+lower, ts+upper] window overlaps; the exact range
+  predicate filters AFTER the (key, bucket) equi-join. Catalyst sees a
+  plain equi-join — sort-merge/broadcast eligible — instead of a
+  BroadcastNestedLoopJoin.
+- ``sessionize``: Spark's native ``session_window`` (streaming-capable;
+  with a watermark the state store merges windows incrementally).
+- ``time_rollup``: one shuffle producing every resolution via ROLLUP
+  (partial aggregation map-side, grouping sets expanded by Catalyst, not
+  by re-scanning per resolution).
+
+All comparisons are integer microseconds (callers pass ``ts div 1000``
+of the nanos column): no timezone semantics, and exact parity with
+engines that truncate parquet TIMESTAMP(NANOS) to micros.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
+              ts: str = "ts_us", right_ts: str | None = None,
+              right_name: str = "matched",
+              tolerance: int | None = None) -> DataFrame:
+    """Backward as-of join: for each left row, the LATEST right row of the
+    same ``key`` with ``right.ts <= left.ts`` (inclusive — a right row at
+    the exact left timestamp matches). Left-outer semantics: unmatched
+    left rows keep a NULL match.
+
+    Returns all left columns plus a struct column ``right_name`` holding
+    the matched right row (minus its key). ``tolerance`` (same unit as
+    ``ts``) voids matches older than ``left.ts - tolerance``.
+    """
+    right_ts = right_ts or ts
+    r_payload_cols = [c for c in right.columns if c != key]
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    r_struct = F.struct(*[F.col(c) for c in r_payload_cols])
+
+    r = right.select(
+        F.col(key).alias("_k"), F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"), r_struct.alias("_r"),
+    )
+    l = left.select(
+        F.col(key).alias("_k"), F.col(ts).alias("_t"),
+        F.lit(1).alias("_is_left"), l_struct.alias("_l"),
+    )
+    r_type = r.schema["_r"].dataType
+    l_type = l.schema["_l"].dataType
+    u = (
+        l.withColumn("_r", F.lit(None).cast(r_type))
+        .unionByName(r.withColumn("_l", F.lit(None).cast(l_type)))
+    )
+
+    # right rows sort BEFORE left rows at an equal timestamp (inclusive
+    # match); _is_left breaks the tie deterministically.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = (
+        u.withColumn("_rm", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_is_left") == 1)
+    )
+    match = F.col("_rm")
+    if tolerance is not None:
+        match = F.when(
+            F.col("_t") - F.col("_rm")[right_ts] <= F.lit(tolerance),
+            F.col("_rm"),
+        )
+    return m.select(F.col("_l.*"), match.alias(right_name))
+
+
+def interval_join(left: DataFrame, right: DataFrame, key: str,
+                  left_ts: str, right_ts: str, lower: int, upper: int,
+                  bucket_width: int | None = None) -> DataFrame:
+    """Inner range join: pairs (l, r) with equal ``key`` and
+    ``l[left_ts] + lower <= r[right_ts] <= l[left_ts] + upper``.
+
+    Physical plan is a (key, bucket) EQUI-join: right rows land in one
+    bucket of width W, left rows explode to the ceil(span/W)+1 buckets
+    their window overlaps (2 when W = upper-lower, the default), and the
+    exact predicate filters the joined pairs. Column names other than
+    ``key`` must be disjoint between the two frames.
+    """
+    w = bucket_width or max(upper - lower, 1)
+    r = right.withColumn("_br", F.expr(f"{right_ts} div {w}"))
+    lo = F.expr(f"({left_ts} + ({lower})) div {w}")
+    hi = F.expr(f"({left_ts} + ({upper})) div {w}")
+    l = left.withColumn("_bl", F.explode(F.sequence(lo, hi)))
+    joined = l.join(
+        r,
+        (l[key] == r[key]) & (l["_bl"] == r["_br"])
+        & (r[right_ts] >= l[left_ts] + lower)
+        & (r[right_ts] <= l[left_ts] + upper),
+    )
+    return joined.drop(r[key]).drop("_bl", "_br")
+
+
+def sessionize(events: DataFrame, gap: str, key: str = "user_id",
+               time_col: str = "event_time") -> DataFrame:
+    """Session windows per key (native ``session_window``; works on batch
+    and, with a watermark, on streams): a session closes when the next
+    event is STRICTLY more than ``gap`` after the previous one — Spark
+    merges boundary-touching windows, so an event at exactly prev+gap
+    extends the session. Returns (key, session_start_us, session_end_us,
+    n_events, sum_value) with end = last event + gap.
+    """
+    return (
+        events.groupBy(key, F.session_window(time_col, gap).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            key,
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+US_HOUR = 3_600_000_000
+US_DAY = 24 * US_HOUR
+
+
+def time_rollup(events: DataFrame, ts: str = "ts_us",
+                by: str = "event_type") -> DataFrame:
+    """Hypertable-style multi-resolution rollup in ONE aggregation:
+    (day, hour, type) detail plus the (day, hour), (day), and grand-total
+    grouping sets via ROLLUP. Bucket starts are pure integer floor
+    arithmetic on epoch micros (timezone-free).
+    """
+    day = (F.col(ts) - F.col(ts) % US_DAY).alias("day_us")
+    hour = (F.col(ts) - F.col(ts) % US_HOUR).alias("hour_us")
+    return (
+        events.select(day, hour, by, "value")
+        .rollup("day_us", "hour_us", by)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )

@@ -22,6 +22,7 @@ _MODULES = [
     "baselines",
     "sampling_q",
     "curation",
+    "temporal_q",
 ]
 
 

@@ -1,0 +1,171 @@
+"""Catalog entries for the temporal operators (as-of join, interval join,
+sessionization, multi-resolution rollup) over the events table.
+
+All timestamps are integer EPOCH MICROS on both sides: Spark computes
+``ts div 1000`` from the nanos long, DuckDB's parquet reader truncates
+TIMESTAMP(NANOS) to micros and ``epoch_us`` extracts the same integer —
+so every comparison/bucket boundary is identical, with no timezone or
+float involvement. Nullable-int outputs use a -1 sentinel (documented per
+query) so both engines produce non-null int64 columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.operators import temporal
+from hadoop_ir_spark.operators.temporal import US_DAY, US_HOUR
+from hadoop_ir_spark.streaming import events as ev
+
+SQL_EV_US = """
+ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+  FROM events
+)
+"""
+
+
+def _events_us(spark, sf_dir):
+    return ev.read_events(spark, sf_dir).select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"),
+        "event_type", "value",
+    )
+
+
+@register("event_asof_click", f"""
+WITH {SQL_EV_US},
+p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts_us AS click_ts_us
+      FROM ev WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts_us,
+       coalesce(c.click_id, -1) AS click_id,
+       coalesce(p.ts_us - c.click_ts_us, -1) AS click_gap_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts_us >= c.click_ts_us
+""")
+def q_event_asof_click(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest prior (or
+    simultaneous) click; -1 sentinels where the user never clicked before.
+    The oracle is DuckDB's native ASOF LEFT JOIN."""
+    e = _events_us(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts_us")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+    )
+    m = temporal.asof_join(p, c, key="user_id", ts="ts_us",
+                           right_ts="click_ts_us", right_name="m")
+    return m.select(
+        "event_id", "user_id", "ts_us",
+        F.coalesce(F.col("m.click_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("ts_us") - F.col("m.click_ts_us"), F.lit(-1))
+        .alias("click_gap_us"),
+    )
+
+
+@register("click_attribution", f"""
+WITH {SQL_EV_US},
+p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts_us AS click_ts_us
+      FROM ev WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts_us,
+       count(*) AS n_clicks,
+       max(c.click_ts_us) AS last_click_us
+FROM p JOIN c
+  ON c.user_id = p.user_id
+ AND c.click_ts_us >= p.ts_us - {US_DAY}
+ AND c.click_ts_us <= p.ts_us
+GROUP BY p.event_id, p.user_id, p.ts_us
+""")
+def q_click_attribution(spark, sf_dir):
+    """Interval join: clicks within the 24h before each purchase (same
+    user), aggregated per purchase. The Spark plan is a bucketed
+    (key, time-chunk) equi-join, not a nested-loop range join."""
+    e = _events_us(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts_us")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+    )
+    j = temporal.interval_join(p, c, key="user_id", left_ts="ts_us",
+                               right_ts="click_ts_us",
+                               lower=-US_DAY, upper=0)
+    return j.groupBy("event_id", "user_id", "ts_us").agg(
+        F.count("*").alias("n_clicks"),
+        F.max("click_ts_us").alias("last_click_us"),
+    )
+
+
+SESSION_GAP = "4 hours"
+SESSION_GAP_US = 4 * US_HOUR
+
+
+@register("event_sessions", f"""
+WITH {SQL_EV_US},
+lagd AS (
+  SELECT user_id, ts_us, value,
+         lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+  FROM ev
+),
+flag AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN prev IS NULL OR ts_us - prev > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM lagd
+),
+sess AS (
+  SELECT user_id, ts_us, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flag
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) + {SESSION_GAP_US} AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, sid
+""")
+def q_event_sessions(spark, sf_dir):
+    """Per-user session windows (gap = {SESSION_GAP}) via the native
+    session_window; the oracle is the gaps-and-islands formulation. NB:
+    Spark merges an event landing EXACTLY gap after the previous one
+    (boundary-inclusive), so a new session starts only when the gap is
+    STRICTLY greater than the timeout (verified in
+    tests/test_temporal.py::test_sessionize_gap_boundary)."""
+    e = ev.with_event_time(ev.read_events(spark, sf_dir))
+    out = temporal.sessionize(e, SESSION_GAP)
+    return out.withColumn("sum_value", F.round("sum_value", 6))
+
+
+@register("event_rollup", f"""
+WITH {SQL_EV_US},
+b AS (
+  SELECT ts_us - ts_us % {US_DAY} AS day_us,
+         ts_us - ts_us % {US_HOUR} AS hour_us,
+         event_type, value
+  FROM ev
+)
+SELECT coalesce(day_us, -1) AS day_us,
+       coalesce(hour_us, -1) AS hour_us,
+       coalesce(event_type, 'ALL') AS event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM b GROUP BY ROLLUP(day_us, hour_us, event_type)
+""")
+def q_event_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: (day, hour, type) detail
+    plus (day, hour), (day) and grand-total grouping sets from ONE
+    aggregation. Sentinels: -1 / 'ALL' mark rolled-up levels."""
+    out = temporal.time_rollup(_events_us(spark, sf_dir))
+    return out.select(
+        F.coalesce("day_us", F.lit(-1)).alias("day_us"),
+        F.coalesce("hour_us", F.lit(-1)).alias("hour_us"),
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )

@@ -1,0 +1,133 @@
+"""Temporal operator tests: as-of join edge semantics, interval join vs
+brute force, session gap boundaries, rollup grouping sets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators import temporal
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3"), (3, 10, "p4")],
+        "user_id long, ts_us long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "r_eq"), (1, 150, "r_mid"), (2, 60, "r_late")],
+        "user_id long, ts_us long, rtag string",
+    )
+    out = {
+        r["tag"]: r["m"]
+        for r in temporal.asof_join(left, right, key="user_id", ts="ts_us",
+                                    right_name="m").collect()
+    }
+    assert out["p1"]["rtag"] == "r_eq"     # equal ts matches (inclusive)
+    assert out["p2"]["rtag"] == "r_mid"    # latest prior wins
+    assert out["p3"] is None               # right is later -> no match
+    assert out["p4"] is None               # key has no right rows
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 1000, "a"), (1, 5000, "b")], "user_id long, ts_us long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 900, "r")], "user_id long, ts_us long, rtag string"
+    )
+    out = {
+        r["tag"]: r["m"]
+        for r in temporal.asof_join(left, right, key="user_id", ts="ts_us",
+                                    right_name="m", tolerance=500).collect()
+    }
+    assert out["a"]["rtag"] == "r"         # gap 100 <= 500
+    assert out["b"] is None                # gap 4100 > 500 voided
+
+
+def test_interval_join_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    lrows = [(u, rng.randrange(0, 1000)) for u in (1, 2, 3) for _ in range(20)]
+    rrows = [(u, rng.randrange(0, 1000)) for u in (1, 2, 3) for _ in range(20)]
+    left = spark.createDataFrame(
+        [(u, t, i) for i, (u, t) in enumerate(lrows)],
+        "user_id long, lt long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(u, t, i) for i, (u, t) in enumerate(rrows)],
+        "user_id long, rt long, rid long",
+    )
+    lower, upper = -150, 40
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in temporal.interval_join(
+            left, right, key="user_id", left_ts="lt", right_ts="rt",
+            lower=lower, upper=upper,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for (i, (ul, tl)), (j, (ur, tr)) in itertools.product(
+            enumerate(lrows), enumerate(rrows)
+        )
+        if ul == ur and tl + lower <= tr <= tl + upper
+    )
+    assert got == want and len(got) > 0
+
+
+def test_interval_join_is_equi_join(spark):
+    left = spark.createDataFrame([(1, 10, 1)], "user_id long, lt long, lid long")
+    right = spark.createDataFrame([(1, 12, 2)], "user_id long, rt long, rid long")
+    plan = temporal.interval_join(
+        left, right, key="user_id", left_ts="lt", right_ts="rt",
+        lower=0, upper=5,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_sessionize_gap_boundary(spark):
+    gap_us = 1_000_000  # "1 seconds"
+    rows = [
+        (1, 0), (1, 999_999),          # gap < timeout -> same session
+        (1, 1_999_999),                # EXACTLY gap after #2 -> still merged
+        (1, 3_000_000),                # gap 1_000_001 > timeout -> new
+        (2, 0),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts_us long").select(
+        "user_id", "ts_us",
+        F.timestamp_micros(F.col("ts_us")).alias("event_time"),
+        F.lit(1.0).alias("value"),
+    )
+    out = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"],
+         r["n_events"])
+        for r in temporal.sessionize(e, "1 seconds").collect()
+    )
+    assert out == [
+        (1, 0, 1_999_999 + gap_us, 3),
+        (1, 3_000_000, 3_000_000 + gap_us, 1),
+        (2, 0, gap_us, 1),
+    ]
+
+
+def test_time_rollup_grouping_sets(spark):
+    us_h, us_d = temporal.US_HOUR, temporal.US_DAY
+    rows = [
+        (us_d + 0, "a", 1.0),
+        (us_d + us_h + 1, "a", 2.0),
+        (us_d + us_h + 2, "b", 4.0),
+        (2 * us_d, "a", 8.0),
+    ]
+    e = spark.createDataFrame(rows, "ts_us long, event_type string, value double")
+    out = temporal.time_rollup(e)
+    rows_out = {
+        (r["day_us"], r["hour_us"], r["event_type"]):
+            (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert rows_out[(None, None, None)] == (4, 15.0)          # grand total
+    assert rows_out[(us_d, None, None)] == (3, 7.0)           # day level
+    assert rows_out[(us_d, us_d + us_h, None)] == (2, 6.0)    # hour level
+    assert rows_out[(us_d, us_d + us_h, "b")] == (1, 4.0)     # detail
