@@ -1,0 +1,90 @@
+"""Iterative graph operators: PageRank (the canonical Hadoop-era chained
+-job workload, companion to the anchor/link extraction pipeline — the
+reference's AnchorExtract produces exactly the link table this consumes).
+
+Scale design: one power iteration = one equi-join (edges ⋈ ranks on src,
+rank side is the small frame early on but both sides are partitioned on
+the join key) + one groupBy(dst) — the join/agg pair every Pregel-style
+superstep compiles to. The dangling-mass correction is a 1-row aggregate
+collected per iteration (a scalar, not data). Lineage is cut with
+``localCheckpoint`` every few iterations — without it the plan doubles
+per superstep and the optimizer chokes past ~10 iterations (same
+treatment as dedup.connected_components).
+
+Determinism: per-iteration ``round(rank, round_digits)`` pins the result
+against float summation order, so two engines (or two cluster layouts)
+iterating on the same graph produce byte-identical ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(src, deg): out-degree per source, counting multi-edges."""
+    return edges.groupBy("src").agg(F.count("*").alias("deg"))
+
+
+def pagerank(edges: DataFrame, vertices: DataFrame | None = None,
+             num_iter: int = 5, damping: float = 0.85,
+             round_digits: int | None = 9,
+             checkpoint_every: int = 4,
+             dangling: str = "auto") -> DataFrame:
+    """PageRank over an edge list (src, dst) — multi-edges weight double.
+
+    rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)/deg(u) + dangling/N)
+
+    where dangling is the total rank sitting on vertices without
+    out-edges (redistributed uniformly, the standard correction).
+    ``dangling="none"`` skips the two 1-row aggregates per iteration for
+    graphs known to give every vertex an out-edge. ``vertices`` defaults
+    to the distinct endpoints of ``edges``. Returns (id, rank).
+    """
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    vertices = vertices.cache()
+    n = vertices.count()
+    deg = out_degrees(edges).cache()
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    ranks = vertices.select("id", rnd(F.lit(1.0 / n)).alias("rank"))
+    base = (1.0 - damping) / n
+
+    for i in range(num_iter):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id").agg(F.sum("c").alias("m"))
+        )
+        if dangling == "none":
+            dmass = 0.0
+        else:
+            # dangling mass: rank total minus rank held by vertices WITH
+            # out-edges (1-row aggregate -> driver scalar)
+            with_out = ranks.join(deg, ranks["id"] == deg["src"],
+                                  "left_semi")
+            dmass = (
+                ranks.agg(F.sum("rank")).collect()[0][0]
+                - (with_out.agg(F.sum("rank")).collect()[0][0] or 0.0)
+            )
+        ranks = vertices.join(contrib, "id", "left").select(
+            "id",
+            rnd(
+                F.lit(base)
+                + damping * (F.coalesce(F.col("m"), F.lit(0.0))
+                             + F.lit(dmass / n))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < num_iter:
+            ranks = ranks.localCheckpoint()
+    return ranks

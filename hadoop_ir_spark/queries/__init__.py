@@ -23,6 +23,7 @@ _MODULES = [
     "sampling_q",
     "curation",
     "temporal_q",
+    "graph_q",
 ]
 
 

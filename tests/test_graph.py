@@ -1,0 +1,60 @@
+"""PageRank tests: numpy power-iteration reference (incl. dangling mass),
+rank conservation, determinism of the rounded trajectory."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hadoop_ir_spark.operators import graph
+
+
+def _np_pagerank(n, edge_list, iters, d=0.85, round_digits=9):
+    r = np.full(n, round(1.0 / n, round_digits))
+    deg = np.zeros(n)
+    for s, _ in edge_list:
+        deg[s] += 1
+    for _ in range(iters):
+        m = np.zeros(n)
+        for s, t in edge_list:
+            m[t] += r[s] / deg[s]
+        dangling = r[deg == 0].sum()
+        r = (1 - d) / n + d * (m + dangling / n)
+        r = np.round(r, round_digits)
+    return r
+
+
+def _run(spark, n, edge_list, iters, dangling="auto"):
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    out = graph.pagerank(edges, vertices=verts, num_iter=iters,
+                         dangling=dangling)
+    return {r["id"]: r["rank"] for r in out.collect()}
+
+
+def test_pagerank_matches_numpy(spark):
+    n = 20
+    edge_list = [(i, (i * 7 + 3) % n) for i in range(n)] + \
+                [(i, (i * 3 + 1) % n) for i in range(n)]
+    got = _run(spark, n, edge_list, iters=4)
+    want = _np_pagerank(n, edge_list, iters=4)
+    assert all(abs(got[i] - want[i]) < 1e-12 for i in range(n))
+    assert abs(sum(got.values()) - 1.0) < 1e-6      # rank conserved
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # vertex 2 has no out-edges: its rank must be redistributed, keeping
+    # the total at 1 instead of leaking (1-d) of it per iteration.
+    edge_list = [(0, 1), (1, 2)]
+    got = _run(spark, 3, edge_list, iters=6)
+    want = _np_pagerank(3, edge_list, iters=6)
+    assert all(abs(got[i] - want[i]) < 1e-12 for i in range(3))
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_dangling_none_fast_path(spark):
+    # every vertex has an out-edge: the skip-collect path must agree
+    n = 10
+    edge_list = [(i, (i + 1) % n) for i in range(n)]
+    a = _run(spark, n, edge_list, iters=3, dangling="auto")
+    b = _run(spark, n, edge_list, iters=3, dangling="none")
+    assert a == b
