@@ -103,6 +103,94 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
     )
 
 
+def assign_centroids(emb: DataFrame, centroids: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Expression-path nearest-centroid assignment (max cosine, lowest
+    centroid_id tie-break): (vec_id, centroid_id, cos). Unlike
+    ``ivf_assign``'s BLAS kernel, this stays in JVM expressions with
+    strictly sequential fold order, so the distances are bit-reproducible
+    against any engine using a left-fold dot product — the property the
+    k-means oracle needs. The groupBy(vec_id) argmin does partial
+    aggregation map-side, so the shuffle carries one row per vector."""
+    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    scored = c.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        F.col("centroid_id").alias("cid"),
+        cosine_expr(F.col("v"), F.col("cv")).alias("cos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct((-F.col("cos")).alias("n"),
+                       F.col("cid").alias("cid"))).alias("b")
+    )
+    return best.select(
+        "vec_id", F.col("b.cid").alias("centroid_id"),
+        (-F.col("b.n")).alias("cos"),
+    )
+
+
+def kmeans_spherical(emb: DataFrame, init: DataFrame, iters: int = 3,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_digits: int = 9):
+    """Lloyd's k-means with cosine assignment and deterministic init
+    (pass ``centroid_sample`` output). Returns (assignments, centroids):
+    assignments = (vec_id, centroid_id, cos) under the FINAL centroids.
+
+    Per iteration: one broadcast crossJoin + argmin (assignment), one
+    explode + groupBy(cid, pos) mean (update; the shuffle carries
+    k·dim rows). New centroids are rounded to ``round_digits`` and
+    collected (k·dim doubles — the standard Lloyd's broadcast scalar
+    traffic), so the trajectory is bit-reproducible regardless of
+    partitioning/summation order. Empty clusters keep their previous
+    centroid. Centroids are NOT re-normalized between iterations —
+    cosine assignment is scale-invariant, so normalization would only
+    add float ops without changing any assignment.
+    """
+    spark = emb.sparkSession
+    # cache the (id, vector) projection once: every iteration re-scans it
+    # for assignment AND update, and parquet array decode dominates
+    # per-iteration latency otherwise
+    emb2 = emb.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("embedding")).cache()
+
+    cents = init.select(
+        "centroid_id", F.col("cv").cast("array<double>").alias("cv")
+    )
+    prev = {r["centroid_id"]: list(r["cv"]) for r in cents.collect()}
+    dim = len(next(iter(prev.values())))
+
+    # centroid update as ONE groupBy with `dim` per-dimension avg
+    # aggregates — no posexplode, no collect_list re-assembly shuffle;
+    # the shuffle carries k partial-agg rows per partition
+    mean_aggs = [
+        F.round(F.avg(F.col("embedding")[i].cast("double")), round_digits)
+        .alias(f"d{i}")
+        for i in range(dim)
+    ]
+
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            sorted(prev.items()), "centroid_id long, cv array<double>"
+        )
+        assign = assign_centroids(emb2, cdf)
+        means = (
+            assign.select("vec_id", "centroid_id")
+            .join(emb2, "vec_id")
+            .groupBy("centroid_id")
+            .agg(*mean_aggs)
+        )
+        new = {
+            r["centroid_id"]: [r[f"d{i}"] for i in range(dim)]
+            for r in means.collect()
+        }
+        prev = {cid: new.get(cid, cv) for cid, cv in prev.items()}
+
+    final = spark.createDataFrame(
+        sorted(prev.items()), "centroid_id long, cv array<double>"
+    )
+    return assign_centroids(emb2, final), final
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 10, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -61,6 +61,72 @@ def q_ann_cosine_topk(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"))
 
 
+KM_INIT_EVERY = 50
+KM_ITERS = 3
+
+# cosine between a corpus vector e and a DOUBLE[] centroid c — textually
+# identical arithmetic to the ann_cosine_topk oracle (proven byte-equal to
+# operators.dedup.cosine_expr's left-fold dot products).
+_KM_COS = (
+    "list_dot_product(e.embedding::DOUBLE[], c.cv)"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(c.cv, c.cv)))"
+)
+
+
+def _kmeans_oracle() -> str:
+    cte = [
+        f"cent0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv "
+        f"FROM embeddings WHERE vec_id % {KM_INIT_EVERY} = 0)",
+        "edims AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS val, "
+        "unnest(range(1, len(embedding) + 1)) AS pos FROM embeddings)",
+    ]
+    for k in range(1, KM_ITERS + 1):
+        cte.append(
+            f"a{k} AS (SELECT vec_id, cid FROM ("
+            f"SELECT s.vec_id, s.cid, row_number() OVER ("
+            f"PARTITION BY s.vec_id ORDER BY s.cos DESC, s.cid ASC) AS rn "
+            f"FROM (SELECT e.vec_id, c.cid, {_KM_COS} AS cos "
+            f"FROM embeddings e CROSS JOIN cent{k-1} c) s) WHERE rn = 1)"
+        )
+        cte.append(
+            f"m{k} AS (SELECT a.cid, d.pos, round(avg(d.val), 9) AS val "
+            f"FROM a{k} a JOIN edims d USING (vec_id) GROUP BY a.cid, d.pos)"
+        )
+        cte.append(
+            f"g{k} AS (SELECT cid, list(val ORDER BY pos) AS cv "
+            f"FROM m{k} GROUP BY cid)"
+        )
+        cte.append(
+            f"cent{k} AS (SELECT p.cid, coalesce(g.cv, p.cv) AS cv "
+            f"FROM cent{k-1} p LEFT JOIN g{k} g USING (cid))"
+        )
+    return (
+        "WITH " + ",\n".join(cte) + f"""
+SELECT vec_id, centroid_id, round(cos, 6) AS cos FROM (
+  SELECT s.vec_id, s.cid AS centroid_id, s.cos,
+         row_number() OVER (PARTITION BY s.vec_id
+                            ORDER BY s.cos DESC, s.cid ASC) AS rn
+  FROM (SELECT e.vec_id, c.cid, {_KM_COS} AS cos
+        FROM embeddings e CROSS JOIN cent{KM_ITERS} c) s
+) WHERE rn = 1
+""")
+
+
+@register("kmeans_clusters", _kmeans_oracle())
+def q_kmeans_clusters(spark, sf_dir):
+    """Spherical k-means (Lloyd's, {KM_ITERS} iterations, deterministic
+    id-sample init): final per-vector cluster assignment. The oracle
+    unrolls the same iterations as CTEs; per-iteration round(mean, 9)
+    keeps both trajectories byte-identical."""
+    emb = _emb(spark, sf_dir)
+    init = similarity.centroid_sample(emb, every=KM_INIT_EVERY)
+    assign, _cents = similarity.kmeans_spherical(emb, init, iters=KM_ITERS)
+    return assign.select(
+        "vec_id", "centroid_id", F.round("cos", 6).alias("cos")
+    )
+
+
 @register("ann_ivf_topk")
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (nprobe=4 of ~20 centroid lists) — rows-only

@@ -69,3 +69,60 @@ def test_ivf_probes_limit_candidates(spark):
                               "qid int, embedding array<float>")
     out = similarity.ivf_topk(emb, q, cents, k=10, nprobe=1).collect()
     assert {r["vec_id"] for r in out} == {0, 1, 2}
+
+
+def test_kmeans_spherical_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(40, 4).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    init = similarity.centroid_sample(emb, every=10)  # ids 0,10,20,30
+    assign, cents = similarity.kmeans_spherical(emb, init, iters=3)
+
+    # numpy reference: same init, cosine assignment (tie -> lowest cid),
+    # per-dim mean rounded to 9, empty clusters keep previous centroid
+    C = {cid: X[cid].astype(np.float64) for cid in (0, 10, 20, 30)}
+    Xd = X.astype(np.float64)
+
+    def assign_np(C):
+        cids = sorted(C)
+        M = np.stack([C[c] for c in cids])
+        S = (Xd @ M.T) / (
+            np.linalg.norm(Xd, axis=1)[:, None]
+            * np.linalg.norm(M, axis=1)[None, :]
+        )
+        return {i: cids[int(np.argmax(S[i]))] for i in range(40)}
+
+    for _ in range(3):
+        a = assign_np(C)
+        for cid in list(C):
+            members = [i for i, c in a.items() if c == cid]
+            if members:
+                C[cid] = np.round(Xd[members].mean(axis=0), 9)
+    want = assign_np(C)
+
+    got = {r["vec_id"]: r["centroid_id"] for r in assign.collect()}
+    assert got == want
+    got_c = {r["centroid_id"]: np.array(r["cv"]) for r in cents.collect()}
+    for cid in C:
+        assert np.allclose(got_c[cid], C[cid], atol=1e-9)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # centroid 3 starts far from every point and attracts none: it must
+    # survive with its original coordinates instead of vanishing
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    init = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, -1.0])],
+        "centroid_id long, cv array<float>",
+    )
+    _, cents = similarity.kmeans_spherical(emb, init, iters=2)
+    got = {r["centroid_id"]: list(r["cv"]) for r in cents.collect()}
+    assert got[3] == [-1.0, -1.0]
