@@ -111,6 +111,29 @@ def interval_join(left: DataFrame, right: DataFrame, key: str,
     return joined.drop(r[key]).drop("_bl", "_br")
 
 
+def interval_join_stream(left: DataFrame, right: DataFrame, key: str,
+                         left_time: str, right_time: str,
+                         lower: str, upper: str,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join (the streaming twin of
+    ``interval_join``): watermarks on BOTH sides bound the join state the
+    engine must retain, and the event-time range condition
+    (``l.t - lower <= r.t <= l.t + upper``) lets it expire rows — without
+    both, a stream-stream join accumulates state forever. ``lower`` /
+    ``upper`` are INTERVAL strings (e.g. ``"24 hours"``, ``"0 seconds"``).
+    Column names other than ``key`` must be disjoint. Works identically
+    on batch frames (watermark is a no-op there)."""
+    l = left.withWatermark(left_time, watermark) if left.isStreaming else left
+    r = (right.withWatermark(right_time, watermark)
+         if right.isStreaming else right)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_time] >= F.expr(f"{left_time} - INTERVAL {lower}"))
+        & (r[right_time] <= F.expr(f"{left_time} + INTERVAL {upper}"))
+    )
+    return l.join(r, cond).drop(r[key])
+
+
 def sessionize(events: DataFrame, gap: str, key: str = "user_id",
                time_col: str = "event_time") -> DataFrame:
     """Session windows per key (native ``session_window``; works on batch

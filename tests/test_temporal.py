@@ -131,3 +131,53 @@ def test_time_rollup_grouping_sets(spark):
     assert rows_out[(us_d, None, None)] == (3, 7.0)           # day level
     assert rows_out[(us_d, us_d + us_h, None)] == (2, 6.0)    # hour level
     assert rows_out[(us_d, us_d + us_h, "b")] == (1, 4.0)     # detail
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (purchases x clicks within 24h) drained
+    with availableNow must equal the batch bucketed interval_join."""
+    import os
+
+    from hadoop_ir_spark.streaming import events as ev
+
+    def split(df):
+        t = F.timestamp_micros(F.expr("ts div 1000"))
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            t.alias("p_time"),
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id",
+            t.alias("c_time"),
+        )
+        return p, c
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    bp, bc = split(batch)
+    expected = {
+        (r["purchase_id"], r["click_id"])
+        for r in temporal.interval_join_stream(
+            bp, bc, key="user_id", left_time="p_time", right_time="c_time",
+            lower="24 hours", upper="0 seconds",
+        ).collect()
+    }
+    assert expected
+
+    stream = ev.events_stream(spark, sf_dir)
+    sp, sc = split(stream)
+    j = temporal.interval_join_stream(
+        sp, sc, key="user_id", left_time="p_time", right_time="c_time",
+        lower="24 hours", upper="0 seconds",
+    )
+    assert j.isStreaming
+    q = (
+        j.writeStream.format("memory").queryName("ij_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("ij_test").collect()
+    }
+    spark.catalog.dropTempView("ij_test")
+    assert got == expected
