@@ -38,15 +38,26 @@ def words_col(text_col: str = "text") -> Column:
 
 
 def word_ngrams_col(words: Column, n: int) -> Column:
-    """Array of space-joined word n-grams; [] when the doc is shorter."""
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    """Array of space-joined word n-grams; [] when the doc is shorter.
+
+    Built as arrays_zip of the word array with its n-1 shifted copies
+    (slice), then one concat_ws per element — NOT as
+    ``transform(sequence, i -> element_at(words, i+j)...)``: per-element
+    indexed access in a lambda is interpreted and made gram construction
+    ~8x slower than the whole contamination join at sf0.1 (2s vs 17s for
+    the corpus-side trigram profile). Same output, map-only either way.
+    """
+    size = F.size(words)
+    shifted = [words] + [
+        F.slice(words, j + 1, F.greatest(size - j, F.lit(0)))
+        for j in range(1, n)
+    ]
+    z = F.slice(F.arrays_zip(*shifted), 1,
+                F.greatest(size - (n - 1), F.lit(0)))
     grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)]
-        ),
+        z, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
-    return F.when(F.size(words) >= n, grams).otherwise(
+    return F.when(size >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -145,10 +156,12 @@ def ngram_profile(docs: DataFrame, n: int = 3, id_col: str = "docno",
     grams = docs.select(
         F.col(id_col).alias("docno"),
         F.explode(word_ngrams_col(words_col(text_col), n)).alias("gram"),
-    ).distinct()
+    )
     if hashed:
+        # hash BEFORE the distinct so the dedup shuffle already carries
+        # 8-byte keys, not gram strings
         grams = grams.select("docno", F.xxhash64("gram").alias("gram"))
-    return grams
+    return grams.distinct()
 
 
 def contamination(train: DataFrame, bench: DataFrame, n: int = 3,

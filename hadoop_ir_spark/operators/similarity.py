@@ -112,12 +112,28 @@ def assign_centroids(emb: DataFrame, centroids: DataFrame,
     strictly sequential fold order, so the distances are bit-reproducible
     against any engine using a left-fold dot product — the property the
     k-means oracle needs. The groupBy(vec_id) argmin does partial
-    aggregation map-side, so the shuffle carries one row per vector."""
-    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    scored = c.crossJoin(F.broadcast(centroids)).select(
+    aggregation map-side, so the shuffle carries one row per vector.
+
+    Both norms are hoisted OUT of the per-(vector, centroid) expression:
+    the corpus norm is a projection below the crossJoin (evaluated once
+    per vector, not once per pair), the centroid norm once per centroid —
+    the per-pair work is a single dot fold. Same doubles as the full
+    ``cosine_expr`` (identical arithmetic on identical operands, just not
+    recomputed), so oracle parity is preserved.
+    """
+    c = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).withColumn("na", _norm(F.col("v")))
+    cents = centroids.withColumn("nb", _norm(F.col("cv")))
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    scored = c.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         F.col("centroid_id").alias("cid"),
-        cosine_expr(F.col("v"), F.col("cv")).alias("cos"),
+        (dot / (F.col("na") * F.col("nb"))).alias("cos"),
     )
     best = scored.groupBy("vec_id").agg(
         F.min(F.struct((-F.col("cos")).alias("n"),

@@ -179,4 +179,8 @@ def q_contamination(spark, sf_dir):
     )
     bench = docs.filter(F.col("docno") % BENCH_MOD == 0)
     train = docs.filter(F.col("docno") % BENCH_MOD != 0)
-    return curation.contamination(train, bench, n=CONTAM_N)
+    # hashed=True: the distinct + join run on 8-byte xxhash64 keys instead
+    # of gram strings (the 100 TB shape). Counts equal the string path's
+    # unless a 64-bit collision occurs (P ~ n_grams^2/2^64; the string/hash
+    # parity is pytest-asserted), so the string-based oracle still matches.
+    return curation.contamination(train, bench, n=CONTAM_N, hashed=True)
