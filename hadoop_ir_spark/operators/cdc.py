@@ -1,0 +1,31 @@
+"""Batch CDC merge (upsert + delete) — the MERGE INTO semantics Spark
+lacks without a table format, expressed as anti-join set algebra:
+
+    merged = updates ∪ (base ⟕̸ updates)        (updates win by key)
+    result = merged ⟕̸ deletes                   (deletes win last)
+
+Scale: both steps are LEFT ANTI equi-joins on the merge key — sort-merge
+eligible, co-partitioned if base and updates are bucketed on the key
+(io/bucketed.py writes such tables), and the update/delete sides are
+broadcast when small (the common CDC-batch shape). No window, no
+row_number, no full-outer coalesce of every column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str,
+                 deletes: DataFrame | None = None) -> DataFrame:
+    """Apply an update batch to a keyed snapshot: rows in ``updates``
+    replace base rows with the same ``key``, unmatched update rows are
+    inserts. ``deletes`` (a frame containing ``key``) is applied AFTER
+    the upsert, so a key appearing in both updates and deletes ends up
+    deleted. Columns of ``updates`` must equal ``base``'s."""
+    merged = updates.unionByName(
+        base.join(updates.select(key), key, "left_anti")
+    )
+    if deletes is not None:
+        merged = merged.join(deletes.select(key), key, "left_anti")
+    return merged

@@ -24,6 +24,7 @@ _MODULES = [
     "curation",
     "temporal_q",
     "graph_q",
+    "cdc_q",
 ]
 
 

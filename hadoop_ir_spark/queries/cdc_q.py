@@ -1,0 +1,87 @@
+"""Catalog entry for the CDC merge (upsert + delete) over the orders
+table: a deterministic update batch (price bump + status flip for every
+10th key), an insert batch (shifted keys), and a delete batch (every
+101st key, applied last — including keys that were just updated).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.operators import cdc
+
+UPD_MOD = 10       # keys getting a price bump
+INS_MOD = 1000     # keys cloned as inserts at key + INS_SHIFT
+INS_SHIFT = 10_000_000
+DEL_MOD = 101      # keys deleted (post-upsert)
+
+_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority"
+
+
+@register("orders_upsert", f"""
+WITH base AS (
+  SELECT {_COLS}, epoch_us(o_orderdate) AS date_us FROM orders
+),
+upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice,
+         o_orderpriority, date_us
+  FROM base WHERE o_orderkey % {UPD_MOD} = 0
+),
+ins AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice, o_orderpriority, date_us
+  FROM base WHERE o_orderkey % {INS_MOD} = 0
+),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+  UNION ALL
+  SELECT * FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+    AND NOT EXISTS (SELECT 1 FROM ins i WHERE i.o_orderkey = b.o_orderkey)
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 6) AS o_totalprice, o_orderpriority, date_us
+FROM merged WHERE o_orderkey % {DEL_MOD} <> 0
+""")
+def q_orders_upsert(spark, sf_dir):
+    """MERGE INTO semantics via anti-join algebra: update + insert + keep
+    + delete in one pass over the snapshot."""
+    base = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+        # o_orderdate reads as TIMESTAMP_NTZ; diff from the NTZ epoch is
+        # pure wall-clock arithmetic (no session timezone), matching
+        # DuckDB's epoch_us on its naive timestamp exactly
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)")
+        .alias("date_us"),
+    )
+    upd = base.filter(F.col("o_orderkey") % UPD_MOD == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderpriority", "date_us",
+    )
+    ins = base.filter(F.col("o_orderkey") % INS_MOD == 0).select(
+        (F.col("o_orderkey") + INS_SHIFT).alias("o_orderkey"),
+        "o_custkey", F.lit("N").alias("o_orderstatus"),
+        "o_totalprice", "o_orderpriority", "date_us",
+    )
+    dels = base.filter(F.col("o_orderkey") % DEL_MOD == 0) \
+        .select((F.col("o_orderkey")).alias("o_orderkey"))
+    # deletes must also cover inserted keys divisible by DEL_MOD
+    dels = dels.unionByName(
+        ins.filter(F.col("o_orderkey") % DEL_MOD == 0).select("o_orderkey")
+    )
+    out = cdc.merge_upsert(base, upd.unionByName(ins), "o_orderkey",
+                           deletes=dels)
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        "o_orderpriority", "date_us",
+    )

@@ -1,0 +1,33 @@
+"""CDC merge tests: update-wins, insert, delete-last semantics."""
+
+from __future__ import annotations
+
+from hadoop_ir_spark.operators import cdc
+
+
+def test_merge_upsert_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k long, v string"
+    )
+    got = {r["k"]: r["v"] for r in
+           cdc.merge_upsert(base, updates, "k").collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_merge_upsert_delete_wins_last(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    updates = spark.createDataFrame([(2, "B")], "k long, v string")
+    deletes = spark.createDataFrame([(2,), (1,)], "k long")
+    got = cdc.merge_upsert(base, updates, "k", deletes=deletes).collect()
+    assert got == []  # key 2 updated then deleted; key 1 deleted
+
+
+def test_merge_upsert_is_anti_join(spark):
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    updates = spark.createDataFrame([(1, "A")], "k long, v string")
+    plan = cdc.merge_upsert(base, updates, "k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
