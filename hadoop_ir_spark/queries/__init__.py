@@ -25,6 +25,7 @@ _MODULES = [
     "temporal_q",
     "graph_q",
     "cdc_q",
+    "tpch_q",
 ]
 
 

@@ -1,0 +1,163 @@
+"""TPC-H classics over the driver's synthetic tables: Q1 (pricing
+summary) and Q3 (shipping priority). Not reference parity — the
+reference is an IR toolkit — but the analytics half of "analytics
+engine", exercising lineitem/customer and the scan→broadcast-join→agg
+→top-k spine on relational data.
+
+Float-parity design: money sums over 60k rows in different partial-agg
+orders drift past the 1e-9 gate, so ALL aggregation happens in exact
+integer cents (the inputs are 2-decimal clean; round(x*100, 0) → BIGINT
+on both sides); doubles only re-enter at the END via identical
+int-operand divisions, which are bit-deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import register
+
+Q1_CUTOFF = "1998-09-02"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1996-03-15"
+Q3_K = 10
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+@register("tpch_q1", f"""
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+         CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_pct
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+),
+agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(qty) AS BIGINT) AS sum_qty,
+         CAST(sum(price_c) AS BIGINT) AS base_c,
+         CAST(sum(price_c * (100 - disc_pct)) AS BIGINT) AS disc_c2,
+         CAST(sum(price_c * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT)
+           AS charge_c3,
+         CAST(sum(disc_pct) AS BIGINT) AS disc_sum,
+         count(*) AS count_order
+  FROM li GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty,
+       round(base_c::DOUBLE / 100, 6) AS sum_base_price,
+       round(disc_c2::DOUBLE / 10000, 6) AS sum_disc_price,
+       round(charge_c3::DOUBLE / 1000000, 6) AS sum_charge,
+       round(sum_qty::DOUBLE / count_order, 6) AS avg_qty,
+       round(base_c::DOUBLE / (100 * count_order), 6) AS avg_price,
+       round(disc_sum::DOUBLE / (100 * count_order), 6) AS avg_disc,
+       count_order
+FROM agg
+""")
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr(f"l_shipdate <= TIMESTAMP_NTZ '{Q1_CUTOFF} 00:00:00'")
+    ).select(
+        "l_returnflag", "l_linestatus",
+        F.round("l_quantity", 0).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_pct"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax_pct"),
+    )
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum("price_c").alias("base_c"),
+        F.sum(F.col("price_c") * (100 - F.col("disc_pct"))).alias("disc_c2"),
+        F.sum(F.col("price_c") * (100 - F.col("disc_pct"))
+              * (100 + F.col("tax_pct"))).alias("charge_c3"),
+        F.sum("disc_pct").alias("disc_sum"),
+        F.count("*").alias("count_order"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    return agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty",
+        F.round(d(F.col("base_c")) / 100, 6).alias("sum_base_price"),
+        F.round(d(F.col("disc_c2")) / 10000, 6).alias("sum_disc_price"),
+        F.round(d(F.col("charge_c3")) / 1000000, 6).alias("sum_charge"),
+        F.round(d(F.col("sum_qty")) / F.col("count_order"), 6)
+        .alias("avg_qty"),
+        F.round(d(F.col("base_c")) / (100 * F.col("count_order")), 6)
+        .alias("avg_price"),
+        F.round(d(F.col("disc_sum")) / (100 * F.col("count_order")), 6)
+        .alias("avg_disc"),
+        "count_order",
+    )
+
+
+@register("tpch_q3", f"""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '{Q3_DATE}'
+),
+rev AS (
+  SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS o_orderdate_us,
+         o.o_orderpriority,
+         CAST(sum(li.price_c * (100 - li.disc_pct)) AS BIGINT) AS rev_c2
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN li ON li.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+    AND o.o_orderdate < TIMESTAMP '{Q3_DATE}'
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rev_c2 DESC, o_orderkey ASC) AS rnk
+  FROM rev
+)
+SELECT o_orderkey, o_orderdate_us, o_orderpriority,
+       round(rev_c2::DOUBLE / 10000, 6) AS revenue,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {Q3_K}
+""")
+def q_tpch_q3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr(f"o_orderdate < TIMESTAMP_NTZ '{Q3_DATE} 00:00:00'")
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)")
+        .alias("o_orderdate_us"),
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr(f"l_shipdate > TIMESTAMP_NTZ '{Q3_DATE} 00:00:00'")
+    ).select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_pct"),
+    )
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate_us", "o_orderpriority")
+        .agg(F.sum(F.col("price_c") * (100 - F.col("disc_pct")))
+             .alias("rev_c2"))
+    )
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("rev_c2"), F.asc("o_orderkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= Q3_K)
+        .select(
+            "o_orderkey", "o_orderdate_us", "o_orderpriority",
+            F.round(F.col("rev_c2").cast("double") / 10000, 6)
+            .alias("revenue"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
