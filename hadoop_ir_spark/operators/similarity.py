@@ -210,11 +210,26 @@ def kmeans_spherical(emb: DataFrame, init: DataFrame, iters: int = 3,
 def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 10, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "qid") -> DataFrame:
+             qid_col: str = "qid", use_blas: bool = True) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` centroids nearest each
     query, score only vectors assigned to those lists.
-    → (qid, vec_id, cosine, rank)."""
-    assign = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    → (qid, vec_id, cosine, rank).
+
+    ``use_blas=False`` swaps the assignment kernel for the expression
+    path (``assign_centroids``): same argmax semantics, but the cosine
+    arithmetic is the left-fold form an external SQL engine reproduces
+    bit-for-bit — near-tied centroids can't flip between engines, which
+    makes the WHOLE pipeline (assignment → probes → candidate top-k)
+    oracle-checkable. BLAS stays the default for production scans."""
+    if use_blas:
+        assign = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    else:
+        assign = assign_centroids(
+            emb, centroids.select("centroid_id",
+                                  F.col("cv").cast("array<double>")
+                                  .alias("cv")),
+            id_col=id_col, vec_col=vec_col,
+        ).select("vec_id", "centroid_id")
 
     q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qv"))
     qprobe = q.crossJoin(F.broadcast(centroids)).select(

@@ -127,13 +127,67 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
-@register("ann_ivf_topk")
+@register("ann_ivf_topk", f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_EVERY} = 0
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.cos DESC, s.cid ASC) AS rn
+    FROM (SELECT e.vec_id, c.cid, {_KM_COS} AS cos
+          FROM embeddings e CROSS JOIN cent c) s
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id % {QUERY_EVERY} = 0),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT s.qid, s.cid,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY s.cos DESC, s.cid ASC) AS rn
+    FROM (SELECT q.qid, c.cid,
+                 list_dot_product(q.qv::DOUBLE[], c.cv)
+                 / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+          FROM q CROSS JOIN cent c) s
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a USING (cid)),
+scored AS (
+  SELECT cd.qid, cd.vec_id,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))),
+           6) AS cosine
+  FROM cand cd
+  JOIN embeddings e ON e.vec_id = cd.vec_id
+  JOIN q ON q.qid = cd.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id DESC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+""")
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (nprobe=4 of ~20 centroid lists) — rows-only
-    driver check; recall vs. brute force is asserted in unit tests."""
+    """IVF approximate top-k (nprobe={IVF_NPROBE} of the centroid lists).
+    The catalog query runs the expression-path assignment
+    (use_blas=False) whose left-fold cosine an external engine reproduces
+    bit-for-bit, so the FULL pipeline — assignment, query probes,
+    candidate top-k — is value-checked; the BLAS kernel used for
+    production scans is recall- and parity-tested in
+    tests/test_similarity.py."""
     emb = _emb(spark, sf_dir)
     cents = similarity.centroid_sample(emb, every=IVF_CENTROID_EVERY)
     out = similarity.ivf_topk(emb, _queries(emb), cents,
-                              k=ANN_K, nprobe=IVF_NPROBE)
+                              k=ANN_K, nprobe=IVF_NPROBE, use_blas=False)
     return out.select("qid", "vec_id", "cosine",
                       F.col("rank").cast("int").alias("rank"))
