@@ -1,0 +1,56 @@
+"""JSON-lines source/sink — the de-facto interchange format for LLM
+training corpora (one document object per line, gzip-sharded).
+
+Scale notes: ``read_jsonl`` REQUIRES a schema — schema inference is a
+full extra pass over 100 TB and silently unions drifting shapes; pinning
+the schema makes the read single-pass and turns missing fields into
+typed NULLs. Corrupt lines land in ``_corrupt_record`` (PERMISSIVE) so a
+bad shard degrades to auditable rows instead of killing the job.
+``write_jsonl`` shards by the DataFrame's partitioning (one .jsonl[.gz]
+file per partition) — repartition first to control shard count/size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def jsonl_schema_with_corrupt(schema: StructType) -> StructType:
+    """The user schema plus the PERMISSIVE-mode corrupt-record column."""
+    from pyspark.sql.types import StringType, StructField
+
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return StructType(list(schema.fields)
+                      + [StructField(CORRUPT_COL, StringType())])
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType,
+               keep_corrupt: bool = False) -> DataFrame:
+    """Schema-pinned JSONL read. ``keep_corrupt=True`` retains unparsable
+    lines as rows with only ``_corrupt_record`` set (for quarantine
+    sinks); otherwise they are dropped."""
+    df = (
+        spark.read.schema(jsonl_schema_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    if keep_corrupt:
+        return df
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip",
+                num_shards: int | None = None) -> None:
+    """One JSON object per line, one shard per partition."""
+    if num_shards is not None:
+        df = df.repartition(num_shards)
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

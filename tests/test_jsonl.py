@@ -1,0 +1,53 @@
+"""JSONL source/sink: round-trip, corrupt-record quarantine, schema pin."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (LongType, StringType, StructField, StructType)
+
+from hadoop_ir_spark.io import jsonl
+
+SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "hallo welt", "de")],
+        "doc_id long, text string, lang string",
+    )
+    p = str(tmp_path / "out")
+    jsonl.write_jsonl(docs, p, compression="gzip", num_shards=2)
+    back = jsonl.read_jsonl(spark, p, SCHEMA)
+    assert sorted(tuple(r) for r in back.collect()) == \
+        sorted(tuple(r) for r in docs.collect())
+    import glob
+    assert len(glob.glob(p + "/part-*.json.gz")) == 2
+
+
+def test_jsonl_corrupt_quarantine(spark, tmp_path):
+    p = str(tmp_path / "raw")
+    import gzip
+    import os
+    os.makedirs(p)
+    with gzip.open(p + "/a.json.gz", "wt") as f:
+        f.write('{"doc_id": 1, "text": "ok", "lang": "en"}\n')
+        f.write('{"doc_id": broken!!\n')
+        f.write('{"doc_id": 3, "text": "also ok", "lang": "de"}\n')
+    clean = jsonl.read_jsonl(spark, p, SCHEMA)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
+    kept = jsonl.read_jsonl(spark, p, SCHEMA, keep_corrupt=True)
+    bad = kept.filter(kept[jsonl.CORRUPT_COL].isNotNull()).collect()
+    assert len(bad) == 1 and "broken" in bad[0][jsonl.CORRUPT_COL]
+
+
+def test_jsonl_missing_field_is_null(spark, tmp_path):
+    p = str(tmp_path / "raw2")
+    import os
+    os.makedirs(p)
+    with open(p + "/a.json", "w") as f:
+        f.write('{"doc_id": 7, "text": "no lang field"}\n')
+    got = jsonl.read_jsonl(spark, p, SCHEMA).collect()
+    assert got[0]["doc_id"] == 7 and got[0]["lang"] is None
