@@ -144,6 +144,42 @@ def gopher_keep(min_words: int = 15, max_words: int = 100_000,
 
 
 # ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Deliberately simple ASCII patterns with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB/grep): no lookaround, no backrefs.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def redact_pii(docs: DataFrame, id_col: str = "docno",
+               text_col: str = "text",
+               patterns: dict[str, tuple[str, str]] | None = None
+               ) -> DataFrame:
+    """Regex PII scrub (map-only, JVM regexp — no UDF): per-category
+    match counts (on the ORIGINAL text) plus the redacted text with each
+    pattern replaced by its placeholder, applied in dict order (email
+    first so the ip pattern can't fire inside an address)."""
+    patterns = patterns or PII_PATTERNS
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        .alias(f"n_{name}")
+        for name, (pat, _) in patterns.items()
+    ]
+    red = F.col(text_col)
+    for _, (pat, rep) in patterns.items():
+        red = F.regexp_replace(red, pat, rep)
+    return docs.select(
+        F.col(id_col).alias("docno"), *counts,
+        red.alias("text_redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark contamination
 # ---------------------------------------------------------------------------
 

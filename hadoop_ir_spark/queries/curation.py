@@ -149,6 +149,58 @@ def q_pack_chunks(spark, sf_dir):
     return curation.pack_sequences(toks, budget=PACK_BUDGET)
 
 
+_EMAIL_RE, _EMAIL_SUB = curation.PII_PATTERNS["email"]
+_PHONE_RE, _PHONE_SUB = curation.PII_PATTERNS["phone"]
+_IP_RE, _IP_SUB = curation.PII_PATTERNS["ip"]
+
+
+@register("redact_pii", f"""
+WITH inj AS (
+  SELECT doc_id AS docno,
+         text || ' reach user' || doc_id::VARCHAR
+              || '@example.com ph 321-555-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              || ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.'
+              || (doc_id % 200)::VARCHAR AS t
+  FROM documents
+)
+SELECT docno,
+       CAST(length(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+         AS n_email,
+       CAST(length(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT)
+         AS n_phone,
+       CAST(length(regexp_extract_all(t, '{_IP_RE}')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{_EMAIL_RE}', '{_EMAIL_SUB}', 'g'),
+               '{_PHONE_RE}', '{_PHONE_SUB}', 'g'),
+             '{_IP_RE}', '{_IP_SUB}', 'g')) AS redacted_md5
+FROM inj
+""")
+def q_redact_pii(spark, sf_dir):
+    """PII scrub over documents with deterministically injected synthetic
+    PII (the corpus itself has none): the oracle checks per-category
+    counts and the md5 of the redacted text, so placement and
+    replacement order are value-verified, not just match counts."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    injected = docs.select(
+        d.alias("docno"),
+        F.concat(
+            F.col("text"), F.lit(" reach user"), d.cast("string"),
+            F.lit("@example.com ph 321-555-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."), (d % 256).cast("string"), F.lit("."),
+            (d % 200).cast("string"),
+        ).alias("text"),
+    )
+    out = curation.redact_pii(injected)
+    return out.select(
+        "docno", "n_email", "n_phone", "n_ip",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
 CONTAM_N = 3
 BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark suite
 

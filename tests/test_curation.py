@@ -124,3 +124,18 @@ def test_contamination_hashed_equivalent(spark):
         curation.contamination(train, bench, n=2, hashed=True).collect()
     )
     assert [tuple(r) for r in plain] == [tuple(r) for r in hashed]
+
+
+def test_redact_pii_order_and_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail bob.smith@corp.io and 192.168.0.1 call 555-123-4567"),
+         (2, "clean text, nothing here")],
+        "docno long, text string",
+    )
+    got = {r["docno"]: r for r in curation.redact_pii(docs).collect()}
+    r1 = got[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ip"]) == (1, 1, 1)
+    assert r1["text_redacted"] == "mail <EMAIL> and <IP> call <PHONE>"
+    r2 = got[2]
+    assert (r2["n_email"], r2["n_phone"], r2["n_ip"]) == (0, 0, 0)
+    assert r2["text_redacted"] == "clean text, nothing here"
