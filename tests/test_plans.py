@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the scale properties PLANS.md claims
+must survive refactors. Each assertion pins a plan shape that, if lost,
+silently turns a scalable query into a cluster-killer at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_ir_spark import catalog
+
+
+def _plan(spark, sf_dir, name):
+    return (
+        catalog.QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_dirichlet_topk_partial_topk_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dirichlet_topk")
+    # the reference's bounded-top-k combiner, free from Catalyst
+    assert "WindowGroupLimit" in plan
+    # column pruning reaches the scan: documents has 5 columns, 2 read
+    assert "struct<doc_id:bigint,text:string>" in plan
+
+
+def test_bm25_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_pushdown_and_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "contamination_ngrams")
+    # bench/train split predicates reach the parquet scans
+    assert "DataFilters: [isnotnull(doc_id" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interval_join_no_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "click_attribution")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_single_key_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "event_asof_click")
+    # union-tag plan: a window over the key partition, no join at all
+    assert "Window" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_rollup_single_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "event_rollup")
+    # ROLLUP = one Expand + one partial/final agg pair, not N scans
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_tpch_q3_filters_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q3")
+    assert "c_mktsegment" in plan.split("Scan parquet")[-1] or \
+        "BUILDING" in plan          # segment filter at the customer scan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["wordcount", "term_stats", "doc_lengths"])
+def test_stats_queries_prune_documents_scan(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    # never read lang/source/n_chars for token statistics
+    assert "n_chars" not in plan
