@@ -79,6 +79,104 @@ def build_bucketed_index(docs: DataFrame, table_prefix: str,
         .saveAsTable(f"{table_prefix}_globals")
 
 
+def update_index(spark: SparkSession, index_dir: str, out_dir: str,
+                 added_docs: DataFrame | None = None,
+                 removed_docnos: DataFrame | None = None,
+                 id_col: str = "docno", text_col: str = "text") -> None:
+    """Incremental index maintenance: apply a CDC batch (``added_docs``
+    upsert by docno, ``removed_docnos`` delete) to an existing index
+    WITHOUT re-tokenizing the corpus. Writes the four tables to
+    ``out_dir`` (a new snapshot dir — never the one being read; parquet
+    cannot be overwritten in place while scanned).
+
+    Only the delta is tokenized; the postings/doc_lengths of untouched
+    docs pass through an anti-join (the affected-docno set is a small
+    broadcast), and term_stats is corrected by subtracting the affected
+    docs' old per-term contributions and adding the new ones — a
+    full-outer merge on the DELTA's term set, not a rebuild. Globals
+    re-derive from the (already aggregated, corpus-scale-independent)
+    updated tables. Equality with a from-scratch rebuild is asserted in
+    tests/test_index_update.py."""
+    from hadoop_ir_spark.operators import cdc
+
+    idx = load_index(spark, index_dir)
+    post, dlen, tstats = idx["postings"], idx["doc_lengths"], idx["term_stats"]
+
+    affected = None
+    if added_docs is not None:
+        affected = added_docs.select(F.col(id_col).alias("docno"))
+    if removed_docnos is not None:
+        rm = removed_docnos.select(F.col(removed_docnos.columns[0])
+                                   .alias("docno"))
+        affected = rm if affected is None else affected.unionByName(rm)
+    if affected is None:
+        raise ValueError("update_index: nothing to add or remove")
+    affected = affected.distinct().cache()
+
+    new_post = None
+    if added_docs is not None:
+        new_post = stats.postings(added_docs, id_col=id_col,
+                                  text_col=text_col).cache()
+
+    # old per-term contributions of every affected doc (removed OR
+    # about-to-be-replaced): read from the EXISTING postings — no
+    # corpus access
+    old_contrib = (
+        post.join(F.broadcast(affected), "docno")
+        .groupBy("term")
+        .agg(F.count("*").alias("df_old"), F.sum("tf").alias("cf_old"))
+    )
+    new_contrib = (
+        new_post.groupBy("term")
+        .agg(F.count("*").alias("df_new"), F.sum("tf").alias("cf_new"))
+        if new_post is not None else None
+    )
+
+    delta = old_contrib
+    if new_contrib is not None:
+        delta = old_contrib.join(new_contrib, "term", "full_outer")
+    else:
+        delta = delta.withColumn("df_new", F.lit(None).cast("long")) \
+                     .withColumn("cf_new", F.lit(None).cast("long"))
+    delta = delta.fillna(0, ["df_old", "cf_old", "df_new", "cf_new"])
+
+    z = F.lit(0).cast("long")
+    merged = (
+        tstats.join(F.broadcast(delta), "term", "full_outer")
+        .fillna(0, ["df", "cf", "df_old", "cf_old", "df_new", "cf_new"])
+        .select(
+            "term",
+            (F.col("df") - F.col("df_old") + F.col("df_new")).alias("df"),
+            (F.col("cf") - F.col("cf_old") + F.col("cf_new")).alias("cf"),
+        )
+        .filter(F.col("df") > z)
+    )
+
+    post2 = post.join(F.broadcast(affected), "docno", "left_anti")
+    dlen2 = dlen.join(F.broadcast(affected), "docno", "left_anti")
+    if new_post is not None:
+        post2 = post2.unionByName(new_post)
+        dlen2 = dlen2.unionByName(
+            new_post.groupBy("docno").agg(F.sum("tf").alias("doc_len"))
+        )
+
+    post2.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+    dlen2.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "doc_lengths"))
+    merged.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "term_stats"))
+
+    ts = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    dl = spark.read.parquet(os.path.join(out_dir, "doc_lengths"))
+    globs = ts.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("cf").cast("long").alias("n_tokens"),
+    ).crossJoin(dl.agg(F.count("*").alias("n_docs"))).select(
+        "n_docs", "n_terms", "n_tokens"
+    )
+    globs.write.mode("overwrite").parquet(os.path.join(out_dir, "globals"))
+
+
 def load_bucketed_index(spark: SparkSession,
                         table_prefix: str) -> dict[str, DataFrame]:
     return {t: spark.table(f"{table_prefix}_{t}") for t in TABLES}

@@ -1,0 +1,65 @@
+"""Incremental index maintenance: applying a CDC delta must equal a
+from-scratch rebuild on the edited corpus, table by table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.io import index
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_update_index_equals_rebuild(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} common term w{i % 3} tail{i}") for i in range(30)],
+        "docno long, text string",
+    )
+    base_dir = str(tmp_path / "base")
+    index.build_index(docs, base_dir)
+
+    # delta: docs 3,4 replaced with new text; docs 27,28 removed; 100 new
+    added = spark.createDataFrame(
+        [(3, "totally fresh words w0"), (4, "common rewrite"),
+         (100, "brand new document common")],
+        "docno long, text string",
+    )
+    removed = spark.createDataFrame([(27,), (28,)], "docno long")
+
+    upd_dir = str(tmp_path / "updated")
+    index.update_index(spark, base_dir, upd_dir,
+                       added_docs=added, removed_docnos=removed)
+
+    edited = (
+        docs.filter(~F.col("docno").isin(3, 4, 27, 28))
+        .unionByName(added)
+    )
+    ref_dir = str(tmp_path / "ref")
+    index.build_index(edited, ref_dir)
+
+    got, want = index.load_index(spark, upd_dir), \
+        index.load_index(spark, ref_dir)
+    for t in index.TABLES:
+        assert _rows(got[t]) == _rows(want[t]), t
+
+
+def test_update_index_remove_only(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, "only here")],
+        "docno long, text string",
+    )
+    base_dir = str(tmp_path / "b2")
+    index.build_index(docs, base_dir)
+    upd_dir = str(tmp_path / "u2")
+    index.update_index(
+        spark, base_dir, upd_dir,
+        removed_docnos=spark.createDataFrame([(3,)], "docno long"),
+    )
+    got = index.load_index(spark, upd_dir)
+    # terms unique to doc 3 vanish entirely (df would be 0)
+    terms = {r["term"] for r in got["term_stats"].collect()}
+    assert "only" not in terms and "here" not in terms
+    g = got["globals"].collect()[0]
+    assert g["n_docs"] == 2 and g["n_terms"] == 4
