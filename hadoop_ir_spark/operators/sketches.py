@@ -1,0 +1,180 @@
+"""Distributed cardinality sketches (beyond-reference operator set):
+HyperLogLog and KMV (k-minimum-values) distinct-count estimators.
+
+Why another distinct-count: at 100 TB ``count(DISTINCT col)`` is a full
+shuffle of every distinct value; a sketch reduces per-group state to a
+fixed few hundred bytes that merges associatively (the classic partial-
+aggregate pattern), so the answer costs one narrow two-level groupBy no
+matter the input size. Spark ships ``approx_count_distinct`` (a JVM
+HLL++), but its estimate is not reproducible in another engine — these
+sketches are built from the portable md5-based hash (functions/hashes.py)
+with integer-exact register arithmetic, so the DuckDB oracle can check
+the ESTIMATE's value, not just row counts.
+
+Determinism notes (what makes the value oracle possible):
+
+- registers come from md5 hex substrings — bit-identical everywhere;
+- the HLL power sum ``Σ 2^-M_j`` is computed as the INTEGER
+  ``Σ 2^(53-M_j)`` (left shift, exact, order-independent) instead of a
+  float sum (order-dependent rounding);
+- the only floats are one division and (on the linear-counting branch)
+  one ``ln`` of a small integer ratio — identical IEEE expressions on
+  both sides, rounded to 4 decimals.
+
+Scale: ``hll_distinct`` = two partial-aggregating groupBys
+(keys × 256 buckets, then keys); state per key is ≤256 longs regardless
+of input size. ``kmv_distinct`` = distinct + global top-k
+(TakeOrderedAndProject: k values per partition, k·p merged at the
+driver, k=64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.functions.hashes import hash64, hash64_sql
+
+# p=8 → m=256 buckets (bucket = first 2 md5 hex chars); rho over the next
+# 13 hex chars (52 bits), so registers are in [1, 53].
+HLL_M = 256
+HLL_REST_HEX = 13
+HLL_MAX_RHO = 4 * HLL_REST_HEX + 1  # 53
+_POW53 = 1 << 53
+# standard HLL bias constant for m >= 128
+_ALPHA_EXPR = "0.7213 / (1.0 + 1.079 / 256.0)"
+
+KMV_K = 64
+_POW60 = 1 << 60  # hash64 range
+
+
+def hll_distinct(df: DataFrame, col: str,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Distinct-count estimate of ``col`` per ``group_cols`` (global if
+    None): (group_cols..., buckets_used, est_distinct).
+
+    est_distinct = HLL raw estimate α·m²/Σ2^-M_j with the standard
+    linear-counting correction for the small range (E ≤ 2.5m and empty
+    buckets exist), rounded to 4 decimals.
+    """
+    group_cols = list(group_cols or [])
+    d = df.select(*group_cols, F.md5(F.col(col)).alias("_h"))
+    d = d.select(
+        *group_cols,
+        F.conv(F.substring("_h", 1, 2), 16, 10).cast("long").alias("_bucket"),
+        F.expr(
+            f"trim(LEADING '0' FROM substring(_h, 3, {HLL_REST_HEX}))"
+        ).alias("_t"),
+    )
+    nib = F.substring("_t", 1, 1)
+    nib_lz = (
+        F.when(nib == "1", 3)
+        .when(nib.isin("2", "3"), 2)
+        .when(nib.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(F.length("_t") == 0, F.lit(HLL_MAX_RHO)).otherwise(
+        4 * (F.lit(HLL_REST_HEX) - F.length("_t")) + nib_lz + 1
+    )
+    b = d.select(*group_cols, "_bucket", rho.alias("_rho")).groupBy(
+        *group_cols, "_bucket"
+    ).agg(F.max("_rho").alias("_mj"))
+    g = b.groupBy(*group_cols).agg(
+        F.sum(F.expr("shiftleft(1L, 53 - _mj)")).alias("_s"),
+        F.count("*").alias("_nb"),
+    )
+    sum_pow = F.col("_s") + (F.lit(HLL_M) - F.col("_nb")) * F.lit(_POW53)
+    e_raw = F.expr(_ALPHA_EXPR) * F.lit(65536.0) * F.lit(float(_POW53)) / sum_pow
+    v_empty = F.lit(HLL_M) - F.col("_nb")
+    linear = F.lit(256.0) * F.log(F.lit(256.0) / v_empty)
+    est = F.when((e_raw <= 2.5 * HLL_M) & (v_empty > 0), linear).otherwise(e_raw)
+    return g.select(
+        *group_cols,
+        F.col("_nb").alias("buckets_used"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def hll_distinct_sql(from_clause: str, expr: str,
+                     group_cols: list[str] | None = None) -> str:
+    """DuckDB SQL computing exactly :func:`hll_distinct` over
+    ``SELECT {group_cols}, {expr} FROM {from_clause}``."""
+    group_cols = list(group_cols or [])
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gby = ("GROUP BY " + ", ".join(group_cols)) if group_cols else ""
+    gby_b = "GROUP BY " + ", ".join([*group_cols, "bucket"])
+    return f"""
+hx AS (SELECT {gsel}md5({expr}) AS h FROM {from_clause}),
+hb AS (
+  SELECT {gsel}CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS bucket,
+         trim(LEADING '0' FROM substr(h, 3, {HLL_REST_HEX})) AS t
+  FROM hx
+),
+hr AS (
+  SELECT {gsel}bucket,
+         CASE WHEN length(t) = 0 THEN {HLL_MAX_RHO}
+              ELSE 4 * ({HLL_REST_HEX} - length(t))
+                   + CASE WHEN substr(t,1,1) = '1' THEN 3
+                          WHEN substr(t,1,1) IN ('2','3') THEN 2
+                          WHEN substr(t,1,1) IN ('4','5','6','7') THEN 1
+                          ELSE 0 END + 1 END AS rho
+  FROM hb
+),
+hm AS (SELECT {gsel}bucket, max(rho) AS mj FROM hr {gby_b}),
+hg AS (SELECT {gsel}sum(CAST(1 AS BIGINT) << (53 - mj)) AS s,
+              count(*) AS nb FROM hm {gby}),
+hll AS (
+  SELECT {gsel}nb AS buckets_used,
+         round(CASE WHEN {_ALPHA_EXPR} * 65536.0 * {float(_POW53)!r}
+                         / (s + (256 - nb) * {_POW53}) <= 640.0
+                     AND (256 - nb) > 0
+                    THEN 256.0 * ln(256.0 / (256 - nb))
+                    ELSE {_ALPHA_EXPR} * 65536.0 * {float(_POW53)!r}
+                         / (s + (256 - nb) * {_POW53}) END,
+               4) AS est_distinct
+  FROM hg
+)"""
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
+    """One-row KMV estimate: (sketch_k, n_kept, est_distinct).
+
+    est = (k-1) · 2^60 / h_k where h_k is the k-th smallest distinct
+    portable hash; when fewer than k distinct values exist the sketch
+    holds ALL of them and the count is exact.
+    """
+    kd = (
+        df.select(hash64(F.col(col)).alias("_h"))
+        .where(F.col("_h").isNotNull())
+        .distinct()
+        .orderBy("_h")
+        .limit(k)
+    )
+    agg = kd.agg(F.max("_h").alias("_hk"), F.count("*").alias("_n"))
+    est = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(_POW60)) / F.col("_hk"))
+    return agg.select(
+        F.lit(k).cast("long").alias("sketch_k"),
+        F.col("_n").alias("n_kept"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def kmv_distinct_sql(from_clause: str, expr: str, k: int = KMV_K) -> str:
+    """DuckDB SQL computing exactly :func:`kmv_distinct`."""
+    return f"""
+kd AS (
+  SELECT DISTINCT {hash64_sql(expr)} AS h
+  FROM {from_clause}
+  WHERE {expr} IS NOT NULL
+  ORDER BY h LIMIT {k}
+),
+kmv AS (
+  SELECT CAST({k} AS BIGINT) AS sketch_k,
+         count(*) AS n_kept,
+         round(CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+                    ELSE {float(k - 1)!r} * {float(_POW60)!r} / max(h) END,
+               4) AS est_distinct
+  FROM kd
+)"""

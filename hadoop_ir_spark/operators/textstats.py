@@ -163,3 +163,42 @@ def doc_fingerprints(docs: DataFrame, n: int = 8, id_col: str = "docno",
         F.min(hash60(F.col("gram"))).alias("fingerprint"),
         F.countDistinct("gram").alias("n_grams"),
     )
+
+
+def doc_logprob(docs: DataFrame, id_col: str = "docno",
+                text_col: str = "text") -> DataFrame:
+    """CCNet-style unigram LM quality signal: (docno, doc_len,
+    avg_logprob) where avg_logprob = Σ tf·ln(cf/N) / doc_len under the
+    corpus's own unigram distribution (cf = collection frequency,
+    N = total tokens). Low values = improbable token mix — the
+    perplexity-filter stage of a training-data pipeline, with the corpus
+    itself standing in for the external reference LM.
+
+    Scale: postings groupBy, a term-keyed join of tf against the
+    vocabulary-sized cf table (sort-merge at scale; AQE may broadcast
+    it when small), one scalar broadcast for N, one groupBy(docno).
+    Nothing touches the driver but the 1-row total.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("docno"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("docno", "term").agg(F.count("*").alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = cf.agg(F.sum("cf").cast("double").alias("n_total"))
+    j = tf.join(cf, "term").crossJoin(F.broadcast(tot))
+    return (
+        j.groupBy("docno")
+        .agg(
+            F.sum("tf").alias("doc_len"),
+            F.sum(
+                F.col("tf")
+                * F.log(F.col("cf").cast("double") / F.col("n_total"))
+            ).alias("_lp"),
+        )
+        .select(
+            "docno",
+            "doc_len",
+            (F.col("_lp") / F.col("doc_len")).alias("avg_logprob"),
+        )
+    )

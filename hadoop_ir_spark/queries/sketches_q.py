@@ -1,0 +1,57 @@
+"""Catalog entries for the cardinality sketches — the ESTIMATES themselves
+are value-checked against DuckDB replicas of the same register arithmetic
+(operators/sketches.py explains why that is possible: portable md5
+registers + integer-exact power sums)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.functions.text import tokens_col
+from hadoop_ir_spark.operators import sketches
+
+# tokenization matching functions.text.tokens_col (same as SQL_TOKS in
+# queries/textstats.py, plus the lang key the per-group sketch needs)
+_SQL_LANG_TOKS = """
+tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                            t -> t <> '')) AS term
+  FROM documents
+)"""
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _lang_toks(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "lang", F.explode(tokens_col("text")).alias("term")
+    )
+
+
+@register("sketch_distinct_hll", f"""
+WITH {_SQL_LANG_TOKS},
+{sketches.hll_distinct_sql("tok", "term", ["lang"])}
+SELECT lang, buckets_used, est_distinct FROM hll
+""")
+def q_sketch_distinct_hll(spark, sf_dir):
+    """Per-language distinct-vocabulary estimate: two partial-aggregating
+    groupBys, 256 longs of state per language — the fixed-size-sketch
+    alternative to count(DISTINCT term) at 100 TB."""
+    return sketches.hll_distinct(_lang_toks(spark, sf_dir), "term", ["lang"])
+
+
+@register("sketch_distinct_kmv", f"""
+WITH {_SQL_LANG_TOKS},
+{sketches.kmv_distinct_sql("tok", "term")}
+SELECT sketch_k, n_kept, est_distinct FROM kmv
+""")
+def q_sketch_distinct_kmv(spark, sf_dir):
+    """Corpus-wide distinct-vocabulary KMV estimate (k=64 smallest
+    distinct hashes via TakeOrderedAndProject)."""
+    return sketches.kmv_distinct(_lang_toks(spark, sf_dir), "term")

@@ -163,3 +163,20 @@ def q_doc_vectors(spark, sf_dir):
     )
     return dv.select("docno", ser.alias("vector"),
                      F.col("doc_len").cast("long").alias("doc_len"))
+
+
+@register("doc_logprob", f"""
+WITH {SQL_TOKS},
+tf AS (SELECT docno, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS n_total FROM cf)
+SELECT tf.docno,
+       CAST(sum(tf.tf) AS BIGINT) AS doc_len,
+       round(sum(tf.tf * ln(CAST(cf.cf AS DOUBLE) / tot.n_total))
+             / sum(tf.tf), 6) AS avg_logprob
+FROM tf JOIN cf USING (term) CROSS JOIN tot
+GROUP BY tf.docno
+""")
+def q_doc_logprob(spark, sf_dir):
+    out = textstats.doc_logprob(_docs(spark, sf_dir), id_col="doc_id")
+    return out.withColumn("avg_logprob", F.round("avg_logprob", 6))

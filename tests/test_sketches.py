@@ -1,0 +1,79 @@
+"""Cardinality sketches: error bounds vs exact counts, exact-regime KMV,
+determinism, and the scale-critical plan shapes."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators import sketches, textstats
+
+
+def _docs(spark, n=400, langs=("en", "de")):
+    rows = [
+        (i, langs[i % len(langs)],
+         " ".join(f"w{(i * 7 + j) % 211}" for j in range(12)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "docno long, lang string, text string")
+
+
+def _toks(docs):
+    from hadoop_ir_spark.functions.text import tokens_col
+    return docs.select("lang", F.explode(tokens_col("text")).alias("term"))
+
+
+def test_hll_within_error_bound(spark):
+    toks = _toks(_docs(spark))
+    est = {r["lang"]: r["est_distinct"]
+           for r in sketches.hll_distinct(toks, "term", ["lang"]).collect()}
+    exact = {r["lang"]: r["n"]
+             for r in toks.groupBy("lang")
+             .agg(F.countDistinct("term").alias("n")).collect()}
+    for lang, n in exact.items():
+        # 1.04/sqrt(256) ≈ 6.5% std error; allow 3 sigma
+        assert abs(est[lang] - n) <= 3 * 1.04 / math.sqrt(256) * n + 2, (
+            lang, est[lang], n)
+
+
+def test_hll_deterministic_and_global(spark):
+    toks = _toks(_docs(spark))
+    a = sketches.hll_distinct(toks, "term").collect()
+    b = sketches.hll_distinct(toks, "term").collect()
+    assert a == b and len(a) == 1
+
+
+def test_kmv_exact_under_k(spark):
+    df = spark.createDataFrame([(f"v{i % 17}",) for i in range(300)],
+                               "x string")
+    row = sketches.kmv_distinct(df, "x", k=64).collect()[0]
+    assert row["n_kept"] == 17 and row["est_distinct"] == 17.0
+
+
+def test_kmv_estimate_regime(spark):
+    df = spark.createDataFrame([(f"v{i}",) for i in range(5000)], "x string")
+    row = sketches.kmv_distinct(df, "x", k=64).collect()[0]
+    assert row["n_kept"] == 64
+    # KMV std error ~ 1/sqrt(k-2) ≈ 12.7%; allow 3 sigma
+    assert abs(row["est_distinct"] - 5000) < 0.40 * 5000
+
+
+def test_kmv_plan_is_topk_not_collect(spark):
+    df = spark.createDataFrame([(f"v{i}",) for i in range(100)], "x string")
+    kd = (df.select(sketches.hash64(F.col("x")).alias("_h"))
+          .distinct().orderBy("_h").limit(64))
+    plan = kd._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_doc_logprob_matches_python(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "a")],
+        "docno long, text string")
+    got = {r["docno"]: (r["doc_len"], r["avg_logprob"])
+           for r in textstats.doc_logprob(docs).collect()}
+    cf = {"a": 3, "b": 2, "c": 1}
+    n = 6
+    for doc, terms in ((1, ["a", "a", "b"]), (2, ["b", "c"]), (3, ["a"])):
+        want = sum(math.log(cf[t] / n) for t in terms) / len(terms)
+        assert got[doc][0] == len(terms)
+        assert abs(got[doc][1] - want) < 1e-9
