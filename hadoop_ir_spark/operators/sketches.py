@@ -178,3 +178,120 @@ kmv AS (
                4) AS est_distinct
   FROM kd
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 256
+
+
+def histogram_quantiles(df: DataFrame, col: str, probs: list[float],
+                        group_cols: list[str] | None = None,
+                        bins: int = HIST_BINS) -> DataFrame:
+    """Approximate quantiles via an equi-width histogram:
+    (group_cols..., prob, est_value).
+
+    Exact ``percentile`` is a full sort (or a per-group collect of every
+    value); the histogram needs one tiny min/max aggregate plus one
+    ``bins``-row-per-group aggregate — fixed state that merges
+    associatively, the same scale contract as the HLL sketch. Estimate =
+    upper edge of the first bin whose cumulative count reaches
+    ``prob * n`` (error ≤ (hi-lo)/bins); deterministic and replicated
+    exactly by the SQL oracle, so the ESTIMATE is value-checked.
+
+    Scale: range aggregate is (groups × 3) values broadcast back; the
+    histogram groupBy ships ≤ bins longs per (group, partition); the
+    prob grid is a broadcast literal. Nothing sorts the data.
+    """
+    g = list(group_cols or [])
+    spark = df.sparkSession
+    c = F.col(col).cast("double")
+    r = df.groupBy(*g).agg(
+        F.min(c).alias("_lo"), F.max(c).alias("_hi"),
+        F.count(c).alias("_n"),
+    )
+    d = df.join(F.broadcast(r), g) if g else df.crossJoin(F.broadcast(r))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(F.lit(bins - 1), F.floor((c - F.col("_lo")) / width))
+    )
+    h = d.select(*g, b.alias("_bin")).groupBy(*g, "_bin").agg(
+        F.count("*").alias("_cnt")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*g).orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.withColumn("_cum", F.sum("_cnt").over(w)).join(
+        F.broadcast(r), g
+    ) if g else h.withColumn("_cum", F.sum("_cnt").over(w)).crossJoin(
+        F.broadcast(r)
+    )
+    pgrid = spark.createDataFrame([(float(p),) for p in probs],
+                                  "prob double")
+    sel = (
+        cum.crossJoin(F.broadcast(pgrid))
+        .filter(F.col("_cum") >= F.col("prob") * F.col("_n"))
+        .groupBy(*g, "prob")
+        .agg(F.min("_bin").alias("_b"), F.first("_lo").alias("_lo"),
+             F.first("_hi").alias("_hi"))
+    )
+    est = F.when(F.col("_hi") == F.col("_lo"), F.col("_lo")).otherwise(
+        F.col("_lo")
+        + (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+        * (F.col("_b") + 1)
+    )
+    return sel.select(*g, "prob", F.round(est, 6).alias("est_value"))
+
+
+def histogram_quantiles_sql(from_clause: str, expr: str, probs: list[float],
+                            group_cols: list[str] | None = None,
+                            bins: int = HIST_BINS) -> str:
+    """DuckDB SQL computing exactly :func:`histogram_quantiles`."""
+    g = list(group_cols or [])
+    gsel = "".join(f"{c}, " for c in g)
+    gby = ("GROUP BY " + ", ".join(g)) if g else ""
+    on = (" AND ".join(f"hh.{c} = rr.{c}" for c in g)) or "TRUE"
+    pvals = ", ".join(f"({float(p)!r})" for p in probs)
+    part = ("PARTITION BY " + ", ".join(f"hh.{c}" for c in g)) if g else ""
+    return f"""
+rr AS (SELECT {gsel}min(CAST({expr} AS DOUBLE)) AS lo,
+              max(CAST({expr} AS DOUBLE)) AS hi,
+              count({expr}) AS n
+       FROM {from_clause} {gby}),
+dd AS (
+  SELECT {"".join(f"s.{c}, " for c in g)}
+         CASE WHEN rr.hi = rr.lo THEN 0
+              ELSE least({bins - 1},
+                         CAST(floor((CAST({expr} AS DOUBLE) - rr.lo)
+                                    / ((rr.hi - rr.lo) / {float(bins)!r}))
+                              AS BIGINT)) END AS bin
+  FROM {from_clause} s JOIN rr
+    ON {" AND ".join(f"s.{c} = rr.{c}" for c in g) or "TRUE"}
+),
+hh AS (SELECT {gsel}bin, count(*) AS cnt FROM dd GROUP BY {gsel}bin),
+cc AS (
+  SELECT hh.*, rr.lo, rr.hi, rr.n,
+         sum(hh.cnt) OVER ({part} ORDER BY hh.bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hh JOIN rr ON {on}
+),
+pp AS (SELECT * FROM (VALUES {pvals}) p(prob)),
+qq AS (
+  SELECT {gsel}prob, min(bin) AS b, min(lo) AS lo, min(hi) AS hi
+  FROM cc CROSS JOIN pp
+  WHERE cum >= prob * n
+  GROUP BY {gsel}prob
+),
+hq AS (
+  SELECT {gsel}prob,
+         round(CASE WHEN hi = lo THEN lo
+                    ELSE lo + (hi - lo) / {float(bins)!r} * (b + 1) END,
+               6) AS est_value
+  FROM qq
+)"""

@@ -55,3 +55,22 @@ def q_sketch_distinct_kmv(spark, sf_dir):
     """Corpus-wide distinct-vocabulary KMV estimate (k=64 smallest
     distinct hashes via TakeOrderedAndProject)."""
     return sketches.kmv_distinct(_lang_toks(spark, sf_dir), "term")
+
+
+QUANT_PROBS = [0.5, 0.9, 0.99]
+
+
+@register("approx_quantiles", f"""
+WITH {sketches.histogram_quantiles_sql("events", "value", QUANT_PROBS,
+                                       ["event_type"])}
+SELECT event_type, prob, est_value FROM hq
+""")
+def q_approx_quantiles(spark, sf_dir):
+    """Per-type p50/p90/p99 of event value via the equi-width histogram
+    sketch — fixed aggregate state instead of exact percentile's
+    per-group sort; the estimates themselves are value-checked."""
+    from hadoop_ir_spark.streaming import events as ev
+
+    e = ev.read_events(spark, sf_dir)
+    return sketches.histogram_quantiles(e, "value", QUANT_PROBS,
+                                        ["event_type"])

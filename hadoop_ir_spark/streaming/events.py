@@ -113,3 +113,24 @@ def run_stream_to_memory(stream_df: DataFrame, name: str):
     )
     q.awaitTermination()
     return q
+
+
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication: first occurrence per ``keys`` wins.
+
+    On a stream this is ``dropDuplicatesWithinWatermark`` — per-key state
+    is retained only for the watermark horizon, so state size is bounded
+    by the key arrival rate × watermark (the unbounded-state trap of plain
+    ``dropDuplicates`` on streams). On a batch frame the same call
+    degrades to ``dropDuplicates`` (identical output whenever duplicates
+    arrive within the watermark — the batch twin the oracle can check).
+    """
+    keys = list(keys or ["event_id"])
+    e = with_event_time(events)
+    if e.isStreaming:
+        out = e.withWatermark("event_time", watermark) \
+            .dropDuplicatesWithinWatermark(keys)
+    else:
+        out = e.dropDuplicates(keys)
+    return out.drop("event_time")

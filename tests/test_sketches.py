@@ -77,3 +77,27 @@ def test_doc_logprob_matches_python(spark):
         want = sum(math.log(cf[t] / n) for t in terms) / len(terms)
         assert got[doc][0] == len(terms)
         assert abs(got[doc][1] - want) < 1e-9
+
+
+def test_histogram_quantiles_error_bound(spark):
+    import random
+    rnd = random.Random(7)
+    rows = [("a", rnd.uniform(0, 100)) for _ in range(4000)] + \
+           [("b", rnd.gauss(50, 10)) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    est = {(r["grp"], r["prob"]): r["est_value"]
+           for r in sketches.histogram_quantiles(
+               df, "v", [0.5, 0.9], ["grp"]).collect()}
+    for grp in ("a", "b"):
+        vals = sorted(v for g, v in rows if g == grp)
+        lo, hi = vals[0], vals[-1]
+        width = (hi - lo) / sketches.HIST_BINS
+        for p in (0.5, 0.9):
+            exact = vals[int(p * len(vals)) - 1]
+            assert abs(est[(grp, p)] - exact) <= width + 1e-9, (grp, p)
+
+
+def test_histogram_quantiles_constant_group(spark):
+    df = spark.createDataFrame([("c", 5.0)] * 10, "grp string, v double")
+    out = sketches.histogram_quantiles(df, "v", [0.5], ["grp"]).collect()
+    assert out[0]["est_value"] == 5.0

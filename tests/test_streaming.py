@@ -117,3 +117,31 @@ def _cleanup(spark):
             spark.catalog.dropTempView(t)
         except Exception:
             pass
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
+    batch = ev.read_events(spark, sf_dir)
+    # duplicate every event across two files: the stream must emit each
+    # event_id exactly once
+    src = str(tmp_path / "dup_events")
+    head = batch.limit(2000).cache()
+    n = head.count()
+    head.write.mode("overwrite").parquet(src)
+    head.write.mode("append").parquet(src)
+    head.unpersist()
+    assert spark.read.parquet(src).count() == 2 * n
+
+    stream = (
+        spark.readStream.schema(ev.EVENTS_SCHEMA)
+        .format("parquet").option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = ev.dedup_stream(stream, ["event_id"], watermark="10 hours")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_test")
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+    assert set(got.columns) == set(batch.columns)
