@@ -44,3 +44,56 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     # partition pruning must reach the file source (one partition read)
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_zorder_layout_narrows_both_dims(spark, sf_dir, tmp_path):
+    """Z-ordered files must have narrow min/max ranges in BOTH dimensions;
+    a single-column sort only narrows its leading column."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hadoop_ir_spark.io import dataset
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    day = F.datediff(F.col("o_orderdate"),
+                     F.to_date(F.lit("1992-01-01"))).cast("long")
+    df = orders.select("o_orderkey", "o_custkey",
+                       day.alias("o_day"))
+
+    zpath = str(tmp_path / "zordered")
+    spath = str(tmp_path / "custsorted")
+    dataset.write_zordered(df, zpath,
+                           [F.col("o_custkey"), F.col("o_day")],
+                           bits=12, n_files=8)
+    (df.repartitionByRange(8, "o_custkey")
+       .sortWithinPartitions("o_custkey").write.parquet(spath))
+
+    def spans(path, col):
+        out = []
+        for f in globmod.glob(path + "/part-*.parquet"):
+            md = pq.read_metadata(f)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = md.row_group(rg).column(i)
+                    if c.path_in_schema == col and c.statistics:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                out.append(max(his) - min(los))
+        return out
+
+    full_day = df.agg(F.max("o_day") - F.min("o_day")).collect()[0][0]
+    full_cust = df.agg(F.max("o_custkey") - F.min("o_custkey")).collect()[0][0]
+
+    z_day = sum(spans(zpath, "o_day")) / len(spans(zpath, "o_day"))
+    z_cust = sum(spans(zpath, "o_custkey")) / len(spans(zpath, "o_custkey"))
+    s_day = sum(spans(spath, "o_day")) / len(spans(spath, "o_day"))
+
+    # z-order: BOTH dims well under the full range per file
+    assert z_day < 0.7 * full_day
+    assert z_cust < 0.7 * full_cust
+    # custkey-sort: the non-leading dim spans ~the full range per file
+    assert s_day > 0.9 * full_day
