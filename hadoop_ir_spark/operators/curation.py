@@ -286,3 +286,45 @@ def pack_sequences(toks: DataFrame, budget: int, id_col: str = "docno",
             ).cast("long").alias("n_tokens"),
         )
     )
+
+
+def assign_global_ids(df: DataFrame, order_cols: list[str],
+                      num_partitions: int = 32,
+                      out_col: str = "global_id") -> DataFrame:
+    """Dense 1-based global ids in ``order_cols`` order — WITHOUT the
+    single-partition global window (``row_number() OVER (ORDER BY ...)``
+    funnels 100 TB through one reducer).
+
+    Scalable shape: range-partition on the order key, rank locally
+    within each partition, then add per-partition offsets (a
+    ``num_partitions``-row prefix sum computed on the driver and
+    broadcast back). Equal keys land in one partition under range
+    partitioning, so the result equals the global window exactly when
+    the order key is unique — which the oracle checks.
+    """
+    spark = df.sparkSession
+    d = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin partition assignment across
+        # the two uses below (counts + rank) — spark_partition_id is
+        # otherwise free to re-evaluate under a recompute
+    )
+    counts = sorted(
+        (r["_pid"], r["cnt"]) for r in
+        d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    off = F.broadcast(spark.createDataFrame(
+        list(offsets.items()), "_pid int, _off long"
+    ))
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .join(off, "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_rn"))
+        .drop("_pid", "_rn", "_off")
+    )

@@ -236,3 +236,19 @@ def q_contamination(spark, sf_dir):
     # unless a 64-bit collision occurs (P ~ n_grams^2/2^64; the string/hash
     # parity is pytest-asserted), so the string-based oracle still matches.
     return curation.contamination(train, bench, n=CONTAM_N, hashed=True)
+
+
+@register("doc_global_ids", """
+SELECT doc_id AS docno, lang,
+       CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT)
+         AS global_id
+FROM documents
+""")
+def q_doc_global_ids(spark, sf_dir):
+    """Stable corpus-wide ids in (lang, doc_id) order — the scalable
+    range-partition + offset shape; the oracle is the global window it
+    replaces (equal when the order key is unique)."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docno"), "lang"
+    )
+    return curation.assign_global_ids(d, ["lang", "docno"])

@@ -139,3 +139,19 @@ def test_redact_pii_order_and_counts(spark):
     r2 = got[2]
     assert (r2["n_email"], r2["n_phone"], r2["n_ip"]) == (0, 0, 0)
     assert r2["text_redacted"] == "clean text, nothing here"
+
+
+def test_assign_global_ids_equals_global_window(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(500)], "k long, grp string"
+    ).repartition(7)
+    got = {r["k"]: r["global_id"]
+           for r in curation.assign_global_ids(
+               df, ["grp", "k"], num_partitions=5).collect()}
+    w = Window.orderBy("grp", "k")
+    want = {r["k"]: r["rn"]
+            for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == want
+    assert sorted(got.values()) == list(range(1, 501))
