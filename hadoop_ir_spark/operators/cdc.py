@@ -14,6 +14,7 @@ row_number, no full-outer coalesce of every column.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def merge_upsert(base: DataFrame, updates: DataFrame, key: str,
@@ -29,3 +30,45 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key: str,
     if deletes is not None:
         merged = merged.join(deletes.select(key), key, "left_anti")
     return merged
+
+
+def apply_cdc_stream(changes: DataFrame, table_path: str, key: str,
+                     op_col: str = "op", checkpoint_dir: str | None = None):
+    """Incrementally materialize a keyed table from a CHANGE STREAM:
+    each micro-batch is merged (upsert + delete) into the parquet
+    snapshot via ``foreachBatch`` — the streaming shape of
+    :func:`merge_upsert`.
+
+    ``changes`` rows carry ``op_col`` ∈ {'u','d'}: 'u' rows upsert their
+    full payload, 'd' rows delete their key. Batches apply in trigger
+    order, so the result equals replaying the change log.
+
+    The snapshot swap here is read → merge → write-tmp → atomic rename,
+    which is correct for a single writer; at production scale the same
+    foreachBatch body targets a transactional table format's MERGE (the
+    anti-join algebra is what those formats execute underneath).
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    import os
+    import shutil
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ups = batch_df.filter(F.col(op_col) == "u").drop(op_col)
+        dels = batch_df.filter(F.col(op_col) == "d").select(key)
+        if os.path.exists(table_path):
+            base = spark.read.parquet(table_path)
+        else:
+            base = spark.createDataFrame([], ups.schema)
+        merged = merge_upsert(base, ups, key, deletes=dels)
+        tmp = table_path + f".tmp{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(table_path):
+            shutil.rmtree(table_path)
+        os.replace(tmp, table_path)
+
+    writer = changes.writeStream.foreachBatch(apply_batch) \
+        .trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from hadoop_ir_spark.operators import cdc
 
 
@@ -31,3 +33,33 @@ def test_merge_upsert_is_anti_join(spark):
     plan = cdc.merge_upsert(base, updates, "k") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
+
+
+def test_apply_cdc_stream_replays_change_log(spark, tmp_path):
+    """Streaming foreachBatch merge == replaying the change log in order."""
+    import time
+
+    from hadoop_ir_spark.operators.cdc import apply_cdc_stream
+
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "table")
+    os.makedirs(src)
+    schema = "op string, k long, v string"
+
+    # two change files -> two micro-batches (file mtime orders them)
+    b1 = spark.createDataFrame(
+        [("u", 1, "a"), ("u", 2, "b"), ("u", 3, "c")], schema)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    b2 = spark.createDataFrame(
+        [("u", 2, "B"), ("d", 3, None), ("u", 4, "d")], schema)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    changes = (spark.readStream.schema(schema).format("parquet")
+               .option("maxFilesPerTrigger", 1).load(src))
+    q = apply_cdc_stream(changes, table, "k",
+                         checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
