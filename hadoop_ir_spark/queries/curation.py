@@ -252,3 +252,64 @@ def q_doc_global_ids(spark, sf_dir):
         F.col("doc_id").alias("docno"), "lang"
     )
     return curation.assign_global_ids(d, ["lang", "docno"])
+
+
+PIPE_MIN_QUALITY = 0.5
+PIPE_PER_LANG = 30
+
+
+def _pipeline_sql() -> str:
+    from hadoop_ir_spark.queries.textstats import SQL_QUALITY_CTE, SQL_TOKS
+
+    return f"""
+WITH {SQL_TOKS},
+{SQL_QUALITY_CTE},
+kept AS (SELECT docno FROM qual WHERE quality >= {PIPE_MIN_QUALITY}),
+dd AS (
+  SELECT min(d.doc_id) AS docno
+  FROM documents d JOIN kept k ON k.docno = d.doc_id
+  GROUP BY md5(d.text)
+),
+samp AS (
+  SELECT d.doc_id AS docno, d.lang,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                         1, 15)) AS BIGINT),
+                    d.doc_id
+         ) AS sample_rank
+  FROM documents d JOIN dd ON dd.docno = d.doc_id
+)
+SELECT docno, lang, CAST(sample_rank AS INT) AS sample_rank
+FROM samp WHERE sample_rank <= {PIPE_PER_LANG}
+"""
+
+
+@register("curation_pipeline", _pipeline_sql())
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation: quality gate → exact dedup →
+    per-language stratified sample, composed from the standalone
+    operators (each also oracle-checked on its own). One chain, three
+    shuffles (quality agg, content-hash groupBy, stratum window) — the
+    shape a production curation run has at 100 TB.
+    """
+    from hadoop_ir_spark.operators import dedup, sampling, textstats
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docno"), "text", "lang"
+    )
+    q = textstats.quality_scores(docs, id_col="docno")
+    kept_ids = q.filter(
+        F.col("quality") >= PIPE_MIN_QUALITY
+    ).select("docno")
+    kept = docs.join(kept_ids, "docno", "semi")
+    dd = dedup.exact_dedup(kept, id_col="docno")
+    uniq = docs.join(
+        dd.select(F.col("keep_docno").alias("docno")), "docno", "semi"
+    )
+    samp = sampling.stratified_sample(
+        uniq.select("docno", "lang"), ["lang"], PIPE_PER_LANG,
+        id_col="docno",
+    )
+    return samp.select("docno", "lang",
+                       F.col("sample_rank").cast("int").alias("sample_rank"))

@@ -59,12 +59,15 @@ def q_langid(spark, sf_dir):
     return out.withColumn("lang_score", F.round("lang_score", 6))
 
 
-@register("quality_scores", f"""
-WITH {SQL_TOKS},
-base AS (
+# Raw per-doc quality metrics + composite score as a reusable CTE chain
+# (consumed by quality_scores and the end-to-end curation_pipeline —
+# identical arithmetic in both, so the pipeline's threshold cannot drift
+# from the standalone query).
+SQL_QUALITY_CTE = f"""
+qbase AS (
   SELECT docno, toks, len(toks) AS n_tokens FROM toklist
 ),
-q AS (
+qraw AS (
   SELECT b.docno,
          length(d.text) AS n_chars,
          b.n_tokens,
@@ -81,19 +84,29 @@ q AS (
          CASE WHEN b.n_tokens > 0
               THEN len(list_filter(b.toks, t -> t IN ({_EN_SW})))::DOUBLE
                    / b.n_tokens ELSE 0 END AS stopword_ratio
-  FROM base b JOIN documents d ON d.doc_id = b.docno
-)
+  FROM qbase b JOIN documents d ON d.doc_id = b.docno
+),
+qual AS (
+  SELECT *,
+         greatest(0, least(1,
+             0.4 * least(1, n_tokens / 64.0)
+             + 0.3 * alpha_ratio
+             + 0.3 * least(1, 4.0 * stopword_ratio)
+             - 0.2 * least(1, 4.0 * punct_ratio))) AS quality
+  FROM qraw
+)"""
+
+
+@register("quality_scores", f"""
+WITH {SQL_TOKS},
+{SQL_QUALITY_CTE}
 SELECT docno, n_chars, n_tokens,
        round(mean_token_len, 6) AS mean_token_len,
        round(alpha_ratio, 6) AS alpha_ratio,
        round(punct_ratio, 6) AS punct_ratio,
        round(stopword_ratio, 6) AS stopword_ratio,
-       round(greatest(0, least(1,
-             0.4 * least(1, n_tokens / 64.0)
-             + 0.3 * alpha_ratio
-             + 0.3 * least(1, 4.0 * stopword_ratio)
-             - 0.2 * least(1, 4.0 * punct_ratio))), 6) AS quality
-FROM q
+       round(quality, 6) AS quality
+FROM qual
 """)
 def q_quality(spark, sf_dir):
     out = textstats.quality_scores(_docs(spark, sf_dir), id_col="doc_id")
