@@ -38,6 +38,9 @@ HEADLINE = [
     "doc_fingerprints",
     "event_window_counts",
     "kba_filter_grid",
+    "curation_pipeline",    # quality -> dedup -> sample, end-to-end
+    "sketch_distinct_hll",
+    "approx_quantiles",
 ]
 
 
