@@ -41,8 +41,12 @@ HLL_M = 256
 HLL_REST_HEX = 13
 HLL_MAX_RHO = 4 * HLL_REST_HEX + 1  # 53
 _POW53 = 1 << 53
-# standard HLL bias constant for m >= 128
-_ALPHA_EXPR = "0.7213 / (1.0 + 1.079 / 256.0)"
+# standard HLL bias constant for m >= 128, pinned as a Python-computed
+# IEEE double: a SQL literal expression like 0.7213/(1.0+1.079/256.0)
+# is DECIMAL arithmetic in Spark's parser (and DuckDB's), which yields a
+# different value than double division (observed: ...59593 vs ...59324).
+_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
+_ALPHA_SQL = f"CAST({_ALPHA!r} AS DOUBLE)"
 
 KMV_K = 64
 _POW60 = 1 << 60  # hash64 range
@@ -84,14 +88,18 @@ def hll_distinct(df: DataFrame, col: str,
         F.count("*").alias("_nb"),
     )
     sum_pow = F.col("_s") + (F.lit(HLL_M) - F.col("_nb")) * F.lit(_POW53)
-    e_raw = F.expr(_ALPHA_EXPR) * F.lit(65536.0) * F.lit(float(_POW53)) / sum_pow
+    e_raw = F.lit(_ALPHA) * F.lit(65536.0) * F.lit(float(_POW53)) / sum_pow
     v_empty = F.lit(HLL_M) - F.col("_nb")
     linear = F.lit(256.0) * F.log(F.lit(256.0) / v_empty)
     est = F.when((e_raw <= 2.5 * HLL_M) & (v_empty > 0), linear).otherwise(e_raw)
+    # explicit half-up rounding (floor(x*1e4+0.5)/1e4): Spark round() and
+    # DuckDB round() resolve representation-boundary doubles differently
+    # (seen: 15277.19925 -> .1993 vs .1992); floor over identical IEEE
+    # ops is deterministic in both engines.
     return g.select(
         *group_cols,
         F.col("_nb").alias("buckets_used"),
-        F.round(est, 4).alias("est_distinct"),
+        (F.floor(est * 10000.0 + 0.5) / 10000.0).alias("est_distinct"),
     )
 
 
@@ -125,13 +133,13 @@ hg AS (SELECT {gsel}sum(CAST(1 AS BIGINT) << (53 - mj)) AS s,
               count(*) AS nb FROM hm {gby}),
 hll AS (
   SELECT {gsel}nb AS buckets_used,
-         round(CASE WHEN {_ALPHA_EXPR} * 65536.0 * {float(_POW53)!r}
-                         / (s + (256 - nb) * {_POW53}) <= 640.0
-                     AND (256 - nb) > 0
-                    THEN 256.0 * ln(256.0 / (256 - nb))
-                    ELSE {_ALPHA_EXPR} * 65536.0 * {float(_POW53)!r}
-                         / (s + (256 - nb) * {_POW53}) END,
-               4) AS est_distinct
+         floor((CASE WHEN {_ALPHA_SQL} * 65536.0 * {float(_POW53)!r}
+                          / (s + (256 - nb) * {_POW53}) <= 640.0
+                      AND (256 - nb) > 0
+                     THEN 256.0 * ln(256.0 / (256 - nb))
+                     ELSE {_ALPHA_SQL} * 65536.0 * {float(_POW53)!r}
+                          / (s + (256 - nb) * {_POW53}) END)
+                * 10000.0 + 0.5) / 10000.0 AS est_distinct
   FROM hg
 )"""
 
@@ -157,7 +165,7 @@ def kmv_distinct(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
     return agg.select(
         F.lit(k).cast("long").alias("sketch_k"),
         F.col("_n").alias("n_kept"),
-        F.round(est, 4).alias("est_distinct"),
+        (F.floor(est * 10000.0 + 0.5) / 10000.0).alias("est_distinct"),
     )
 
 
@@ -173,9 +181,9 @@ kd AS (
 kmv AS (
   SELECT CAST({k} AS BIGINT) AS sketch_k,
          count(*) AS n_kept,
-         round(CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
-                    ELSE {float(k - 1)!r} * {float(_POW60)!r} / max(h) END,
-               4) AS est_distinct
+         floor((CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+                     ELSE {float(k - 1)!r} * {float(_POW60)!r} / max(h) END)
+                * 10000.0 + 0.5) / 10000.0 AS est_distinct
   FROM kd
 )"""
 
@@ -294,4 +302,59 @@ hq AS (
                     ELSE lo + (hi - lo) / {float(bins)!r} * (b + 1) END,
                6) AS est_value
   FROM qq
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE-style column statistics)
+# ---------------------------------------------------------------------------
+
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column statistics in one pass: (column, n_rows, n_nulls,
+    est_distinct) — the ANALYZE/statistics-collection primitive a query
+    planner or data-quality monitor runs over every table.
+
+    Shape: unpivot the selected columns map-side (k× row expansion of a
+    2-column projection, no shuffle), then ONE two-level HLL aggregate
+    keyed by column name plus a null-count aggregate — total state
+    k × 256 longs no matter the table size. Values hash through their
+    string form, so profile integer/varchar columns (float formatting
+    is engine-specific and would break the oracle; floats get the
+    histogram_quantiles sketch instead).
+    """
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).cast("string").alias("val"))
+        for c in cols
+    ]))
+    d = df.select(pairs.alias("p")).select("p.column", "p.val")
+    counts = d.groupBy("column").agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("val")).alias("n_nulls"),
+    )
+    est = hll_distinct(d.where(F.col("val").isNotNull()), "val", ["column"])
+    return counts.join(est.drop("buckets_used"), "column")
+
+
+def table_profile_sql(table: str, cols: list[str]) -> str:
+    """DuckDB SQL computing exactly :func:`table_profile` (final relation
+    CTE name: ``prof``)."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS \"column\", CAST({c} AS VARCHAR) AS val FROM {table}"
+        for c in cols
+    )
+    hll = hll_distinct_sql(
+        "(SELECT * FROM unp WHERE val IS NOT NULL)", "val", ['"column"']
+    )
+    return f"""
+unp AS ({unions}),
+cnt AS (
+  SELECT "column", count(*) AS n_rows,
+         count(*) - count(val) AS n_nulls
+  FROM unp GROUP BY "column"
+),
+{hll},
+prof AS (
+  SELECT c."column", c.n_rows, c.n_nulls, h.est_distinct
+  FROM cnt c JOIN hll h USING ("column")
 )"""

@@ -74,3 +74,18 @@ def q_approx_quantiles(spark, sf_dir):
     e = ev.read_events(spark, sf_dir)
     return sketches.histogram_quantiles(e, "value", QUANT_PROBS,
                                         ["event_type"])
+
+
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority"]
+
+
+@register("table_profile", f"""
+WITH {sketches.table_profile_sql("orders", PROFILE_COLS)}
+SELECT "column", n_rows, n_nulls, est_distinct FROM prof
+""")
+def q_table_profile(spark, sf_dir):
+    """ANALYZE-style column statistics over orders: one unpivot pass +
+    one fixed-state sketch aggregate per column."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return sketches.table_profile(orders, PROFILE_COLS)

@@ -101,3 +101,17 @@ def test_histogram_quantiles_constant_group(spark):
     df = spark.createDataFrame([("c", 5.0)] * 10, "grp string, v double")
     out = sketches.histogram_quantiles(df, "v", [0.5], ["grp"]).collect()
     assert out[0]["est_value"] == 5.0
+
+
+def test_table_profile_counts_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "a"), (None, "b")],
+        "k long, s string")
+    prof = {r["column"]: r for r in
+            sketches.table_profile(df, ["k", "s"]).collect()}
+    assert prof["k"]["n_rows"] == 5 and prof["k"]["n_nulls"] == 1
+    assert prof["s"]["n_rows"] == 5 and prof["s"]["n_nulls"] == 1
+    # 4 and 2 distinct non-null values — tiny inputs are in the HLL
+    # linear-counting regime where the estimate is near-exact
+    assert abs(prof["k"]["est_distinct"] - 4) < 1
+    assert abs(prof["s"]["est_distinct"] - 2) < 1
