@@ -183,3 +183,29 @@ def test_merge_upsert_matches_dict_semantics(spark, base_d, upd_d, dels):
     got = {r["k"]: r["v"]
            for r in cdc.merge_upsert(base, upd, "k", deletes=de).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 300), min_size=1, max_size=60),
+       st.integers(1, 4))
+def test_sketches_duplication_invariant(spark, vals, copies):
+    """Cardinality sketches must be multiset-insensitive: duplicating
+    every row any number of times cannot change the estimate."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ir_spark.operators import sketches
+
+    df = spark.createDataFrame([(f"v{v}",) for v in vals], "x string")
+    dup = df
+    for _ in range(copies):
+        dup = dup.unionAll(df)
+
+    h1 = sketches.hll_distinct(df, "x").collect()[0]
+    h2 = sketches.hll_distinct(dup, "x").collect()[0]
+    assert (h1["buckets_used"], h1["est_distinct"]) \
+        == (h2["buckets_used"], h2["est_distinct"])
+
+    k1 = sketches.kmv_distinct(df, "x").collect()[0]
+    k2 = sketches.kmv_distinct(dup, "x").collect()[0]
+    assert (k1["n_kept"], k1["est_distinct"]) \
+        == (k2["n_kept"], k2["est_distinct"])
