@@ -202,3 +202,33 @@ def doc_logprob(docs: DataFrame, id_col: str = "docno",
             (F.col("_lp") / F.col("doc_len")).alias("avg_logprob"),
         )
     )
+
+
+def feature_hash_embed(docs: DataFrame, dim: int = 32,
+                       id_col: str = "docno",
+                       text_col: str = "text") -> DataFrame:
+    """Hashing-trick text embedding, sparse long format: (docno, dim,
+    weight) with weight = bucket term count / L2 norm — a deterministic,
+    vocabulary-free vectorizer (the classic feature-hashing baseline a
+    pipeline uses before a learned embedder exists).
+
+    Scale: one postings-style groupBy(docno, bucket) then a
+    groupBy(docno) for the norm — the same two-shuffle shape as doc
+    vectors; output is sparse (≤ dim rows/doc), never a dense array.
+    """
+    from hadoop_ir_spark.operators.dedup import hash60
+
+    toks = docs.select(
+        F.col(id_col).alias("docno"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    )
+    hb = toks.groupBy(
+        "docno", (hash60(F.col("term")) % dim).alias("dim")
+    ).agg(F.count("*").alias("cnt"))
+    nrm = hb.groupBy("docno").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("_n")
+    )
+    return hb.join(nrm, "docno").select(
+        "docno", "dim",
+        (F.col("cnt") / F.col("_n")).alias("weight"),
+    )

@@ -193,3 +193,78 @@ GROUP BY tf.docno
 def q_doc_logprob(spark, sf_dir):
     out = textstats.doc_logprob(_docs(spark, sf_dir), id_col="doc_id")
     return out.withColumn("avg_logprob", F.round("avg_logprob", 6))
+
+
+EMBED_DIM = 32
+EMBED_QUERY_DOCS = (0, 1, 2)
+EMBED_TOPK = 10
+
+SQL_HASHED_W = f"""
+tfh AS (SELECT docno, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+hb AS (
+  SELECT docno,
+         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % {EMBED_DIM}
+           AS dim,
+         CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM tfh GROUP BY 1, 2
+),
+nrm AS (SELECT docno, sqrt(sum(cnt * cnt)) AS n FROM hb GROUP BY 1),
+w AS (
+  SELECT hb.docno, hb.dim, hb.cnt / nrm.n AS weight
+  FROM hb JOIN nrm USING (docno)
+)"""
+
+
+@register("hashed_embed", f"""
+WITH {SQL_TOKS},
+{SQL_HASHED_W}
+SELECT docno, dim, round(weight, 6) AS weight FROM w
+""")
+def q_hashed_embed(spark, sf_dir):
+    out = textstats.feature_hash_embed(_docs(spark, sf_dir),
+                                       dim=EMBED_DIM, id_col="doc_id")
+    return out.withColumn("weight", F.round("weight", 6))
+
+
+@register("hashed_ann_topk", f"""
+WITH {SQL_TOKS},
+{SQL_HASHED_W},
+qw AS (SELECT * FROM w WHERE docno IN {EMBED_QUERY_DOCS}),
+s AS (
+  SELECT qw.docno AS qid, w.docno AS docno, sum(qw.weight * w.weight) AS cos
+  FROM qw JOIN w USING (dim) GROUP BY 1, 2
+),
+r AS (
+  SELECT qid, docno, round(cos, 6) AS cosine,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY round(cos, 6) DESC, docno DESC)
+              AS INT) AS rank
+  FROM s
+)
+SELECT qid, docno, cosine, rank FROM r WHERE rank <= {EMBED_TOPK}
+""")
+def q_hashed_ann_topk(spark, sf_dir):
+    """Text-to-vector retrieval with no external embedder: feature-hash
+    both sides, sparse dot product via a dim-keyed join (never a dense
+    crossJoin), per-query top-k on the rounded cosine (K3 tie-break)."""
+    from pyspark.sql import Window
+
+    w = textstats.feature_hash_embed(_docs(spark, sf_dir),
+                                     dim=EMBED_DIM, id_col="doc_id")
+    qw = w.filter(F.col("docno").isin(*EMBED_QUERY_DOCS)).select(
+        F.col("docno").alias("qid"), "dim",
+        F.col("weight").alias("qweight"),
+    )
+    s = (
+        w.join(F.broadcast(qw), "dim")
+        .groupBy("qid", "docno")
+        .agg(F.sum(F.col("qweight") * F.col("weight")).alias("cos"))
+    )
+    win = Window.partitionBy("qid").orderBy(
+        F.round("cos", 6).desc(), F.col("docno").desc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= EMBED_TOPK)
+        .select("qid", "docno", F.round("cos", 6).alias("cosine"), "rank")
+    )

@@ -86,3 +86,21 @@ def test_fingerprint_order_sensitivity(spark):
            for r in textstats.doc_fingerprints(docs).collect()}
     # rotations of a repeated string share all interior 8-grams
     assert out[1] == out[2]
+
+
+def test_feature_hash_embed_unit_norm_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_ir_spark.operators.textstats import feature_hash_embed
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "delta"), (3, "")],
+        "docno long, text string")
+    w = feature_hash_embed(docs, dim=16)
+    norms = {r["docno"]: r["n"] for r in
+             w.groupBy("docno")
+             .agg(F.sum(F.col("weight") * F.col("weight")).alias("n"))
+             .collect()}
+    assert abs(norms[1] - 1.0) < 1e-12 and abs(norms[2] - 1.0) < 1e-12
+    assert 3 not in norms  # empty doc -> no vector, not a NaN vector
+    assert w.collect() == w.collect()
