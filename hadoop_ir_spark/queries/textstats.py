@@ -268,3 +268,54 @@ def q_hashed_ann_topk(spark, sf_dir):
         .filter(F.col("rank") <= EMBED_TOPK)
         .select("qid", "docno", F.round("cos", 6).alias("cosine"), "rank")
     )
+
+
+TFIDF_TOPK = 5
+
+
+@register("tfidf_topterms", f"""
+WITH {SQL_TOKS},
+tft AS (SELECT docno, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tft GROUP BY 1),
+ndt AS (SELECT count(DISTINCT docno) AS n_docs FROM tft),
+sct AS (
+  SELECT t.docno, t.term,
+         t.tf * (ln((1.0 + n.n_docs) / (1.0 + d.df)) + 1.0) AS score
+  FROM tft t JOIN dft d USING (term) CROSS JOIN ndt n
+),
+rkt AS (
+  SELECT docno, term, round(score, 6) AS score,
+         CAST(row_number() OVER (PARTITION BY docno
+                                 ORDER BY round(score, 6) DESC, term ASC)
+              AS INT) AS rank
+  FROM sct
+)
+SELECT docno, term, score, rank FROM rkt WHERE rank <= {TFIDF_TOPK}
+""")
+def q_tfidf_topterms(spark, sf_dir):
+    """Keyword extraction: per-doc top-{TFIDF_TOPK} terms by smoothed
+    tf-idf. df table joins term-keyed (sort-merge at scale), n_docs is a
+    1-row broadcast, the top-k window gets WindowGroupLimit (K1/K2)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.col("doc_id").alias("docno"),
+                       F.explode(F.split(F.lower("text"),
+                                         "[^0-9a-zA-Z]+")).alias("term"))
+    toks = toks.filter(F.col("term") != "")
+    tf = toks.groupBy("docno", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = tf.agg(F.countDistinct("docno").alias("n_docs"))
+    sc = tf.join(df_, "term").crossJoin(F.broadcast(nd)).select(
+        "docno", "term",
+        (F.col("tf") * (F.log((1.0 + F.col("n_docs"))
+                              / (1.0 + F.col("df"))) + 1.0)).alias("score"),
+    )
+    w = Window.partitionBy("docno").orderBy(
+        F.round("score", 6).desc(), F.col("term").asc()
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("docno", "term", F.round("score", 6).alias("score"), "rank")
+    )
