@@ -288,6 +288,89 @@ def pack_sequences(toks: DataFrame, budget: int, id_col: str = "docno",
     )
 
 
+def chunk_lines(docs: DataFrame, n_words: int = 10,
+                id_col: str = "docno",
+                text_col: str = "text") -> DataFrame:
+    """Segment each document into consecutive ``n_words``-word lines →
+    ``(id, line_no, line)``. Map-only JVM array expressions (split +
+    slice + array_join under one ``posexplode``) — no UDF, no shuffle.
+
+    This is the segmenter feeding :func:`line_dedup` for corpora without
+    natural line breaks; when documents carry real newlines, pass
+    ``posexplode(split(text, '\\n'))`` output directly instead.
+    Documents with zero words produce zero lines (and so drop out of any
+    rebuild — there is nothing to rebuild from).
+    """
+    ws = words_col(text_col)
+    n_lines = F.ceil(F.size(ws) / F.lit(float(n_words))).cast("int")
+    arr = F.when(F.size(ws) > 0, F.transform(
+        # sequence(0, -1) would yield a DEscending [0,-1] for empty docs,
+        # hence the size guard above
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(ws, i * n_words + 1, n_words), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(arr).alias("line_no", "line"),
+    )
+
+
+def line_dedup(lines: DataFrame, id_col: str = "docno",
+               pos_col: str = "line_no",
+               line_col: str = "line") -> DataFrame:
+    """Global line-level exact dedup (CCNet / RefinedWeb curation step):
+    every line keeps only its FIRST occurrence in ``(id, pos)`` order;
+    later copies anywhere in the corpus are marked dropped. Returns the
+    input plus ``is_first``.
+
+    Scale shape: first-occurrence is a ``groupBy(line).min(struct(id,
+    pos))`` — partial aggregation collapses heavy duplicate lines
+    map-side (the boilerplate line repeated on 10M pages never travels
+    as 10M rows), which a window ``row_number() OVER (PARTITION BY
+    line)`` could not do. The mark-back join shuffles both sides on
+    ``line``; residual skew there is AQE skew-join territory.
+    """
+    first = lines.groupBy(line_col).agg(
+        F.min(F.struct(
+            F.col(id_col).alias("i"), F.col(pos_col).alias("p")
+        )).alias("_first")
+    )
+    return (
+        lines.join(first, line_col)
+        .withColumn(
+            "is_first",
+            (F.col(id_col) == F.col("_first.i"))
+            & (F.col(pos_col) == F.col("_first.p")),
+        )
+        .drop("_first")
+    )
+
+
+def rebuild_deduped_docs(marked: DataFrame, id_col: str = "docno",
+                         pos_col: str = "line_no",
+                         line_col: str = "line",
+                         sep: str = "\n") -> DataFrame:
+    """Reassemble per-doc text from the surviving lines of
+    :func:`line_dedup` → ``(id, lines_kept, lines_dropped, text_dedup)``.
+    One groupBy on the doc id; in-doc order restored by sort_array over
+    (pos, line) structs, so no window is needed. A doc whose every line
+    was dropped rebuilds to the empty string (not NULL)."""
+    kept_struct = F.when(
+        F.col("is_first"), F.struct(F.col(pos_col), F.col(line_col))
+    )  # collect_list skips the NULLs for dropped lines
+    return marked.groupBy(id_col).agg(
+        F.sum(F.col("is_first").cast("long")).alias("lines_kept"),
+        F.sum((~F.col("is_first")).cast("long")).alias("lines_dropped"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)),
+                lambda s: s[line_col],
+            ),
+            sep,
+        ).alias("text_dedup"),
+    )
+
+
 def assign_global_ids(df: DataFrame, order_cols: list[str],
                       num_partitions: int = 32,
                       out_col: str = "global_id") -> DataFrame:

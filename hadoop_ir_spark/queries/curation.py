@@ -313,3 +313,52 @@ def q_curation_pipeline(spark, sf_dir):
     )
     return samp.select("docno", "lang",
                        F.col("sample_rank").cast("int").alias("sample_rank"))
+
+
+LINE_WORDS = 10
+
+@register("line_dedup_docs", f"""
+WITH wdoc AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+lines AS (
+  SELECT docno,
+         unnest(range(0, CAST(ceil(len(ws) / {LINE_WORDS}.0) AS INT)))
+           AS line_no,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(ws) / {LINE_WORDS}.0) AS INT)),
+           i -> array_to_string(
+                  ws[i * {LINE_WORDS} + 1 : i * {LINE_WORDS} + {LINE_WORDS}],
+                  ' ')))
+           AS line
+  FROM wdoc WHERE len(ws) > 0
+),
+keep AS (
+  SELECT docno, line_no, line,
+         row_number() OVER (PARTITION BY line ORDER BY docno, line_no) = 1
+           AS is_first
+  FROM lines
+)
+SELECT docno,
+       CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+         AS lines_kept,
+       CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
+         AS lines_dropped,
+       coalesce(string_agg(CASE WHEN is_first THEN line END, chr(10)
+                           ORDER BY line_no), '') AS text_dedup
+FROM keep GROUP BY docno
+""")
+def q_line_dedup_docs(spark, sf_dir):
+    """Corpus-wide line-level exact dedup (CCNet/RefinedWeb curation):
+    segment every document into 10-word lines, keep only each line's
+    first occurrence in (docno, line_no) order, rebuild the documents.
+    first-occurrence = one partial-agg groupBy (heavy duplicate lines
+    collapse map-side); the oracle's window row_number is the same
+    semantics without the scale story."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docno"),
+                                       "text")
+    lines = curation.chunk_lines(docs, n_words=LINE_WORDS)
+    marked = curation.line_dedup(lines)
+    return curation.rebuild_deduped_docs(marked)

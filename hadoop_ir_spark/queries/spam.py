@@ -58,3 +58,56 @@ def q_spam_counts(spark, sf_dir):
     out = spamfilter.spam_filter_counts(docs, _scores(spark, sf_dir))
     return out.select(*[F.col(c).cast("long").alias(c)
                         for c in ("kept", "filtered", "unscored")])
+
+
+# --------------------------------------------------------------------------
+# S11 JDBC lookup, end-to-end: the same spam percentiles routed through an
+# embedded Derby database (spark.write.jdbc → spark.read.jdbc → broadcast
+# lookup join), per the reference's remote-DB flow
+# (ClueWebSpamFilter.java:46-79, ClueWebRunQueries.java:70-106) — read
+# ONCE + broadcast instead of per-key RPC + HashMap memo.
+# --------------------------------------------------------------------------
+
+_DERBY_URLS: dict[str, str] = {}
+
+
+def _derby_scores(spark, sf_dir):
+    """Spam scores round-tripped through embedded Derby (memoized per
+    process — the reference's DB is likewise built once, out of band).
+    The JDBC round-trip is value-preserving, so the DuckDB oracle can
+    compute the same join directly on the parquet."""
+    from hadoop_ir_spark.io import jdbc
+
+    url = _DERBY_URLS.get(sf_dir)
+    if url is None:
+        import tempfile
+
+        db = os.path.join(tempfile.mkdtemp(prefix="hadoop_ir_derby_"),
+                          "spamdb")
+        url = jdbc.derby_url(db)
+        (_scores(spark, sf_dir).write.format("jdbc")
+            .option("url", url).option("dbtable", "spam_scores")
+            .option("driver", jdbc.DERBY_DRIVER).mode("overwrite").save())
+        _DERBY_URLS[sf_dir] = url
+    return jdbc.read_jdbc_table(spark, url, "spam_scores",
+                                driver=jdbc.DERBY_DRIVER)
+
+
+@register("jdbc_spam_lookup", """
+WITH scores AS (
+  SELECT doc_id AS docno, (doc_id * 37) % 100 AS percentile
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT d.doc_id AS docno, s.percentile
+FROM documents d JOIN scores s ON s.docno = d.doc_id
+WHERE s.percentile >= 70
+""")
+def q_jdbc_spam_lookup(spark, sf_dir):
+    from hadoop_ir_spark.io import jdbc
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docno"))
+    kept = (
+        jdbc.lookup_join(docs, _derby_scores(spark, sf_dir), "docno")
+        .filter(F.col("percentile") >= 70)
+    )
+    return kept.select("docno", "percentile")

@@ -155,3 +155,37 @@ def test_assign_global_ids_equals_global_window(spark):
             for r in df.withColumn("rn", F.row_number().over(w)).collect()}
     assert got == want
     assert sorted(got.values()) == list(range(1, 501))
+
+
+def test_chunk_lines_segments_and_empty_doc(spark):
+    docs = spark.createDataFrame(
+        [("d1", "a b c d e"), ("d2", "  "), ("d3", "x y")],
+        "docno string, text string",
+    )
+    rows = {(r["docno"], r["line_no"]): r["line"]
+            for r in curation.chunk_lines(docs, n_words=2).collect()}
+    assert rows == {("d1", 0): "a b", ("d1", 1): "c d", ("d1", 2): "e",
+                    ("d3", 0): "x y"}  # whitespace-only doc yields no lines
+
+
+def test_line_dedup_first_occurrence_and_rebuild(spark):
+    lines = spark.createDataFrame(
+        [("d1", 0, "dup"), ("d1", 1, "uniq a"),
+         ("d2", 0, "dup"), ("d2", 1, "dup"), ("d2", 2, "uniq b"),
+         ("d3", 0, "dup")],
+        "docno string, line_no int, line string",
+    )
+    marked = curation.line_dedup(lines)
+    firsts = {(r["docno"], r["line_no"]) for r in
+              marked.filter("is_first").collect()}
+    assert firsts == {("d1", 0), ("d1", 1), ("d2", 2)}
+    out = {r["docno"]: r for r in
+           curation.rebuild_deduped_docs(marked).collect()}
+    assert out["d1"]["text_dedup"] == "dup\nuniq a"
+    assert out["d2"]["text_dedup"] == "uniq b"
+    assert (out["d2"]["lines_kept"], out["d2"]["lines_dropped"]) == (1, 2)
+    assert out["d3"]["text_dedup"] == ""  # fully-duplicated doc -> empty
+    # scale guard: first-occurrence must be a partial-aggregable groupBy,
+    # not a window over the line key
+    plan = marked._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
