@@ -358,3 +358,96 @@ prof AS (
   SELECT c."column", c.n_rows, c.n_nulls, h.est_distinct
   FROM cnt c JOIN hll h USING ("column")
 )"""
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: fixed-size frequency estimates (Cormode & Muthukrishnan
+# 2005). depth x width counters; est(x) = min_j cnt[j][h_j(x)] — always an
+# OVERestimate, within eps*N with probability 1-delta for
+# width=ceil(e/eps), depth=ceil(ln 1/delta).
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def _cms_bucket(col: Column, j: int, width: int) -> Column:
+    """Row-j bucket via the portable hash of ``value || '#j'``."""
+    return hash64(F.concat(col, F.lit(f"#{j}"))) % width
+
+
+def cms_build(df: DataFrame, col: str, depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> DataFrame:
+    """Build the sketch as a (j, bucket, cnt) table (≤ depth·width rows).
+
+    One groupBy: each input row fans out to ``depth`` (j, bucket) keys
+    map-side (explode), then partial aggregation collapses them to at
+    most depth·width rows PER PARTITION before the shuffle — so the
+    shuffle volume is bounded by the sketch size times the partition
+    count no matter how many tokens stream through, the same
+    fixed-state-merge pattern as hll_distinct."""
+    c = F.col(col)
+    pairs = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 _cms_bucket(c, j, width).alias("bucket"))
+        for j in range(depth)
+    ])
+    return (
+        df.select(F.explode(pairs).alias("_r"))
+        .groupBy(F.col("_r.j").alias("j"), F.col("_r.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str = "term",
+                 depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> DataFrame:
+    """Point-estimate counts for a probe set → (col, est_cnt).
+
+    The sketch is broadcast (it is ≤ depth·width rows by construction);
+    probes fan out to their depth buckets, left-join the sketch (an
+    absent bucket means a true zero), min over j. No shuffle of the
+    probe set beyond its own groupBy."""
+    c = F.col(col)
+    pairs = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 _cms_bucket(c, j, width).alias("bucket"))
+        for j in range(depth)
+    ])
+    pp = (
+        probes.select(c.alias(col)).distinct()
+        .select(col, F.explode(pairs).alias("_r"))
+        .select(col, F.col("_r.j").alias("j"), F.col("_r.bucket").alias("bucket"))
+    )
+    return (
+        pp.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )
+
+
+def cms_estimate_sql(tok_cte_name: str, term_expr: str,
+                     depth: int = CMS_DEPTH,
+                     width: int = CMS_WIDTH) -> str:
+    """DuckDB CTE chain replicating cms_build + cms_estimate over
+    ``tok_cte_name(term_expr)``; exposes ``cms_est(term, est_cnt)``."""
+    def bucket_of(e: str) -> str:
+        return hash64_sql(f"{e} || '#' || CAST(t.j AS VARCHAR)") + f" % {width}"
+
+    return f"""
+cms AS (
+  SELECT t.j AS j, {bucket_of(term_expr)} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM {tok_cte_name}, range({depth}) t(j)
+  GROUP BY 1, 2
+),
+cms_probe AS (
+  SELECT p.term AS term, t.j AS j, {bucket_of('p.term')} AS bucket
+  FROM (SELECT DISTINCT {term_expr} AS term FROM {tok_cte_name}) p,
+       range({depth}) t(j)
+),
+cms_est AS (
+  SELECT p.term, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_cnt
+  FROM cms_probe p LEFT JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+  GROUP BY p.term
+)"""

@@ -89,3 +89,25 @@ def q_table_profile(spark, sf_dir):
     one fixed-state sketch aggregate per column."""
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     return sketches.table_profile(orders, PROFILE_COLS)
+
+
+@register("cms_term_counts", f"""
+WITH {_SQL_LANG_TOKS},
+{sketches.cms_estimate_sql("tok", "term")},
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY term)
+SELECT e.term, e.est_cnt AS est_cf, x.cf
+FROM cms_est e JOIN exact x ON x.term = e.term
+""")
+def q_cms_term_counts(spark, sf_dir):
+    """Count-min sketch term frequencies, value-checked: the ESTIMATE for
+    every vocabulary term from a 4x512 sketch, alongside the exact count
+    (est_cf >= cf always; equal when the term's buckets are
+    collision-free). The sketch is a fixed-size mergeable aggregate —
+    the 100 TB path for frequency tracking without a full term shuffle."""
+    toks = _lang_toks(spark, sf_dir).select("term")
+    sk = sketches.cms_build(toks, "term")
+    est = sketches.cms_estimate(sk, toks, "term")
+    exact = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    return est.join(exact, "term").select(
+        "term", F.col("est_cnt").alias("est_cf"), "cf"
+    )

@@ -161,3 +161,117 @@ def q_tpch_q3(spark, sf_dir):
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+@register("tpch_q5", f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct
+  FROM lineitem
+),
+rnat AS (
+  SELECT n_nationkey, n_name
+  FROM nation JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = '{Q5_REGION}'
+)
+SELECT rn.n_name,
+       round(CAST(sum(li.price_c * (100 - li.disc_pct)) AS BIGINT)::DOUBLE
+             / 10000, 6) AS revenue
+FROM li
+JOIN orders o ON li.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON li.l_suppkey = s.s_suppkey
+              AND s.s_nationkey = c.c_nationkey
+JOIN rnat rn ON rn.n_nationkey = s.s_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o.o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY rn.n_name
+""")
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): the full six-table join spine.
+    Scale shape: lineitem⋈orders⋈customer are shuffle joins on their
+    keys (the fact-to-fact path AQE re-plans at runtime); supplier joins
+    on (suppkey, nationkey); nation⋈region collapses to one broadcast
+    of ≤25 rows. Revenue aggregated in exact integer cents (see module
+    docstring)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_pct"),
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr(f"o_orderdate >= TIMESTAMP_NTZ '{Q5_DATE_LO} 00:00:00' AND "
+               f"o_orderdate < TIMESTAMP_NTZ '{Q5_DATE_HI} 00:00:00'")
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rnat = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(_t(spark, sf_dir, "region")
+                          .filter(F.col("r_name") == Q5_REGION)),
+              F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, (li["l_suppkey"] == supp["s_suppkey"])
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(rnat),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(F.col("price_c") * (100 - F.col("disc_pct")))
+             .alias("rev_c2"))
+        .select("n_name",
+                F.round(F.col("rev_c2").cast("double") / 10000, 6)
+                .alias("revenue"))
+    )
+
+
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 5, 7   # integer pct after exact *100 rounding
+Q6_MAX_QTY = 24
+
+
+@register("tpch_q6", f"""
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round(l_discount * 100, 0) AS BIGINT))
+                AS BIGINT)::DOUBLE / 10000, 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_LO}'
+  AND l_shipdate < TIMESTAMP '{Q6_DATE_HI}'
+  AND CAST(round(l_discount * 100, 0) AS BIGINT)
+        BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_MAX_QTY}
+""")
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+    pattern — every predicate pushes into the parquet scan (shipdate +
+    quantity are plain column comparisons; the discount band is checked
+    on the exact integer pct), and the whole query is one map-side
+    partial sum with a single 1-row exchange."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr(f"l_shipdate >= TIMESTAMP_NTZ '{Q6_DATE_LO} 00:00:00' AND "
+               f"l_shipdate < TIMESTAMP_NTZ '{Q6_DATE_HI} 00:00:00'")
+        & (F.col("l_quantity") < Q6_MAX_QTY)
+    ).select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_pct"),
+    ).filter(F.col("disc_pct").between(Q6_DISC_LO, Q6_DISC_HI))
+    return li.agg(
+        F.round((F.sum(F.col("price_c") * F.col("disc_pct")))
+                .cast("double") / 10000, 6).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )

@@ -115,3 +115,31 @@ def test_table_profile_counts_and_nulls(spark):
     # linear-counting regime where the estimate is near-exact
     assert abs(prof["k"]["est_distinct"] - 4) < 1
     assert abs(prof["s"]["est_distinct"] - 2) < 1
+
+
+def test_cms_overestimates_never_under(spark):
+    """CMS guarantee: est >= exact for every key; with a 2-wide sketch
+    collisions are forced, so some estimate strictly exceeds its count."""
+    rows = [(t,) for t, n in
+            [("a", 50), ("b", 20), ("c", 5), ("d", 1)] for _ in range(n)]
+    df = spark.createDataFrame(rows, "term string")
+    sk = sketches.cms_build(df, "term", depth=2, width=2)
+    est = {r["term"]: r["est_cnt"] for r in
+           sketches.cms_estimate(sk, df, "term", depth=2, width=2).collect()}
+    exact = {"a": 50, "b": 20, "c": 5, "d": 1}
+    assert all(est[t] >= exact[t] for t in exact)
+    assert any(est[t] > exact[t] for t in exact)
+    # wide sketch: collision-free at 4 keys -> exact recovery
+    sk_w = sketches.cms_build(df, "term", depth=4, width=512)
+    est_w = {r["term"]: r["est_cnt"] for r in
+             sketches.cms_estimate(sk_w, df, "term").collect()}
+    assert est_w == exact
+
+
+def test_cms_probe_absent_key_is_zero(spark):
+    df = spark.createDataFrame([("x",)] * 3, "term string")
+    sk = sketches.cms_build(df, "term", depth=4, width=512)
+    probes = spark.createDataFrame([("x",), ("never-seen",)], "term string")
+    est = {r["term"]: r["est_cnt"] for r in
+           sketches.cms_estimate(sk, probes, "term").collect()}
+    assert est["x"] == 3 and est["never-seen"] == 0
