@@ -257,3 +257,137 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): vectors compressed to M small
+# codes; queries scored via an asymmetric-distance lookup table (ADC).
+# At 100 TB the corpus is stored as M bytes/vector instead of d floats,
+# scoring never touches raw vectors, and the LUT (M·K doubles per query)
+# is broadcast — the scan reads only the codes table.
+# --------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces (64-d embeddings -> 8 dims each)
+PQ_K = 32       # codes per subspace
+PQ_TRAIN_EVERY = 13  # deterministic training sample: every 13th vector
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (byte-equal to DuckDB
+    list_dot_product, like dedup.cosine_expr's internals)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def _sub_slices(vec: Column, m: int, sub: int, tag: str):
+    """Explode a d-dim vector into its m sub-vectors → struct(s, <tag>)."""
+    return F.explode(F.array(*[
+        F.struct(F.lit(s).alias("s"),
+                 F.slice(vec, s * sub + 1, sub).alias(tag))
+        for s in range(m)
+    ]))
+
+
+def pq_codebook(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+                train_every: int = PQ_TRAIN_EVERY,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                dims: int = 64) -> DataFrame:
+    """Deterministic sub-codebooks → (s, code, cv): code c of subspace s
+    is the s-th sub-vector of the c-th training sample (the k lowest-id
+    vectors of an every-``train_every`` id sample). The global window
+    runs AFTER the sample filter, on ~n/train_every rows — an index-build
+    step, not a corpus scan; swap in per-subspace k-means for production
+    without changing downstream plans."""
+    sub = dims // m
+    samples = (
+        emb.filter(F.col(id_col) % train_every == 0)
+        .select(F.col(id_col).alias("_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_rn", F.row_number().over(Window.orderBy("_id")))
+        .filter(F.col("_rn") <= k)
+    )
+    return samples.select(
+        (F.col("_rn") - 1).alias("code"),
+        _sub_slices(F.col("_v"), m, sub, "cv").alias("_e"),
+    ).select(F.col("_e.s").alias("s"), "code", F.col("_e.cv").alias("cv"))
+
+
+def pq_encode(emb: DataFrame, codebook: DataFrame, m: int = PQ_M,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dims: int = 64) -> DataFrame:
+    """Encode every vector → (vec_id, s, code): nearest sub-centroid per
+    subspace by L2 (tie-break lowest code). One broadcast join against
+    the ≤ m·k-row codebook + a partial-aggregating argmin groupBy; the
+    d2 arithmetic is three sequential-fold dots (xx - 2·xc + cc), so the
+    chosen codes are engine-reproducible."""
+    sub = dims // m
+    xs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        _sub_slices(F.col(vec_col).cast("array<double>"), m, sub, "xv")
+        .alias("_e"),
+    ).select("vec_id", F.col("_e.s").alias("s"), F.col("_e.xv").alias("xv"))
+    d2 = (
+        dot_expr(F.col("xv"), F.col("xv"))
+        - F.lit(2.0) * dot_expr(F.col("xv"), F.col("cv"))
+        + dot_expr(F.col("cv"), F.col("cv"))
+    )
+    scored = xs.join(F.broadcast(codebook), "s").select(
+        "vec_id", "s", d2.alias("_d2"), "code"
+    )
+    return (
+        scored.groupBy("vec_id", "s")
+        .agg(F.min(F.struct(F.col("_d2"), F.col("code"))).alias("_b"))
+        .select("vec_id", "s", F.col("_b.code").alias("code"))
+    )
+
+
+def pq_lut(queries: DataFrame, codebook: DataFrame, m: int = PQ_M,
+           qid_col: str = "qid", vec_col: str = "embedding",
+           dims: int = 64) -> DataFrame:
+    """ADC lookup table → (qid, s, code, d2_i): the query↔sub-centroid
+    L2, quantized to integer micro-units (floor(d2·1e6 + 0.5)) so the
+    per-vector sum over subspaces is an ORDER-INDEPENDENT integer sum —
+    partial aggregation cannot drift it (same trick as the TPC-H
+    integer-cents oracles; real PQ quantizes its LUT to float32 anyway).
+    """
+    sub = dims // m
+    qs = queries.select(
+        F.col(qid_col).alias("qid"),
+        _sub_slices(F.col(vec_col).cast("array<double>"), m, sub, "qv")
+        .alias("_e"),
+    ).select("qid", F.col("_e.s").alias("s"), F.col("_e.qv").alias("qv"))
+    d2 = (
+        dot_expr(F.col("qv"), F.col("qv"))
+        - F.lit(2.0) * dot_expr(F.col("qv"), F.col("cv"))
+        + dot_expr(F.col("cv"), F.col("cv"))
+    )
+    return qs.join(F.broadcast(codebook), "s").select(
+        "qid", "s", "code",
+        F.floor(d2 * 1e6 + F.lit(0.5)).cast("long").alias("d2_i"),
+    )
+
+
+def pq_topk(codes: DataFrame, lut: DataFrame, k: int = 10) -> DataFrame:
+    """ADC top-k → (qid, vec_id, approx_d2, rank): join the codes table
+    to the broadcast LUT on (s, code), integer-sum the M per-subspace
+    distances, rank ascending (nearest first, vec_id-desc tie-break).
+    The corpus-side scan touches only (vec_id, s, code) — never a raw
+    vector."""
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d2_i").alias("_di"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("_di"), F.desc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "vec_id",
+            F.round(F.col("_di").cast("double") / 1e6, 6).alias("approx_d2"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -191,3 +191,79 @@ def q_ann_ivf_topk(spark, sf_dir):
                               k=ANN_K, nprobe=IVF_NPROBE, use_blas=False)
     return out.select("qid", "vec_id", "cosine",
                       F.col("rank").cast("int").alias("rank"))
+
+
+PQ_SUB = 64 // similarity.PQ_M  # 8 dims per subspace
+_PQ_D2 = ("(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+          " + list_dot_product({b}, {b}))")
+
+
+@register("pq_ann_topk", f"""
+WITH embd AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+samples AS (
+  SELECT v, rn FROM (
+    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+    FROM embd WHERE vec_id % {similarity.PQ_TRAIN_EVERY} = 0
+  ) WHERE rn <= {similarity.PQ_K}
+),
+cb AS (
+  SELECT t.s AS s, rn - 1 AS code,
+         list_slice(v, t.s * {PQ_SUB} + 1, t.s * {PQ_SUB} + {PQ_SUB}) AS cv
+  FROM samples, range({similarity.PQ_M}) t(s)
+),
+xs AS (
+  SELECT vec_id, t.s AS s,
+         list_slice(v, t.s * {PQ_SUB} + 1, t.s * {PQ_SUB} + {PQ_SUB}) AS xv
+  FROM embd, range({similarity.PQ_M}) t(s)
+),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, x.s, c.code,
+           row_number() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY {_PQ_D2.format(a='x.xv', b='c.cv')} ASC, c.code ASC
+           ) AS rn
+    FROM xs x JOIN cb c ON c.s = x.s
+  ) WHERE rn = 1
+),
+qs AS (
+  SELECT vec_id AS qid, t.s AS s,
+         list_slice(v, t.s * {PQ_SUB} + 1, t.s * {PQ_SUB} + {PQ_SUB}) AS qv
+  FROM embd, range({similarity.PQ_M}) t(s)
+  WHERE vec_id % {QUERY_EVERY} = 0
+),
+lut AS (
+  SELECT q.qid, q.s, c.code,
+         CAST(floor({_PQ_D2.format(a='q.qv', b='c.cv')} * 1e6 + 0.5)
+              AS BIGINT) AS d2_i
+  FROM qs q JOIN cb c ON c.s = q.s
+),
+scored AS (
+  SELECT l.qid, e.vec_id, CAST(sum(l.d2_i) AS BIGINT) AS di
+  FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, vec_id, di,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY di ASC, vec_id DESC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, round(di::DOUBLE / 1e6, 6) AS approx_d2,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+""")
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN: vectors compressed to 8 codes (32-entry
+    sub-codebooks from a deterministic sample), queries scored purely via
+    the broadcast integer ADC lookup table — the corpus-side scan reads
+    codes, never raw vectors. The whole chain (codebook, per-vector
+    codes, ADC sums, final ranking) is value-checked against the DuckDB
+    replica."""
+    emb = _emb(spark, sf_dir)
+    cb = similarity.pq_codebook(emb)
+    codes = similarity.pq_encode(emb, cb)
+    lut = similarity.pq_lut(_queries(emb), cb)
+    return similarity.pq_topk(codes, lut, k=ANN_K)

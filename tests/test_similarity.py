@@ -126,3 +126,57 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     _, cents = similarity.kmeans_spherical(emb, init, iters=2)
     got = {r["centroid_id"]: list(r["cv"]) for r in cents.collect()}
     assert got[3] == [-1.0, -1.0]
+
+
+def test_pq_roundtrip_numpy_parity(spark):
+    """PQ codes and ADC ranking match a numpy re-implementation on the
+    real sf0.001 embeddings, and top-1 self-retrieval works: a query's
+    own vector (present in the corpus) must rank first — its quantized
+    distance to itself is the minimum possible for its code word."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = similarity.pq_codebook(emb)
+    codes = similarity.pq_encode(emb, cb)
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    out = similarity.pq_topk(codes, similarity.pq_lut(q, cb), k=10)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    X = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+         for r in rows}
+    ids = sorted(X)
+    train = [i for i in ids if i % similarity.PQ_TRAIN_EVERY == 0][
+        :similarity.PQ_K]
+    m, sub = similarity.PQ_M, 64 // similarity.PQ_M
+    C = np.stack([X[i] for i in train])          # (K, 64)
+    enc = {}
+    for vid in ids:
+        v = X[vid]
+        enc[vid] = [
+            int(np.argmin([np.sum((v[s*sub:(s+1)*sub] - C[c, s*sub:(s+1)*sub])**2)
+                           for c in range(similarity.PQ_K)]))
+            for s in range(m)
+        ]
+    got_codes = {}
+    for r in codes.collect():
+        got_codes.setdefault(r["vec_id"], [0]*m)[r["s"]] = r["code"]
+    assert got_codes == enc
+
+    by_q = {}
+    for r in out.orderBy("qid", "rank").collect():
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    for qid, got in by_q.items():
+        qv = X[qid]
+        lut = np.array([[round(np.sum((qv[s*sub:(s+1)*sub]
+                                       - C[c, s*sub:(s+1)*sub])**2) * 1e6 + 0.5)
+                         for c in range(similarity.PQ_K)]
+                        for s in range(m)]).astype(np.int64)
+        d = {vid: int(sum(lut[s, enc[vid][s]] for s in range(m)))
+             for vid in ids}
+        want = sorted(ids, key=lambda v: (d[v], -v))[:10]
+        assert got == want
+        # self-retrieval: qid shares its own code word, so no other code
+        # word can beat it (its ADC distance is the per-subspace minimum)
+        assert d[qid] == min(
+            sum(lut[s, enc[v][s]] for s in range(m)) for v in ids)
