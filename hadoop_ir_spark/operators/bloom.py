@@ -1,0 +1,110 @@
+"""Bloom-filter semi-join pruning (beyond-reference operator set).
+
+The 100 TB problem: a semi join of a huge probe table against a
+modest build side still shuffles the ENTIRE probe side to the join.
+A Bloom filter of the build keys — a few KB of bits — broadcast into a
+map-side predicate drops most non-matching probe rows BEFORE the
+shuffle, the same idea as Spark's injected runtime bloom filters
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) but as an explicit,
+engine-portable operator: positions come from the md5-based
+``hash64`` (functions/hashes.py), so a DuckDB oracle can reproduce the
+exact pass set, false positives included.
+
+Shapes:
+- build: one explode(k positions) + one ``bit_or`` groupBy over ≤ m/64
+  word rows — fixed-size aggregate state, any input size;
+- the m/64-long word array is collected (a few hundred longs — scalar
+  side-state, like a stats broadcast) and inlined as a literal array, so
+  the probe-side check is a pure map expression: no join, no shuffle,
+  whole-stage codegen.
+
+False-positive rate ≈ (1 - e^(-k·n/m))^k; callers size ``m`` to their
+build cardinality. The filter NEVER drops a true match (the pytest pins
+the no-false-negative property); an exact join downstream removes the
+false positives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.functions.hashes import hash64, hash64_sql
+
+BLOOM_BITS = 8192   # m — 1 KiB of filter
+BLOOM_K = 4         # hash functions
+
+
+def _position(col: Column, j: int, m: int) -> Column:
+    """Bit position of hash j for a string key (portable md5 family)."""
+    return hash64(F.concat(col, F.lit(f"@{j}"))) % m
+
+
+def bloom_build(keys: DataFrame, col: str = "key", k: int = BLOOM_K,
+                m: int = BLOOM_BITS) -> DataFrame:
+    """Aggregate the build-side keys into bitset words →
+    (word_idx, bits): word_idx = position div 64, bits = OR of the set
+    bit masks. ≤ m/64 rows regardless of input size."""
+    pos = F.explode(F.array(*[
+        _position(F.col(col), j, m) for j in range(k)
+    ])).alias("p")
+    return (
+        keys.select(pos)
+        .select(
+            (F.col("p") / 64).cast("int").alias("word_idx"),
+            # F.shiftleft only takes a literal shift count — SQL's does not
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("_mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(_mask)").alias("bits"))
+    )
+
+
+def bloom_literal(bloom: DataFrame, m: int = BLOOM_BITS) -> Column:
+    """Collect the (tiny) word table into a literal long-array column.
+    This is scalar side-state — m/64 longs (128 for the default 8 KiB
+    filter), the same driver footprint as a broadcast stats row, NOT a
+    table collect."""
+    words = [0] * ((m + 63) // 64)
+    for r in bloom.collect():
+        words[r["word_idx"]] = r["bits"]
+    return F.array(*[F.lit(w).cast("long") for w in words])
+
+
+def bloom_filter_keys(probe: DataFrame, words: Column, col: str = "key",
+                      k: int = BLOOM_K, m: int = BLOOM_BITS) -> DataFrame:
+    """Keep probe rows whose k positions are all set — a pure map-side
+    predicate over the literal word array (no join in the plan). The
+    result is a SUPERSET of the exact semi join: false positives pass,
+    false negatives cannot happen."""
+    d = probe
+    cond = None
+    for j in range(k):
+        d = d.withColumn(f"_bp{j}", _position(F.col(col), j, m))
+        word = F.element_at(words, (F.col(f"_bp{j}") / 64).cast("int") + 1)
+        mask = F.expr(f"shiftleft(1L, cast(_bp{j} % 64 as int))")
+        bit = word.bitwiseAND(mask) != 0
+        cond = bit if cond is None else (cond & bit)
+    return d.filter(cond).drop(*[f"_bp{j}" for j in range(k)])
+
+
+def bloom_positions_sql(keys_cte: str, key_expr: str, k: int = BLOOM_K,
+                        m: int = BLOOM_BITS) -> str:
+    """DuckDB CTE ``bloom_pos(p)``: the distinct set bit positions —
+    position-set membership is exactly bitset membership, so the oracle
+    skips the word packing and checks positions directly."""
+    h = hash64_sql(f"{key_expr} || '@' || CAST(t.j AS VARCHAR)")
+    return f"""
+bloom_pos AS (
+  SELECT DISTINCT {h} % {m} AS p
+  FROM {keys_cte}, range({k}) t(j)
+)"""
+
+
+def bloom_pass_sql(key_expr: str, k: int = BLOOM_K,
+                   m: int = BLOOM_BITS) -> str:
+    """DuckDB predicate: all k positions of ``key_expr`` are in
+    bloom_pos (correlated NOT EXISTS over the missing positions)."""
+    h = hash64_sql(f"{key_expr} || '@' || CAST(t.j AS VARCHAR)")
+    return (f"NOT EXISTS (SELECT 1 FROM range({k}) t(j) "
+            f"WHERE {h} % {m} NOT IN (SELECT p FROM bloom_pos))")

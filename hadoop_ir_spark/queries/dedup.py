@@ -183,3 +183,39 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = dedup.jaccard_pairs(sh, tau=JACCARD_TAU)
     out = dedup.connected_components(pairs, algorithm="star")
     return out.select(F.col("node").alias("docno"), "cluster_id")
+
+
+@register("near_dedup_kept", f"""
+WITH RECURSIVE
+{SQL_SHINGLES.strip().lstrip(',')},
+np AS (SELECT docno_a AS a, docno_b AS b FROM jac
+       WHERE jaccard >= {JACCARD_TAU}),
+edges AS (SELECT a, b FROM np UNION SELECT b, a FROM np),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (SELECT node, min(root) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id AS docno FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE node <> cluster_id)
+""")
+def q_near_dedup_kept(spark, sf_dir):
+    """The near-dedup END PRODUCT: the kept document set after dropping
+    every non-representative member of each near-duplicate cluster
+    (representative = min docno = the cluster label itself). Composes
+    shingles → Jaccard pairs → skew-safe connected components → one
+    anti join; the anti join's right side is only the DROPPED ids
+    (cluster members minus representatives), far smaller than the
+    corpus."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs, k=3, id_col="doc_id")
+    pairs = dedup.jaccard_pairs(sh, tau=JACCARD_TAU)
+    cc = dedup.connected_components(pairs, algorithm="star")
+    dropped = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("docno"))
+    return (
+        docs.select(F.col("doc_id").alias("docno"))
+        .join(dropped, "docno", "anti")
+    )

@@ -9,7 +9,7 @@ import os
 from pyspark.sql import functions as F
 
 from hadoop_ir_spark.catalog import register
-from hadoop_ir_spark.operators import spamfilter
+from hadoop_ir_spark.operators import bloom, spamfilter
 
 
 def _docs(spark, sf_dir):
@@ -111,3 +111,48 @@ def q_jdbc_spam_lookup(spark, sf_dir):
         .filter(F.col("percentile") >= 70)
     )
     return kept.select("docno", "percentile")
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter pre-join pruning over the same flagged-id set: the probe
+# scan drops unflagged docs map-side before any join (operators/bloom.py);
+# the oracle reproduces the exact pass set including false positives.
+# --------------------------------------------------------------------------
+
+@register("bloom_prejoin_counts", f"""
+WITH flagged AS (
+  SELECT CAST(doc_id AS VARCHAR) AS key FROM documents
+  WHERE doc_id % 11 <> 0 AND (doc_id * 37) % 100 >= 70
+),
+{bloom.bloom_positions_sql("flagged", "key").strip().lstrip(',')},
+passed AS (
+  SELECT d.doc_id FROM documents d
+  WHERE {bloom.bloom_pass_sql("CAST(d.doc_id AS VARCHAR)")}
+)
+SELECT CAST((SELECT count(*) FROM passed) AS BIGINT) AS n_bloom_pass,
+       CAST((SELECT count(*) FROM flagged) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM passed) -
+            (SELECT count(*) FROM flagged) AS BIGINT) AS n_false_pos
+""")
+def q_bloom_prejoin_counts(spark, sf_dir):
+    """Bloom semi-join prune, quantified: build an 8 KiB filter from the
+    flagged ids, pass the documents scan through the map-side bit test,
+    and report pass / exact / false-positive counts (every flagged doc
+    passes by construction — no false negatives possible)."""
+    from hadoop_ir_spark.operators import bloom as B
+
+    flagged = _scores(spark, sf_dir).filter(
+        F.col("percentile") >= 70
+    ).select(F.col("docno").cast("string").alias("key"))
+    words = B.bloom_literal(B.bloom_build(flagged))
+    probe = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("key"))
+    passed = B.bloom_filter_keys(probe, words)
+    return (
+        passed.agg(F.count("*").alias("n_bloom_pass"))
+        .crossJoin(flagged.agg(F.count("*").alias("n_exact")))
+        .select(
+            "n_bloom_pass", "n_exact",
+            (F.col("n_bloom_pass") - F.col("n_exact")).alias("n_false_pos"),
+        )
+    )
