@@ -72,8 +72,9 @@ def _wants_e(stem: str) -> bool:
 
 
 def get_stemmer(name: str = "auto"):
-    """'krovetz' (requires the package), 'krovetz_lite', 'none', or 'auto'
-    (package if present, else lite)."""
+    """'krovetz' (requires the package), 'kstem' (this repo's port of the
+    published Krovetz algorithm — the default), 'krovetz_lite' (suffix
+    heuristics only), 'none', or 'auto' (package if present, else kstem)."""
     if name in ("auto", "krovetz"):
         try:
             import krovetzstemmer  # type: ignore
@@ -83,11 +84,15 @@ def get_stemmer(name: str = "auto"):
         except ImportError:
             if name == "krovetz":
                 raise NotImplementedError(
-                    "krovetzstemmer package not installed; use 'krovetz_lite'"
+                    "krovetzstemmer package not installed; use 'kstem'"
                 )
     if name == "none":
         return lambda w: w
-    return krovetz_lite
+    if name == "krovetz_lite":
+        return krovetz_lite
+    from hadoop_ir_spark.functions.kstem import kstem
+
+    return kstem
 
 
 def stem_tokens_udf(stemmer_name: str = "auto"):

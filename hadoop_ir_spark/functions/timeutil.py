@@ -1,0 +1,85 @@
+"""Type-adaptive helpers for the events ``ts`` column.
+
+The test-data generator has shipped ``events.parquet`` with ``ts`` encoded
+as epoch-nanos INT64 in one revision and as parquet TIMESTAMP(MICROS) in
+another (which Spark reads as TIMESTAMP_NTZ by default, or TIMESTAMP when
+``spark.sql.parquet.inferTimestampNTZ.enabled`` is off). These helpers
+normalize any of the three encodings to one canonical form — TIMESTAMP_NTZ
+carrying the UTC wall clock — with NO dependence on the session timezone,
+so results are bit-identical under any caller's SparkSession.
+
+That canonical form matches how DuckDB reads the same files: a naive
+timestamp whose ``epoch_us(ts)`` is the raw micros value and whose
+comparisons against ``TIMESTAMP '...'`` literals are plain wall-clock
+comparisons. Every arithmetic path here is timezone-free:
+
+- NTZ -> epoch micros decomposes into ``unix_date(date) + time-of-day``,
+  all pure wall-clock functions. (``timestampdiff(ntz, ntz)`` is a TRAP:
+  Spark coerces both sides to LTZ via the session zone, so it is off by
+  an hour across a DST boundary under a non-UTC session.)
+- LTZ -> NTZ uses ``convert_timezone('UTC', ts)`` (renders the stored
+  epoch instant as the UTC wall clock, ignoring the session zone);
+- INT64 nanos -> NTZ uses ``timestampadd`` from the NTZ epoch literal
+  (NTZ + micros is wall-clock arithmetic, verified DST-safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DataType, LongType, TimestampNTZType,
+                               TimestampType)
+
+# TIMESTAMP_NTZ epoch literal usable inside SQL expression strings.
+EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def to_ntz(col: str, dtype: DataType) -> Column:
+    """Expression converting column ``col`` of the given type to a
+    TIMESTAMP_NTZ holding the UTC wall clock (timezone-free)."""
+    if isinstance(dtype, TimestampNTZType):
+        return F.col(col)
+    if isinstance(dtype, TimestampType):
+        return F.convert_timezone(None, F.lit("UTC"), F.col(col))
+    if isinstance(dtype, LongType):
+        # legacy encoding: epoch nanos as int64
+        return F.expr(f"timestampadd(MICROSECOND, {col} div 1000, {EPOCH_NTZ})")
+    raise TypeError(f"cannot normalize time column {col!r} of type {dtype}")
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Return ``df`` with ``col`` as canonical TIMESTAMP_NTZ (no-op when it
+    already is). Works on batch and streaming frames alike."""
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, TimestampNTZType):
+        return df
+    return df.withColumn(col, to_ntz(col, dtype))
+
+
+def epoch_us(df: DataFrame, col: str = "ts") -> Column:
+    """Integer epoch-micros expression for ``df[col]``, adapted to its
+    type; equals DuckDB's ``epoch_us(ts)`` on the same parquet."""
+    return epoch_us_typed(col, df.schema[col].dataType)
+
+
+def epoch_us_typed(col: str, dtype: DataType) -> Column:
+    if isinstance(dtype, LongType):        # epoch nanos
+        return F.expr(f"{col} div 1000")
+    if isinstance(dtype, TimestampType):   # LTZ stores the epoch directly
+        return F.unix_micros(F.col(col))
+    if isinstance(dtype, TimestampNTZType):
+        # wall-clock decomposition: date days + time-of-day, no timezone
+        # anywhere (bit-identical to DuckDB's epoch_us on the same file)
+        return F.expr(
+            f"unix_date(cast({col} as date)) * 86400000000L"
+            f" + (cast(hour({col}) as bigint) * 3600 + minute({col}) * 60)"
+            f" * 1000000"
+            f" + cast(date_part('SECOND', {col}) * 1000000 as bigint)"
+        )
+    raise TypeError(f"cannot take epoch_us of {col!r} with type {dtype}")
+
+
+def ntz_lit(wall_clock: str) -> Column:
+    """TIMESTAMP_NTZ literal from a ``YYYY-MM-DD[ HH:MM:SS]`` string —
+    compares wall-clock against the canonical ``ts`` with no timezone."""
+    return F.expr(f"TIMESTAMP_NTZ '{wall_clock}'")

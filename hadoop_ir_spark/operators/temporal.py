@@ -143,13 +143,18 @@ def sessionize(events: DataFrame, gap: str, key: str = "user_id",
     extends the session. Returns (key, session_start_us, session_end_us,
     n_events, sum_value) with end = last event + gap.
     """
+    from hadoop_ir_spark.functions.timeutil import epoch_us_typed
+
+    # w.start/w.end inherit time_col's type (NTZ canonical or legacy LTZ);
+    # the epoch conversion adapts so output is identical either way.
+    t_type = events.schema[time_col].dataType
     return (
         events.groupBy(key, F.session_window(time_col, gap).alias("w"))
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
         .select(
             key,
-            F.unix_micros("w.start").alias("session_start_us"),
-            F.unix_micros("w.end").alias("session_end_us"),
+            epoch_us_typed("w.start", t_type).alias("session_start_us"),
+            epoch_us_typed("w.end", t_type).alias("session_end_us"),
             "n_events", "sum_value",
         )
     )

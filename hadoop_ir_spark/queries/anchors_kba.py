@@ -85,9 +85,13 @@ _GRID_VALUES_SQL = ", ".join(
 )
 
 
-# events.ts reads as long nanos (see session.py nanosAsLong); the split
-# cutoff is its epoch-nanos value. 2024-01-15T00:00:00Z = 1705276800 s.
-_SPLIT_NANOS = 1705276800 * 10**9
+# read_events normalizes ts to canonical TIMESTAMP_NTZ, so the split is a
+# plain wall-clock comparison — identical to the oracle's
+# `ts < TIMESTAMP '2024-01-15'` in DuckDB, under any session timezone.
+def split_boundary():
+    from hadoop_ir_spark.functions.timeutil import ntz_lit
+
+    return ntz_lit(f"{KBA_SPLIT_TS} 00:00:00")
 
 
 def _kba_hits(spark, sf_dir):
@@ -100,7 +104,7 @@ def _kba_hits(spark, sf_dir):
         (F.col("value") / 10).alias("score"),
         F.abs("value").alias("f_burst"),
         ((F.col("user_id") % 10) / 10.0).alias("f_src"),
-        F.when(F.col("ts") < F.lit(_SPLIT_NANOS), "train")
+        F.when(F.col("ts") < split_boundary(), "train")
          .otherwise("test").alias("split"),
         F.when(F.get_json_object("props", "$.k").cast("int") >= 80, 2)
          .otherwise(0).alias("rel"),

@@ -11,7 +11,13 @@ import os
 from pyspark.sql import functions as F
 
 from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.functions.timeutil import epoch_us_typed
 from hadoop_ir_spark.operators import cdc
+from pyspark.sql.types import TimestampNTZType
+
+
+def _ntz_epoch_us(col: str):
+    return epoch_us_typed(col, TimestampNTZType())
 
 UPD_MOD = 10       # keys getting a price bump
 INS_MOD = 1000     # keys cloned as inserts at key + INS_SHIFT
@@ -54,12 +60,12 @@ def q_orders_upsert(spark, sf_dir):
     base = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority",
-        # o_orderdate reads as TIMESTAMP_NTZ; diff from the NTZ epoch is
-        # pure wall-clock arithmetic (no session timezone), matching
-        # DuckDB's epoch_us on its naive timestamp exactly
-        F.expr("timestampdiff(MICROSECOND, "
-               "TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)")
-        .alias("date_us"),
+        # o_orderdate reads as TIMESTAMP_NTZ; the wall-clock decomposition
+        # is timezone-free under ANY session zone (timestampdiff from the
+        # NTZ epoch is NOT — Spark coerces it through the session zone,
+        # shifting summer dates by the DST offset), matching DuckDB's
+        # epoch_us on its naive timestamp exactly
+        _ntz_epoch_us("o_orderdate").alias("date_us"),
     )
     upd = base.filter(F.col("o_orderkey") % UPD_MOD == 0).select(
         "o_orderkey", "o_custkey",

@@ -4,12 +4,14 @@ stems then builds the per-doc term sets the A9 marginals derive from).
 
 The synthetic documents vocabulary carries no inflected forms, so the
 corpus is deterministically "inflected" first: every token of document d
-gets the suffix ('', 's', 'ed', 'ing')[d % 4]. That drives every rule of
-``krovetz_lite`` (plural strip, past/gerund with doubled-consonant and
-final-e recoding) through the REAL pandas-UDF stemmer on the Spark side,
-while remaining exactly replicable in DuckDB SQL — the oracle implements
-the same rules as a CASE chain (RE2 has no backreferences, so the
-doubled-consonant test uses substr equality).
+gets the suffix ('', 's', 'ed', 'ing')[d % 4]. That drives the
+inflectional layer of the KStem port (``functions.kstem`` — dictionary
+headword pass-through, plural/past/aspect with dictionary-validated
+recoding) through the REAL pandas-UDF stemmer on the Spark side, while
+remaining exactly replicable in DuckDB SQL — the oracle mirrors the same
+algorithm (same embedded lexicon as a CTE, same rule chain as a CASE
+expression), so the two implementations are independent renderings of
+one published spec, not a copy of each other's output.
 """
 
 from __future__ import annotations
@@ -17,51 +19,16 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hadoop_ir_spark.catalog import _docs, register
+from hadoop_ir_spark.functions import kstem as ks
 from hadoop_ir_spark.functions import stemmer, text
 from hadoop_ir_spark.operators import cooccur
 
-_V = "('a','e','i','o','u')"
-
-
-def _stem_case_sql(w: str) -> str:
-    """DuckDB CASE expression replicating ``stemmer.krovetz_lite(w)``."""
-    n = f"length({w})"
-    stem2 = f"substr({w}, 1, {n}-2)"   # w[:-2]
-    stem3 = f"substr({w}, 1, {n}-3)"   # w[:-3]
-    return f"""CASE
-      WHEN {n} < 4 THEN {w}
-      WHEN {w} LIKE '%ies' AND {n} > 4 THEN {stem3} || 'y'
-      WHEN {w} LIKE '%sses' THEN {stem2}
-      WHEN {w} LIKE '%es' AND {n} > 4 AND {w} NOT LIKE '%ses'
-        THEN substr({w}, 1, {n}-1)
-      WHEN {w} LIKE '%s' AND {w} NOT LIKE '%ss' AND {w} NOT LIKE '%us'
-        THEN substr({w}, 1, {n}-1)
-      WHEN {w} LIKE '%ied' AND {n} > 4 THEN {stem3} || 'y'
-      WHEN {w} LIKE '%ed' AND {n} > 4 THEN CASE
-        WHEN {n}-2 > 2 AND substr({w}, {n}-2, 1) = substr({w}, {n}-3, 1)
-             AND substr({w}, {n}-2, 1) NOT IN {_V}
-          THEN {stem3}
-        WHEN NOT regexp_matches({stem2}, '[aeiou]') THEN {w}
-        WHEN regexp_matches({stem2}, '[^aeiou][aeiou][^aeiouwxy]$')
-          THEN {stem2} || 'e'
-        ELSE {stem2}
-      END
-      WHEN {w} LIKE '%ing' AND {n} > 5 THEN CASE
-        WHEN {n}-3 > 2 AND substr({w}, {n}-3, 1) = substr({w}, {n}-4, 1)
-             AND substr({w}, {n}-3, 1) NOT IN {_V}
-          THEN substr({w}, 1, {n}-4)
-        WHEN NOT regexp_matches({stem3}, '[aeiou]') THEN {w}
-        WHEN regexp_matches({stem3}, '[^aeiou][aeiou][^aeiouwxy]$')
-          THEN {stem3} || 'e'
-        ELSE {stem3}
-      END
-      ELSE {w}
-    END"""
-
-
 # Deterministic "inflection" + stem, shared by both oracles: tokenize,
-# suffix per doc, drop pure-number tokens (the UDF's T4 contract), stem.
+# suffix per doc, drop pure-number tokens (the UDF's T4 contract), stem
+# with the SQL mirror of the KStem port.
 SQL_STEMMED_TOK = f"""
+{ks.lexicon_cte_sql()},
+{ks.direct_cte_sql()},
 tok0 AS (
   SELECT doc_id AS docno, doc_id % 4 AS m,
          unnest(string_split_regex(lower(text), '[^0-9a-zA-Z]+')) AS t
@@ -74,7 +41,7 @@ toks AS (
   FROM tok0 WHERE t <> ''
 ),
 stok AS (
-  SELECT docno, {_stem_case_sql("w")} AS term
+  SELECT docno, {ks.kstem_case_sql("w")} AS term
   FROM toks WHERE NOT regexp_matches(w, '^[0-9]+$')
 )
 """
@@ -89,7 +56,7 @@ def _stemmed_terms(spark, sf_dir):
     )
     toks = text.tokens_col(F.col("text"))
     suffixed = F.transform(toks, lambda t: F.concat(t, suffix))
-    stemmed = stemmer.stem_column(suffixed, "krovetz_lite")
+    stemmed = stemmer.stem_column(suffixed, "kstem")
     return docs.select(
         F.col("doc_id").alias("docno"), F.explode(stemmed).alias("term")
     )

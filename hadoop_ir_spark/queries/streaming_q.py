@@ -71,14 +71,14 @@ WHERE e.ts >= TIMESTAMP '2024-01-15' AND e.value >= t.threshold
 def q_event_threshold_filter(spark, sf_dir):
     """KBA-style: thresholds learned on the 'train' period (p90 of value
     per type), applied as a stream-static filter to the rest."""
-    from hadoop_ir_spark.queries.anchors_kba import _SPLIT_NANOS
+    from hadoop_ir_spark.queries.anchors_kba import split_boundary
 
     e = _events(spark, sf_dir)
-    train = e.filter(F.col("ts") < _SPLIT_NANOS)
+    train = e.filter(F.col("ts") < split_boundary())
     thr = train.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.9)).alias("threshold")
     )
-    test = e.filter(F.col("ts") >= _SPLIT_NANOS)
+    test = e.filter(F.col("ts") >= split_boundary())
     out = ev.threshold_filter(test, thr)
     return out.select(
         "event_id", "event_type", F.round("value", 6).alias("value")

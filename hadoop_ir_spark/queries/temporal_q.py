@@ -1,12 +1,12 @@
 """Catalog entries for the temporal operators (as-of join, interval join,
 sessionization, multi-resolution rollup) over the events table.
 
-All timestamps are integer EPOCH MICROS on both sides: Spark computes
-``ts div 1000`` from the nanos long, DuckDB's parquet reader truncates
-TIMESTAMP(NANOS) to micros and ``epoch_us`` extracts the same integer —
-so every comparison/bucket boundary is identical, with no timezone or
-float involvement. Nullable-int outputs use a -1 sentinel (documented per
-query) so both engines produce non-null int64 columns.
+All timestamps are integer EPOCH MICROS on both sides: Spark derives them
+from the canonical TIMESTAMP_NTZ ``ts`` via the timezone-free wall-clock
+decomposition in ``functions.timeutil`` and DuckDB's ``epoch_us`` extracts
+the same integer — so every comparison/bucket boundary is identical, with
+no timezone or float involvement. Nullable-int outputs use a -1 sentinel
+(documented per query) so both engines produce non-null int64 columns.
 """
 
 from __future__ import annotations
@@ -27,8 +27,11 @@ ev AS (
 
 
 def _events_us(spark, sf_dir):
-    return ev.read_events(spark, sf_dir).select(
-        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"),
+    from hadoop_ir_spark.functions import timeutil
+
+    e = ev.read_events(spark, sf_dir)
+    return e.select(
+        "event_id", "user_id", timeutil.epoch_us(e, "ts").alias("ts_us"),
         "event_type", "value",
     )
 

@@ -18,6 +18,8 @@ import os
 from pyspark.sql import functions as F
 
 from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.functions.timeutil import epoch_us_typed
+from pyspark.sql.types import TimestampNTZType
 
 Q1_CUTOFF = "1998-09-02"
 Q3_SEGMENT = "BUILDING"
@@ -130,8 +132,9 @@ def q_tpch_q3(spark, sf_dir):
         F.expr(f"o_orderdate < TIMESTAMP_NTZ '{Q3_DATE} 00:00:00'")
     ).select(
         "o_orderkey", "o_custkey", "o_orderpriority",
-        F.expr("timestampdiff(MICROSECOND, "
-               "TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)")
+        # timezone-free wall-clock epoch (timestampdiff from the NTZ
+        # epoch coerces through the session zone — DST-shifted off-UTC)
+        epoch_us_typed("o_orderdate", TimestampNTZType())
         .alias("o_orderdate_us"),
     )
     li = _t(spark, sf_dir, "lineitem").filter(

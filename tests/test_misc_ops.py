@@ -75,6 +75,60 @@ def test_krovetz_package_gated():
         stemmer.get_stemmer("krovetz")
 
 
+# Classic Krovetz conflations (the published algorithm's signature
+# behaviors) — asserted against the repo's KStem port, which is the
+# default stemmer ('auto' without the external package resolves to it).
+@pytest.mark.parametrize("word,stem", [
+    ("policies", "policy"), ("factories", "factory"),
+    ("queries", "query"), ("ties", "tie"), ("dies", "die"),
+    ("glasses", "glass"), ("boxes", "box"), ("merges", "merge"),
+    ("news", "news"),                 # headword pass-through, NOT "new"
+    ("data", "data"),                 # headword pass-through
+    ("stopped", "stop"), ("merged", "merge"), ("studied", "study"),
+    ("tied", "tie"), ("filtered", "filter"),
+    ("making", "make"), ("running", "run"), ("sorting", "sort"),
+    ("matrices", "matrix"), ("indices", "index"),
+    ("children", "child"), ("calves", "calf"), ("wolves", "wolf"),
+    ("made", "make"), ("took", "take"), ("thought", "think"),
+    ("happiness", "happy"), ("darkness", "dark"),
+    ("quickly", "quick"), ("happily", "happy"),
+    ("maker", "make"), ("runner", "run"), ("printer", "print"),
+    ("payment", "pay"), ("useful", "use"),
+    ("stability", "stable"), ("validity", "valid"),
+    ("creation", "create"),
+    ("sing", "sing"), ("the", "the"), ("bus", "bus"), ("us", "us"),
+])
+def test_kstem_conflations(word, stem):
+    from hadoop_ir_spark.functions.kstem import kstem
+
+    assert kstem(word) == stem
+    assert stemmer.get_stemmer("auto")(word) == stem  # kstem is default
+
+
+def test_kstem_sql_mirror_parity():
+    """The DuckDB mirror must agree with the Python port on the whole
+    inflectional surface the stemmed oracles exercise."""
+    import duckdb
+
+    from hadoop_ir_spark.functions import kstem as ks
+
+    vocab = ["a", "agg", "batch", "big", "column", "customer", "data",
+             "dup", "fast", "filter", "group", "hash", "join", "key",
+             "line", "merge", "order", "part", "query", "row", "scan",
+             "slow", "small", "sort", "spark", "stream", "table", "the",
+             "value", "vector", "window"]
+    words = [b + s for b in vocab for s in ("", "s", "ed", "ing")]
+    words += ["policies", "stopped", "making", "tied", "news",
+              "matrices", "children", "stability", "glasses"]
+    py = {w: ks.kstem(w) for w in words}
+    vals = ", ".join(f"('{w}')" for w in words)
+    sql = (f"WITH {ks.lexicon_cte_sql()}, {ks.direct_cte_sql()}, "
+           f"inp(w) AS (SELECT * FROM (VALUES {vals})) "
+           f"SELECT w, {ks.kstem_case_sql('w')} AS s FROM inp")
+    dk = dict(duckdb.connect().execute(sql).fetchall())
+    assert py == dk
+
+
 def test_stats_file_roundtrip(spark, tmp_path):
     ts = spark.createDataFrame(
         [("b", 2, 5), ("a", 1, 3)], "term string, df long, cf long"

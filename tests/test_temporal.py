@@ -141,7 +141,11 @@ def test_interval_join_stream_matches_batch(spark, sf_dir):
     from hadoop_ir_spark.streaming import events as ev
 
     def split(df):
-        t = F.timestamp_micros(F.expr("ts div 1000"))
+        from hadoop_ir_spark.functions import timeutil
+
+        # LTZ event-time (watermarks require TIMESTAMP), built tz-free
+        # from the canonical wall-clock epoch
+        t = F.timestamp_micros(timeutil.epoch_us(df, "ts"))
         p = df.filter(F.col("event_type") == "purchase").select(
             F.col("event_id").alias("purchase_id"), "user_id",
             t.alias("p_time"),
