@@ -144,9 +144,68 @@ def mean_average_precision(run: DataFrame, qrels: DataFrame,
 def evaluate_run(run: DataFrame, qrels: DataFrame, min_rel: int = 1,
                  ks: tuple[int, ...] = (10, 20)) -> DataFrame:
     """The reference's in-reducer eval block (RunQueryHBase.java:292-296):
-    per-query MAP-style AP + P@10 + P@20 in one frame."""
-    out = average_precision(run, qrels, min_rel)
+    per-query MAP-style AP + P@10 + P@20 in one frame.
+
+    Scale shape: the judged run is computed ONCE and cached before the
+    metric fan-out — without this, every metric branch re-plans the whole
+    upstream retrieval (the round-2 plan audit showed 79 exchanges for
+    eval_map_pk). On a cluster the cache becomes a checkpoint of the run;
+    the metric joins then read a few rows per query."""
+    j = _judged(run, qrels, min_rel).cache()
+    w = Window.partitionBy("qid").orderBy("rank")
+    cum = j.withColumn("cum_rel", F.sum("is_rel").over(w))
+    psum = cum.filter(F.col("is_rel") == 1).groupBy("qid").agg(
+        F.sum(F.col("cum_rel") / F.col("rank")).alias("psum")
+    )
+    denom = num_rel(qrels, min_rel).withColumnRenamed("num_rel", "denom")
+    out = (
+        j.select("qid").distinct()
+        .join(psum, "qid", "left")
+        .join(denom, "qid", "left")
+        .select(
+            "qid",
+            F.when(
+                F.coalesce(F.col("denom"), F.lit(0)) > 0,
+                F.coalesce(F.col("psum"), F.lit(0.0)) / F.col("denom"),
+            ).alias("ap"),
+        )
+    )
     for k in ks:
-        out = out.join(precision_at_k(run, qrels, k, min_rel), "qid", "left")
-        out = out.fillna({f"p_at_{k}": 0.0})
+        pk = j.filter(F.col("rank") <= k).groupBy("qid").agg(
+            (F.sum("is_rel") / F.lit(float(k))).alias(f"p_at_{k}")
+        )
+        out = out.join(pk, "qid", "left").fillna({f"p_at_{k}": 0.0})
     return out
+
+
+def f1_utility(run: DataFrame, qrels: DataFrame, min_rel: int = 1,
+               beta: float = 1.0, floor: float = -100.0) -> DataFrame:
+    """E3+E4 off one cached judged frame (same fan-out shape as
+    ``evaluate_run``): per-query precision/recall/F(beta) + KBA utility."""
+    j = _judged(run, qrels, min_rel).cache()
+    perq = j.groupBy("qid").agg(
+        F.sum("is_rel").alias("num_rel_ret"),
+        F.count("*").alias("num_ret"),
+    )
+    nr = num_rel(qrels, min_rel)
+    pr = (
+        perq.join(nr, "qid", "left")
+        .fillna({"num_rel": 0})
+        .select(
+            "qid",
+            (F.col("num_rel_ret") / F.col("num_ret")).alias("precision"),
+            F.when(F.col("num_rel") > 0,
+                   F.col("num_rel_ret") / F.col("num_rel"))
+            .otherwise(0.0).alias("recall"),
+            F.greatest(
+                F.lit(floor),
+                (2.0 * F.col("num_rel_ret") - F.col("num_ret"))
+                .cast("double"),
+            ).alias("utility"),
+        )
+    )
+    return pr.select(
+        "qid",
+        f1(F.col("precision"), F.col("recall"), beta).alias("f1"),
+        "utility",
+    )

@@ -70,13 +70,20 @@ def pagerank(edges: DataFrame, vertices: DataFrame | None = None,
             dmass = 0.0
         else:
             # dangling mass: rank total minus rank held by vertices WITH
-            # out-edges (1-row aggregate -> driver scalar)
-            with_out = ranks.join(deg, ranks["id"] == deg["src"],
-                                  "left_semi")
-            dmass = (
-                ranks.agg(F.sum("rank")).collect()[0][0]
-                - (with_out.agg(F.sum("rank")).collect()[0][0] or 0.0)
+            # out-edges — ONE 1-row aggregate job per iteration (total and
+            # with-out-edge sums in the same pass via a broadcast-semi
+            # flag), not two separate collects
+            flagged = ranks.join(
+                F.broadcast(deg.select(F.col("src").alias("id"))
+                            .withColumn("_has_out", F.lit(1))),
+                "id", "left",
             )
+            row = flagged.agg(
+                F.sum("rank").alias("total"),
+                F.sum(F.when(F.col("_has_out") == 1, F.col("rank"))
+                      .otherwise(0.0)).alias("held"),
+            ).collect()[0]
+            dmass = (row["total"] or 0.0) - (row["held"] or 0.0)
         ranks = vertices.join(contrib, "id", "left").select(
             "id",
             rnd(

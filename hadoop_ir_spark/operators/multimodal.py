@@ -200,3 +200,202 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             "resize_images requires PIL; not available in this environment"
         )
     raise NotImplementedError("real decode path not wired yet")
+
+
+# ===========================================================================
+# REAL codecs (pure numpy/struct, no external libraries): RIFF/PCM WAV and
+# uncompressed 24-bit BMP. These are genuine format implementations — the
+# decoders parse actual headers/chunks and reject malformed input — so the
+# media pipeline exercises a real decode step end-to-end; the container
+# merely lacks the *compressed* codecs (PNG/JPEG/FLAC), which stay gated.
+# ===========================================================================
+
+import struct
+
+import numpy as np
+
+
+def encode_wav_pcm16(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Minimal-but-real RIFF/WAVE writer: PCM, mono, 16-bit LE."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                      sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + len(data))
+            + b"WAVE" + b"fmt " + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Real RIFF chunk-walking WAV parser → (sample_rate, int16 mono
+    samples). Handles arbitrary chunk order/extra chunks; rejects
+    non-PCM / non-16-bit / multi-channel input explicitly."""
+    b = bytes(payload)
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate, _, _, bits = \
+                struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={audio_fmt} ch={channels} "
+                    f"bits={bits} (PCM mono 16-bit only)")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)   # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return sample_rate, np.frombuffer(data, dtype="<i2")
+
+
+def encode_bmp24(pixels: "np.ndarray") -> bytes:
+    """Minimal-but-real Windows BMP writer: BITMAPINFOHEADER, 24-bit,
+    uncompressed, bottom-up rows, 4-byte row padding. ``pixels`` is
+    (H, W, 3) uint8 in the file's B,G,R channel order."""
+    h, w, c = pixels.shape
+    assert c == 3
+    row = w * 3
+    pad = (-row) % 4
+    body = b"".join(
+        pixels[y].astype(np.uint8).tobytes() + b"\x00" * pad
+        for y in range(h - 1, -1, -1)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + body
+
+
+def decode_bmp24(payload: bytes) -> "np.ndarray":
+    """Real BMP parser → (H, W, 3) uint8 array in file (B,G,R) channel
+    order, top-down. Handles bottom-up and top-down files, row padding,
+    and data offsets; rejects compressed / non-24-bit input."""
+    b = bytes(payload)
+    if len(b) < 54 or b[0:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (_, _, _, offset) = struct.unpack_from("<IHHI", b, 2)
+    (hsize, w, h, planes, bits, compression) = \
+        struct.unpack_from("<IiiHHI", b, 14)
+    if bits != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bits={bits} comp={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        start = offset + i * stride
+        y = (h - 1 - i) if bottom_up else i
+        out[y] = np.frombuffer(b[start:start + row], dtype=np.uint8) \
+            .reshape(w, 3)
+    return out
+
+
+# Deterministic synthesis parameters (closed-form so DuckDB reproduces
+# the expected features without running any codec).
+WAV_MAX_SAMPLES = 201          # n = 160 + doc_id % 41  (< 201)
+WAV_N = "160 + doc_id % 41"
+WAV_SR = "8000 + (doc_id % 3) * 4000"
+WAV_SAMPLE = "((doc_id * 31 + i * 7) % 256 - 128) * 256"
+BMP_W = "4 + doc_id % 5"       # 4..8
+BMP_H = "3 + doc_id % 4"       # 3..6
+BMP_PIXEL = "(doc_id + 13 * y + 7 * x + 3 * c) % 256"
+
+
+def synth_wav_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) with REAL PCM WAV payloads whose samples are a
+    closed-form function of the id (see WAV_* constants)."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["media_id"]:
+                did = int(did)
+                n = 160 + did % 41
+                sr = 8000 + (did % 3) * 4000
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 31 + i * 7) % 256 - 128) * 256
+                rows.append((did, encode_wav_pcm16(s, sr)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(F.col(id_col).cast("long").alias("media_id")) \
+        .mapInPandas(build, schema="media_id long, payload binary")
+
+
+WAV_FEATURE_SCHEMA = ("media_id long, sample_rate int, n_samples int, "
+                      "amp_sum long, energy long, rms double, "
+                      "duration_us long")
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """REAL decode path: parse each RIFF payload with ``decode_wav`` and
+    emit (sample_rate, n_samples, exact integer amp_sum/energy, rms,
+    duration_us). Map-only, Arrow-batched, no shuffle."""
+    import math
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, s = decode_wav(payload)
+                s = s.astype(np.int64)
+                n = len(s)
+                energy = int((s * s).sum())
+                rows.append((
+                    int(mid), sr, n, int(s.sum()), energy,
+                    math.sqrt(energy / n) if n else 0.0,
+                    n * 1_000_000 // sr,
+                ))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "n_samples",
+                               "amp_sum", "energy", "rms", "duration_us"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=WAV_FEATURE_SCHEMA)
+
+
+def synth_bmp_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) with REAL 24-bit BMP payloads; pixel (x, y)
+    channel c (B,G,R order) = BMP_PIXEL closed form."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["media_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                pix = ((did + 13 * y + 7 * x + 3 * c) % 256).astype(np.uint8)
+                rows.append((did, encode_bmp24(pix)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(F.col(id_col).cast("long").alias("media_id")) \
+        .mapInPandas(build, schema="media_id long, payload binary")
+
+
+BMP_FEATURE_SCHEMA = ("media_id long, width int, height int, "
+                      "sum_b long, sum_g long, sum_r long, mean_px double")
+
+
+def bmp_features(media: DataFrame) -> DataFrame:
+    """REAL decode path: parse each BMP payload with ``decode_bmp24`` and
+    emit dimensions + exact per-channel integer sums + overall mean."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pix = decode_bmp24(payload).astype(np.int64)
+                h, w, _ = pix.shape
+                ch = pix.sum(axis=(0, 1))
+                rows.append((
+                    int(mid), w, h, int(ch[0]), int(ch[1]), int(ch[2]),
+                    float(pix.sum()) / (h * w * 3),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height",
+                               "sum_b", "sum_g", "sum_r", "mean_px"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=BMP_FEATURE_SCHEMA)

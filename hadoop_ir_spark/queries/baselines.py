@@ -182,14 +182,12 @@ FROM pr
 def q_eval_f1_utility(spark, sf_dir):
     """E3 + E4 over the Dirichlet run (recall denominator num_rel; missing
     qrels → recall 0 → F1 0, the Eval.java:82-111 degenerate-case rule)."""
-    run = dirichlet_topk(spark, sf_dir)
-    qrels = qrels_df(spark, sf_dir)
-    pr = evaluate.precision_recall(run, qrels).fillna({"recall": 0.0})
-    util = evaluate.utility(run, qrels)
-    out = pr.join(util, "qid")
+    run = dirichlet_topk(spark, sf_dir).localCheckpoint()
+    qrels = qrels_df(spark, sf_dir).localCheckpoint()
+    out = evaluate.f1_utility(run, qrels)
     return out.select(
         "qid",
-        F.round(evaluate.f1(F.col("precision"), F.col("recall")), 6).alias("f1"),
+        F.round("f1", 6).alias("f1"),
         F.round("utility", 6).alias("utility"),
     )
 

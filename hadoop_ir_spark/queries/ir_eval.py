@@ -53,8 +53,14 @@ SELECT p.qid, p.num_rel_ret, p.num_ret,
 FROM perq p LEFT JOIN nr USING (qid)
 """)
 def q_eval_precision_recall(spark, sf_dir):
-    run = dirichlet_topk(spark, sf_dir)
-    qrels = qrels_df(spark, sf_dir)
+    # compute-once fan-out: the run (full retrieval pipeline) and qrels
+    # (postings scan) are each consumed by several metric branches.
+    # localCheckpoint truncates the lineage so every branch reads the
+    # materialized few-rows-per-query frame instead of re-planning the
+    # whole retrieval (r2 plan audit: 79 exchanges for eval_map_pk).
+    # On a cluster this is exactly where the run would be checkpointed.
+    run = dirichlet_topk(spark, sf_dir).localCheckpoint()
+    qrels = qrels_df(spark, sf_dir).localCheckpoint()
     out = evaluate.precision_recall(run, qrels)
     return out.select(
         "qid",
@@ -110,8 +116,9 @@ SELECT ap.qid, ap.ap,
 FROM ap LEFT JOIN pk10 USING (qid) LEFT JOIN pk20 USING (qid)
 """)
 def q_eval_map_pk(spark, sf_dir):
-    run = dirichlet_topk(spark, sf_dir)
-    qrels = qrels_df(spark, sf_dir)
+    # compute-once fan-out: see evaluate.evaluate_run's scale note
+    run = dirichlet_topk(spark, sf_dir).localCheckpoint()
+    qrels = qrels_df(spark, sf_dir).localCheckpoint()
     out = evaluate.evaluate_run(run, qrels, ks=(10, 20))
     return out.select(
         "qid",

@@ -90,3 +90,77 @@ def q_media_audio_energy(spark, sf_dir):
         _media(spark, sf_dir), window=AUDIO_WINDOW
     )
     return out.withColumn("rms", F.round("rms", 6))
+
+
+# ---------------------------------------------------------------------------
+# REAL codec paths: payloads are genuine RIFF/PCM WAV and 24-bit BMP files
+# (encoded in one mapInPandas stage, decoded by the real chunk-walking /
+# header-parsing decoders in another). The oracle never touches the codec:
+# it recomputes the features from the closed-form sample/pixel definitions,
+# so a decode bug (endianness, padding, chunk alignment, row order) shows
+# up as a value mismatch.
+# ---------------------------------------------------------------------------
+
+
+@register("media_wav_real", f"""
+WITH par AS (
+  SELECT doc_id AS media_id, {multimodal.WAV_N.replace("doc_id", "doc_id")} AS n,
+         {multimodal.WAV_SR} AS sr
+  FROM documents
+),
+idx AS (SELECT unnest(range(0, {multimodal.WAV_MAX_SAMPLES})) AS i),
+samp AS (
+  SELECT media_id, n, sr,
+         ((media_id * 31 + i * 7) % 256 - 128) * 256 AS s
+  FROM par, idx WHERE i < n
+)
+SELECT media_id,
+       CAST(max(sr) AS INT) AS sample_rate,
+       CAST(max(n) AS INT) AS n_samples,
+       CAST(sum(s) AS BIGINT) AS amp_sum,
+       CAST(sum(s * s) AS BIGINT) AS energy,
+       round(sqrt(sum(s * s)::DOUBLE / max(n)), 6) AS rms,
+       CAST((max(n) * 1000000) // max(sr) AS BIGINT) AS duration_us
+FROM samp GROUP BY media_id
+""")
+def q_media_wav_real(spark, sf_dir):
+    """Encode → REAL RIFF/WAV decode → features. The decoder walks actual
+    chunks (fmt /data, word alignment) — a real-format pipeline, not a
+    byte fake; the oracle derives expected features from the closed-form
+    sample definition, independent of both codec sides."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    wavs = multimodal.synth_wav_table(docs)
+    out = multimodal.wav_features(wavs)
+    return out.withColumn("rms", F.round("rms", 6))
+
+
+@register("media_bmp_real", f"""
+WITH par AS (
+  SELECT doc_id AS media_id, {multimodal.BMP_W} AS w, {multimodal.BMP_H} AS h
+  FROM documents
+),
+xs AS (SELECT unnest(range(0, 8)) AS x),
+ys AS (SELECT unnest(range(0, 6)) AS y),
+cs AS (SELECT unnest(range(0, 3)) AS c),
+px AS (
+  SELECT media_id, w, h, c, {multimodal.BMP_PIXEL.replace("doc_id", "media_id")} AS v
+  FROM par, xs, ys, cs WHERE x < w AND y < h
+)
+SELECT media_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       round(sum(v)::DOUBLE / (max(w) * max(h) * 3), 6) AS mean_px
+FROM px GROUP BY media_id
+""")
+def q_media_bmp_real(spark, sf_dir):
+    """Encode → REAL BMP decode → features. The decoder parses the actual
+    headers (offset, 24-bit uncompressed check), handles bottom-up row
+    order and 4-byte row padding; the oracle recomputes per-channel sums
+    from the closed-form pixel definition."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bmps = multimodal.synth_bmp_table(docs)
+    out = multimodal.bmp_features(bmps)
+    return out.withColumn("mean_px", F.round("mean_px", 6))

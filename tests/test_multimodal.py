@@ -73,3 +73,79 @@ def test_resize_stub_raises(media):
 def test_real_decode_gated(media):
     with pytest.raises(NotImplementedError, match="PIL"):
         multimodal.image_features(media, use_real_decode=True)
+
+
+# --------------------------------------------------------------------------
+# REAL codecs (RIFF/PCM WAV + 24-bit BMP, pure numpy/struct)
+# --------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_rejects():
+    import numpy as np
+    import pytest
+
+    s = np.array([0, 1, -1, 32767, -32768, 123], dtype=np.int16)
+    b = multimodal.encode_wav_pcm16(s, 16000)
+    assert b[0:4] == b"RIFF" and b[8:12] == b"WAVE"
+    sr, out = multimodal.decode_wav(b)
+    assert sr == 16000
+    assert np.array_equal(out, s)
+    # chunk walker must skip unknown chunks before fmt/data
+    extra = b[:12] + b"LIST" + (4).to_bytes(4, "little") + b"INFO" + b[12:]
+    sr2, out2 = multimodal.decode_wav(extra)
+    assert sr2 == 16000 and np.array_equal(out2, s)
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_wav(b"nope" + b[4:])
+    # stereo must be rejected, not silently mis-decoded
+    import struct
+
+    stereo_fmt = struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+    bad = b[:12] + b"fmt " + stereo_fmt + b"data" + struct.pack("<I", 4) + b"\0\0\0\0"
+    with pytest.raises(ValueError, match="ch=2"):
+        multimodal.decode_wav(bad)
+
+
+def test_bmp_roundtrip_orientation_and_padding():
+    import numpy as np
+
+    # W=3 -> 9-byte rows -> 3 bytes padding: exercises the stride logic;
+    # distinct corner values prove row order (bottom-up) is undone
+    pix = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3)
+    b = multimodal.encode_bmp24(pix)
+    out = multimodal.decode_bmp24(b)
+    assert np.array_equal(out, pix)
+    assert out[0, 0, 0] == 0 and out[2, 2, 2] == 26
+
+
+def test_bmp_rejects_non24bit():
+    import pytest
+
+    pix = __import__("numpy").zeros((2, 2, 3), dtype="uint8")
+    b = bytearray(multimodal.encode_bmp24(pix))
+    b[28] = 8  # biBitCount
+    with pytest.raises(ValueError, match="bits=8"):
+        multimodal.decode_bmp24(bytes(b))
+
+
+def test_wav_features_pipeline(spark):
+    df = spark.createDataFrame([(7,), (12,)], "doc_id long")
+    out = {r["media_id"]: r for r in multimodal.wav_features(
+        multimodal.synth_wav_table(df)).collect()}
+    assert out[7]["n_samples"] == 160 + 7 % 41
+    assert out[7]["sample_rate"] == 8000 + (7 % 3) * 4000
+    # closed-form spot check
+    n = 160 + 7 % 41
+    s = [((7 * 31 + i * 7) % 256 - 128) * 256 for i in range(n)]
+    assert out[7]["amp_sum"] == sum(s)
+    assert out[7]["energy"] == sum(x * x for x in s)
+    assert out[7]["duration_us"] == n * 1_000_000 // (8000 + (7 % 3) * 4000)
+
+
+def test_bmp_features_pipeline(spark):
+    df = spark.createDataFrame([(5,)], "doc_id long")
+    out = multimodal.bmp_features(multimodal.synth_bmp_table(df)).collect()[0]
+    w, h = 4 + 5 % 5, 3 + 5 % 4
+    assert (out["width"], out["height"]) == (w, h)
+    exp = [sum((5 + 13 * y + 7 * x + 3 * c) % 256
+               for y in range(h) for x in range(w)) for c in range(3)]
+    assert [out["sum_b"], out["sum_g"], out["sum_r"]] == exp
