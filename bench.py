@@ -41,6 +41,17 @@ HEADLINE = [
     "curation_pipeline",    # quality -> dedup -> sample, end-to-end
     "sketch_distinct_hll",
     "approx_quantiles",
+    # round-2 additions
+    "tpch_q5",              # fact-fact shuffle joins + broadcast dims
+    "line_dedup_docs",
+    "pq_ann_topk",          # product-quantization ADC scan
+    "cms_term_counts",
+    "jdbc_spam_lookup",     # embedded-Derby JDBC source e2e
+    # round-3 additions
+    "media_wav_real",       # real RIFF decode via mapInPandas
+    "media_bmp_real",
+    "event_asof_click",     # as-of join (union-tag plan)
+    "event_sessions",
 ]
 
 

@@ -391,3 +391,89 @@ def pq_topk(codes: DataFrame, lut: DataFrame, k: int = 10) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (SimHash-for-vectors) — the third ANN strategy next
+# to IVF (partition-probe) and PQ (compressed-scan). Completes the scale
+# menu: RP-LSH needs NO trained index structure (hyperplanes are a formula),
+# so it is the strategy that works on a cold 100 TB corpus in one pass.
+# ---------------------------------------------------------------------------
+
+RP_NH = 16       # hyperplanes (signature bits)
+RP_NB = 4        # bands -> candidates share at least one 4-bit band bucket
+                 # (width tunes recall vs candidate volume: narrower bands
+                 # collide more; 4x4 beats 2x8 on recall at equal bits)
+RP_QUANT = 1000  # fixed-point quantization for integer-exact bit decisions
+
+
+def rp_bands(df: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", nh: int = RP_NH,
+             nb: int = RP_NB, out_id: str | None = None) -> DataFrame:
+    """(id, band, bucket) random-hyperplane LSH bands.
+
+    Hyperplane j's weight on dimension d is the closed form
+    ``((j*37 + d*101) % 19) - 9`` and the vector is fixed-point quantized
+    (``floor(x*1000 + 0.5)``), so every signature bit is an INTEGER sign
+    decision — bit-identical across engines and summation orders, which a
+    float dot product near zero would not be. One map-only pass, no
+    Python; the per-band explode is x``nb``.
+    """
+    width = nh // nb
+    bits = F.expr(
+        f"transform(sequence(0, {nh - 1}), j -> "
+        f"  aggregate("
+        f"    zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
+        f"      (x, d) -> cast(floor(cast(x as double) * {RP_QUANT} + 0.5)"
+        f"                     as bigint)"
+        f"                * (((j * 37 + d * 101) % 19) - 9)),"
+        f"    0L, (acc, t) -> acc + t) >= 0L)"
+    )
+    keys = F.expr(
+        f"transform(sequence(0, {nb - 1}), b -> "
+        f"  aggregate(sequence(0, {width - 1}), 0L,"
+        f"    (acc, i) -> acc + if(element_at(_bits, b * {width} + i + 1),"
+        f"                         shiftleft(1L, i), 0L)))"
+    )
+    out_id = out_id or id_col
+    return (
+        df.select(F.col(id_col).alias(out_id), bits.alias("_bits"))
+        .select(out_id, F.posexplode(keys).alias("band", "bucket"))
+    )
+
+
+def rp_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "qid", nh: int = RP_NH,
+                nb: int = RP_NB) -> DataFrame:
+    """Approximate cosine top-k: candidates = corpus vectors sharing at
+    least one LSH band bucket with the query; exact cosine re-rank on the
+    candidate set only. (qid, vec_id, cosine, rank).
+
+    Scale shape: ONE equi-join on (band, bucket) — no cross join. The
+    corpus side is bucketed by the signature; hot buckets (dense regions)
+    are the LSH analogue of skew and would be salted/capped in production.
+    """
+    cb = rp_bands(emb, id_col, vec_col, nh, nb)
+    qb = rp_bands(queries, qid_col, vec_col, nh, nb, out_id="qid")
+    cand = (
+        cb.join(qb, ["band", "bucket"])
+        .select("qid", id_col)
+        .distinct()
+    )
+    c = emb.select(F.col(id_col), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(vec_col).alias("qv"))
+    scored = (
+        cand.join(c, id_col)
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid", id_col,
+            F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.desc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -267,3 +267,66 @@ def q_pq_ann_topk(spark, sf_dir):
     codes = similarity.pq_encode(emb, cb)
     lut = similarity.pq_lut(_queries(emb), cb)
     return similarity.pq_topk(codes, lut, k=ANN_K)
+
+
+RP_NH = similarity.RP_NH
+RP_NB = similarity.RP_NB
+_RP_W = RP_NH // RP_NB
+
+
+@register("rp_lsh_ann_topk", f"""
+WITH comp AS (
+  SELECT vec_id, pos - 1 AS d,
+         CAST(floor(val::DOUBLE * {similarity.RP_QUANT} + 0.5) AS BIGINT) AS xi
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+),
+js AS (SELECT unnest(range(0, {RP_NH})) AS j),
+sig AS (
+  SELECT vec_id, j,
+         CASE WHEN sum(xi * (((j * 37 + d * 101) % 19) - 9)) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM comp CROSS JOIN js GROUP BY vec_id, j
+),
+bands AS (
+  SELECT vec_id, j // {_RP_W} AS band,
+         CAST(sum(bit * (1::BIGINT << (j % {_RP_W}))) AS BIGINT) AS bucket
+  FROM sig GROUP BY vec_id, j // {_RP_W}
+),
+qb AS (SELECT vec_id AS qid, band, bucket FROM bands
+       WHERE vec_id % {QUERY_EVERY} = 0),
+cand AS (
+  SELECT DISTINCT q.qid, b.vec_id
+  FROM bands b JOIN qb q ON b.band = q.band AND b.bucket = q.bucket
+),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], g.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(g.embedding::DOUBLE[], g.embedding::DOUBLE[]))),
+           6) AS cosine
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings g ON g.vec_id = c.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id DESC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+""")
+def q_rp_lsh_ann_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN: integer-exact signatures -> banded
+    bucket equi-join -> exact cosine re-rank of candidates only. The
+    oracle replays the identical algorithm (same hyperplane formula, same
+    quantization), so signature, candidate set AND final ranking must all
+    match exactly."""
+    emb = _emb(spark, sf_dir)
+    out = similarity.rp_lsh_topk(emb, _queries(emb), k=ANN_K)
+    return out.select("qid", "vec_id", "cosine",
+                      F.col("rank").cast("int").alias("rank"))

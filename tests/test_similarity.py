@@ -180,3 +180,31 @@ def test_pq_roundtrip_numpy_parity(spark):
         # word can beat it (its ADC distance is the per-subspace minimum)
         assert d[qid] == min(
             sum(lut[s, enc[v][s]] for s in range(m)) for v in ids)
+
+
+def test_rp_lsh_candidates_and_recall(spark, sf_dir):
+    """RP-LSH must (a) always return the query itself at rank 1 (a vector
+    shares all its own buckets), and (b) recall a reasonable share of the
+    true brute-force top-k on the candidate-reduced set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    approx = similarity.rp_lsh_topk(emb, q, k=10)
+    exact = similarity.cosine_topk(emb, q, k=10)
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    qids = {qid for qid, _ in e}
+    # self-hit at rank 1
+    top1 = {r["qid"]: r["vec_id"] for r in approx.filter("rank = 1").collect()}
+    assert all(top1[qid] == qid for qid in qids)
+    recall = len(a & e) / len(e)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall:.2f}"
+    # the candidate join must actually prune: fewer approx rows than a
+    # full cross-join would score
+    n_emb = emb.count()
+    assert approx.count() <= len(qids) * 10
+    assert recall <= 1.0 and n_emb > 10
