@@ -153,10 +153,14 @@ def q_tpch_q3(spark, sf_dir):
              .alias("rev_c2"))
     )
     from pyspark.sql import Window
+
+    # TakeOrderedAndProject shape: limit BEFORE the global ranking window
+    # (which then sees only K rows), not a single-partition window over
+    # every order — see tpch_q10 for the same note
+    top = rev.orderBy(F.desc("rev_c2"), F.asc("o_orderkey")).limit(Q3_K)
     w = Window.orderBy(F.desc("rev_c2"), F.asc("o_orderkey"))
     return (
-        rev.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= Q3_K)
+        top.withColumn("rnk", F.row_number().over(w))
         .select(
             "o_orderkey", "o_orderdate_us", "o_orderpriority",
             F.round(F.col("rev_c2").cast("double") / 10000, 6)
@@ -277,4 +281,170 @@ def q_tpch_q6(spark, sf_dir):
         F.round((F.sum(F.col("price_c") * F.col("disc_pct")))
                 .cast("double") / 10000, 6).alias("revenue"),
         F.count("*").cast("long").alias("n_items"),
+    )
+
+
+Q4_D1, Q4_D2 = "1996-01-01", "1997-01-01"
+Q10_D1, Q10_D2 = "1996-01-01", "1996-04-01"
+Q10_K = 20
+Q14_D1, Q14_D2 = "1996-03-01", "1996-04-01"
+
+
+@register("tpch_q4", f"""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_D1}'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_D2}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+""")
+def q_tpch_q4(spark, sf_dir):
+    """Q4 (order-priority checking), adapted to this schema: the classic
+    commit<receipt lateness test becomes shipped-after-order (the data
+    carries no commit/receipt dates). The EXISTS compiles to a LEFT SEMI
+    join on l_orderkey with the range predicate inside the join — one
+    shuffle, no row explosion from multi-lineitem orders."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.expr(f"o_orderdate >= TIMESTAMP_NTZ '{Q4_D1} 00:00:00' AND "
+               f"o_orderdate < TIMESTAMP_NTZ '{Q4_D2} 00:00:00'")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    kept = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@register("tpch_q10", f"""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS acctbal_c,
+         CAST(sum(li.price_c * (100 - li.disc_pct)) AS BIGINT) AS rev_c2
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN li ON li.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '{Q10_D1}'
+    AND o.o_orderdate <  TIMESTAMP '{Q10_D2}'
+  GROUP BY 1, 2, 3, 4
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rev_c2 DESC, c_custkey ASC) AS rnk
+  FROM rev
+)
+SELECT c_custkey, c_name, n_name,
+       round(acctbal_c::DOUBLE / 100, 6) AS c_acctbal,
+       round(rev_c2::DOUBLE / 10000, 6) AS revenue,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {Q10_K}
+""")
+def q_tpch_q10(spark, sf_dir):
+    """Q10 (returned-item reporting): top-{Q10_K} customers by revenue
+    lost to returns in a quarter. Shape: date-pruned orders join the 'R'
+    lineitems on the shuffle spine; customer and nation are the broadcast
+    dims; integer-cents aggregation; global top-k via one final
+    single-partition window over the small aggregated frame."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_pct"),
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.expr(f"o_orderdate >= TIMESTAMP_NTZ '{Q10_D1} 00:00:00' AND "
+               f"o_orderdate < TIMESTAMP_NTZ '{Q10_D2} 00:00:00'")
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("acctbal_c"),
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "acctbal_c")
+        .agg(F.sum(F.col("price_c") * (100 - F.col("disc_pct")))
+             .alias("rev_c2"))
+    )
+    # scale note: orderBy+limit compiles to TakeOrderedAndProject (per-
+    # partition top-K then a K-row merge on the driver) — the global
+    # ranking window runs AFTER the limit, over K rows, never over the
+    # full customer frame
+    top = rev.orderBy(F.desc("rev_c2"), F.asc("c_custkey")).limit(Q10_K)
+    w = Window.orderBy(F.desc("rev_c2"), F.asc("c_custkey"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.round(F.col("acctbal_c").cast("double") / 100, 6)
+            .alias("c_acctbal"),
+            F.round(F.col("rev_c2").cast("double") / 10000, 6)
+            .alias("revenue"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@register("tpch_q14", f"""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q14_D1}'
+    AND l_shipdate <  TIMESTAMP '{Q14_D2}'
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN li.price_c * (100 - li.disc_pct) ELSE 0 END)
+         AS BIGINT) AS promo_c2,
+    CAST(sum(li.price_c * (100 - li.disc_pct)) AS BIGINT) AS total_c2
+  FROM li JOIN part p ON p.p_partkey = li.l_partkey
+)
+SELECT round(100.0 * promo_c2 / total_c2, 6) AS promo_revenue_pct
+FROM agg
+""")
+def q_tpch_q14(spark, sf_dir):
+    """Q14 (promotion effect): share of one month's discounted revenue
+    from PROMO parts. part is the broadcast dim; the month filter prunes
+    the lineitem scan; ONE conditional aggregate produces both the
+    numerator and denominator (no second scan)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr(f"l_shipdate >= TIMESTAMP_NTZ '{Q14_D1} 00:00:00' AND "
+               f"l_shipdate < TIMESTAMP_NTZ '{Q14_D2} 00:00:00'")
+    ).select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_pct"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev2 = F.col("price_c") * (100 - F.col("disc_pct"))
+    agg = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev2).otherwise(0))
+        .alias("promo_c2"),
+        F.sum(rev2).alias("total_c2"),
+    )
+    return agg.select(
+        F.round(100.0 * F.col("promo_c2") / F.col("total_c2"), 6)
+        .alias("promo_revenue_pct")
     )
