@@ -68,3 +68,32 @@ def test_stats_queries_prune_documents_scan(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     # never read lang/source/n_chars for token statistics
     assert "n_chars" not in plan
+
+
+def test_tpch_topk_takeordered(spark, sf_dir):
+    # global top-K = per-partition top-K + K-row merge, never a
+    # single-partition window over the whole aggregated frame
+    for name in ("tpch_q3", "tpch_q10"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_tpch_q4_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q4")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rp_lsh_no_cross_join(spark, sf_dir):
+    # LSH candidates come from a bucket equi-join; the only cross shape
+    # allowed is the final broadcast of the tiny query set
+    plan = _plan(spark, sf_dir, "rp_lsh_ann_topk")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_eval_map_pk_plan_is_checkpoint_fanout(spark, sf_dir):
+    # regression for the round-2 plan bloat: re-planned retrieval per
+    # metric branch put 79 exchanges in this plan; the checkpointed
+    # fan-out keeps it small
+    plan = _plan(spark, sf_dir, "eval_map_pk")
+    assert plan.count("Exchange") <= 25
