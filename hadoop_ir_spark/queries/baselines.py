@@ -126,7 +126,7 @@ def q_mirex_baselines(spark, sf_dir):
         tstats.select("term", "cf"), "term", "left"
     ).fillna({"cf": 0})
     matched = scoring.matched_terms(post, topics, doc_len=dlen,
-                                    stats=tstats).cache()
+                                    stats=tstats).localCheckpoint()
 
     glob = dlen.filter(F.col("doc_len") > 0).agg(
         F.count("*").alias("n_docs"), F.sum("doc_len").alias("n_tokens")
