@@ -448,3 +448,54 @@ def q_tpch_q14(spark, sf_dir):
         F.round(100.0 * F.col("promo_c2") / F.col("total_c2"), 6)
         .alias("promo_revenue_pct")
     )
+
+
+Q18_QTY = 300
+
+
+@register("tpch_q18", f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity, 0) AS BIGINT))
+                          AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity, 0) AS BIGINT)) > {Q18_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       epoch_us(o.o_orderdate) AS o_orderdate_us,
+       round(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)::DOUBLE / 100,
+             6) AS o_totalprice,
+       b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""")
+def q_tpch_q18(spark, sf_dir):
+    """Q18 (large-volume customers): aggregate -> HAVING -> join back to
+    the dimensions. The quantity aggregate runs FIRST and the HAVING
+    prunes to a few orders, so the orders/customer joins see a tiny left
+    side (broadcast); the lineitem scan reads only (l_orderkey,
+    l_quantity). No LIMIT variant: the HAVING threshold already bounds
+    the result, keeping the oracle ordering-free."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round("l_quantity", 0).cast("long").alias("qty")
+    )
+    big = li.groupBy("l_orderkey").agg(F.sum("qty").alias("total_qty")) \
+        .filter(F.col("total_qty") > Q18_QTY)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        epoch_us_typed("o_orderdate", TimestampNTZType())
+        .alias("o_orderdate_us"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("price_c"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        F.broadcast(big).join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate_us",
+            F.round(F.col("price_c").cast("double") / 100, 6)
+            .alias("o_totalprice"),
+            "total_qty",
+        )
+    )
