@@ -83,3 +83,53 @@ def q_event_threshold_filter(spark, sf_dir):
     return out.select(
         "event_id", "event_type", F.round("value", 6).alias("value")
     )
+
+
+SLIDE_WINDOW_MIN = 60   # 1-hour windows ...
+SLIDE_STEP_MIN = 30     # ... sliding every 30 min -> each event in 2
+
+
+@register("event_sliding_counts", f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS ts_us, event_type, value FROM events
+),
+-- an event at t belongs to every window [w, w+60min) with
+-- w in {{t floor 30min, t floor 30min - 30min}} that contains t
+k AS (SELECT unnest(range(0, {SLIDE_WINDOW_MIN // SLIDE_STEP_MIN})) AS i),
+assigned AS (
+  SELECT (ts_us - ts_us % {SLIDE_STEP_MIN * 60000000}
+          - i * {SLIDE_STEP_MIN * 60000000}::BIGINT) AS w_start_us,
+         event_type, value
+  FROM ev CROSS JOIN k
+  WHERE ts_us >= (ts_us - ts_us % {SLIDE_STEP_MIN * 60000000}
+                  - i * {SLIDE_STEP_MIN * 60000000}::BIGINT)
+    AND ts_us < (ts_us - ts_us % {SLIDE_STEP_MIN * 60000000}
+                 - i * {SLIDE_STEP_MIN * 60000000}::BIGINT)
+                + {SLIDE_WINDOW_MIN * 60000000}::BIGINT
+)
+SELECT w_start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM assigned GROUP BY 1, 2
+""")
+def q_event_sliding_counts(spark, sf_dir):
+    """Sliding-window aggregation (1h window / 30min slide): the native
+    F.window(slideDuration) expansion — each event lands in
+    window/slide = 2 windows via Expand, NOT a self-join. Output keys on
+    the epoch-micros window start so the oracle's integer arithmetic
+    replay matches exactly under any timezone."""
+    from hadoop_ir_spark.functions import timeutil
+
+    e = ev.with_event_time(ev.read_events(spark, sf_dir))
+    win = F.window("event_time", f"{SLIDE_WINDOW_MIN} minutes",
+                   f"{SLIDE_STEP_MIN} minutes")
+    out = e.groupBy(win.alias("w"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    start_us = timeutil.epoch_us_typed(
+        "w.start", out.schema["w"].dataType["start"].dataType
+    )
+    return out.select(
+        start_us.alias("w_start_us"), "event_type", "n_events", "sum_value"
+    )

@@ -209,3 +209,34 @@ def test_sketches_duplication_invariant(spark, vals, copies):
     k2 = sketches.kmv_distinct(dup, "x").collect()[0]
     assert (k1["n_kept"], k1["est_distinct"]) \
         == (k2["n_kept"], k2["est_distinct"])
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+               min_size=0, max_size=20))
+def test_kstem_total_never_grows_much(word):
+    """KStem never raises, never returns empty for nonempty alpha input,
+    and output never exceeds input length + 1 (the only growing rules are
+    ies->y style recodings and stem+'e' restoration)."""
+    from hadoop_ir_spark.functions.kstem import kstem
+
+    out = kstem(word)
+    assert isinstance(out, str)
+    if word:
+        assert out
+    assert len(out) <= len(word) + 1
+
+
+@given(st.integers(min_value=0, max_value=4_000_000_000_000_000))
+def test_timeutil_nanos_roundtrip(us):
+    """nanos-long -> NTZ -> epoch_us must be exactly div 1000 of the
+    nanos (the two timeutil paths agree)."""
+    import pandas as pd
+
+    from hadoop_ir_spark.functions import timeutil
+
+    # pure-python replay of the SQL decomposition on the same instant
+    t = pd.Timestamp(us, unit="us")
+    decomp = (t.normalize().value // 1000
+              + (t.hour * 3600 + t.minute * 60) * 1_000_000
+              + t.second * 1_000_000 + t.microsecond)
+    assert decomp == us
