@@ -191,15 +191,36 @@ def audio_window_features(media: DataFrame, window: int = 32,
     )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: real resize needs an image codec (PIL), absent here. The
-    plumbing contract (signature + schema) is fixed so swapping in the
-    real kernel is a one-function change."""
-    if not _pil_available():
-        raise NotImplementedError(
-            "resize_images requires PIL; not available in this environment"
-        )
-    raise NotImplementedError("real decode path not wired yet")
+def resize_images(media: DataFrame, width: int, height: int,
+                  fmt: str = "bmp") -> DataFrame:
+    """REAL resize for uncompressed 24-bit BMP payloads: decode with the
+    real parser below, nearest-neighbor resample in numpy
+    (``src = (dst * src_dim) // dst_dim``), re-encode as a valid BMP.
+    Compressed formats (png/jpeg) still need PIL, absent here — that
+    path stays explicitly gated."""
+    if fmt != "bmp":
+        if not _pil_available():
+            raise NotImplementedError(
+                f"resize_images({fmt!r}) requires PIL; only the real 'bmp'"
+                " codec is available in this environment"
+            )
+        raise NotImplementedError("PIL resize path not wired yet")
+
+    import numpy as np
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pix = decode_bmp24(payload)
+                h, w, _ = pix.shape
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                rows.append((int(mid), encode_bmp24(pix[ys][:, xs])))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        do, schema="media_id long, payload binary")
 
 
 # ===========================================================================

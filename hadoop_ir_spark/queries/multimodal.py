@@ -164,3 +164,44 @@ def q_media_bmp_real(spark, sf_dir):
     bmps = multimodal.synth_bmp_table(docs)
     out = multimodal.bmp_features(bmps)
     return out.withColumn("mean_px", F.round("mean_px", 6))
+
+
+RESIZE_W, RESIZE_H = 4, 3
+
+
+@register("media_bmp_resize", f"""
+WITH par AS (
+  SELECT doc_id AS media_id, {multimodal.BMP_W} AS w, {multimodal.BMP_H} AS h
+  FROM documents
+),
+xs AS (SELECT unnest(range(0, {RESIZE_W})) AS x2),
+ys AS (SELECT unnest(range(0, {RESIZE_H})) AS y2),
+cs AS (SELECT unnest(range(0, 3)) AS c),
+px AS (
+  SELECT media_id,
+         (media_id + 13 * ((y2 * h) // {RESIZE_H})
+                   + 7 * ((x2 * w) // {RESIZE_W}) + 3 * c) % 256 AS v,
+         c
+  FROM par, xs, ys, cs
+)
+SELECT media_id,
+       CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       round(sum(v)::DOUBLE / ({RESIZE_W} * {RESIZE_H} * 3), 6) AS mean_px
+FROM px GROUP BY media_id
+""")
+def q_media_bmp_resize(spark, sf_dir):
+    """Encode -> REAL decode -> nearest-neighbor resize -> re-encode ->
+    REAL decode again -> features. The oracle evaluates the closed-form
+    pixel function at the resampled coordinates ((dst*src)//dst_dim), so
+    a bug anywhere in the decode/resample/encode chain breaks the value
+    match."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bmps = multimodal.synth_bmp_table(docs)
+    small = multimodal.resize_images(bmps, RESIZE_W, RESIZE_H)
+    out = multimodal.bmp_features(small)
+    return out.select(
+        "media_id", "sum_b", "sum_g", "sum_r",
+        F.round("mean_px", 6).alias("mean_px"),
+    )

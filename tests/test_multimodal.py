@@ -65,9 +65,26 @@ def test_audio_window_features(media):
         multimodal.audio_window_features(media, use_real_decode=True).collect()
 
 
-def test_resize_stub_raises(media):
+def test_resize_compressed_formats_gated(media):
     with pytest.raises(NotImplementedError, match="PIL"):
-        multimodal.resize_images(media, 64, 64)
+        multimodal.resize_images(media, 64, 64, fmt="png")
+
+
+def test_resize_bmp_real_roundtrip(spark):
+    """decode -> nearest-neighbor resample -> re-encode must match the
+    numpy index-sample of the original pixels exactly."""
+    import numpy as np
+
+    pix = (np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3) * 7) % 256
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_bmp24(pix)))],
+        "media_id long, payload binary",
+    )
+    out = multimodal.resize_images(df, 3, 2).collect()[0]
+    got = multimodal.decode_bmp24(bytes(out["payload"]))
+    ys = (np.arange(2) * 6) // 2
+    xs = (np.arange(3) * 5) // 3
+    assert np.array_equal(got, pix[ys][:, xs])
 
 
 def test_real_decode_gated(media):
