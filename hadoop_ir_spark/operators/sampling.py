@@ -52,3 +52,37 @@ def token_budget_sample(docs: DataFrame, group_col: str, budget: int,
     )
     out = docs.withColumn("cum_tokens", F.sum(n_tokens_col).over(w))
     return out.filter(F.col("cum_tokens") - F.col(n_tokens_col) < budget)
+
+
+# 2^60 as the exact double both engines divide by (hash60 range)
+_HASH60_SPAN = 1152921504606846976.0
+
+
+def weighted_sample(docs: DataFrame, n: int, weight_col: str,
+                    group_col: str | None = None,
+                    id_col: str = "docno") -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement:
+    key_i = ln(u_i) / w_i with u_i uniform in (0,1); the n LARGEST keys
+    are the sample, so inclusion probability is proportional to weight.
+
+    Deterministic + portable: u derives from the 60-bit md5 hash of the
+    id ((h + 0.5) / 2^60, never 0), and the sort key is materialized as
+    an INTEGER nano-scaled floor(x*1e9 + 0.5) — integer comparisons, so
+    engine last-ulp ln() differences cannot reorder the sample (K3
+    tie-break on id remains for exact key collisions). One window over
+    partitionBy(group): single shuffle, no driver state, same shape as
+    stratified_sample at any scale.
+    """
+    u = (hash60(F.col(id_col).cast("string")).cast("double") + 0.5) \
+        / F.lit(_HASH60_SPAN)
+    wgt = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key9 = F.floor(F.log(u) / wgt * 1e9 + 0.5).cast("bigint")
+    part = [group_col] if group_col else [F.lit(1)]
+    win = Window.partitionBy(*part).orderBy(
+        F.desc("es_key9"), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("es_key9", key9)
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= n)
+    )

@@ -76,3 +76,40 @@ def q_token_budget_sample(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+WEIGHTED_N = 5
+
+
+@register("weighted_sample", f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(floor(
+           ln((CAST({SQL_SHUF} AS DOUBLE) + 0.5) / 1152921504606846976.0)
+           / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1000000000 + 0.5)
+         AS BIGINT) AS es_key9
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY es_key9 DESC, doc_id ASC)
+              AS sample_rank
+  FROM keyed
+)
+SELECT doc_id AS docno, lang, es_key9, CAST(sample_rank AS INT) AS sample_rank
+FROM ranked WHERE sample_rank <= {WEIGHTED_N}
+""")
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample (weight = doc length in
+    chars): per-language top-{WEIGHTED_N} by the integer-scaled ES key.
+    Longer docs are proportionally likelier; the oracle replays the
+    identical key computation."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docno"), "lang", "n_chars"
+    )
+    out = sampling.weighted_sample(docs, WEIGHTED_N, "n_chars",
+                                   group_col="lang")
+    return out.select(
+        "docno", "lang", "es_key9",
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+    )

@@ -42,3 +42,22 @@ def test_token_budget_group_isolation(spark):
     )
     out = sampling.token_budget_sample(docs, "lang", budget=500)
     assert out.count() == 2  # budgets are per group, not global
+
+
+def test_weighted_sample_proportional(spark):
+    """Statistical sanity: with weights 100 vs 1, heavy ids dominate the
+    kept sample; without replacement, no duplicates; deterministic."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "g", 100 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "docno long, g string, w long")
+    out = sampling.weighted_sample(df, 30, "w", group_col="g")
+    kept = [r["docno"] for r in out.collect()]
+    assert len(kept) == len(set(kept)) == 30
+    heavy = sum(1 for d in kept if d < 50)
+    # 50 heavy ids at weight 100 vs 450 light at weight 1: heavy mass is
+    # ~92%; expect the sample to be mostly heavy ids
+    assert heavy >= 20, heavy
+    again = [r["docno"] for r in sampling.weighted_sample(
+        df, 30, "w", group_col="g").collect()]
+    assert kept == again
