@@ -133,3 +133,40 @@ def q_event_sliding_counts(spark, sf_dir):
     return out.select(
         start_us.alias("w_start_us"), "event_type", "n_events", "sum_value"
     )
+
+
+SALT_BUCKETS = 8
+
+
+@register("salted_user_spend", """
+WITH dim AS (
+  SELECT DISTINCT user_id % 10 AS cohort_id,
+         'cohort-' || (user_id % 10) AS cohort_name
+  FROM events
+)
+SELECT d.cohort_name,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 6) AS total_value
+FROM events e JOIN dim d ON e.user_id % 10 = d.cohort_id
+GROUP BY d.cohort_name
+""")
+def q_salted_user_spend(spark, sf_dir):
+    """Salted fact-dim join under synthetic key skew: events collapse to
+    10 hot cohort keys (every row joins one of 10 dim rows — exactly the
+    single-hot-key shape AQE cannot always split). skew.salted_join
+    spreads each hot key over SALT_BUCKETS sub-partitions; the result is
+    row-identical to the plain join, which is what the oracle computes."""
+    from hadoop_ir_spark.operators import skew
+
+    e = ev.read_events(spark, sf_dir).select(
+        (F.col("user_id") % 10).alias("cohort_id"), "value"
+    )
+    dim = e.select("cohort_id").distinct().select(
+        "cohort_id",
+        F.concat(F.lit("cohort-"), F.col("cohort_id")).alias("cohort_name"),
+    )
+    j = skew.salted_join(e, dim, "cohort_id", buckets=SALT_BUCKETS)
+    return j.groupBy("cohort_name").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
