@@ -145,3 +145,34 @@ def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert got.count() == n
     assert got.select("event_id").distinct().count() == n
     assert set(got.columns) == set(batch.columns)
+
+
+def test_stream_sliding_counts_match_batch(spark, sf_dir):
+    """Sliding windows (1h/30min) on the stream must equal the batch
+    twin — each event in exactly window/slide = 2 windows, watermark
+    bounding state."""
+    def slide(df):
+        e = ev.with_event_time(df)
+        if e.isStreaming:
+            e = e.withWatermark("event_time", "30 minutes")
+        return (
+            e.groupBy(F.window("event_time", "60 minutes",
+                               "30 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 6).alias("sv"))
+            .select(F.col("w.start").cast("string").alias("ws"),
+                    "event_type", "n", "sv")
+        )
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    expected = {(r["ws"], r["event_type"]): (r["n"], r["sv"])
+                for r in slide(batch).collect()}
+    n_rows = batch.count()
+    assert sum(n for n, _ in expected.values()) == 2 * n_rows
+
+    agg = slide(ev.events_stream(spark, sf_dir))
+    ev.run_stream_to_memory(agg, "slide_test")
+    got = {(r["ws"], r["event_type"]): (r["n"], r["sv"])
+           for r in spark.table("slide_test").collect()}
+    spark.catalog.dropTempView("slide_test")
+    assert got == expected
