@@ -1,0 +1,51 @@
+"""Approximate string (edit-distance) join — the curation tool for
+near-identical titles/URLs/names that token-level dedup misses
+(beyond-reference operator set, companion to dedup.jaccard_pairs).
+
+Scale design: edit distance is not an equi-join predicate, so the
+physical plan must avoid the naive all-pairs comparison. Two standard
+filters make it a banded EQUI-join:
+
+- length banding: ``levenshtein(a, b) <= k`` implies
+  ``|len(a) - len(b)| <= k``, so each left string explodes to the
+  ``2k+1`` candidate lengths and joins right strings on exact length —
+  Catalyst sees a plain equi-join, sort-merge/broadcast eligible;
+- the exact ``levenshtein`` predicate then filters the banded pairs.
+
+At 100 TB one adds a positional q-gram count filter between the two
+(pairs within distance k share at least ``max(len) + 1 - (k+1)*q``
+q-grams) — same join-then-filter shape, documented here rather than
+implemented because the length band already bounds this corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edit_distance_pairs(strings: DataFrame, col: str = "title",
+                        max_dist: int = 2) -> DataFrame:
+    """Self-join of distinct strings with ``levenshtein <= max_dist``:
+    (a, b, dist) with a < b (each unordered pair once).
+
+    ``strings`` must carry one row per distinct value of ``col`` (use
+    ``.distinct()`` upstream — duplicate values would only multiply
+    identical pairs).
+    """
+    a = strings.select(F.col(col).alias("a")).withColumn(
+        "_band", F.explode(F.sequence(
+            F.length("a") - max_dist, F.length("a") + max_dist))
+    )
+    b = strings.select(F.col(col).alias("b")).withColumn(
+        "_band", F.length("b")
+    )
+    return (
+        a.join(b, "_band")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dist", F.levenshtein("a", "b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("a", "b", F.col("dist").cast("int").alias("dist"))
+        # no dedup needed: for a pair (a, b), exactly one of a's 2k+1
+        # band rows matches len(b), so each pair joins exactly once
+    )

@@ -219,3 +219,31 @@ def q_near_dedup_kept(spark, sf_dir):
         docs.select(F.col("doc_id").alias("docno"))
         .join(dropped, "docno", "anti")
     )
+
+
+FUZZY_PREFIX = 16
+FUZZY_DIST = 3
+
+
+@register("fuzzy_title_pairs", f"""
+WITH titles AS (
+  SELECT DISTINCT substr(text, 1, {FUZZY_PREFIX}) AS title FROM documents
+)
+SELECT a.title AS a, b.title AS b,
+       CAST(levenshtein(a.title, b.title) AS INT) AS dist
+FROM titles a JOIN titles b
+  ON a.title < b.title
+ AND levenshtein(a.title, b.title) <= {FUZZY_DIST}
+""")
+def q_fuzzy_title_pairs(spark, sf_dir):
+    """Banded edit-distance self-join over document title prefixes: the
+    Spark plan is a length-band EQUI-join + exact levenshtein filter (no
+    all-pairs nested loop); the oracle computes the same pair set by
+    brute force over the small distinct-title table."""
+    from hadoop_ir_spark.operators import fuzzy
+
+    docs = _docs(spark, sf_dir)
+    titles = docs.select(
+        F.substring("text", 1, FUZZY_PREFIX).alias("title")
+    ).distinct()
+    return fuzzy.edit_distance_pairs(titles, "title", max_dist=FUZZY_DIST)

@@ -224,3 +224,25 @@ def test_connected_components_star_matches_label(spark):
             spark.createDataFrame([(1, 2)], "docno_a int, docno_b int"),
             algorithm="bogus",
         )
+
+
+def test_edit_distance_pairs_banded():
+    """Known small fixture: the banded join must find exactly the pairs
+    within distance 2, each once, and never compare across the band."""
+    from hadoop_ir_spark.operators import fuzzy
+    from hadoop_ir_spark.session import get_spark
+
+    spark = get_spark("tests")
+    df = spark.createDataFrame(
+        [("kitten",), ("sitten",), ("sittin",), ("sitting",), ("apple",)],
+        "title string",
+    )
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in fuzzy.edit_distance_pairs(df, max_dist=2).collect()}
+    assert got[("kitten", "sitten")] == 1
+    assert got[("sitten", "sittin")] == 1
+    assert got[("kitten", "sittin")] == 2
+    assert got[("sittin", "sitting")] == 1
+    assert got[("sitten", "sitting")] == 2
+    assert ("kitten", "sitting") not in got     # dist 3
+    assert not any("apple" in p for p in got)
