@@ -25,23 +25,39 @@ from pyspark.sql import functions as F
 
 
 def edit_distance_pairs(strings: DataFrame, col: str = "title",
-                        max_dist: int = 2) -> DataFrame:
+                        max_dist: int = 2,
+                        parallelism: int | None = None) -> DataFrame:
     """Self-join of distinct strings with ``levenshtein <= max_dist``:
     (a, b, dist) with a < b (each unordered pair once).
 
     ``strings`` must carry one row per distinct value of ``col`` (use
     ``.distinct()`` upstream — duplicate values would only multiply
     identical pairs).
+
+    The probe side is explicitly repartitioned: the input is BYTES-tiny
+    (thousands of short strings) so AQE's coalescing would pack it into
+    one partition — but the joined work is QUADRATIC in rows, the
+    classic compute-bound-not-data-bound shape where partition sizing by
+    bytes is exactly wrong.
     """
-    a = strings.select(F.col(col).alias("a")).withColumn(
+    if parallelism is None:
+        parallelism = strings.sparkSession.sparkContext.defaultParallelism
+    a = strings.repartition(parallelism).select(F.col(col).alias("a")) \
+        .withColumn(
         "_band", F.explode(F.sequence(
             F.length("a") - max_dist, F.length("a") + max_dist))
     )
     b = strings.select(F.col(col).alias("b")).withColumn(
         "_band", F.length("b")
     )
+    # BROADCAST the band table: band values concentrate on a few lengths
+    # (a fixed-width title column has ONE), so a shuffled equi-join would
+    # funnel the whole quadratic comparison into one hot partition. With
+    # the build side broadcast, every probe partition compares its own
+    # slice — the n^2 work spreads over all tasks. (At dim sizes past
+    # broadcast range: salt the band like skew.salted_join.)
     return (
-        a.join(b, "_band")
+        a.join(F.broadcast(b), "_band")
         .filter(F.col("a") < F.col("b"))
         .withColumn("dist", F.levenshtein("a", "b"))
         .filter(F.col("dist") <= max_dist)
