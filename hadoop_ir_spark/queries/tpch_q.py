@@ -499,3 +499,76 @@ def q_tpch_q18(spark, sf_dir):
             "total_qty",
         )
     )
+
+
+Q7_N1, Q7_N2 = "NATION_1", "NATION_2"
+Q7_D1, Q7_D2 = "1996-01-01", "1998-01-01"
+
+
+@register("tpch_q7", f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, year(l_shipdate) AS l_year,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q7_D1}'
+    AND l_shipdate <  TIMESTAMP '{Q7_D2}'
+)
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(li.l_year AS INT) AS l_year,
+       round(CAST(sum(li.price_c * (100 - li.disc_pct)) AS BIGINT)::DOUBLE
+             / 10000, 6) AS revenue
+FROM li
+JOIN supplier s ON s.s_suppkey = li.l_suppkey
+JOIN orders o   ON o.o_orderkey = li.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = '{Q7_N1}' AND n2.n_name = '{Q7_N2}')
+   OR (n1.n_name = '{Q7_N2}' AND n2.n_name = '{Q7_N1}')
+GROUP BY 1, 2, 3
+""")
+def q_tpch_q7(spark, sf_dir):
+    """Q7 (volume shipping): bidirectional nation pair over the
+    lineitem-orders fact spine. supplier/customer/nation broadcast; the
+    nation-pair predicate applies after the dim joins (tiny frames);
+    year(l_shipdate) on TIMESTAMP_NTZ is wall-clock (timezone-free) in
+    both engines; integer-cents aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr(f"l_shipdate >= TIMESTAMP_NTZ '{Q7_D1} 00:00:00' AND "
+               f"l_shipdate < TIMESTAMP_NTZ '{Q7_D2} 00:00:00'")
+    ).select(
+        "l_orderkey", "l_suppkey",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_pct"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name") \
+        .filter(F.col("n_name").isin(Q7_N1, Q7_N2))
+    # prefilter BOTH dims to the two nations BEFORE touching the fact
+    # spine: the first broadcast join then drops ~92% of lineitem rows
+    # immediately instead of carrying them to a post-join filter
+    s2 = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey") \
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")) \
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c2 = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey") \
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")) \
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(s2), li["l_suppkey"] == s2["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c2), o["o_custkey"] == c2["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == Q7_N1) & (F.col("cust_nation") == Q7_N2))
+            | ((F.col("supp_nation") == Q7_N2) & (F.col("cust_nation") == Q7_N1))
+        )
+    )
+    agg = j.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.sum(F.col("price_c") * (100 - F.col("disc_pct"))).alias("rev_c2")
+    )
+    return agg.select(
+        "supp_nation", "cust_nation", "l_year",
+        F.round(F.col("rev_c2").cast("double") / 10000, 6).alias("revenue"),
+    )

@@ -61,7 +61,8 @@ TIME_SENSITIVE = [
     "kba_filter_grid", "event_window_counts", "event_threshold_filter",
     "event_asof_click", "event_rollup", "event_sessions",
     "click_attribution", "event_anomaly_filter", "orders_upsert",
-    "tpch_q3", "tpch_q1", "tpch_q5", "tpch_q6",
+    "tpch_q3", "tpch_q1", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q18",
+    "tpch_q4", "tpch_q10", "tpch_q14", "event_sliding_counts",
 ]
 
 
