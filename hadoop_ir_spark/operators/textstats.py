@@ -232,3 +232,60 @@ def feature_hash_embed(docs: DataFrame, dim: int = 32,
         "docno", "dim",
         (F.col("cnt") / F.col("_n")).alias("weight"),
     )
+
+
+def bigram_logprob(docs: DataFrame, id_col: str = "docno",
+                   text_col: str = "text", k: float = 0.5) -> DataFrame:
+    """Bigram-LM quality signal, companion to ``doc_logprob``: the corpus
+    trains an add-k-smoothed bigram model of itself and every document is
+    scored under it — (docno, n_bigrams, avg_bigram_lp) with
+
+        p(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V)
+
+    where c(w1 ·) counts w1 as a bigram CONTEXT (non-final position) and
+    V is the unigram vocabulary. Docs with fewer than two tokens drop out
+    (no bigrams to score).
+
+    Scale: adjacent pairs come from a per-row ``transform(sequence(...))``
+    expression — NO positional self-join; then two groupBys (bigram and
+    context counts), a bigram-keyed join, one scalar V broadcast, one
+    groupBy(docno). All JVM expressions.
+    """
+    t = tokens_col(F.col(text_col))
+    pairs = (
+        docs.select(F.col(id_col).alias("docno"), t.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            "docno",
+            F.explode(F.expr(
+                "transform(sequence(1, size(_t) - 1),"
+                " i -> struct(element_at(_t, i) as w1,"
+                "             element_at(_t, i + 1) as w2))"
+            )).alias("p"),
+        )
+        .select("docno", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(t).alias("term")).distinct()
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    j = (
+        pairs.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    lp = F.log(
+        (F.col("c2") + F.lit(k))
+        / (F.col("c1") + F.lit(k) * F.col("v"))
+    )
+    return (
+        j.groupBy("docno").agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(lp).alias("_lp"),
+        )
+        .select(
+            "docno", "n_bigrams",
+            (F.col("_lp") / F.col("n_bigrams")).alias("avg_bigram_lp"),
+        )
+    )

@@ -319,3 +319,40 @@ def q_tfidf_topterms(spark, sf_dir):
         .filter(F.col("rank") <= TFIDF_TOPK)
         .select("docno", "term", F.round("score", 6).alias("score"), "rank")
     )
+
+
+BIGRAM_K = 0.5
+
+
+@register("bigram_logprob", f"""
+WITH tl AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+pos AS (
+  SELECT docno, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tl
+),
+bg AS (
+  SELECT a.docno, a.w AS w1, b.w AS w2
+  FROM pos a JOIN pos b ON a.docno = b.docno AND b.i = a.i + 1
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM pos)
+SELECT g.docno,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(ln((c2.c2 + {BIGRAM_K}) / (c1.c1 + {BIGRAM_K} * v.v)))
+             / count(*), 6) AS avg_bigram_lp
+FROM bg g JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY g.docno
+""")
+def q_bigram_logprob(spark, sf_dir):
+    """Self-trained add-k bigram LM perplexity signal (the second stage
+    of a perplexity filter after doc_logprob's unigram pass)."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docno"), "text"
+    )
+    out = textstats.bigram_logprob(docs, k=BIGRAM_K)
+    return out.withColumn("avg_bigram_lp", F.round("avg_bigram_lp", 6))
