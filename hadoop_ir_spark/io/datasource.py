@@ -1,0 +1,151 @@
+"""Custom Spark Python Data Sources (Spark 4 ``pyspark.sql.datasource``).
+
+The reference's core I/O identity is its custom Hadoop InputFormats
+(XmlInputFormat for TREC-SGML, WarcFileInputFormat — SURVEY.md §2.1); the
+modern Spark-native equivalent of "write an InputFormat" is a DataSource
+V2 implementation. This module provides that shape for both container
+formats, so they plug into the standard reader API:
+
+    spark.dataSource.register(TrecSGMLDataSource)
+    spark.read.format("trecsgml").load("/data/trec")
+
+Scale design: one ``InputPartition`` per file (the reference's
+isSplitable=false WARC semantics — gzip members can't be split; the
+expression-based ``read_trec_sgml`` lineSep scan remains the preferred
+SPLITTABLE path for huge single SGML files, documented there). File
+listing happens once on the driver; each partition streams its file —
+no file content ever passes through the driver.
+
+These sources parse in Python (Arrow-batched rows back to the JVM), so
+they trade the JVM regex path for extensibility — exactly the trade the
+reference makes with its Java InputFormats vs streaming text tools.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import re
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition)
+from pyspark.sql.types import StructType
+
+_DOC_RE = re.compile(rb"<DOC>(.*?)</DOC>", re.S)
+_DOCNO_RE = re.compile(r"<DOCNO>\s*(.*?)\s*</DOCNO>", re.S)
+_TEXT_RE = re.compile(r"<TEXT>\s*(.*?)\s*</TEXT>", re.S)
+_EPOCH_RE = re.compile(r"<EPOCH>\s*(\d+)\s*</EPOCH>")
+
+
+def _list_files(path: str, suffixes: tuple[str, ...]) -> list[str]:
+    if os.path.isdir(path):
+        out = []
+        for root, _dirs, names in os.walk(path):
+            out.extend(os.path.join(root, n) for n in names
+                       if n.endswith(suffixes))
+        return sorted(out)
+    return sorted(_glob.glob(path)) or [path]
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class TrecSGMLReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("trecsgml source requires a path")
+
+    def partitions(self):
+        return [
+            _FilePartition(p)
+            for p in _list_files(self.path, (".sgml", ".txt", ".trec"))
+        ]
+
+    def read(self, partition: _FilePartition):
+        with open(partition.file_path, "rb") as f:
+            data = f.read()
+        for m in _DOC_RE.finditer(data):
+            block = m.group(1).decode("utf-8", errors="replace")
+            docno = _DOCNO_RE.search(block)
+            if not docno or not docno.group(1).strip():
+                continue
+            text = _TEXT_RE.search(block)
+            epoch = _EPOCH_RE.search(block)
+            yield (
+                docno.group(1).strip(),
+                text.group(1).strip() if text else "",
+                int(epoch.group(1)) if epoch else None,
+            )
+
+
+class TrecSGMLDataSource(DataSource):
+    """``spark.read.format("trecsgml")`` — one row per <DOC> block.
+
+    Same record semantics as ``trec_sgml.read_trec_sgml`` (the splittable
+    expression path); the driver-side file listing + per-file partitions
+    mirror XmlInputFormat's record reader contract.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "trecsgml"
+
+    def schema(self) -> str:
+        return "docno string, text string, epoch bigint"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return TrecSGMLReader(self.options)
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source requires a path")
+        self.responses_only = (
+            str(options.get("responsesonly", "false")).lower() == "true"
+        )
+
+    def partitions(self):
+        return [
+            _FilePartition(p)
+            for p in _list_files(self.path, (".warc", ".warc.gz"))
+        ]
+
+    def read(self, partition: _FilePartition):
+        # reuse the existing pure-Python WARC record parser (S2)
+        from hadoop_ir_spark.io.warc import parse_warc_member
+
+        with open(partition.file_path, "rb") as f:
+            data = f.read()
+        for rec in parse_warc_member(data, partition.file_path):
+            if self.responses_only and rec.get("warc_type") != "response":
+                continue
+            yield (
+                rec.get("trec_id"),
+                rec.get("warc_type"),
+                rec.get("target_uri"),
+                rec.get("warc_date"),
+                rec.get("epoch"),
+                rec.get("content"),
+            )
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("warcsource")`` — one row per WARC record
+    (option ``responsesOnly=true`` filters to response records, the T8
+    predicate, pushed into the reader like WarcFileInputFormat)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warcsource"
+
+    def schema(self) -> str:
+        return ("trec_id string, warc_type string, target_uri string, "
+                "warc_date string, epoch bigint, content string")
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return WarcReader(self.options)
