@@ -97,3 +97,59 @@ def anomaly_filter_stream(events: DataFrame, k: float = 2.0,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def anomaly_filter_stream_tws(events: DataFrame, k: float = 2.0,
+                              min_obs: int = 20) -> DataFrame:
+    """The same online anomaly filter on Spark 4's ``transformWithState``
+    API (the successor to applyInPandasWithState: named state variables,
+    TTL, timers). Semantics and output are bit-identical to
+    ``anomaly_filter_stream`` and the batch twin — the state is the same
+    (cnt, s, s2) triple, carried in a ValueState.
+
+    Scale: identical shuffle shape (one exchange on the group key); the
+    state store holds three scalars per key. TTL/timers are available on
+    the handle for bounded-key-universe deployments.
+
+    ENV GATE: the transformWithState protocol needs the ``protobuf``
+    package (absent/broken in this container, and installs are off) —
+    the gate below fails fast with a clear message instead of crashing
+    the streaming Python driver worker mid-query. The
+    ``anomaly_filter_stream`` applyInPandasWithState path is the working
+    default with identical semantics; this variant is
+    equality-tested automatically wherever protobuf exists
+    (tests/test_streaming.py skips on the gate).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package, "
+            "which is not available in this environment; use "
+            "anomaly_filter_stream (applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class _AnomalyProcessor(StatefulProcessor):
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self._agg = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, s, s2 = (self._agg.get() if self._agg.exists()
+                          else (0, 0.0, 0.0))
+            for pdf in rows:
+                kept, (cnt, s, s2) = _advance(cnt, s, s2, pdf, k, min_obs)
+                if len(kept):
+                    yield kept
+            self._agg.update((cnt, s, s2))
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=_AnomalyProcessor(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -176,3 +176,40 @@ def test_stream_sliding_counts_match_batch(spark, sf_dir):
            for r in spark.table("slide_test").collect()}
     spark.catalog.dropTempView("slide_test")
     assert got == expected
+
+
+def test_anomaly_transform_with_state_matches_batch(spark, sf_dir):
+    """Spark 4 transformWithState path: identical output to the batch
+    twin (and therefore to the applyInPandasWithState path). Skips where
+    the protobuf dependency is absent — the gate must then raise a clear
+    NotImplementedError rather than crash the streaming worker."""
+    from hadoop_ir_spark.streaming import stateful
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful.anomaly_filter_stream_tws(
+                ev.events_stream(spark, sf_dir))
+        pytest.skip("protobuf not available: transformWithState gated")
+
+    batch = ev.read_events(spark, sf_dir)
+    expected = {
+        (r["event_id"], r["value"])
+        for r in stateful.anomaly_filter_batch(batch, k=2.0,
+                                               min_obs=20).collect()
+    }
+    assert expected
+
+    stream = ev.events_stream(spark, sf_dir)
+    out = stateful.anomaly_filter_stream_tws(stream, k=2.0, min_obs=20)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("anom_tws_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r["event_id"], r["value"])
+           for r in spark.table("anom_tws_test").collect()}
+    spark.catalog.dropTempView("anom_tws_test")
+    assert got == expected
