@@ -1,0 +1,138 @@
+"""Distributed BPE (byte-pair encoding) tokenizer training — the
+canonical LLM-pipeline "train the tokenizer on the corpus" step (beyond-
+reference operator set, companion to textstats.token_counts' BPE-ish
+counter).
+
+Algorithm (Sennrich et al. 2016, classic word-level BPE): start from the
+word-frequency table with words as character sequences; each merge step
+counts all adjacent symbol pairs (weighted by word frequency), picks the
+most frequent pair (tie-break: lexicographically smallest — makes the
+whole training deterministic), and fuses that pair everywhere.
+
+Distributed shape per merge: ONE aggregation over the vocabulary table
+(pair counts, map-side partial), a 1-row argmax to the driver (the merge
+rule — a scalar, like kmeans centroids), and ONE map-only string rewrite.
+The vocabulary table is |distinct words| rows — tiny relative to the
+corpus — so 10 merges are 10 cheap passes over an already-aggregated
+frame; the corpus itself is scanned exactly once (word count).
+
+Symbol sequences are encoded as strings with a \\x01 separator; a merge
+of pair (A, B) is ``replace(seq, 'A\\x01B', 'AB')`` — left-to-right
+non-overlapping replacement, which IS greedy BPE merge order, and is
+bit-identical in DuckDB's replace() for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x01"    # between symbols in a sequence
+PAIR_SEP = "\x02"  # between the two symbols of a pair key
+
+
+def word_seqs(tokens: DataFrame, term_col: str = "term") -> DataFrame:
+    """(term, cnt, seq): word-frequency table with each word split into
+    its character symbols (the BPE training input)."""
+    counted = tokens.groupBy(term_col).agg(F.count("*").alias("cnt"))
+    seq = F.array_join(
+        F.expr(f"transform(sequence(1, length({term_col})),"
+               f" i -> substring({term_col}, i, 1))"),
+        SEP,
+    )
+    return counted.select(term_col, "cnt", seq.alias("seq"))
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    l = F.split("seq", SEP)
+    pairs = F.expr(
+        f"transform(sequence(1, size(_l) - 1),"
+        f" i -> concat(element_at(_l, i), '{PAIR_SEP}',"
+        f"             element_at(_l, i + 1)))"
+    )
+    return (
+        seqs.select("cnt", l.alias("_l"))
+        .filter(F.size("_l") >= 2)
+        .select("cnt", F.explode(pairs).alias("pair"))
+        .groupBy("pair").agg(F.sum("cnt").alias("pair_cnt"))
+    )
+
+
+def train_bpe(tokens: DataFrame, num_merges: int = 10,
+              term_col: str = "term") -> DataFrame:
+    """Learn ``num_merges`` BPE merge rules from a token stream:
+    (merge_rank, left, right, merged, pair_count).
+
+    Each iteration collects ONE (pair, count) row — the argmax — to the
+    driver; everything else stays distributed. Deterministic: ties break
+    on the lexicographically smallest pair.
+    """
+    spark = tokens.sparkSession
+    # the vocabulary table is tiny relative to the corpus (distinct words
+    # only) — collapse it to few partitions so each of the num_merges
+    # iterations is a handful of tasks, not 32-partition shuffles of a
+    # 43-row frame. For web-scale vocabularies raise the divisor.
+    seqs = word_seqs(tokens, term_col).coalesce(1).localCheckpoint()
+    rules = []
+    for rank in range(1, num_merges + 1):
+        best = (
+            _pair_counts(seqs)
+            .orderBy(F.desc("pair_cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], best[0]["pair_cnt"]
+        left, right = pair.split(PAIR_SEP)
+        rules.append((rank, left, right, left + right, cnt))
+        seqs = seqs.withColumn(
+            "seq",
+            F.replace(F.col("seq"), F.lit(left + SEP + right),
+                      F.lit(left + right)),
+        ).localCheckpoint()  # rules chain; cut the growing lineage
+    return spark.createDataFrame(
+        rules,
+        "merge_rank int, left_s string, right_s string, merged string,"
+        " pair_count bigint",
+    )
+
+
+def bpe_oracle_sql(tok_cte: str, num_merges: int = 10) -> str:
+    """DuckDB mirror: the same training unrolled as CTEs (one pair-count
+    + argmax + rewrite trio per merge), argmax via ORDER BY ... LIMIT 1.
+    ``tok_cte`` must define ``tok(term)`` (one row per token instance).
+    """
+    parts = [
+        f"{tok_cte}",
+        "w0 AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)",
+        "s0 AS (SELECT term, cnt, array_to_string(list_transform("
+        "range(1, length(term) + 1), i -> substr(term, i, 1)), chr(1))"
+        " AS seq FROM w0)",
+    ]
+    for k in range(1, num_merges + 1):
+        parts.append(
+            f"p{k} AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_cnt "
+            f"FROM (SELECT cnt, unnest(list_transform(range(1, len(l)), "
+            f"i -> l[i] || chr(2) || l[i + 1])) AS pair "
+            f"FROM (SELECT cnt, string_split(seq, chr(1)) AS l FROM s{k-1}) "
+            f"WHERE len(l) >= 2) GROUP BY pair)"
+        )
+        parts.append(
+            f"b{k} AS (SELECT pair, pair_cnt FROM p{k} "
+            f"ORDER BY pair_cnt DESC, pair ASC LIMIT 1)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT s.term, s.cnt, "
+            f"replace(s.seq, replace(b.pair, chr(2), chr(1)), "
+            f"replace(b.pair, chr(2), '')) AS seq "
+            f"FROM s{k-1} s CROSS JOIN b{k} b)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, string_split(pair, chr(2))[1] AS left_s,"
+        f" string_split(pair, chr(2))[2] AS right_s,"
+        f" replace(pair, chr(2), '') AS merged,"
+        f" pair_cnt AS pair_count FROM b{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects

@@ -356,3 +356,38 @@ def q_bigram_logprob(spark, sf_dir):
     )
     out = textstats.bigram_logprob(docs, k=BIGRAM_K)
     return out.withColumn("avg_bigram_lp", F.round("avg_bigram_lp", 6))
+
+
+BPE_MERGES = 10
+
+_BPE_TOK_CTE = """tok AS (
+  SELECT t AS term FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^0-9a-zA-Z]+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+)"""
+
+
+def _register_bpe():
+    from hadoop_ir_spark.operators import bpe
+
+    @register("bpe_merges", bpe.bpe_oracle_sql(_BPE_TOK_CTE, BPE_MERGES))
+    def q_bpe_merges(spark, sf_dir):
+        """Distributed BPE tokenizer training: the first {n} merge rules
+        learned from the corpus token stream (most-frequent adjacent
+        symbol pair per step, lexicographic tie-break). The oracle
+        unrolls the identical training loop as CTEs, so pair counting,
+        argmax selection AND the greedy left-to-right merge rewrites all
+        have to agree exactly."""
+        from hadoop_ir_spark.functions.text import tokens_col
+
+        docs = _docs(spark, sf_dir)
+        toks = docs.select(
+            F.explode(tokens_col(F.col("text"))).alias("term")
+        )
+        return bpe.train_bpe(toks, num_merges=BPE_MERGES)
+
+    return q_bpe_merges
+
+
+_register_bpe()

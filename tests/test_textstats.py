@@ -104,3 +104,23 @@ def test_feature_hash_embed_unit_norm_and_determinism(spark):
     assert abs(norms[1] - 1.0) < 1e-12 and abs(norms[2] - 1.0) < 1e-12
     assert 3 not in norms  # empty doc -> no vector, not a NaN vector
     assert w.collect() == w.collect()
+
+
+def test_bpe_classic_merges(spark):
+    """Sennrich et al.'s worked example: {low:5, lower:2, newest:6,
+    widest:3} must learn es -> est -> lo as its first three merges
+    (es/st tie at 9 breaks lexicographically; lo/ow tie at 7 likewise)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ir_spark.operators import bpe
+
+    words = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    rows = [(w,) for w, c in words for _ in range(c)]
+    toks = spark.createDataFrame(rows, "term string")
+    got = bpe.train_bpe(toks, num_merges=3).orderBy("merge_rank").collect()
+    assert [(r["left_s"], r["right_s"], r["merged"], r["pair_count"])
+            for r in got] == [
+        ("e", "s", "es", 9),
+        ("es", "t", "est", 9),
+        ("l", "o", "lo", 7),
+    ]
