@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Full verification pyramid in one command (see .claude/skills/verify):
+#   1. strict oracle gate at all three SFs (byte-exact vs DuckDB)
+#   2. full pytest (incl. the bare-session driver-contract suite)
+#   3. plan audit (0 flags expected)
+#   4. bench (one JSON line; rc must be 0)
+# Usage: bash tools/run_gates.sh [quick]
+#   quick = sf0.01 oracle gate + pytest only (~10 min instead of ~25)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+rc=0
+
+run() {
+  echo "==> $*"
+  if ! "$@"; then rc=1; echo "!! FAILED: $*"; fi
+}
+
+run timeout 900 python tools/check_oracle.py --strict /root/testdata/sf0.01
+if [ "${1:-}" != "quick" ]; then
+  run timeout 900 python tools/check_oracle.py --strict /root/testdata/sf0.001
+  run timeout 900 python tools/check_oracle.py --strict /root/testdata/sf0.1
+fi
+run timeout 900 python -m pytest tests/ -q
+if [ "${1:-}" != "quick" ]; then
+  run timeout 900 python tools/plan_audit.py
+  run timeout 900 python bench.py
+fi
+
+echo "==> gates rc=$rc"
+exit $rc
