@@ -77,12 +77,17 @@ def weighted_sample(docs: DataFrame, n: int, weight_col: str,
         / F.lit(_HASH60_SPAN)
     wgt = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
     key9 = F.floor(F.log(u) / wgt * 1e9 + 0.5).cast("bigint")
-    part = [group_col] if group_col else [F.lit(1)]
-    win = Window.partitionBy(*part).orderBy(
-        F.desc("es_key9"), F.col(id_col).asc()
-    )
+    keyed = docs.withColumn("es_key9", key9)
+    order = [F.desc("es_key9"), F.col(id_col).asc()]
+    if group_col is None:
+        # global sample: TakeOrderedAndProject (per-partition top-n +
+        # n-row merge), then rank the n survivors — never a
+        # single-partition window over the whole corpus
+        top = keyed.orderBy(*order).limit(n)
+        win = Window.orderBy(*order)
+        return top.withColumn("sample_rank", F.row_number().over(win))
+    win = Window.partitionBy(group_col).orderBy(*order)
     return (
-        docs.withColumn("es_key9", key9)
-        .withColumn("sample_rank", F.row_number().over(win))
+        keyed.withColumn("sample_rank", F.row_number().over(win))
         .filter(F.col("sample_rank") <= n)
     )

@@ -61,3 +61,20 @@ def test_weighted_sample_proportional(spark):
     again = [r["docno"] for r in sampling.weighted_sample(
         df, 30, "w", group_col="g").collect()]
     assert kept == again
+
+
+def test_weighted_sample_global_takeordered(spark):
+    """group_col=None path must compile to TakeOrderedAndProject (no
+    single-partition window over the corpus) and produce the global
+    top-n by the ES key."""
+    df = spark.createDataFrame(
+        [(i, 1 + i % 7) for i in range(200)], "docno long, w long")
+    out = sampling.weighted_sample(df, 10, "w")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple")
+    assert "TakeOrderedAndProject" in plan
+    rows = out.collect()
+    assert len(rows) == 10
+    assert [r["sample_rank"] for r in rows] != []
+    keys = [r["es_key9"] for r in sorted(rows, key=lambda r: r["sample_rank"])]
+    assert keys == sorted(keys, reverse=True)
