@@ -170,3 +170,43 @@ def q_salted_user_spend(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("total_value"),
     )
+
+
+ZORDER_BITS = 12
+
+
+def _zorder_sql(cols, bits):
+    n = len(cols)
+    return " | ".join(
+        f"((({c} >> {b}) & 1) << {b * n + ci})"
+        for ci, c in enumerate(cols) for b in range(bits)
+    )
+
+
+@register("zorder_key_events", f"""
+WITH ev AS (
+  SELECT event_id,
+         user_id % 4096 AS u,
+         epoch_us(ts) // 86400000000 AS d
+  FROM events
+)
+SELECT event_id,
+       CAST({_zorder_sql(['u', 'd'], ZORDER_BITS)} AS BIGINT) AS zkey
+FROM ev
+""")
+def q_zorder_key_events(spark, sf_dir):
+    """Z-order (Morton) layout key over (user bucket, epoch day): the
+    bit-interleaved expression used by io.dataset.write_zordered to
+    co-locate multi-dimensional range queries in the same files. The
+    oracle replays the identical interleave with SQL bit ops, so every
+    bit position must agree."""
+    from hadoop_ir_spark.functions import timeutil
+    from hadoop_ir_spark.io import dataset
+
+    e = ev.read_events(spark, sf_dir)
+    u = (F.col("user_id") % 4096)
+    d = (timeutil.epoch_us(e, "ts") / F.lit(86400000000)).cast("long")
+    return e.select(
+        "event_id",
+        dataset.zorder_key([u, d], bits=ZORDER_BITS).alias("zkey"),
+    )
