@@ -572,3 +572,61 @@ def q_tpch_q7(spark, sf_dir):
         "supp_nation", "cust_nation", "l_year",
         F.round(F.col("rev_c2").cast("double") / 10000, 6).alias("revenue"),
     )
+
+
+Q19_BRANDS = ("Brand#13", "Brand#19", "Brand#5")
+
+
+@register("tpch_q19", f"""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct
+  FROM lineitem
+)
+SELECT round(CAST(sum(li.price_c * (100 - li.disc_pct)) AS BIGINT)::DOUBLE
+             / 10000, 6) AS revenue
+FROM li JOIN part p ON p.p_partkey = li.l_partkey
+WHERE (p.p_brand = '{Q19_BRANDS[0]}' AND p.p_size BETWEEN 1 AND 10
+       AND li.qty BETWEEN 1 AND 20)
+   OR (p.p_brand = '{Q19_BRANDS[1]}' AND p.p_size BETWEEN 5 AND 20
+       AND li.qty BETWEEN 10 AND 30)
+   OR (p.p_brand = '{Q19_BRANDS[2]}' AND p.p_size BETWEEN 10 AND 30
+       AND li.qty BETWEEN 20 AND 40)
+""")
+def q_tpch_q19(spark, sf_dir):
+    """Q19 (discounted revenue, adapted: no shipmode/shipinstruct columns
+    in this schema): the disjunctive brand/size/quantity predicate rides
+    INSIDE the broadcast join condition, so each probe row is filtered
+    during the join — and the brand/size disjunction's common subparts
+    (brand IN (...)) are pushed to the part scan as a pre-filter."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round("l_quantity", 0).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_pct"),
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*Q19_BRANDS)
+    ).select("p_partkey", "p_brand", "p_size")
+    b0, b1, b2 = Q19_BRANDS
+    cond = (
+        (p["p_partkey"] == li["l_partkey"])
+        & (
+            ((p["p_brand"] == b0) & p["p_size"].between(1, 10)
+             & li["qty"].between(1, 20))
+            | ((p["p_brand"] == b1) & p["p_size"].between(5, 20)
+               & li["qty"].between(10, 30))
+            | ((p["p_brand"] == b2) & p["p_size"].between(10, 30)
+               & li["qty"].between(20, 40))
+        )
+    )
+    j = li.join(F.broadcast(p), cond)
+    return j.agg(
+        F.round(
+            F.sum(F.col("price_c") * (100 - F.col("disc_pct")))
+            .cast("double") / 10000, 6
+        ).alias("revenue")
+    )
