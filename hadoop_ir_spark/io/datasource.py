@@ -149,3 +149,77 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return WarcReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Sink side: the run-file writer as a DataSource (the OutputFormat
+# counterpart of the reader half above). Usage:
+#   spark.dataSource.register(RunfileDataSource)
+#   run.write.format("runfile").option("tag", "myrun").save("/out/run")
+# One file per partition (part-<id>.run), driver-side commit (the V2
+# commit protocol — partial outputs from failed tasks are never visible).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _RunfilePartMessage(WriterCommitMessage):
+    def __init__(self, part_path: str, rows: int):
+        self.part_path = part_path
+        self.rows = rows
+
+
+class RunfileWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("runfile sink requires a path")
+        self.tag = options.get("tag", "hadoop_ir_spark")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path,
+                           f"_tmp-{uuid.uuid4().hex}-part-{pid:05d}.run")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(f"{row['qid']} Q0 {row['docno']} {row['rank']} "
+                        f"{row['score']:.6f} {self.tag}\n")
+                n += 1
+        return _RunfilePartMessage(tmp, n)
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            base = os.path.basename(m.part_path)
+            final = os.path.join(os.path.dirname(m.part_path),
+                                 "part-" + base.rsplit("-part-", 1)[1])
+            os.replace(m.part_path, final)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.part_path):
+                os.remove(m.part_path)
+
+
+class RunfileDataSource(DataSource):
+    """``run.write.format("runfile").save(path)`` — 6-column TREC run
+    sink (qid Q0 docno rank score tag), task-temp files promoted on
+    driver commit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "runfile"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return RunfileWriter(self.options, overwrite)

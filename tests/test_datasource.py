@@ -78,3 +78,29 @@ def test_warc_datasource_agrees_with_binaryfile_reader(registered):
         "trec_id", "warc_type", "target_uri").collect()
     key = lambda t: tuple("" if v is None else v for v in t)  # noqa: E731
     assert sorted(map(tuple, base), key=key) == sorted(map(tuple, ds), key=key)
+
+
+def test_runfile_datasource_writer_roundtrip(registered, tmp_path):
+    """Sink half: write a ranked run via the runfile DataSource, read it
+    back with io.runfile.read_run — values and 6-col format intact, no
+    leftover task-temp files after commit."""
+    from hadoop_ir_spark.io import runfile
+    from hadoop_ir_spark.io.datasource import RunfileDataSource
+
+    spark = registered
+    spark.dataSource.register(RunfileDataSource)
+    run = spark.createDataFrame(
+        [("q1", "d1", 1, 3.5), ("q1", "d2", 2, 2.25), ("q2", "d9", 1, 9.0)],
+        "qid string, docno string, rank int, score double",
+    )
+    out = str(tmp_path / "runout")
+    run.repartition(2).write.format("runfile").option("tag", "t3") \
+        .mode("overwrite").save(out)
+    files = sorted(os.listdir(out))
+    assert files and all(f.startswith("part-") for f in files)
+    back = {(r["qid"], r["docno"]): (r["rank"], r["score"])
+            for r in runfile.read_run(spark, out).collect()}
+    assert back == {("q1", "d1"): (1, 3.5), ("q1", "d2"): (2, 2.25),
+                    ("q2", "d9"): (1, 9.0)}
+    line = open(os.path.join(out, files[0])).readline()
+    assert " Q0 " in line and line.rstrip().endswith("t3")
