@@ -240,3 +240,32 @@ def test_timeutil_nanos_roundtrip(us):
               + (t.hour * 3600 + t.minute * 60) * 1_000_000
               + t.second * 1_000_000 + t.microsecond)
     assert decomp == us
+
+
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=6),
+                min_size=2, max_size=12, unique=True))
+@settings(max_examples=10, deadline=None)
+def test_fuzzy_banded_join_equals_brute_force(strings):
+    """The length-band candidate filter must be LOSSLESS for
+    levenshtein <= k: the banded join finds exactly the brute-force pair
+    set on arbitrary inputs (tiny alphabet maximizes near-duplicates)."""
+    from hadoop_ir_spark.operators import fuzzy
+    from hadoop_ir_spark.session import get_spark
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = {(a, b, lev(a, b)) for a in strings for b in strings
+                if a < b and lev(a, b) <= 2}
+    spark = get_spark("tests")
+    df = spark.createDataFrame([(s,) for s in strings], "title string")
+    got = {(r["a"], r["b"], r["dist"])
+           for r in fuzzy.edit_distance_pairs(df, max_dist=2).collect()}
+    assert got == expected
