@@ -209,3 +209,40 @@ def f1_utility(run: DataFrame, qrels: DataFrame, min_rel: int = 1,
         f1(F.col("precision"), F.col("recall"), beta).alias("f1"),
         "utility",
     )
+
+
+def kendall_tau(run_a: DataFrame, run_b: DataFrame) -> DataFrame:
+    """Per-query Kendall rank correlation between two runs over their
+    COMMON documents: tau = (concordant - discordant) / (n*(n-1)/2),
+    ties in either ranking excluded from both counts (tau-a over the
+    strict pairs; ranks from K1-K3 are already unique per run).
+
+    Scale: the pair comparison is quadratic in the per-query OVERLAP of
+    two top-k lists — k(k-1)/2 <= 45 pairs at k=10 — never in the
+    corpus. One equi-join on (qid, docno), one per-qid pair join of
+    k-row groups, one aggregate.
+    """
+    a = run_a.select("qid", "docno", F.col("rank").alias("ra"))
+    b = run_b.select("qid", "docno", F.col("rank").alias("rb"))
+    both = a.join(b, ["qid", "docno"])
+    l = both.alias("l")
+    r = both.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.qid") == F.col("r.qid"))
+        & (F.col("l.docno") < F.col("r.docno")),
+    ).select(
+        F.col("l.qid").alias("qid"),
+        (F.signum(F.col("l.ra") - F.col("r.ra"))
+         * F.signum(F.col("l.rb") - F.col("r.rb"))).alias("s"),
+    )
+    return pairs.groupBy("qid").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).alias("concordant"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).alias("discordant"),
+    ).select(
+        "qid", "n_pairs", "concordant", "discordant",
+        F.when(F.col("n_pairs") > 0,
+               (F.col("concordant") - F.col("discordant"))
+               / F.col("n_pairs").cast("double")).alias("tau"),
+    )

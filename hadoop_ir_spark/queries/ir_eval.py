@@ -10,8 +10,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hadoop_ir_spark.catalog import (
+    BM25_B,
+    BM25_K1,
     SQL_QRELS,
     SQL_RUN_DIRICHLET,
+    TOP_K,
     dirichlet_topk,
     qrels_df,
     register,
@@ -126,3 +129,67 @@ def q_eval_map_pk(spark, sf_dir):
         F.round("p_at_10", 6).alias("p_at_10"),
         F.round("p_at_20", 6).alias("p_at_20"),
     )
+
+
+@register("rank_correlation", f"""
+WITH {SQL_RUN_DIRICHLET},
+b_gstat AS (
+  SELECT count(DISTINCT docno) AS n_docs,
+         sum(tf)::DOUBLE / count(DISTINCT docno) AS avg_len
+  FROM post
+),
+b_tstats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+b_matched AS (
+  SELECT t.qid, p.docno, p.tf, s.df, d.doc_len
+  FROM post p
+  JOIN (SELECT DISTINCT qid, term FROM topics) t USING (term)
+  JOIN b_tstats s ON s.term = p.term
+  JOIN dlen d ON d.docno = p.docno
+),
+b_scored AS (
+  SELECT qid, docno,
+         round(sum(
+           (({BM25_K1} + 1) * tf)
+           / ({BM25_K1} * ((1 - {BM25_B}) + {BM25_B} * doc_len
+              / (SELECT avg_len FROM b_gstat)) + tf)
+           * ln(((SELECT n_docs FROM b_gstat) - df + 0.5) / (df + 0.5))
+         ), 6) AS score
+  FROM b_matched GROUP BY qid, docno
+),
+bm25run AS (
+  SELECT qid, docno, rank FROM (
+    SELECT qid, docno,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, docno DESC) AS rank
+    FROM b_scored
+  ) WHERE rank <= {TOP_K}
+),
+common AS (
+  SELECT d.qid, d.docno, d.rank AS ra, b.rank AS rb
+  FROM run d JOIN bm25run b USING (qid, docno)
+),
+pairs AS (
+  SELECT l.qid,
+         sign(l.ra - r.ra) * sign(l.rb - r.rb) AS s
+  FROM common l JOIN common r
+    ON l.qid = r.qid AND l.docno < r.docno
+)
+SELECT qid,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+       CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+       round((sum(CASE WHEN s > 0 THEN 1 ELSE 0 END)
+              - sum(CASE WHEN s < 0 THEN 1 ELSE 0 END))::DOUBLE
+             / count(*), 6) AS tau
+FROM pairs GROUP BY qid
+""")
+def q_rank_correlation(spark, sf_dir):
+    """Kendall tau between the Dirichlet and BM25 top-k rankings per
+    query — the run-comparison utility next to the absolute metrics
+    (E1-E6). Quadratic only in the per-query overlap (<= 45 pairs)."""
+    from hadoop_ir_spark.catalog import QUERIES
+
+    run_d = dirichlet_topk(spark, sf_dir)
+    run_b = QUERIES["bm25_topk"](spark, sf_dir)
+    out = evaluate.kendall_tau(run_d, run_b)
+    return out.withColumn("tau", F.round("tau", 6))
