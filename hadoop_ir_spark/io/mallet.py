@@ -1,0 +1,42 @@
+"""Mallet import-format export (reference parity:
+/root/reference/src/main/java/edu/gslis/hadoop/trec/TrecToMallet.java —
+map strips ``<[^>]+>`` tags to spaces and emits ``docid TAB text``; the
+3-column ``id label text`` variant is Mallet's standard import form).
+
+One map-only projection; write with ``df.write.text`` (any partitioning —
+Mallet imports directories)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TAGS_RE = "<[^>]+>"   # TrecToMallet.java:29-30 (same pattern, tags -> space)
+
+
+def format_mallet(docs: DataFrame, id_col: str = "docno",
+                  text_col: str = "text",
+                  label_col: str | None = None) -> DataFrame:
+    """One ``value`` row per document: ``id<TAB>[label<TAB>]text`` with
+    markup tags replaced by spaces and line breaks flattened (Mallet is
+    one instance per line)."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), TAGS_RE, " "),
+        r"[\r\n\t]+", " ",
+    )
+    parts = [F.col(id_col).cast("string")]
+    if label_col is not None:
+        parts.append(F.col(label_col).cast("string"))
+    parts.append(cleaned)
+    return docs.select(F.concat_ws("\t", *parts).alias("value"))
+
+
+def read_mallet(spark, path: str, with_label: bool = True) -> DataFrame:
+    """Inverse reader: (docno[, label], text) from Mallet lines."""
+    parts = F.split("value", "\t", 3 if with_label else 2)
+    cols = [parts[0].alias("docno")]
+    if with_label:
+        cols += [parts[1].alias("label"), parts[2].alias("text")]
+    else:
+        cols += [parts[1].alias("text")]
+    return spark.read.text(path).filter(F.trim("value") != "").select(*cols)

@@ -135,3 +135,29 @@ def test_runfile_roundtrip(spark, tmp_path):
     rows = {(r["qid"], r["docno"]): (r["rank"], r["score"]) for r in back.collect()}
     assert rows[("q1", "d2")] == (1, pytest.approx(1.5))
     assert rows[("q1", "d1")] == (2, pytest.approx(0.25))
+
+
+def test_mallet_roundtrip(spark, tmp_path):
+    """TrecToMallet parity: tags -> spaces, one line per doc,
+    id TAB label TAB text; reader inverts the writer."""
+    from hadoop_ir_spark.io import mallet
+
+    docs = spark.createDataFrame(
+        [("d1", "en", "hello <b>world</b>\nline2"),
+         ("d2", "de", "plain text")],
+        "docno string, label string, text string",
+    )
+    out = str(tmp_path / "mallet")
+    mallet.format_mallet(docs, label_col="label").coalesce(1) \
+        .write.text(out)
+    lines = sorted(
+        r["value"] for r in spark.read.text(out).collect() if r["value"]
+    )
+    assert lines[0] == "d1\ten\thello  world  line2"
+    assert lines[1] == "d2\tde\tplain text"
+    back = {r["docno"]: (r["label"], r["text"])
+            for r in mallet.read_mallet(spark, out).collect()}
+    assert back["d2"] == ("de", "plain text")
+    # 2-col reference variant (TrecToMallet emits docid TAB text)
+    two = mallet.format_mallet(docs).collect()
+    assert all(v["value"].count("\t") == 1 for v in two)
