@@ -1,0 +1,38 @@
+"""Fast guard: every oracle_sql() entry must COMPILE in DuckDB against
+the standard views (EXPLAIN, no execution). Catches reserved-word /
+syntax / binder drift in seconds, without a SparkSession — the cheap
+first gate before the full value comparison in tools/check_oracle.py."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_every_oracle_compiles_in_duckdb():
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    failures = {}
+    oracles = entry.oracle_sql()
+    assert len(oracles) == len(entry.queries())
+    for name, sql in oracles.items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:
+            failures[name] = str(e).splitlines()[0][:200]
+    assert not failures, f"{len(failures)} oracles broke: {failures}"
