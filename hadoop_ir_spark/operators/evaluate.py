@@ -224,7 +224,14 @@ def kendall_tau(run_a: DataFrame, run_b: DataFrame) -> DataFrame:
     """
     a = run_a.select("qid", "docno", F.col("rank").alias("ra"))
     b = run_b.select("qid", "docno", F.col("rank").alias("rb"))
-    both = a.join(b, ["qid", "docno"])
+    # Compute-once: the pair self-join would otherwise re-derive BOTH
+    # full input pipelines on each side (r3 plan audit: 70 exchanges
+    # when the inputs are two complete retrieval runs — the same
+    # disease eval_map_pk had, fixed identically at ir_eval.py:65-66).
+    # The joined frame is tiny (<= k rows per query), so materializing
+    # it truncates the lineage at negligible cost; on a cluster this is
+    # where the matched run would be checkpointed.
+    both = a.join(b, ["qid", "docno"]).localCheckpoint()
     l = both.alias("l")
     r = both.alias("r")
     pairs = l.join(
