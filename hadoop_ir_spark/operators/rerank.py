@@ -7,11 +7,25 @@ rescores ``α·log(kde(epoch)) + (1−α)·loglik``. Here the out-of-process R
 bridge becomes ``groupBy(qid).applyInPandas`` — the same "custom compute
 near the data" pattern with Arrow batches instead of Rserve RPC.
 
-Bandwidth: numpy-only Silverman rule-of-thumb (scipy absent in this
-environment; RKernelDensity's "SJ-dpi" is approximated — documented
-divergence, the α-interpolation semantics are what parity requires).
-Weighted KDE matches R's ``density(x, weights=w)``: weights normalized to
-sum 1, density = Σ_i w_i · N(x; x_i, h).
+Bandwidth: Sheather-Jones direct plug-in ("dpi"), the same estimator R's
+``bw.SJ(x, method="dpi")`` implements (Sheather & Jones 1991, §3 two-stage
+plug-in as coded in R's stats/src/bandwidths.c):
+
+    scale = min(sd(x), IQR(x)/1.349)        # unweighted, like bw.SJ
+    a = 0.920·scale·n^(-1/7);  b = 0.912·scale·n^(-1/9)
+    SD(a) =  Σ_{i,j} φ4((xi-xj)/a) / (n(n-1)·a^5),  φ4=(u⁴-6u²+3)φ(u)
+    TD(b) = -Σ_{i,j} φ6((xi-xj)/b) / (n(n-1)·b^7),  φ6=(u⁶-15u⁴+45u²-15)φ(u)
+    h = (1/(4π))^(1/10) · (1.357·SD/TD)^(1/7) · n^(-1/5)
+
+Two documented deltas from R: the pair sums are EXACT (R bins distances
+into nb=1000 buckets — a speed approximation we don't need at k≤1000 per
+query), and degenerate samples (n<2, zero scale, SD≤0 or TD≤0 — where R
+raises "sample is too sparse") fall back to the weighted Silverman
+rule-of-thumb instead of erroring. Bandwidth selection is unweighted
+exactly as in R (``density(x, weights=w, bw="SJ")`` selects h from x
+alone); the density itself is score-weighted:
+density = Σ_i w_i · N(x; x_i, h), Σ w_i = 1, matching R's
+``density(x, weights=w)``.
 
 Scale: one pandas group per (qid) over only that query's top-k (≤1000
 rows) — the heavy scoring stays in the JVM; the Python stage touches
@@ -27,9 +41,45 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def sj_dpi_bandwidth(x: np.ndarray):
+    """Sheather-Jones direct-plug-in bandwidth (R ``bw.SJ`` "dpi" with
+    exact pair sums). Returns None on the degenerate samples where R
+    raises — caller falls back to Silverman."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n < 2:
+        return None
+    sd = float(np.std(x, ddof=1))
+    q25, q75 = np.percentile(x, [25.0, 75.0])   # type-7, same as R IQR
+    iqr = float(q75 - q25)
+    scale = min(sd, iqr / 1.349) if iqr > 0 else sd
+    if not scale > 0:
+        return None
+    a = 0.920 * scale * n ** (-1.0 / 7)
+    b = 0.912 * scale * n ** (-1.0 / 9)
+    d = x[:, None] - x[None, :]
+    ua = d / a
+    ub = d / b
+    # full i,j sums INCLUDING the diagonal — R's C code adds the
+    # diagonal back explicitly (sum = 2*sum + n*phi4(0))
+    s4 = float(((ua ** 4 - 6 * ua ** 2 + 3) * np.exp(-0.5 * ua ** 2)).sum())
+    s6 = float(((ub ** 6 - 15 * ub ** 4 + 45 * ub ** 2 - 15)
+                * np.exp(-0.5 * ub ** 2)).sum())
+    sqrt2pi = math.sqrt(2 * math.pi)
+    sd_a = s4 / (n * (n - 1) * a ** 5 * sqrt2pi)
+    td_b = -s6 / (n * (n - 1) * b ** 7 * sqrt2pi)
+    if not (math.isfinite(sd_a) and math.isfinite(td_b)):
+        return None
+    if sd_a <= 0 or td_b <= 0:
+        return None
+    return ((1.0 / (4 * math.pi)) ** 0.1
+            * (1.357 * sd_a / td_b) ** (1.0 / 7) * n ** (-0.2))
+
+
 def gaussian_kde_weighted(x: np.ndarray, weights: np.ndarray,
                           eval_points: np.ndarray) -> np.ndarray:
-    """Score-weighted Gaussian KDE with Silverman bandwidth.
+    """Score-weighted Gaussian KDE, Sheather-Jones "dpi" bandwidth
+    (Silverman rule-of-thumb fallback on degenerate samples).
 
     density(t) = Σ_i w_i · φ((t − x_i)/h) / h,  Σ w_i = 1
     """
@@ -37,7 +87,10 @@ def gaussian_kde_weighted(x: np.ndarray, weights: np.ndarray,
     w = np.asarray(weights, dtype=float)
     w = w / w.sum()
     n = len(x)
-    if n == 1:
+    h_sj = sj_dpi_bandwidth(x)
+    if h_sj is not None:
+        h = h_sj
+    elif n == 1:
         h = 1.0
     else:
         mean = (x * w).sum()

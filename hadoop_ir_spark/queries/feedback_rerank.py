@@ -201,17 +201,27 @@ def q_rm3_sweep(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # M9 — KDE temporal rerank (pandas UDF) with a full SQL oracle: the
-# Silverman-bandwidth weighted Gaussian KDE (rerank.gaussian_kde_weighted)
-# is SQL-expressible — weighted moments are plain aggregates, the weighted
-# IQR quantiles are a cumulative-weight window scan (np.searchsorted side=
-# 'left' ≡ first x in ascending order with cum_w >= q), and the density is
-# a per-qid self-join aggregate over the top-k rows. Run scores are rounded
-# to 6 decimals on both sides before the KDE, so inputs are byte-identical;
+# Sheather-Jones-dpi weighted Gaussian KDE (rerank.gaussian_kde_weighted)
+# is SQL-expressible — the SJ pair functionals SD(a)/TD(b) are a per-qid
+# self-join aggregate (exactly like the density itself), unweighted
+# sd/IQR are stddev_samp + quantile_cont (type-7, same as numpy
+# percentile), the Silverman FALLBACK's weighted IQR quantiles are a
+# cumulative-weight window scan (np.searchsorted side='left' ≡ first x in
+# ascending order with cum_w >= q), and the density is a per-qid
+# self-join aggregate over the top-k rows. Run scores are rounded to 6
+# decimals on both sides before the KDE, so inputs are byte-identical;
 # summation-order fp noise is absorbed by the final round(. , 6).
+# Fractional constants are injected as Python float reprs so DuckDB
+# computes with the same doubles as numpy (literal-only arithmetic would
+# be DECIMAL — the documented trap).
 # --------------------------------------------------------------------------
 
+_M17 = repr(-1.0 / 7)   # exponent in a = 0.920·scale·n^(-1/7)
+_M19 = repr(-1.0 / 9)   # exponent in b = 0.912·scale·n^(-1/9)
+_P17 = repr(1.0 / 7)    # outer (…)^(1/7)
+
 # CTE chain on top of `run`: ends in kdens(qid, docno, score, dens).
-SQL_KDE = """
+SQL_KDE = f"""
 kw AS (
   SELECT qid, docno, score, CAST(docno AS DOUBLE) AS x,
          exp(score - max(score) OVER (PARTITION BY qid)) AS w0
@@ -246,14 +256,54 @@ kq AS (
          min(CASE WHEN cw >= 0.75 THEN x END) AS q75
   FROM kcum GROUP BY qid
 ),
+kstat AS (
+  SELECT qid, CAST(count(*) AS DOUBLE) AS n,
+         stddev_samp(x) AS sd_u,
+         quantile_cont(x, 0.75) - quantile_cont(x, 0.25) AS iqr_u
+  FROM kwn GROUP BY qid
+),
+kab AS (
+  SELECT qid, n,
+         0.920 * scale * pow(n, {_M17}) AS ba,
+         0.912 * scale * pow(n, {_M19}) AS bb
+  FROM (SELECT qid, n,
+               CASE WHEN iqr_u > 0 THEN least(sd_u, iqr_u / 1.349)
+                    ELSE sd_u END AS scale
+        FROM kstat)
+  WHERE n >= 2 AND scale > 0
+),
+kpair AS (
+  SELECT p.qid,
+         sum((pow((p.x - q.x) / t.ba, 4) - 6 * pow((p.x - q.x) / t.ba, 2)
+              + 3) * exp(-0.5 * pow((p.x - q.x) / t.ba, 2))) AS s4,
+         sum((pow((p.x - q.x) / t.bb, 6) - 15 * pow((p.x - q.x) / t.bb, 4)
+              + 45 * pow((p.x - q.x) / t.bb, 2) - 15)
+             * exp(-0.5 * pow((p.x - q.x) / t.bb, 2))) AS s6
+  FROM kwn p JOIN kwn q ON q.qid = p.qid JOIN kab t ON t.qid = p.qid
+  GROUP BY p.qid
+),
+ksj AS (
+  SELECT t.qid,
+         pow(1.0 / (4 * pi()), 0.1)
+         * pow(1.357 * (s4 / (t.n * (t.n - 1) * pow(t.ba, 5)
+                              * sqrt(2 * pi())))
+               / (-s6 / (t.n * (t.n - 1) * pow(t.bb, 7) * sqrt(2 * pi()))),
+               {_P17})
+         * pow(t.n, -0.2) AS h_sj
+  FROM kab t JOIN kpair r ON r.qid = t.qid
+  WHERE s4 > 0 AND -s6 > 0
+),
 kh AS (
   SELECT s.qid,
-         0.9 * greatest(
-           CASE WHEN (q.q75 - q.q25) > 0
-                THEN least(s.sd, (q.q75 - q.q25) / 1.349)
-                ELSE s.sd END,
-           1e-12) * pow(s.neff, -0.2) AS h
+         coalesce(
+           j.h_sj,
+           0.9 * greatest(
+             CASE WHEN (q.q75 - q.q25) > 0
+                  THEN least(s.sd, (q.q75 - q.q25) / 1.349)
+                  ELSE s.sd END,
+             1e-12) * pow(s.neff, -0.2)) AS h
   FROM ksd s JOIN kq q ON q.qid = s.qid
+  LEFT JOIN ksj j ON j.qid = s.qid
 ),
 kdens AS (
   SELECT a.qid, a.docno, a.score,

@@ -102,22 +102,74 @@ def test_rm3_sweep_matches_pointwise(fb_inputs, spark):
         assert cell[t] == pytest.approx(exp[t], abs=1e-12), t
 
 
+def _sj_dpi_scalar(xs):
+    """Independent pure-``math`` Sheather-Jones dpi (R bw.SJ formula,
+    exact pair sums) — written without numpy so a shared vectorization
+    bug can't hide."""
+    n = len(xs)
+    if n < 2:
+        return None
+    mean = sum(xs) / n
+    sd = math.sqrt(sum((v - mean) ** 2 for v in xs) / (n - 1))
+    srt = sorted(xs)
+
+    def quantile7(p):                       # R type-7 / numpy 'linear'
+        pos = (n - 1) * p
+        lo = math.floor(pos)
+        frac = pos - lo
+        hi = min(lo + 1, n - 1)
+        return srt[lo] * (1 - frac) + srt[hi] * frac
+
+    iqr = quantile7(0.75) - quantile7(0.25)
+    scale = min(sd, iqr / 1.349) if iqr > 0 else sd
+    if not scale > 0:
+        return None
+    a = 0.920 * scale * n ** (-1.0 / 7)
+    b = 0.912 * scale * n ** (-1.0 / 9)
+    s4 = sum((((xi - xj) / a) ** 4 - 6 * ((xi - xj) / a) ** 2 + 3)
+             * math.exp(-0.5 * ((xi - xj) / a) ** 2)
+             for xi in xs for xj in xs)
+    s6 = sum((((xi - xj) / b) ** 6 - 15 * ((xi - xj) / b) ** 4
+              + 45 * ((xi - xj) / b) ** 2 - 15)
+             * math.exp(-0.5 * ((xi - xj) / b) ** 2)
+             for xi in xs for xj in xs)
+    sd_a = s4 / (n * (n - 1) * a ** 5 * math.sqrt(2 * math.pi))
+    td_b = -s6 / (n * (n - 1) * b ** 7 * math.sqrt(2 * math.pi))
+    if sd_a <= 0 or td_b <= 0:
+        return None
+    return ((1.0 / (4 * math.pi)) ** 0.1
+            * (1.357 * sd_a / td_b) ** (1.0 / 7) * n ** (-0.2))
+
+
+def test_sj_bandwidth_matches_scalar_and_pins():
+    # vectorized implementation == independent scalar formula
+    for xs in ([0.0, 1.0, 2.0, 4.0, 8.0],
+               [float(i) ** 1.3 for i in range(100)],
+               [0.0, 1.0, 5.0]):
+        got = rerank.sj_dpi_bandwidth(np.array(xs))
+        assert got == pytest.approx(_sj_dpi_scalar(xs), rel=1e-12)
+    # regression pins on fixed samples
+    assert rerank.sj_dpi_bandwidth(
+        np.array([0.0, 1.0, 2.0, 4.0, 8.0])
+    ) == pytest.approx(0.5646393618416458, rel=1e-12)
+    assert rerank.sj_dpi_bandwidth(
+        np.array([float(i) ** 1.3 for i in range(100)])
+    ) == pytest.approx(0.954730851610473, rel=1e-12)
+    # degenerate samples fall back (None): n<2 and zero spread
+    assert rerank.sj_dpi_bandwidth(np.array([3.0])) is None
+    assert rerank.sj_dpi_bandwidth(np.array([5.0, 5.0, 5.0])) is None
+
+
 def test_kde_weighted_matches_direct_formula():
     x = np.array([0.0, 1.0, 5.0])
     w = np.array([1.0, 2.0, 1.0])
     pts = np.array([0.5, 4.0])
     dens = rerank.gaussian_kde_weighted(x, w, pts)
-    # recompute independently
+    # recompute independently: SJ bandwidth (unweighted, like R bw.SJ),
+    # score-weighted density
     wn = w / w.sum()
-    mean = (x * wn).sum()
-    sd = math.sqrt(((x - mean) ** 2 * wn).sum())
-    order = np.argsort(x)
-    cw = np.cumsum(wn[order])
-    q25 = x[order][np.searchsorted(cw, 0.25)]
-    q75 = x[order][np.searchsorted(cw, 0.75)]
-    sigma = min(sd, (q75 - q25) / 1.349) if q75 > q25 else sd
-    neff = 1.0 / (wn ** 2).sum()
-    h = 0.9 * sigma * neff ** (-0.2)
+    h = _sj_dpi_scalar(list(x))
+    assert h is not None
     expect = [
         sum(wn[i] * math.exp(-0.5 * ((p - x[i]) / h) ** 2)
             / math.sqrt(2 * math.pi) for i in range(3)) / h
@@ -131,21 +183,21 @@ def test_kde_weighted_matches_direct_formula():
 
 
 def test_kde_rescore_golden_constants(spark):
-    """Two-query golden fixture with hand-derived constants.
-
-    The constants below were computed by hand from the documented model
-    (density = Σ w_i·φ((t−x_i)/h)/h, Silverman h = 0.9·σ·neff^-0.2,
-    blend = α·ln(kde) + (1−α)·score) with plain ``math`` arithmetic —
+    """Two-query golden fixture, expected values derived via the pure-
+    ``math`` scalar pipeline (SJ-dpi bandwidth from _sj_dpi_scalar,
+    density = Σ w_i·φ((t−x_i)/h)/h, blend = α·ln(kde) + (1−α)·score) —
     independent of the numpy implementation under test, pinning the KDE
     chain end-to-end (weight normalization, bandwidth, density, α-blend).
     R itself (reference RKernelDensity.java:22-69 uses density(x,
-    weights=)) is not installed in this environment; its semantics are
-    what the formula above reproduces.
+    weights=, bw="SJ-dpi")) is not installed in this environment; its
+    estimator is what _sj_dpi_scalar reproduces. Literal pins guard
+    against silent drift of both implementations together.
 
-    q1: epochs (0, 100, 200), equal scores → uniform weights,
-        σ = √(20000/3), neff = 3, h = 58.98921664912303.
+    q1: epochs (0, 100, 200), equal scores → h_SJ ≈ 1.5974 (points far
+        apart at this bandwidth → each sees only its own kernel, so all
+        three blended scores coincide).
     q2: epochs (0, 50), scores (0, ln 3) → weights (0.25, 0.75),
-        σ = √468.75, neff = 1.6, h = 17.737367051713004.
+        h_SJ ≈ 1.2538.
     """
     run = spark.createDataFrame(
         [("q1", "a", 0.0, 0), ("q1", "b", 0.0, 100), ("q1", "c", 0.0, 200),
@@ -154,16 +206,36 @@ def test_kde_rescore_golden_constants(spark):
     )
     out = {(r["qid"], r["docno"]): r["score"]
            for r in rerank.kde_rescore(run, alpha=0.5).collect()}
+
+    def scalar_expected(xs, scores, alpha=0.5):
+        h = _sj_dpi_scalar(xs)
+        mx = max(scores)
+        w = [math.exp(s - mx) for s in scores]
+        tot = sum(w)
+        wn = [v / tot for v in w]
+        res = []
+        for t, s in zip(xs, scores):
+            dens = sum(
+                wn[i] * math.exp(-0.5 * ((t - xs[i]) / h) ** 2)
+                / math.sqrt(2 * math.pi) for i in range(len(xs))
+            ) / h
+            res.append(alpha * math.log(max(dens, 1e-300))
+                       + (1 - alpha) * s)
+        return res
+
+    e1 = scalar_expected([0.0, 100.0, 200.0], [0.0, 0.0, 0.0])
+    e2 = scalar_expected([0.0, 50.0], [0.0, math.log(3)])
     golden = {
-        ("q1", "a"): -2.9395522930553586,
-        ("q1", "b"): -2.853012036795485,
-        ("q1", "c"): -2.939552293055358,
-        ("q2", "d"): -2.562998989080325,
-        ("q2", "e"): -1.4887149516083986,
+        ("q1", "a"): e1[0], ("q1", "b"): e1[1], ("q1", "c"): e1[2],
+        ("q2", "d"): e2[0], ("q2", "e"): e2[1],
     }
     assert set(out) == set(golden)
     for k, v in golden.items():
         assert out[k] == pytest.approx(v, rel=1e-12), k
+    # literal regression pins (computed once at introduction of SJ-dpi)
+    assert out[("q1", "b")] == pytest.approx(-1.242960696604947, rel=1e-12)
+    assert out[("q2", "d")] == pytest.approx(-1.2657138311086065, rel=1e-12)
+    assert out[("q2", "e")] == pytest.approx(-0.1671015424404967, rel=1e-12)
 
 
 def test_kde_rescore_interpolates(spark):
