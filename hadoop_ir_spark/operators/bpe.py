@@ -17,9 +17,17 @@ corpus — so 10 merges are 10 cheap passes over an already-aggregated
 frame; the corpus itself is scanned exactly once (word count).
 
 Symbol sequences are encoded as strings with a \\x01 separator; a merge
-of pair (A, B) is ``replace(seq, 'A\\x01B', 'AB')`` — left-to-right
-non-overlapping replacement, which IS greedy BPE merge order, and is
-bit-identical in DuckDB's replace() for the oracle.
+of pair (A, B) is a SYMBOL-BOUNDARY-ALIGNED left fold over the symbol
+list (Spark ``aggregate``, DuckDB ``list_reduce`` — both engine-side,
+no Python): append each symbol to the accumulator, fusing when the
+accumulator's LAST SYMBOL equals A and the incoming symbol equals B.
+That is exactly Sennrich greedy left-to-right non-overlapping merge
+order ([a,a,a] + (a,a) → [aa,a]; the just-fused symbol AB ≠ A can never
+immediately re-fuse). A plain substring ``replace(seq, 'A\\x01B', 'AB')``
+would NOT be boundary-aligned — with symbols [a, ab] (serialized
+'a\\x01ab') the pattern 'a\\x01a' matches across the second symbol's
+prefix and fuses a bogus 'aab'; the fold cannot, because it compares
+whole symbols.
 """
 
 from __future__ import annotations
@@ -58,6 +66,38 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def merge_seq_expr(left: str, right: str):
+    """Column: apply merge rule (left, right) to ``seq`` — greedy
+    left-to-right, symbol-boundary-aligned.
+
+    Left fold over the symbol list with a string accumulator: fuse when
+    the accumulator's last symbol is exactly ``left`` (it IS the whole
+    accumulator, or follows a separator — SEP can never occur inside a
+    symbol, so ``endswith(acc, SEP||left)`` is a whole-symbol test) and
+    the incoming symbol is exactly ``right``.
+    """
+    a = _sql_quote(left)
+    b = _sql_quote(right)
+    ab = _sql_quote(left + right)
+    sep_a = _sql_quote(SEP + left)
+    sep = _sql_quote(SEP)
+    drop = f"length(acc) - {len(left) + 1}"
+    return F.expr(f"""aggregate(
+      split(seq, {sep}),
+      cast('' as string),
+      (acc, x) -> CASE
+        WHEN acc = '' THEN x
+        WHEN x = {b} AND acc = {a} THEN {ab}
+        WHEN x = {b} AND endswith(acc, {sep_a})
+          THEN concat(substring(acc, 1, {drop}), {sep}, {ab})
+        ELSE concat(acc, {sep}, x)
+      END)""")
+
+
 def train_bpe(tokens: DataFrame, num_merges: int = 10,
               term_col: str = "term") -> DataFrame:
     """Learn ``num_merges`` BPE merge rules from a token stream:
@@ -87,9 +127,7 @@ def train_bpe(tokens: DataFrame, num_merges: int = 10,
         left, right = pair.split(PAIR_SEP)
         rules.append((rank, left, right, left + right, cnt))
         seqs = seqs.withColumn(
-            "seq",
-            F.replace(F.col("seq"), F.lit(left + SEP + right),
-                      F.lit(left + right)),
+            "seq", merge_seq_expr(left, right)
         ).localCheckpoint()  # rules chain; cut the growing lineage
     return spark.createDataFrame(
         rules,
@@ -102,6 +140,12 @@ def bpe_oracle_sql(tok_cte: str, num_merges: int = 10) -> str:
     """DuckDB mirror: the same training unrolled as CTEs (one pair-count
     + argmax + rewrite trio per merge), argmax via ORDER BY ... LIMIT 1.
     ``tok_cte`` must define ``tok(term)`` (one row per token instance).
+
+    The rewrite mirrors merge_seq_expr's boundary-aligned fold with
+    ``list_reduce`` (DuckDB's fold seeds the accumulator with the first
+    list element — same result as Spark's '' seed, which maps acc=''→x
+    on the first symbol). The merge rule arrives from the 1-row b{k} CTE
+    rather than as a literal, so the lambda reads b.left_s/b.right_s.
     """
     parts = [
         f"{tok_cte}",
@@ -119,19 +163,25 @@ def bpe_oracle_sql(tok_cte: str, num_merges: int = 10) -> str:
             f"WHERE len(l) >= 2) GROUP BY pair)"
         )
         parts.append(
-            f"b{k} AS (SELECT pair, pair_cnt FROM p{k} "
+            f"b{k} AS (SELECT pair, pair_cnt, "
+            f"string_split(pair, chr(2))[1] AS left_s, "
+            f"string_split(pair, chr(2))[2] AS right_s, "
+            f"replace(pair, chr(2), '') AS merged FROM p{k} "
             f"ORDER BY pair_cnt DESC, pair ASC LIMIT 1)"
         )
         parts.append(
             f"s{k} AS (SELECT s.term, s.cnt, "
-            f"replace(s.seq, replace(b.pair, chr(2), chr(1)), "
-            f"replace(b.pair, chr(2), '')) AS seq "
+            f"list_reduce(string_split(s.seq, chr(1)), "
+            f"(acc, x) -> CASE "
+            f"WHEN x = b.right_s AND acc = b.left_s THEN b.merged "
+            f"WHEN x = b.right_s AND ends_with(acc, chr(1) || b.left_s) "
+            f"THEN substr(acc, 1, length(acc) - length(b.left_s) - 1) "
+            f"|| chr(1) || b.merged "
+            f"ELSE acc || chr(1) || x END) AS seq "
             f"FROM s{k-1} s CROSS JOIN b{k} b)"
         )
     selects = " UNION ALL ".join(
-        f"SELECT {k} AS merge_rank, string_split(pair, chr(2))[1] AS left_s,"
-        f" string_split(pair, chr(2))[2] AS right_s,"
-        f" replace(pair, chr(2), '') AS merged,"
+        f"SELECT {k} AS merge_rank, left_s, right_s, merged,"
         f" pair_cnt AS pair_count FROM b{k}"
         for k in range(1, num_merges + 1)
     )

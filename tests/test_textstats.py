@@ -124,3 +124,60 @@ def test_bpe_classic_merges(spark):
         ("es", "t", "est", 9),
         ("l", "o", "lo", 7),
     ]
+
+
+def test_bpe_merge_is_symbol_boundary_aligned(spark):
+    """The merge rewrite must compare WHOLE symbols, not substrings:
+    with symbols [a, ab] applying merge (a, a) must be a no-op (a naive
+    replace on the serialized string would fuse a bogus 'aab' across the
+    second symbol's prefix), and greedy left-to-right semantics must
+    hold on runs ([a,a,a] -> [aa,a]; [a,a,a,a] -> [aa,aa])."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ir_spark.operators import bpe
+
+    S = bpe.SEP
+    cases = [
+        (S.join(["a", "ab"]), ("a", "a"), S.join(["a", "ab"])),
+        (S.join(["a", "a", "a"]), ("a", "a"), S.join(["aa", "a"])),
+        (S.join(["a", "a", "a", "a"]), ("a", "a"), S.join(["aa", "aa"])),
+        (S.join(["a", "a", "b"]), ("a", "b"), S.join(["a", "ab"])),
+        (S.join(["ab", "ab", "ab"]), ("ab", "ab"),
+         S.join(["abab", "ab"])),
+        ("x", ("x", "x"), "x"),                       # single symbol
+        (S.join(["x", "y"]), ("y", "x"), S.join(["x", "y"])),  # no hit
+    ]
+    df = spark.createDataFrame(
+        [(i, seq) for i, (seq, _, _) in enumerate(cases)],
+        "id int, seq string",
+    )
+    for i, (seq, (a, b), want) in enumerate(cases):
+        got = (df.filter(F.col("id") == i)
+               .select(bpe.merge_seq_expr(a, b).alias("m"))
+               .collect()[0]["m"])
+        assert got == want, (seq, a, b, got, want)
+
+
+def test_bpe_oracle_rewrite_matches_spark(spark):
+    """DuckDB list_reduce mirror == Spark aggregate fold on the same
+    corpus, including a vocabulary engineered to hit the boundary case
+    (prefix-sharing symbols) during training."""
+    import duckdb
+
+    from hadoop_ir_spark.operators import bpe
+
+    # 'aab' repeated: after merge (a,a) the seqs contain [aa, b] and
+    # after (a, b)->ab variants the prefix-overlap case arises
+    words = [("aab", 7), ("aaab", 5), ("ab", 4), ("baa", 3)]
+    rows = [(w,) for w, c in words for _ in range(c)]
+    toks = spark.createDataFrame(rows, "term string")
+    got = [tuple(r) for r in
+           bpe.train_bpe(toks, num_merges=4).orderBy("merge_rank")
+           .collect()]
+    vals = ", ".join(f"('{w}')" for w, c in words for _ in range(c))
+    sql = bpe.bpe_oracle_sql(
+        f"tok(term) AS (SELECT * FROM (VALUES {vals}))", 4
+    )
+    want = [tuple(r) for r in duckdb.connect().execute(
+        sql + " ORDER BY merge_rank").fetchall()]
+    assert got == want
