@@ -145,22 +145,39 @@ def assign_centroids(emb: DataFrame, centroids: DataFrame,
     )
 
 
+# above this vector width the centroid update switches to the
+# posexplode/groupBy(cid, pos) shape: a `dim`-column aggregate blows past
+# whole-stage-codegen's method-size limits at real embedding widths
+# (768+) and falls back to interpreted mode, while the exploded groupBy
+# stays inside codegen at any width (shuffle carries k·dim skinny rows —
+# still scalar traffic)
+WIDE_UPDATE_DIM = 100
+
+
 def kmeans_spherical(emb: DataFrame, init: DataFrame, iters: int = 3,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     round_digits: int = 9):
+                     round_digits: int = 9, wide_update: bool | None = None):
     """Lloyd's k-means with cosine assignment and deterministic init
     (pass ``centroid_sample`` output). Returns (assignments, centroids):
     assignments = (vec_id, centroid_id, cos) under the FINAL centroids.
 
     Per iteration: one broadcast crossJoin + argmin (assignment), one
-    explode + groupBy(cid, pos) mean (update; the shuffle carries
-    k·dim rows). New centroids are rounded to ``round_digits`` and
-    collected (k·dim doubles — the standard Lloyd's broadcast scalar
-    traffic), so the trajectory is bit-reproducible regardless of
-    partitioning/summation order. Empty clusters keep their previous
-    centroid. Centroids are NOT re-normalized between iterations —
-    cosine assignment is scale-invariant, so normalization would only
-    add float ops without changing any assignment.
+    centroid-update aggregate. New centroids are rounded to
+    ``round_digits`` and collected (k·dim doubles — the standard
+    Lloyd's broadcast scalar traffic), so the trajectory is
+    bit-reproducible regardless of partitioning/summation order. Empty
+    clusters keep their previous centroid. Centroids are NOT
+    re-normalized between iterations — cosine assignment is
+    scale-invariant, so normalization would only add float ops without
+    changing any assignment.
+
+    The update is width-conditional (``wide_update=None`` → auto at
+    dim > WIDE_UPDATE_DIM): narrow vectors use ``dim`` per-dimension
+    avg aggregates in one pass (fewest shuffled rows); wide vectors use
+    posexplode → groupBy(cid, pos) → avg, which stays inside
+    whole-stage codegen at 768+ dims where a 768-column aggregate would
+    fall back to interpreted mode. Both paths round identically, so the
+    trajectory is bit-identical either way (tested at dim=256).
     """
     spark = emb.sparkSession
     # cache the (id, vector) projection once: every iteration re-scans it
@@ -175,30 +192,50 @@ def kmeans_spherical(emb: DataFrame, init: DataFrame, iters: int = 3,
     prev = {r["centroid_id"]: list(r["cv"]) for r in cents.collect()}
     dim = len(next(iter(prev.values())))
 
-    # centroid update as ONE groupBy with `dim` per-dimension avg
-    # aggregates — no posexplode, no collect_list re-assembly shuffle;
-    # the shuffle carries k partial-agg rows per partition
+    if wide_update is None:
+        wide_update = dim > WIDE_UPDATE_DIM
+
+    # narrow update: ONE groupBy with `dim` per-dimension avg
+    # aggregates — no posexplode, fewest shuffled rows (k partial-agg
+    # rows per partition). Only viable while `dim` columns fit in
+    # whole-stage codegen.
     mean_aggs = [
         F.round(F.avg(F.col("embedding")[i].cast("double")), round_digits)
         .alias(f"d{i}")
         for i in range(dim)
     ]
 
+    def update(assign):
+        joined = assign.select("vec_id", "centroid_id").join(emb2, "vec_id")
+        if not wide_update:
+            means = joined.groupBy("centroid_id").agg(*mean_aggs)
+            return {
+                r["centroid_id"]: [r[f"d{i}"] for i in range(dim)]
+                for r in means.collect()
+            }
+        # wide update: skinny (cid, pos, val) rows keep codegen alive at
+        # any dim; k·dim result rows to the driver — same scalar traffic
+        # as the wide rows, just unpivoted
+        means = (
+            joined.select(
+                "centroid_id",
+                F.posexplode(F.col("embedding").cast("array<double>"))
+                .alias("pos", "val"),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("val"), round_digits).alias("m"))
+        )
+        out: dict[int, list] = {}
+        for r in means.collect():
+            out.setdefault(r["centroid_id"], [None] * dim)[r["pos"]] = r["m"]
+        return out
+
     for _ in range(iters):
         cdf = spark.createDataFrame(
             sorted(prev.items()), "centroid_id long, cv array<double>"
         )
         assign = assign_centroids(emb2, cdf)
-        means = (
-            assign.select("vec_id", "centroid_id")
-            .join(emb2, "vec_id")
-            .groupBy("centroid_id")
-            .agg(*mean_aggs)
-        )
-        new = {
-            r["centroid_id"]: [r[f"d{i}"] for i in range(dim)]
-            for r in means.collect()
-        }
+        new = update(assign)
         prev = {cid: new.get(cid, cv) for cid, cv in prev.items()}
 
     final = spark.createDataFrame(

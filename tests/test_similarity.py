@@ -112,6 +112,33 @@ def test_kmeans_spherical_matches_numpy(spark):
         assert np.allclose(got_c[cid], C[cid], atol=1e-9)
 
 
+def test_kmeans_wide_update_matches_narrow_dim256(spark):
+    """The width-conditional centroid update (posexplode/groupBy(cid,
+    pos) above WIDE_UPDATE_DIM) must produce the identical trajectory as
+    the dim-column aggregate path — verified at a real embedding width
+    (256), where the default auto-picks the wide path."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(30, 256).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    init = similarity.centroid_sample(emb, every=10)  # ids 0,10,20
+    a_w, c_w = similarity.kmeans_spherical(emb, init, iters=2,
+                                           wide_update=True)
+    a_n, c_n = similarity.kmeans_spherical(emb, init, iters=2,
+                                           wide_update=False)
+    a_d, c_d = similarity.kmeans_spherical(emb, init, iters=2)  # auto
+    assert 256 > similarity.WIDE_UPDATE_DIM  # auto => wide here
+    for a, c in ((a_n, c_n), (a_d, c_d)):
+        assert ({r["vec_id"]: r["centroid_id"] for r in a.collect()}
+                == {r["vec_id"]: r["centroid_id"] for r in a_w.collect()})
+        assert ({r["centroid_id"]: list(r["cv"]) for r in c.collect()}
+                == {r["centroid_id"]: list(r["cv"]) for r in c_w.collect()})
+
+
 def test_kmeans_empty_cluster_keeps_centroid(spark):
     # centroid 3 starts far from every point and attracts none: it must
     # survive with its original coordinates instead of vanishing
