@@ -198,11 +198,30 @@ class RunfileWriter(DataSourceWriter):
     def commit(self, messages):
         import os
 
+        produced = set()
         for m in messages:
             base = os.path.basename(m.part_path)
             final = os.path.join(os.path.dirname(m.part_path),
                                  "part-" + base.rsplit("-part-", 1)[1])
             os.replace(m.part_path, final)
+            produced.add(os.path.basename(final))
+        # mode("overwrite") must not leave a previous larger write's
+        # extra part files behind (a re-run with fewer partitions would
+        # silently mix old and new run lines); stray _tmp-* from killed
+        # or speculative attempts are swept in any mode — their tasks
+        # can no longer commit.
+        if not os.path.isdir(self.path):     # zero-partition write
+            return
+        for name in os.listdir(self.path):
+            stale_part = (self.overwrite and name.startswith("part-")
+                          and name.endswith(".run")
+                          and name not in produced)
+            orphan_tmp = name.startswith("_tmp-") and name.endswith(".run")
+            if stale_part or orphan_tmp:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass
 
     def abort(self, messages):
         import os

@@ -96,20 +96,26 @@ ranked AS (
               AS sample_rank
   FROM keyed
 )
-SELECT doc_id AS docno, lang, es_key9, CAST(sample_rank AS INT) AS sample_rank
+SELECT doc_id AS docno, lang, CAST(sample_rank AS INT) AS sample_rank
 FROM ranked WHERE sample_rank <= {WEIGHTED_N}
 """)
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted sample (weight = doc length in
     chars): per-language top-{WEIGHTED_N} by the integer-scaled ES key.
     Longer docs are proportionally likelier; the oracle replays the
-    identical key computation."""
+    identical key computation. The es_key9 SORT key stays internal — a
+    last-ulp ln() divergence between JVM and libm at an integer
+    boundary could flip the floored key by 1, so exposing it as an
+    output column would be a latent cross-platform byte-exactness
+    flake; selecting which docs are IN the sample is robust (a 1-unit
+    key nudge only matters on an exact rank-boundary collision, where
+    the id tie-break already rules)."""
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("docno"), "lang", "n_chars"
     )
     out = sampling.weighted_sample(docs, WEIGHTED_N, "n_chars",
                                    group_col="lang")
     return out.select(
-        "docno", "lang", "es_key9",
+        "docno", "lang",
         F.col("sample_rank").cast("int").alias("sample_rank"),
     )

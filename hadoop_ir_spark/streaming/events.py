@@ -31,6 +31,27 @@ EVENTS_SCHEMA = StructType([
 ])
 
 
+def _stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """EVENTS_SCHEMA with ``ts`` set to the type the events file ACTUALLY
+    yields (one footer-only batch read). A file stream takes its schema
+    on faith — pinning ts to TIMESTAMP_NTZ against a legacy nanos-int64
+    revision of events.parquet would fail (or misread) every streaming
+    query for that data revision, while the batch path silently adapts
+    via normalize_ts. Probing keeps both paths type-adaptive; streaming
+    consumers normalize after load exactly like batch ones."""
+    import os
+
+    actual = {
+        f.name: f.dataType
+        for f in spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")).schema.fields
+    }
+    return StructType([
+        StructField(f.name, actual.get(f.name, f.dataType))
+        for f in EVENTS_SCHEMA.fields
+    ])
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch read of the events table with ``ts`` normalized to canonical
     TIMESTAMP_NTZ (UTC wall clock).
@@ -54,9 +75,12 @@ def events_stream(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch by default). File streams read directories, so the scale
-    dir is the source with a glob pinned to the events table."""
+    dir is the source with a glob pinned to the events table. The read
+    schema is probed from the file footer (see _stream_schema) so legacy
+    ts encodings stream as well as they batch-read."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_stream_schema(spark, sf_dir))
         .format("parquet")
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")

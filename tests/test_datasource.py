@@ -104,3 +104,30 @@ def test_runfile_datasource_writer_roundtrip(registered, tmp_path):
                     ("q2", "d9"): (1, 9.0)}
     line = open(os.path.join(out, files[0])).readline()
     assert " Q0 " in line and line.rstrip().endswith("t3")
+
+
+def test_runfile_overwrite_sweeps_stale_parts(registered, tmp_path):
+    """mode('overwrite') with FEWER partitions than a previous write must
+    not leave the old extra part files mixed in, and orphaned _tmp-*
+    files from dead attempts are swept at commit."""
+    from hadoop_ir_spark.io import runfile
+    from hadoop_ir_spark.io.datasource import RunfileDataSource
+
+    spark = registered
+    spark.dataSource.register(RunfileDataSource)
+    run = spark.createDataFrame(
+        [("q1", "d1", 1, 3.5), ("q2", "d9", 1, 9.0)],
+        "qid string, docno string, rank int, score double",
+    )
+    out = str(tmp_path / "runout2")
+    run.repartition(4).write.format("runfile").mode("overwrite").save(out)
+    assert len([f for f in os.listdir(out) if f.startswith("part-")]) == 4
+    # simulate a leftover speculative-attempt temp file
+    orphan = os.path.join(out, "_tmp-deadbeef-part-00099.run")
+    open(orphan, "w").write("q9 Q0 dX 1 1.000000 stale\n")
+    run.repartition(1).write.format("runfile").mode("overwrite").save(out)
+    files = sorted(os.listdir(out))
+    assert files == ["part-00000.run"]
+    back = {(r["qid"], r["docno"]) for r in
+            runfile.read_run(spark, out).collect()}
+    assert back == {("q1", "d1"), ("q2", "d9")}
