@@ -85,13 +85,32 @@ def main():
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # Full per-query detail on disk: the driver keeps only the last 2000
+    # chars of stdout, so a 106-query JSON line (~4.5k chars) gets its head
+    # truncated and fails to parse (this is exactly what produced
+    # BENCH_r03.json "parsed": null). Persist everything here ...
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    # ... and keep the printed line comfortably under the tail window by
+    # eliding the fastest queries from the inline dict (slowest stay, since
+    # those are what a perf review reads first).
+    out = dict(full)
+    out["n_queries"] = len(timings)
+    out["full_detail"] = "BENCH_FULL.json"
+    kept = sorted(timings, key=timings.get, reverse=True)
+    while len(json.dumps(out, separators=(",", ":"))) > 1700 and kept:
+        kept.pop()
+        out["queries"] = {k: timings[k] for k in kept}
+        out["n_elided"] = len(timings) - len(kept)
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,142 @@
+"""Generate a deterministic sf1-equivalent slice (10x sf0.1) for scale
+stress runs, under .scale/sf1/ (gitignored; /root/testdata is read-only).
+
+Each fact table is replicated COPIES times with primary/foreign keys
+offset consistently (offset = i * (max_key + 1)), so join fan-outs,
+group-by cardinalities and key distributions scale the way real data
+would: 10x orders ~ 10x customers, same date range at 10x density --
+the TPC-H scaling convention. Dimension tables region/nation stay fixed,
+as in TPC-H.
+
+Content columns are decorrelated across copies so similarity-based
+operators see realistic duplicate rates instead of a pathological
+10-way-duplicate corpus:
+  - documents.text: copy i>0 resamples ~1/3 of tokens from the corpus
+    unigram distribution (3-shingle Jaccard vs the original ~0.18, well
+    below near-dup thresholds); copy 0 is byte-identical to sf0.1 so
+    topic/query vocabulary still matches.
+  - embeddings.embedding: copy i>0 is 0.3*orig + N(0, sd) per dim
+    (cosine vs orig ~0.29 < tau=0.45 used by embedding_near_dups).
+
+Usage: python tools/make_sf1.py [dest_dir]   (default .scale/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+def scaled_sql(con, table: str, key_offsets: dict[str, int], i: int) -> str:
+    cols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM '{SRC}/{table}.parquet'").fetchall()]
+    sel = []
+    for c in cols:
+        if c in key_offsets and i > 0:
+            sel.append(f"{c} + {i * key_offsets[c]} AS {c}")
+        else:
+            sel.append(c)
+    return f"SELECT {', '.join(sel)} FROM '{SRC}/{table}.parquet'"
+
+
+def main() -> None:
+    dest = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+
+    def off(table: str, key: str) -> int:
+        return con.execute(
+            f"SELECT max({key}) + 1 FROM '{SRC}/{table}.parquet'").fetchone()[0]
+
+    c_off = off("customer", "c_custkey")
+    s_off = off("supplier", "s_suppkey")
+    p_off = off("part", "p_partkey")
+    o_off = off("orders", "o_orderkey")
+    e_off = off("events", "event_id")
+    u_off = off("events", "user_id")
+    d_off = off("documents", "doc_id")
+    v_off = off("embeddings", "vec_id")
+
+    offsets = {
+        "region": {},
+        "nation": {},
+        "customer": {"c_custkey": c_off},
+        "supplier": {"s_suppkey": s_off},
+        "part": {"p_partkey": p_off},
+        "orders": {"o_orderkey": o_off, "o_custkey": c_off},
+        "lineitem": {"l_orderkey": o_off, "l_partkey": p_off, "l_suppkey": s_off},
+        "events": {"event_id": e_off, "user_id": u_off},
+    }
+
+    for table, key_offsets in offsets.items():
+        n = 1 if table in ("region", "nation") else COPIES
+        union = " UNION ALL ".join(
+            scaled_sql(con, table, key_offsets, i) for i in range(n))
+        con.execute(
+            f"COPY ({union}) TO '{dest}/{table}.parquet' (FORMAT PARQUET)")
+        rows = con.execute(
+            f"SELECT count(*) FROM '{dest}/{table}.parquet'").fetchone()[0]
+        print(f"{table}: {rows} rows", file=sys.stderr)
+
+    # documents: token-level resampling for copies > 0
+    docs = con.execute(
+        f"SELECT * FROM '{SRC}/documents.parquet' ORDER BY doc_id").fetch_df()
+    token_lists = [t.split(" ") for t in docs["text"].tolist()]
+    flat = [w for ws in token_lists for w in ws]  # unigram distribution
+    flat_arr = np.array(flat, dtype=object)
+    out_frames = [docs]
+    for i in range(1, COPIES):
+        rng = np.random.default_rng(42_000 + i)
+        new_texts = []
+        for ws in token_lists:
+            ws = list(ws)
+            mask = rng.random(len(ws)) < 1.0 / 3.0
+            idx = np.nonzero(mask)[0]
+            if len(idx):
+                repl = flat_arr[rng.integers(0, len(flat_arr), size=len(idx))]
+                for j, r in zip(idx, repl):
+                    ws[j] = r
+            new_texts.append(" ".join(ws))
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + i * d_off
+        d["text"] = new_texts
+        d["n_chars"] = d["text"].str.len().astype("int64")
+        out_frames.append(d)
+    import pandas as pd
+    all_docs = pd.concat(out_frames, ignore_index=True)
+    con.register("all_docs", all_docs)
+    con.execute(
+        f"COPY (SELECT * FROM all_docs) TO '{dest}/documents.parquet' (FORMAT PARQUET)")
+    print(f"documents: {len(all_docs)} rows", file=sys.stderr)
+
+    # embeddings: decorrelated copies, float32 list column
+    emb = con.execute(
+        f"SELECT * FROM '{SRC}/embeddings.parquet' ORDER BY vec_id").fetch_df()
+    mat = np.stack([np.asarray(v, dtype=np.float32) for v in emb["embedding"]])
+    sd = float(mat.std())
+    frames = [emb]
+    for i in range(1, COPIES):
+        rng = np.random.default_rng(52_000 + i)
+        noisy = (0.3 * mat + rng.normal(0.0, sd, size=mat.shape)).astype(np.float32)
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + i * v_off
+        e["embedding"] = list(noisy)
+        frames.append(e)
+    all_emb = pd.concat(frames, ignore_index=True)
+    con.register("all_emb", all_emb)
+    con.execute(
+        f"COPY (SELECT vec_id, embedding::FLOAT[] AS embedding, label "
+        f"FROM all_emb) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)")
+    print(f"embeddings: {len(all_emb)} rows", file=sys.stderr)
+    print(f"wrote {dest}")
+
+
+if __name__ == "__main__":
+    main()
