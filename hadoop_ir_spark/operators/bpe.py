@@ -99,13 +99,18 @@ def merge_seq_expr(left: str, right: str):
 
 
 def train_bpe(tokens: DataFrame, num_merges: int = 10,
-              term_col: str = "term") -> DataFrame:
+              term_col: str = "term", return_seqs: bool = False):
     """Learn ``num_merges`` BPE merge rules from a token stream:
     (merge_rank, left, right, merged, pair_count).
 
     Each iteration collects ONE (pair, count) row — the argmax — to the
     driver; everything else stays distributed. Deterministic: ties break
     on the lexicographically smallest pair.
+
+    With ``return_seqs`` also returns the post-training vocabulary frame
+    (term, cnt, seq) whose ``seq`` column is each word's final symbol
+    segmentation — the tokenizer-APPLY side (see :func:`encode_lens`)
+    reuses it instead of refolding every merge per document.
     """
     spark = tokens.sparkSession
     # the vocabulary table is tiny relative to the corpus (distinct words
@@ -129,11 +134,64 @@ def train_bpe(tokens: DataFrame, num_merges: int = 10,
         seqs = seqs.withColumn(
             "seq", merge_seq_expr(left, right)
         ).localCheckpoint()  # rules chain; cut the growing lineage
-    return spark.createDataFrame(
+    rules_df = spark.createDataFrame(
         rules,
         "merge_rank int, left_s string, right_s string, merged string,"
         " pair_count bigint",
     )
+    if return_seqs:
+        return rules_df, seqs
+    return rules_df
+
+
+def encode_lens(tokens: DataFrame, seqs: DataFrame,
+                doc_col: str = "docno", term_col: str = "term") -> DataFrame:
+    """Tokenizer APPLY: per-document BPE token counts under a trained
+    merge table — (docno, doc_len, n_bpe_tokens).
+
+    ``seqs`` is the post-training vocabulary (term, cnt, seq) from
+    ``train_bpe(..., return_seqs=True)``: each distinct WORD's final
+    symbol segmentation was already computed once during training, so
+    encoding a corpus is a word-level equi-join (tokens ⋈ vocabulary) +
+    a groupBy(doc) — no per-document refolding of the merge rules. This
+    is the classic BPE-apply factorization (segmentations depend only on
+    the word, not the document), and it's what makes apply scale: the
+    vocabulary side is |distinct words| rows (broadcast when small), the
+    corpus side is one aggregation.
+    """
+    sym_count = F.size(F.split("seq", SEP))
+    vocab = seqs.select(
+        F.col(term_col).alias("_t"), sym_count.alias("_n_sym"))
+    per_doc_term = tokens.groupBy(doc_col, term_col).agg(
+        F.count("*").alias("_tf"))
+    return (
+        per_doc_term.join(vocab, per_doc_term[term_col] == vocab["_t"])
+        .groupBy(doc_col)
+        .agg(
+            F.sum("_tf").cast("long").alias("doc_len"),
+            F.sum(F.col("_tf") * F.col("_n_sym")).cast("long")
+             .alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_encode_oracle_sql(tok_doc_cte: str, num_merges: int = 10) -> str:
+    """DuckDB mirror of train-then-encode: the same training CTE chain as
+    :func:`bpe_oracle_sql`, then a join of the per-(doc, term) counts
+    against the final segmentation table. ``tok_doc_cte`` must define
+    ``tok(docno, term)`` — one row per token INSTANCE with its document.
+    """
+    parts = _bpe_train_ctes(tok_doc_cte, num_merges)
+    parts.append(
+        f"enc AS (SELECT term, len(string_split(seq, chr(1))) AS n_sym "
+        f"FROM s{num_merges})"
+    )
+    return "WITH " + ",\n".join(parts) + """
+SELECT t.docno, CAST(count(*) AS BIGINT) AS doc_len,
+       CAST(sum(e.n_sym) AS BIGINT) AS n_bpe_tokens
+FROM tok t JOIN enc e USING (term)
+GROUP BY t.docno
+"""
 
 
 def bpe_oracle_sql(tok_cte: str, num_merges: int = 10) -> str:
@@ -147,6 +205,19 @@ def bpe_oracle_sql(tok_cte: str, num_merges: int = 10) -> str:
     on the first symbol). The merge rule arrives from the 1-row b{k} CTE
     rather than as a literal, so the lambda reads b.left_s/b.right_s.
     """
+    parts = _bpe_train_ctes(tok_cte, num_merges)
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, left_s, right_s, merged,"
+        f" pair_cnt AS pair_count FROM b{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+def _bpe_train_ctes(tok_cte: str, num_merges: int) -> list[str]:
+    """The shared training CTE chain (tok -> w0 -> s0 -> p/b/s per merge)
+    used by both oracle builders. ``tok`` may carry extra columns (e.g.
+    docno for the encode mirror); training groups by term only."""
     parts = [
         f"{tok_cte}",
         "w0 AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)",
@@ -180,9 +251,4 @@ def bpe_oracle_sql(tok_cte: str, num_merges: int = 10) -> str:
             f"ELSE acc || chr(1) || x END) AS seq "
             f"FROM s{k-1} s CROSS JOIN b{k} b)"
         )
-    selects = " UNION ALL ".join(
-        f"SELECT {k} AS merge_rank, left_s, right_s, merged,"
-        f" pair_cnt AS pair_count FROM b{k}"
-        for k in range(1, num_merges + 1)
-    )
-    return "WITH " + ",\n".join(parts) + "\n" + selects
+    return parts

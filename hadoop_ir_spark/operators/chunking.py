@@ -1,0 +1,98 @@
+"""RAG-style document chunking (beyond-reference LLM-pipeline operator).
+
+Splits each document's token stream into fixed-size overlapping windows
+(`chunk` tokens, advancing `stride` tokens — overlap = chunk - stride),
+the canonical retrieval-corpus preparation step. Pure built-in
+expressions: tokenize once, derive the chunk count arithmetically,
+``posexplode`` a ``sequence`` of chunk indices, ``slice`` the token
+array per chunk. No UDFs, no shuffle at all — chunking is embarrassingly
+parallel per document, so at 100 TB this is a map-only stage whose
+output partitioning inherits the scan's.
+
+Chunk-count formula (integer math in both engines):
+    n <= chunk        -> 1
+    otherwise         -> 1 + ceil((n - chunk) / stride)
+                       = 1 + (n - chunk + stride - 1) div stride
+so the last chunk always ends at the document end (it may be shorter
+than `chunk` but is never empty; a final window starting past the last
+token is never emitted). Empty documents produce no chunks.
+
+The portable ``chunk_hash`` (md5-based, functions.hashes.hash64) keys
+exact chunk-level dedup downstream — the chunk-granularity twin of
+curation.line_dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.functions.hashes import hash64
+from hadoop_ir_spark.functions.text import tokens_col
+
+
+def doc_chunks(docs: DataFrame, chunk: int = 64, stride: int = 48,
+               id_col: str = "docno", text_col: str = "text") -> DataFrame:
+    """(docno, chunk_id, n_chunk_tokens, head_term, tail_term,
+    chunk_hash): overlapping token windows per document."""
+    if stride <= 0 or chunk <= 0 or stride > chunk:
+        raise ValueError("need 0 < stride <= chunk")
+    toked = docs.select(
+        F.col(id_col).alias("docno"),
+        tokens_col(text_col).alias("toks"),
+    ).withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    n_chunks = F.when(F.col("n") <= chunk, F.lit(1)).otherwise(
+        F.expr(f"1 + (n - {chunk} + {stride} - 1) div {stride}").cast("int")
+    )
+    exploded = toked.withColumn("n_chunks", n_chunks).select(
+        "docno", "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1))
+         .alias("chunk_id"),
+    )
+    piece = F.slice("toks", F.col("chunk_id") * stride + 1, F.lit(chunk))
+    return (
+        exploded.withColumn("piece", piece)
+        .select(
+            "docno",
+            "chunk_id",
+            F.size("piece").alias("n_chunk_tokens"),
+            F.element_at("piece", 1).alias("head_term"),
+            F.element_at("piece", -1).alias("tail_term"),
+            hash64(F.array_join("piece", " ")).alias("chunk_hash"),
+        )
+    )
+
+
+def doc_chunks_oracle_sql(chunk: int = 64, stride: int = 48) -> str:
+    """DuckDB mirror over the pre-registered ``documents`` view."""
+    return f"""
+WITH toked AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+sized AS (
+  SELECT docno, toks, len(toks) AS n FROM toked WHERE len(toks) > 0
+),
+idx AS (
+  SELECT docno, toks,
+         unnest(range(0, CASE WHEN n <= {chunk} THEN 1
+                         ELSE 1 + (n - {chunk} + {stride} - 1) // {stride}
+                         END)) AS chunk_id
+  FROM sized
+),
+pieces AS (
+  SELECT docno, CAST(chunk_id AS INT) AS chunk_id,
+         list_slice(toks, chunk_id * {stride} + 1,
+                    chunk_id * {stride} + {chunk}) AS piece
+  FROM idx
+)
+SELECT docno, chunk_id,
+       CAST(len(piece) AS INT) AS n_chunk_tokens,
+       piece[1] AS head_term,
+       piece[-1] AS tail_term,
+       CAST(('0x' || substr(md5(array_to_string(piece, ' ')), 1, 15))
+            AS BIGINT) AS chunk_hash
+FROM pieces
+"""

@@ -505,6 +505,53 @@ def embedding_near_dups(emb: DataFrame, tau: float = 0.45,
     )
 
 
+def semantic_dedup(emb: DataFrame, tau: float = 0.3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   cluster_col: str = "label") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): within-cluster
+    semantic deduplication. Rows keep-or-drop by greedy id order — a
+    vector is DROPPED iff some lower-id vector in the SAME cluster has
+    cosine ≥ tau with it; survivors are returned.
+
+    The cluster assignment is the blocking key (here a precomputed
+    cluster id column; ``similarity.kmeans_spherical``'s assignment plugs
+    in directly), so the pair join is an equi-join on the cluster id —
+    quadratic only within a cluster, never across the corpus. That is
+    exactly the SemDeDup trick: k-means first, then exact cosine only
+    inside each cluster's ε-ball. At 100 TB cluster sizes are capped by
+    k (n/k per cluster on average); skewed clusters would salt the same
+    way salted_user_spend demonstrates, or re-cluster the outliers.
+
+    Greedy-by-id matches the paper's "keep one representative per
+    ε-neighborhood" without a connected-components pass (documented
+    deliberate simplification — transitive chains collapse to the lowest
+    id of each *directly-linked* neighbor, identical to the oracle).
+
+    Expression-path cosine (``cosine_expr``'s left fold) so an external
+    SQL engine reproduces the decision bit-for-bit.
+    """
+    a = emb.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).cast("long").alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = emb.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).cast("long").alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    dropped = (
+        a.join(b, "_c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_expr(F.col("_va"), F.col("_vb")) >= F.lit(tau))
+        .select(F.col("id_b").alias("_drop"))
+        .distinct()
+    )
+    return emb.join(
+        dropped, emb[id_col].cast("long") == dropped["_drop"], "left_anti"
+    )
+
+
 # --------------------------------------------------------------------------
 # duplicate clusters (connected components over near-dup pairs)
 # --------------------------------------------------------------------------

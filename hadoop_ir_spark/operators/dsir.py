@@ -1,0 +1,124 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) over hashed n-gram features; beyond-reference
+LLM-pipeline operator.
+
+Estimates a target-domain unigram distribution and the raw-corpus
+distribution over B hashed feature buckets, then scores every document
+with the importance log-weight
+
+    log w(d) = sum_tokens ln( p_target(bucket) / p_raw(bucket) )
+
+(add-1 smoothing on both distributions, so empty buckets are defined).
+High-weight documents look like the target domain; feeding the weights
+to ``sampling.weighted_sample`` reproduces DSIR's resampling step.
+
+Distributed shape: one tokenize pass, two bucket-count aggregates (the
+feature table is B rows — broadcast), one scalar total each, and a final
+groupBy(docno). The per-(docno, bucket) pre-aggregate bounds the terms
+in the per-doc float sum to <= B, keeping summation short and
+deterministic enough for round(6) cross-engine comparison (same shape
+doc_logprob uses). Nothing driver-side but two 1-row totals.
+
+The bucket hash is the portable md5-based ``hash64 % B`` so a SQL oracle
+reproduces the exact feature assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.functions.hashes import hash64
+from hadoop_ir_spark.functions.text import tokens_col
+
+N_BUCKETS = 1024
+
+
+def _bucketed_tokens(docs: DataFrame, id_col: str, text_col: str,
+                     n_buckets: int) -> DataFrame:
+    toks = docs.select(
+        F.col(id_col).alias("docno"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    )
+    return toks.withColumn("bucket", F.pmod(hash64("term"), F.lit(n_buckets)))
+
+
+def dsir_log_weights(docs: DataFrame, target: Column,
+                     id_col: str = "docno", text_col: str = "text",
+                     n_buckets: int = N_BUCKETS) -> DataFrame:
+    """(docno, doc_len, log_weight) for every document.
+
+    ``target`` is a boolean Column over ``docs`` selecting the
+    target-domain subset (e.g. ``F.col("lang") == "en"``).
+    """
+    bt = _bucketed_tokens(docs.withColumn("_is_target", target),
+                          id_col, text_col, n_buckets)
+    # per-bucket counts for raw corpus and target subset, in one pass
+    counts = bt.groupBy("bucket").agg(
+        F.count("*").alias("raw_cnt"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tgt_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("raw_cnt").cast("double").alias("n_raw"),
+        F.sum("tgt_cnt").cast("double").alias("n_tgt"),
+    )
+    # ln((tgt+1)/(n_tgt+B)) - ln((raw+1)/(n_raw+B)) per bucket; B rows
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_cnt") + 1.0)
+                  / (F.col("n_tgt") + float(n_buckets)))
+            - F.log((F.col("raw_cnt") + 1.0)
+                    / (F.col("n_raw") + float(n_buckets)))
+        ).alias("log_ratio"),
+    )
+    per_doc_bucket = bt.groupBy("docno", "bucket").agg(
+        F.count("*").alias("tf"))
+    return (
+        per_doc_bucket.join(F.broadcast(ratio), "bucket")
+        .groupBy("docno")
+        .agg(
+            F.sum("tf").alias("doc_len"),
+            F.sum(F.col("tf") * F.col("log_ratio")).alias("log_weight"),
+        )
+    )
+
+
+def dsir_oracle_sql(target_pred: str, n_buckets: int = N_BUCKETS) -> str:
+    """DuckDB mirror; ``target_pred`` is a boolean SQL expression over the
+    ``documents`` columns (e.g. ``lang = 'en'``)."""
+    b = n_buckets
+    return f"""
+WITH bt AS (
+  SELECT docno, _is_target,
+         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % {b} AS bucket
+  FROM (
+    SELECT doc_id AS docno, ({target_pred}) AS _is_target,
+           unnest(string_split_regex(lower(text), '[^0-9a-zA-Z]+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+counts AS (
+  SELECT bucket, count(*) AS raw_cnt,
+         sum(CASE WHEN _is_target THEN 1 ELSE 0 END) AS tgt_cnt
+  FROM bt GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(sum(raw_cnt) AS DOUBLE) AS n_raw,
+         CAST(sum(tgt_cnt) AS DOUBLE) AS n_tgt
+  FROM counts
+),
+ratio AS (
+  SELECT bucket,
+         ln((tgt_cnt + 1.0) / (n_tgt + {float(b)!r}))
+         - ln((raw_cnt + 1.0) / (n_raw + {float(b)!r})) AS log_ratio
+  FROM counts CROSS JOIN totals
+),
+pdb AS (
+  SELECT docno, bucket, count(*) AS tf FROM bt GROUP BY docno, bucket
+)
+SELECT docno, CAST(sum(tf) AS BIGINT) AS doc_len,
+       round(sum(tf * log_ratio), 6) AS log_weight
+FROM pdb JOIN ratio USING (bucket)
+GROUP BY docno
+"""

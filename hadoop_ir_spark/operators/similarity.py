@@ -514,3 +514,29 @@ def rp_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def recall_vs_exact(exact: DataFrame, approx: DataFrame,
+                    k: int = 10) -> DataFrame:
+    """ANN quality evaluation: per-query recall@k of an approximate
+    result against the exact brute-force result — (qid, n_hits, recall).
+
+    Both inputs are (qid, vec_id, ...) top-k frames. One equi-join on
+    (qid, vec_id) + a groupBy(qid); queries the approximate index missed
+    entirely still appear with recall 0 via the left join from the exact
+    side's query set. The evaluation cost is O(|queries|·k), independent
+    of corpus size — safe to run continuously as an index-quality canary
+    at 100 TB.
+    """
+    hits = (
+        exact.select("qid", "vec_id")
+        .join(approx.select("qid", "vec_id"), ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qids = exact.select("qid").distinct()
+    return qids.join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / float(k), 6).alias("recall"),
+    )

@@ -27,6 +27,7 @@ _MODULES = [
     "cdc_q",
     "tpch_q",
     "sketches_q",
+    "llmdata",
 ]
 
 

@@ -1,0 +1,224 @@
+"""Catalog entries for the round-4 LLM-training-data operators:
+
+- ``doc_chunks``          RAG chunking (overlapping token windows)
+- ``dsir_weights``        DSIR importance log-weights (hashed unigrams)
+- ``semantic_dedup_kept`` SemDeDup within-cluster cosine pruning
+- ``ann_recall_ivf``      recall@k of the IVF index vs brute force
+- ``perplexity_buckets``  CCNet-style per-language head/middle/tail split
+- ``bpe_encode_lens``     tokenizer APPLY: per-doc BPE token counts
+
+All six have full DuckDB value oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import ORACLES, QUERIES, register
+from hadoop_ir_spark.operators import chunking, dsir
+from hadoop_ir_spark.operators.bpe import bpe_encode_oracle_sql
+from hadoop_ir_spark.queries.textstats import BPE_MERGES
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@register("doc_chunks",
+          chunking.doc_chunks_oracle_sql(CHUNK_TOKENS, CHUNK_STRIDE))
+def q_doc_chunks(spark, sf_dir):
+    return chunking.doc_chunks(
+        _docs(spark, sf_dir), chunk=CHUNK_TOKENS, stride=CHUNK_STRIDE,
+        id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (target domain: the table's English documents)
+# ---------------------------------------------------------------------------
+
+
+@register("dsir_weights", dsir.dsir_oracle_sql("lang = 'en'"))
+def q_dsir_weights(spark, sf_dir):
+    out = dsir.dsir_log_weights(
+        _docs(spark, sf_dir), target=F.col("lang") == "en", id_col="doc_id")
+    return out.withColumn("log_weight", F.round("log_weight", 6))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+SEM_TAU = 0.3
+
+_SEM_COS = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@register("semantic_dedup_kept", f"""
+WITH dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_SEM_COS} >= {SEM_TAU!r}
+)
+SELECT e.vec_id, e.label
+FROM embeddings e ANTI JOIN dropped d ON e.vec_id = d.vec_id
+""")
+def q_semantic_dedup_kept(spark, sf_dir):
+    """SemDeDup survivors: cluster-blocked (label column) cosine pruning,
+    keep the lowest id of each directly-linked near-dup pair. Expression
+    cosine, so the SQL replica decides identically."""
+    from hadoop_ir_spark.operators import dedup
+
+    kept = dedup.semantic_dedup(_emb(spark, sf_dir), tau=SEM_TAU)
+    return kept.select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# ANN index quality: recall@k of IVF vs brute force
+# ---------------------------------------------------------------------------
+
+
+def _register_ann_recall():
+    from hadoop_ir_spark.operators import similarity as sim
+    from hadoop_ir_spark.queries.similarity import ANN_K
+
+    # Compose the two already-registered full-statement oracles as nested
+    # WITHs — byte-identical candidate logic to the standalone queries.
+    oracle = f"""
+WITH brute AS ({ORACLES["ann_cosine_topk"]}),
+approx AS ({ORACLES["ann_ivf_topk"]}),
+hits AS (
+  SELECT b.qid, count(*) AS n_hits
+  FROM brute b JOIN approx a ON a.qid = b.qid AND a.vec_id = b.vec_id
+  GROUP BY b.qid
+)
+SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / CAST({float(ANN_K)!r} AS DOUBLE), 6)
+         AS recall
+FROM (SELECT DISTINCT qid FROM brute) q
+LEFT JOIN hits h ON h.qid = q.qid
+"""
+
+    @register("ann_recall_ivf", oracle)
+    def q_ann_recall_ivf(spark, sf_dir):
+        exact = QUERIES["ann_cosine_topk"](spark, sf_dir)
+        approx = QUERIES["ann_ivf_topk"](spark, sf_dir)
+        return sim.recall_vs_exact(exact, approx, k=ANN_K)
+
+    return q_ann_recall_ivf
+
+
+_register_ann_recall()
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (per observed language)
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS = 3
+
+_DOC_LP_CTE = """
+toks AS (
+  SELECT doc_id AS docno,
+         unnest(string_split_regex(lower(text), '[^0-9a-zA-Z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT docno, term, count(*) AS tf FROM toks
+       WHERE term <> '' GROUP BY 1, 2),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS n_total FROM cf),
+lp AS (
+  SELECT tf.docno,
+         round(sum(tf.tf * ln(CAST(cf.cf AS DOUBLE) / tot.n_total))
+               / sum(tf.tf), 6) AS avg_logprob
+  FROM tf JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY tf.docno
+)
+"""
+
+
+@register("perplexity_buckets", f"""
+WITH {_DOC_LP_CTE}
+SELECT d.doc_id AS docno, d.lang, lp.avg_logprob,
+       CASE ntile({PPL_BUCKETS}) OVER (
+              PARTITION BY d.lang
+              ORDER BY lp.avg_logprob DESC, d.doc_id ASC)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM documents d JOIN lp ON lp.docno = d.doc_id
+""")
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet (Wenzek et al. 2020) perplexity partitioning: score every
+    document under the corpus unigram LM, then split each language into
+    head/middle/tail terciles by model score. Window ntile per language
+    partition ordered by the ROUNDED score with doc-id tie-break, so
+    cross-engine fp noise cannot flip bucket boundaries."""
+    from hadoop_ir_spark.operators import textstats
+
+    docs = _docs(spark, sf_dir)
+    lp = (
+        textstats.doc_logprob(docs, id_col="doc_id")
+        .withColumn("avg_logprob", F.round("avg_logprob", 6))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("docno"))
+    tile = F.ntile(PPL_BUCKETS).over(w)
+    bucket = (
+        F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail")
+    )
+    return (
+        docs.select(F.col("doc_id").alias("docno"), "lang")
+        .join(lp.select("docno", "avg_logprob"), "docno")
+        .select("docno", "lang", "avg_logprob", bucket.alias("bucket"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer apply
+# ---------------------------------------------------------------------------
+
+_BPE_TOK_DOC_CTE = """tok AS (
+  SELECT docno, t AS term FROM (
+    SELECT doc_id AS docno,
+           unnest(string_split_regex(lower(text), '[^0-9a-zA-Z]+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+)"""
+
+
+@register("bpe_encode_lens",
+          bpe_encode_oracle_sql(_BPE_TOK_DOC_CTE, BPE_MERGES))
+def q_bpe_encode_lens(spark, sf_dir):
+    """Train-then-apply: learn the corpus's BPE merge table (same
+    training as bpe_merges), then encode every document and count its
+    BPE tokens. The apply side is a vocabulary equi-join — per-word
+    segmentations computed once during training, never per document."""
+    from hadoop_ir_spark.functions.text import tokens_col
+    from hadoop_ir_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.col("doc_id").alias("docno"),
+        F.explode(tokens_col(F.col("text"))).alias("term"),
+    )
+    _rules, seqs = bpe.train_bpe(
+        toks, num_merges=BPE_MERGES, return_seqs=True)
+    return bpe.encode_lens(toks, seqs)

@@ -1,0 +1,139 @@
+"""Tests for the round-4 LLM-data operators: RAG chunking, DSIR
+importance weights, SemDeDup, ANN recall eval, perplexity buckets, and
+BPE tokenizer apply."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators import chunking, dedup, dsir, similarity
+
+
+def test_doc_chunks_windows(spark):
+    # 10 tokens, chunk=4, stride=3 -> starts at 0,3,6 and a 9th-token tail
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text), (2, ""), (3, "only two")],
+                                 "docno long, text string")
+    rows = chunking.doc_chunks(docs, chunk=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["docno"], []).append(r)
+    # empty doc emits nothing
+    assert 2 not in by_doc
+    # short doc -> exactly one chunk covering everything
+    assert [(r["n_chunk_tokens"], r["head_term"], r["tail_term"])
+            for r in by_doc[3]] == [(2, "only", "two")]
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4]
+    assert (c1[0]["head_term"], c1[0]["tail_term"]) == ("t0", "t3")
+    assert (c1[2]["head_term"], c1[2]["tail_term"]) == ("t6", "t9")
+    # overlap: chunk 1 starts at stride=3
+    assert c1[1]["head_term"] == "t3"
+
+
+def test_doc_chunks_full_coverage_last_chunk(spark):
+    # n=11, chunk=4, stride=3 -> 1 + ceil(7/3) = 4 chunks; last is short
+    text = " ".join(f"w{i}" for i in range(11))
+    docs = spark.createDataFrame([(1, text)], "docno long, text string")
+    rows = sorted(chunking.doc_chunks(docs, chunk=4, stride=3).collect(),
+                  key=lambda r: r["chunk_id"])
+    assert len(rows) == 4
+    assert rows[-1]["n_chunk_tokens"] == 2  # tokens 9,10
+    assert rows[-1]["tail_term"] == "w10"
+
+
+def test_dsir_weights_prefer_target_like(spark):
+    # target docs are pure 'aa bb'; one raw doc matches the target
+    # distribution, another is pure out-of-domain tokens
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb", 1), (2, "aa bb aa bb", 1),
+         (3, "aa bb aa bb", 0), (4, "zz yy zz yy", 0)],
+        "docno long, text string, is_t int")
+    out = dsir.dsir_log_weights(
+        docs, target=F.col("is_t") == 1, n_buckets=64)
+    w = {r["docno"]: r["log_weight"] for r in out.collect()}
+    assert w[3] > w[4]  # in-domain doc outscores out-of-domain doc
+    assert w[1] == w[3]  # same text, same weight regardless of membership
+
+
+def test_dsir_weight_value(spark):
+    # single-token docs, B=4 buckets: verify the add-1 smoothed formula
+    docs = spark.createDataFrame(
+        [(1, "aa", 1), (2, "bb", 0)], "docno long, text string, is_t int")
+    out = dsir.dsir_log_weights(docs, target=F.col("is_t") == 1, n_buckets=4)
+    w = {r["docno"]: r["log_weight"] for r in out.collect()}
+    # bucket(aa): raw 1, tgt 1; totals raw 2, tgt 1
+    exp_aa = math.log((1 + 1) / (1 + 4)) - math.log((1 + 1) / (2 + 4))
+    assert abs(w[1] - exp_aa) < 1e-12
+
+
+def test_semantic_dedup_blocks_by_cluster(spark):
+    # identical vectors in the same label dedup; across labels they don't
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),   # same cluster dup
+        (3, [1.0, 0.0], 1),                        # same vec, other cluster
+        (4, [0.0, 1.0], 0),                        # orthogonal, kept
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    kept = {r["vec_id"]
+            for r in dedup.semantic_dedup(emb, tau=0.9).collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_recall_vs_exact_counts(spark):
+    exact = spark.createDataFrame(
+        [(1, v) for v in (10, 11, 12)] + [(2, v) for v in (20, 21, 22)],
+        "qid long, vec_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99), (2, 77), (2, 88), (2, 99)],
+        "qid long, vec_id long")
+    out = {r["qid"]: (r["n_hits"], r["recall"])
+           for r in similarity.recall_vs_exact(exact, approx, k=3).collect()}
+    assert out[1] == (2, round(2 / 3.0, 6))
+    assert out[2] == (0, 0.0)
+
+
+def test_bpe_encode_lens(spark):
+    from hadoop_ir_spark.operators import bpe
+
+    toks = spark.createDataFrame(
+        [(1, "abab"), (1, "ab"), (2, "cd")], "docno long, term string")
+    rules, seqs = bpe.train_bpe(toks, num_merges=2, return_seqs=True)
+    out = {r["docno"]: (r["doc_len"], r["n_bpe_tokens"])
+           for r in bpe.encode_lens(toks, seqs).collect()}
+    learned = {(r["merge_rank"], r["merged"]) for r in rules.collect()}
+    # merge 1 fuses (a,b) -> 'abab'->[ab,ab], 'ab'->[ab]; merge 2 fuses
+    # the next most frequent pair
+    assert (1, "ab") in learned
+    # doc 1: 'abab' + 'ab' -> after (a,b) merge: 2 + 1 symbols; a second
+    # merge (ab,ab) collapses 'abab' to 1 symbol
+    assert out[1] == (2, 2)
+    # 'cd' keeps its 2 character symbols — both merges went to a/b pairs
+    # ((a,b) count 3, then the (ab,ab)-vs-(c,d) tie breaks lexicographic)
+    assert out[2] == (1, 2)
+
+
+def test_perplexity_buckets_terciles(spark, sf_dir):
+    from hadoop_ir_spark.catalog import QUERIES
+
+    out = QUERIES["perplexity_buckets"](spark, sf_dir)
+    agg = out.groupBy("lang", "bucket").count().collect()
+    per_lang = {}
+    for r in agg:
+        per_lang.setdefault(r["lang"], {})[r["bucket"]] = r["count"]
+    for lang, buckets in per_lang.items():
+        n = sum(buckets.values())
+        if n >= 3:
+            assert set(buckets) == {"head", "middle", "tail"}
+            # ntile balance: sizes differ by at most 1
+            assert max(buckets.values()) - min(buckets.values()) <= 1
+        # head docs have higher (less negative) avg_logprob than tail
+    j = out.filter(F.col("bucket") == "head").agg(
+        F.avg("avg_logprob")).collect()[0][0]
+    t = out.filter(F.col("bucket") == "tail").agg(
+        F.avg("avg_logprob")).collect()[0][0]
+    assert j > t
