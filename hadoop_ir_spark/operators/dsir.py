@@ -38,6 +38,7 @@ def _bucketed_tokens(docs: DataFrame, id_col: str, text_col: str,
                      n_buckets: int) -> DataFrame:
     toks = docs.select(
         F.col(id_col).alias("docno"),
+        F.col("_is_target"),
         F.explode(tokens_col(text_col)).alias("term"),
     )
     return toks.withColumn("bucket", F.pmod(hash64("term"), F.lit(n_buckets)))
