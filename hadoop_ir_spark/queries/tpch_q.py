@@ -630,3 +630,364 @@ def q_tpch_q19(spark, sf_dir):
             .cast("double") / 10000, 6
         ).alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: Q8, Q13, Q15, Q17, Q21, Q22 (adapted to the driver
+# schema: no partsupp table and no comment/phone/commit-receipt columns,
+# so Q2/Q9/Q11/Q12/Q16/Q20 are inexpressible verbatim and the predicates
+# below substitute available columns — each substitution noted inline).
+# Money math stays in exact integer cents per the module docstring.
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_3"
+Q8_TYPE = "PROMO"
+Q8_LO, Q8_HI = "1996-01-01", "1997-12-31"
+
+
+@register("tpch_q8", f"""
+WITH rev AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         n2.n_name AS supp_nation,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_c2
+  FROM lineitem
+  JOIN orders    ON o_orderkey = l_orderkey
+  JOIN part      ON p_partkey = l_partkey
+  JOIN customer  ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region    ON r_regionkey = n1.n_regionkey
+  JOIN supplier  ON s_suppkey = l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+    AND o_orderdate BETWEEN TIMESTAMP '{Q8_LO}' AND TIMESTAMP '{Q8_HI}'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       round(CAST(sum(CASE WHEN supp_nation = '{Q8_NATION}'
+                           THEN rev_c2 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_c2) AS DOUBLE), 6) AS mkt_share
+FROM rev GROUP BY 1
+""")
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share), p_type stands in for the spec's
+    three-word type. Scale shape: lineitem⋈orders shuffles on orderkey;
+    part/customer/supplier/nation/region are broadcast pruned dims; the
+    share is a conditional-sum / sum over ONE aggregate pass — no second
+    scan for the denominator."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+         * (100 - F.round(F.col("l_discount") * 100, 0).cast("long")))
+        .alias("rev_c2"),
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr(f"o_orderdate >= TIMESTAMP_NTZ '{Q8_LO} 00:00:00' AND "
+               f"o_orderdate <= TIMESTAMP_NTZ '{Q8_HI} 00:00:00'")
+    ).select("o_orderkey", "o_custkey",
+             F.year("o_orderdate").cast("long").alias("o_year"))
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == Q8_TYPE).select("p_partkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    cnat = nat.join(
+        F.broadcast(_t(spark, sf_dir, "region")
+                    .filter(F.col("r_name") == Q8_REGION)),
+        F.col("r_regionkey") == F.col("n_regionkey"),
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    snat = nat.select(F.col("n_nationkey").alias("sn_key"),
+                      F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    nat_rev = F.sum(F.when(F.col("supp_nation") == Q8_NATION,
+                           F.col("rev_c2")).otherwise(F.lit(0)))
+    return (
+        j.groupBy("o_year")
+        .agg(nat_rev.alias("nat_c2"), F.sum("rev_c2").alias("all_c2"))
+        .select("o_year",
+                F.round(F.col("nat_c2").cast("double")
+                        / F.col("all_c2").cast("double"), 6)
+                .alias("mkt_share"))
+    )
+
+
+Q13_EXCL = "5-LOW"  # stands in for o_comment NOT LIKE '%special%requests%'
+
+
+@register("tpch_q13", f"""
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON o_custkey = c_custkey AND o_orderpriority <> '{Q13_EXCL}'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+""")
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT join keeps
+    zero-order customers; the filtered predicate lives in the join
+    condition, not a WHERE (which would turn the outer join inner).
+    Two aggregations, both shuffled on small keys."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != Q13_EXCL),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .select(F.col("c_count").cast("long"), "custdist")
+    )
+
+
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+
+
+@register("tpch_q15", f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+              AS BIGINT) AS total_c2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_LO}'
+    AND l_shipdate < TIMESTAMP '{Q15_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(total_c2::DOUBLE / 10000, 6) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_c2 = (SELECT max(total_c2) FROM revenue)
+""")
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the revenue 'view' is one windowed-
+    quarter aggregate; the max is a 1-row broadcast joined back (no
+    correlated re-scan of lineitem), ties kept — exact integer-cents
+    equality, so the tie semantics are deterministic."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr(f"l_shipdate >= TIMESTAMP_NTZ '{Q15_LO} 00:00:00' AND "
+               f"l_shipdate < TIMESTAMP_NTZ '{Q15_HI} 00:00:00'")
+    ).select(
+        "l_suppkey",
+        (F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+         * (100 - F.round(F.col("l_discount") * 100, 0).cast("long")))
+        .alias("rev_c2"),
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum("rev_c2").cast("long").alias("total_c2"))
+    mx = revenue.agg(F.max("total_c2").alias("max_c2"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_c2") == F.col("max_c2"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.round(F.col("total_c2").cast("double") / 10000, 6)
+                .alias("total_revenue"))
+    )
+
+
+Q17_BRAND = "Brand#1"
+Q17_SIZE_LT = 10  # p_size < 10 stands in for p_container = 'MED BOX'
+
+
+@register("tpch_q17", f"""
+WITH qty AS (
+  SELECT l_partkey AS pk, CAST(round(l_quantity, 0) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c
+  FROM lineitem
+),
+avgq AS (
+  SELECT pk, CAST(sum(q) AS BIGINT) AS sumq, count(*) AS cnt
+  FROM qty GROUP BY pk
+)
+SELECT round(CAST(sum(price_c) AS BIGINT)::DOUBLE / (100 * 7.0), 6)
+         AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM qty
+JOIN part ON p_partkey = pk
+JOIN avgq ON avgq.pk = qty.pk
+WHERE p_brand = '{Q17_BRAND}' AND p_size < {Q17_SIZE_LT}
+  AND 5 * q * cnt < sumq
+""")
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue). The correlated
+    sub-select (0.2 * avg qty per part) becomes one per-part aggregate
+    joined back on partkey; the fraction test is the INTEGER inequality
+    5*q*cnt < sum(q) — no float threshold to disagree on at the
+    boundary. Both sides of the join shuffle on partkey; the part dim
+    is broadcast-pruned first."""
+    qty = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.round("l_quantity", 0).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("price_c"),
+    )
+    avgq = qty.groupBy("pk").agg(
+        F.sum("q").cast("long").alias("sumq"),
+        F.count("*").alias("cnt"),
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == Q17_BRAND) & (F.col("p_size") < Q17_SIZE_LT)
+    ).select("p_partkey")
+    j = (
+        qty.join(F.broadcast(part), F.col("pk") == F.col("p_partkey"))
+        .join(avgq.withColumnRenamed("pk", "apk"),
+              F.col("pk") == F.col("apk"))
+        .filter(5 * F.col("q") * F.col("cnt") < F.col("sumq"))
+    )
+    return j.agg(
+        F.round(F.sum("price_c").cast("double") / (100 * 7.0), 6)
+        .alias("avg_yearly"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q21_LATE_DAYS = 90  # l_shipdate > o_orderdate + 90d stands in for
+                    # l_receiptdate > l_commitdate (columns absent)
+Q21_NATIONS = ("NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5")
+Q21_K = 10
+_Q21_NATS_SQL = ", ".join(f"'{n}'" for n in Q21_NATIONS)
+
+
+@register("tpch_q21", f"""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+              THEN 1 ELSE 0 END AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+),
+late AS (SELECT l_orderkey, l_suppkey FROM l WHERE is_late = 1)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE n_name IN ({_Q21_NATS_SQL})
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT {Q21_K}
+""")
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting). The EXISTS /
+    NOT-EXISTS pair collapses to ONE per-order aggregate — n_supp ≥ 2
+    and exactly one late supplier — joined back to the late rows: two
+    shuffles on orderkey instead of two additional self-joins (the
+    oracle keeps the literal EXISTS form, proving the rewrite). Top-k
+    via TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    l = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate")
+         > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAY"))
+        .cast("int").alias("is_late"),
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    late = l.filter(F.col("is_late") == 1).select("l_orderkey", "l_suppkey")
+    snat = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")
+                          .filter(F.col("n_name").isin(*Q21_NATIONS))),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    j = (
+        late.join(per_order.withColumnRenamed("l_orderkey", "ok"),
+                  F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(snat), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    out = j.groupBy("s_name").agg(F.count("*").alias("numwait"))
+    return out.orderBy(F.desc("numwait"), F.asc("s_name")).limit(Q21_K)
+
+
+Q22_CODES = (1, 3, 5, 7, 9)   # c_nationkey % 10 stands in for the
+                              # phone-prefix country codes (no c_phone)
+Q22_DORMANT = "2000-01-01"    # "no orders since" (every customer has
+                              # SOME order in the synthetic data)
+_Q22_CODES_SQL = ", ".join(str(c) for c in Q22_CODES)
+
+
+@register("tpch_q22", f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey % 10 AS cntrycode,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+  FROM customer
+  WHERE c_nationkey % 10 IN ({_Q22_CODES_SQL})
+),
+avgbal AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS s, count(*) AS n
+  FROM cust WHERE bal_c > 0
+),
+sel AS (
+  SELECT cntrycode, bal_c FROM cust CROSS JOIN avgbal
+  WHERE bal_c * n > s
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '{Q22_DORMANT}')
+)
+SELECT CAST(cntrycode AS INT) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(bal_c) AS BIGINT)::DOUBLE / 100, 6) AS totacctbal
+FROM sel GROUP BY cntrycode
+""")
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers dormant since {Q22_DORMANT}. The avg-balance sub-select is
+    a 1-row broadcast with the INTEGER inequality bal*n > sum (no float
+    average at the comparison boundary); NOT EXISTS is a left-anti join
+    against the date-pruned orders scan."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_nationkey") % 10).isin(*Q22_CODES)
+    ).select(
+        "c_custkey",
+        (F.col("c_nationkey") % 10).cast("int").alias("cntrycode"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_c"),
+    )
+    avgbal = cust.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").cast("long").alias("s"),
+        F.count("*").alias("n"),
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.expr(f"o_orderdate >= TIMESTAMP_NTZ '{Q22_DORMANT} 00:00:00'")
+    ).select("o_custkey")
+    sel = (
+        cust.join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+        .crossJoin(F.broadcast(avgbal))
+        .filter(F.col("bal_c") * F.col("n") > F.col("s"))
+    )
+    return sel.groupBy("cntrycode").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("bal_c").cast("double") / 100, 6).alias("totacctbal"),
+    )
