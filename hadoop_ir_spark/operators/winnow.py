@@ -1,0 +1,135 @@
+"""Winnowing span-fingerprint dedup (beyond-reference LLM-pipeline
+operator): detect documents sharing duplicated SPANS, not just
+whole-document similarity — the substring-level dedup of Lee et al.
+2022 (arXiv:2107.06499, "Deduplicating Training Data Makes Language
+Models Better") realized with the winnowing fingerprint scheme of
+Schleimer, Wilkerson & Aiken (SIGMOD 2003) instead of a distributed
+suffix array.
+
+Per document: hash every k-token shingle (portable md5 hash64), then
+slide a w-window over the hash sequence keeping each window's MINIMUM —
+the winnowing guarantee is that any shared run of at least w+k-1 tokens
+contributes at least one IDENTICAL selected fingerprint in both
+documents, at an expected density of 2/(w+1). The distinct selected
+fingerprints per doc feed a fingerprint equi-join; pairs sharing >=
+min_shared fingerprints are span-duplicate candidates.
+
+Scale shape: everything up to the fingerprint table is map-only
+expressions (transform/slice over constant k and w — O(n·k) work per
+doc, no UDF); the pair stage is a bucketed equi-join on the fingerprint
+value with a df-cap (`max_df`) dropping boilerplate fingerprints shared
+by many documents — same anti-blowup knob as `dedup.jaccard_pairs`. No
+all-pairs path anywhere; at 100 TB the join shuffles fingerprints, of
+which winnowing keeps ~2/(w+1) per token.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.functions.hashes import hash64
+from hadoop_ir_spark.functions.text import tokens_col
+
+
+def _let(bound, fn):
+    """Expression-level let-binding: evaluate ``bound`` ONCE and pass it
+    to ``fn`` as a lambda variable, via transform over a 1-element array.
+
+    Spark's projection collapse inlines upstream Project expressions into
+    downstream lambdas, so a naive grams→windows chain re-evaluates the
+    full k-gram hash array inside EVERY window lambda element — O(n²·k)
+    md5 calls per document (measured: winnowing at sf0.1 went from
+    >10 min to ~4 s with the binding). Lambda variables, unlike column
+    references, are evaluated once per element — here once total.
+    """
+    return F.element_at(F.transform(F.array(bound), fn), 1)
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                        id_col: str = "docno",
+                        text_col: str = "text") -> DataFrame:
+    """(docno, fp): the distinct winnowing-selected fingerprints of each
+    document (k-token shingles, w-wide minimum windows)."""
+
+    def win_mins(toks):
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: hash64(F.array_join(F.slice(toks, i, k), " ")),
+        )
+        return _let(g, lambda gg: F.when(
+            F.size(gg) >= w,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size(gg) - (w - 1)),
+                lambda j: F.array_min(F.slice(gg, j, w)),
+            )),
+        ).otherwise(F.array().cast("array<bigint>")))
+
+    fps = docs.select(
+        F.col(id_col).alias("docno"),
+        _let(tokens_col(text_col), lambda toks: F.when(
+            F.size(toks) >= k, win_mins(toks)
+        ).otherwise(F.array().cast("array<bigint>"))).alias("fps"),
+    )
+    return fps.select("docno", F.explode("fps").alias("fp"))
+
+
+def span_dup_pairs(fps: DataFrame, max_df: int = 50,
+                   min_shared: int = 2) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing >= ``min_shared``
+    selected fingerprints, doc_a < doc_b. Fingerprints appearing in more
+    than ``max_df`` documents are dropped before the join (boilerplate
+    guard — exactly the hot-key protection a 100 TB run needs)."""
+    rare = (
+        fps.groupBy("fp").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    f2 = fps.join(rare, "fp")
+    a = f2.select("fp", F.col("docno").alias("doc_a"))
+    b = f2.select("fp", F.col("docno").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_oracle_sql(k: int = 5, w: int = 4, max_df: int = 50,
+                      min_shared: int = 2) -> str:
+    """DuckDB mirror over the ``documents`` view (same hash, same window
+    minima, same df-cap)."""
+    return f"""
+WITH toked AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT docno,
+         list_transform(range(1, len(toks) - {k} + 2),
+           i -> CAST(('0x' || substr(md5(
+                  array_to_string(list_slice(toks, i, i + {k} - 1), ' ')),
+                  1, 15)) AS BIGINT)) AS g
+  FROM toked WHERE len(toks) >= {k}
+),
+wins AS (
+  SELECT docno,
+         list_distinct(list_transform(range(1, len(g) - {w} + 2),
+           j -> list_min(list_slice(g, j, j + {w} - 1)))) AS fps
+  FROM grams WHERE len(g) >= {w}
+),
+fp AS (SELECT docno, unnest(fps) AS fp FROM wins),
+rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {max_df}),
+pairs AS (
+  SELECT a.docno AS doc_a, b.docno AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fp a JOIN rare USING (fp) JOIN fp b USING (fp)
+  WHERE a.docno < b.docno
+  GROUP BY 1, 2
+)
+SELECT * FROM pairs WHERE n_shared >= {min_shared}
+"""

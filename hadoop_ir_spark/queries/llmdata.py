@@ -222,3 +222,33 @@ def q_bpe_encode_lens(spark, sf_dir):
     _rules, seqs = bpe.train_bpe(
         toks, num_merges=BPE_MERGES, return_seqs=True)
     return bpe.encode_lens(toks, seqs)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing span-fingerprint dedup
+# ---------------------------------------------------------------------------
+
+WIN_K = 5
+WIN_W = 4
+WIN_MAX_DF = 50
+WIN_MIN_SHARED = 2
+
+
+def _register_winnow():
+    from hadoop_ir_spark.operators import winnow
+
+    @register("winnow_span_pairs", winnow.winnow_oracle_sql(
+        WIN_K, WIN_W, WIN_MAX_DF, WIN_MIN_SHARED))
+    def q_winnow_span_pairs(spark, sf_dir):
+        """Span-duplicate candidate pairs via winnowing fingerprints
+        (k={WIN_K}-token shingles, w={WIN_W} windows): any shared run of
+        >= w+k-1 tokens is guaranteed to collide on a fingerprint."""
+        fps = winnow.winnow_fingerprints(
+            _docs(spark, sf_dir), k=WIN_K, w=WIN_W, id_col="doc_id")
+        return winnow.span_dup_pairs(
+            fps, max_df=WIN_MAX_DF, min_shared=WIN_MIN_SHARED)
+
+    return q_winnow_span_pairs
+
+
+_register_winnow()

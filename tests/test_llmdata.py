@@ -137,3 +137,32 @@ def test_perplexity_buckets_terciles(spark, sf_dir):
     t = out.filter(F.col("bucket") == "tail").agg(
         F.avg("avg_logprob")).collect()[0][0]
     assert j > t
+
+
+def test_winnow_guarantee_and_pairs(spark):
+    from hadoop_ir_spark.operators import winnow
+
+    # docs 1 and 2 share a 12-token run (>= w+k-1 = 8 tokens), doc 3 is
+    # unrelated -> the winnowing guarantee forces a (1,2) pair only
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+             "lambda mu"
+    docs = spark.createDataFrame(
+        [(1, "xx yy " + shared + " zz"),
+         (2, shared + " qq rr ss"),
+         (3, "one two three four five six seven eight nine ten")],
+        "docno long, text string")
+    fps = winnow.winnow_fingerprints(docs, k=5, w=4)
+    pairs = winnow.span_dup_pairs(fps, max_df=50, min_shared=1).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_winnow_df_cap_drops_boilerplate(spark):
+    from hadoop_ir_spark.operators import winnow
+
+    # the same boilerplate sentence in every doc; df-cap 2 < 3 docs
+    # kills every fingerprint, so no pairs survive
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in (1, 2, 3)], "docno long, text string")
+    fps = winnow.winnow_fingerprints(docs, k=5, w=4)
+    assert winnow.span_dup_pairs(fps, max_df=2, min_shared=1).count() == 0
