@@ -1,0 +1,138 @@
+"""Supervised text classifier over hashed features — the fastText-style
+"train a quality/language classifier on the corpus" step of an LLM data
+pipeline (beyond-reference operator; companion to dsir.py's unsupervised
+importance weights and textstats.langid's heuristic).
+
+Model: multinomial Naive Bayes over B hashed-unigram buckets with add-1
+smoothing and a class-prior term:
+
+    score(d) = sum_b tf_{d,b} · [ln p(b|y=1) - ln p(b|y=0)]
+             + ln(P(y=1) / P(y=0)),        predict 1 iff score >= 0.
+
+Closed-form training — ONE aggregation pass builds the per-bucket
+class-conditional counts (a B-row frame, broadcast back for scoring):
+no iterations, no driver-side data beyond two scalar totals. This is
+deliberately the non-iterative member of the trained-model family here
+(k-means and PageRank demonstrate the iterate-and-broadcast pattern);
+at 100 TB training cost equals one corpus scan + a B-key shuffle.
+
+Parity: counts are exact integers, the log-ratios are single ln() calls
+on exact-int ratios, and the per-doc score sums bounded per-doc bucket
+lists — byte-stable under round(·, 6) against the SQL replica. The
+label side never leaks into feature hashing (portable md5 hash64 % B,
+same family as dsir.py / winnow.py).
+
+Honest signal note: on the synthetic corpus the lang column is only
+weakly text-correlated, so accuracy tops out ~0.62 vs a 0.56 majority
+baseline (measured at sf0.01, identical for per-term and hashed
+features — a data ceiling, not a model artifact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.functions.hashes import hash64
+from hadoop_ir_spark.functions.text import tokens_col
+
+
+def bucket_counts(docs: DataFrame, label_col: str = "y",
+                  id_col: str = "docno", text_col: str = "text",
+                  n_buckets: int = 64) -> DataFrame:
+    """(docno, y, bucket, tf): per-doc hashed-unigram counts with the
+    binary label carried along (one tokenize pass)."""
+    toks = docs.select(
+        F.col(id_col).alias("docno"),
+        F.col(label_col).cast("int").alias("y"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    ).withColumn("bucket", F.pmod(hash64("term"), F.lit(n_buckets)))
+    return toks.groupBy("docno", "y", "bucket").agg(
+        F.count("*").alias("tf"))
+
+
+def train_nb(bt: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """(bucket, llr): add-1-smoothed per-bucket log-likelihood ratios
+    ln p(b|1) - ln p(b|0). One B-key aggregation; the totals are a 1-row
+    broadcast."""
+    cls = bt.groupBy("bucket").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("tf")).otherwise(0))
+        .alias("c1"),
+        F.sum(F.when(F.col("y") == 0, F.col("tf")).otherwise(0))
+        .alias("c0"),
+    )
+    tot = cls.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c0").cast("double").alias("n0"),
+    )
+    b = float(n_buckets)
+    return cls.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("c1") + 1.0) / (F.col("n1") + F.lit(b)))
+            - F.log((F.col("c0") + 1.0) / (F.col("n0") + F.lit(b)))
+        ).alias("llr"),
+    )
+
+
+def predict_nb(bt: DataFrame, llr: DataFrame,
+               log_prior: DataFrame) -> DataFrame:
+    """(docno, y, score, pred): per-doc NB decision. ``log_prior`` is a
+    1-row frame with column ``lp`` = ln(P(1)/P(0)) (broadcast)."""
+    scored = (
+        bt.join(F.broadcast(llr), "bucket")
+        .groupBy("docno", "y")
+        .agg(F.sum(F.col("tf") * F.col("llr")).alias("s_feats"))
+        .crossJoin(F.broadcast(log_prior))
+    )
+    s = F.col("s_feats") + F.col("lp")
+    return scored.select(
+        "docno", "y",
+        F.round(s, 6).alias("score"),
+        (s >= 0).cast("int").alias("pred"),
+    )
+
+
+def nb_oracle_sql(label_pred: str, n_buckets: int = 64) -> str:
+    """DuckDB mirror over the ``documents`` view (same hash, same add-1
+    smoothing, same prior)."""
+    b = n_buckets
+    return f"""
+WITH bt AS (
+  SELECT docno, y,
+         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % {b} AS bucket,
+         count(*) AS tf
+  FROM (
+    SELECT doc_id AS docno,
+           CASE WHEN {label_pred} THEN 1 ELSE 0 END AS y,
+           unnest(string_split_regex(lower(text), '[^0-9a-zA-Z]+')) AS term
+    FROM documents
+  ) WHERE term <> '' GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT bucket,
+         sum(CASE WHEN y = 1 THEN tf ELSE 0 END) AS c1,
+         sum(CASE WHEN y = 0 THEN tf ELSE 0 END) AS c0
+  FROM bt GROUP BY bucket
+),
+tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1,
+               CAST(sum(c0) AS DOUBLE) AS n0 FROM cls),
+llr AS (
+  SELECT bucket,
+         ln((c1 + 1.0) / (n1 + {float(b)!r}))
+         - ln((c0 + 1.0) / (n0 + {float(b)!r})) AS llr
+  FROM cls CROSS JOIN tot
+),
+prior AS (
+  SELECT ln(CAST(sum(CASE WHEN {label_pred} THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(sum(CASE WHEN NOT ({label_pred}) THEN 1 ELSE 0 END)
+                   AS DOUBLE)) AS lp
+  FROM documents
+)
+SELECT docno, y, round(s_feats + lp, 6) AS score,
+       CAST(CASE WHEN s_feats + lp >= 0 THEN 1 ELSE 0 END AS INT) AS pred
+FROM (
+  SELECT bt.docno, bt.y, sum(bt.tf * llr.llr) AS s_feats
+  FROM bt JOIN llr USING (bucket) GROUP BY 1, 2
+) CROSS JOIN prior
+"""

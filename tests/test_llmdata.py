@@ -166,3 +166,32 @@ def test_winnow_df_cap_drops_boilerplate(spark):
         [(i, boiler) for i in (1, 2, 3)], "docno long, text string")
     fps = winnow.winnow_fingerprints(docs, k=5, w=4)
     assert winnow.span_dup_pairs(fps, max_df=2, min_shared=1).count() == 0
+
+
+def test_nb_classifier_separable(spark):
+    from hadoop_ir_spark.operators import classifier
+
+    # class 1 speaks aa/bb, class 0 speaks zz/yy -> perfectly separable
+    rows = [(i, "aa bb aa bb aa", 1) for i in range(6)]
+    rows += [(10 + i, "zz yy zz yy zz", 0) for i in range(6)]
+    docs = spark.createDataFrame(rows, "docno long, text string, y int")
+    bt = classifier.bucket_counts(docs, n_buckets=32)
+    llr = classifier.train_nb(bt, n_buckets=32)
+    lp = docs.agg(F.lit(0.0).alias("lp"))  # balanced prior
+    out = classifier.predict_nb(bt, llr, lp).collect()
+    assert all(r["pred"] == r["y"] for r in out)
+    # score symmetry: equal-and-opposite for the two pure classes
+    s1 = [r["score"] for r in out if r["y"] == 1]
+    assert all(s > 0 for s in s1)
+
+
+def test_nb_classifier_beats_baseline(spark, sf_dir):
+    from hadoop_ir_spark.catalog import QUERIES
+
+    out = QUERIES["nb_classifier_preds"](spark, sf_dir)
+    agg = out.agg(
+        F.avg((F.col("pred") == F.col("y")).cast("double")).alias("acc"),
+        F.avg(F.col("y").cast("double")).alias("p1"),
+    ).collect()[0]
+    baseline = max(agg["p1"], 1 - agg["p1"])
+    assert agg["acc"] >= baseline  # never worse than majority vote
