@@ -62,6 +62,19 @@ def hll_distinct(df: DataFrame, col: str,
     buckets exist), rounded to 4 decimals.
     """
     group_cols = list(group_cols or [])
+    b = hll_registers(df, col, group_cols)
+    return hll_estimate(b, group_cols)
+
+
+def hll_registers(df: DataFrame, col: str,
+                  group_cols: list[str] | None = None) -> DataFrame:
+    """The per-group HLL register table (group_cols..., _bucket, _mj) —
+    the sketch STATE. ≤256 rows per group, and mergeable: registers of a
+    union of groups are ``max(_mj)`` per bucket (see
+    :func:`hll_merge_registers`), the property that lets one register
+    scan answer per-group AND rolled-up cardinalities without
+    re-reading the input."""
+    group_cols = list(group_cols or [])
     d = df.select(*group_cols, F.md5(F.col(col)).alias("_h"))
     d = d.select(
         *group_cols,
@@ -80,9 +93,23 @@ def hll_distinct(df: DataFrame, col: str,
     rho = F.when(F.length("_t") == 0, F.lit(HLL_MAX_RHO)).otherwise(
         4 * (F.lit(HLL_REST_HEX) - F.length("_t")) + nib_lz + 1
     )
-    b = d.select(*group_cols, "_bucket", rho.alias("_rho")).groupBy(
+    return d.select(*group_cols, "_bucket", rho.alias("_rho")).groupBy(
         *group_cols, "_bucket"
     ).agg(F.max("_rho").alias("_mj"))
+
+
+def hll_merge_registers(b: DataFrame) -> DataFrame:
+    """Merge register tables across all groups into ONE sketch:
+    max per bucket. Associative and lossless — identical registers to
+    hashing the unioned input directly."""
+    return b.groupBy("_bucket").agg(F.max("_mj").alias("_mj"))
+
+
+def hll_estimate(b: DataFrame,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Turn a register table into (group_cols..., buckets_used,
+    est_distinct) — the estimator half of :func:`hll_distinct`."""
+    group_cols = list(group_cols or [])
     g = b.groupBy(*group_cols).agg(
         F.sum(F.expr("shiftleft(1L, 53 - _mj)")).alias("_s"),
         F.count("*").alias("_nb"),
@@ -450,4 +477,50 @@ cms_est AS (
   SELECT p.term, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_cnt
   FROM cms_probe p LEFT JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
   GROUP BY p.term
+)"""
+
+
+def hll_union_sql(from_clause: str, expr: str, group_col: str,
+                  all_label: str = "__ALL__") -> str:
+    """DuckDB mirror of per-group HLL estimates PLUS the register-merged
+    overall row (tagged ``all_label``) — replays
+    :func:`hll_registers` → :func:`hll_merge_registers` →
+    :func:`hll_estimate` exactly."""
+    return f"""
+hx AS (SELECT {group_col}, md5({expr}) AS h FROM {from_clause}),
+hb AS (
+  SELECT {group_col}, CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS bucket,
+         trim(LEADING '0' FROM substr(h, 3, {HLL_REST_HEX})) AS t
+  FROM hx
+),
+hr AS (
+  SELECT {group_col}, bucket,
+         CASE WHEN length(t) = 0 THEN {HLL_MAX_RHO}
+              ELSE 4 * ({HLL_REST_HEX} - length(t))
+                   + CASE WHEN substr(t,1,1) = '1' THEN 3
+                          WHEN substr(t,1,1) IN ('2','3') THEN 2
+                          WHEN substr(t,1,1) IN ('4','5','6','7') THEN 1
+                          ELSE 0 END + 1 END AS rho
+  FROM hb
+),
+hm AS (SELECT {group_col}, bucket, max(rho) AS mj FROM hr
+       GROUP BY {group_col}, bucket),
+hmall AS (
+  SELECT * FROM hm
+  UNION ALL
+  SELECT '{all_label}' AS {group_col}, bucket, max(mj) AS mj
+  FROM hm GROUP BY bucket
+),
+hg AS (SELECT {group_col}, sum(CAST(1 AS BIGINT) << (53 - mj)) AS s,
+              count(*) AS nb FROM hmall GROUP BY {group_col}),
+hll AS (
+  SELECT {group_col}, nb AS buckets_used,
+         floor((CASE WHEN {_ALPHA_SQL} * 65536.0 * {float(_POW53)!r}
+                          / (s + (256 - nb) * {_POW53}) <= 640.0
+                      AND (256 - nb) > 0
+                     THEN 256.0 * ln(256.0 / (256 - nb))
+                     ELSE {_ALPHA_SQL} * 65536.0 * {float(_POW53)!r}
+                          / (s + (256 - nb) * {_POW53}) END)
+                * 10000.0 + 0.5) / 10000.0 AS est_distinct
+  FROM hg
 )"""

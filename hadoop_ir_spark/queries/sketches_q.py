@@ -111,3 +111,40 @@ def q_cms_term_counts(spark, sf_dir):
     return est.join(exact, "term").select(
         "term", F.col("est_cnt").alias("est_cf"), "cf"
     )
+
+
+def _register_hll_union():
+    from hadoop_ir_spark.operators import sketches
+
+    @register("sketch_hll_union", "WITH " + sketches.hll_union_sql(
+        "events", "CAST(user_id AS VARCHAR)", "event_type") + """
+SELECT event_type, CAST(buckets_used AS BIGINT) AS buckets_used,
+       est_distinct
+FROM hll
+""")
+    def q_sketch_hll_union(spark, sf_dir):
+        """Sketch MERGEABILITY end-to-end: distinct users per event_type
+        AND the overall distinct-user count, where the overall row is
+        computed by max-merging the per-type REGISTER tables — the input
+        is scanned once; the rollup costs one 256-bucket aggregation of
+        sketch state. This is the property that makes HLL the right
+        distinct-count at 100 TB: per-partition sketches merge
+        associatively instead of re-shuffling raw values per grouping
+        set."""
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        ev = ev.select("event_type",
+                       F.col("user_id").cast("string").alias("uid"))
+        regs = sketches.hll_registers(ev, "uid", ["event_type"])
+        per_type = sketches.hll_estimate(regs, ["event_type"])
+        overall = sketches.hll_estimate(
+            sketches.hll_merge_registers(regs), []
+        ).select(F.lit("__ALL__").alias("event_type"),
+                 "buckets_used", "est_distinct")
+        return per_type.unionByName(overall).select(
+            "event_type", F.col("buckets_used").cast("long"),
+            "est_distinct")
+
+    return q_sketch_hll_union
+
+
+_register_hll_union()

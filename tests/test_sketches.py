@@ -143,3 +143,24 @@ def test_cms_probe_absent_key_is_zero(spark):
     est = {r["term"]: r["est_cnt"] for r in
            sketches.cms_estimate(sk, probes, "term").collect()}
     assert est["x"] == 3 and est["never-seen"] == 0
+
+
+def test_hll_register_merge_identity(spark):
+    """max-merging per-group registers must equal hashing the union
+    directly — the associativity that makes the sketch mergeable."""
+    from hadoop_ir_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"v{i % 97}") for i in range(500)],
+        "g string, v string")
+    per_group = sketches.hll_registers(df, "v", ["g"])
+    merged = {(r["_bucket"], r["_mj"])
+              for r in sketches.hll_merge_registers(per_group).collect()}
+    direct = {(r["_bucket"], r["_mj"])
+              for r in sketches.hll_registers(df, "v", []).collect()}
+    assert merged == direct
+    # and the merged estimate matches the direct global estimate
+    est_m = sketches.hll_estimate(
+        sketches.hll_merge_registers(per_group), []).collect()[0]
+    est_d = sketches.hll_distinct(df, "v").collect()[0]
+    assert est_m["est_distinct"] == est_d["est_distinct"]
