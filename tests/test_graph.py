@@ -58,3 +58,28 @@ def test_pagerank_dangling_none_fast_path(spark):
     a = _run(spark, n, edge_list, iters=3, dangling="auto")
     b = _run(spark, n, edge_list, iters=3, dangling="none")
     assert a == b
+
+
+def test_triangle_count_known_graphs(spark):
+    from hadoop_ir_spark.operators import graph
+
+    # K4 has C(4,3) = 4 triangles; duplicate/reversed edges and
+    # self-loops must not change the count
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges = spark.createDataFrame(
+        k4 + [(0, 0), (1, 1)], "src long, dst long")
+    row = graph.triangle_count(edges).collect()[0]
+    assert (row["n_vertices"], row["n_edges"], row["n_triangles"]) \
+        == (4, 6, 4)
+
+    # square + one diagonal: 2 triangles
+    sq = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    row = graph.triangle_count(
+        spark.createDataFrame(sq, "src long, dst long")).collect()[0]
+    assert (row["n_edges"], row["n_triangles"]) == (5, 2)
+
+    # triangle-free (star) graph
+    star = [(0, i) for i in range(1, 5)]
+    row = graph.triangle_count(
+        spark.createDataFrame(star, "src long, dst long")).collect()[0]
+    assert row["n_triangles"] == 0
