@@ -172,3 +172,111 @@ def q_event_rollup(spark, sf_dir):
         "n_events",
         F.round("sum_value", 6).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics classics over the event stream: ordered funnel and
+# cohort retention. Same epoch-micros integer convention as above.
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register("event_funnel", f"""
+WITH {SQL_EV_US},
+s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+       WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts_us) AS t2
+       FROM ev e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts_us >= s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts_us) AS t3
+       FROM ev e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts_us >= s2.t2
+       GROUP BY e.user_id),
+counts AS (
+  SELECT 1 AS step_no, '{FUNNEL_STEPS[0]}' AS step,
+         CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, '{FUNNEL_STEPS[1]}', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, '{FUNNEL_STEPS[2]}', CAST(count(*) AS BIGINT) FROM s3
+)
+SELECT step_no, step, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / CAST(max(n_users) OVER () AS DOUBLE), 6) AS conv_rate
+FROM counts
+""")
+def q_event_funnel(spark, sf_dir):
+    """Ordered three-step funnel (view → click → purchase): a user
+    reaches step k only with an event of that type AT OR AFTER their
+    step-(k-1) entry time — the sequential constraint that separates a
+    funnel from three independent counts. Each stage is one user-keyed
+    aggregate + join; integer epoch-micros comparisons throughout.
+    conv_rate is relative to step 1 (its count is the window max, so no
+    second scan)."""
+    ev_us = _events_us(spark, sf_dir)
+    s1 = (
+        ev_us.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id").agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev_us.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts_us") >= F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev_us.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts_us") >= F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts_us").alias("t3"))
+    )
+    counts = None
+    for i, (df, name) in enumerate(
+            zip((s1, s2, s3), FUNNEL_STEPS), start=1):
+        c = df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i).alias("step_no"), F.lit(name).alias("step"), "n_users")
+        counts = c if counts is None else counts.unionByName(c)
+    from pyspark.sql import Window
+    top = F.max("n_users").over(Window.partitionBy())
+    return counts.select(
+        "step_no", "step", "n_users",
+        F.round(F.col("n_users").cast("double") / top.cast("double"), 6)
+        .alias("conv_rate"),
+    )
+
+
+RETENTION_MAX_OFFSET = 30
+
+
+@register("cohort_retention", f"""
+WITH {SQL_EV_US},
+act AS (SELECT DISTINCT user_id, ts_us // {US_DAY} AS day_idx FROM ev),
+firsts AS (SELECT user_id, min(day_idx) AS cohort_day FROM act
+           GROUP BY user_id)
+SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+       CAST(a.day_idx - f.cohort_day AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act a JOIN firsts f USING (user_id)
+WHERE a.day_idx - f.cohort_day <= {RETENTION_MAX_OFFSET}
+GROUP BY 1, 2
+""")
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted on each subsequent active day (distinct user-days, offsets
+    0..{RETENTION_MAX_OFFSET}). Day boundaries are integer epoch-micros
+    division — no calendar/timezone functions anywhere, so the cohort
+    assignment is bit-identical across engines and sessions."""
+    ev_us = _events_us(spark, sf_dir)
+    act = ev_us.select(
+        "user_id", F.expr(f"ts_us div {US_DAY}").alias("day_idx")
+    ).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("day_idx").alias("cohort_day"))
+    j = act.join(firsts, "user_id").filter(
+        F.col("day_idx") - F.col("cohort_day") <= RETENTION_MAX_OFFSET)
+    return j.groupBy(
+        F.col("cohort_day").cast("long").alias("cohort_day"),
+        (F.col("day_idx") - F.col("cohort_day")).cast("int")
+        .alias("day_offset"),
+    ).agg(F.count("*").cast("long").alias("n_users"))

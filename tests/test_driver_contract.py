@@ -63,6 +63,9 @@ TIME_SENSITIVE = [
     "click_attribution", "event_anomaly_filter", "orders_upsert",
     "tpch_q3", "tpch_q1", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q18",
     "tpch_q4", "tpch_q10", "tpch_q14", "event_sliding_counts",
+    # round 4
+    "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q21", "tpch_q22",
+    "event_funnel", "cohort_retention",
 ]
 
 
