@@ -330,3 +330,51 @@ def _register_nb():
 
 
 _register_nb()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = "split-v1"
+SPLIT_PCT = (80, 10)  # train < 80, val < 90, rest test
+
+
+@register("dataset_splits", f"""
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN b < {SPLIT_PCT[0]} THEN 'train'
+              WHEN b < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT lang,
+           CAST(('0x' || substr(md5('{SPLIT_SALT}:' || doc_id), 1, 15))
+                AS BIGINT) % 100 AS b
+    FROM documents
+  )
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+FROM assigned GROUP BY lang, split
+""")
+def q_dataset_splits(spark, sf_dir):
+    """Deterministic salted-hash train/val/test assignment (80/10/10):
+    the split of a document depends only on (salt, doc_id), so it is
+    stable across runs, engines and cluster layouts, and adding new
+    documents never reshuffles old ones between splits — the property
+    a reproducible training pipeline requires (random() cannot give
+    it). Pure map + one aggregate."""
+    from hadoop_ir_spark.functions.hashes import hash64
+
+    docs = _docs(spark, sf_dir)
+    b = F.pmod(
+        hash64(F.concat(F.lit(f"{SPLIT_SALT}:"),
+                        F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(b < SPLIT_PCT[0], "train")
+        .when(b < SPLIT_PCT[0] + SPLIT_PCT[1], "val")
+        .otherwise("test")
+    )
+    return docs.select("lang", split.alias("split")).groupBy(
+        "lang", "split").agg(F.count("*").cast("long").alias("n_docs"))

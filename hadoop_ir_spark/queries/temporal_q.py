@@ -280,3 +280,39 @@ def q_cohort_retention(spark, sf_dir):
         (F.col("day_idx") - F.col("cohort_day")).cast("int")
         .alias("day_offset"),
     ).agg(F.count("*").cast("long").alias("n_users"))
+
+
+@register("props_json_stats", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS n_with_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT)
+         AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT)
+         AS max_k
+FROM events GROUP BY event_type
+""")
+def q_props_json_stats(spark, sf_dir):
+    """Schema-on-read over the semi-structured ``props`` column:
+    ``from_json`` (JVM Jackson, whole-stage codegen — no UDF) projects
+    the typed field, then a plain grouped aggregate. Malformed or
+    missing keys become NULLs and are excluded by the aggregates on
+    both engines (count(col) semantics). The pattern a 100 TB event
+    lake needs: parse at scan time, let pushdown prune everything
+    else."""
+    ev_t = ev.read_events(spark, sf_dir)
+    k = F.from_json("props", "k int")["k"]
+    return (
+        ev_t.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
