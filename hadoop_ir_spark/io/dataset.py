@@ -108,3 +108,53 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list,
         .drop("_zkey")
     )
     out.write.mode(mode).parquet(path)
+
+
+def compact_dataset(spark: SparkSession, path: str,
+                    target_bytes: int = 128 * 1024 * 1024,
+                    min_files_to_compact: int = 2) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` files. Returns a stats dict
+    {files_before, files_after, bytes_total, compacted}.
+
+    The 100-TB lake problem this solves: streaming/micro-batch writers
+    and over-parallel jobs leave thousands of KB-scale files per
+    directory, and every downstream scan then pays per-file open/footer
+    costs and schedules tiny splits. Compaction is one read + one
+    size-targeted write — the read is a normal distributed scan (input
+    splits merge small files via ``files.maxPartitionBytes``), the write
+    count comes from the FILESYSTEM byte size, not a row count, so no
+    extra pass over the data.
+
+    Atomicity: the rewrite lands in ``<path>.__compact_tmp`` first and
+    swaps in with two renames (the same pattern as cdc.apply_cdc_stream's
+    snapshot swap) — a reader never sees a half-written directory. On
+    object stores, swap via the table format's commit instead.
+
+    No-op (returns compacted=False) when the directory already has fewer
+    than ``min_files_to_compact`` data files or is already at/under the
+    target count — an idempotent maintenance job you can run on a timer.
+    """
+    import os
+    import shutil
+
+    files = [
+        (f, os.path.getsize(os.path.join(path, f)))
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    bytes_total = sum(sz for _, sz in files)
+    n_after = max(1, math.ceil(bytes_total / target_bytes))
+    if len(files) < min_files_to_compact or n_after >= len(files):
+        return {"files_before": len(files), "files_after": len(files),
+                "bytes_total": bytes_total, "compacted": False}
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    df.coalesce(n_after).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    out_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    return {"files_before": len(files), "files_after": len(out_files),
+            "bytes_total": bytes_total, "compacted": True}

@@ -97,3 +97,23 @@ def test_zorder_layout_narrows_both_dims(spark, sf_dir, tmp_path):
     assert z_cust < 0.7 * full_cust
     # custkey-sort: the non-leading dim spans ~the full range per file
     assert s_day > 0.9 * full_day
+
+
+def test_compact_dataset(spark, tmp_path):
+    from hadoop_ir_spark.io import dataset as ds
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS v")
+    df.repartition(32).write.parquet(path)  # 32 tiny files
+    import os
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 30
+    stats = ds.compact_dataset(spark, path, target_bytes=64 * 1024 * 1024)
+    assert stats["compacted"] and stats["files_after"] < n_before
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(v)").collect()[0][0] == \
+        df.selectExpr("sum(v)").collect()[0][0]
+    # idempotent: second run is a no-op
+    again = ds.compact_dataset(spark, path, target_bytes=64 * 1024 * 1024)
+    assert not again["compacted"]
