@@ -26,6 +26,7 @@ _MODULES = [
     "graph_q",
     "cdc_q",
     "tpch_q",
+    "tpch_ps",
     "sketches_q",
     "llmdata",
 ]

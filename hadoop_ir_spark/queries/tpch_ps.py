@@ -1,0 +1,503 @@
+"""TPC-H Q2 / Q9 / Q11 / Q12 / Q16 / Q20 over a DERIVED partsupp.
+
+The driver's synthetic schema has no ``partsupp`` table and no
+shipmode/commit/receipt lineitem columns, so these six queries were
+previously inexpressible verbatim (see tpch_q.py).  Rather than drop the
+shapes, we derive the missing relation deterministically FROM the data
+both engines already share:
+
+- ``partsupp`` := the distinct ``(l_partkey, l_suppkey)`` pairs of
+  ``lineitem``, with ``ps_availqty`` (1..100) and ``ps_supplycost``
+  (1.00..1000.00, kept as integer cents ``ps_cost_c``) synthesized from
+  the portable md5 hash (functions.hashes.hash64) of the pair — the SAME
+  expression text on the Spark and DuckDB sides, so the driver's
+  value-hash gate fully validates every query.
+- Q12's ``l_shipmode`` / ``l_commitdate`` / ``l_receiptdate`` are
+  hash-derived per line: a mode index in 0..6 and day offsets from
+  ``l_shipdate``; the classic date predicates then reduce to exact
+  integer comparisons (epoch-microsecond arithmetic, no calendar math).
+
+The point is shape parity at scale, not data realism: Q2 keeps its
+min-cost-per-part window, Q9 its fact⋈fact composite-key join, Q11 its
+scalar-subquery threshold (exact integer compare, no fp), Q16 its
+NOT-IN anti-join + count distinct, Q20 its nested semi-join chain.
+In a real deployment partsupp is a stored table; the DISTINCT here
+stands in for that scan.
+
+Money math follows the module convention of tpch_q.py: exact integer
+cents end-to-end, doubles only at the final division (bit-deterministic
+in both engines).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql.window import Window
+
+from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.functions.hashes import hash64, hash64_sql
+from hadoop_ir_spark.functions.timeutil import epoch_us_typed
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _us(y: int) -> int:
+    """Epoch microseconds of Jan 1 of year ``y`` (wall clock, tz-free)."""
+    return int((_dt.datetime(y, 1, 1) - _dt.datetime(1970, 1, 1))
+               .total_seconds()) * 1_000_000
+
+
+def _pair_key(tag: str, k1: str = "l_partkey", k2: str = "l_suppkey") -> Column:
+    return F.concat(F.lit(tag + ":"), F.col(k1).cast("string"),
+                    F.lit(":"), F.col(k2).cast("string"))
+
+
+def _pair_key_sql(tag: str, k1: str = "l_partkey", k2: str = "l_suppkey") -> str:
+    return f"'{tag}:' || CAST({k1} AS VARCHAR) || ':' || CAST({k2} AS VARCHAR)"
+
+
+def _partsupp(spark, sf_dir):
+    """Derived partsupp: one row per distinct (partkey, suppkey) pair.
+
+    ps_availqty in 1..100, ps_cost_c (supplycost cents) in 100..100000 —
+    both from the portable hash so DuckDB rebuilds the identical table.
+    """
+    pairs = (_t(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    return pairs.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        (F.lit(1) + hash64(_pair_key("psq")) % 100).alias("ps_availqty"),
+        (F.lit(100) + hash64(_pair_key("psc")) % 99901).alias("ps_cost_c"),
+    )
+
+
+SQL_PS = f"""
+partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         1 + {hash64_sql(_pair_key_sql('psq'))} % 100 AS ps_availqty,
+         100 + {hash64_sql(_pair_key_sql('psc'))} % 99901 AS ps_cost_c
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+)"""
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier. Adapted filter: p_size <= 15 AND
+# p_type = 'STANDARD' stands in for size = 15 / type LIKE '%BRASS'
+# (the synthetic p_type is single-word); output drops the columns the
+# schema lacks (p_mfgr, s_address/phone/comment).
+# ---------------------------------------------------------------------------
+
+Q2_REGION = "EUROPE"
+Q2_SIZE = 15
+Q2_TYPE = "STANDARD"
+Q2_K = 100
+
+
+@register("tpch_q2", f"""
+WITH {SQL_PS},
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = '{Q2_REGION}'
+),
+pse AS (
+  SELECT ps_partkey, ps_cost_c, s_name, s_acctbal, n_name,
+         min(ps_cost_c) OVER (PARTITION BY ps_partkey) AS min_c
+  FROM partsupp JOIN eu ON s_suppkey = ps_suppkey
+),
+sel AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+         round(ps_cost_c::DOUBLE / 100, 6) AS supplycost,
+         row_number() OVER (
+           ORDER BY s_acctbal DESC, n_name, s_name, p_partkey) AS rnk
+  FROM pse
+  JOIN part ON p_partkey = ps_partkey
+  WHERE ps_cost_c = min_c AND p_size <= {Q2_SIZE} AND p_type = '{Q2_TYPE}'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost,
+       CAST(rnk AS INT) AS rnk
+FROM sel WHERE rnk <= {Q2_K}
+""")
+def q_tpch_q2(spark, sf_dir):
+    """Q2 (minimum-cost supplier) on the derived partsupp.
+
+    Scale shape: supplier⋈nation⋈region is a broadcast-pruned dim; the
+    per-part minimum is a WINDOW over the partsupp shuffle partitioning
+    (one pass — no groupBy + join-back re-derivation of the pair scan);
+    part is a broadcast dim; final global top-k is a single-partition
+    row_number over the tiny filtered result.
+    Reference-shape anchor: TPC-H spec Q2 (correlated min subquery).
+    """
+    eu = (_t(spark, sf_dir, "supplier")
+          .join(F.broadcast(_t(spark, sf_dir, "nation")),
+                F.col("n_nationkey") == F.col("s_nationkey"))
+          .join(F.broadcast(_t(spark, sf_dir, "region")
+                            .filter(F.col("r_name") == Q2_REGION)),
+                F.col("r_regionkey") == F.col("n_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    pse = (_partsupp(spark, sf_dir)
+           .join(F.broadcast(eu), F.col("s_suppkey") == F.col("ps_suppkey"))
+           .withColumn("min_c", F.min("ps_cost_c").over(
+               Window.partitionBy("ps_partkey"))))
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= Q2_SIZE) & (F.col("p_type") == Q2_TYPE)
+    ).select("p_partkey", "p_name")
+    sel = (pse.filter(F.col("ps_cost_c") == F.col("min_c"))
+           .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+           .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                   F.round(F.col("ps_cost_c").cast("double") / 100, 6)
+                   .alias("supplycost")))
+    w = Window.orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                       "p_partkey")
+    return (sel.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= Q2_K))
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit. p_name LIKE '%red%' stands in for '%green%'
+# (the synthetic p_name is "<adj> <noun>").
+# ---------------------------------------------------------------------------
+
+Q9_COLOR = "red"
+
+
+@register("tpch_q9", f"""
+WITH {SQL_PS},
+li AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%{Q9_COLOR}%'
+),
+j AS (
+  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+         price_c * (100 - disc_pct) - ps_cost_c * qty * 100 AS amount_c4
+  FROM li
+  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN orders   ON o_orderkey = l_orderkey
+)
+SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+       round(CAST(sum(amount_c4) AS DOUBLE) / 10000, 6) AS sum_profit
+FROM j GROUP BY 1, 2
+""")
+def q_tpch_q9(spark, sf_dir):
+    """Q9 (product-type profit) on the derived partsupp.
+
+    Scale shape: the part filter broadcasts into the lineitem scan
+    (pushdown prunes both the fact and, via the composite-key join, the
+    partsupp side); lineitem⋈partsupp shuffles on (partkey, suppkey) —
+    the genuine fact⋈fact join of the real Q9; supplier/nation broadcast;
+    orders joins on orderkey for the year. Profit is exact integer
+    scale-10^4 cents; one aggregate pass.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like(f"%{Q9_COLOR}%")).select("p_partkey")
+    li = (_t(spark, sf_dir, "lineitem")
+          .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+          .select(
+              "l_orderkey", "l_partkey", "l_suppkey",
+              F.round("l_quantity", 0).cast("long").alias("qty"),
+              F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+              .alias("price_c"),
+              F.round(F.col("l_discount") * 100, 0).cast("long")
+              .alias("disc_pct")))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    j = (li.join(_partsupp(spark, sf_dir),
+                 (F.col("ps_partkey") == F.col("l_partkey"))
+                 & (F.col("ps_suppkey") == F.col("l_suppkey")))
+         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+         .select("nation", "o_year",
+                 (F.col("price_c") * (100 - F.col("disc_pct"))
+                  - F.col("ps_cost_c") * F.col("qty") * 100)
+                 .alias("amount_c4")))
+    return j.groupBy("nation", "o_year").agg(
+        F.round(F.sum("amount_c4").cast("double") / 10000, 6)
+        .alias("sum_profit"))
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification. The threshold compare is exact
+# integer (value_c * SCALE > total_c), no floating point anywhere.
+# ---------------------------------------------------------------------------
+
+Q11_NATION = "NATION_3"
+Q11_SCALE = 1000  # fraction = 1/1000
+
+
+@register("tpch_q11", f"""
+WITH {SQL_PS},
+ps_n AS (
+  SELECT ps_partkey, ps_cost_c * ps_availqty AS v_c
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = '{Q11_NATION}'
+),
+val AS (
+  SELECT ps_partkey, CAST(sum(v_c) AS BIGINT) AS value_c
+  FROM ps_n GROUP BY 1
+),
+tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM val)
+SELECT ps_partkey, round(value_c::DOUBLE / 100, 6) AS value
+FROM val, tot
+WHERE value_c * {Q11_SCALE} > total_c
+""")
+def q_tpch_q11(spark, sf_dir):
+    """Q11 (important stock) on the derived partsupp.
+
+    Scale shape: nation-filtered supplier list broadcasts into the
+    partsupp scan; one groupBy(partkey) aggregate; the spec's scalar
+    subquery is a 1-row aggregate cross-joined (broadcast) back — the
+    threshold test is exact integer math so Spark and DuckDB agree
+    bit-for-bit regardless of summation order.
+    """
+    supp_n = (_t(spark, sf_dir, "supplier")
+              .join(F.broadcast(_t(spark, sf_dir, "nation")
+                                .filter(F.col("n_name") == Q11_NATION)),
+                    F.col("n_nationkey") == F.col("s_nationkey"))
+              .select("s_suppkey"))
+    val = (_partsupp(spark, sf_dir)
+           .join(F.broadcast(supp_n), F.col("s_suppkey") == F.col("ps_suppkey"))
+           .groupBy("ps_partkey")
+           .agg(F.sum(F.col("ps_cost_c") * F.col("ps_availqty"))
+                .alias("value_c")))
+    tot = val.agg(F.sum("value_c").alias("total_c"))
+    return (val.crossJoin(F.broadcast(tot))
+            .filter(F.col("value_c") * Q11_SCALE > F.col("total_c"))
+            .select("ps_partkey",
+                    F.round(F.col("value_c").cast("double") / 100, 6)
+                    .alias("value")))
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping modes vs order priority. shipmode / commit / receipt are
+# hash-derived from (orderkey, linenumber); the spec's three date
+# predicates reduce to exact integer comparisons on the derived offsets
+# and on epoch-microsecond arithmetic (no calendar functions).
+# ---------------------------------------------------------------------------
+
+Q12_MODES = ["MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB", "REG AIR"]
+Q12_PICKED = ("MAIL", "SHIP")  # mode_idx 0 and 1
+Q12_YEAR = 1996
+_DAY_US = 86_400_000_000
+
+
+def _line_key(tag: str) -> Column:
+    return F.concat(F.lit(tag + ":"), F.col("l_orderkey").cast("string"),
+                    F.lit(":"), F.col("l_linenumber").cast("string"))
+
+
+def _line_key_sql(tag: str) -> str:
+    return (f"'{tag}:' || CAST(l_orderkey AS VARCHAR) || ':' || "
+            "CAST(l_linenumber AS VARCHAR)")
+
+
+_MODE_CASE_SQL = ("CASE mode_idx WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' "
+                  "ELSE 'OTHER' END")
+
+
+@register("tpch_q12", f"""
+WITH li AS (
+  SELECT l_orderkey,
+         {hash64_sql(_line_key_sql('cmt'))} % 61 - 30 AS commit_days,
+         1 + {hash64_sql(_line_key_sql('rcp'))} % 30 AS receipt_days,
+         {hash64_sql(_line_key_sql('mod'))} % 7 AS mode_idx,
+         epoch_us(l_shipdate) AS ship_us
+  FROM lineitem
+),
+f AS (
+  SELECT l_orderkey, {_MODE_CASE_SQL} AS l_shipmode
+  FROM li
+  WHERE mode_idx IN (0, 1)
+    AND commit_days > 0 AND commit_days < receipt_days
+    AND ship_us + receipt_days * {_DAY_US} >= {_us(Q12_YEAR)}
+    AND ship_us + receipt_days * {_DAY_US} < {_us(Q12_YEAR + 1)}
+)
+SELECT l_shipmode,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM f JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1
+""")
+def q_tpch_q12(spark, sf_dir):
+    """Q12 (shipping modes and order priority) with derived ship columns.
+
+    The spec predicates l_commitdate < l_receiptdate, l_shipdate <
+    l_commitdate, and receiptdate-in-year become integer comparisons on
+    the hash-derived day offsets (commit in ship±30d, receipt in
+    ship+1..30d) — pushed down at the lineitem scan before the orders
+    join. Scale shape: the only shuffle is lineitem⋈orders on orderkey;
+    high/low counts are one conditional-aggregate pass.
+    """
+    li_raw = _t(spark, sf_dir, "lineitem")
+    ship_us = epoch_us_typed("l_shipdate",
+                             li_raw.schema["l_shipdate"].dataType)
+    li = li_raw.select(
+        "l_orderkey",
+        (hash64(_line_key("cmt")) % 61 - 30).alias("commit_days"),
+        (F.lit(1) + hash64(_line_key("rcp")) % 30).alias("receipt_days"),
+        (hash64(_line_key("mod")) % 7).alias("mode_idx"),
+        ship_us.alias("ship_us"),
+    )
+    rcpt_us = F.col("ship_us") + F.col("receipt_days") * _DAY_US
+    f = (li.filter(F.col("mode_idx").isin(0, 1)
+                   & (F.col("commit_days") > 0)
+                   & (F.col("commit_days") < F.col("receipt_days"))
+                   & (rcpt_us >= _us(Q12_YEAR))
+                   & (rcpt_us < _us(Q12_YEAR + 1)))
+         .select("l_orderkey",
+                 F.when(F.col("mode_idx") == 0, "MAIL")
+                 .when(F.col("mode_idx") == 1, "SHIP")
+                 .otherwise("OTHER").alias("l_shipmode")))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey",
+                                                "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (f.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_shipmode")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count")))
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship. The spec's "Customer Complaints"
+# comment filter becomes a deterministic ~5% hash flag on s_suppkey
+# (the schema has no s_comment), expressed as the same NOT-IN anti-join.
+# ---------------------------------------------------------------------------
+
+Q16_BRAND = "Brand#5"
+Q16_TYPE_PREFIX = "PROMO"
+Q16_SIZES = (3, 9, 14, 19, 23, 36, 45, 49)
+
+
+@register("tpch_q16", f"""
+WITH {SQL_PS},
+compl AS (
+  SELECT s_suppkey FROM supplier
+  WHERE {hash64_sql("'cmpl:' || CAST(s_suppkey AS VARCHAR)")} % 20 = 0
+),
+sel AS (
+  SELECT p_brand, p_type, p_size, ps_suppkey
+  FROM partsupp JOIN part ON p_partkey = ps_partkey
+  WHERE p_brand <> '{Q16_BRAND}'
+    AND p_type NOT LIKE '{Q16_TYPE_PREFIX}%'
+    AND p_size IN {Q16_SIZES}
+    AND ps_suppkey NOT IN (SELECT s_suppkey FROM compl)
+)
+SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM sel GROUP BY 1, 2, 3
+""")
+def q_tpch_q16(spark, sf_dir):
+    """Q16 (parts/supplier relationship) on the derived partsupp.
+
+    Scale shape: the part predicate broadcasts into the partsupp scan;
+    the complaint list is a broadcast ANTI join (the spec's NOT IN);
+    count(DISTINCT suppkey) per (brand, type, size) is a two-phase
+    distinct aggregate — all partial-aggregated map-side.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_BRAND)
+        & ~F.col("p_type").like(f"{Q16_TYPE_PREFIX}%")
+        & F.col("p_size").isin(*Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    compl = _t(spark, sf_dir, "supplier").filter(
+        hash64(F.concat(F.lit("cmpl:"), F.col("s_suppkey").cast("string")))
+        % 20 == 0
+    ).select("s_suppkey")
+    sel = (_partsupp(spark, sf_dir)
+           .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+           .join(F.broadcast(compl),
+                 F.col("s_suppkey") == F.col("ps_suppkey"), "left_anti"))
+    return (sel.groupBy("p_brand", "p_type",
+                        F.col("p_size").cast("int").alias("p_size"))
+            .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt")))
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion. Nation widened to region (the synthetic
+# supplier table has ~4 suppliers per nation — region keeps the semi-join
+# chain meaningful); p_name LIKE 'small%' stands in for 'forest%'.
+# The 50% threshold is the exact integer compare 2*availqty > sum(qty).
+# ---------------------------------------------------------------------------
+
+Q20_PREFIX = "small"
+Q20_REGION = "EUROPE"
+Q20_YEAR = 1996
+
+
+@register("tpch_q20", f"""
+WITH {SQL_PS},
+pr AS (SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_PREFIX}%'),
+q96 AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty_yr
+  FROM lineitem JOIN pr ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '{Q20_YEAR}-01-01'
+    AND l_shipdate < TIMESTAMP '{Q20_YEAR + 1}-01-01'
+  GROUP BY 1, 2
+),
+ok AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN q96 ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE 2 * ps_availqty > qty_yr
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = '{Q20_REGION}'
+  AND s_suppkey IN (SELECT ps_suppkey FROM ok)
+""")
+def q_tpch_q20(spark, sf_dir):
+    """Q20 (potential part promotion) on the derived partsupp.
+
+    Scale shape: the name-prefix part list broadcasts into the lineitem
+    scan (with the ship-year filter pushed down); the per-(part, supp)
+    year quantity joins partsupp on the composite key; the qualifying
+    supplier set is a DISTINCT then a broadcast SEMI join into the
+    region-filtered supplier dim — the spec's nested IN chain, each
+    level expressed as a semi-join rather than a subquery re-scan.
+    """
+    pr = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like(f"{Q20_PREFIX}%")).select("p_partkey")
+    q96 = (_t(spark, sf_dir, "lineitem")
+           .filter(F.expr(
+               f"l_shipdate >= TIMESTAMP_NTZ '{Q20_YEAR}-01-01 00:00:00' AND "
+               f"l_shipdate < TIMESTAMP_NTZ '{Q20_YEAR + 1}-01-01 00:00:00'"))
+           .join(F.broadcast(pr), F.col("p_partkey") == F.col("l_partkey"))
+           .groupBy("l_partkey", "l_suppkey")
+           .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("qty_yr")))
+    ok = (_partsupp(spark, sf_dir)
+          .join(q96, (F.col("ps_partkey") == F.col("l_partkey"))
+                & (F.col("ps_suppkey") == F.col("l_suppkey")))
+          .filter(2 * F.col("ps_availqty") > F.col("qty_yr"))
+          .select("ps_suppkey").distinct())
+    return (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(_t(spark, sf_dir, "nation")),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+            .join(F.broadcast(_t(spark, sf_dir, "region")
+                              .filter(F.col("r_name") == Q20_REGION)),
+                  F.col("r_regionkey") == F.col("n_regionkey"))
+            .join(F.broadcast(ok),
+                  F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+            .select("s_suppkey", "s_name", "n_name"))

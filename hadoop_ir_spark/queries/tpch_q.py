@@ -634,9 +634,11 @@ def q_tpch_q19(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Round-4 additions: Q8, Q13, Q15, Q17, Q21, Q22 (adapted to the driver
-# schema: no partsupp table and no comment/phone/commit-receipt columns,
-# so Q2/Q9/Q11/Q12/Q16/Q20 are inexpressible verbatim and the predicates
-# below substitute available columns — each substitution noted inline).
+# schema: no partsupp table and no comment/phone/commit-receipt columns;
+# the predicates below substitute available columns — each substitution
+# noted inline). Q2/Q9/Q11/Q12/Q16/Q20 — the six that genuinely need
+# partsupp / ship columns — live in tpch_ps.py over a deterministically
+# DERIVED partsupp, completing all 22 spec query shapes.
 # Money math stays in exact integer cents per the module docstring.
 # ---------------------------------------------------------------------------
 
