@@ -238,7 +238,10 @@ def q_tpch_q9(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 Q11_NATION = "NATION_3"
-Q11_SCALE = 1000  # fraction = 1/1000
+# fraction = 1/4000 — chosen so the threshold is non-degenerate at every
+# test SF (at 1/1000 the sf0.1 slice has max part-share 5.3e-4 → 0 rows;
+# the spec itself scales its fraction by 1/SF for the same reason).
+Q11_SCALE = 4000
 
 
 @register("tpch_q11", f"""
