@@ -6,8 +6,10 @@
 - ``ann_recall_ivf``      recall@k of the IVF index vs brute force
 - ``perplexity_buckets``  CCNet-style per-language head/middle/tail split
 - ``bpe_encode_lens``     tokenizer APPLY: per-doc BPE token counts
+- ``mixture_weights``     temperature-scaled source sampling weights
+- ``quality_percentile_cut`` per-language top-quartile quality filter
 
-All six have full DuckDB value oracles.
+All have full DuckDB value oracles.
 """
 
 from __future__ import annotations
@@ -378,3 +380,146 @@ def q_dataset_splits(spark, sf_dir):
     )
     return docs.select("lang", split.alias("split")).groupBy(
         "lang", "split").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Source mixture reweighting (temperature-scaled sampling weights)
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET = 1_000_000  # token budget per epoch
+MIX_MAX_EPOCHS = 3      # cap: never allocate more than 3x a source's tokens
+
+_MIX_SQL = None  # assembled below (needs textstats.SQL_TOKS)
+
+
+def _register_mixture():
+    from hadoop_ir_spark.queries.textstats import SQL_TOKS
+
+    @register("mixture_weights", f"""
+WITH {SQL_TOKS},
+dt AS (
+  SELECT d.source, count(*) AS n_docs,
+         CAST(sum(len(t.toks)) AS BIGINT) AS toks
+  FROM toklist t JOIN documents d ON d.doc_id = t.docno
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(toks) AS BIGINT) AS all_toks FROM dt),
+w AS (
+  SELECT source, n_docs, toks,
+         CAST(floor(sqrt(toks::DOUBLE / all_toks) * 1000000000 + 0.5)
+              AS BIGINT) AS w_int
+  FROM dt, tot
+),
+tw AS (SELECT CAST(sum(w_int) AS BIGINT) AS tot_w FROM w)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, toks,
+       round(w_int::DOUBLE / tot_w, 6) AS weight,
+       CAST(least(({MIX_BUDGET} * w_int) // tot_w,
+                  {MIX_MAX_EPOCHS} * toks) AS BIGINT) AS alloc_tokens
+FROM w, tw
+""")
+    def q_mixture_weights(spark, sf_dir):
+        """Temperature-scaled source mixture for a training run (the
+        Pile / DoReMi-style static reweighting): each source's sampling
+        weight is share^alpha renormalized, flattening the natural
+        distribution so small sources are not drowned out; alloc_tokens
+        is the per-epoch token allocation under MIX_BUDGET, capped at
+        MIX_MAX_EPOCHS x the source's actual tokens (no source can be
+        repeated more than 3 epochs).
+
+        alpha is fixed at 0.5 because sqrt is the one power IEEE-754
+        requires to be correctly rounded — byte-identical across
+        JVM/libm, where pow(x, 0.7) carries a cross-engine ulp risk.
+        Weights are integer-scaled (floor(sqrt*1e9+0.5)) before the
+        renormalizing sum so summation order cannot perturb them; the
+        only doubles in the output are single divisions of two BIGINTs.
+
+        Scale shape: one groupBy(source) over the token counts (map-side
+        partial agg), two 1-row scalar aggregates broadcast back — the
+        per-source frame is tiny at any corpus size."""
+        from hadoop_ir_spark.functions.text import tokens_col
+
+        docs = _docs(spark, sf_dir)
+        dt = (docs.select("source", F.size(tokens_col("text")).alias("ntok"))
+              .groupBy("source")
+              .agg(F.count("*").cast("long").alias("n_docs"),
+                   F.sum("ntok").cast("long").alias("toks")))
+        tot = dt.agg(F.sum("toks").alias("all_toks"))
+        w = (dt.crossJoin(F.broadcast(tot))
+             .withColumn("w_int",
+                         F.floor(F.sqrt(F.col("toks").cast("double")
+                                        / F.col("all_toks"))
+                                 * 1000000000 + 0.5).cast("long")))
+        tw = w.agg(F.sum("w_int").alias("tot_w"))
+        return (w.crossJoin(F.broadcast(tw))
+                .select("source", "n_docs", "toks",
+                        F.round(F.col("w_int").cast("double")
+                                / F.col("tot_w"), 6).alias("weight"),
+                        F.least(
+                            F.expr(f"({MIX_BUDGET} * w_int) div tot_w"),
+                            F.lit(MIX_MAX_EPOCHS) * F.col("toks"))
+                        .cast("long").alias("alloc_tokens")))
+
+
+_register_mixture()
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality percentile cut
+# ---------------------------------------------------------------------------
+
+QCUT_KEEP = 0.75  # keep docs at or above the 75th quality percentile
+
+
+def _register_quality_cut():
+    from hadoop_ir_spark.queries.textstats import SQL_QUALITY_CTE, SQL_TOKS
+
+    @register("quality_percentile_cut", f"""
+WITH {SQL_TOKS},
+{SQL_QUALITY_CTE},
+scored AS (
+  SELECT q.docno, d.lang, round(q.quality, 6) AS quality
+  FROM qual q JOIN documents d ON d.doc_id = q.docno
+),
+rk AS (
+  SELECT docno, lang, quality,
+         percent_rank() OVER (
+           PARTITION BY lang ORDER BY quality, docno) AS p
+  FROM scored
+)
+SELECT docno, lang, quality, round(p, 6) AS q_pr
+FROM rk WHERE p >= {QCUT_KEEP}
+""")
+    def q_quality_percentile_cut(spark, sf_dir):
+        """Quality filtering the way production curation does it: keep
+        the top (1 - QCUT_KEEP) fraction of documents PER LANGUAGE by
+        composite quality score, so a low-resource language is not
+        wiped out by an absolute threshold tuned on English. Distinct
+        from perplexity_buckets (ntile terciles on LM score): this is a
+        percentile threshold on the composite quality signal.
+
+        Ranks on the ROUNDED score with doc-id tie-break (the same
+        already-strict-validated values quality_scores emits), so
+        cross-engine fp noise cannot flip a rank; percent_rank itself
+        is (rank-1)/(n-1) on integers — bit-deterministic.
+
+        Scale shape: score is a pure per-row expression at the scan; one
+        window shuffle partitioned by lang. At 100 TB the lang partition
+        skew (en >> others) is the hazard — the window only needs rank
+        positions, so a skewed language could be two-passed (count +
+        ordered rank join) if a single en partition exceeded memory."""
+        from hadoop_ir_spark.operators import textstats
+
+        docs = _docs(spark, sf_dir)
+        scored = (textstats.quality_scores(docs, id_col="doc_id")
+                  .select("docno", F.round("quality", 6).alias("quality"))
+                  .join(docs.select(F.col("doc_id").alias("docno"), "lang"),
+                        "docno"))
+        win = Window.partitionBy("lang").orderBy("quality", "docno")
+        return (scored
+                .withColumn("p", F.percent_rank().over(win))
+                .filter(F.col("p") >= QCUT_KEEP)
+                .select("docno", "lang", "quality",
+                        F.round("p", 6).alias("q_pr")))
+
+
+_register_quality_cut()
