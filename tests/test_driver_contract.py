@@ -66,6 +66,9 @@ TIME_SENSITIVE = [
     # round 4
     "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q21", "tpch_q22",
     "event_funnel", "cohort_retention",
+    # partsupp-derived TPC-H (q9: year(); q12: epoch_us arithmetic;
+    # q20: NTZ-literal ship-year filter)
+    "tpch_q9", "tpch_q12", "tpch_q20",
 ]
 
 
