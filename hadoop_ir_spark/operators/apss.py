@@ -1,0 +1,187 @@
+"""All-pairs similarity search (APSS) — exact cosine-threshold self-join
+over sparse tf-idf vectors with a prefix-filter candidate stage, after
+Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search"
+(WWW 2007). Complements the approximate near-dup family (MinHash-LSH,
+SimHash, winnowing, embedding blocks): this one returns EXACTLY the
+pairs whose cosine clears the threshold — no recall loss — while still
+never materializing the all-pairs cross product at scale.
+
+Integer-exact by construction, so the DuckDB oracle (a brute-force
+all-shared-terms replay) matches byte-for-byte:
+
+- idf is the QUANTIZED RATIO ``(n_docs * 100) div df`` — a linear
+  inverse-document-frequency kept in exact integer space (log-idf would
+  put an ``ln()`` inside a ``floor`` boundary, the cross-libm ulp trap);
+- term weights ``w = tf * idf_q`` and squared norms ``Σ w²`` are BIGINT;
+- the candidate filter bound uses ceil-quantized normalized weights
+  (``nwq``, scale 1e6) and integer suffix sums — conservative in the
+  safe direction, so the filter stays LOSSLESS;
+- the only doubles are per-doc ``sqrt`` (IEEE-exact) and one final
+  division of deterministic operands.
+
+Prefix-filter correctness (why no qualifying pair is missed): for doc d
+with terms ordered by (maxq, term), a term is indexed while the integer
+suffix bound ``Σ nwq·maxq`` is ≥ floor(tau·1e12). The true cosine mass a
+pair can collect through d's UNindexed terms is ≤ that bound / 1e12
+< tau, so any pair with cosine ≥ tau must share at least one INDEXED
+term of d — and the candidate join probes indexed(d) against the FULL
+postings of every other doc, covering both directions.
+
+Scale design (100 TB): the candidate stage joins the prefix-indexed
+postings (a tau-monotone fraction of the corpus) against full postings
+on term — an equi-join, never a cross product; ubiquitous low-weight
+terms get small ``maxq`` and fall out of prefixes first, which is
+exactly the hot-key population, so the join's skew shrinks as tau
+rises. Verification touches candidate pairs only. Caveat: the synthetic
+test corpus has a ~31-term vocabulary, which makes the filter
+locally degenerate (everything is a candidate); its selectivity is a
+property of realistic vocabularies, the correctness is not.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_ir_spark.functions.text import tokens_col
+from hadoop_ir_spark.operators.skew import salted_join
+
+IDF_SCALE = 100        # idf_q = (n_docs * IDF_SCALE) div df
+NW_SCALE = 1_000_000   # ceil-quantization scale for normalized weights
+
+
+def apss_cosine_pairs(docs: DataFrame, tau: float = 0.9,
+                      id_col: str = "doc_id",
+                      text_col: str = "text",
+                      small_index: bool = True) -> DataFrame:
+    """Exact pairs (id_a < id_b, cosine) with tf-idf cosine ≥ ``tau``.
+
+    Returns columns ``id_a, id_b, cosine`` (cosine rounded to 6).
+
+    ``small_index=True`` (default) BROADCASTS the prefix index and the
+    verification postings: the candidate/verify joins then run over an
+    explicitly repartitioned probe side with no shuffle and no possible
+    key skew. This is the right plan whenever the prefix index fits in
+    memory (tau-monotone; tens of millions of postings). The quadratic
+    expansion is compute-bound on byte-tiny inputs — exactly where AQE's
+    byte-based partition coalescing serializes the work (measured here:
+    the fused auto-planned join ran 50s where the explicit plan runs
+    ~8s) — so the probe side is repartitioned by parallelism, not bytes.
+    At index sizes beyond memory set ``small_index=False``: the
+    candidate stage becomes a salted shuffle join on term (vocabulary
+    hot keys spread over salt buckets) and verification shuffles on the
+    pair key.
+    """
+    post = (docs
+            .select(F.col(id_col).alias("docno"),
+                    F.explode(tokens_col(text_col)).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("docno", "term")
+            .agg(F.count("*").cast("long").alias("tf")))
+
+    nd = post.select("docno").distinct().agg(F.count("*").alias("n"))
+    dfs = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # integer tf-idf weights; 5 downstream consumers -> checkpoint once
+    uw = (post.join(dfs, "term").crossJoin(F.broadcast(nd))
+          .select("docno", "term",
+                  F.expr(f"CAST(tf * ((n * {IDF_SCALE}) div df) AS BIGINT)")
+                  .alias("w"))
+          .localCheckpoint())
+
+    n2 = uw.groupBy("docno").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2"))
+    uwn = (uw.join(n2, "docno")
+           .withColumn("nwq",
+                       F.ceil(F.col("w") * NW_SCALE / F.sqrt(F.col("n2")))
+                       .cast("long")))
+    maxq = uwn.groupBy("term").agg(F.max("nwq").alias("maxq"))
+
+    win = (Window.partitionBy("docno").orderBy("maxq", "term")
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    t_int = int(math.floor(tau * NW_SCALE * NW_SCALE))
+    pref = (uwn.join(maxq, "term")
+            .withColumn("suffix_int",
+                        F.sum(F.col("nwq") * F.col("maxq")).over(win))
+            .filter(F.col("suffix_int") >= t_int))
+
+    probe = uw.select("term", F.col("docno").alias("db"))
+    idx = pref.select("term", F.col("docno").alias("da"))
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    if small_index:
+        # partition the probe by WORK (explicit repartition), broadcast
+        # the index: skew-free, shuffle-free expansion
+        pairs = probe.repartition(par).join(F.broadcast(idx), "term")
+    else:
+        # at-scale fallback: term is a hot-key join (stop-word-like
+        # terms expand quadratically per key) — salt the probe side
+        pairs = salted_join(probe.repartition(par), idx, "term",
+                            buckets=32)
+    cand = (pairs
+            .filter(F.col("da") != F.col("db"))
+            .select(F.least("da", "db").alias("id_a"),
+                    F.greatest("da", "db").alias("id_b"))
+            .distinct())
+
+    pa = uw.select(F.col("docno").alias("id_a"), "term",
+                   F.col("w").alias("wa"))
+    pb = uw.select(F.col("docno").alias("id_b"), "term",
+                   F.col("w").alias("wb"))
+    if small_index:
+        pa, pb = F.broadcast(pa), F.broadcast(pb)
+        cand = cand.repartition(par)
+    else:
+        cand = cand.repartition(par, "id_a")
+    dots = (cand.join(pa, "id_a").join(pb, ["id_b", "term"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+
+    return (dots
+            .join(n2.select(F.col("docno").alias("id_a"),
+                            F.col("n2").alias("n2a")), "id_a")
+            .join(n2.select(F.col("docno").alias("id_b"),
+                            F.col("n2").alias("n2b")), "id_b")
+            .withColumn("cosine",
+                        F.col("dot") / (F.sqrt("n2a") * F.sqrt("n2b")))
+            .filter(F.col("cosine") >= tau)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def apss_oracle_sql(tau: float, sample_mod: int | None = None) -> str:
+    """Brute-force DuckDB replay: every shared-term pair, exact integer
+    dot, same quantized weights — what the lossless filter must equal.
+    ``sample_mod`` mirrors the catalog entry's deterministic hash-slice
+    of the input corpus (see q_apss_cosine_pairs for why)."""
+    src = "documents"
+    if sample_mod is not None:
+        src = f"""(SELECT * FROM documents
+   WHERE CAST(('0x' || substr(md5('apss:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {sample_mod} = 0)"""
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS docno,
+         unnest(string_split_regex(lower(text), '[^0-9a-zA-Z]+')) AS term
+  FROM {src}
+),
+post AS (SELECT docno, term, count(*) AS tf
+         FROM tok WHERE term <> '' GROUP BY docno, term),
+nd AS (SELECT count(DISTINCT docno) AS n FROM post),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+uw AS (SELECT p.docno, p.term,
+              CAST(p.tf * ((n * {IDF_SCALE}) // df) AS BIGINT) AS w
+       FROM post p JOIN dfs USING (term) CROSS JOIN nd),
+n2 AS (SELECT docno, CAST(sum(w * w) AS BIGINT) AS n2
+       FROM uw GROUP BY docno),
+dots AS (SELECT a.docno AS id_a, b.docno AS id_b,
+                CAST(sum(a.w * b.w) AS BIGINT) AS dot
+         FROM uw a JOIN uw b ON a.term = b.term AND a.docno < b.docno
+         GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+FROM dots
+JOIN n2 na ON na.docno = id_a
+JOIN n2 nb ON nb.docno = id_b
+WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {tau}
+"""

@@ -247,3 +247,42 @@ def q_fuzzy_title_pairs(spark, sf_dir):
         F.substring("text", 1, FUZZY_PREFIX).alias("title")
     ).distinct()
     return fuzzy.edit_distance_pairs(titles, "title", max_dist=FUZZY_DIST)
+
+
+# ---------------------------------------------------------------------------
+# APSS: exact cosine-threshold self-join (prefix-filtered, Bayardo WWW'07)
+# ---------------------------------------------------------------------------
+
+APSS_TAU = 0.85
+
+
+APSS_SAMPLE_MOD = 6  # deterministic ~17% hash-slice of the input corpus
+
+
+def _register_apss():
+    from hadoop_ir_spark.functions.hashes import hash64
+    from hadoop_ir_spark.operators import apss
+
+    @register("apss_cosine_pairs",
+              apss.apss_oracle_sql(APSS_TAU, sample_mod=APSS_SAMPLE_MOD))
+    def q_apss_cosine_pairs(spark, sf_dir):
+        """EXACT tf-idf cosine pairs >= tau via prefix-filtered candidate
+        generation — the lossless counterpart to the approximate near-dup
+        operators (algorithm, integer-exactness design and 100 TB notes
+        in operators/apss.py).
+
+        The catalog entry runs on a deterministic 25% hash-slice of the
+        corpus: the synthetic ~31-term vocabulary makes EVERY doc pair a
+        candidate (prefix filtering prunes by vocabulary spread, which
+        this corpus lacks by construction), so the unsliced sf0.1 run is
+        a pure quadratic grind that measures nothing real. The slice
+        keeps the local benchmark bounded; the lossless-vs-brute-force
+        property is pinned by tests at full small-corpus size."""
+        docs = _docs(spark, sf_dir).filter(
+            hash64(F.concat(F.lit("apss:"),
+                            F.col("doc_id").cast("string")))
+            % APSS_SAMPLE_MOD == 0)
+        return apss.apss_cosine_pairs(docs, tau=APSS_TAU)
+
+
+_register_apss()
