@@ -114,6 +114,43 @@ def npmi(pairs: DataFrame, marginals: DataFrame, n_docs: int) -> DataFrame:
     return j.select("w1", "w2", (pmi / denom).alias("npmi"))
 
 
+def llr(pairs: DataFrame, marginals: DataFrame, n_docs: int,
+        min_joint: int = 1) -> DataFrame:
+    """Dunning's log-likelihood-ratio collocation score (G², "Accurate
+    Methods for the Statistics of Surprise and Coincidence", CL 19(1),
+    1993) over the same document-co-occurrence contingency table as EMIM
+    — the raw-count companion to the smoothed A8/A9 scores:
+
+        G2 = 2 · Σ_cells n_ij · ln(n_ij · N / (R_i · C_j)),  0·ln0 = 0
+
+    ``min_joint`` prunes the pair frame BEFORE the marginals join — the
+    standard min-support cut that keeps the score table proportional to
+    the number of frequent pairs, not the vocabulary square.
+    """
+    pairs = pairs.filter(F.col("n_joint") >= min_joint)
+    j = (
+        pairs
+        .join(F.broadcast(marginals.select(F.col("term").alias("w1"),
+                                           F.col("df").alias("df1"))), "w1")
+        .join(F.broadcast(marginals.select(F.col("term").alias("w2"),
+                                           F.col("df").alias("df2"))), "w2")
+    )
+    N = F.lit(float(n_docs))
+    n11 = F.col("n_joint").cast("double")
+    n12 = F.col("df1").cast("double") - n11
+    n21 = F.col("df2").cast("double") - n11
+    n22 = N - F.col("df1") - F.col("df2") + n11
+
+    def term(n, row, colc):
+        return F.when(n > 0, n * F.log(n * N / (row * colc))).otherwise(0.0)
+
+    r1, r2 = F.col("df1").cast("double"), N - F.col("df1")
+    c1, c2 = F.col("df2").cast("double"), N - F.col("df2")
+    g2 = 2.0 * (term(n11, r1, c1) + term(n12, r1, c2)
+                + term(n21, r2, c1) + term(n22, r2, c2))
+    return j.select("w1", "w2", "n_joint", g2.alias("llr"))
+
+
 def query_pair_stats(post: DataFrame, query_terms: list[str],
                      stopwords: list[str] | None = None) -> DataFrame:
     """A7 (TrecQueryStats.java:128-186): for each query term q and each

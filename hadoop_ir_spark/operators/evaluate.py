@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+LOG2 = 0.6931471805599453  # ln(2); shared with the SQL mirrors
+
 
 def _judged(run: DataFrame, qrels: DataFrame, min_rel: int = 1) -> DataFrame:
     """run left-joined with binary relevance (unjudged docs count as
@@ -208,6 +210,78 @@ def f1_utility(run: DataFrame, qrels: DataFrame, min_rel: int = 1,
         "qid",
         f1(F.col("precision"), F.col("recall"), beta).alias("f1"),
         "utility",
+    )
+
+
+def ndcg(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """nDCG@k with graded relevance (beyond-reference: the qrels the
+    reference loads are graded — Qrels.java keeps the level — but Eval
+    only binarizes; nDCG is the standard graded metric on top of them).
+
+    gain = 2^rel - 1, discount = 1/log2(rank+1) (Järvelin & Kekäläinen,
+    TOIS'02 / trec_eval's ndcg_cut). IDCG sorts the query's judged docs
+    by rel desc (ties broken docno desc — harmless: equal rel ⇒ equal
+    gain, so tie order never changes the sum). Queries with no relevant
+    docs get ndcg = NULL (excluded from any mean, same convention as AP).
+
+    Scale: two window-rank passes over frames that are already a few
+    rows per query (the run is top-k, qrels a few judged docs); both
+    partition by qid so they distribute. log2 is computed as ln(x)/ln 2
+    to keep Spark and any SQL mirror bit-identical.
+    """
+    graded = qrels.groupBy("qid", "docno").agg(F.max("rel").alias("rel"))
+    j = run.filter(F.col("rank") <= k).join(graded, ["qid", "docno"], "left")
+    gain = F.pow(F.lit(2.0), F.coalesce(F.col("rel"), F.lit(0)).cast("double")) - 1.0
+    dcg = j.groupBy("qid").agg(
+        F.sum(gain * F.lit(LOG2) / F.log(F.col("rank") + 1.0)).alias("dcg")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("docno").desc())
+    ideal = graded.withColumn("pos", F.row_number().over(w)).filter(F.col("pos") <= k)
+    igain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0
+    idcg = ideal.groupBy("qid").agg(
+        F.sum(igain * F.lit(LOG2) / F.log(F.col("pos") + 1.0)).alias("idcg")
+    )
+    qids = run.select("qid").distinct()
+    return (
+        qids.join(dcg, "qid", "left")
+        .join(idcg, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+            F.when(F.col("idcg") > 0,
+                   F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"))
+            .alias("ndcg"),
+        )
+    )
+
+
+def rrf_fusion(runs: list[DataFrame], k: int = 10, c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09):
+    rrf(d) = Σ_runs 1/(c + rank_run(d)), docs absent from a run simply
+    contribute nothing. Output re-ranked top-k per query with the K3
+    docno-desc tie-break on the rounded score.
+
+    Scale: a union of top-k run frames (k rows per query per run)
+    followed by one groupBy and one window top-k — every stage is a few
+    rows per query; nothing touches the corpus. On a cluster the runs
+    are the materialized outputs of prior retrieval stages, so fusion
+    is a cheap post-processing job regardless of corpus size.
+    """
+    tagged = None
+    for r in runs:
+        part = r.select(
+            "qid", "docno",
+            (1.0 / (F.lit(float(c)) + F.col("rank"))).alias("contrib"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = tagged.groupBy("qid", "docno").agg(
+        F.round(F.sum("contrib"), 6).alias("rrf")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("docno").desc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docno", "rrf", "rank")
     )
 
 

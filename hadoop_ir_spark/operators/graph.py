@@ -170,3 +170,38 @@ def triangle_count(edges: DataFrame,
                 F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
                 .alias("n_triangles"))
     )
+
+
+def bfs(edges: DataFrame, source_id, max_depth: int = 4) -> DataFrame:
+    """Breadth-first shortest hop distance from ``source_id`` over a
+    directed edge list (src, dst). Returns (id, dist) for every vertex
+    reached within ``max_depth`` hops (the source at dist 0).
+
+    Superstep shape (the Pregel frontier expansion as DataFrame ops):
+    frontier ⋈ edges on src → candidate next frontier, minus already-
+    visited via left_anti, union into the visited set. Each level is one
+    shuffle on the vertex id; the visited set is localCheckpoint-ed per
+    level so the plan stays one-superstep deep (same lineage treatment
+    as pagerank). Work per level is proportional to the frontier's edge
+    neighborhood — never the whole graph — and the loop exits early the
+    first time a frontier comes back empty, so bounded-diameter graphs
+    cost their diameter, not ``max_depth``.
+    """
+    dist = edges.sparkSession.createDataFrame(
+        [(int(source_id), 0)], "id bigint, dist int"
+    ).localCheckpoint()
+    frontier = dist
+    for k in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier.select(F.col("id").alias("src")), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new = nxt.join(dist, "id", "left_anti").select(
+            "id", F.lit(k).cast("int").alias("dist")
+        )
+        dist = dist.unionByName(new).localCheckpoint()
+        frontier = dist.filter(F.col("dist") == k)
+        if frontier.isEmpty():
+            break
+    return dist

@@ -1,0 +1,80 @@
+"""Closed-form ordinary least squares over grouped integer features.
+
+Beyond-reference analytics: the regression / correlation summary a
+training-data pipeline runs over per-document statistics (does doc length
+predict raw size? is quality correlated with token count per source?).
+
+Design for exact cross-engine parity AND scale:
+
+- The five sufficient statistics (n, Σx, Σy, Σxx, Σxy, Σyy) are integer
+  aggregates when x and y are integer columns — one map-side-combinable
+  groupBy, exact, no float summation-order drift between engines.
+- Slope/intercept/R² derive from those exact integers with a fixed
+  arithmetic shape, so any SQL mirror that follows the same shape is
+  bit-identical (the only doubles are exact-integer conversions and the
+  final divisions).
+- Nothing is collected: output is one row per group. At 100 TB this is a
+  single partial-aggregate pass over the fact table — the same cost as
+  any groupBy-sum — and the normal-equation solve is per-row expression
+  arithmetic on the aggregate frame.
+
+Caveat (documented, not hit at test scale): Σxy as a 64-bit long
+overflows around x·y·rows ≈ 9e18; for a 100-TB fact table with large
+feature values, cast the products to DECIMAL(38,0) before summing —
+same plan shape, Spark and DuckDB both aggregate decimals exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ols_by_group(df: DataFrame, x: str, y: str, by: str) -> DataFrame:
+    """Per-group simple OLS of integer y on integer x.
+
+    Returns (by, n, slope, intercept, r2) where
+    slope = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²), intercept = (Σy − slope·Σx)/n,
+    r2 = (nΣxy − ΣxΣy)² / ((nΣxx − (Σx)²)(nΣyy − (Σy)²)); slope/r2 are
+    NULL for degenerate groups (constant x, or constant y for r2).
+    """
+    xl = F.col(x).cast("long")
+    yl = F.col(y).cast("long")
+    s = df.groupBy(by).agg(
+        F.count("*").alias("n"),
+        F.sum(xl).alias("sx"),
+        F.sum(yl).alias("sy"),
+        F.sum(xl * xl).alias("sxx"),
+        F.sum(xl * yl).alias("sxy"),
+        F.sum(yl * yl).alias("syy"),
+    )
+    # exact 64-bit integer normal-equation terms (see module caveat)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(den_x != 0, num.cast("double") / den_x.cast("double"))
+    intercept = (F.col("sy").cast("double")
+                 - slope * F.col("sx").cast("double")) / F.col("n").cast("double")
+    r2 = F.when(
+        (den_x != 0) & (den_y != 0),
+        (num.cast("double") * num.cast("double"))
+        / (den_x.cast("double") * den_y.cast("double")),
+    )
+    return s.select(
+        by,
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def pearson_by_group(df: DataFrame, x: str, y: str, by: str) -> DataFrame:
+    """Per-group Pearson correlation from the same exact integer
+    sufficient statistics (r = sign-aware sqrt of OLS r2)."""
+    o = ols_by_group(df, x, y, by)
+    return o.select(
+        by, "n",
+        F.when(F.col("r2").isNotNull(),
+               F.signum(F.col("slope")) * F.sqrt(F.col("r2"))).alias("r"),
+    )

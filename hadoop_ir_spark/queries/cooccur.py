@@ -108,3 +108,52 @@ def q_query_pair_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     post = stats.postings(docs, id_col="doc_id")
     return cooccur.query_pair_stats(post, _QTERMS)
+
+
+LLR_MIN_JOINT = 5
+
+
+@register("collocations_llr", f"""
+WITH {SQL_TOK},
+dts AS (SELECT DISTINCT docno, term FROM tok WHERE term <> ''),
+pairs AS (
+  SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS n_joint
+  FROM dts a JOIN dts b USING (docno)
+  WHERE a.term <> b.term
+  GROUP BY 1, 2
+  HAVING count(*) >= {LLR_MIN_JOINT}
+),
+marg AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dts GROUP BY term),
+nd AS (SELECT count(DISTINCT docno)::DOUBLE AS n FROM dts),
+cnt AS (
+  SELECT p.w1, p.w2, p.n_joint,
+         p.n_joint::DOUBLE                       AS n11,
+         (m1.df - p.n_joint)::DOUBLE             AS n12,
+         (m2.df - p.n_joint)::DOUBLE             AS n21,
+         nd.n - m1.df - m2.df + p.n_joint        AS n22,
+         m1.df::DOUBLE AS r1, nd.n - m1.df AS r2,
+         m2.df::DOUBLE AS c1, nd.n - m2.df AS c2,
+         nd.n AS n
+  FROM pairs p
+  JOIN marg m1 ON m1.term = p.w1
+  JOIN marg m2 ON m2.term = p.w2
+  CROSS JOIN nd
+)
+SELECT w1, w2, n_joint,
+       round(2.0 * (
+           CASE WHEN n11 > 0 THEN n11 * ln(n11 * n / (r1 * c1)) ELSE 0 END
+         + CASE WHEN n12 > 0 THEN n12 * ln(n12 * n / (r1 * c2)) ELSE 0 END
+         + CASE WHEN n21 > 0 THEN n21 * ln(n21 * n / (r2 * c1)) ELSE 0 END
+         + CASE WHEN n22 > 0 THEN n22 * ln(n22 * n / (r2 * c2)) ELSE 0 END
+       ), 6) AS llr
+FROM cnt
+""")
+def q_collocations_llr(spark, sf_dir):
+    """Dunning G² collocations (min-support LLR_MIN_JOINT) — the
+    raw-count companion to emim/npmi on the same pair frame."""
+    dts = _doc_terms(spark, sf_dir).cache()
+    n_docs = dts.select("docno").distinct().count()
+    pairs = cooccur.pair_counts(dts)
+    marg = dts.groupBy("term").agg(F.count("*").alias("df"))
+    out = cooccur.llr(pairs, marg, n_docs, min_joint=LLR_MIN_JOINT)
+    return out.withColumn("llr", F.round("llr", 6))

@@ -131,8 +131,11 @@ def q_eval_map_pk(spark, sf_dir):
     )
 
 
-@register("rank_correlation", f"""
-WITH {SQL_RUN_DIRICHLET},
+# The full BM25 run as a CTE chain ending in `bm25run(qid, docno, rank)` —
+# names prefixed b_ so it can sit beside SQL_RUN_DIRICHLET's chain in one
+# WITH block (the SQL twin of catalog's bm25_topk, reused by the
+# run-comparison and fusion oracles below).
+SQL_RUN_BM25 = f"""
 b_gstat AS (
   SELECT count(DISTINCT docno) AS n_docs,
          sum(tf)::DOUBLE / count(DISTINCT docno) AS avg_len
@@ -163,7 +166,11 @@ bm25run AS (
                               ORDER BY score DESC, docno DESC) AS rank
     FROM b_scored
   ) WHERE rank <= {TOP_K}
-),
+)"""
+
+
+@register("rank_correlation", f"""
+WITH {SQL_RUN_DIRICHLET}, {SQL_RUN_BM25},
 common AS (
   SELECT d.qid, d.docno, d.rank AS ra, b.rank AS rb
   FROM run d JOIN bm25run b USING (qid, docno)
@@ -193,3 +200,82 @@ def q_rank_correlation(spark, sf_dir):
     run_b = QUERIES["bm25_topk"](spark, sf_dir)
     out = evaluate.kendall_tau(run_d, run_b)
     return out.withColumn("tau", F.round("tau", 6))
+
+
+LOG2 = evaluate.LOG2
+NDCG_K = 10
+
+
+@register("eval_ndcg", f"""
+WITH {SQL_RUN_DIRICHLET}, {SQL_QRELS},
+graded AS (SELECT qid, docno, max(rel) AS rel FROM qrels GROUP BY qid, docno),
+j AS (
+  SELECT r.qid, r.rank, coalesce(g.rel, 0) AS rel
+  FROM run r LEFT JOIN graded g USING (qid, docno)
+  WHERE r.rank <= {NDCG_K}
+),
+dcg AS (
+  SELECT qid, sum((pow(2.0, rel) - 1.0) * {LOG2!r} / ln(rank + 1.0)) AS dcg
+  FROM j GROUP BY qid
+),
+ideal AS (
+  SELECT qid, rel,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rel DESC, docno DESC) AS pos
+  FROM graded
+),
+idcg AS (
+  SELECT qid, sum((pow(2.0, rel) - 1.0) * {LOG2!r} / ln(pos + 1.0)) AS idcg
+  FROM ideal WHERE pos <= {NDCG_K} GROUP BY qid
+),
+qids AS (SELECT DISTINCT qid FROM run)
+SELECT q.qid,
+       round(coalesce(d.dcg, 0), 6) AS dcg,
+       CASE WHEN i.idcg > 0
+            THEN round(coalesce(d.dcg, 0) / i.idcg, 6) END AS ndcg
+FROM qids q LEFT JOIN dcg d USING (qid) LEFT JOIN idcg i USING (qid)
+""")
+def q_eval_ndcg(spark, sf_dir):
+    """nDCG@10 with graded qrels over the Dirichlet flagship run —
+    the graded companion to eval_map_pk (same compute-once fan-out)."""
+    run = dirichlet_topk(spark, sf_dir).localCheckpoint()
+    qrels = qrels_df(spark, sf_dir).localCheckpoint()
+    out = evaluate.ndcg(run, qrels, k=NDCG_K)
+    return out.select(
+        "qid",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("ndcg", 6).alias("ndcg"),
+    )
+
+
+RRF_C = 60
+
+
+@register("rrf_fusion_topk", f"""
+WITH {SQL_RUN_DIRICHLET}, {SQL_RUN_BM25},
+contrib AS (
+  SELECT qid, docno, 1.0 / ({RRF_C} + rank) AS contrib FROM run
+  UNION ALL
+  SELECT qid, docno, 1.0 / ({RRF_C} + rank) FROM bm25run
+),
+fused AS (
+  SELECT qid, docno, round(sum(contrib), 6) AS rrf
+  FROM contrib GROUP BY qid, docno
+)
+SELECT qid, docno, rrf, CAST(rank AS INT) AS rank FROM (
+  SELECT qid, docno, rrf,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf DESC, docno DESC) AS rank
+  FROM fused
+) WHERE rank <= {TOP_K}
+""")
+def q_rrf_fusion_topk(spark, sf_dir):
+    """Reciprocal-rank fusion of the Dirichlet and BM25 runs
+    (Cormack et al., SIGIR'09) — the rank-combination twin of
+    rank_correlation's rank-comparison."""
+    from hadoop_ir_spark.catalog import QUERIES
+
+    run_d = dirichlet_topk(spark, sf_dir).localCheckpoint()
+    run_b = QUERIES["bm25_topk"](spark, sf_dir).localCheckpoint()
+    out = evaluate.rrf_fusion([run_d, run_b], k=TOP_K, c=RRF_C)
+    return out.withColumn("rank", F.col("rank").cast("int"))

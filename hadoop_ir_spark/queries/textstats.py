@@ -391,3 +391,70 @@ def _register_bpe():
 
 
 _register_bpe()
+
+
+def _register_ols():
+    from hadoop_ir_spark.catalog import SQL_TOK, _docs as _docs_c
+    from hadoop_ir_spark.operators import regress
+
+    @register("ols_len_chars", f"""
+WITH {SQL_TOK},
+feat AS (
+  SELECT d.source, l.doc_len AS x, d.n_chars AS y
+  FROM dlen l JOIN documents d ON d.doc_id = l.docno
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM feat GROUP BY source
+),
+t AS (
+  SELECT source, n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den_x,
+         n * syy - sy * sy AS den_y
+  FROM s
+),
+o AS (
+  SELECT source, n,
+         CASE WHEN den_x <> 0
+              THEN num::DOUBLE / den_x::DOUBLE END AS slope,
+         num, den_x, den_y, sx, sy
+  FROM t
+)
+SELECT source, n,
+       round(slope, 6) AS slope,
+       round((sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE, 6) AS intercept,
+       CASE WHEN den_x <> 0 AND den_y <> 0
+            THEN round((num::DOUBLE * num::DOUBLE)
+                       / (den_x::DOUBLE * den_y::DOUBLE), 6) END AS r2
+FROM o
+""")
+    def q_ols_len_chars(spark, sf_dir):
+        """Per-source closed-form OLS of raw byte size (n_chars) on token
+        count — the exact-integer sufficient-statistics regression
+        (operators/regress.py): one map-side-combinable aggregate, no
+        float summation order anywhere."""
+        from hadoop_ir_spark.operators import stats as _stats
+
+        docs = _docs_c(spark, sf_dir)
+        dlen = _stats.doc_lengths(docs, id_col="doc_id")
+        feat = dlen.join(
+            docs.select(F.col("doc_id").alias("docno"), "source", "n_chars"),
+            "docno",
+        ).select("source", F.col("doc_len").alias("x"), F.col("n_chars").alias("y"))
+        out = regress.ols_by_group(feat, "x", "y", "source")
+        return out.select(
+            "source", "n",
+            F.round("slope", 6).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+            F.round("r2", 6).alias("r2"),
+        )
+
+    return q_ols_len_chars
+
+
+_register_ols()

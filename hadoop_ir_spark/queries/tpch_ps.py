@@ -504,3 +504,85 @@ def q_tpch_q20(spark, sf_dir):
             .join(F.broadcast(ok),
                   F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
             .select("s_suppkey", "s_name", "n_name"))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-purchase pairs over lineitem (beyond-reference: the
+# association-rule mining primitive a recommender / data-curation stack
+# runs over transaction logs).
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_JOINT = 3
+
+
+def _register_basket():
+
+    @register("copurchase_lift", f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+),
+no AS (SELECT count(DISTINCT okey)::DOUBLE AS n FROM items),
+marg AS (SELECT pkey, CAST(count(*) AS BIGINT) AS df FROM items GROUP BY pkey),
+pairs AS (
+  SELECT a.pkey AS p1, b.pkey AS p2, CAST(count(*) AS BIGINT) AS n_joint
+  FROM items a JOIN items b USING (okey)
+  WHERE a.pkey < b.pkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_JOINT}
+)
+SELECT p.p1, p.p2, p.n_joint,
+       round(p.n_joint::DOUBLE / m1.df::DOUBLE, 6) AS confidence,
+       round(p.n_joint::DOUBLE * (SELECT n FROM no)
+             / (m1.df::DOUBLE * m2.df::DOUBLE), 6) AS lift
+FROM pairs p
+JOIN marg m1 ON m1.pkey = p.p1
+JOIN marg m2 ON m2.pkey = p.p2
+""")
+    def q_copurchase_lift(spark, sf_dir):
+        """Order-level co-purchase association pairs with support /
+        confidence / lift (Agrawal-Srikant style, pruned by min support
+        BEFORE the marginals join).
+
+        Scale shape: the pair generation is an equi-join on the order
+        key, so work is Σ_orders |basket|² — quadratic only in basket
+        size (TPC-H: ≤ 7 items), never in the catalog. The marginals
+        join is on the pruned pair frame and the part-marginal side is
+        broadcast. The same anti-blowup df-cap knob as ngram_jaccard
+        would apply to pathological mega-baskets at 100 TB (drop or
+        sample baskets above a size cap)."""
+        items = (
+            _t(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("okey"),
+                    F.col("l_partkey").alias("pkey"))
+            .distinct()
+            .cache()
+        )
+        n_orders = items.select("okey").distinct().count()
+        marg = items.groupBy("pkey").agg(F.count("*").alias("df"))
+        a = items.select("okey", F.col("pkey").alias("p1"))
+        b = items.select("okey", F.col("pkey").alias("p2"))
+        pairs = (
+            a.join(b, "okey")
+            .filter(F.col("p1") < F.col("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.count("*").alias("n_joint"))
+            .filter(F.col("n_joint") >= BASKET_MIN_JOINT)
+        )
+        out = (
+            pairs
+            .join(F.broadcast(marg.select(F.col("pkey").alias("p1"),
+                                          F.col("df").alias("df1"))), "p1")
+            .join(F.broadcast(marg.select(F.col("pkey").alias("p2"),
+                                          F.col("df").alias("df2"))), "p2")
+        )
+        return out.select(
+            "p1", "p2", "n_joint",
+            F.round(F.col("n_joint") / F.col("df1"), 6).alias("confidence"),
+            F.round(F.col("n_joint") * F.lit(float(n_orders))
+                    / (F.col("df1") * F.col("df2")), 6).alias("lift"),
+        )
+
+    return q_copurchase_lift
+
+
+_register_basket()

@@ -143,3 +143,59 @@ def test_query_pair_stats(post):
     assert out[("a", "c")] == (1, 1)
     # self-pair preserved (reference emits it): d1 min(2,2)=2, d2 min(1,1)=1
     assert out[("a", "a")] == (2, 3)
+
+
+def test_ndcg_graded(run, qrels):
+    # q1 gains: d9=2^1-1, d8=0, d7=2^2-1, d6=0 -> DCG = 1/log2(2) + 3/log2(4)
+    # ideal order (rel desc): d7(2), dX(1), d9(1), d8(0)
+    out = {r["qid"]: r for r in evaluate.ndcg(run, qrels, k=10).collect()}
+    dcg = 1.0 + 3.0 / 2.0
+    idcg = 3.0 + 1.0 / math.log2(3.0) + 1.0 / 2.0
+    assert out["q1"]["dcg"] == pytest.approx(dcg)
+    assert out["q1"]["ndcg"] == pytest.approx(dcg / idcg)
+    # q2 has no relevant docs -> idcg 0 -> ndcg NULL
+    assert out["q2"]["dcg"] == pytest.approx(0.0)
+    assert out["q2"]["ndcg"] is None
+
+
+def test_ndcg_perfect_ranking(spark):
+    run = spark.createDataFrame(
+        [("q", "a", 2.0, 1), ("q", "b", 1.0, 2)],
+        "qid string, docno string, score double, rank int")
+    qrels = spark.createDataFrame(
+        [("q", "a", 2), ("q", "b", 1)], "qid string, docno string, rel int")
+    row = evaluate.ndcg(run, qrels, k=10).collect()[0]
+    assert row["ndcg"] == pytest.approx(1.0)
+
+
+def test_rrf_fusion(spark):
+    a = spark.createDataFrame([("q", "d1", 1.0, 1), ("q", "d2", 0.5, 2)],
+                              "qid string, docno string, score double, rank int")
+    b = spark.createDataFrame([("q", "d2", 9.0, 1), ("q", "d3", 8.0, 2)],
+                              "qid string, docno string, score double, rank int")
+    out = evaluate.rrf_fusion([a, b], k=10, c=60).orderBy("rank").collect()
+    # d2 in both runs (1/62 + 1/61) beats d1 (1/61) beats d3 (1/62)
+    assert [r["docno"] for r in out] == ["d2", "d1", "d3"]
+    assert out[0]["rrf"] == pytest.approx(round(1 / 62 + 1 / 61, 6))
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_llr_hand_computed(spark):
+    # N=10, df(a)=4, df(b)=3, joint=2 -> cells 2,2,1,5
+    pairs = spark.createDataFrame([("a", "b", 2)],
+                                  "w1 string, w2 string, n_joint long")
+    marg = spark.createDataFrame([("a", 4), ("b", 3)], "term string, df long")
+    row = cooccur.llr(pairs, marg, n_docs=10).collect()[0]
+    expect = 2 * (2 * math.log(20 / 12) + 2 * math.log(20 / 28)
+                  + 1 * math.log(10 / 18) + 5 * math.log(50 / 42))
+    assert row["llr"] == pytest.approx(expect)
+    assert row["n_joint"] == 2
+
+
+def test_llr_min_joint_prunes(spark):
+    pairs = spark.createDataFrame([("a", "b", 2), ("a", "c", 9)],
+                                  "w1 string, w2 string, n_joint long")
+    marg = spark.createDataFrame([("a", 10), ("b", 3), ("c", 9)],
+                                 "term string, df long")
+    out = cooccur.llr(pairs, marg, n_docs=20, min_joint=5).collect()
+    assert [r["w2"] for r in out] == ["c"]

@@ -1,0 +1,55 @@
+"""Golden tests for the closed-form OLS operator and graph BFS."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hadoop_ir_spark.operators import graph, regress
+
+
+def test_ols_exact_fit(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 3), ("g", 2, 5), ("g", 3, 7)], "grp string, x int, y int")
+    row = regress.ols_by_group(df, "x", "y", "grp").collect()[0]
+    assert row["slope"] == pytest.approx(2.0)
+    assert row["intercept"] == pytest.approx(1.0)
+    assert row["r2"] == pytest.approx(1.0)
+    assert row["n"] == 3
+
+
+def test_ols_hand_computed_and_degenerate(spark):
+    rows = [("a", 0, 0), ("a", 1, 1), ("a", 2, 1),
+            ("c", 5, 1), ("c", 5, 9)]  # group c: constant x -> degenerate
+    df = spark.createDataFrame(rows, "grp string, x int, y int")
+    out = {r["grp"]: r for r in regress.ols_by_group(df, "x", "y", "grp").collect()}
+    # n=3 Sx=3 Sy=2 Sxx=5 Sxy=3 Syy=2 -> num=3 den_x=6 den_y=2
+    assert out["a"]["slope"] == pytest.approx(0.5)
+    assert out["a"]["intercept"] == pytest.approx(1 / 6)
+    assert out["a"]["r2"] == pytest.approx(0.75)
+    assert out["c"]["slope"] is None and out["c"]["r2"] is None
+
+
+def test_pearson_sign(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 9), ("g", 2, 5), ("g", 3, 1)], "grp string, x int, y int")
+    row = regress.pearson_by_group(df, "x", "y", "grp").collect()[0]
+    assert row["r"] == pytest.approx(-1.0)
+
+
+def test_bfs_distances(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2)], "src long, dst long")
+    out = {r["id"]: r["dist"] for r in graph.bfs(edges, 0, max_depth=3).collect()}
+    assert out == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_early_stop_and_depth_cap(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    out = {r["id"]: r["dist"] for r in graph.bfs(edges, 0, max_depth=10).collect()}
+    assert out == {0: 0, 1: 1}
+    chain = spark.createDataFrame([(i, i + 1) for i in range(5)],
+                                  "src long, dst long")
+    capped = {r["id"]: r["dist"] for r in graph.bfs(chain, 0, max_depth=2).collect()}
+    assert capped == {0: 0, 1: 1, 2: 2}
