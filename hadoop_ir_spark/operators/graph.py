@@ -205,3 +205,54 @@ def bfs(edges: DataFrame, source_id, max_depth: int = 4) -> DataFrame:
         if frontier.isEmpty():
             break
     return dist
+
+
+def hits(edges: DataFrame, vertices: DataFrame | None = None,
+         num_iter: int = 3, round_digits: int = 9) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99) over an edge list
+    (src, dst); multi-edges weight double, L1 normalization per half-step.
+    Returns (id, auth, hub) after ``num_iter`` full iterations.
+
+    Superstep shape mirrors :func:`pagerank`: one equi-join + groupBy per
+    half-step (auth from hubs over in-edges, hubs from auths over
+    out-edges). The L1 norm is a 1-row aggregate collected per half-step
+    — a scalar, not data, same contract as the dangling-mass term.
+    Per-half-step ``round(score, round_digits)`` pins the trajectory
+    against float summation order so a SQL replay is byte-identical;
+    lineage is cut per iteration with localCheckpoint.
+    """
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    vertices = vertices.cache()
+    edges = edges.cache()
+    hub = vertices.select("id", F.lit(1.0).alias("s"))
+
+    def _half(scores: DataFrame, out_key: str, in_key: str) -> DataFrame:
+        raw = (
+            edges.join(scores.withColumnRenamed("id", out_key), out_key)
+            .groupBy(F.col(in_key).alias("id"))
+            .agg(F.sum("s").alias("s"))
+        )
+        full = (
+            vertices.join(raw, "id", "left")
+            .select("id", F.coalesce(F.col("s"), F.lit(0.0)).alias("s"))
+        )
+        norm = full.agg(F.sum("s")).collect()[0][0]
+        return full.select(
+            "id", F.round(F.col("s") / F.lit(float(norm)), round_digits).alias("s")
+        )
+
+    auth = None
+    for _ in range(num_iter):
+        auth = _half(hub, "src", "dst").localCheckpoint()
+        hub = _half(auth, "dst", "src").localCheckpoint()
+    return (
+        vertices
+        .join(auth.withColumnRenamed("s", "auth"), "id", "left")
+        .join(hub.withColumnRenamed("s", "hub"), "id", "left")
+        .select("id", "auth", "hub")
+    )

@@ -524,3 +524,109 @@ hll AS (
                 * 10000.0 + 0.5) / 10000.0 AS est_distinct
   FROM hg
 )"""
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation sketch (union / intersection / Jaccard between two sets)
+# ---------------------------------------------------------------------------
+
+
+def kmv_set_ops(df_a: DataFrame, df_b: DataFrame, col: str,
+                k: int = KMV_K) -> DataFrame:
+    """One-row KMV set-operation estimate between the distinct-value sets
+    A and B of ``col``: (sketch_k, n_merged, jaccard_est, est_union,
+    est_intersection).
+
+    Beyer et al. (SIGMOD'07) k-min-values: keep the k smallest distinct
+    portable hashes of each side; the merged sketch is the k smallest of
+    the union, an unbiased bottom-k sample of A ∪ B. Then
+
+        jaccard  = |{h ∈ merged : h ∈ A-sketch ∧ h ∈ B-sketch}| / |merged|
+        union    = (k−1)·2^60 / h_k           (exact when |merged| < k)
+        intersection = jaccard · union
+
+    Everything is integer hashes and bounded frames: each side is one
+    distinct + global bottom-k (TakeOrderedAndProject — partial top-k on
+    every partition, k rows to the driver-side merge, same contract as
+    kmv_distinct), the membership test is two k-row broadcast joins.
+    Deterministic for any engine that reproduces the portable hash, so
+    the SQL mirror is byte-exact, and scale cost is the two distinct
+    passes — the sketch algebra itself is O(k).
+    """
+    sk_a = (
+        df_a.select(hash64(F.col(col)).alias("h"))
+        .where(F.col("h").isNotNull()).distinct().orderBy("h").limit(k)
+    ).cache()
+    sk_b = (
+        df_b.select(hash64(F.col(col)).alias("h"))
+        .where(F.col("h").isNotNull()).distinct().orderBy("h").limit(k)
+    ).cache()
+    merged = (
+        sk_a.unionByName(sk_b).distinct().orderBy("h").limit(k)
+    )
+    flag = (
+        merged
+        .join(F.broadcast(sk_a.withColumn("in_a", F.lit(1))), "h", "left")
+        .join(F.broadcast(sk_b.withColumn("in_b", F.lit(1))), "h", "left")
+    )
+    agg = flag.agg(
+        F.count("*").alias("n_merged"),
+        F.max("h").alias("hk"),
+        F.sum(F.when(F.col("in_a").isNotNull()
+                     & F.col("in_b").isNotNull(), 1).otherwise(0)).alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_merged") < k, F.col("n_merged").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(_POW60)) / F.col("hk"))
+    jac = F.col("n_both").cast("double") / F.col("n_merged").cast("double")
+
+    def rnd(c):
+        return F.floor(c * 10000.0 + 0.5) / 10000.0
+
+    return agg.select(
+        F.lit(k).cast("long").alias("sketch_k"),
+        F.col("n_merged").cast("long").alias("n_merged"),
+        rnd(jac).alias("jaccard_est"),
+        rnd(union_est).alias("est_union"),
+        rnd(jac * union_est).alias("est_intersection"),
+    )
+
+
+def kmv_set_ops_sql(from_a: str, from_b: str, expr: str,
+                    k: int = KMV_K) -> str:
+    """DuckDB CTE chain computing exactly :func:`kmv_set_ops`; ends in
+    ``kmvset(sketch_k, n_merged, jaccard_est, est_union,
+    est_intersection)``."""
+    h = hash64_sql(expr)
+    return f"""
+ka AS (SELECT DISTINCT {h} AS h FROM {from_a}
+       WHERE {expr} IS NOT NULL ORDER BY h LIMIT {k}),
+kb AS (SELECT DISTINCT {h} AS h FROM {from_b}
+       WHERE {expr} IS NOT NULL ORDER BY h LIMIT {k}),
+km AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+       ORDER BY h LIMIT {k}),
+kf AS (
+  SELECT km.h,
+         CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL THEN 1 ELSE 0 END
+           AS both_f
+  FROM km LEFT JOIN ka ON ka.h = km.h LEFT JOIN kb ON kb.h = km.h
+),
+kagg AS (
+  SELECT count(*) AS n_merged, max(h) AS hk,
+         CAST(sum(both_f) AS BIGINT) AS n_both
+  FROM kf
+),
+kmvset AS (
+  SELECT CAST({k} AS BIGINT) AS sketch_k,
+         CAST(n_merged AS BIGINT) AS n_merged,
+         floor(n_both::DOUBLE / n_merged::DOUBLE * 10000.0 + 0.5) / 10000.0
+           AS jaccard_est,
+         floor((CASE WHEN n_merged < {k} THEN n_merged::DOUBLE
+                     ELSE {float(k - 1)!r} * {float(_POW60)!r} / hk END)
+                * 10000.0 + 0.5) / 10000.0 AS est_union,
+         floor(n_both::DOUBLE / n_merged::DOUBLE
+               * (CASE WHEN n_merged < {k} THEN n_merged::DOUBLE
+                       ELSE {float(k - 1)!r} * {float(_POW60)!r} / hk END)
+               * 10000.0 + 0.5) / 10000.0 AS est_intersection
+  FROM kagg
+)"""

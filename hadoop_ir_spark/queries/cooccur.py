@@ -157,3 +157,90 @@ def q_collocations_llr(spark, sf_dir):
     marg = dts.groupBy("term").agg(F.count("*").alias("df"))
     out = cooccur.llr(pairs, marg, n_docs, min_joint=LLR_MIN_JOINT)
     return out.withColumn("llr", F.round("llr", 6))
+
+
+SKIPGRAM_WINDOW = 3
+SKIPGRAM_MIN_PAIR = 5
+
+
+def _register_skipgram():
+    from hadoop_ir_spark.functions.text import tokens_col
+
+    @register("skipgram_pmi", f"""
+WITH toklist AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+words AS (
+  SELECT docno, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) AS ord
+  FROM toklist
+),
+pr AS (
+  SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM words a JOIN words b
+    ON a.docno = b.docno
+   AND b.ord > a.ord AND b.ord <= a.ord + {SKIPGRAM_WINDOW}
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_pair)::DOUBLE AS t FROM pr),
+m1 AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n1 FROM pr GROUP BY w1),
+m2 AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n2 FROM pr GROUP BY w2)
+SELECT p.w1, p.w2, p.n_pair,
+       round(ln(p.n_pair::DOUBLE * (SELECT t FROM tot)
+                / (m1.n1::DOUBLE * m2.n2::DOUBLE)), 6) AS pmi
+FROM pr p
+JOIN m1 ON m1.w1 = p.w1
+JOIN m2 ON m2.w2 = p.w2
+WHERE p.n_pair >= {SKIPGRAM_MIN_PAIR}
+""")
+    def q_skipgram_pmi(spark, sf_dir):
+        """Skip-gram (forward window ±0/+W) positional PMI — the
+        word2vec-context statistic next to the document-level A8/A9
+        scores. The window expansion is an offset EXPLODE + equi-join on
+        (docno, position): W× the token stream, never a per-document
+        quadratic range probe — the only shape that survives book-length
+        documents at 100 TB. Marginals are sums over the pair frame
+        itself (consistent left/right context totals), broadcast back.
+        """
+        docs = _docs(spark, sf_dir)
+        toks = docs.select(
+            F.col("doc_id").alias("docno"),
+            F.posexplode(tokens_col(F.col("text"))).alias("pos", "term"),
+        ).cache()
+        offsets = F.array(*[F.col("pos") + i
+                            for i in range(1, SKIPGRAM_WINDOW + 1)])
+        left = toks.select(
+            "docno", F.col("term").alias("w1"),
+            F.explode(offsets).alias("p2"),
+        )
+        right = toks.select(
+            "docno", F.col("pos").alias("p2"), F.col("term").alias("w2")
+        )
+        pairs = (
+            left.join(right, ["docno", "p2"])
+            .groupBy("w1", "w2")
+            .agg(F.count("*").alias("n_pair"))
+            .cache()
+        )
+        total = pairs.agg(F.sum("n_pair")).collect()[0][0]
+        m1 = pairs.groupBy("w1").agg(F.sum("n_pair").alias("n1"))
+        m2 = pairs.groupBy("w2").agg(F.sum("n_pair").alias("n2"))
+        out = (
+            pairs.filter(F.col("n_pair") >= SKIPGRAM_MIN_PAIR)
+            .join(F.broadcast(m1), "w1")
+            .join(F.broadcast(m2), "w2")
+        )
+        return out.select(
+            "w1", "w2", "n_pair",
+            F.round(F.log(F.col("n_pair").cast("double") * F.lit(float(total))
+                          / (F.col("n1").cast("double")
+                             * F.col("n2").cast("double"))), 6).alias("pmi"),
+        )
+
+    return q_skipgram_pmi
+
+
+_register_skipgram()

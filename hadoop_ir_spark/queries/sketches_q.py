@@ -148,3 +148,51 @@ FROM hll
 
 
 _register_hll_union()
+
+
+def _register_kmv_setops():
+    from hadoop_ir_spark.operators import dedup
+
+    sql_shingle_sides = """
+toklist AS (
+  SELECT doc_id AS docno, lang,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+sha AS (
+  SELECT DISTINCT docno,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)]) AS shingle
+  FROM toklist WHERE lang = 'en' AND len(toks) >= 3
+),
+shb AS (
+  SELECT DISTINCT docno,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)]) AS shingle
+  FROM toklist WHERE lang <> 'en' AND len(toks) >= 3
+)"""
+
+    @register("sketch_jaccard_kmv", f"""
+WITH {sql_shingle_sides},
+{sketches.kmv_set_ops_sql("sha", "shb", "shingle", k=sketches.KMV_K)}
+SELECT sketch_k, n_merged, jaccard_est, est_union, est_intersection
+FROM kmvset
+""")
+    def q_sketch_jaccard_kmv(spark, sf_dir):
+        """KMV set-operation sketch (Beyer SIGMOD'07) between the word-
+        3-gram shingle sets of English vs non-English documents: union /
+        intersection / Jaccard from two bottom-k sketches — the
+        mergeable-sketch answer to "how much do these corpora overlap"
+        that never materializes either set."""
+        docs = _docs(spark, sf_dir)
+        sh_a = dedup.shingles(docs.filter(F.col("lang") == "en"),
+                              k=3, id_col="doc_id")
+        sh_b = dedup.shingles(docs.filter(F.col("lang") != "en"),
+                              k=3, id_col="doc_id")
+        return sketches.kmv_set_ops(sh_a, sh_b, "shingle", k=sketches.KMV_K)
+
+    return q_sketch_jaccard_kmv
+
+
+_register_kmv_setops()

@@ -53,3 +53,37 @@ def test_bfs_early_stop_and_depth_cap(spark):
                                   "src long, dst long")
     capped = {r["id"]: r["dist"] for r in graph.bfs(chain, 0, max_depth=2).collect()}
     assert capped == {0: 0, 1: 1, 2: 2}
+
+
+def test_ols_matches_numpy(spark):
+    import numpy as np
+
+    xs = [1, 3, 4, 7, 9, 12, 15, 2, 8]
+    ys = [5, 9, 10, 18, 21, 30, 33, 6, 19]
+    df = spark.createDataFrame([("g", x, y) for x, y in zip(xs, ys)],
+                               "grp string, x int, y int")
+    row = regress.ols_by_group(df, "x", "y", "grp").collect()[0]
+    slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+    assert row["slope"] == pytest.approx(slope)
+    assert row["intercept"] == pytest.approx(intercept)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert row["r2"] == pytest.approx(r * r)
+
+
+def test_hits_star_graph(spark):
+    # star: 1,2,3 all point at 0 -> 0 is the only authority; 1,2,3 equal hubs
+    edges = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "src long, dst long")
+    out = {r["id"]: r for r in graph.hits(edges, num_iter=2).collect()}
+    assert out[0]["auth"] == pytest.approx(1.0)
+    for v in (1, 2, 3):
+        assert out[v]["auth"] == pytest.approx(0.0)
+        assert out[v]["hub"] == pytest.approx(1 / 3)
+    assert out[0]["hub"] == pytest.approx(0.0)
+
+
+def test_hits_l1_normalized(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2)], "src long, dst long")
+    rows = graph.hits(edges, num_iter=3).collect()
+    assert sum(r["auth"] for r in rows) == pytest.approx(1.0, abs=1e-6)
+    assert sum(r["hub"] for r in rows) == pytest.approx(1.0, abs=1e-6)

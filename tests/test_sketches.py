@@ -3,6 +3,8 @@ determinism, and the scale-critical plan shapes."""
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hadoop_ir_spark.operators import sketches, textstats
@@ -164,3 +166,31 @@ def test_hll_register_merge_identity(spark):
         sketches.hll_merge_registers(per_group), []).collect()[0]
     est_d = sketches.hll_distinct(df, "v").collect()[0]
     assert est_m["est_distinct"] == est_d["est_distinct"]
+
+
+def test_kmv_set_ops_exact_small(spark):
+    # fewer distinct values than k -> sketches are the full sets, all exact
+    a = spark.createDataFrame([(f"v{i}",) for i in range(10)], "x string")
+    b = spark.createDataFrame([(f"v{i}",) for i in range(5, 15)], "x string")
+    row = sketches.kmv_set_ops(a, b, "x", k=64).collect()[0]
+    assert row["est_union"] == pytest.approx(15.0)
+    assert row["jaccard_est"] == pytest.approx(5 / 15, abs=1e-4)
+    assert row["est_intersection"] == pytest.approx(5.0, abs=1e-3)
+
+
+def test_kmv_set_ops_estimates_large(spark):
+    # 2000 vs 2000 with 1000 shared -> union 3000, jaccard 1/3
+    a = spark.createDataFrame([(f"k{i}",) for i in range(2000)], "x string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(1000, 3000)], "x string")
+    row = sketches.kmv_set_ops(a, b, "x", k=256).collect()[0]
+    assert row["est_union"] == pytest.approx(3000, rel=0.15)
+    assert row["jaccard_est"] == pytest.approx(1 / 3, abs=0.1)
+    assert row["est_intersection"] == pytest.approx(1000, rel=0.3)
+
+
+def test_kmv_set_ops_disjoint(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], "x string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(500)], "x string")
+    row = sketches.kmv_set_ops(a, b, "x", k=128).collect()[0]
+    assert row["jaccard_est"] == 0.0
+    assert row["est_intersection"] == 0.0
