@@ -22,16 +22,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def out_degrees(edges: DataFrame) -> DataFrame:
-    """(src, deg): out-degree per source, counting multi-edges."""
-    return edges.groupBy("src").agg(F.count("*").alias("deg"))
+def out_degrees(edges: DataFrame, weight: str | None = None) -> DataFrame:
+    """(src, deg): out-degree per source, counting multi-edges; with
+    ``weight``, the summed outgoing edge weight instead."""
+    agg = F.sum(weight) if weight else F.count("*")
+    return edges.groupBy("src").agg(agg.alias("deg"))
 
 
 def pagerank(edges: DataFrame, vertices: DataFrame | None = None,
              num_iter: int = 5, damping: float = 0.85,
              round_digits: int | None = 9,
              checkpoint_every: int = 4,
-             dangling: str = "auto") -> DataFrame:
+             dangling: str = "auto",
+             weight: str | None = None) -> DataFrame:
     """PageRank over an edge list (src, dst) — multi-edges weight double.
 
     rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)/deg(u) + dangling/N)
@@ -41,6 +44,11 @@ def pagerank(edges: DataFrame, vertices: DataFrame | None = None,
     ``dangling="none"`` skips the two 1-row aggregates per iteration for
     graphs known to give every vertex an out-edge. ``vertices`` defaults
     to the distinct endpoints of ``edges``. Returns (id, rank).
+
+    With ``weight`` (an edge-weight column name), contributions are
+    rank(u)·w(u,v)/wdeg(u) with wdeg = summed outgoing weight — the
+    weighted-PageRank recurrence TextRank [Mihalcea & Tarau, EMNLP'04]
+    runs over word co-occurrence graphs.
     """
     if vertices is None:
         vertices = (
@@ -50,7 +58,7 @@ def pagerank(edges: DataFrame, vertices: DataFrame | None = None,
         )
     vertices = vertices.cache()
     n = vertices.count()
-    deg = out_degrees(edges).cache()
+    deg = out_degrees(edges, weight).cache()
 
     def rnd(c):
         return F.round(c, round_digits) if round_digits is not None else c
@@ -59,11 +67,12 @@ def pagerank(edges: DataFrame, vertices: DataFrame | None = None,
     base = (1.0 - damping) / n
 
     for i in range(num_iter):
+        share = (F.col("rank") * F.col(weight) / F.col("deg")
+                 if weight else F.col("rank") / F.col("deg"))
         contrib = (
             edges.join(ranks, edges["src"] == ranks["id"])
             .join(deg, "src")
-            .select(F.col("dst").alias("id"),
-                    (F.col("rank") / F.col("deg")).alias("c"))
+            .select(F.col("dst").alias("id"), share.alias("c"))
             .groupBy("id").agg(F.sum("c").alias("m"))
         )
         if dangling == "none":

@@ -1,0 +1,96 @@
+"""Positional-proximity operators: positional token streams, exact
+ordered-bigram (phrase) counts, unordered-window pair counts, and the
+building blocks of Metzler-Croft sequential-dependence (SDM) scoring
+[Metzler & Croft, SIGIR'05].
+
+Beyond-reference capability: the reference scores bag-of-words only — its
+mappers collapse each document to HashMap<term,tf> at tokenization time
+(TrecRun.java:123-136, ClueWebRunQueries.java:196-214), discarding
+positions — so phrase / proximity evidence is unreachable there. Here the
+positional stream is a first-class frame and every proximity count is an
+offset EQUI-join on (docno, pos), never a per-document quadratic range
+probe.
+
+Scale notes (100 TB):
+
+- ``positional_tokens`` filters to the query vocabulary BEFORE any join
+  (the same projection-pushdown trick as ``stats.postings_for_terms``), so
+  all pair joins carry only query-term rows — a few hundred positions per
+  document at most, independent of document length.
+- Window expansion replicates the left side ``window - 1`` times and
+  equi-joins on (docno, pos) — the skip-gram shape — so the cost is
+  W x |query-term positions|, not sum(doclen^2). That is the only shape
+  that survives book-length documents.
+- Pair-count frames are grouped on (docno, t1, t2), which partial
+  aggregation collapses map-side; collection frequencies are a second
+  tiny aggregate over the per-doc counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.functions.text import tokens_col
+
+
+def positional_tokens(docs: DataFrame, terms: list[str] | None = None,
+                      id_col: str = "docno",
+                      text_col: str = "text") -> DataFrame:
+    """``(docno, pos, term)`` positional stream; ``pos`` is the 0-based
+    ordinal in the FULL token stream (the vocabulary filter is applied
+    after posexplode, so adjacency means true adjacency in the original
+    text, with non-query terms still occupying their positions)."""
+    out = docs.select(
+        F.col(id_col).alias("docno"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "term"),
+    )
+    if terms is not None:
+        out = out.filter(F.col("term").isin(terms))
+    return out
+
+
+def ordered_pair_counts(ptoks: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact-adjacency (ordered bigram, Indri ``#1``) counts per document:
+    ``(docno, t1, t2, otf)`` where otf = #positions p with t1 at p and t2
+    at p+1. ``pairs`` is a tiny (t1, t2) frame (query bigrams) and is
+    broadcast; the position match is an equi-join on (docno, pos + 1)."""
+    left = ptoks.select(
+        "docno", F.col("term").alias("t1"), (F.col("pos") + 1).alias("p2")
+    )
+    right = ptoks.select(
+        "docno", F.col("pos").alias("p2"), F.col("term").alias("t2")
+    )
+    return (
+        left.join(right, ["docno", "p2"])
+        .join(F.broadcast(pairs), ["t1", "t2"])
+        .groupBy("docno", "t1", "t2")
+        .agg(F.count("*").alias("otf"))
+    )
+
+
+def unordered_pair_counts(ptoks: DataFrame, upairs: DataFrame,
+                          window: int = 8) -> DataFrame:
+    """Unordered-window (Indri ``#uwN``) counts per document:
+    ``(docno, u1, u2, utf)`` where utf = #position pairs (p1 < p2,
+    p2 - p1 <= window - 1) whose terms are {u1, u2} in either order.
+    ``upairs`` holds normalized pairs (u1 < u2 lexicographically); each
+    co-occurrence is counted once. Window expansion is the skip-gram
+    offset-explode — W-1 replicas equi-joined on (docno, pos)."""
+    offsets = F.array(*[F.col("pos") + d for d in range(1, window)])
+    left = ptoks.select(
+        "docno", F.col("term").alias("w1"), F.explode(offsets).alias("p2")
+    )
+    right = ptoks.select(
+        "docno", F.col("pos").alias("p2"), F.col("term").alias("w2")
+    )
+    matched = left.join(right, ["docno", "p2"]).select(
+        "docno",
+        F.least("w1", "w2").alias("u1"),
+        F.greatest("w1", "w2").alias("u2"),
+    )
+    return (
+        matched.join(F.broadcast(upairs), ["u1", "u2"])
+        .groupBy("docno", "u1", "u2")
+        .agg(F.count("*").alias("utf"))
+    )

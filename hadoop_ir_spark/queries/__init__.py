@@ -29,6 +29,7 @@ _MODULES = [
     "tpch_ps",
     "sketches_q",
     "llmdata",
+    "proximity_q",
 ]
 
 

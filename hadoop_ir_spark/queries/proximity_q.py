@@ -1,0 +1,283 @@
+"""Catalog entries for positional-proximity retrieval: exact bigram-phrase
+search and Metzler-Croft sequential-dependence (SDM) ranking.
+
+Beyond-reference: the reference's mappers drop term positions at
+tokenization (TrecRun.java:123-136), so neither query is expressible
+there; both are standard IR capabilities a reference user would expect
+next to the LM/BM25 library.
+
+Query semantics (mirrored exactly in the DuckDB oracles):
+
+- ``phrase_search_topk``: each topic contributes its consecutive term
+  pairs as exact-adjacency phrases; a document's phrase_tf is the total
+  number of matched phrase occurrences; only matching docs are ranked
+  (phrase_tf desc, docno desc), depth TOP_K.
+- ``sdm_topk``: score = 0.85 * f_T + 0.10 * f_O + 0.05 * f_U
+  [Metzler & Croft SIGIR'05 defaults], where each feature class is a sum
+  of Dirichlet-smoothed log probabilities (mu = 2500, same as M3/M5):
+  f_T over query unigrams, f_O over exact-adjacency bigrams (#1),
+  f_U over unordered window-8 pairs (#uw8). Candidate set = docs
+  matching >= 1 query unigram (scan-scoring convention, T9 guard via
+  doc_lengths). Bigram/pair features whose collection frequency is zero
+  are dropped on both sides (Indri's OOV convention), keeping every
+  log() argument positive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import TOP_K, TOPICS, _docs, register
+from hadoop_ir_spark.operators import proximity, rank, stats
+
+SDM_MU = 2500.0                      # Dirichlet mu, same as M3/M5 (DIR_MU)
+SDM_WT, SDM_WO, SDM_WU = 0.85, 0.10, 0.05   # Metzler-Croft defaults
+SDM_UW = 8                           # unordered window width (#uw8)
+
+_QTERMS = sorted({t for _, q in TOPICS for t in q.split()})
+
+# consecutive term pairs per topic: the ordered "phrases" of each query
+_BIGRAMS: list[tuple[str, str, str]] = [
+    (qid, ts[i], ts[i + 1])
+    for qid, q in TOPICS
+    for ts in [q.split()]
+    for i in range(len(ts) - 1)
+]
+_PAIRS = sorted({(t1, t2) for _, t1, t2 in _BIGRAMS})
+_UPAIRS = sorted({(min(t1, t2), max(t1, t2)) for _, t1, t2 in _BIGRAMS})
+
+# ---------------------------------------------------------------------------
+# shared oracle prelude: positional words (query vocab), doc lengths,
+# per-doc ordered / unordered pair counts
+# ---------------------------------------------------------------------------
+
+_QTERMS_IN = ", ".join(f"'{t}'" for t in _QTERMS)
+_BIGRAMS_VALUES = ", ".join(f"('{q}', '{a}', '{b}')" for q, a, b in _BIGRAMS)
+_PAIRS_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in _PAIRS)
+_UPAIRS_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in _UPAIRS)
+
+SQL_PROX = f"""
+toklist AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+dlen AS (
+  SELECT docno, len(toks) AS doc_len FROM toklist WHERE len(toks) > 0
+),
+words AS (
+  SELECT docno, term, ord FROM (
+    SELECT docno, unnest(toks) AS term,
+           unnest(range(1, len(toks) + 1)) AS ord
+    FROM toklist
+  ) WHERE term IN ({_QTERMS_IN})
+),
+qpost AS (
+  SELECT docno, term, count(*) AS tf FROM words GROUP BY docno, term
+),
+bigrams AS (SELECT * FROM (VALUES {_BIGRAMS_VALUES}) AS b(qid, t1, t2)),
+dpairs AS (SELECT * FROM (VALUES {_PAIRS_VALUES}) AS p(t1, t2)),
+upairs AS (SELECT * FROM (VALUES {_UPAIRS_VALUES}) AS u(u1, u2)),
+ordered AS (
+  SELECT a.docno, a.term AS t1, b.term AS t2, count(*) AS otf
+  FROM words a
+  JOIN words b ON a.docno = b.docno AND b.ord = a.ord + 1
+  JOIN dpairs p ON p.t1 = a.term AND p.t2 = b.term
+  GROUP BY 1, 2, 3
+),
+unord AS (
+  SELECT a.docno, least(a.term, b.term) AS u1,
+         greatest(a.term, b.term) AS u2, count(*) AS utf
+  FROM words a
+  JOIN words b ON a.docno = b.docno
+              AND b.ord > a.ord AND b.ord <= a.ord + {SDM_UW - 1}
+  JOIN upairs u ON u.u1 = least(a.term, b.term)
+               AND u.u2 = greatest(a.term, b.term)
+  GROUP BY 1, 2, 3
+)
+"""
+
+
+def _spark_prox(spark, sf_dir):
+    """Shared Spark-side inputs mirroring SQL_PROX."""
+    docs = _docs(spark, sf_dir)
+    dlen = stats.doc_lengths(docs, id_col="doc_id")
+    ptoks = proximity.positional_tokens(docs, _QTERMS, id_col="doc_id")
+    ptoks = ptoks.cache()   # reused by unigram tf + two pair joins
+    qpost = ptoks.groupBy("docno", "term").agg(F.count("*").alias("tf"))
+    pairs = spark.createDataFrame(_PAIRS, "t1 string, t2 string")
+    upairs = spark.createDataFrame(_UPAIRS, "u1 string, u2 string")
+    ordered = proximity.ordered_pair_counts(ptoks, pairs)
+    unord = proximity.unordered_pair_counts(ptoks, upairs, window=SDM_UW)
+    bigrams = spark.createDataFrame(_BIGRAMS, "qid string, t1 string, t2 string")
+    return docs, dlen, qpost, ordered, unord, bigrams
+
+
+# ---------------------------------------------------------------------------
+# phrase_search_topk — exact bigram-phrase retrieval
+# ---------------------------------------------------------------------------
+
+@register("phrase_search_topk", f"""
+WITH {SQL_PROX},
+scored AS (
+  SELECT g.qid, o.docno, CAST(sum(o.otf) AS BIGINT) AS phrase_tf
+  FROM bigrams g
+  JOIN ordered o ON o.t1 = g.t1 AND o.t2 = g.t2
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docno, phrase_tf,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY phrase_tf DESC, docno DESC) AS rank
+  FROM scored
+)
+SELECT qid, docno, phrase_tf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def q_phrase_search(spark, sf_dir):
+    """Exact-adjacency phrase retrieval: per-query total phrase tf over the
+    topic's consecutive bigrams; only matching docs ranked. The pair join
+    runs once over the query-vocab positional stream; the bigram->qid
+    fan-out is a broadcast join of a <10-row frame."""
+    _, _, _, ordered, _, bigrams = _spark_prox(spark, sf_dir)
+    scored = (
+        ordered.join(F.broadcast(bigrams), ["t1", "t2"])
+        .groupBy("qid", "docno")
+        .agg(F.sum("otf").alias("phrase_tf"))
+    )
+    out = rank.topk(scored, k=TOP_K, score_col="phrase_tf")
+    return out.select("qid", "docno", "phrase_tf",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# sdm_topk — sequential dependence model ranking
+# ---------------------------------------------------------------------------
+
+@register("sdm_topk", f"""
+WITH {SQL_PROX},
+coll AS (SELECT sum(doc_len)::DOUBLE AS c FROM dlen),
+topics AS (SELECT DISTINCT qid, t1 AS term FROM bigrams
+           UNION SELECT DISTINCT qid, t2 FROM bigrams),
+tstats AS (SELECT term, sum(tf)::DOUBLE AS cf FROM qpost GROUP BY term),
+cfo AS (SELECT t1, t2, sum(otf)::DOUBLE AS cf FROM ordered GROUP BY t1, t2),
+cfu AS (SELECT u1, u2, sum(utf)::DOUBLE AS cf FROM unord GROUP BY u1, u2),
+cand AS (
+  SELECT DISTINCT t.qid, p.docno
+  FROM qpost p JOIN topics t USING (term)
+),
+st AS (
+  SELECT c.qid, c.docno,
+         sum(ln((coalesce(p.tf, 0) + {SDM_MU} * s.cf / (SELECT c FROM coll))
+                / (d.doc_len + {SDM_MU}))) AS f_t
+  FROM cand c
+  JOIN topics t ON t.qid = c.qid
+  JOIN tstats s ON s.term = t.term
+  JOIN dlen d ON d.docno = c.docno
+  LEFT JOIN qpost p ON p.docno = c.docno AND p.term = t.term
+  GROUP BY 1, 2
+),
+so AS (
+  SELECT c.qid, c.docno,
+         sum(ln((coalesce(o.otf, 0) + {SDM_MU} * f.cf / (SELECT c FROM coll))
+                / (d.doc_len + {SDM_MU}))) AS f_o
+  FROM cand c
+  JOIN bigrams g ON g.qid = c.qid
+  JOIN cfo f ON f.t1 = g.t1 AND f.t2 = g.t2
+  JOIN dlen d ON d.docno = c.docno
+  LEFT JOIN ordered o ON o.docno = c.docno AND o.t1 = g.t1 AND o.t2 = g.t2
+  GROUP BY 1, 2
+),
+su AS (
+  SELECT c.qid, c.docno,
+         sum(ln((coalesce(u.utf, 0) + {SDM_MU} * f.cf / (SELECT c FROM coll))
+                / (d.doc_len + {SDM_MU}))) AS f_u
+  FROM cand c
+  JOIN (SELECT DISTINCT qid, least(t1, t2) AS u1, greatest(t1, t2) AS u2
+        FROM bigrams) g ON g.qid = c.qid
+  JOIN cfu f ON f.u1 = g.u1 AND f.u2 = g.u2
+  JOIN dlen d ON d.docno = c.docno
+  LEFT JOIN unord u ON u.docno = c.docno AND u.u1 = g.u1 AND u.u2 = g.u2
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT st.qid, st.docno,
+         round({SDM_WT} * st.f_t + {SDM_WO} * coalesce(so.f_o, 0)
+               + {SDM_WU} * coalesce(su.f_u, 0), 6) AS score
+  FROM st
+  LEFT JOIN so ON so.qid = st.qid AND so.docno = st.docno
+  LEFT JOIN su ON su.qid = st.qid AND su.docno = st.docno
+),
+ranked AS (
+  SELECT qid, docno, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, docno DESC) AS rank
+  FROM scored
+)
+SELECT qid, docno, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def q_sdm(spark, sf_dir):
+    """SDM ranking. All three feature frames are bounded by
+    |candidates| x |per-query features <= 4|; the per-feature frames
+    (topics, bigrams, collection frequencies) are broadcast, so the only
+    shuffles are the candidate-side left joins on (docno, feature) and
+    the final top-k window — each restricted to query-vocabulary rows."""
+    _, dlen, qpost, ordered, unord, bigrams = _spark_prox(spark, sf_dir)
+    coll_len = dlen.agg(F.sum("doc_len")).collect()[0][0]
+    c = float(coll_len)
+
+    topics = (
+        bigrams.select("qid", F.col("t1").alias("term"))
+        .union(bigrams.select("qid", F.col("t2").alias("term")))
+        .distinct()
+    )
+    tstats = qpost.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+    cfo = ordered.groupBy("t1", "t2").agg(
+        F.sum("otf").cast("double").alias("cf"))
+    cfu = unord.groupBy("u1", "u2").agg(
+        F.sum("utf").cast("double").alias("cf"))
+    ubigrams = bigrams.select(
+        "qid", F.least("t1", "t2").alias("u1"),
+        F.greatest("t1", "t2").alias("u2")).distinct()
+
+    cand = qpost.join(F.broadcast(topics), "term").select("qid", "docno").distinct()
+    cand = cand.join(dlen, "docno").localCheckpoint()
+
+    def dirichlet(tf_col, cf_col):
+        return F.log((F.coalesce(tf_col, F.lit(0)) + SDM_MU * cf_col / c)
+                     / (F.col("doc_len") + SDM_MU))
+
+    st = (
+        cand.join(F.broadcast(topics.join(tstats, "term")), "qid")
+        .join(qpost.withColumnRenamed("tf", "utf_"),
+              ["docno", "term"], "left")
+        .groupBy("qid", "docno")
+        .agg(F.sum(dirichlet(F.col("utf_"), F.col("cf"))).alias("f_t"))
+    )
+    so = (
+        cand.join(F.broadcast(bigrams.join(cfo, ["t1", "t2"])), "qid")
+        .join(ordered, ["docno", "t1", "t2"], "left")
+        .groupBy("qid", "docno")
+        .agg(F.sum(dirichlet(F.col("otf"), F.col("cf"))).alias("f_o"))
+    )
+    su = (
+        cand.join(F.broadcast(ubigrams.join(cfu, ["u1", "u2"])), "qid")
+        .join(unord, ["docno", "u1", "u2"], "left")
+        .groupBy("qid", "docno")
+        .agg(F.sum(dirichlet(F.col("utf"), F.col("cf"))).alias("f_u"))
+    )
+    scored = (
+        st.join(so, ["qid", "docno"], "left")
+        .join(su, ["qid", "docno"], "left")
+        .select(
+            "qid", "docno",
+            F.round(SDM_WT * F.col("f_t")
+                    + SDM_WO * F.coalesce("f_o", F.lit(0.0))
+                    + SDM_WU * F.coalesce("f_u", F.lit(0.0)), 6).alias("score"),
+        )
+    )
+    out = rank.topk(scored, k=TOP_K)
+    return out.select("qid", "docno", "score",
+                      F.col("rank").cast("int").alias("rank"))

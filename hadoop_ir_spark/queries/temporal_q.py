@@ -316,3 +316,99 @@ def q_props_json_stats(spark, sf_dir):
             F.max("k").cast("int").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event_cube — multi-dimensional GROUPING SETS rollup
+# ---------------------------------------------------------------------------
+
+@register("event_cube", f"""
+WITH {SQL_EV_US},
+base AS (
+  SELECT event_type, CAST((ts_us // {US_HOUR}) % 24 AS INT) AS hod, value
+  FROM ev
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(hod, -1) AS hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM base
+GROUP BY GROUPING SETS ((event_type, hod), (event_type), (hod), ())
+""")
+def q_event_cube(spark, sf_dir):
+    """CUBE over (event_type, hour-of-day): one pass emitting all four
+    grouping sets (full, each rollup, grand total), with 'ALL' / -1
+    sentinels for the rolled-up dimensions. Hour-of-day is derived from
+    epoch micros — timezone-free on both engines. At scale this is ONE
+    shuffle: Spark's Expand operator replicates each row once per
+    grouping set ahead of a single hash aggregate (with partial
+    map-side aggregation), vs four separate scans."""
+    e = _events_us(spark, sf_dir)
+    base = e.select(
+        "event_type",
+        ((F.col("ts_us") / US_HOUR).cast("long") % 24).cast("int").alias("hod"),
+        "value",
+    )
+    return (
+        base.cube("event_type", "hod")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("hod", F.lit(-1)).alias("hod"),
+            "n_events", "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ewma_user_value — truncated exponentially-weighted moving average
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3   # smoothing factor
+EWMA_LAGS = 8      # FIR truncation depth (weights below (1-a)^8 ~ 0.058 cut)
+
+_EWMA_W = [(1 - EWMA_ALPHA) ** j for j in range(EWMA_LAGS + 1)]
+
+_EWMA_NUM_SQL = " + ".join(
+    f"coalesce(lag(value, {j}) OVER w, 0) * {w!r}"
+    for j, w in enumerate(_EWMA_W)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"(CASE WHEN lag(value, {j}) OVER w IS NULL THEN 0 ELSE {w!r} END)"
+    for j, w in enumerate(_EWMA_W)
+)
+
+
+@register("ewma_user_value", f"""
+WITH {SQL_EV_US}
+SELECT event_id, user_id,
+       round(({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}), 6) AS ewma
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY event_id
+""")
+def q_ewma_user_value(spark, sf_dir):
+    """Per-user EWMA of event values, truncated to a fixed-depth FIR
+    filter (8 lags — exact mirror on both engines, numerically stable
+    at unbounded history, unlike the closed-form recursive EWMA whose
+    (1-a)^-n reweighting overflows). One window per user ordered by
+    (ts_us, event_id); at scale this is a single hash-partition shuffle
+    on user_id followed by a per-partition sort — no iteration, no
+    state store. Normalization divides by the weight mass actually
+    present so the first events of a user are unbiased."""
+    from pyspark.sql import Window
+
+    e = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    num = None
+    den = None
+    for j, wt in enumerate(_EWMA_W):
+        v = F.lag("value", j).over(w) if j else F.col("value")
+        t_num = F.coalesce(v, F.lit(0.0)) * F.lit(wt)
+        t_den = F.when(v.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return e.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    ).orderBy("event_id")

@@ -1,0 +1,148 @@
+"""Unit tests for positional-proximity operators (phrase / SDM building
+blocks) and the window-analytics additions (cube, EWMA, TextRank)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "docno long, text string")
+
+
+def test_positional_tokens_keep_original_positions(spark):
+    from hadoop_ir_spark.operators.proximity import positional_tokens
+
+    df = _docs_df(spark, [(1, "alpha beta GAMMA beta")])
+    got = {(r.pos, r.term)
+           for r in positional_tokens(df, ["beta"]).collect()}
+    # beta sits at original ordinals 1 and 3 — the vocabulary filter must
+    # not renumber positions (otherwise adjacency would be fabricated)
+    assert got == {(1, "beta"), (3, "beta")}
+
+
+def test_ordered_pair_counts_exact_adjacency(spark):
+    from hadoop_ir_spark.operators.proximity import (ordered_pair_counts,
+                                                     positional_tokens)
+
+    df = _docs_df(spark, [
+        (1, "a b x a b"),          # (a,b) adjacent twice
+        (2, "a x b"),              # gap — not adjacent
+        (3, "b a"),                # wrong order for (a,b)
+    ])
+    ptoks = positional_tokens(df, ["a", "b"])
+    pairs = spark.createDataFrame([("a", "b")], "t1 string, t2 string")
+    got = {(r.docno, r.otf)
+           for r in ordered_pair_counts(ptoks, pairs).collect()}
+    assert got == {(1, 2)}
+
+
+def test_ordered_adjacency_respects_intervening_nonquery_terms(spark):
+    from hadoop_ir_spark.operators.proximity import (ordered_pair_counts,
+                                                     positional_tokens)
+
+    # "a filler b": after filtering to {a, b} the tokens LOOK adjacent,
+    # but original positions are 0 and 2 — no phrase match
+    df = _docs_df(spark, [(1, "a filler b")])
+    ptoks = positional_tokens(df, ["a", "b"])
+    pairs = spark.createDataFrame([("a", "b")], "t1 string, t2 string")
+    assert ordered_pair_counts(ptoks, pairs).count() == 0
+
+
+def test_unordered_pair_counts_window(spark):
+    from hadoop_ir_spark.operators.proximity import (positional_tokens,
+                                                     unordered_pair_counts)
+
+    # positions:  a=0, b=2 (gap 2, in window 8); b=9 is 9 away from a -> out
+    df = _docs_df(spark, [(1, "a x b x x x x x x b")])
+    ptoks = positional_tokens(df, ["a", "b"])
+    upairs = spark.createDataFrame([("a", "b")], "u1 string, u2 string")
+    got = unordered_pair_counts(ptoks, upairs, window=8).collect()
+    assert [(r.docno, r.utf) for r in got] == [(1, 1)]
+    # both orders count: "b ... a" within the window also matches {a,b}
+    df2 = _docs_df(spark, [(1, "b x a")])
+    ptoks2 = positional_tokens(df2, ["a", "b"])
+    got2 = unordered_pair_counts(ptoks2, upairs, window=8).collect()
+    assert [(r.docno, r.utf) for r in got2] == [(1, 1)]
+
+
+def test_weighted_pagerank_prefers_heavy_edge(spark):
+    from hadoop_ir_spark.operators import graph
+
+    # star: hub h points to a (weight 9) and b (weight 1) — a must end up
+    # with the larger rank; unweighted treats them equally
+    edges = spark.createDataFrame(
+        [("h", "a", 9.0), ("h", "b", 1.0), ("a", "h", 1.0), ("b", "h", 1.0)],
+        "src string, dst string, w double",
+    )
+    ranks = {r.id: r.rank
+             for r in graph.pagerank(edges, num_iter=8, dangling="none",
+                                     weight="w").collect()}
+    assert ranks["a"] > ranks["b"]
+    unw = {r.id: r.rank
+           for r in graph.pagerank(edges, num_iter=8,
+                                   dangling="none").collect()}
+    assert abs(unw["a"] - unw["b"]) < 1e-9
+
+
+def test_ewma_matches_hand_rolled(spark, sf_dir):
+    from hadoop_ir_spark.catalog import QUERIES
+
+    out = QUERIES["ewma_user_value"](spark, sf_dir)
+    pdf = out.limit(0).toPandas()  # schema only
+    assert list(pdf.columns) == ["event_id", "user_id", "ewma"]
+
+    # hand-check one user against the definition
+    import os
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from hadoop_ir_spark.functions import timeutil
+    e = ev.select("event_id", "user_id",
+                  timeutil.epoch_us(ev, "ts").alias("ts_us"), "value")
+    uid = e.limit(1).collect()[0].user_id
+    rows = sorted(e.filter(F.col("user_id") == uid).collect(),
+                  key=lambda r: (r.ts_us, r.event_id))
+    a, K = 0.3, 8
+    vals = [r.value for r in rows]
+    expect = {}
+    for n, r in enumerate(rows):
+        num = den = 0.0
+        for j in range(0, min(n, K) + 1):
+            wjt = (1 - a) ** j
+            num += vals[n - j] * wjt
+            den += wjt
+        expect[r.event_id] = round(num / den, 6)
+    got = {r.event_id: r.ewma
+           for r in QUERIES["ewma_user_value"](spark, sf_dir)
+           .filter(F.col("user_id") == uid).collect()}
+    assert got.keys() == expect.keys()
+    for k in got:
+        assert math.isclose(got[k], expect[k], abs_tol=2e-6), (k, got[k], expect[k])
+
+
+def test_event_cube_grand_total(spark, sf_dir):
+    import os
+
+    from hadoop_ir_spark.catalog import QUERIES
+
+    out = QUERIES["event_cube"](spark, sf_dir).collect()
+    n_total = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).count()
+    grand = [r for r in out if r.event_type == "ALL" and r.hod == -1]
+    assert len(grand) == 1 and grand[0].n_events == n_total
+    # per-type rollup sums to the grand total
+    per_type = [r for r in out if r.event_type != "ALL" and r.hod == -1]
+    assert sum(r.n_events for r in per_type) == n_total
+
+
+def test_textrank_ranks_frequent_adjacencies(spark, sf_dir):
+    from hadoop_ir_spark.catalog import QUERIES
+    from hadoop_ir_spark.queries.graph_q import TR_TOP
+
+    out = QUERIES["textrank_keywords"](spark, sf_dir).collect()
+    assert 0 < len(out) <= TR_TOP
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
