@@ -273,6 +273,11 @@ ranked AS (
 SELECT qid, docno, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {TOP_K}
 """)
 def q_bm25_topk(spark, sf_dir):
+    return bm25_topk(spark, sf_dir, k=TOP_K)
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """M4 BM25 run at a chosen depth (shared with run-comparison queries)."""
     docs = _docs(spark, sf_dir)
     dlen = stats.doc_lengths(docs, id_col="doc_id").cache()
     topics = _topics_df(spark).withColumn("qtf", F.lit(1))
@@ -289,7 +294,7 @@ def q_bm25_topk(spark, sf_dir):
     scored = scoring.score_bm25(matched, n_docs, avg_len, BM25_K1, BM25_B)
     scored = scored.withColumn("score", F.round("score", 6))
     return (
-        rank.topk(scored, k=TOP_K)
+        rank.topk(scored, k=k)
         .select("qid", "docno", "score", F.col("rank").cast("int").alias("rank"))
     )
 
@@ -300,6 +305,11 @@ def q_bm25_topk(spark, sf_dir):
 
 # The full Dirichlet run as a CTE chain ending in `run(qid, docno, score, rank)`
 # — the SQL twin of dirichlet_topk(), reused by the eval/feedback oracles.
+def sql_run_dirichlet(k: int = TOP_K) -> str:
+    """The Dirichlet-run CTE chain at a chosen depth (rank <= k)."""
+    return SQL_RUN_DIRICHLET.replace(f"rank <= {TOP_K}\n", f"rank <= {k}\n")
+
+
 SQL_RUN_DIRICHLET = f"""
 {SQL_TOK},
 coll AS (SELECT sum(tf) AS coll_len FROM post),

@@ -18,6 +18,7 @@ from hadoop_ir_spark.catalog import (
     dirichlet_topk,
     qrels_df,
     register,
+    sql_run_dirichlet,
 )
 from hadoop_ir_spark.operators import evaluate
 
@@ -169,11 +170,42 @@ bm25run AS (
 )"""
 
 
+
+# Run-comparison setup. Dirichlet vs BM25 top-k produced ZERO overlap for
+# three rounds (the synthetic corpus has df ~ N for every query term, so
+# BM25's ln((N-df+.5)/(df+.5)) idf goes NEGATIVE and ranks low-tf docs
+# first — genuinely anti-correlated with the LM runs at any depth). The
+# comparison that is non-degenerate at every SF is Dirichlet vs JM: both
+# all-docs GSLIS runs, positively correlated, so top-KT_DEPTH overlaps.
+KT_DEPTH = 100
+_GSLIS_LAMBDA = 0.5   # = scoring_models.GSLIS_LAMBDA (M6)
+
+
+def _sql_run_jm(k: int = TOP_K) -> str:
+    """JM-GSLIS run chain at depth k, REUSING the `frame` CTE that
+    sql_run_dirichlet() already defines (same q x d cross frame, same
+    cp floor) — must appear after it in the same WITH block."""
+    return f"""j_scored AS (
+  SELECT qid, docno,
+         round(sum(qweight * ln((1 - {_GSLIS_LAMBDA}) * tf / doc_len
+                                + {_GSLIS_LAMBDA} * cp)), 6) AS score
+  FROM frame GROUP BY qid, docno
+),
+jmrun AS (
+  SELECT qid, docno, rank FROM (
+    SELECT qid, docno,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, docno DESC) AS rank
+    FROM j_scored
+  ) WHERE rank <= {k}
+)"""
+
+
 @register("rank_correlation", f"""
-WITH {SQL_RUN_DIRICHLET}, {SQL_RUN_BM25},
+WITH {sql_run_dirichlet(KT_DEPTH)}, {_sql_run_jm(KT_DEPTH)},
 common AS (
   SELECT d.qid, d.docno, d.rank AS ra, b.rank AS rb
-  FROM run d JOIN bm25run b USING (qid, docno)
+  FROM run d JOIN jmrun b USING (qid, docno)
 ),
 pairs AS (
   SELECT l.qid,
@@ -191,14 +223,16 @@ SELECT qid,
 FROM pairs GROUP BY qid
 """)
 def q_rank_correlation(spark, sf_dir):
-    """Kendall tau between the Dirichlet and BM25 top-k rankings per
-    query — the run-comparison utility next to the absolute metrics
-    (E1-E6). Quadratic only in the per-query overlap (<= 45 pairs)."""
-    from hadoop_ir_spark.catalog import QUERIES
+    """Kendall tau between the Dirichlet and JM top-KT_DEPTH rankings
+    per query — the run-comparison utility next to the absolute metrics
+    (E1-E6; the smoothing-method comparison TrecRunBaselines sweeps).
+    Quadratic only in the per-query overlap (<= C(100,2) pairs per
+    query, nothing driver-side)."""
+    from hadoop_ir_spark.queries.scoring_models import jm_gslis_topk
 
-    run_d = dirichlet_topk(spark, sf_dir)
-    run_b = QUERIES["bm25_topk"](spark, sf_dir)
-    out = evaluate.kendall_tau(run_d, run_b)
+    run_d = dirichlet_topk(spark, sf_dir, k=KT_DEPTH)
+    run_j = jm_gslis_topk(spark, sf_dir, k=KT_DEPTH)
+    out = evaluate.kendall_tau(run_d, run_j)
     return out.withColumn("tau", F.round("tau", 6))
 
 

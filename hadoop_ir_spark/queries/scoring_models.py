@@ -70,9 +70,9 @@ def _prep(spark, sf_dir, with_weights: bool = False):
     return docs, dlen, post, tstats, topics, coll_len
 
 
-def _finish(scored):
+def _finish(scored, k: int = TOP_K):
     scored = scored.withColumn("score", F.round("score", 6))
-    return rank.topk(scored, k=TOP_K).select(
+    return rank.topk(scored, k=k).select(
         "qid", "docno", "score", F.col("rank").cast("int").alias("rank")
     )
 
@@ -260,6 +260,11 @@ scored AS (
 {SQL_RANK}
 """)
 def q_jm_gslis(spark, sf_dir):
+    return jm_gslis_topk(spark, sf_dir)
+
+
+def jm_gslis_topk(spark, sf_dir, k: int = TOP_K):
+    """M6 JM-GSLIS run at a chosen depth (shared with run-comparison)."""
     _, dlen, post, tstats, topics, coll_len = _prep(spark, sf_dir, with_weights=True)
     qstats = topics.join(
         tstats.select("term", "cf"), "term", "left"
@@ -267,7 +272,7 @@ def q_jm_gslis(spark, sf_dir):
     matched = scoring.matched_terms(post, qstats, doc_len=dlen)
     scored = scoring.score_gslis(matched, qstats, dlen, coll_len,
                                  model="jm", lambda_=GSLIS_LAMBDA)
-    return _finish(scored)
+    return _finish(scored, k=k)
 
 
 # --------------------------------------------------------------------------
