@@ -281,3 +281,99 @@ def score_two_stage(qstats: DataFrame, post: DataFrame, doc_len: DataFrame,
         + F.lit(lambda_) * cp
     )
     return frame.groupBy("qid", "docno").agg(F.sum(expr).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# Beyond-reference scoring models: the reference sweeps JM / Dirichlet /
+# two-stage (RunQueryHBase.java:46) — absolute discounting completes the
+# classic smoothing trio; PL2 and VSM cover the DFR and vector-space
+# families a retrieval library is expected to ship.
+# --------------------------------------------------------------------------
+
+def score_abs_discount(qstats: DataFrame, post: DataFrame,
+                       doc_len: DataFrame, u_len: DataFrame,
+                       coll_len: float, delta: float = 0.7) -> DataFrame:
+    """Absolute-discounting LM smoothing (Zhai & Lafferty, SIGIR'01,
+    the delta method):
+
+    ``p(t|d) = max(tf - delta, 0)/|d| + delta*|d_u|/|d| * p(t|C)``
+
+    with |d_u| = number of DISTINCT terms in d. Non-separable (the
+    missing-term mass depends on both |d| and |d_u|), so like M7 it
+    materializes the qterm x doc frame explicitly: per-doc lengths
+    cross-joined with the broadcast query-term table, tf patched in.
+    """
+    cl = float(coll_len)
+    frame = (
+        doc_len.join(u_len, "docno")
+        .crossJoin(F.broadcast(qstats.select("qid", "term", "qweight", "cf")))
+        .join(post, ["docno", "term"], "left")
+        .fillna({"tf": 0})
+    )
+    cp = _coll_prob(F.col("cf"), cl)
+    expr = F.col("qweight") * F.log(
+        F.greatest(F.col("tf") - F.lit(delta), F.lit(0.0)) / F.col("doc_len")
+        + F.lit(delta) * F.col("u_len") / F.col("doc_len") * cp
+    )
+    return frame.groupBy("qid", "docno").agg(F.sum(expr).alias("score"))
+
+
+# constants pinned as Python floats so Spark and the SQL mirror evaluate
+# byte-identical doubles (literal-only arithmetic parses as DECIMAL)
+INV_LN2 = 1.0 / 0.6931471805599453   # 1/ln(2)
+TWO_PI = 6.283185307179586
+
+
+def score_pl2(matched: DataFrame, n_docs: float, avg_len: float,
+              c: float = 1.0) -> DataFrame:
+    """PL2 divergence-from-randomness model (Amati & van Rijsbergen,
+    TOIS'02): Poisson randomness, Laplace aftereffect, normalization 2.
+
+    ``tfn = tf * log2(1 + c*avglen/len)``;  ``lambda = cf/N``;
+    ``score_t = qtf/(tfn+1) * (tfn*log2(tfn/lambda)
+                 + (lambda - tfn)*log2(e) + 0.5*log2(2*pi*tfn))``
+
+    Matched-terms only (tfn > 0 required); ``matched`` carries tf,
+    doc_len, cf.
+    """
+    tfn = (F.col("tf")
+           * F.log(F.lit(1.0) + F.lit(float(c) * float(avg_len)) / F.col("doc_len"))
+           * F.lit(INV_LN2))
+    lam = F.col("cf") / F.lit(float(n_docs))
+    expr = (F.col("qtf") / (tfn + F.lit(1.0))) * (
+        tfn * F.log(tfn / lam) * F.lit(INV_LN2)
+        + (lam - tfn) * F.lit(INV_LN2)
+        + F.lit(0.5) * F.log(F.lit(TWO_PI) * tfn) * F.lit(INV_LN2)
+    )
+    return matched.groupBy("qid", "docno").agg(F.sum(expr).alias("score"))
+
+
+def doc_norms_lnc(post: DataFrame) -> DataFrame:
+    """Per-document lnc cosine norm over the FULL vocabulary:
+    ``dn = sqrt(sum_t (1 + ln tf)^2)`` — one groupBy(docno) over the
+    postings (the engine's one heavy shuffle; at 100 TB this is the
+    same aggregation that builds doc lengths)."""
+    w = F.lit(1.0) + F.log(F.col("tf"))
+    return post.groupBy("docno").agg(F.sqrt(F.sum(w * w)).alias("dn"))
+
+
+def score_vsm_lnc_ltc(matched: DataFrame, dnorm: DataFrame,
+                      qnorm: DataFrame) -> DataFrame:
+    """SMART lnc.ltc vector-space cosine (Salton & Buckley, IPM'88):
+    doc side l-n-c (log tf, no idf, cosine norm), query side l-t-c
+    (log tf = 1 for qtf=1, idf = ln(N/df), cosine norm).
+
+    ``score = sum_t (1+ln tf) * qw / (dn * qn)``
+
+    ``matched`` carries tf and the query-side ltc weight ``qw`` per
+    (qid, docno, term); dnorm/qnorm are the precomputed cosine norms
+    (doc side from the FULL vocabulary, query side a per-qid scalar,
+    broadcast).
+    """
+    num = (F.lit(1.0) + F.log(F.col("tf"))) * F.col("qw")
+    return (
+        matched.join(dnorm, "docno")
+        .join(F.broadcast(qnorm), "qid")
+        .groupBy("qid", "docno")
+        .agg((F.sum(num) / (F.max("dn") * F.max("qn"))).alias("score"))
+    )

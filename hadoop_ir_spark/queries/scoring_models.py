@@ -393,3 +393,160 @@ def q_dirichlet_mu_sweep(spark, sf_dir):
     return rank.topk(scored, k=TOP_K, qid_col=["mu", "qid"]).select(
         "mu", "qid", "docno", "score", F.col("rank").cast("int").alias("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Beyond-reference models: absolute discounting completes the classic
+# smoothing trio the reference sweeps (JM / Dirichlet / two-stage,
+# RunQueryHBase.java:46); PL2 and VSM cover the DFR and vector-space
+# families. Same run shape / tie-break / depth as M1-M8.
+# --------------------------------------------------------------------------
+
+AD_DELTA = 0.7   # absolute-discount delta (Zhai & Lafferty SIGIR'01 sweep mid)
+C_PL2 = 1.0      # PL2 length-normalization c (Terrier default)
+
+_AD = "CAST(0.7 AS DOUBLE)"  # force double (bare 0.7 parses as DECIMAL)
+
+
+@register("abs_discount_topk", f"""
+WITH {SQL_TOK},
+coll AS (SELECT sum(tf) AS coll_len FROM post),
+topics AS (SELECT * FROM {_topics_values_sql(weighted=True)}),
+qstats AS (
+  SELECT t.qid, t.term, t.qweight, coalesce(s.cf, 0) AS cf
+  FROM topics t
+  LEFT JOIN (SELECT term, sum(tf) AS cf FROM post GROUP BY term) s USING (term)
+),
+u AS (SELECT docno, count(*) AS u_len FROM post GROUP BY docno),
+frame AS (
+  SELECT q.qid, d.docno, d.doc_len, u.u_len, q.qweight,
+         greatest(q.cf, 1)::DOUBLE / (SELECT coll_len FROM coll) AS cp,
+         coalesce(p.tf, 0) AS tf
+  FROM dlen d
+  JOIN u USING (docno)
+  CROSS JOIN qstats q
+  LEFT JOIN post p ON p.docno = d.docno AND p.term = q.term
+),
+scored AS (
+  SELECT qid, docno,
+         round(sum(qweight * ln(greatest(tf - {_AD}, 0.0) / doc_len
+                                + {_AD} * u_len / doc_len * cp)), 6) AS score
+  FROM frame GROUP BY qid, docno
+),
+{SQL_RANK}
+""")
+def q_abs_discount(spark, sf_dir):
+    from hadoop_ir_spark.functions.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    dlen = stats.doc_lengths(docs, id_col="doc_id").cache()
+    coll_len = dlen.agg(F.sum("doc_len")).collect()[0][0]
+    post = stats.postings_for_terms(docs, _QTERMS, id_col="doc_id")
+    tstats = post.groupBy("term").agg(F.sum("tf").alias("cf"))
+    topics = _topics_df(spark).withColumn("qweight", F.lit(1.0))
+    qstats = topics.join(tstats, "term", "left").fillna({"cf": 0})
+    # |d_u| = distinct terms per doc: map-side over the token array —
+    # no extra shuffle (equals count(*) over full-vocab postings)
+    u_len = docs.select(
+        F.col("doc_id").alias("docno"),
+        F.size(F.array_distinct(tokens_col("text"))).alias("u_len"),
+    )
+    scored = scoring.score_abs_discount(qstats, post, dlen, u_len,
+                                        coll_len, delta=AD_DELTA)
+    return _finish(scored)
+
+
+_INV = scoring.INV_LN2
+_TFN = (f"(tf * ln(1.0 + ({C_PL2} * (SELECT avg_len FROM gstat)) / doc_len)"
+        f" * {_INV!r})")
+_LAM = "(cf::DOUBLE / (SELECT n_docs FROM gstat))"
+
+
+@register("pl2_topk", f"""
+WITH {SQL_TOK},
+gstat AS (
+  SELECT count(DISTINCT docno) AS n_docs,
+         sum(tf)::DOUBLE / count(DISTINCT docno) AS avg_len
+  FROM post
+),
+topics AS (SELECT DISTINCT qid, term FROM {_topics_values_sql()}),
+tstats AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
+matched AS (
+  SELECT t.qid, p.docno, p.tf, s.cf, d.doc_len
+  FROM post p
+  JOIN topics t USING (term)
+  JOIN tstats s ON s.term = p.term
+  JOIN dlen d ON d.docno = p.docno
+),
+scored AS (
+  SELECT qid, docno,
+         round(sum(
+           (1 / ({_TFN} + 1.0)) * (
+             {_TFN} * ln({_TFN} / {_LAM}) * {_INV!r}
+             + ({_LAM} - {_TFN}) * {_INV!r}
+             + 0.5 * ln({scoring.TWO_PI!r} * {_TFN}) * {_INV!r}
+           )
+         ), 6) AS score
+  FROM matched GROUP BY qid, docno
+),
+{SQL_RANK}
+""")
+def q_pl2(spark, sf_dir):
+    _, dlen, post, tstats, topics, coll_len = _prep(spark, sf_dir)
+    glob = dlen.agg(F.count("*").alias("n_docs"),
+                    F.sum("doc_len").alias("n_tokens")).collect()[0]
+    n_docs, avg_len = glob["n_docs"], glob["n_tokens"] / glob["n_docs"]
+    matched = scoring.matched_terms(
+        post, topics.select("qid", "term", "qtf"),
+        doc_len=dlen, stats=tstats.select("term", "cf"))
+    scored = scoring.score_pl2(matched, n_docs, avg_len, c=C_PL2)
+    return _finish(scored)
+
+
+@register("vsm_cosine_topk", f"""
+WITH {SQL_TOK},
+gstat AS (SELECT count(DISTINCT docno) AS n_docs FROM post),
+dnorm AS (
+  SELECT docno, sqrt(sum((1.0 + ln(tf)) * (1.0 + ln(tf)))) AS dn
+  FROM post GROUP BY docno
+),
+topics AS (SELECT DISTINCT qid, term FROM {_topics_values_sql()}),
+tstats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+qws AS (
+  SELECT t.qid, t.term,
+         ln((SELECT n_docs FROM gstat)::DOUBLE / s.df) AS qw
+  FROM topics t JOIN tstats s USING (term)
+),
+qnorm AS (SELECT qid, sqrt(sum(qw * qw)) AS qn FROM qws GROUP BY qid),
+matched AS (
+  SELECT q.qid, p.docno, p.tf, q.qw FROM post p JOIN qws q ON q.term = p.term
+),
+scored AS (
+  SELECT m.qid, m.docno,
+         round(sum((1.0 + ln(m.tf)) * m.qw) / (max(d.dn) * max(n.qn)), 6)
+           AS score
+  FROM matched m
+  JOIN dnorm d ON d.docno = m.docno
+  JOIN qnorm n ON n.qid = m.qid
+  GROUP BY m.qid, m.docno
+),
+{SQL_RANK}
+""")
+def q_vsm_cosine(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    dlen = stats.doc_lengths(docs, id_col="doc_id")
+    full_post = stats.postings(docs, id_col="doc_id")   # dnorm needs all terms
+    n_docs = dlen.agg(F.count("*")).collect()[0][0]
+    dnorm = scoring.doc_norms_lnc(full_post)
+    qpost = stats.postings_for_terms(docs, _QTERMS, id_col="doc_id")
+    tstats = qpost.groupBy("term").agg(F.count("*").alias("df"))
+    topics = _topics_df(spark)
+    qws = topics.join(F.broadcast(tstats), "term").select(
+        "qid", "term",
+        F.log(F.lit(float(n_docs)) / F.col("df")).alias("qw"),
+    )
+    qnorm = qws.groupBy("qid").agg(
+        F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qn"))
+    matched = qpost.join(F.broadcast(qws), "term")
+    scored = scoring.score_vsm_lnc_ltc(matched, dnorm, qnorm)
+    return _finish(scored)

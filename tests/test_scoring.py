@@ -187,3 +187,42 @@ def test_clip_vector(spark):
     out = rank.clip_vector(wv, k=2)
     got = sorted((r["qid"], r["term"]) for r in out.collect())
     assert got == [("q1", "a"), ("q1", "b"), ("q2", "z")]
+
+
+# --------------------------------------------------------------------------
+# beyond-reference models: absolute discounting / PL2 / VSM cosine
+# --------------------------------------------------------------------------
+
+def test_abs_discount_scores_are_log_probs(spark, sf_dir):
+    from hadoop_ir_spark.catalog import QUERIES
+
+    rows = QUERIES["abs_discount_topk"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    # sum of log-probabilities of a proper mixture: strictly negative
+    assert all(r.score < 0 for r in rows)
+    for qid in {r.qid for r in rows}:
+        rr = [r for r in rows if r.qid == qid]
+        assert [r.rank for r in sorted(rr, key=lambda r: r.rank)] == list(
+            range(1, len(rr) + 1))
+
+
+def test_vsm_cosine_bounded_by_one(spark, sf_dir):
+    from hadoop_ir_spark.catalog import QUERIES
+
+    rows = QUERIES["vsm_cosine_topk"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    # cosine over a subspace of the doc vector: 0 < score <= 1
+    assert all(0.0 < r.score <= 1.0 for r in rows)
+
+
+def test_pl2_scores_finite_and_ranked(spark, sf_dir):
+    import math
+
+    from hadoop_ir_spark.catalog import QUERIES
+
+    rows = QUERIES["pl2_topk"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(math.isfinite(r.score) for r in rows)
+    for qid in {r.qid for r in rows}:
+        rr = sorted((r for r in rows if r.qid == qid), key=lambda r: r.rank)
+        assert all(a.score >= b.score for a, b in zip(rr, rr[1:]))
