@@ -337,3 +337,105 @@ def q_kde_rerank(spark, sf_dir):
     return out.select(
         "qid", "docno", F.round("score", 6).alias("score"), "epoch"
     )
+
+
+# ---------------------------------------------------------------------------
+# rocchio_expansion — VSM relevance feedback (the qrels-supervised
+# counterpart to RM3's pseudo-relevance expansion)
+# ---------------------------------------------------------------------------
+
+ROCCHIO_ALPHA = 1.0
+ROCCHIO_BETA = 0.75
+ROCCHIO_K = 10
+
+_RA = "CAST(1.0 AS DOUBLE)"
+_RB = "CAST(0.75 AS DOUBLE)"
+
+
+def _rocchio_oracle() -> str:
+    from hadoop_ir_spark.catalog import SQL_QRELS, SQL_TOK, _topics_values_sql
+
+    return f"""
+WITH {SQL_TOK},
+{SQL_QRELS},
+rel AS (SELECT DISTINCT qid, docno FROM qrels WHERE rel >= 1),
+nr AS (SELECT qid, count(*)::DOUBLE AS n FROM rel GROUP BY qid),
+dnorm AS (
+  SELECT docno, sqrt(sum((1.0 + ln(tf)) * (1.0 + ln(tf)))) AS dn
+  FROM post GROUP BY docno
+),
+cent AS (
+  SELECT r.qid, p.term, sum((1.0 + ln(p.tf)) / d.dn) AS s
+  FROM rel r
+  JOIN post p ON p.docno = r.docno
+  JOIN dnorm d ON d.docno = r.docno
+  GROUP BY 1, 2
+),
+qt AS (SELECT DISTINCT qid, term FROM {_topics_values_sql()}),
+wts AS (
+  SELECT coalesce(c.qid, q.qid) AS qid,
+         coalesce(c.term, q.term) AS term,
+         round({_RA} * (CASE WHEN q.term IS NOT NULL THEN 1.0 ELSE 0.0 END)
+               + {_RB} * coalesce(c.s / n.n, 0.0), 6) AS weight
+  FROM cent c
+  FULL JOIN qt q ON q.qid = c.qid AND q.term = c.term
+  LEFT JOIN nr n ON n.qid = coalesce(c.qid, q.qid)
+),
+ranked AS (
+  SELECT qid, term, weight,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY weight DESC, term DESC) AS rank
+  FROM wts
+)
+SELECT qid, term, weight, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ROCCHIO_K}
+"""
+
+
+@register("rocchio_expansion", _rocchio_oracle())
+def q_rocchio_expansion(spark, sf_dir):
+    """Rocchio query expansion (SMART; Rocchio 1971): expanded weight =
+    alpha*q_t + beta*centroid_t, with the centroid the mean of the
+    relevant documents' lnc-normalized vectors (qrels rel >= 1 — true
+    relevance feedback, vs RM3's top-k pseudo feedback). Top ROCCHIO_K
+    expansion terms per query.
+
+    Scale shape: the centroid is one groupBy(qid, term) over postings of
+    relevant docs (|R| x doc-vocab rows); doc norms reuse the full
+    postings aggregate; the per-qid |R| counts and query terms are
+    broadcast. No windows except the final per-qid clip."""
+    from hadoop_ir_spark.catalog import qrels_df
+    from hadoop_ir_spark.operators import rank as rankops
+    from hadoop_ir_spark.operators import scoring
+
+    docs = _docs(spark, sf_dir)
+    post = stats.postings(docs, id_col="doc_id").cache()
+    dnorm = scoring.doc_norms_lnc(post)
+    rel = (qrels_df(spark, sf_dir)
+           .filter(F.col("rel") >= 1)
+           .select("qid", "docno").distinct())
+    nr = rel.groupBy("qid").agg(F.count("*").cast("double").alias("n"))
+    cent = (
+        rel.join(post, "docno")
+        .join(dnorm, "docno")
+        .groupBy("qid", "term")
+        .agg(F.sum((F.lit(1.0) + F.log("tf")) / F.col("dn")).alias("s"))
+    )
+    qt = _topics_df(spark).distinct().withColumn("_in_q", F.lit(1.0))
+    wts = (
+        cent.join(qt, ["qid", "term"], "full")
+        .join(F.broadcast(nr), "qid", "left")
+        .select(
+            "qid", "term",
+            F.round(
+                F.lit(ROCCHIO_ALPHA) * F.coalesce("_in_q", F.lit(0.0))
+                + F.lit(ROCCHIO_BETA)
+                * F.coalesce(F.col("s") / F.col("n"), F.lit(0.0)),
+                6,
+            ).alias("weight"),
+        )
+    )
+    out = rankops.topk(wts, k=ROCCHIO_K, qid_col="qid",
+                       score_col="weight", docno_col="term")
+    return out.select("qid", "term", "weight",
+                      F.col("rank").cast("int").alias("rank"))

@@ -313,3 +313,92 @@ def q_rrf_fusion_topk(spark, sf_dir):
     run_b = QUERIES["bm25_topk"](spark, sf_dir).localCheckpoint()
     out = evaluate.rrf_fusion([run_d, run_b], k=TOP_K, c=RRF_C)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# ltr_features — learning-to-rank feature export over the flagship run
+# ---------------------------------------------------------------------------
+
+@register("ltr_features", f"""
+WITH {sql_run_dirichlet(TOP_K)}, {_sql_run_jm(TOP_K)}, {SQL_RUN_BM25},
+mstats AS (
+  SELECT t.qid, p.docno, CAST(sum(p.tf) AS BIGINT) AS sum_tf,
+         CAST(count(*) AS INT) AS n_matched
+  FROM post p JOIN (SELECT DISTINCT qid, term FROM topics) t USING (term)
+  GROUP BY 1, 2
+)
+SELECT r.qid, r.docno, CAST(r.rank AS INT) AS rank,
+       r.score AS score_dir,
+       j.score AS score_jm,
+       coalesce(b.score, 0.0) AS score_bm25,
+       CAST(d.doc_len AS BIGINT) AS doc_len,
+       coalesce(m.sum_tf, 0) AS sum_tf,
+       coalesce(m.n_matched, 0) AS n_matched
+FROM run r
+JOIN j_scored j ON j.qid = r.qid AND j.docno = r.docno
+LEFT JOIN b_scored b ON b.qid = r.qid AND b.docno = r.docno
+JOIN dlen d ON d.docno = r.docno
+LEFT JOIN mstats m ON m.qid = r.qid AND m.docno = r.docno
+""")
+def q_ltr_features(spark, sf_dir):
+    """Learning-to-rank feature export: one row per (qid, docno) of the
+    Dirichlet top-k run carrying the model scores (Dirichlet, JM, BM25 —
+    0.0 sentinel when no query term matches, so BM25 is undefined) plus
+    the classic lexical features (doc_len, matched tf mass, matched term
+    count). All scoring sides reuse the shared postings/doc-length
+    frames; the run is the only ranked (windowed) frame — the feature
+    joins are plain broadcast/hash joins on (qid, docno), the shape that
+    survives a 1000-query batch at 100 TB."""
+    from hadoop_ir_spark.catalog import (BM25_B, BM25_K1, TOPICS, _docs,
+                                         _topics_df)
+    from hadoop_ir_spark.operators import scoring, stats
+    from hadoop_ir_spark.queries.scoring_models import GSLIS_LAMBDA
+
+    docs = _docs(spark, sf_dir)
+    dlen = stats.doc_lengths(docs, id_col="doc_id").cache()
+    qterms = sorted({t for _, q in TOPICS for t in q.split()})
+    post = stats.postings_for_terms(docs, qterms, id_col="doc_id").cache()
+    coll_len = dlen.agg(F.sum("doc_len")).collect()[0][0]
+
+    run = dirichlet_topk(spark, sf_dir, k=TOP_K).localCheckpoint()
+
+    # JM scores for all docs (no ranking window needed: join to run)
+    topics_w = _topics_df(spark).withColumn("qweight", F.lit(1.0))
+    tstats_cf = post.groupBy("term").agg(F.sum("tf").alias("cf"))
+    qstats = topics_w.join(tstats_cf, "term", "left").fillna({"cf": 0})
+    matched = scoring.matched_terms(post, qstats, doc_len=dlen)
+    jm = scoring.score_gslis(matched, qstats, dlen, coll_len,
+                             model="jm", lambda_=GSLIS_LAMBDA)
+    jm = jm.select("qid", "docno", F.round("score", 6).alias("score_jm"))
+
+    # BM25 scores (matched docs only)
+    glob = dlen.agg(F.count("*").alias("n_docs"),
+                    F.sum("doc_len").alias("n_tokens")).collect()[0]
+    n_docs, avg_len = glob["n_docs"], glob["n_tokens"] / glob["n_docs"]
+    topics_t = _topics_df(spark).withColumn("qtf", F.lit(1))
+    tstats_df = post.groupBy("term").agg(F.count("*").alias("df"))
+    m2 = scoring.matched_terms(post, topics_t, doc_len=dlen, stats=tstats_df)
+    bm = scoring.score_bm25(m2, n_docs, avg_len, BM25_K1, BM25_B)
+    bm = bm.select("qid", "docno", F.round("score", 6).alias("score_bm25"))
+
+    mstats = (
+        post.join(F.broadcast(_topics_df(spark).distinct()), "term")
+        .groupBy("qid", "docno")
+        .agg(F.sum("tf").cast("long").alias("sum_tf"),
+             F.count("*").cast("int").alias("n_matched"))
+    )
+    return (
+        run.withColumnRenamed("score", "score_dir")
+        .join(jm, ["qid", "docno"])
+        .join(bm, ["qid", "docno"], "left")
+        .join(dlen, "docno")
+        .join(mstats, ["qid", "docno"], "left")
+        .select(
+            "qid", "docno", F.col("rank").cast("int").alias("rank"),
+            "score_dir", F.col("score_jm").alias("score_jm"),
+            F.coalesce("score_bm25", F.lit(0.0)).alias("score_bm25"),
+            F.col("doc_len").cast("long").alias("doc_len"),
+            F.coalesce("sum_tf", F.lit(0)).alias("sum_tf"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        )
+    )

@@ -281,3 +281,98 @@ def q_sdm(spark, sf_dir):
     out = rank.topk(scored, k=TOP_K)
     return out.select("qid", "docno", "score",
                       F.col("rank").cast("int").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# best_passage — snippet window extraction over the flagship run
+# ---------------------------------------------------------------------------
+
+PASSAGE_W = 30   # window width in token positions
+
+_TOPIC_TERM_VALUES = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, q in TOPICS for t in sorted(set(q.split()))
+)
+
+
+def _best_passage_oracle() -> str:
+    from hadoop_ir_spark.catalog import sql_run_dirichlet
+
+    return f"""
+WITH {sql_run_dirichlet(TOP_K)},
+words AS (
+  SELECT docno, term, ord FROM (
+    SELECT docno, unnest(toks) AS term,
+           unnest(range(1, len(toks) + 1)) AS ord
+    FROM (SELECT doc_id AS docno,
+                 list_filter(string_split_regex(lower(text),
+                                                '[^0-9a-zA-Z]+'),
+                             t -> t <> '') AS toks
+          FROM documents)
+  ) WHERE term IN ({_QTERMS_IN})
+),
+qt AS (SELECT DISTINCT * FROM (VALUES {_TOPIC_TERM_VALUES}) AS t(qid, term)),
+hits AS (
+  SELECT r.qid, w.docno, w.ord
+  FROM run r
+  JOIN qt t ON t.qid = r.qid
+  JOIN words w ON w.docno = r.docno AND w.term = t.term
+),
+wins AS (
+  SELECT a.qid, a.docno, a.ord AS win_start,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM hits a
+  JOIN hits b ON b.qid = a.qid AND b.docno = a.docno
+             AND b.ord >= a.ord AND b.ord < a.ord + {PASSAGE_W}
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT qid, docno, win_start, n_hits,
+         row_number() OVER (PARTITION BY qid, docno
+                            ORDER BY n_hits DESC, win_start ASC) AS rn
+  FROM wins
+)
+SELECT qid, docno, win_start, n_hits FROM best WHERE rn = 1
+"""
+
+
+@register("best_passage", _best_passage_oracle())
+def q_best_passage(spark, sf_dir):
+    """Best-passage (snippet) extraction: for every (qid, docno) in the
+    Dirichlet top-k run, the PASSAGE_W-token window holding the most
+    query-term occurrences (earliest window on ties; ord is 1-based to
+    match the oracle's unnest ordinality). The optimal window always
+    starts at a hit position, so candidates are hit positions and the
+    in-window count is an offset-replica equi-join over the hits frame —
+    hits are query-term occurrences inside top-k docs only (k x |q| x tf
+    rows, corpus-size independent), never a scan-wide range probe."""
+    from pyspark.sql import Window
+
+    from hadoop_ir_spark.catalog import _topics_df, dirichlet_topk
+
+    run = dirichlet_topk(spark, sf_dir, k=TOP_K).select("qid", "docno")
+    docs = _docs(spark, sf_dir)
+    ptoks = proximity.positional_tokens(docs, _QTERMS, id_col="doc_id")
+    topics = _topics_df(spark).distinct()
+    hits = (
+        run.join(F.broadcast(topics), "qid")
+        .join(ptoks, ["docno", "term"])
+        .select("qid", "docno", (F.col("pos") + 1).alias("ord"))
+        .localCheckpoint()   # consumed twice (starts x members)
+    )
+    offs = F.array(*[F.col("ord") + d for d in range(PASSAGE_W)])
+    starts = hits.select("qid", "docno", F.col("ord").alias("win_start"),
+                         F.explode(offs).alias("m_ord"))
+    members = hits.select("qid", "docno", F.col("ord").alias("m_ord"))
+    wins = (
+        starts.join(members, ["qid", "docno", "m_ord"])
+        .groupBy("qid", "docno", "win_start")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("qid", "docno").orderBy(
+        F.desc("n_hits"), F.asc("win_start"))
+    return (
+        wins.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "docno", "win_start", "n_hits")
+    )

@@ -146,3 +146,50 @@ def test_textrank_ranks_frequent_adjacencies(spark, sf_dir):
     assert [r.rank for r in out] == list(range(1, len(out) + 1))
     scores = [r.score for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_best_passage_windows_cover_hits(spark, sf_dir):
+    from hadoop_ir_spark.catalog import QUERIES
+    from hadoop_ir_spark.queries.proximity_q import PASSAGE_W
+
+    rows = QUERIES["best_passage"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.n_hits >= 1 and r.win_start >= 1 for r in rows)
+    # the run has one best window per (qid, docno)
+    keys = [(r.qid, r.docno) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert PASSAGE_W > 0
+
+
+def test_ltr_features_consistent_with_run(spark, sf_dir):
+    from hadoop_ir_spark.catalog import QUERIES, dirichlet_topk
+
+    feats = {(r.qid, r.docno): r
+             for r in QUERIES["ltr_features"](spark, sf_dir).collect()}
+    run = dirichlet_topk(spark, sf_dir).collect()
+    assert len(feats) == len(run)
+    for r in run:
+        f = feats[(r.qid, r.docno)]
+        assert f.rank == r.rank and abs(f.score_dir - r.score) < 1e-9
+        assert f.doc_len > 0 and f.n_matched >= 0
+        # no matched terms -> BM25 sentinel 0.0 and zero tf mass
+        if f.n_matched == 0:
+            assert f.score_bm25 == 0.0 and f.sum_tf == 0
+
+
+def test_rocchio_query_terms_carry_alpha(spark, sf_dir):
+    from hadoop_ir_spark.catalog import QUERIES, TOPICS
+    from hadoop_ir_spark.queries.feedback_rerank import (ROCCHIO_ALPHA,
+                                                         ROCCHIO_K)
+
+    rows = QUERIES["rocchio_expansion"](spark, sf_dir).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r.qid, []).append(r)
+    for qid, q in TOPICS:
+        rr = by_qid[qid]
+        assert len(rr) <= ROCCHIO_K
+        got = {r.term: r.weight for r in rr}
+        # any surfaced original query term must carry at least alpha
+        for t in set(q.split()) & got.keys():
+            assert got[t] >= ROCCHIO_ALPHA
