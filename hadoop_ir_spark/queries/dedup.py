@@ -286,3 +286,68 @@ def _register_apss():
 
 
 _register_apss()
+
+
+# ---------------------------------------------------------------------------
+# entity_resolution — fuzzy match -> components -> golden record
+# ---------------------------------------------------------------------------
+
+@register("entity_resolution", f"""
+WITH RECURSIVE titles AS (
+  SELECT substr(text, 1, {FUZZY_PREFIX}) AS title,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+np AS (
+  SELECT a.title AS a, b.title AS b
+  FROM titles a JOIN titles b
+    ON a.title < b.title
+   AND levenshtein(a.title, b.title) <= {FUZZY_DIST}
+),
+edges AS (SELECT a, b FROM np UNION SELECT b, a FROM np),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (SELECT node, min(root) AS cluster_id FROM reach GROUP BY node),
+resolved AS (
+  SELECT t.title, t.n_docs, coalesce(l.cluster_id, t.title) AS canonical
+  FROM titles t LEFT JOIN labels l ON l.node = t.title
+)
+SELECT canonical, CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs
+FROM resolved GROUP BY canonical
+""")
+def q_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution: fuzzy-match title variants
+    (length-banded edit-distance join, no all-pairs NLJ) -> connected
+    components (skew-safe star algorithm) -> one golden record per
+    entity (canonical = lexicographic-min variant; variant and document
+    counts aggregated). Singleton titles resolve to themselves via the
+    left join — every title is an entity whether or not it matched.
+    Oracle: brute-force pair join + recursive-CTE reachability."""
+    from hadoop_ir_spark.operators import dedup as dedup_ops
+    from hadoop_ir_spark.operators import fuzzy
+
+    docs = _docs(spark, sf_dir)
+    titles = (
+        docs.select(F.substring("text", 1, FUZZY_PREFIX).alias("title"))
+        .groupBy("title").agg(F.count("*").cast("long").alias("n_docs"))
+        .cache()   # reused: pair join input + final resolve join
+    )
+    pairs = fuzzy.edit_distance_pairs(
+        titles.select("title"), "title", max_dist=FUZZY_DIST)
+    labels = dedup_ops.connected_components(pairs, a_col="a", b_col="b",
+                                            algorithm="star")
+    resolved = (
+        titles.join(labels.withColumnRenamed("node", "title"),
+                    "title", "left")
+        .select("title", "n_docs",
+                F.coalesce("cluster_id", "title").alias("canonical"))
+    )
+    return resolved.groupBy("canonical").agg(
+        F.count("*").cast("long").alias("n_variants"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+    )

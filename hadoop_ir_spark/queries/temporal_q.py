@@ -346,7 +346,7 @@ def q_event_cube(spark, sf_dir):
     e = _events_us(spark, sf_dir)
     base = e.select(
         "event_type",
-        ((F.col("ts_us") / US_HOUR).cast("long") % 24).cast("int").alias("hod"),
+        (F.expr(f"ts_us div {int(US_HOUR)}") % 24).cast("int").alias("hod"),
         "value",
     )
     return (
@@ -412,3 +412,112 @@ def q_ewma_user_value(spark, sf_dir):
     return e.select(
         "event_id", "user_id", F.round(num / den, 6).alias("ewma")
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# markov_transitions — session-free event-type transition matrix
+# ---------------------------------------------------------------------------
+
+@register("markov_transitions", f"""
+WITH {SQL_EV_US},
+seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS prev_type
+  FROM ev
+),
+tr AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, sum(n) AS out_n FROM tr GROUP BY prev_type)
+SELECT t.prev_type, t.event_type, t.n,
+       round(t.n::DOUBLE / o.out_n, 6) AS p
+FROM tr t JOIN tot o ON o.prev_type = t.prev_type
+""")
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    sequence (ordered by ts, event_id tie-break): P(next type | type).
+    One lag window per user partition + two tiny aggregates — the
+    event-path statistic next to the funnel/retention queries. At scale
+    the window is a single hash-partition shuffle on user_id; the
+    transition matrix itself is |types|^2 rows."""
+    from pyspark.sql import Window
+
+    e = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select("event_type",
+                   F.lag("event_type").over(w).alias("prev_type"))
+    tr = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = tr.groupBy("prev_type").agg(F.sum("n").alias("out_n"))
+    return (
+        tr.join(F.broadcast(tot), "prev_type")
+        .select("prev_type", "event_type", "n",
+                F.round(F.col("n").cast("double") / F.col("out_n"), 6)
+                .alias("p"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_gapfill — zero-filled hourly resample per event type
+# ---------------------------------------------------------------------------
+
+@register("event_gapfill", f"""
+WITH {SQL_EV_US},
+hours AS (
+  SELECT event_type, CAST(ts_us // {US_HOUR} AS BIGINT) AS hr, value
+  FROM ev
+),
+cnt AS (
+  SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 6) AS total_value
+  FROM hours GROUP BY 1, 2
+),
+bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hours),
+grid AS (
+  SELECT t.event_type, g.hr
+  FROM (SELECT DISTINCT event_type FROM hours) t
+  CROSS JOIN (SELECT unnest(range((SELECT h0 FROM bounds),
+                                  (SELECT h1 FROM bounds) + 1)) AS hr) g
+)
+SELECT g.event_type, g.hr,
+       coalesce(c.n_events, 0) AS n_events,
+       coalesce(c.total_value, 0.0) AS total_value
+FROM grid g LEFT JOIN cnt c
+  ON c.event_type = g.event_type AND c.hr = g.hr
+""")
+def q_event_gapfill(spark, sf_dir):
+    """Hourly resample per event type with ZERO-FILLED gaps — the
+    time-series shape downstream forecasting needs (missing hours are
+    real zeros, not absent rows). Hour ids are epoch-hour integers
+    (timezone-free). The dense grid is generated with sequence() from
+    the 1-row global bounds — |types| x |hours| rows, independent of
+    event count; the counts side aggregates before the join so the
+    left join matches grid-sized frames."""
+    e = _events_us(spark, sf_dir)
+    hours = e.select(
+        "event_type",
+        F.expr(f"ts_us div {int(US_HOUR)}").alias("hr"),
+        "value",
+    )
+    cnt = hours.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    b = hours.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1")).collect()[0]
+    grid = (
+        hours.select("event_type").distinct()
+        .crossJoin(spark.range(b["h0"], b["h1"] + 1).select(
+            F.col("id").alias("hr")))
+    )
+    return (
+        grid.join(cnt, ["event_type", "hr"], "left")
+        .select("event_type", "hr",
+                F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                F.coalesce("total_value", F.lit(0.0)).alias("total_value"))
+    )

@@ -185,3 +185,44 @@ def test_interval_join_stream_matches_batch(spark, sf_dir):
     }
     spark.catalog.dropTempView("ij_test")
     assert got == expected
+
+
+def test_markov_rows_sum_to_one(spark, sf_dir):
+    from hadoop_ir_spark.catalog import QUERIES
+
+    rows = QUERIES["markov_transitions"](spark, sf_dir).collect()
+    assert rows
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rr in by_prev.items():
+        assert abs(sum(r.p for r in rr) - 1.0) < 1e-4, prev
+        assert all(r.n >= 1 for r in rr)
+
+
+def test_gapfill_grid_dense_and_conservative(spark, sf_dir):
+    import os
+
+    from hadoop_ir_spark.catalog import QUERIES
+
+    rows = QUERIES["event_gapfill"](spark, sf_dir).collect()
+    types = {r.event_type for r in rows}
+    hrs = sorted({r.hr for r in rows})
+    # dense grid: every (type, hour) cell present exactly once
+    assert len(rows) == len(types) * len(hrs)
+    assert hrs == list(range(hrs[0], hrs[-1] + 1))
+    n_total = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    assert sum(r.n_events for r in rows) == n_total
+
+
+def test_entity_resolution_conserves_docs(spark, sf_dir):
+    import os
+
+    from hadoop_ir_spark.catalog import QUERIES
+
+    rows = QUERIES["entity_resolution"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).count()
+    # every document lands in exactly one entity
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.n_variants >= 1 for r in rows)
