@@ -402,3 +402,57 @@ def q_ltr_features(spark, sf_dir):
             F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# query_clarity — query performance prediction (Cronen-Townsend SIGIR'02)
+# ---------------------------------------------------------------------------
+
+@register("query_clarity", f"""
+WITH {sql_run_dirichlet(TOP_K)},
+tstats AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
+rp AS (
+  SELECT r.qid, p.term, p.tf
+  FROM run r JOIN post p ON p.docno = r.docno
+),
+qmass AS (SELECT qid, sum(tf)::DOUBLE AS m FROM rp GROUP BY qid),
+qlm AS (
+  SELECT rp.qid, rp.term, sum(rp.tf)::DOUBLE / max(qm.m) AS pq
+  FROM rp JOIN qmass qm ON qm.qid = rp.qid
+  GROUP BY rp.qid, rp.term
+)
+SELECT q.qid,
+       round(sum(q.pq * ln(q.pq / (s.cf::DOUBLE
+                                   / (SELECT coll_len FROM coll)))), 6)
+         AS clarity
+FROM qlm q JOIN tstats s ON s.term = q.term
+GROUP BY q.qid
+""")
+def q_query_clarity(spark, sf_dir):
+    """Clarity score (Cronen-Townsend, Croft SIGIR'02): KL divergence of
+    the top-k pseudo-document language model from the collection model —
+    the classic query-performance predictor (high = focused query). The
+    run is 40 rows, so the corpus-side postings join is a broadcast
+    semi-restriction; the KL sum runs over the top-k vocabulary only."""
+    from hadoop_ir_spark.catalog import _docs
+    from hadoop_ir_spark.operators import stats as statsops
+
+    docs = _docs(spark, sf_dir)
+    run = dirichlet_topk(spark, sf_dir, k=TOP_K).select("qid", "docno")
+    post = statsops.postings(docs, id_col="doc_id").cache()
+    coll_len = post.agg(F.sum("tf")).collect()[0][0]
+    tstats = post.groupBy("term").agg(F.sum("tf").alias("cf"))
+    rp = post.join(F.broadcast(run), "docno").select("qid", "term", "tf")
+    qmass = rp.groupBy("qid").agg(F.sum("tf").cast("double").alias("m"))
+    qlm = (
+        rp.join(F.broadcast(qmass), "qid")
+        .groupBy("qid", "term")
+        .agg((F.sum("tf").cast("double") / F.max("m")).alias("pq"))
+    )
+    pc = F.col("cf").cast("double") / F.lit(float(coll_len))
+    return (
+        qlm.join(tstats, "term")
+        .groupBy("qid")
+        .agg(F.round(F.sum(F.col("pq") * F.log(F.col("pq") / pc)), 6)
+             .alias("clarity"))
+    )

@@ -521,3 +521,82 @@ def q_event_gapfill(spark, sf_dir):
                 F.coalesce("n_events", F.lit(0)).alias("n_events"),
                 F.coalesce("total_value", F.lit(0.0)).alias("total_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# value_percentiles — exact interpolated percentiles per event type
+# ---------------------------------------------------------------------------
+
+PCT_GRID = [0.25, 0.5, 0.75, 0.95]
+_PCT_VALUES = ", ".join(f"(CAST({p!r} AS DOUBLE))" for p in PCT_GRID)
+
+
+@register("value_percentiles", f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+grid AS (SELECT p FROM (VALUES {_PCT_VALUES}) AS g(p)),
+marks AS (
+  SELECT r.event_type, g.p, r.n, r.rn, r.value,
+         floor((r.n - 1) * g.p) AS lo
+  FROM ranked r CROSS JOIN grid g
+  WHERE r.rn = floor((r.n - 1) * g.p)
+     OR r.rn = floor((r.n - 1) * g.p) + 1
+),
+agg AS (
+  SELECT event_type, p, max(n) AS n, min(lo) AS lo,
+         max(CASE WHEN rn = lo THEN value END) AS lo_val,
+         max(CASE WHEN rn = lo + 1 THEN value END) AS hi_val
+  FROM marks GROUP BY event_type, p
+)
+SELECT event_type, p,
+       round(lo_val + ((n - 1) * p - lo)
+                      * (coalesce(hi_val, lo_val) - lo_val), 6) AS pct_value
+FROM agg
+""")
+def q_value_percentiles(spark, sf_dir):
+    """EXACT linear-interpolated percentiles (the quantile_cont /
+    percentile_cont definition: index (n-1)p, interpolate between the
+    two bracketing order statistics) per event type — written explicitly
+    as a rank filter + 2-row interpolation instead of engine percentile
+    builtins so both engines execute the identical float recipe. At
+    scale: one sort per type partition, then only the two bracketing
+    rows per (type, percentile) survive the filter — the shuffle after
+    the window carries 2 x |types| x |grid| rows."""
+    from pyspark.sql import Window
+
+    ev_t = ev.read_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev_t.select(
+        "event_type", "value",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    grid = spark.createDataFrame([(p,) for p in PCT_GRID], "p double")
+    lo = F.floor((F.col("n") - 1) * F.col("p"))
+    marks = (
+        ranked.crossJoin(F.broadcast(grid))
+        .filter((F.col("rn") == lo) | (F.col("rn") == lo + 1))
+        .withColumn("lo", lo)
+    )
+    agg = marks.groupBy("event_type", "p").agg(
+        F.max("n").alias("n"), F.min("lo").alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("lo"), F.col("value")))
+        .alias("lo_val"),
+        F.max(F.when(F.col("rn") == F.col("lo") + 1, F.col("value")))
+        .alias("hi_val"),
+    )
+    return agg.select(
+        "event_type", "p",
+        F.round(
+            F.col("lo_val")
+            + ((F.col("n") - 1) * F.col("p") - F.col("lo"))
+            * (F.coalesce("hi_val", "lo_val") - F.col("lo_val")),
+            6,
+        ).alias("pct_value"),
+    )

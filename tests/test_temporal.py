@@ -226,3 +226,16 @@ def test_entity_resolution_conserves_docs(spark, sf_dir):
     # every document lands in exactly one entity
     assert sum(r.n_docs for r in rows) == n_docs
     assert all(r.n_variants >= 1 for r in rows)
+
+
+def test_value_percentiles_monotone(spark, sf_dir):
+    from hadoop_ir_spark.catalog import QUERIES
+
+    rows = QUERIES["value_percentiles"](spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.p, r.pct_value))
+    for t, pv in by_type.items():
+        pv.sort()
+        vals = [v for _, v in pv]
+        assert vals == sorted(vals), t  # monotone in p
