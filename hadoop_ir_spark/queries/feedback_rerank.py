@@ -439,3 +439,150 @@ def q_rocchio_expansion(spark, sf_dir):
                        score_col="weight", docno_col="term")
     return out.select("qid", "term", "weight",
                       F.col("rank").cast("int").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank — Maximal Marginal Relevance diversification of the run
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    from hadoop_ir_spark.catalog import sql_run_dirichlet
+
+    lam, om = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    cte = [
+        # lnc doc-pair cosines among run docs (both directions)
+        """dnorm AS MATERIALIZED (
+  SELECT docno, sqrt(sum((1.0 + ln(tf)) * (1.0 + ln(tf)))) AS dn
+  FROM post GROUP BY docno)""",
+        """rdocs AS MATERIALIZED (SELECT DISTINCT qid, docno FROM run)""",
+        """pairsim AS MATERIALIZED (
+  SELECT ra.qid, ra.docno AS a, rb.docno AS b,
+         sum((1.0 + ln(pa.tf)) * (1.0 + ln(pb.tf)))
+           / (max(da.dn) * max(db.dn)) AS sim
+  FROM rdocs ra
+  JOIN rdocs rb ON rb.qid = ra.qid AND rb.docno <> ra.docno
+  JOIN post pa ON pa.docno = ra.docno
+  JOIN post pb ON pb.docno = rb.docno AND pb.term = pa.term
+  JOIN dnorm da ON da.docno = ra.docno
+  JOIN dnorm db ON db.docno = rb.docno
+  GROUP BY 1, 2, 3)""",
+        """mm AS MATERIALIZED (SELECT qid, min(score) AS mn, max(score) AS mx
+  FROM run GROUP BY qid)""",
+        """sc AS MATERIALIZED (
+  SELECT r.qid, r.docno,
+         CASE WHEN m.mx > m.mn THEN (r.score - m.mn) / (m.mx - m.mn)
+              ELSE 1.0 END AS sn
+  FROM run r JOIN mm m ON m.qid = r.qid)""",
+        f"""p1 AS (
+  SELECT qid, docno, round({lam!r} * sn, 6) AS mmr, 1 AS rank FROM (
+    SELECT qid, docno, sn,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sn DESC, docno DESC) AS rn
+    FROM sc) WHERE rn = 1)""",
+        "picks1 AS (SELECT * FROM p1)",
+    ]
+    from hadoop_ir_spark.catalog import TOP_K as K
+    for k in range(2, K + 1):
+        cte.append(f"""p{k} AS (
+  SELECT qid, docno, round(mmrv, 6) AS mmr, {k} AS rank FROM (
+    SELECT s.qid, s.docno,
+           {lam!r} * s.sn - {om!r} * coalesce(mx.ms, 0.0) AS mmrv,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY {lam!r} * s.sn - {om!r} * coalesce(mx.ms, 0.0) DESC,
+                      s.docno DESC) AS rn
+    FROM sc s
+    LEFT JOIN (SELECT si.qid, si.a AS docno, max(si.sim) AS ms
+               FROM pairsim si
+               JOIN picks{k-1} p ON p.qid = si.qid AND p.docno = si.b
+               GROUP BY 1, 2) mx
+      ON mx.qid = s.qid AND mx.docno = s.docno
+    WHERE NOT EXISTS (SELECT 1 FROM picks{k-1} p
+                      WHERE p.qid = s.qid AND p.docno = s.docno)
+  ) WHERE rn = 1)""")
+        cte.append(f"picks{k} AS MATERIALIZED (SELECT * FROM picks{k-1}"
+                   f" UNION ALL SELECT * FROM p{k})")
+    return (f"WITH {sql_run_dirichlet(10)},\n" + ",\n".join(cte)
+            + f"\nSELECT qid, docno, mmr, CAST(rank AS INT) AS rank"
+              f" FROM picks{K}")
+
+
+@register("mmr_rerank", _mmr_oracle())
+def q_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    SIGIR'98): greedily reorder the Dirichlet top-k so each pick
+    maximizes lambda*rel_norm - (1-lambda)*max-sim-to-picked, with doc
+    similarity = lnc cosine over full-vocabulary vectors.
+
+    Scale shape: relevance scores and the <= k^2 per-query doc-pair
+    cosines are computed as Spark expressions (the pair join is
+    restricted to run docs — k^2 rows per query, corpus-independent);
+    only the k-step greedy argmax runs in Python, as a COGROUPED
+    applyInPandas over (candidates, sims) per qid — per-query parallel,
+    Arrow-batched, k-bounded state."""
+    import pandas as pd
+
+    from hadoop_ir_spark.catalog import _docs, dirichlet_topk
+    from hadoop_ir_spark.operators import scoring as scoringops
+    from hadoop_ir_spark.operators import stats as statsops
+
+    lam, om = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    docs = _docs(spark, sf_dir)
+    run = dirichlet_topk(spark, sf_dir, k=10).localCheckpoint()
+    post = statsops.postings(docs, id_col="doc_id")
+    rdocs = run.select("qid", "docno").distinct()
+    dnorm = scoringops.doc_norms_lnc(post)
+    # postings restricted to run docs BEFORE the pair join
+    rp = (post.join(F.broadcast(rdocs), "docno")
+          .join(dnorm, "docno")
+          .select("qid", "docno", "term", "tf", "dn"))
+    a, b = rp.alias("a"), rp.alias("b")
+    sims = (
+        a.join(b, (F.col("a.qid") == F.col("b.qid"))
+               & (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.docno") != F.col("b.docno")))
+        .groupBy(F.col("a.qid").alias("qid"),
+                 F.col("a.docno").alias("da"),
+                 F.col("b.docno").alias("db"))
+        .agg((F.sum((F.lit(1.0) + F.log("a.tf"))
+                    * (F.lit(1.0) + F.log("b.tf")))
+              / (F.max("a.dn") * F.max("b.dn"))).alias("sim"))
+    )
+
+    out_schema = "qid string, docno long, mmr double, rank int"
+
+    def greedy(key, cands_iter, sims_iter):
+        cands = cands_iter
+        sims = sims_iter
+        if cands.empty:
+            return pd.DataFrame(columns=["qid", "docno", "mmr", "rank"])
+        qid = cands["qid"].iloc[0]
+        mn, mx = cands["score"].min(), cands["score"].max()
+        sn = {int(r.docno): ((r.score - mn) / (mx - mn) if mx > mn else 1.0)
+              for r in cands.itertuples()}
+        sim = {(int(r.da), int(r.db)): r.sim for r in sims.itertuples()}
+        picked, rows = [], []
+        remaining = set(sn)
+        for step in range(1, len(sn) + 1):
+            best = None
+            for d in remaining:
+                ms = max((sim.get((d, p), 0.0) for p in picked), default=0.0)
+                v = lam * sn[d] - om * ms
+                # tie-break: higher mmr, then higher docno (K3 order)
+                if best is None or (v, d) > best[:2]:
+                    best = (v, d)
+            v, d = best
+            picked.append(d)
+            remaining.discard(d)
+            rows.append((qid, d, round(v, 6), step))
+        return pd.DataFrame(rows, columns=["qid", "docno", "mmr", "rank"])
+
+    cands = run.select("qid", "docno", "score")
+    return (
+        cands.groupBy("qid")
+        .cogroup(sims.groupBy("qid"))
+        .applyInPandas(greedy, out_schema)
+    )

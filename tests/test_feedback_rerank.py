@@ -279,3 +279,18 @@ def test_alpha_sweep_shape(spark):
     assert out.count() == 4
     assert {r["alpha"] for r in out.select("alpha").distinct().collect()} \
         == {0.1, 0.9}
+
+
+def test_mmr_rerank_is_a_permutation_of_the_run(spark, sf_dir):
+    from hadoop_ir_spark.catalog import QUERIES, dirichlet_topk
+
+    mmr = QUERIES["mmr_rerank"](spark, sf_dir).collect()
+    run = dirichlet_topk(spark, sf_dir, k=10).collect()
+    assert {(r.qid, r.docno) for r in mmr} == {(r.qid, r.docno) for r in run}
+    # rank 1 = pure relevance pick = the run's top doc
+    top_run = {r.qid: r.docno for r in run if r.rank == 1}
+    top_mmr = {r.qid: r.docno for r in mmr if r.rank == 1}
+    assert top_mmr == top_run
+    for qid in top_mmr:
+        rr = sorted((r for r in mmr if r.qid == qid), key=lambda r: r.rank)
+        assert [r.rank for r in rr] == list(range(1, len(rr) + 1))
