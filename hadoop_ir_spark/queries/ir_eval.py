@@ -438,7 +438,12 @@ def q_query_clarity(spark, sf_dir):
     from hadoop_ir_spark.operators import stats as statsops
 
     docs = _docs(spark, sf_dir)
-    run = dirichlet_topk(spark, sf_dir, k=TOP_K).select("qid", "docno")
+    # compute-once fan-out: the run feeds the broadcast restriction, and
+    # the postings frame feeds coll_len + tstats + the run join — without
+    # the checkpoint the retrieval pipeline re-plans under every branch
+    # (the eval_map_pk disease; 54 exchanges before, ~20 after)
+    run = (dirichlet_topk(spark, sf_dir, k=TOP_K)
+           .select("qid", "docno").localCheckpoint())
     post = statsops.postings(docs, id_col="doc_id").cache()
     coll_len = post.agg(F.sum("tf")).collect()[0][0]
     tstats = post.groupBy("term").agg(F.sum("tf").alias("cf"))
