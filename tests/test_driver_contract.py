@@ -69,6 +69,9 @@ TIME_SENSITIVE = [
     # partsupp-derived TPC-H (q9: year(); q12: epoch_us arithmetic;
     # q20: NTZ-literal ship-year filter)
     "tpch_q9", "tpch_q12", "tpch_q20",
+    # round 4 late: epoch-hour buckets / ts-ordered windows
+    "event_cube", "event_gapfill", "ewma_user_value",
+    "markov_transitions", "value_percentiles",
 ]
 
 
