@@ -269,3 +269,67 @@ def test_fuzzy_banded_join_equals_brute_force(strings):
     got = {(r["a"], r["b"], r["dist"])
            for r in fuzzy.edit_distance_pairs(df, max_dist=2).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# positional proximity: brute-force equivalence on random token streams
+# ---------------------------------------------------------------------------
+
+WORDS = st.lists(st.sampled_from(["a", "b", "c", "x"]), min_size=0, max_size=40)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(WORDS, min_size=1, max_size=4))
+def test_proximity_counts_match_brute_force(spark, docs_tokens):
+    from hadoop_ir_spark.operators.proximity import (ordered_pair_counts,
+                                                     positional_tokens,
+                                                     unordered_pair_counts)
+
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "docno long, text string")
+    ptoks = positional_tokens(df, ["a", "b"])
+    pairs = spark.createDataFrame([("a", "b")], "t1 string, t2 string")
+    upairs = spark.createDataFrame([("a", "b")], "u1 string, u2 string")
+    W = 5
+
+    got_o = {(r.docno): r.otf
+             for r in ordered_pair_counts(ptoks, pairs).collect()}
+    got_u = {(r.docno): r.utf
+             for r in unordered_pair_counts(ptoks, upairs, window=W).collect()}
+
+    for i, ts in enumerate(docs_tokens):
+        exp_o = sum(1 for j in range(len(ts) - 1)
+                    if ts[j] == "a" and ts[j + 1] == "b")
+        exp_u = sum(1 for j in range(len(ts)) for k in range(j + 1, len(ts))
+                    if k - j <= W - 1 and {ts[j], ts[k]} == {"a", "b"})
+        assert got_o.get(i, 0) == exp_o, (i, ts)
+        assert got_u.get(i, 0) == exp_u, (i, ts)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(min_value=-100, max_value=100,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=15))
+def test_ewma_is_convex_combination(spark, values):
+    """The truncated EWMA of each prefix lies within [min, max] of the
+    last 9 observations (convexity: normalized non-negative weights)."""
+    rows = [(i, 1, float(i * 1000), v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us double, value double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    a, K = 0.3, 8
+    num = den = None
+    for j in range(K + 1):
+        v = F.lag("value", j).over(w) if j else F.col("value")
+        wt = (1 - a) ** j
+        tn = F.coalesce(v, F.lit(0.0)) * F.lit(wt)
+        td = F.when(v.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = tn if num is None else num + tn
+        den = td if den is None else den + td
+    out = df.select("event_id", (num / den).alias("ewma")).collect()
+    got = {r.event_id: r.ewma for r in out}
+    for i in range(len(values)):
+        window = values[max(0, i - K):i + 1]
+        assert min(window) - 1e-9 <= got[i] <= max(window) + 1e-9
