@@ -97,8 +97,6 @@ def update_index(spark: SparkSession, index_dir: str, out_dir: str,
     re-derive from the (already aggregated, corpus-scale-independent)
     updated tables. Equality with a from-scratch rebuild is asserted in
     tests/test_index_update.py."""
-    from hadoop_ir_spark.operators import cdc
-
     idx = load_index(spark, index_dir)
     post, dlen, tstats = idx["postings"], idx["doc_lengths"], idx["term_stats"]
 
