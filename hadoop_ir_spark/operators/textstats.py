@@ -289,3 +289,61 @@ def bigram_logprob(docs: DataFrame, id_col: str = "docno",
             (F.col("_lp") / F.col("n_bigrams")).alias("avg_bigram_lp"),
         )
     )
+
+
+def kneser_ney_logprob(docs: DataFrame, id_col: str = "docno",
+                       text_col: str = "text",
+                       discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney, ICASSP'95; the
+    smoothing that add-k ``bigram_logprob`` approximates crudely):
+
+        p(w2|w1) = max(c(w1 w2) - d, 0)/c(w1 .)
+                   + d * N1+(w1, .)/c(w1 .) * N1+(., w2)/T
+
+    with N1+(w1, .) = distinct followers of w1, N1+(., w2) = distinct
+    predecessors of w2 (the continuation count that makes KN correct on
+    high-frequency-but-narrow-context words), and T = distinct bigram
+    types. Every scored bigram is observed (model self-trained), so no
+    unseen-context branch is needed. Returns (docno, n_bigrams,
+    avg_kn_lp).
+
+    Scale: the same no-self-join adjacent-pair expression as
+    bigram_logprob; four aggregates over the pair frame (bigram counts,
+    context counts, follower types, predecessor types — each one
+    shuffle with map-side partials) + one scalar T; all JVM expressions.
+    """
+    t = tokens_col(F.col(text_col))
+    pairs = (
+        docs.select(F.col(id_col).alias("docno"), t.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            "docno",
+            F.explode(F.expr(
+                "transform(sequence(1, size(_t) - 1),"
+                " i -> struct(element_at(_t, i) as w1,"
+                "             element_at(_t, i + 1) as w2))"
+            )).alias("p"),
+        )
+        .select("docno", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    n1f = pairs.select("w1", "w2").distinct().groupBy("w1").agg(
+        F.count("*").alias("n1f"))
+    n1p = pairs.select("w1", "w2").distinct().groupBy("w2").agg(
+        F.count("*").alias("n1p"))
+    t_types = pairs.select("w1", "w2").distinct().agg(
+        F.count("*").cast("double").alias("tt"))
+    d = float(discount)
+    p = (
+        F.greatest(F.col("c2") - F.lit(d), F.lit(0.0)) / F.col("c1")
+        + F.lit(d) * F.col("n1f") / F.col("c1")
+        * (F.col("n1p") / F.col("tt"))
+    )
+    return (
+        pairs.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .join(n1f, "w1").join(n1p, "w2").crossJoin(F.broadcast(t_types))
+        .groupBy("docno")
+        .agg(F.count("*").cast("long").alias("n_bigrams"),
+             F.round(F.sum(F.log(p)) / F.count("*"), 6).alias("avg_kn_lp"))
+    )

