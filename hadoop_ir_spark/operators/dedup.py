@@ -646,6 +646,7 @@ def _cc_star(pairs: DataFrame, a_col: str, b_col: str,
     when the edge set is a fixpoint. Labels = star edges + centers.
     """
     e = _canon_edges(pairs, a_col, b_col).localCheckpoint()
+    ne = e.count()
     for _ in range(max_iter):
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         lmin = (
@@ -667,10 +668,12 @@ def _cc_star(pairs: DataFrame, a_col: str, b_col: str,
         )
         e2 = _canon_edges(small).localCheckpoint()
 
-        changed = (
-            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
-        )
-        e = e2
+        # e/e2 are DISTINCT canonical edge sets: equal cardinality plus
+        # an empty one-way difference implies equality — one exceptAll
+        # job per round instead of two
+        n2 = e2.count()
+        changed = 1 if n2 != ne else e2.exceptAll(e).limit(1).count()
+        e, ne = e2, n2
         if changed == 0:
             break
     return (
