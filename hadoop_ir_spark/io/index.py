@@ -55,6 +55,24 @@ def build_index(docs: DataFrame, out_dir: str, id_col: str = "docno",
     )
 
 
+def build_positional_index(docs: DataFrame, out_dir: str,
+                           id_col: str = "docno",
+                           text_col: str = "text") -> None:
+    """Positional companion to ``build_index``: one parquet table
+    positional(docno, pos, term) — the materialization phrase/proximity
+    operators read instead of re-tokenizing the corpus (the reference
+    cannot build this at all: its mappers drop positions at tokenization,
+    TrecRun.java:123-136). Sorted by term within partitions so a
+    query-vocabulary ``term IN (...)`` filter prunes row groups via
+    parquet min/max stats."""
+    from hadoop_ir_spark.operators.proximity import positional_tokens
+
+    ptoks = positional_tokens(docs, None, id_col=id_col, text_col=text_col)
+    (ptoks.sortWithinPartitions("term")
+     .write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "positional")))
+
+
 def build_bucketed_index(docs: DataFrame, table_prefix: str,
                          n_buckets: int = 8, id_col: str = "docno",
                          text_col: str = "text") -> None:

@@ -69,3 +69,55 @@ def q_indexed_dirichlet(spark, sf_dir):
 
 # identical semantics to the scan-and-score flagship ⇒ identical oracle
 ORACLES["indexed_dirichlet_topk"] = ORACLES["dirichlet_topk"]
+
+
+# ---------------------------------------------------------------------------
+# indexed_phrase_topk — phrase retrieval from the positional index
+# ---------------------------------------------------------------------------
+
+_POS_INDEX_CACHE: dict[str, str] = {}
+
+
+def _pos_index_dir(spark, sf_dir: str) -> str:
+    key = os.path.abspath(sf_dir)
+    if key not in _POS_INDEX_CACHE:
+        out = os.path.join(
+            _TMPROOT, "pos_" + key.strip("/").replace("/", "_"))
+        index_io.build_positional_index(_docs(spark, sf_dir), out,
+                                        id_col="doc_id")
+        _POS_INDEX_CACHE[key] = out
+    return _POS_INDEX_CACHE[key]
+
+
+@register("indexed_phrase_topk")
+def q_indexed_phrase(spark, sf_dir):
+    """phrase_search_topk served from the materialized positional index
+    (build memoized per sf): the query-vocabulary filter reaches the
+    positional parquet scan (term-sorted row groups -> min/max pruning),
+    so only query-term positions are ever read — the reference's
+    index-then-query workflow applied to the capability its mappers
+    discard."""
+    from hadoop_ir_spark.operators import proximity
+    from hadoop_ir_spark.queries.proximity_q import _BIGRAMS, _PAIRS, _QTERMS
+
+    idx_dir = _pos_index_dir(spark, sf_dir)
+    ptoks = (
+        spark.read.parquet(os.path.join(idx_dir, "positional"))
+        .filter(F.col("term").isin(_QTERMS))
+    )
+    pairs = spark.createDataFrame(_PAIRS, "t1 string, t2 string")
+    bigrams = spark.createDataFrame(_BIGRAMS,
+                                    "qid string, t1 string, t2 string")
+    ordered = proximity.ordered_pair_counts(ptoks, pairs)
+    scored = (
+        ordered.join(F.broadcast(bigrams), ["t1", "t2"])
+        .groupBy("qid", "docno")
+        .agg(F.sum("otf").alias("phrase_tf"))
+    )
+    out = rank.topk(scored, k=TOP_K, score_col="phrase_tf")
+    return out.select("qid", "docno", "phrase_tf",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+# the oracle alias (same SQL as phrase_search_topk) is installed by
+# queries/proximity_q.py at its import, which happens after this module

@@ -376,3 +376,11 @@ def q_best_passage(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("qid", "docno", "win_start", "n_hits")
     )
+
+
+# indexed_phrase_topk (queries/indexed.py) is an equivalent materialization
+# of phrase_search_topk — same oracle; installed here because this module
+# imports after indexed.py in queries.__init__._MODULES
+from hadoop_ir_spark.catalog import ORACLES as _ORACLES
+
+_ORACLES["indexed_phrase_topk"] = _ORACLES["phrase_search_topk"]
