@@ -135,6 +135,10 @@ def triangle_count(edges: DataFrame,
         )
         .filter(F.col("a") != F.col("b"))  # drop self-loops
         .distinct()
+        # consumed by degree agg, orientation join AND the edge count:
+        # checkpoint so the canonical edge set materializes once instead
+        # of re-planning the dedup per branch (56 -> ~20 exchanges)
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("a").alias("v"))
@@ -158,6 +162,7 @@ def triangle_count(edges: DataFrame,
             F.when(F.col("rka") < F.col("rkb"), F.col("b"))
              .otherwise(F.col("a")).alias("dst"),
         )
+        .localCheckpoint()   # consumed by both wedge sides + closing
     )
     x = oriented.select(F.col("src").alias("u"),
                         F.col("dst").alias("v1"),
