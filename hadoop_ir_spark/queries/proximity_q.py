@@ -225,6 +225,12 @@ def q_sdm(spark, sf_dir):
     shuffles are the candidate-side left joins on (docno, feature) and
     the final top-k window — each restricted to query-vocabulary rows."""
     _, dlen, qpost, ordered, unord, bigrams = _spark_prox(spark, sf_dir)
+    # each count frame feeds BOTH a collection-frequency aggregate and a
+    # per-candidate feature join: checkpoint so the positional pair joins
+    # plan once per frame, not once per consumer
+    qpost = qpost.localCheckpoint()
+    ordered = ordered.localCheckpoint()
+    unord = unord.localCheckpoint()
     coll_len = dlen.agg(F.sum("doc_len")).collect()[0][0]
     c = float(coll_len)
 
