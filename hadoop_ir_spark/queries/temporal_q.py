@@ -600,3 +600,138 @@ def q_value_percentiles(spark, sf_dir):
             6,
         ).alias("pct_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ab_test_zscore — two-proportion experiment readout
+# ---------------------------------------------------------------------------
+
+@register("ab_test_zscore", f"""
+WITH {SQL_EV_US},
+assign AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM ev GROUP BY user_id
+),
+arm AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM assign GROUP BY variant
+),
+w AS (
+  SELECT
+    (SELECT n   FROM arm WHERE variant = 0) AS n0,
+    (SELECT sx  FROM arm WHERE variant = 0) AS sx0,
+    (SELECT sxx FROM arm WHERE variant = 0) AS sxx0,
+    (SELECT n   FROM arm WHERE variant = 1) AS n1,
+    (SELECT sx  FROM arm WHERE variant = 1) AS sx1,
+    (SELECT sxx FROM arm WHERE variant = 1) AS sxx1
+)
+SELECT n0, n1,
+       round(sx0::DOUBLE / n0, 6) AS mean0,
+       round(sx1::DOUBLE / n1, 6) AS mean1,
+       round((sx1::DOUBLE / n1 - sx0::DOUBLE / n0)
+             / sqrt((sxx0::DOUBLE / n0 - (sx0::DOUBLE / n0) * (sx0::DOUBLE / n0)) / n0
+                    + (sxx1::DOUBLE / n1 - (sx1::DOUBLE / n1) * (sx1::DOUBLE / n1)) / n1),
+             6) AS z
+FROM w
+""")
+def q_ab_test_zscore(spark, sf_dir):
+    """Welch z-statistic for a deterministic 50/50 user split (variant =
+    user_id % 2; production would use the salted-hash assignment
+    dataset_splits uses) on the purchases-per-user metric: exact INTEGER
+    sufficient statistics (n, sum x, sum x^2) per arm, so the statistic
+    is float-order-free and never degenerate (a conversion-rate z is
+    0/0 here: every synthetic user purchases). One groupBy(user) + one
+    2-row aggregate — at 100 TB exactly these two partial-agg
+    shuffles."""
+    e = _events_us(spark, sf_dir)
+    assign = (
+        e.groupBy("user_id")
+        .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0)).cast("long").alias("x"))
+        .select((F.col("user_id") % 2).cast("int").alias("variant"), "x")
+    )
+    arm = assign.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    a = {r["variant"]: r for r in arm.collect()}
+    w = spark.createDataFrame(
+        [(a[0]["n"], a[0]["sx"], a[0]["sxx"],
+          a[1]["n"], a[1]["sx"], a[1]["sxx"])],
+        "n0 long, sx0 long, sxx0 long, n1 long, sx1 long, sxx1 long")
+
+    def mean(sx, n):
+        return F.col(sx).cast("double") / F.col(n)
+
+    def var_over_n(sxx, sx, n):
+        return (F.col(sxx).cast("double") / F.col(n)
+                - mean(sx, n) * mean(sx, n)) / F.col(n)
+
+    z = (mean("sx1", "n1") - mean("sx0", "n0")) / F.sqrt(
+        var_over_n("sxx0", "sx0", "n0") + var_over_n("sxx1", "sx1", "n1"))
+    return w.select(
+        "n0", "n1",
+        F.round(mean("sx0", "n0"), 6).alias("mean0"),
+        F.round(mean("sx1", "n1"), 6).alias("mean1"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments — recency/frequency/monetary quartile segmentation
+# ---------------------------------------------------------------------------
+
+@register("rfm_segments", f"""
+WITH {SQL_EV_US},
+ustat AS (
+  SELECT user_id,
+         (SELECT max(ts_us) FROM ev) - max(ts_us) AS recency_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(value), 6) AS monetary
+  FROM ev GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, recency_us, frequency, monetary,
+         CAST(ntile(4) OVER (ORDER BY recency_us ASC, user_id) AS INT) AS r,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m
+  FROM ustat
+)
+SELECT user_id, recency_us, frequency, monetary, r, f, m,
+       CAST(r * 100 + f * 10 + m AS INT) AS segment
+FROM scored
+""")
+def q_rfm_segments(spark, sf_dir):
+    """RFM quartile segmentation (quartile 1 = best on each axis:
+    most recent / most frequent / highest spend): per-user aggregates,
+    then three ntile(4) windows with user_id tie-breaks so the quartile
+    boundaries are deterministic and engine-identical. Recency is
+    timezone-free epoch-micros against the global max. At scale the
+    per-user aggregate is the only data-sized shuffle; the ntile
+    windows run over the user table (corpus >> users)."""
+    from pyspark.sql import Window
+
+    e = _events_us(spark, sf_dir)
+    gmax = e.agg(F.max("ts_us")).collect()[0][0]
+    ustat = e.groupBy("user_id").agg(
+        (F.lit(gmax) - F.max("ts_us")).alias("recency_us"),
+        F.count("*").cast("long").alias("frequency"),
+        F.round(F.sum("value"), 6).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.asc("recency_us"), F.asc("user_id"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    scored = ustat.select(
+        "user_id", "recency_us", "frequency", "monetary",
+        F.ntile(4).over(r_w).cast("int").alias("r"),
+        F.ntile(4).over(f_w).cast("int").alias("f"),
+        F.ntile(4).over(m_w).cast("int").alias("m"),
+    )
+    return scored.withColumn(
+        "segment",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int"))

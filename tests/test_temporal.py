@@ -239,3 +239,31 @@ def test_value_percentiles_monotone(spark, sf_dir):
         pv.sort()
         vals = [v for _, v in pv]
         assert vals == sorted(vals), t  # monotone in p
+
+
+def test_ab_test_arms_partition_users(spark, sf_dir):
+    import os
+
+    from hadoop_ir_spark.catalog import QUERIES
+
+    row = QUERIES["ab_test_zscore"](spark, sf_dir).collect()[0]
+    n_users = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+               .select("user_id").distinct().count())
+    assert row.n0 + row.n1 == n_users
+    # a deterministic 50/50 split on a null-effect metric: |z| small
+    assert abs(row.z) < 5
+
+
+def test_rfm_quartiles_balanced(spark, sf_dir):
+    from hadoop_ir_spark.catalog import QUERIES
+
+    rows = QUERIES["rfm_segments"](spark, sf_dir).collect()
+    n = len(rows)
+    for axis in ("r", "f", "m"):
+        counts = {}
+        for r in rows:
+            counts[getattr(r, axis)] = counts.get(getattr(r, axis), 0) + 1
+        assert set(counts) == {1, 2, 3, 4}
+        assert max(counts.values()) - min(counts.values()) <= 1, (axis, counts)
+    assert all(100 <= r.segment <= 444 for r in rows)
+    assert n == len({r.user_id for r in rows})
