@@ -71,7 +71,7 @@ TIME_SENSITIVE = [
     "tpch_q9", "tpch_q12", "tpch_q20",
     # round 4 late: epoch-hour buckets / ts-ordered windows
     "event_cube", "event_gapfill", "ewma_user_value",
-    "markov_transitions", "value_percentiles",
+    "markov_transitions", "value_percentiles", "rfm_segments",
 ]
 
 
