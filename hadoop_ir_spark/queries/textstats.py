@@ -500,3 +500,116 @@ def q_doc_logprob_kn(spark, sf_dir):
     then a properly-smoothed bigram pass)."""
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docno"), "text")
     return textstats.kneser_ney_logprob(docs, discount=KN_D)
+
+
+# ---------------------------------------------------------------------------
+# term_burstiness — Church-Gale burstiness statistic per term
+# ---------------------------------------------------------------------------
+
+BURST_MIN_DF = 5
+
+
+@register("term_burstiness", f"""
+WITH tok AS (
+  SELECT doc_id AS docno,
+         unnest(string_split_regex(lower(text), '[^0-9a-zA-Z]+')) AS term
+  FROM documents
+),
+post AS (
+  SELECT docno, term, count(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY docno, term
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       CAST(max(tf) AS BIGINT) AS max_tf,
+       round(sum(tf)::DOUBLE / count(*), 6) AS burstiness
+FROM post GROUP BY term
+HAVING count(*) >= {BURST_MIN_DF}
+""")
+def q_term_burstiness(spark, sf_dir):
+    """Church-Gale burstiness (CL'95): mean within-document frequency
+    cf/df of each term — content words repeat within the documents they
+    touch (bursty), function words spread thin. One postings aggregate +
+    one per-term aggregate; df floor keeps rare-term noise out."""
+    from hadoop_ir_spark.operators import stats as statsops
+
+    docs = _docs(spark, sf_dir)
+    post = statsops.postings(docs, id_col="doc_id")
+    return (
+        post.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"),
+             F.sum("tf").cast("long").alias("cf"),
+             F.max("tf").cast("long").alias("max_tf"),
+             F.round(F.sum("tf").cast("double") / F.count("*"), 6)
+             .alias("burstiness"))
+        .filter(F.col("df") >= BURST_MIN_DF)
+    )
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit — least-squares fit of the corpus rank-frequency law
+# ---------------------------------------------------------------------------
+
+@register("zipf_fit", f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(text), '[^0-9a-zA-Z]+')) AS term
+  FROM documents
+),
+wc AS (
+  SELECT term, count(*) AS cf FROM tok WHERE term <> '' GROUP BY term
+),
+ranked AS (
+  SELECT cf, row_number() OVER (ORDER BY cf DESC, term DESC) AS rank
+  FROM wc
+),
+pts AS (SELECT ln(rank::DOUBLE) AS x, ln(cf::DOUBLE) AS y FROM ranked),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+""")
+def q_zipf_fit(spark, sf_dir):
+    """OLS fit of ln(cf) on ln(rank) — the Zipf's-law diagnostic every
+    corpus report carries (slope near -1 on natural text; the synthetic
+    corpus's near-uniform vocabulary fits a shallower line). Ranking is
+    one window over the vocabulary-sized wordcount; the fit is a single
+    6-value aggregate. ln sums are floats, so outputs are round(,6) —
+    slope-scale quantities are far from the boundary."""
+    from pyspark.sql import Window
+
+    from hadoop_ir_spark.operators import stats as statsops
+
+    docs = _docs(spark, sf_dir)
+    wc = statsops.word_count(docs, id_col="doc_id")
+    w = Window.orderBy(F.desc("cf"), F.desc("term"))
+    pts = wc.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cf").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den_x
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"),
+        F.round((num * num) / (den_x * den_y), 6).alias("r2"),
+    )
