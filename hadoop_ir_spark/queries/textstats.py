@@ -613,3 +613,57 @@ def q_zipf_fit(spark, sf_dir):
         .alias("intercept"),
         F.round((num * num) / (den_x * den_y), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth — Heaps'-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+HEAPS_STEPS = 8
+
+
+@register("vocab_growth", f"""
+WITH tok AS (
+  SELECT doc_id AS docno,
+         unnest(string_split_regex(lower(text), '[^0-9a-zA-Z]+')) AS term
+  FROM documents
+),
+ndocs AS (SELECT max(doc_id) + 1 AS n FROM documents),
+grid AS (
+  SELECT k, CAST(ceil((SELECT n FROM ndocs) * k / {HEAPS_STEPS}.0) AS BIGINT)
+           AS thr
+  FROM (SELECT unnest(range(1, {HEAPS_STEPS} + 1)) AS k)
+)
+SELECT g.k, g.thr,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT t.term) AS BIGINT) AS n_distinct
+FROM grid g JOIN tok t ON t.docno < g.thr AND t.term <> ''
+GROUP BY g.k, g.thr
+""")
+def q_vocab_growth(spark, sf_dir):
+    """Heaps'-law growth curve: distinct vocabulary vs tokens seen after
+    each prefix of the corpus (8 equal doc-id steps) — the companion
+    diagnostic to zipf_fit. Exact small-grid implementation: the grid
+    crossJoin replicates the token stream 8x before one
+    groupBy(k)+countDistinct; at 100 TB the same curve comes from the
+    mergeable HLL registers (sketch_hll_union) accumulated per prefix
+    instead of 8 exact distinct passes."""
+    from hadoop_ir_spark.functions.text import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    n = docs.agg(F.max("doc_id") + 1).collect()[0][0]
+    grid = spark.createDataFrame(
+        [(k, int(-(-n * k // HEAPS_STEPS))) for k in range(1, HEAPS_STEPS + 1)],
+        "k long, thr long",
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("docno"),
+        F.explode(tokens_col("text")).alias("term"),
+    )
+    return (
+        toks.crossJoin(F.broadcast(grid))
+        .filter(F.col("docno") < F.col("thr"))
+        .groupBy("k", "thr")
+        .agg(F.count("*").cast("long").alias("n_tokens"),
+             F.countDistinct("term").cast("long").alias("n_distinct"))
+    )
