@@ -40,6 +40,8 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:  # silent overwrite would hide dead code
+            raise ValueError(f"duplicate catalog registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -306,11 +308,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
 # The full Dirichlet run as a CTE chain ending in `run(qid, docno, score, rank)`
 # — the SQL twin of dirichlet_topk(), reused by the eval/feedback oracles.
 def sql_run_dirichlet(k: int = TOP_K) -> str:
-    """The Dirichlet-run CTE chain at a chosen depth (rank <= k)."""
-    return SQL_RUN_DIRICHLET.replace(f"rank <= {TOP_K}\n", f"rank <= {k}\n")
+    """The Dirichlet-run CTE chain at a chosen depth (rank <= k).
 
-
-SQL_RUN_DIRICHLET = f"""
+    The depth is substituted directly into the template (no post-hoc
+    string surgery on SQL_RUN_DIRICHLET, which would silently no-op if
+    the template's formatting drifted)."""
+    return f"""
 {SQL_TOK},
 coll AS (SELECT sum(tf) AS coll_len FROM post),
 topics AS (SELECT * FROM {_topics_values_sql(weighted=True)}),
@@ -339,9 +342,12 @@ ranked AS (
 ),
 run AS (
   SELECT qid, docno, score, CAST(rank AS INT) AS rank
-  FROM ranked WHERE rank <= {TOP_K}
+  FROM ranked WHERE rank <= {k}
 )
 """
+
+
+SQL_RUN_DIRICHLET = sql_run_dirichlet(TOP_K)
 
 # Synthetic-but-derived qrels: a document is relevant to a topic iff it
 # contains the topic's FIRST term; rel=2 when tf>=3 else 1. Deterministic and

@@ -178,7 +178,14 @@ bm25run AS (
 # comparison that is non-degenerate at every SF is Dirichlet vs JM: both
 # all-docs GSLIS runs, positively correlated, so top-KT_DEPTH overlaps.
 KT_DEPTH = 100
-_GSLIS_LAMBDA = 0.5   # = scoring_models.GSLIS_LAMBDA (M6)
+
+# M6's lambda, imported (not a duplicated literal) so a change to the M6
+# config cannot drift this oracle; interpolated as CAST(... AS DOUBLE) like
+# the sibling _RA/_RB/_AD/_KND constants so DuckDB does the same double
+# arithmetic as Spark even for values that are not exactly representable.
+from hadoop_ir_spark.queries.scoring_models import GSLIS_LAMBDA as _GSLIS_LAMBDA
+
+_SQL_LAMBDA = f"CAST({_GSLIS_LAMBDA!r} AS DOUBLE)"
 
 
 def _sql_run_jm(k: int = TOP_K) -> str:
@@ -187,8 +194,8 @@ def _sql_run_jm(k: int = TOP_K) -> str:
     cp floor) — must appear after it in the same WITH block."""
     return f"""j_scored AS (
   SELECT qid, docno,
-         round(sum(qweight * ln((1 - {_GSLIS_LAMBDA}) * tf / doc_len
-                                + {_GSLIS_LAMBDA} * cp)), 6) AS score
+         round(sum(qweight * ln((1 - {_SQL_LAMBDA}) * tf / doc_len
+                                + {_SQL_LAMBDA} * cp)), 6) AS score
   FROM frame GROUP BY qid, docno
 ),
 jmrun AS (

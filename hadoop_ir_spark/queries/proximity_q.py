@@ -502,167 +502,3 @@ def q_sdm_weight_sweep(spark, sf_dir):
     out = rank.topk(scored, k=TOP_K, qid_col=["wt", "qid"])
     return out.select("wt", "qid", "docno", "score",
                       F.col("rank").cast("int").alias("rank"))
-
-# indexed_phrase_topk (queries/indexed.py) is an equivalent materialization
-# of phrase_search_topk — same oracle; installed here because this module
-# imports after indexed.py in queries.__init__._MODULES
-from hadoop_ir_spark.catalog import ORACLES as _ORACLES
-
-_ORACLES["indexed_phrase_topk"] = _ORACLES["phrase_search_topk"]
-
-
-# ---------------------------------------------------------------------------
-# sdm_weight_sweep — J3 grid over the SDM mixing weights
-# ---------------------------------------------------------------------------
-
-SDM_W_GRID: list[tuple[float, float, float]] = [
-    (0.85, 0.10, 0.05),   # Metzler-Croft default
-    (0.80, 0.15, 0.05),
-    (0.75, 0.15, 0.10),
-    (0.90, 0.05, 0.05),
-    (1.00, 0.00, 0.00),   # degenerate: pure unigram QL
-]
-_SDM_GRID_VALUES = ", ".join(
-    f"(CAST({wt!r} AS DOUBLE), CAST({wo!r} AS DOUBLE), CAST({wu!r} AS DOUBLE))"
-    for wt, wo, wu in SDM_W_GRID
-)
-
-
-@register("sdm_weight_sweep", f"""
-WITH {SQL_PROX},
-coll AS (SELECT sum(doc_len)::DOUBLE AS c FROM dlen),
-topics AS (SELECT DISTINCT qid, t1 AS term FROM bigrams
-           UNION SELECT DISTINCT qid, t2 FROM bigrams),
-tstats AS (SELECT term, sum(tf)::DOUBLE AS cf FROM qpost GROUP BY term),
-cfo AS (SELECT t1, t2, sum(otf)::DOUBLE AS cf FROM ordered GROUP BY t1, t2),
-cfu AS (SELECT u1, u2, sum(utf)::DOUBLE AS cf FROM unord GROUP BY u1, u2),
-cand AS (
-  SELECT DISTINCT t.qid, p.docno
-  FROM qpost p JOIN topics t USING (term)
-),
-st AS (
-  SELECT c.qid, c.docno,
-         sum(ln((coalesce(p.tf, 0) + {SDM_MU} * s.cf / (SELECT c FROM coll))
-                / (d.doc_len + {SDM_MU}))) AS f_t
-  FROM cand c
-  JOIN topics t ON t.qid = c.qid
-  JOIN tstats s ON s.term = t.term
-  JOIN dlen d ON d.docno = c.docno
-  LEFT JOIN qpost p ON p.docno = c.docno AND p.term = t.term
-  GROUP BY 1, 2
-),
-so AS (
-  SELECT c.qid, c.docno,
-         sum(ln((coalesce(o.otf, 0) + {SDM_MU} * f.cf / (SELECT c FROM coll))
-                / (d.doc_len + {SDM_MU}))) AS f_o
-  FROM cand c
-  JOIN bigrams g ON g.qid = c.qid
-  JOIN cfo f ON f.t1 = g.t1 AND f.t2 = g.t2
-  JOIN dlen d ON d.docno = c.docno
-  LEFT JOIN ordered o ON o.docno = c.docno AND o.t1 = g.t1 AND o.t2 = g.t2
-  GROUP BY 1, 2
-),
-su AS (
-  SELECT c.qid, c.docno,
-         sum(ln((coalesce(u.utf, 0) + {SDM_MU} * f.cf / (SELECT c FROM coll))
-                / (d.doc_len + {SDM_MU}))) AS f_u
-  FROM cand c
-  JOIN (SELECT DISTINCT qid, least(t1, t2) AS u1, greatest(t1, t2) AS u2
-        FROM bigrams) g ON g.qid = c.qid
-  JOIN cfu f ON f.u1 = g.u1 AND f.u2 = g.u2
-  JOIN dlen d ON d.docno = c.docno
-  LEFT JOIN unord u ON u.docno = c.docno AND u.u1 = g.u1 AND u.u2 = g.u2
-  GROUP BY 1, 2
-),
-feats AS (
-  SELECT st.qid, st.docno, st.f_t,
-         coalesce(so.f_o, 0) AS f_o, coalesce(su.f_u, 0) AS f_u
-  FROM st
-  LEFT JOIN so ON so.qid = st.qid AND so.docno = st.docno
-  LEFT JOIN su ON su.qid = st.qid AND su.docno = st.docno
-),
-grid AS (SELECT * FROM (VALUES {_SDM_GRID_VALUES}) AS g(wt, wo, wu)),
-scored AS (
-  SELECT g.wt, f.qid, f.docno,
-         round(g.wt * f.f_t + g.wo * f.f_o + g.wu * f.f_u, 6) AS score
-  FROM feats f CROSS JOIN grid g
-),
-ranked AS (
-  SELECT wt, qid, docno, score,
-         row_number() OVER (PARTITION BY wt, qid
-                            ORDER BY score DESC, docno DESC) AS rank
-  FROM scored
-)
-SELECT wt, qid, docno, score, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= {TOP_K}
-""")
-def q_sdm_weight_sweep(spark, sf_dir):
-    """J3 parameter grid over the SDM mixing weights (wt identifies the
-    grid row — the sweep TrecRunBaselines runs for lambda, applied to
-    the proximity model): the THREE feature aggregates run ONCE, then
-    the 5-row grid crossJoins the small per-candidate feature frame —
-    the grid multiplies post-aggregate rows, never the positional pair
-    joins."""
-    _, dlen, qpost, ordered, unord, bigrams = _spark_prox(spark, sf_dir)
-    qpost = qpost.localCheckpoint()
-    ordered = ordered.localCheckpoint()
-    unord = unord.localCheckpoint()
-    coll_len = dlen.agg(F.sum("doc_len")).collect()[0][0]
-    c = float(coll_len)
-
-    topics = (
-        bigrams.select("qid", F.col("t1").alias("term"))
-        .union(bigrams.select("qid", F.col("t2").alias("term")))
-        .distinct()
-    )
-    tstats = qpost.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
-    cfo = ordered.groupBy("t1", "t2").agg(
-        F.sum("otf").cast("double").alias("cf"))
-    cfu = unord.groupBy("u1", "u2").agg(
-        F.sum("utf").cast("double").alias("cf"))
-    ubigrams = bigrams.select(
-        "qid", F.least("t1", "t2").alias("u1"),
-        F.greatest("t1", "t2").alias("u2")).distinct()
-
-    cand = qpost.join(F.broadcast(topics), "term").select("qid", "docno").distinct()
-    cand = cand.join(dlen, "docno").localCheckpoint()
-
-    def dirichlet(tf_col, cf_col):
-        return F.log((F.coalesce(tf_col, F.lit(0)) + SDM_MU * cf_col / c)
-                     / (F.col("doc_len") + SDM_MU))
-
-    st = (
-        cand.join(F.broadcast(topics.join(tstats, "term")), "qid")
-        .join(qpost.withColumnRenamed("tf", "utf_"),
-              ["docno", "term"], "left")
-        .groupBy("qid", "docno")
-        .agg(F.sum(dirichlet(F.col("utf_"), F.col("cf"))).alias("f_t"))
-    )
-    so = (
-        cand.join(F.broadcast(bigrams.join(cfo, ["t1", "t2"])), "qid")
-        .join(ordered, ["docno", "t1", "t2"], "left")
-        .groupBy("qid", "docno")
-        .agg(F.sum(dirichlet(F.col("otf"), F.col("cf"))).alias("f_o"))
-    )
-    su = (
-        cand.join(F.broadcast(ubigrams.join(cfu, ["u1", "u2"])), "qid")
-        .join(unord, ["docno", "u1", "u2"], "left")
-        .groupBy("qid", "docno")
-        .agg(F.sum(dirichlet(F.col("utf"), F.col("cf"))).alias("f_u"))
-    )
-    feats = (
-        st.join(so, ["qid", "docno"], "left")
-        .join(su, ["qid", "docno"], "left")
-        .select("qid", "docno", "f_t",
-                F.coalesce("f_o", F.lit(0.0)).alias("f_o"),
-                F.coalesce("f_u", F.lit(0.0)).alias("f_u"))
-    )
-    grid = spark.createDataFrame(SDM_W_GRID, "wt double, wo double, wu double")
-    scored = feats.crossJoin(F.broadcast(grid)).select(
-        "wt", "qid", "docno",
-        F.round(F.col("wt") * F.col("f_t") + F.col("wo") * F.col("f_o")
-                + F.col("wu") * F.col("f_u"), 6).alias("score"),
-    )
-    out = rank.topk(scored, k=TOP_K, qid_col=["wt", "qid"])
-    return out.select("wt", "qid", "docno", "score",
-                      F.col("rank").cast("int").alias("rank"))

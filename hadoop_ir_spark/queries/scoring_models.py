@@ -514,7 +514,7 @@ topics AS (SELECT DISTINCT qid, term FROM {_topics_values_sql()}),
 tstats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
 qws AS (
   SELECT t.qid, t.term,
-         ln((SELECT n_docs FROM gstat)::DOUBLE / s.df) AS qw
+         ln(((SELECT n_docs FROM gstat) + 1)::DOUBLE / s.df) AS qw
   FROM topics t JOIN tstats s USING (term)
 ),
 qnorm AS (SELECT qid, sqrt(sum(qw * qw)) AS qn FROM qws GROUP BY qid),
@@ -541,9 +541,14 @@ def q_vsm_cosine(spark, sf_dir):
     qpost = stats.postings_for_terms(docs, _QTERMS, id_col="doc_id")
     tstats = qpost.groupBy("term").agg(F.count("*").alias("df"))
     topics = _topics_df(spark)
+    # smoothed idf ln((N+1)/df): strictly positive even when every query
+    # term reaches df = N (plausible here — the synthetic corpus has
+    # df ~ N for query terms), where the unsmoothed ln(N/df) would make
+    # qnorm 0 and degrade scores to NULL division with engine-dependent
+    # ordering
     qws = topics.join(F.broadcast(tstats), "term").select(
         "qid", "term",
-        F.log(F.lit(float(n_docs)) / F.col("df")).alias("qw"),
+        F.log(F.lit(float(n_docs + 1)) / F.col("df")).alias("qw"),
     )
     qnorm = qws.groupBy("qid").agg(
         F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qn"))
