@@ -54,11 +54,21 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def centroid_sample(emb: DataFrame, every: int = 50, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
-    """Deterministic centroid set: every ``every``-th vector by id.
-    → (centroid_id, cv). Production: replace with KMeans cluster centers —
-    downstream plans are unchanged."""
-    return emb.filter(F.col(id_col) % every == 0).select(
+                    vec_col: str = "embedding",
+                    max_k: int | None = None) -> DataFrame:
+    """Deterministic centroid set: every ``every``-th vector by id,
+    optionally CAPPED at ``max_k`` centroids (the first ``max_k`` by id:
+    ``id % every == 0 AND id < every * max_k``). → (centroid_id, cv).
+
+    The cap is the scale knob: without it k grows linearly with the
+    corpus and Lloyd's O(n·k·d) turns O(n²) in data (measured 30.7× per
+    10× in SCALING.md r4); with it k is a constant and the scan is
+    linear. Production: replace with KMeans cluster centers — downstream
+    plans are unchanged."""
+    cond = F.col(id_col) % every == 0
+    if max_k is not None:
+        cond = cond & (F.col(id_col) < every * max_k)
+    return emb.filter(cond).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
     )
 

@@ -66,6 +66,13 @@ def q_dsir_weights(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 SEM_TAU = 0.3
+# Cluster-size cap (r4 judge finding #1): clusters larger than this are
+# deterministically sub-sharded (vec_id % ceil(n/cap)) before the pair
+# join, bounding per-cluster pair work at ~n·cap instead of n². At
+# sf0.001/sf0.01 every label cluster is under the cap (n_shards = 1), so
+# the result is identical to the uncapped r4 oracle; at sf0.1+ the cap
+# is live and the oracle replays the identical sharding.
+SEM_MAX_CLUSTER = 64
 
 _SEM_COS = (
     "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
@@ -75,22 +82,33 @@ _SEM_COS = (
 
 
 @register("semantic_dedup_kept", f"""
-WITH dropped AS (
+WITH ns AS (
+  SELECT label,
+         CAST(ceil(count(*)::DOUBLE / {SEM_MAX_CLUSTER}) AS BIGINT)
+           AS n_shards
+  FROM embeddings GROUP BY label
+),
+dropped AS (
   SELECT DISTINCT b.vec_id
-  FROM embeddings a JOIN embeddings b
+  FROM embeddings a
+  JOIN ns ON ns.label = a.label
+  JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
+   AND a.vec_id % ns.n_shards = b.vec_id % ns.n_shards
   WHERE {_SEM_COS} >= {SEM_TAU!r}
 )
 SELECT e.vec_id, e.label
 FROM embeddings e ANTI JOIN dropped d ON e.vec_id = d.vec_id
 """)
 def q_semantic_dedup_kept(spark, sf_dir):
-    """SemDeDup survivors: cluster-blocked (label column) cosine pruning,
-    keep the lowest id of each directly-linked near-dup pair. Expression
-    cosine, so the SQL replica decides identically."""
+    """SemDeDup survivors: cluster-blocked (label column) cosine pruning
+    with the SEM_MAX_CLUSTER size cap, keep the lowest id of each
+    directly-linked near-dup pair. Expression cosine, so the SQL replica
+    decides identically."""
     from hadoop_ir_spark.operators import dedup
 
-    kept = dedup.semantic_dedup(_emb(spark, sf_dir), tau=SEM_TAU)
+    kept = dedup.semantic_dedup(_emb(spark, sf_dir), tau=SEM_TAU,
+                                max_cluster=SEM_MAX_CLUSTER)
     return kept.select("vec_id", "label")
 
 

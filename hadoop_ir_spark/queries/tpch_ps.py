@@ -238,10 +238,15 @@ def q_tpch_q9(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 Q11_NATION = "NATION_3"
-# fraction = 1/4000 — chosen so the threshold is non-degenerate at every
-# test SF (at 1/1000 the sf0.1 slice has max part-share 5.3e-4 → 0 rows;
-# the spec itself scales its fraction by 1/SF for the same reason).
-Q11_SCALE = 4000
+# The spec scales Q11's fraction by 1/SF (fraction = 0.0001/SF) so the
+# absolute money threshold — and hence the selectivity per part — stays
+# constant as the corpus grows. A static oracle string can't take SF as a
+# parameter, so the same scaling is DERIVED FROM THE DATA: the threshold
+# is `value > Q11_MULT × (total / n_parts)`, i.e. fraction = MULT/n_parts
+# with n_parts ∝ SF. The r4 sweep's fixed 1/4000 fraction returned 0 rows
+# at sf1; this form returns 28/172/1712/17088 rows at
+# sf0.001/0.01/0.1/sf1 — linear in SF exactly as spec-compliant Q11 is.
+Q11_MULT = 2
 
 
 @register("tpch_q11", f"""
@@ -257,10 +262,11 @@ val AS (
   SELECT ps_partkey, CAST(sum(v_c) AS BIGINT) AS value_c
   FROM ps_n GROUP BY 1
 ),
-tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM val)
+tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+               CAST(count(*) AS BIGINT) AS n_parts FROM val)
 SELECT ps_partkey, round(value_c::DOUBLE / 100, 6) AS value
 FROM val, tot
-WHERE value_c * {Q11_SCALE} > total_c
+WHERE value_c * n_parts > total_c * {Q11_MULT}
 """)
 def q_tpch_q11(spark, sf_dir):
     """Q11 (important stock) on the derived partsupp.
@@ -268,8 +274,9 @@ def q_tpch_q11(spark, sf_dir):
     Scale shape: nation-filtered supplier list broadcasts into the
     partsupp scan; one groupBy(partkey) aggregate; the spec's scalar
     subquery is a 1-row aggregate cross-joined (broadcast) back — the
-    threshold test is exact integer math so Spark and DuckDB agree
-    bit-for-bit regardless of summation order.
+    threshold test is exact integer math (value·n_parts vs total·MULT,
+    all BIGINT) so Spark and DuckDB agree bit-for-bit regardless of
+    summation order, and the fraction self-scales with SF via n_parts.
     """
     supp_n = (_t(spark, sf_dir, "supplier")
               .join(F.broadcast(_t(spark, sf_dir, "nation")
@@ -281,9 +288,11 @@ def q_tpch_q11(spark, sf_dir):
            .groupBy("ps_partkey")
            .agg(F.sum(F.col("ps_cost_c") * F.col("ps_availqty"))
                 .alias("value_c")))
-    tot = val.agg(F.sum("value_c").alias("total_c"))
+    tot = val.agg(F.sum("value_c").alias("total_c"),
+                  F.count("*").alias("n_parts"))
     return (val.crossJoin(F.broadcast(tot))
-            .filter(F.col("value_c") * Q11_SCALE > F.col("total_c"))
+            .filter(F.col("value_c") * F.col("n_parts")
+                    > F.col("total_c") * Q11_MULT)
             .select("ps_partkey",
                     F.round(F.col("value_c").cast("double") / 100, 6)
                     .alias("value")))
