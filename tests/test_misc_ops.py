@@ -150,6 +150,28 @@ KROVETZ_PUBLISHED_PAIRS = [
     ("quickly", "quick"), ("validity", "valid"), ("payment", "pay"),
     ("useful", "use"), ("ability", "able"),
     ("government", "govern"), ("movement", "move"),
+    # round 5: headword pass-throughs the ~13k lexicon now protects —
+    # the signature dictionary-first conservatism ("information" does
+    # NOT become "inform", lexicalized -ing/-er/-ly/-ed forms survive)
+    ("information", "information"), ("likely", "likely"),
+    ("early", "early"), ("only", "only"), ("assembly", "assembly"),
+    ("morning", "morning"), ("evening", "evening"),
+    ("ceiling", "ceiling"), ("hundred", "hundred"),
+    ("sacred", "sacred"), ("wicked", "wicked"), ("status", "status"),
+    ("lens", "lens"), ("campus", "campus"), ("crisis", "crisis"),
+    ("weekly", "weekly"), ("friendly", "friendly"),
+    # round 5: plurals of lexicalized derivations conflate to the
+    # lexicalized HEADWORD, not the root
+    ("meetings", "meeting"), ("buildings", "building"),
+    ("feelings", "feeling"), ("teachers", "teacher"),
+    ("leaders", "leader"), ("writers", "writer"),
+    ("organizations", "organization"), ("universities", "university"),
+    ("stations", "station"), ("nations", "nation"),
+    ("mothers", "mother"), ("numbers", "number"),
+    ("members", "member"), ("papers", "paper"),
+    # round 5: comparative -(i)er recoding
+    ("happier", "happy"), ("earlier", "early"),
+    ("carriers", "carrier"),
 ]
 
 
@@ -172,7 +194,7 @@ def test_kstem_lexicon_is_sane():
 
     from hadoop_ir_spark.functions.kstem import DIRECT, LEXICON, kstem
 
-    assert len(LEXICON) >= 4000
+    assert len(LEXICON) >= 12000
     assert all(re.fullmatch(r"[a-z]+", w) for w in LEXICON)
     for w in LEXICON:
         if w not in DIRECT:
