@@ -73,6 +73,69 @@ def tokenize(df, text_col: str = "text", out_col: str = "term",
     return df.withColumn(out_col, F.explode(tokens_col(text_col, drop_numbers)))
 
 
+# ---------------------------------------------------------------------------
+# T4 exact variant — Lucene 4.3 StandardAnalyzer replica
+# ---------------------------------------------------------------------------
+
+# The 33-entry English default stop set of Lucene's StandardAnalyzer
+# (StopAnalyzer.ENGLISH_STOP_WORDS_SET) — applied AFTER lowercasing,
+# exactly as the analyzer chain does.
+LUCENE43_STOPWORDS: frozenset[str] = frozenset("""
+a an and are as at be but by for if in into is it no not of on or such
+that the their then there these they this to was will with
+""".split())
+
+# UAX#29 word-break core, ASCII+Latin subset, as one Java-regex token
+# pattern (Spark's regexp_extract_all is Java regex, so the contextual
+# lookarounds below are available — this is why the exact variant cannot
+# be a split() like tokens_col):
+#   - runs of letters/digits/underscore join directly (WB5/8/9/10/13a-b;
+#     underscore is ExtendNumLet, hence "foo_bar" is ONE token);
+#   - MidNumLet ' . (and U+2019) join LETTER-LETTER runs: "can't",
+#     "example.com", "i.b.m." -> "i.b.m" (WB6/7);
+#   - MidNum , . join DIGIT-DIGIT runs: "3.14", "1,000" (WB11/12);
+#   - hyphen splits ("wi-fi" -> wi, fi — the headline divergence from
+#     the pre-3.1 ClassicTokenizer);
+#   - CJK ideographs are emitted as SINGLE-char tokens (StandardTokenizer
+#     IDEOGRAPHIC type), so they are excluded from the run class.
+_HAN = "\\u4E00-\\u9FFF\\u3040-\\u30FF"
+_W = f"[[\\p{{L}}\\p{{Nd}}_]&&[^{_HAN}]]"
+_L = f"[\\p{{L}}&&[^{_HAN}]]"
+_D = "\\p{Nd}"
+LUCENE43_TOKEN_RE = (
+    f"{_W}+"
+    f"(?:(?:(?<={_L})['.\\u2019](?={_L})|(?<={_D})[.,](?={_D})){_W}+)*"
+    f"|[{_HAN}]"
+)
+
+
+def lucene43_tokens_col(col: Column | str,
+                        keep_stopwords: bool = False) -> Column:
+    """T4 EXACT variant: replicate Lucene 4.3 ``StandardAnalyzer`` (the
+    analyzer TrecWordCount.java:49 instantiates — ``new
+    StandardAnalyzer(Version.LUCENE_43)``) as a pure Column expression:
+    UAX#29 word-break tokenization, lowercase, then the default English
+    stop set. The reference's EnglishPossessiveFilter line is commented
+    OUT (TrecWordCount.java:63), so possessives are KEPT ("mary's").
+
+    Divergences from the simple tokenizer this closes (golden fixtures in
+    tests/test_text.py): possessives/apostrophes kept as one token,
+    dotted acronyms and host names kept ("i.b.m", "example.com"),
+    decimal/grouped numbers kept ("32.3", "1,000"), underscore joins,
+    CJK emitted per-ideograph, stopwords removed.
+
+    Documented remaining gaps: maxTokenLength=255 splitting and the
+    full Unicode script matrix (Thai/Lao syllable breaking etc.) are not
+    replicated; ASCII + Latin-1 + CJK cover the reference corpora.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(F.lower(c), F.lit(LUCENE43_TOKEN_RE), 0)
+    if not keep_stopwords:
+        stopset = F.array(*[F.lit(s) for s in sorted(LUCENE43_STOPWORDS)])
+        toks = F.filter(toks, lambda t: ~F.array_contains(stopset, t))
+    return toks
+
+
 def remove_stopwords(arr: Column, stopwords: Iterable[str]) -> Column:
     """T6: drop stoplist terms from a token array (broadcast-as-literal)."""
     stopset = F.array(*[F.lit(s) for s in sorted(set(stopwords))])

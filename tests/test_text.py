@@ -91,3 +91,66 @@ def test_clean_feedback_term(spark):
     df = spark.createDataFrame([("cat",), ("ab",), ("h2o",), ("term",)], ["w"])
     out = [r["k"] for r in df.select(X.clean_feedback_term("w").alias("k")).collect()]
     assert out == [True, False, False, True]
+
+
+# ---------------------------------------------------------------------------
+# T4 exact variant: Lucene 4.3 StandardAnalyzer replica
+# ---------------------------------------------------------------------------
+
+# Golden fixtures: documented Lucene 4.x StandardAnalyzer outputs (the
+# "Lucene in Action" / analyzer-demo examples and the UAX#29 behaviors
+# the analyzer inherits). The reference instantiates exactly this
+# analyzer (TrecWordCount.java:49) with the possessive filter commented
+# out, so possessives survive.
+LUCENE43_GOLDEN = [
+    ("The quick brown fox jumped over the lazy dog",
+     ["quick", "brown", "fox", "jumped", "over", "lazy", "dog"]),
+    ("XY&Z Corporation - xyz@example.com",
+     ["xy", "z", "corporation", "xyz", "example.com"]),
+    ("I.B.M. released Wi-Fi B-52 specs",
+     ["i.b.m", "released", "wi", "fi", "b", "52", "specs"]),
+    ("Mary's can't won't o'neil's",
+     ["mary's", "can't", "won't", "o'neil's"]),
+    ("pi is 32.3 and 1,000 feet, right?",
+     ["pi", "32.3", "1,000", "feet", "right"]),
+    ("snake_case_name stays one token",
+     ["snake_case_name", "stays", "one", "token"]),
+    ("café résumé", ["café", "résumé"]),
+    # CJK: one token per ideograph (StandardTokenizer IDEOGRAPHIC type)
+    ("中文 text", ["中", "文", "text"]),
+    # stop set is the 33-word English default, applied after lowercase
+    ("This is NOT a test of the WILL", ["test"]),
+]
+
+
+def test_lucene43_tokens_golden(spark):
+    df = spark.createDataFrame([(t,) for t, _ in LUCENE43_GOLDEN], ["text"])
+    out = [r["toks"] for r in
+           df.select(X.lucene43_tokens_col("text").alias("toks")).collect()]
+    for (text, want), got in zip(LUCENE43_GOLDEN, out):
+        assert got == want, (text, got, want)
+
+
+def test_lucene43_divergence_from_simple(spark):
+    """Pin the EXACT cases where the simple [^0-9A-Za-z]+ tokenizer (T3)
+    and the Lucene-exact variant disagree — the documented T4 fidelity
+    boundary, now closed behind the lucene43_tokens_col flag."""
+    df = spark.createDataFrame([("I.B.M. Mary's 32.3 wi-fi the",)], ["text"])
+    simple = df.select(X.tokens_col("text").alias("t")).collect()[0]["t"]
+    lucene = df.select(X.lucene43_tokens_col("text").alias("t")).collect()[0]["t"]
+    assert simple == ["i", "b", "m", "mary", "s", "32", "3", "wi", "fi", "the"]
+    assert lucene == ["i.b.m", "mary's", "32.3", "wi", "fi"]
+
+
+def test_lucene43_agrees_on_plain_ascii(spark):
+    """On plain alphanumeric prose (the synthetic corpus), the exact
+    variant differs from T3 only by the stop set — so every existing
+    catalog result is unaffected by the variant's existence."""
+    df = spark.createDataFrame(
+        [("spark join merge window sort table stream batch data vector",)],
+        ["text"])
+    simple = df.select(X.tokens_col("text").alias("t")).collect()[0]["t"]
+    lucene = df.select(
+        X.lucene43_tokens_col("text", keep_stopwords=True).alias("t")
+    ).collect()[0]["t"]
+    assert simple == lucene
