@@ -25,6 +25,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
+# Pinned regression set (``--pinned``): every query a judge has
+# independently strict-verified, so a regression here is maximally
+# visible. r3 re-check (14) + r4 re-check batches 1 and 2 (31).
+# The full-catalog gate (no name filter) remains the stronger check;
+# this subset is the fast between-commits guard.
+PINNED_JUDGE_VERIFIED = sorted({
+    # round 3 (14)
+    "eval_map_pk", "rank_correlation", "kde_alpha_sweep", "rm3_sweep",
+    "dedup_clusters", "near_dedup_kept", "kmeans_clusters",
+    "ann_recall_ivf", "doc_chunks", "gopher_quality", "redact_pii",
+    "pack_chunks", "doc_global_ids", "media_wav_real",
+    # round 4 batch 1 (14)
+    "tpch_q9", "tpch_q21", "media_bmp_resize", "bpe_encode_lens",
+    "winnow_span_pairs", "sketch_hll_union", "triangle_count",
+    "event_funnel", "dsir_weights", "semantic_dedup_kept", "pagerank",
+    "phrase_search_topk", "mixture_weights", "perplexity_buckets",
+    # round 4 batch 1 cont. + batch 2 (17)
+    "cohort_retention", "mmr_rerank", "query_clarity",
+    "textrank_keywords", "graph_hits", "graph_bfs", "ewma_user_value",
+    "markov_transitions", "value_percentiles", "ann_recall_lsh",
+    "nb_classifier_preds", "tpch_q2", "tpch_q17", "event_cube",
+    "sdm_topk", "salted_user_spend", "doc_logprob_kn",
+})
+
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
@@ -78,9 +102,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame,
 def main():
     args = sys.argv[1:]
     strict = "--strict" in args
-    args = [a for a in args if a != "--strict"]
+    pinned = "--pinned" in args
+    args = [a for a in args if a not in ("--strict", "--pinned")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    if pinned:
+        only |= set(PINNED_JUDGE_VERIFIED)
 
     import __spark_entry__ as E
     from hadoop_ir_spark.session import get_spark
