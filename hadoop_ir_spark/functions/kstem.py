@@ -58,6 +58,18 @@ DIRECT: dict[str, str] = {
     "appendices": "appendix", "crises": "crisis", "analyses": "analysis",
     "theses": "thesis", "hypotheses": "hypothesis", "axes": "axis",
     "phenomena": "phenomenon", "criteria": "criterion",
+    # r5: the remaining standard Latin/Greek plural conflations
+    "cacti": "cactus", "fungi": "fungus", "nuclei": "nucleus",
+    "alumni": "alumnus", "stimuli": "stimulus", "syllabi": "syllabus",
+    "radii": "radius", "larvae": "larva", "antennae": "antenna",
+    "formulae": "formula", "nebulae": "nebula", "vertebrae": "vertebra",
+    "bacteria": "bacterium", "curricula": "curriculum",
+    "memoranda": "memorandum", "strata": "stratum", "genera": "genus",
+    "corpora": "corpus", "oases": "oasis", "diagnoses": "diagnosis",
+    "parentheses": "parenthesis", "syntheses": "synthesis",
+    "emphases": "emphasis", "prognoses": "prognosis", "lice": "louse",
+    "addenda": "addendum", "errata": "erratum", "apices": "apex",
+    "codices": "codex", "automata": "automaton",
     # irregular past tenses / participles
     "made": "make", "went": "go", "gone": "go", "did": "do",
     "done": "do", "said": "say", "got": "get", "gotten": "get",

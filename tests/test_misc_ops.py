@@ -172,6 +172,11 @@ KROVETZ_PUBLISHED_PAIRS = [
     # round 5: comparative -(i)er recoding
     ("happier", "happy"), ("earlier", "early"),
     ("carriers", "carrier"),
+    # round 5: Latin/Greek irregular plurals (direct-table conflations)
+    ("cacti", "cactus"), ("fungi", "fungus"), ("nuclei", "nucleus"),
+    ("radii", "radius"), ("larvae", "larva"), ("strata", "stratum"),
+    ("corpora", "corpus"), ("oases", "oasis"),
+    ("parentheses", "parenthesis"), ("automata", "automaton"),
 ]
 
 
