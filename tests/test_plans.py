@@ -97,3 +97,29 @@ def test_eval_map_pk_plan_is_checkpoint_fanout(spark, sf_dir):
     # fan-out keeps it small
     plan = _plan(spark, sf_dir, "eval_map_pk")
     assert plan.count("Exchange") <= 25
+
+
+def test_semantic_dedup_sharded_equijoin(spark, sf_dir):
+    """r5 cluster-size cap: the pair join must be an equi-join on
+    (label, shard) — SortMergeJoin/ShuffledHashJoin or BHJ, never a
+    nested loop — and the n_shards dim must broadcast."""
+    plan = _plan(spark, sf_dir, "semantic_dedup_kept")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_kmeans_centroid_cap_reaches_scan(spark, sf_dir):
+    """r5 pinned-k init: the id-cap predicate must be pushed into the
+    embeddings parquet scan, not applied post-scan (at 100 TB the scan
+    for 40 centroid rows must not read the corpus)."""
+    import re
+
+    from hadoop_ir_spark.operators import similarity
+    from hadoop_ir_spark.queries.similarity import KM_INIT_EVERY, KM_MAX_K
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    init = similarity.centroid_sample(emb, every=KM_INIT_EVERY,
+                                      max_k=KM_MAX_K)
+    plan = init._jdf.queryExecution().executedPlan().toString()
+    cap = KM_INIT_EVERY * KM_MAX_K
+    assert re.search(rf"PushedFilters:.*LessThan\(vec_id,{cap}\)", plan), plan
