@@ -3,9 +3,12 @@ video as opaque ``binary`` payload columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` stages.
 
 The decode layer is pluggable:
-- REAL path: PIL / soundfile / av decode — gated behind import-try; these
-  libraries are absent in this container, so the real branch raises a
-  clearly-marked NotImplementedError if forced.
+- REAL built-in codecs (no external libs): RIFF/PCM WAV, 24-bit BMP, and
+  (r5) deflate-compressed PNG — see the codec section below.
+- REAL external path: PIL / soundfile / av decode for DCT/psychoacoustic
+  formats (JPEG/FLAC) — gated behind import-try; these libraries are
+  absent in this container, so that branch raises a clearly-marked
+  NotImplementedError if forced.
 - FAKE path (default when libs are missing): a deterministic byte-level
   "decode" — payload bytes ARE the samples. Feature math (exact integer
   sums → mean/variance) is reproducible in DuckDB for the oracle gate, so
@@ -193,30 +196,33 @@ def audio_window_features(media: DataFrame, window: int = 32,
 
 def resize_images(media: DataFrame, width: int, height: int,
                   fmt: str = "bmp") -> DataFrame:
-    """REAL resize for uncompressed 24-bit BMP payloads: decode with the
-    real parser below, nearest-neighbor resample in numpy
-    (``src = (dst * src_dim) // dst_dim``), re-encode as a valid BMP.
-    Compressed formats (png/jpeg) still need PIL, absent here — that
-    path stays explicitly gated."""
-    if fmt != "bmp":
+    """REAL resize for 24-bit BMP and (r5) 8-bit RGB PNG payloads:
+    decode with the real parsers below, nearest-neighbor resample in
+    numpy (``src = (dst * src_dim) // dst_dim``), re-encode a valid
+    file of the same format. JPEG (DCT) still needs PIL, absent here —
+    that path stays explicitly gated."""
+    if fmt not in ("bmp", "png"):
         if not _pil_available():
             raise NotImplementedError(
-                f"resize_images({fmt!r}) requires PIL; only the real 'bmp'"
-                " codec is available in this environment"
+                f"resize_images({fmt!r}) requires PIL; the real 'bmp' and"
+                " 'png' codecs are the available paths in this environment"
             )
         raise NotImplementedError("PIL resize path not wired yet")
 
     import numpy as np
 
+    dec = decode_bmp24 if fmt == "bmp" else decode_png
+    enc = encode_bmp24 if fmt == "bmp" else encode_png_rgb
+
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                pix = decode_bmp24(payload)
-                h, w, _ = pix.shape
+                pix = dec(payload)
+                h, w = pix.shape[:2]
                 ys = (np.arange(height) * h) // height
                 xs = (np.arange(width) * w) // width
-                rows.append((int(mid), encode_bmp24(pix[ys][:, xs])))
+                rows.append((int(mid), enc(pix[ys][:, xs])))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return media.select("media_id", "payload").mapInPandas(
@@ -224,14 +230,16 @@ def resize_images(media: DataFrame, width: int, height: int,
 
 
 # ===========================================================================
-# REAL codecs (pure numpy/struct, no external libraries): RIFF/PCM WAV and
-# uncompressed 24-bit BMP. These are genuine format implementations — the
-# decoders parse actual headers/chunks and reject malformed input — so the
-# media pipeline exercises a real decode step end-to-end; the container
-# merely lacks the *compressed* codecs (PNG/JPEG/FLAC), which stay gated.
+# REAL codecs (pure numpy/struct/zlib, no external libraries): RIFF/PCM WAV,
+# uncompressed 24-bit BMP, and (r5) deflate-compressed PNG. These are
+# genuine format implementations — the decoders parse actual
+# headers/chunks, verify CRCs, and reject malformed input — so the media
+# pipeline exercises a real COMPRESSED decode step end-to-end; only the
+# DCT/psychoacoustic codecs (JPEG/FLAC) remain PIL/soundfile-gated.
 # ===========================================================================
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -314,6 +322,178 @@ def decode_bmp24(payload: bytes) -> "np.ndarray":
         out[y] = np.frombuffer(b[start:start + row], dtype=np.uint8) \
             .reshape(w, 3)
     return out
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png_rgb(pixels: "np.ndarray",
+                   filters: "list[int] | None" = None) -> bytes:
+    """Real PNG writer (RFC 2083): 8-bit truecolor RGB, deflate IDAT,
+    CRC-carrying chunks. ``pixels`` is (H, W, 3) uint8. Each scanline
+    gets one of the five standard filters — by default row y uses
+    filter ``y % 5``, so every filter type (None/Sub/Up/Average/Paeth)
+    appears in any image with >= 5 rows and the decoder's full
+    unfilter matrix is exercised by round-trip tests."""
+    pix = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = pix.shape
+    assert c == 3
+    bpp = 3
+    raw = bytearray()
+    prior = bytes(w * bpp)
+    for y in range(h):
+        row = pix[y].tobytes()
+        f = (y % 5) if filters is None else filters[y]
+        raw.append(f)
+        if f == 0:
+            raw += row
+        elif f == 1:
+            raw += bytes((row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                         for i in range(len(row)))
+        elif f == 2:
+            raw += bytes((row[i] - prior[i]) & 0xFF for i in range(len(row)))
+        elif f == 3:
+            raw += bytes((row[i] - (((row[i - bpp] if i >= bpp else 0)
+                                     + prior[i]) >> 1)) & 0xFF
+                         for i in range(len(row)))
+        else:
+            raw += bytes((row[i] - _paeth(row[i - bpp] if i >= bpp else 0,
+                                          prior[i],
+                                          prior[i - bpp] if i >= bpp else 0))
+                         & 0xFF for i in range(len(row)))
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Real PNG decoder: signature + chunk walk with CRC verification,
+    IHDR validation, multi-IDAT concatenation, zlib inflate, and full
+    five-filter scanline reconstruction (None/Sub/Up/Average/Paeth).
+    Supports 8-bit grayscale (-> (H,W,1)), RGB (-> (H,W,3)) and RGBA
+    (-> (H,W,4)), non-interlaced; rejects palette/16-bit/Adam7 and any
+    chunk whose CRC does not match."""
+    b = bytes(payload)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(b):
+        (clen,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4:pos + 8]
+        body = b[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype_n)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 \
+            or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={ctype_n} "
+            f"interlace={interlace} (8-bit gray/RGB/RGBA, "
+            "non-interlaced only)")
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    prior = bytearray(stride)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        line = bytearray(raw[y * (1 + stride) + 1:(y + 1) * (1 + stride)])
+        if f == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prior = line
+    return out.reshape(h, w, bpp)
+
+
+def synth_png_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) with REAL deflate-compressed PNG payloads;
+    pixel (x, y) channel c (R,G,B order) = BMP_PIXEL closed form (same
+    formula as the BMP table, so the oracles share it). Row filters
+    cycle through all five types."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["media_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                pix = ((did + 13 * y + 7 * x + 3 * c) % 256).astype(np.uint8)
+                rows.append((did, encode_png_rgb(pix)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(F.col(id_col).cast("long").alias("media_id")) \
+        .mapInPandas(build, schema="media_id long, payload binary")
+
+
+def png_features(media: DataFrame) -> DataFrame:
+    """REAL compressed-decode path: parse + inflate + unfilter each PNG
+    payload with ``decode_png`` and emit dimensions + exact per-channel
+    integer sums + overall mean (same feature shape as bmp_features;
+    channel order here is R,G,B)."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pix = decode_png(payload).astype(np.int64)
+                h, w, _ = pix.shape
+                ch = pix.sum(axis=(0, 1))
+                rows.append((
+                    int(mid), w, h, int(ch[0]), int(ch[1]), int(ch[2]),
+                    float(pix.sum()) / (h * w * 3),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height",
+                               "sum_r", "sum_g", "sum_b", "mean_px"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=("media_id long, width int, height int, "
+                         "sum_r long, sum_g long, sum_b long, "
+                         "mean_px double"))
 
 
 # Deterministic synthesis parameters (closed-form so DuckDB reproduces

@@ -205,3 +205,39 @@ def q_media_bmp_resize(spark, sf_dir):
         "media_id", "sum_b", "sum_g", "sum_r",
         F.round("mean_px", 6).alias("mean_px"),
     )
+
+
+@register("media_png_real", f"""
+WITH par AS (
+  SELECT doc_id AS media_id, {multimodal.BMP_W} AS w, {multimodal.BMP_H} AS h
+  FROM documents
+),
+xs AS (SELECT unnest(range(0, 8)) AS x),
+ys AS (SELECT unnest(range(0, 6)) AS y),
+cs AS (SELECT unnest(range(0, 3)) AS c),
+px AS (
+  SELECT media_id, w, h, c, {multimodal.BMP_PIXEL.replace("doc_id", "media_id")} AS v
+  FROM par, xs, ys, cs WHERE x < w AND y < h
+)
+SELECT media_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+       round(sum(v)::DOUBLE / (max(w) * max(h) * 3), 6) AS mean_px
+FROM px GROUP BY media_id
+""")
+def q_media_png_real(spark, sf_dir):
+    """Encode → REAL deflate-compressed PNG decode → features. The r5
+    decoder verifies chunk CRCs, inflates the IDAT stream and runs the
+    full five-filter scanline reconstruction (the writer cycles all five
+    filters across rows, so every unfilter path executes on every image
+    with >= 5 rows); the oracle recomputes per-channel sums from the
+    closed-form pixel definition, independent of both codec sides. This
+    closes the 'compressed image decode is PIL-gated' boundary for PNG —
+    only DCT formats (JPEG) remain gated."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pngs = multimodal.synth_png_table(docs)
+    out = multimodal.png_features(pngs)
+    return out.withColumn("mean_px", F.round("mean_px", 6))

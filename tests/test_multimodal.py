@@ -66,8 +66,9 @@ def test_audio_window_features(media):
 
 
 def test_resize_compressed_formats_gated(media):
+    # r5: png is a real codec now; only DCT formats (jpeg) stay gated
     with pytest.raises(NotImplementedError, match="PIL"):
-        multimodal.resize_images(media, 64, 64, fmt="png")
+        multimodal.resize_images(media, 64, 64, fmt="jpeg")
 
 
 def test_resize_bmp_real_roundtrip(spark):
@@ -166,3 +167,87 @@ def test_bmp_features_pipeline(spark):
     exp = [sum((5 + 13 * y + 7 * x + 3 * c) % 256
                for y in range(h) for x in range(w)) for c in range(3)]
     assert [out["sum_b"], out["sum_g"], out["sum_r"]] == exp
+
+
+# ---------------------------------------------------------------------------
+# r5: real PNG codec (deflate + five-filter scanline reconstruction)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 4), (6, 8), (11, 5)]:
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for filters in [None] + [[f] * h for f in range(5)]:
+            out = multimodal.decode_png(
+                multimodal.encode_png_rgb(pix, filters))
+            assert (out == pix).all(), (h, w, filters)
+
+
+def test_png_gray_and_rgba_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    for colortype, ch in [(0, 1), (6, 4)]:
+        pix = rng.integers(0, 256, (4, 5, ch), dtype=np.uint8)
+        raw = b"".join(b"\x00" + pix[y].tobytes() for y in range(4))
+        data = (multimodal._PNG_SIG
+                + multimodal._png_chunk(
+                    b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, colortype,
+                                         0, 0, 0))
+                + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+                + multimodal._png_chunk(b"IEND", b""))
+        assert (multimodal.decode_png(data) == pix).all()
+
+
+def test_png_rejects_bad_crc_and_interlace():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    pix = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = multimodal.encode_png_rgb(pix)
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(bad))
+    interlaced = (multimodal._PNG_SIG
+                  + multimodal._png_chunk(
+                      b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+                  + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+                  + multimodal._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        multimodal.decode_png(interlaced)
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"BM123456789")
+
+
+def test_png_features_pipeline(spark):
+    out = multimodal.png_features(multimodal.synth_png_table(
+        spark.createDataFrame([(5,)], "doc_id long"))).collect()[0]
+    w, h = 4 + 5 % 5, 3 + 5 % 4
+    assert (out["width"], out["height"]) == (w, h)
+    exp = [sum((5 + 13 * y + 7 * x + 3 * c) % 256
+               for y in range(h) for x in range(w)) for c in range(3)]
+    assert [out["sum_r"], out["sum_g"], out["sum_b"]] == exp
+
+
+def test_png_resize_pipeline(spark):
+    import numpy as np
+
+    df = spark.createDataFrame([(9,)], "doc_id long")
+    resized = multimodal.resize_images(
+        multimodal.synth_png_table(df), width=4, height=3, fmt="png")
+    pix = multimodal.decode_png(resized.collect()[0]["payload"])
+    w, h = 4 + 9 % 5, 3 + 9 % 4
+    exp = np.array([[[(9 + 13 * ((y2 * h) // 3) + 7 * ((x2 * w) // 4)
+                       + 3 * c) % 256
+                      for c in range(3)] for x2 in range(4)]
+                    for y2 in range(3)], dtype=np.uint8)
+    assert (pix == exp).all()
