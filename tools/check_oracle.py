@@ -31,11 +31,16 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 # The full-catalog gate (no name filter) remains the stronger check;
 # this subset is the fast between-commits guard.
 PINNED_JUDGE_VERIFIED = sorted({
-    # round 3 (14)
-    "eval_map_pk", "rank_correlation", "kde_alpha_sweep", "rm3_sweep",
+    # round 3 (14, per README's round-3 list)
+    "mirex_baselines", "tpch_q5", "tpch_q7", "tpch_q18",
+    "event_window_counts", "event_asof_click", "event_sessions",
+    "pagerank", "bpe_merges", "media_wav_real", "curation_pipeline",
+    "indexed_dirichlet_topk", "table_profile", "kde_alpha_sweep",
+    # r5 builder additions exercised by this round's fixes
+    "eval_map_pk", "rank_correlation", "rm3_sweep",
     "dedup_clusters", "near_dedup_kept", "kmeans_clusters",
     "ann_recall_ivf", "doc_chunks", "gopher_quality", "redact_pii",
-    "pack_chunks", "doc_global_ids", "media_wav_real",
+    "pack_chunks", "doc_global_ids",
     # round 4 batch 1 (14)
     "tpch_q9", "tpch_q21", "media_bmp_resize", "bpe_encode_lens",
     "winnow_span_pairs", "sketch_hll_union", "triangle_count",
