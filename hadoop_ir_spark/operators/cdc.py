@@ -72,3 +72,44 @@ def apply_cdc_stream(changes: DataFrame, table_path: str, key: str,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def dataset_diff(a: DataFrame, b: DataFrame, key_cols: list[str],
+                 compare_cols: list[str] | None = None,
+                 digest: str = "md5") -> DataFrame:
+    """Dataset-version diff (r5): classify every key across two versions
+    of a table as ``added`` (only in b), ``removed`` (only in a),
+    ``changed`` (both, differing compare-column digest) or ``unchanged``.
+    Returns (key_cols..., status) — the audit step a 100 TB pipeline
+    runs between snapshot versions before promoting one.
+
+    Shape: each side collapses to (key, digest) map-side, then ONE full
+    outer equi-join on the key — no data columns cross the shuffle, only
+    the digest. ``digest='md5'`` (over a '\\x1f'-joined cast of the
+    compare columns) is reproducible in any SQL engine for the oracle;
+    a production run would pass ``digest='xxhash64'`` for 8-byte keys —
+    same plan, cheaper bytes (same note as ngram_profile).
+    """
+    compare_cols = compare_cols or [
+        c for c in a.columns if c not in key_cols]
+    if digest == "md5":
+        def dig(df):
+            return F.md5(F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in compare_cols]))
+    elif digest == "xxhash64":
+        def dig(df):
+            return F.xxhash64(
+                *[F.col(c).cast("string") for c in compare_cols])
+    else:
+        raise ValueError(f"unknown digest {digest!r}")
+
+    da = a.select(*key_cols, dig(a).alias("_ha"))
+    db = b.select(*key_cols, dig(b).alias("_hb"))
+    j = da.join(db, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_ha").isNull(), F.lit("added"))
+        .when(F.col("_hb").isNull(), F.lit("removed"))
+        .when(F.col("_ha") != F.col("_hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*key_cols, status.alias("status"))

@@ -180,6 +180,63 @@ def redact_pii(docs: DataFrame, id_col: str = "docno",
 
 
 # ---------------------------------------------------------------------------
+# text normalization (r5)
+# ---------------------------------------------------------------------------
+
+# Ordered (pattern, replacement) normalization chain — the standard
+# CCNet/RefinedWeb-style cleanup applied before dedup/quality so that
+# near-identical texts differing only in typography hash identically.
+# Patterns use only character classes with \\x{...} codepoint escapes — a
+# syntax Java regex (Spark) and RE2 (DuckDB) both accept — and no
+# lookarounds, so the IDENTICAL pattern strings run on both engines.
+NORMALIZE_CHAIN: list[tuple[str, str]] = [
+    # zero-width characters and BOM: delete
+    (r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]", ""),
+    # C0/C1 control chars except tab/newline/CR: delete
+    (r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]", ""),
+    # typographic single quotes / prime -> ASCII apostrophe
+    (r"[\x{2018}\x{2019}\x{201A}\x{201B}\x{2032}]", "'"),
+    # typographic double quotes -> ASCII
+    (r"[\x{201C}\x{201D}\x{201E}\x{201F}\x{2033}]", '"'),
+    # hyphen/dash family (hyphen..horizontal bar, minus sign) -> '-'
+    (r"[\x{2010}-\x{2015}\x{2212}]", "-"),
+    # ellipsis char -> three dots
+    (r"\x{2026}", "..."),
+    # NBSP and the unicode space family -> plain space
+    (r"[\x{A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]", " "),
+    # whitespace runs (incl. tab/newline) -> single space, then trim
+    ("[ \\t\\r\\n]+", " "),
+]
+
+
+def normalize_text_col(col: Column | str) -> Column:
+    """The normalization chain as one Column expression (JVM regexp all
+    the way — no UDF). Equivalent SQL: apply the same regexp_replace
+    chain in the same order (see queries/curation.py's oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in NORMALIZE_CHAIN:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+def normalize_text(docs: DataFrame, id_col: str = "docno",
+                   text_col: str = "text") -> DataFrame:
+    """Unicode/typography normalization (map-only): per doc the
+    normalized text, before/after lengths, a changed flag, and the md5
+    of the normalized text (md5 so an external SQL engine reproduces
+    the digest — a production run would use xxhash64 for 8-byte keys,
+    same note as ngram_profile)."""
+    norm = normalize_text_col(text_col)
+    return docs.select(
+        F.col(id_col).alias("docno"),
+        F.length(text_col).cast("long").alias("orig_chars"),
+        F.length(norm).cast("long").alias("norm_chars"),
+        (norm != F.col(text_col)).alias("changed"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark contamination
 # ---------------------------------------------------------------------------
 

@@ -16,6 +16,10 @@ from hadoop_ir_spark.operators import cdc
 from pyspark.sql.types import TimestampNTZType
 
 
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
 def _ntz_epoch_us(col: str):
     return epoch_us_typed(col, TimestampNTZType())
 
@@ -91,3 +95,62 @@ def q_orders_upsert(spark, sf_dir):
         F.round("o_totalprice", 6).alias("o_totalprice"),
         "o_orderpriority", "date_us",
     )
+
+
+# ---------------------------------------------------------------------------
+# r5: dataset-version diff
+# ---------------------------------------------------------------------------
+
+# Version B of orders is derived deterministically: every 10th key is
+# dropped (removed), every 7th surviving key gets a new priority
+# (changed), every 13th key also re-appears under key+100000000 (added).
+# Compare columns are integer/string only — digesting a DOUBLE through
+# a cast would couple the check to each engine's float rendering.
+_DIFF_CMP = "o_custkey, o_orderstatus, o_orderpriority"
+
+
+@register("orders_version_diff", f"""
+WITH a AS (
+  SELECT o_orderkey, {_DIFF_CMP} FROM orders
+),
+b AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority || '-v2'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+ha AS (SELECT o_orderkey, md5(concat_ws(chr(31), o_custkey::VARCHAR,
+              o_orderstatus, o_orderpriority)) AS h FROM a),
+hb AS (SELECT o_orderkey, md5(concat_ws(chr(31), o_custkey::VARCHAR,
+              o_orderstatus, o_orderpriority)) AS h FROM b)
+SELECT coalesce(ha.o_orderkey, hb.o_orderkey) AS o_orderkey,
+       CASE WHEN ha.h IS NULL THEN 'added'
+            WHEN hb.h IS NULL THEN 'removed'
+            WHEN ha.h <> hb.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM ha FULL OUTER JOIN hb USING (o_orderkey)
+""")
+def q_orders_version_diff(spark, sf_dir):
+    """Snapshot-version diff: collapse both versions to (key, digest)
+    map-side, one full outer equi-join, classify added/removed/changed/
+    unchanged — the audit a pipeline runs before promoting a new
+    snapshot. Only the 16-byte digest crosses the shuffle."""
+    from hadoop_ir_spark.operators.cdc import dataset_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    b = orders.filter(F.col("o_orderkey") % 10 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0,
+               F.concat(F.col("o_orderpriority"), F.lit("-v2")))
+        .otherwise(F.col("o_orderpriority")),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+    )
+    return dataset_diff(
+        orders, b, key_cols=["o_orderkey"],
+        compare_cols=["o_custkey", "o_orderstatus", "o_orderpriority"])

@@ -362,3 +362,70 @@ def q_line_dedup_docs(spark, sf_dir):
     lines = curation.chunk_lines(docs, n_words=LINE_WORDS)
     marked = curation.line_dedup(lines)
     return curation.rebuild_deduped_docs(marked)
+
+
+# ---------------------------------------------------------------------------
+# r5: unicode/typography normalization
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus is plain ASCII, so the query first derives a
+# deterministic "dirty" twin of each doc — typographic quotes, an
+# ellipsis char, an em dash, NBSP-for-space substitution on every third
+# doc, zero-width chars, tab/newline runs — then normalizes it. Both
+# sides build the same dirty text, so the oracle value-checks the FULL
+# chain (every NORMALIZE_CHAIN rule fires somewhere in the corpus).
+_DQ_L, _DQ_R = "“", "”"
+_SQ_L, _SQ_R = "‘", "’"
+_ELLIPSIS, _EMDASH, _NBSP, _ZWSP = "…", "—", " ", "​"
+
+
+def _sql_norm_chain(expr: str) -> str:
+    from hadoop_ir_spark.operators.curation import NORMALIZE_CHAIN
+
+    out = expr
+    for pat, rep in NORMALIZE_CHAIN:
+        rep_sql = rep.replace("'", "''")
+        pat_sql = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat_sql}', '{rep_sql}', 'g')"
+    return f"trim({out})"
+
+
+_SQL_DIRTY = (
+    f"'{_ZWSP}{_DQ_L}' || CASE WHEN doc_id % 3 = 0"
+    f" THEN replace(text, ' ', '{_NBSP}') ELSE text END"
+    f" || '{_DQ_R}{_ELLIPSIS}' || chr(9) || chr(10)"
+    f" || ' {_EMDASH} {_SQ_L}end{_SQ_R}'"
+)
+
+
+@register("normalized_text_stats", f"""
+WITH dirty AS (
+  SELECT doc_id AS docno, {_SQL_DIRTY} AS t FROM documents
+)
+SELECT docno,
+       CAST(length(t) AS BIGINT) AS orig_chars,
+       CAST(length({_sql_norm_chain('t')}) AS BIGINT) AS norm_chars,
+       ({_sql_norm_chain('t')} <> t) AS changed,
+       md5({_sql_norm_chain('t')}) AS norm_md5
+FROM dirty
+""")
+def q_normalized_text_stats(spark, sf_dir):
+    """Typography/unicode normalization (map-only JVM regexp chain, no
+    UDF): per-doc before/after char counts, changed flag, and the md5 of
+    the normalized text. The identical \\x{{...}} pattern strings run
+    under Java regex and RE2, so the oracle replays the chain rule for
+    rule — the digest match proves byte-identical normalized TEXT, not
+    just matching lengths."""
+    docs = _docs(spark, sf_dir)
+    dirty = docs.select(
+        F.col("doc_id").alias("docno"),
+        F.concat(
+            F.lit(_ZWSP + _DQ_L),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.replace(F.col("text"), F.lit(" "), F.lit(_NBSP)))
+            .otherwise(F.col("text")),
+            F.lit(_DQ_R + _ELLIPSIS + "\t\n"),
+            F.lit(f" {_EMDASH} {_SQ_L}end{_SQ_R}"),
+        ).alias("text"),
+    )
+    return curation.normalize_text(dirty, id_col="docno")

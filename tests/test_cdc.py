@@ -63,3 +63,20 @@ def test_apply_cdc_stream_replays_change_log(spark, tmp_path):
 
     got = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
     assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_dataset_diff_classification(spark):
+    from hadoop_ir_spark.operators.cdc import dataset_diff
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, v string")
+    b = spark.createDataFrame(
+        [(1, "x"), (2, "Y"), (4, "w")], "k long, v string")
+    out = {r["k"]: r["status"]
+           for r in dataset_diff(a, b, key_cols=["k"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # xxhash64 digest path classifies identically
+    out2 = {r["k"]: r["status"]
+            for r in dataset_diff(a, b, key_cols=["k"],
+                                  digest="xxhash64").collect()}
+    assert out2 == out

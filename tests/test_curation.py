@@ -189,3 +189,17 @@ def test_line_dedup_first_occurrence_and_rebuild(spark):
     # not a window over the line key
     plan = marked._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_normalize_text_chain(spark):
+    dirty = ("​“Café’s   data”…"
+             " —\ttail\n")
+    df = spark.createDataFrame([(1, dirty), (2, "plain text")],
+                               "docno long, text string")
+    rows = {r["docno"]: r for r in
+            curation.normalize_text(df).collect()}
+    assert rows[1]["changed"] and not rows[2]["changed"]
+    norm = df.select(
+        curation.normalize_text_col("text").alias("t")).collect()
+    assert norm[0]["t"] == "\"Café's data\"... - tail"
+    assert norm[1]["t"] == "plain text"
