@@ -3040,6 +3040,42 @@ ruridecanal rusa rusine rya ryot
 """.split()
 
 
+# -ize verb lemmas (r5): with these as headwords the existing
+# dictionary-confirmed -ation rule derives the full -ization family
+# ("tokenization" -> "tokenize") while lexicalized -ization nouns
+# (organization, civilization, ...) still pass through dictionary-first.
+IZE_VERBS = """
+tokenize modernize normalize dramatize emphasize equalize fertilize
+generalize harmonize hospitalize idealize immunize industrialize
+itemize legalize localize magnetize maximize memorize minimize
+mobilize monopolize moralize nationalize neutralize optimize
+patronize penalize personalize polarize popularize pressurize
+privatize publicize randomize rationalize realize regularize
+reorganize revitalize sanitize scrutinize secularize sensitize
+serialize socialize specialize stabilize standardize sterilize
+stigmatize summarize symbolize sympathize synthesize systematize
+terrorize theorize tranquilize urbanize vaporize verbalize
+victimize visualize vulcanize westernize amortize anesthetize
+antagonize apologize appetize brutalize capsize cauterize
+circularize colonize criminalize customize decentralize
+dehumanize democratize demonize deodorize deputize digitize
+economize energize epitomize eulogize evangelize externalize
+familiarize fictionalize finalize formalize fossilize fraternize
+galvanize globalize glamorize homogenize humanize hybridize
+hypothesize immobilize immortalize internalize ionize iodize
+jeopardize liberalize lionize marginalize materialize mechanize
+memorialize mesmerize metabolize militarize miniaturize
+mineralize mythologize naturalize notarize novelize organize
+ostracize oxidize parameterize pasteurize philosophize
+plagiarize pluralize poeticize politicize prioritize proselytize
+pulverize radicalize recognize revolutionize ritualize
+romanticize satirize scandalize sermonize solemnize stylize
+subsidize synchronize temporize tenderize traumatize trivialize
+tyrannize unionize universalize vandalize velarize visualize
+vocalize vulgarize winterize womanize
+""".split()
+
+
 # DIRECT-table keys conflate before the lexicon is consulted; keep them
 # out so every vendored entry is a kstem fixed point (the sanity test's
 # invariant), and keep out the fixture-pinned derivables.

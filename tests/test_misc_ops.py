@@ -172,6 +172,12 @@ KROVETZ_PUBLISHED_PAIRS = [
     # round 5: comparative -(i)er recoding
     ("happier", "happy"), ("earlier", "early"),
     ("carriers", "carrier"),
+    # round 5: -ization -> -ize via the dictionary-confirmed -ation
+    # rule (lexicalized -ization nouns still pass through first)
+    ("tokenization", "tokenize"), ("normalization", "normalize"),
+    ("optimization", "optimize"), ("randomization", "randomize"),
+    ("organization", "organization"),
+    ("civilization", "civilization"),
     # round 5: Latin/Greek irregular plurals (direct-table conflations)
     ("cacti", "cactus"), ("fungi", "fungus"), ("nuclei", "nucleus"),
     ("radii", "radius"), ("larvae", "larva"), ("strata", "stratum"),
