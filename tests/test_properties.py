@@ -333,3 +333,54 @@ def test_ewma_is_convex_combination(spark, values):
     for i in range(len(values)):
         window = values[max(0, i - K):i + 1]
         assert min(window) - 1e-9 <= got[i] <= max(window) + 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=12,
+             max_size=12),
+)
+def test_png_roundtrip_property(h, w, seed, filters):
+    """decode(encode(pixels)) == pixels for arbitrary sizes, contents and
+    per-row filter choices — the PNG codec's core invariant (driver-free:
+    pure codec property)."""
+    import numpy as np
+
+    from hadoop_ir_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = multimodal.decode_png(
+        multimodal.encode_png_rgb(pix, filters[:h]))
+    assert (out == pix).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=200))
+def test_normalize_text_idempotent(s):
+    """Normalization is idempotent and never lengthens the text — checked
+    on the Python-side regex equivalent of the Column chain (same pattern
+    strings, Java regex vs Python re both implement the \\x{..} class
+    syntax via translation below)."""
+    import re as _re
+
+    from hadoop_ir_spark.operators.curation import NORMALIZE_CHAIN
+
+    def apply(t: str) -> str:
+        for pat, rep in NORMALIZE_CHAIN:
+            pat = pat.replace("\\x{", "\\u{").replace("}", "}")
+            # python re uses \uXXXX / \UXXXXXXXX; translate \x{HH..} by
+            # expanding to the literal character class
+            def _sub(m):
+                return chr(int(m.group(1), 16))
+            pat = _re.sub(r"\\u\{([0-9A-Fa-f]+)\}", _sub, pat)
+            t = _re.sub(pat, rep, t)
+        return t.strip(" ")
+
+    once = apply(s)
+    twice = apply(once)
+    assert twice == once
+    assert len(once) <= len(s) + 2 * (s.count("\u2026") + 1)
