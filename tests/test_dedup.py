@@ -246,3 +246,49 @@ def test_edit_distance_pairs_banded():
     assert got[("sitten", "sitting")] == 2
     assert ("kitten", "sitting") not in got     # dist 3
     assert not any("apple" in p for p in got)
+
+
+def test_edit_distance_pairs_gram_join_equivalent():
+    """method="gram_join" (positional q-gram count filter) must return
+    exactly the band method's pair set — the Gravano bound is lossless
+    — including short strings (bound <= 0, fallback path) and pairs
+    straddling length bands."""
+    import itertools
+
+    from hadoop_ir_spark.operators import fuzzy
+    from hadoop_ir_spark.session import get_spark
+
+    spark = get_spark("tests")
+    words = [
+        "kitten", "sitten", "sittin", "sitting", "apple", "appel",
+        "ax", "axe", "oak", "a", "", "approximate", "approximately",
+        "banana", "bananas", "bandana", "aa", "aaa", "aaaa", "aaab",
+    ]
+    df = spark.createDataFrame([(w,) for w in set(words)], "title string")
+    for k in (1, 2, 3):
+        band = {(r["a"], r["b"]): r["dist"]
+                for r in fuzzy.edit_distance_pairs(
+                    df, max_dist=k).collect()}
+        gram = {(r["a"], r["b"]): r["dist"]
+                for r in fuzzy.edit_distance_pairs(
+                    df, max_dist=k, method="gram_join").collect()}
+        assert gram == band, f"k={k}"
+        # cross-check the band method against brute force once
+        if k == 2:
+            brute = {}
+            for x, y in itertools.combinations(sorted(set(words)), 2):
+                d = _lev(x, y)
+                if d <= k:
+                    brute[(x, y)] = d
+            assert band == brute
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
