@@ -52,6 +52,34 @@ PINNED_JUDGE_VERIFIED = sorted({
     "markov_transitions", "value_percentiles", "ann_recall_lsh",
     "nb_classifier_preds", "tpch_q2", "tpch_q17", "event_cube",
     "sdm_topk", "salted_user_spend", "doc_logprob_kn",
+    # round 5 judge strict re-check, batches 1 (20) + 2 (25)
+    "media_png_real", "normalized_text_stats", "orders_version_diff",
+    "kmeans_clusters", "semantic_dedup_kept", "ngram_jaccard_pairs",
+    "tpch_q11", "graph_hits", "wordcount_stemmed", "npmi_stemmed",
+    "indexed_phrase_topk", "sketch_jaccard_kmv", "hashed_ann_topk",
+    "zipf_fit", "vocab_growth", "term_burstiness", "ab_test_zscore",
+    "rfm_segments", "event_gapfill", "sdm_weight_sweep",
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q8", "tpch_q10",
+    "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q19", "tpch_q20",
+    "tpch_q22", "best_passage", "copurchase_lift", "pq_ann_topk",
+    "rp_lsh_ann_topk", "props_json_stats", "line_dedup_docs",
+    "eval_f1_utility", "event_rollup", "ols_len_chars",
+    "quality_percentile_cut", "langid", "doc_vectors", "orders_upsert",
+    # round 6: the never-before-verified tail, exhausted (34/34 strict
+    # at sf0.01) — with these, every catalog query has had at least one
+    # independent strict check beyond the driver's 50-query sample
+    "ann_cosine_topk", "ann_ivf_topk", "ann_recall_pq",
+    "approx_quantiles", "bigram_logprob", "bloom_prejoin_counts",
+    "click_attribution", "cms_term_counts", "contamination_ngrams",
+    "dataset_splits", "doc_fingerprints", "doc_logprob",
+    "event_anomaly_filter", "event_sliding_counts",
+    "event_threshold_filter", "hashed_embed", "jdbc_spam_lookup",
+    "media_audio_energy", "media_bmp_real", "media_frame_sample",
+    "media_image_features", "quality_scores", "sketch_distinct_hll",
+    "sketch_distinct_kmv", "spam_filter_counts", "spam_filter_kept",
+    "stratified_sample", "tfidf_topterms", "token_budget_sample",
+    "token_counts", "tpch_q12", "tpch_q14", "weighted_sample",
+    "zorder_key_events",
 })
 
 
