@@ -96,16 +96,22 @@ that the their then there these they this to was will with
 #   - MidNum , . join DIGIT-DIGIT runs: "3.14", "1,000" (WB11/12);
 #   - hyphen splits ("wi-fi" -> wi, fi — the headline divergence from
 #     the pre-3.1 ClassicTokenizer);
-#   - CJK ideographs are emitted as SINGLE-char tokens (StandardTokenizer
-#     IDEOGRAPHIC type), so they are excluded from the run class.
-_HAN = "\\u4E00-\\u9FFF\\u3040-\\u30FF"
-_W = f"[[\\p{{L}}\\p{{Nd}}_]&&[^{_HAN}]]"
-_L = f"[\\p{{L}}&&[^{_HAN}]]"
+#   - Han ideographs and HIRAGANA are emitted as SINGLE-char tokens
+#     (StandardTokenizer IDEOGRAPHIC/HIRAGANA types), while KATAKANA is
+#     emitted as RUNS (UAX#29 WB13 / the grammar's {KatakanaEx}+ rule) —
+#     all three script classes are excluded from the Latin/digit run
+#     class so they never fuse with adjacent Latin tokens.
+_KATA = "\\u30A0-\\u30FA\\u30FC-\\u30FF\\u31F0-\\u31FF\\uFF66-\\uFF9D"
+_SINGLE = "\\u4E00-\\u9FFF\\u3040-\\u309F"   # Han + Hiragana: per char
+_CJK = _SINGLE + _KATA + "\\u30FB"           # excluded from word runs
+_W = f"[[\\p{{L}}\\p{{Nd}}_]&&[^{_CJK}]]"
+_L = f"[\\p{{L}}&&[^{_CJK}]]"
 _D = "\\p{Nd}"
 LUCENE43_TOKEN_RE = (
     f"{_W}+"
     f"(?:(?:(?<={_L})['.\\u2019](?={_L})|(?<={_D})[.,](?={_D})){_W}+)*"
-    f"|[{_HAN}]"
+    f"|[{_KATA}]+"
+    f"|[{_SINGLE}]"
 )
 
 
@@ -122,11 +128,17 @@ def lucene43_tokens_col(col: Column | str,
     tests/test_text.py): possessives/apostrophes kept as one token,
     dotted acronyms and host names kept ("i.b.m", "example.com"),
     decimal/grouped numbers kept ("32.3", "1,000"), underscore joins,
-    CJK emitted per-ideograph, stopwords removed.
+    Han/hiragana emitted per-char, KATAKANA emitted as runs (WB13 —
+    including the prolonged-sound mark U+30FC and halfwidth forms),
+    stopwords removed.
 
-    Documented remaining gaps: maxTokenLength=255 splitting and the
-    full Unicode script matrix (Thai/Lao syllable breaking etc.) are not
-    replicated; ASCII + Latin-1 + CJK cover the reference corpora.
+    Documented remaining gaps: maxTokenLength=255 splitting, the
+    full Unicode script matrix (Thai/Lao syllable breaking etc.),
+    WB:Katakana oddballs outside the three main blocks (enclosed/square
+    forms U+32D0+, which Lucene folds into katakana runs), and the
+    katakana middle dot U+30FB (dropped here; Lucene's MidLetter rule
+    likewise never emits it, so only exotic Extend/Format sequences
+    differ). ASCII + Latin-1 + CJK cover the reference corpora.
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.regexp_extract_all(F.lower(c), F.lit(LUCENE43_TOKEN_RE), 0)

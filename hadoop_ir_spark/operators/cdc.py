@@ -89,17 +89,29 @@ def dataset_diff(a: DataFrame, b: DataFrame, key_cols: list[str],
     compare columns) is reproducible in any SQL engine for the oracle;
     a production run would pass ``digest='xxhash64'`` for 8-byte keys —
     same plan, cheaper bytes (same note as ngram_profile).
+
+    NULL safety: ``concat_ws`` silently DROPS null arguments (and
+    ``xxhash64`` ignores them), which would make ('a', NULL, 'b') and
+    ('a', 'b', NULL) hash identically — so every compare column is
+    coalesced to a one-byte sentinel ('\\x00', which cannot collide
+    with the '\\x1f' separator or any cast value that itself contains
+    no NUL) before hashing. NULL-vs-value and NULL-position changes
+    therefore classify as ``changed``. The oracle SQL mirrors the same
+    coalesce.
     """
     compare_cols = compare_cols or [
         c for c in a.columns if c not in key_cols]
+
+    def _cells(df):
+        return [F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in compare_cols]
+
     if digest == "md5":
         def dig(df):
-            return F.md5(F.concat_ws(
-                "\x1f", *[F.col(c).cast("string") for c in compare_cols]))
+            return F.md5(F.concat_ws("\x1f", *_cells(df)))
     elif digest == "xxhash64":
         def dig(df):
-            return F.xxhash64(
-                *[F.col(c).cast("string") for c in compare_cols])
+            return F.xxhash64(*_cells(df))
     else:
         raise ValueError(f"unknown digest {digest!r}")
 

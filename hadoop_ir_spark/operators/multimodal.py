@@ -219,6 +219,8 @@ def resize_images(media: DataFrame, width: int, height: int,
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 pix = dec(payload)
+                if fmt == "png":
+                    pix = _to_rgb(pix)  # gray/RGBA PNGs re-encode as RGB
                 h, w = pix.shape[:2]
                 ys = (np.arange(height) * h) // height
                 xs = (np.arange(width) * w) // width
@@ -342,6 +344,21 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _to_rgb(pix: "np.ndarray") -> "np.ndarray":
+    """Normalize a decode_png payload to (H, W, 3) RGB: grayscale
+    replicates its channel (r=g=b=v, the colorimetric identity), RGBA
+    drops alpha (features/resize are defined on color planes), RGB
+    passes through. Anything else is rejected explicitly."""
+    c = pix.shape[2]
+    if c == 3:
+        return pix
+    if c == 1:
+        return np.repeat(pix, 3, axis=2)
+    if c == 4:
+        return pix[:, :, :3]
+    raise ValueError(f"cannot interpret {c}-channel image as RGB")
+
+
 def encode_png_rgb(pixels: "np.ndarray",
                    filters: "list[int] | None" = None) -> bytes:
     """Real PNG writer (RFC 2083): 8-bit truecolor RGB, deflate IDAT,
@@ -352,7 +369,10 @@ def encode_png_rgb(pixels: "np.ndarray",
     unfilter matrix is exercised by round-trip tests."""
     pix = np.asarray(pixels, dtype=np.uint8)
     h, w, c = pix.shape
-    assert c == 3
+    if c != 3:
+        raise ValueError(
+            f"encode_png_rgb expects (H, W, 3) RGB pixels, got {c} "
+            "channels — convert with _to_rgb() first")
     bpp = 3
     raw = bytearray()
     prior = bytes(w * bpp)
@@ -396,6 +416,11 @@ def decode_png(payload: bytes) -> "np.ndarray":
     pos, ihdr, idat = 8, None, bytearray()
     while pos + 12 <= len(b):
         (clen,) = struct.unpack_from(">I", b, pos)
+        if pos + 12 + clen > len(b):
+            # a lying declared length (up to 2^32-1) must not silently
+            # truncate the body slice or misalign the CRC read — keep
+            # the reject-malformed contract uniform (always ValueError)
+            raise ValueError("truncated PNG chunk")
         ctype = b[pos + 4:pos + 8]
         body = b[pos + 8:pos + 8 + clen]
         (crc,) = struct.unpack_from(">I", b, pos + 8 + clen)
@@ -479,7 +504,7 @@ def png_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                pix = decode_png(payload).astype(np.int64)
+                pix = _to_rgb(decode_png(payload)).astype(np.int64)
                 h, w, _ = pix.shape
                 ch = pix.sum(axis=(0, 1))
                 rows.append((

@@ -122,10 +122,14 @@ b AS (
   SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_orderpriority
   FROM orders WHERE o_orderkey % 13 = 0
 ),
-ha AS (SELECT o_orderkey, md5(concat_ws(chr(31), o_custkey::VARCHAR,
-              o_orderstatus, o_orderpriority)) AS h FROM a),
-hb AS (SELECT o_orderkey, md5(concat_ws(chr(31), o_custkey::VARCHAR,
-              o_orderstatus, o_orderpriority)) AS h FROM b)
+ha AS (SELECT o_orderkey, md5(concat_ws(chr(31),
+              coalesce(o_custkey::VARCHAR, chr(0)),
+              coalesce(o_orderstatus, chr(0)),
+              coalesce(o_orderpriority, chr(0)))) AS h FROM a),
+hb AS (SELECT o_orderkey, md5(concat_ws(chr(31),
+              coalesce(o_custkey::VARCHAR, chr(0)),
+              coalesce(o_orderstatus, chr(0)),
+              coalesce(o_orderpriority, chr(0)))) AS h FROM b)
 SELECT coalesce(ha.o_orderkey, hb.o_orderkey) AS o_orderkey,
        CASE WHEN ha.h IS NULL THEN 'added'
             WHEN hb.h IS NULL THEN 'removed'

@@ -80,3 +80,22 @@ def test_dataset_diff_classification(spark):
             for r in dataset_diff(a, b, key_cols=["k"],
                                   digest="xxhash64").collect()}
     assert out2 == out
+
+
+def test_dataset_diff_null_positions(spark):
+    """concat_ws drops NULL args (and xxhash64 ignores them) — the
+    digest coalesces every compare column to a sentinel so NULL-vs-value
+    and NULL-POSITION changes classify as 'changed' (ADVICE r5)."""
+    from hadoop_ir_spark.operators.cdc import dataset_diff
+
+    a = spark.createDataFrame(
+        [(1, "a", None, "b"), (2, None, "q", None), (3, "s", "t", "u")],
+        "k long, c1 string, c2 string, c3 string")
+    b = spark.createDataFrame(
+        [(1, "a", "b", None), (2, None, "q", None), (3, "s", "t", None)],
+        "k long, c1 string, c2 string, c3 string")
+    for digest in ("md5", "xxhash64"):
+        out = {r["k"]: r["status"]
+               for r in dataset_diff(a, b, key_cols=["k"],
+                                     digest=digest).collect()}
+        assert out == {1: "changed", 2: "unchanged", 3: "changed"}, digest

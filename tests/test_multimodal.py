@@ -251,3 +251,57 @@ def test_png_resize_pipeline(spark):
                       for c in range(3)] for x2 in range(4)]
                     for y2 in range(3)], dtype=np.uint8)
     assert (pix == exp).all()
+
+
+def test_png_truncated_chunk_rejected():
+    """A chunk whose declared length extends past the buffer must raise
+    the documented ValueError, not struct.error or a silent truncation
+    (ADVICE r5) — including a near-2^32 lying length."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from hadoop_ir_spark.operators.multimodal import (decode_png,
+                                                      encode_png_rgb)
+
+    png = encode_png_rgb(np.zeros((3, 4, 3), dtype=np.uint8))
+    # inflate the IHDR declared length beyond the payload
+    bad = png[:8] + struct.pack(">I", len(png)) + png[12:]
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(bad)
+    bad2 = png[:8] + struct.pack(">I", 0xFFFFFFF0) + png[12:]
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(bad2)
+
+
+def test_png_gray_rgba_features_and_resize(spark):
+    """png_features and resize_images(fmt='png') accept grayscale and
+    RGBA payloads via the RGB normalization (gray replicates, RGBA
+    drops alpha) instead of asserting (ADVICE r5)."""
+    import numpy as np
+
+    from hadoop_ir_spark.operators import multimodal as M
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    rgba = np.arange(48, dtype=np.uint8).reshape(3, 4, 4)
+    assert (M._to_rgb(gray) == np.repeat(gray, 3, axis=2)).all()
+    assert (M._to_rgb(rgba) == rgba[:, :, :3]).all()
+
+    def enc_gray(pix):
+        import struct
+        import zlib
+        raw = b"".join(b"\x00" + pix[y].tobytes() for y in range(3))
+        ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+        return (M._PNG_SIG + M._png_chunk(b"IHDR", ihdr)
+                + M._png_chunk(b"IDAT", zlib.compress(raw))
+                + M._png_chunk(b"IEND", b""))
+
+    media = spark.createDataFrame(
+        [(1, bytearray(enc_gray(gray)))], "media_id long, payload binary")
+    row = M.png_features(media).collect()[0]
+    s = int(gray.sum())
+    assert (row["sum_r"], row["sum_g"], row["sum_b"]) == (s, s, s)
+    out = M.resize_images(media, width=2, height=2, fmt="png").collect()
+    pix = M.decode_png(out[0]["payload"])
+    assert pix.shape == (2, 2, 3)

@@ -154,3 +154,25 @@ def test_lucene43_agrees_on_plain_ascii(spark):
         X.lucene43_tokens_col("text", keep_stopwords=True).alias("t")
     ).collect()[0]["t"]
     assert simple == lucene
+
+
+def test_lucene43_katakana_runs(spark):
+    """Lucene 4.3 emits KATAKANA as runs (UAX#29 WB13) while Han and
+    hiragana stay per-char (ADVICE r5). Runs include the prolonged
+    sound mark U+30FC; katakana never fuses with Latin runs."""
+    from hadoop_ir_spark.functions import text as X
+
+    cases = {
+        "トヨタ": ["トヨタ"],
+        "ラーメン": ["ラーメン"],            # U+30FC joins the run
+        "ひらがな": ["ひ", "ら", "が", "な"],  # hiragana per char
+        "漢字": ["漢", "字"],                 # Han per char
+        "カタca": ["カタ", "ca"],             # no Latin fusion
+        "テストひら漢": ["テスト", "ひ", "ら", "漢"],
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = {r["text"]: list(r["t"]) for r in df.select(
+        "text",
+        X.lucene43_tokens_col("text", keep_stopwords=True).alias("t"),
+    ).collect()}
+    assert got == cases
