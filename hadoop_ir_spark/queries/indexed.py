@@ -121,3 +121,98 @@ def q_indexed_phrase(spark, sf_dir):
 
 # the oracle alias (same SQL as phrase_search_topk) is installed by
 # queries/proximity_q.py at its import, which happens after this module
+
+
+# ---------------------------------------------------------------------------
+# Index-served scoring family: BM25 / JM-GSLIS / two-stage from the same
+# memoized parquet index as indexed_dirichlet_topk. The reference's north
+# star is "Spark jobs for index building" (RunQueryHBase.java:249-265 reads
+# every score's tf/cf/df from the HBase tables IndexTrecToHBase built);
+# these entries complete that workflow for the other smoothing models —
+# identical semantics to the scan-and-score catalog twins, so each reuses
+# its twin's oracle verbatim and must match byte-for-byte.
+# ---------------------------------------------------------------------------
+
+
+def _indexed_inputs(spark, sf_dir):
+    """Query-term postings / doc_lengths / term_stats / globals from the
+    memoized index build — the shared prelude of the index-served scorers.
+    The ``term IN (...)`` filters reach the parquet scans (PushedFilters),
+    so only query-term postings rows are ever read."""
+    idx_dir = _index_dir(spark, sf_dir)
+    idx = index_io.load_index(spark, idx_dir)
+    glob = index_io.index_globals(spark, idx_dir)
+    qterm_list = sorted({t for _, q in TOPICS for t in q.split()})
+    post = idx["postings"].filter(F.col("term").isin(qterm_list))
+    tstats = idx["term_stats"].filter(F.col("term").isin(qterm_list))
+    return post, idx["doc_lengths"], tstats, glob
+
+
+@register("indexed_bm25_topk")
+def q_indexed_bm25(spark, sf_dir):
+    """bm25_topk (M4, TrecRunBaselines.java:190-201) served from the
+    materialized index: n_docs/avg_len come from the one-row globals table
+    (the reference's #collstats row) instead of a corpus scan."""
+    from hadoop_ir_spark.catalog import BM25_B, BM25_K1
+
+    post, dlen, tstats, glob = _indexed_inputs(spark, sf_dir)
+    n_docs = glob["n_docs"]
+    avg_len = glob["n_tokens"] / glob["n_docs"]
+    topics = _topics_df(spark).withColumn("qtf", F.lit(1))
+    matched = scoring.matched_terms(post, topics, doc_len=dlen,
+                                    stats=tstats.select("term", "df"))
+    scored = scoring.score_bm25(matched, n_docs, avg_len, BM25_K1, BM25_B)
+    scored = scored.withColumn("score", F.round("score", 6))
+    return rank.topk(scored, k=TOP_K).select(
+        "qid", "docno", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+ORACLES["indexed_bm25_topk"] = ORACLES["bm25_topk"]
+
+
+@register("indexed_jm_topk")
+def q_indexed_jm(spark, sf_dir):
+    """jm_gslis_topk (M6, RunQueryHBase.java:199-204) served from the
+    index; cf joins from the term_stats table, coll_len from globals."""
+    from hadoop_ir_spark.queries.scoring_models import GSLIS_LAMBDA
+
+    post, dlen, tstats, glob = _indexed_inputs(spark, sf_dir)
+    topics = _topics_df(spark).withColumn("qweight", F.lit(1.0))
+    qstats = topics.join(
+        F.broadcast(tstats.select("term", "cf")), "term", "left"
+    ).fillna({"cf": 0})
+    matched = scoring.matched_terms(post, qstats, doc_len=dlen)
+    scored = scoring.score_gslis(matched, qstats, dlen, glob["n_tokens"],
+                                 model="jm", lambda_=GSLIS_LAMBDA)
+    scored = scored.withColumn("score", F.round("score", 6))
+    return rank.topk(scored, k=TOP_K).select(
+        "qid", "docno", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+ORACLES["indexed_jm_topk"] = ORACLES["jm_gslis_topk"]
+
+
+@register("indexed_two_stage_topk")
+def q_indexed_two_stage(spark, sf_dir):
+    """two_stage_topk (M7, RunQueryHBase.java:212-224) served from the
+    index. Non-separable, so the q x d frame is doc_lengths (from the
+    index) cross the broadcast query-term table with index postings
+    patched in — the index replaces both corpus passes."""
+    from hadoop_ir_spark.queries.scoring_models import GSLIS_LAMBDA
+
+    post, dlen, tstats, glob = _indexed_inputs(spark, sf_dir)
+    topics = _topics_df(spark).withColumn("qweight", F.lit(1.0))
+    qstats = topics.join(
+        F.broadcast(tstats.select("term", "cf")), "term", "left"
+    ).fillna({"cf": 0})
+    scored = scoring.score_two_stage(qstats, post, dlen, glob["n_tokens"],
+                                     mu=DIR_MU, lambda_=GSLIS_LAMBDA)
+    scored = scored.withColumn("score", F.round("score", 6))
+    return rank.topk(scored, k=TOP_K).select(
+        "qid", "docno", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+ORACLES["indexed_two_stage_topk"] = ORACLES["two_stage_topk"]
