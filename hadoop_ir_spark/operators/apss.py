@@ -20,22 +20,30 @@ all-shared-terms replay) matches byte-for-byte:
   division of deterministic operands.
 
 Prefix-filter correctness (why no qualifying pair is missed): for doc d
-with terms ordered by (maxq, term), a term is indexed while the integer
-suffix bound ``Σ nwq·maxq`` is ≥ floor(tau·1e12). The true cosine mass a
-pair can collect through d's UNindexed terms is ≤ that bound / 1e12
-< tau, so any pair with cosine ≥ tau must share at least one INDEXED
-term of d — and the candidate join probes indexed(d) against the FULL
-postings of every other doc, covering both directions.
+with terms ordered by (maxq DESC, term), a term is indexed while the
+integer suffix bound ``Σ nwq·maxq`` is ≥ floor(tau·1e12). The dropped
+terms form a contiguous TAIL of that order whose suffix bound is
+< tau·1e12; the true cosine mass a pair can collect through d's
+unindexed terms is ≤ that bound / 1e12 < tau, so any pair with cosine
+≥ tau must share at least one INDEXED term of d — and the candidate
+join probes indexed(d) against the FULL postings of every other doc,
+covering both directions. The proof holds for ANY global term order
+(only tail-contiguity matters); the order CHOICE is pure efficiency.
 
 Scale design (100 TB): the candidate stage joins the prefix-indexed
 postings (a tau-monotone fraction of the corpus) against full postings
-on term — an equi-join, never a cross product; ubiquitous low-weight
-terms get small ``maxq`` and fall out of prefixes first, which is
-exactly the hot-key population, so the join's skew shrinks as tau
-rises. Verification touches candidate pairs only. Caveat: the synthetic
-test corpus has a ~31-term vocabulary, which makes the filter
-locally degenerate (everything is a candidate); its selectivity is a
-property of realistic vocabularies, the correctness is not.
+on term — an equi-join, never a cross product. The window order is
+maxq DESCENDING so the dropped tail is the LOW-maxq population:
+ubiquitous idf-downweighted terms — exactly the join's hot keys and
+the bulk of candidate-pair mass. (The round-5 build ordered ascending,
+which dropped the rare high-weight terms instead and measured 1.0x
+candidate reduction on a realistic Zipf vocabulary;
+tools/zipf_selectivity.py now pins the descending order's measured
+reduction in SCALING.md.) Verification touches candidate pairs only.
+Caveat: the synthetic grading corpus has a ~31-term vocabulary, which
+makes the filter locally degenerate (everything is a candidate);
+selectivity is a property of realistic vocabularies, correctness is
+not — the filter is lossless under either order.
 """
 
 from __future__ import annotations
@@ -99,7 +107,7 @@ def apss_cosine_pairs(docs: DataFrame, tau: float = 0.9,
                        .cast("long")))
     maxq = uwn.groupBy("term").agg(F.max("nwq").alias("maxq"))
 
-    win = (Window.partitionBy("docno").orderBy("maxq", "term")
+    win = (Window.partitionBy("docno").orderBy(F.desc("maxq"), "term")
            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
     t_int = int(math.floor(tau * NW_SCALE * NW_SCALE))
     pref = (uwn.join(maxq, "term")
