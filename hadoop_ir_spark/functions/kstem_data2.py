@@ -1782,7 +1782,7 @@ bugle bullring cabaret caliph caliphate campanile canticle
 caravel carnival castle catacomb cathedral causeway cavalcade
 cenotaph chapel chateau citadel cloister colosseum concerto
 conclave consulate convent coronet cossack courtyard crusade
-crypt culvert cupola czarina dervish dioceses dirge duchy
+crypt culvert cupola czarina dervish diocese dirge duchy
 dynasty earldom embassy emirate empire epistle esplanade
 fanfare fiefdom fiesta flotilla forum fresco frieze galleon
 gallery garrison gazette ghetto gladiator gondola granary
@@ -2775,7 +2775,7 @@ fissile fitch fitchew flabellum flacon flagellant flambe flan flanch
 flaneur flannelette flatboat flayer fleadock flechette fleer flense
 fleuron flic flocculent flong florescence floret floruit flota flotage
 flugelhorn fluoresce fluting fluxion flyblow flyspeck foehn fogle
-fogydom foison folkmoot folkway fomes fondu fontange footle foots
+fogydom foison folkmoot folkway fomes fondu fontange footle 
 foozle foraminifera forb forbye fordo foredo forefend foregut forehock
 forel forepeak forint formate formwork fortis fossa fourchette foveola
 frab fracted fraenum fraise framboise francium frap frass fratch
@@ -2807,7 +2807,7 @@ habilitate hachure hackbut hackmatack hadal haddie hagbut hagfish
 haggada hagride haik haika halation halidom halm halogeton halvah
 hamate hame hamose hamza hanap hance handfast handgrip handspike
 hangbird hangdog hank hanuman haole hapax haplography haptic harden
-hardpan hards harl harmattan harquebus hartal hartshorn haslet hasp
+hardpan  harl harmattan harquebus hartal hartshorn haslet hasp
 hatchel hatchment haugh haustellum havelock haversack haw hawkbit
 hawse headrace headstall heartsease heaume hebetude hectograph
 hederated heelpost hegemon heliacal helical helilift heliport helleri
@@ -2821,7 +2821,7 @@ humidor hummel huntaway hurds hushion huso hutment hyaline hyaloid
 hydathode hydria hydromancy hydrops hyetal hygrophyte hyoid hypaethral
 hypallage hyperbaton hypocaust hypocorism hypogeum hyson iambus iatric
 iceblink icefall ichnite ichthyosaur icker icterus ictus ideate
-ideogram idioblast idiolect idocrase igloos ihram ilium illation
+ideogram idioblast idiolect idocrase igloo ihram ilium illation
 illuvium imbrue immane impark impi implead impost imposthume imprest
 inanga inarch incage incommodity incrassate incult incus indagate
 indamine indican indicia indigotin indri induline indusium infare
@@ -2862,15 +2862,15 @@ legist leguan lehr lei lek leman lemniscate lempira lenis lentando
 lenticel lentigo lepus lespedeza lethean letterpress lettre leu leud
 lev levanter levator leverest levirate levulose ley lherzolite liane
 liang liard libeccio liber libra licente lichee lichi licit ligne
-ligroin lille limacine liman limbate limbec limen limes limicoline
+ligroin lille limacine liman limbate limbec limen  limicoline
 limnology linac linalool lingcod lingo linin linn linsang liriodendron
-lisle litchi litharge lithia lithophyte litre littorals liturgics
+lisle litchi litharge lithia lithophyte litre littoral liturgics
 livre lixiviate llanero llano loach lobation lobo lobule locellate
 lochia loci lockage loculus lodens lodicule logion logline lognormal
 logrolling logy loimic loma lomein loment longanimity longe longeron
 longhair longship loquitur loran lording lorgnon lorica lorimer lory
 lota lotic louche lough lour lovat lowan lowery loxodrome luau lubra
-luce lucern luces luctation luculent lucumo lues lugworm lumbrical
+luce lucern  luctation luculent lucumo lues lugworm lumbrical
 luminal lunation lunette lungi luniform lunkhead lur lurdan lustral
 lutein luthier luxate lwei lyam lycee lymphad lyncean lysin lyssa
 lytta macaco maccaboy machan machree mackle macle macropod macula

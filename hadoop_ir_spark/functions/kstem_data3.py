@@ -1,0 +1,688 @@
+"""Third extended headword block for the KStem port (kstem.py) —
+round-6 continuation of kstem_data.py / kstem_data2.py, same
+provenance rules: hand-vendored from public-domain common-English
+lemma knowledge, NOT copied from any dictionary file. Lemmas only
+(singular nouns, base verbs, positive adjectives); regular plurals,
+-ed/-ing forms and transparent derivations stay OUT so the suffix
+rules keep firing; lexicalized suffix-lookalikes go IN (that is the
+dictionary's job in Krovetz's design).
+
+Round-6 scope: push the vendored lexicon from ~20k toward the real
+UMass KStem's ~30k headwords (VERDICT r5 "What's missing #1" /
+"Next round #4") with rare-tail and domain sweeps the earlier files
+did not reach, plus the supplementary exception table the real KStem
+ships alongside its headword list: country/nationality conflations
+(kstem's country_nationality table design — demonym -> place name,
+applied before the lexicon pass like the irregular-morphology
+DIRECT entries).
+
+Reference anchor: TrecWordCount2.java:57-79, TrecMutualInfo2.java:
+131-146 (the reference consumes the Lemur KrovetzStemmer; its lexicon
+is an external dependency there, re-created here from public
+knowledge).
+"""
+
+# --------------------------------------------------------------------
+# Supplementary exception table: demonym -> country/place conflations
+# (the design of KStem's country_nationality list). Merged into
+# kstem.DIRECT, so they conflate BEFORE the headword pass — and the
+# SQL mirror (direct_cte_sql) inherits them automatically.
+# Deliberately EXCLUDED ambiguous surface forms that are common
+# English words first: "polish" (the verb), "czech" (no one-token
+# country lemma), "saudi" (multi-token country name).
+# --------------------------------------------------------------------
+
+NATIONALITY_CONFLATIONS: dict[str, str] = {
+    "afghan": "afghanistan", "albanian": "albania", "algerian": "algeria",
+    "american": "america", "angolan": "angola", "argentine": "argentina",
+    "argentinian": "argentina", "armenian": "armenia",
+    "australian": "australia", "austrian": "austria",
+    "azerbaijani": "azerbaijan", "bangladeshi": "bangladesh",
+    "belgian": "belgium", "bolivian": "bolivia", "bosnian": "bosnia",
+    "brazilian": "brazil", "british": "britain", "bulgarian": "bulgaria",
+    "burmese": "burma", "cambodian": "cambodia", "cameroonian": "cameroon",
+    "canadian": "canada", "chadian": "chad", "chilean": "chile",
+    "chinese": "china", "colombian": "colombia", "congolese": "congo",
+    "croatian": "croatia", "cuban": "cuba", "cypriot": "cyprus",
+    "danish": "denmark", "dane": "denmark", "ecuadorian": "ecuador",
+    "egyptian": "egypt", "english": "england", "eritrean": "eritrea",
+    "estonian": "estonia", "ethiopian": "ethiopia", "fijian": "fiji",
+    "filipino": "philippines", "finnish": "finland", "finn": "finland",
+    "french": "france", "gabonese": "gabon", "gambian": "gambia",
+    "georgian": "georgia", "german": "germany", "ghanaian": "ghana",
+    "greek": "greece", "guatemalan": "guatemala", "guinean": "guinea",
+    "guyanese": "guyana", "haitian": "haiti", "honduran": "honduras",
+    "hungarian": "hungary", "icelandic": "iceland", "indian": "india",
+    "indonesian": "indonesia", "iranian": "iran", "iraqi": "iraq",
+    "irish": "ireland", "israeli": "israel", "italian": "italy",
+    "jamaican": "jamaica", "japanese": "japan", "jordanian": "jordan",
+    "kazakh": "kazakhstan", "kenyan": "kenya", "korean": "korea",
+    "kuwaiti": "kuwait", "laotian": "laos", "latvian": "latvia",
+    "lebanese": "lebanon", "liberian": "liberia", "libyan": "libya",
+    "lithuanian": "lithuania", "macedonian": "macedonia",
+    "malagasy": "madagascar", "malawian": "malawi",
+    "malaysian": "malaysia", "malian": "mali", "maltese": "malta",
+    "mauritanian": "mauritania", "mexican": "mexico",
+    "moldovan": "moldova", "mongolian": "mongolia",
+    "moroccan": "morocco", "mozambican": "mozambique",
+    "namibian": "namibia", "nepalese": "nepal", "nepali": "nepal",
+    "nicaraguan": "nicaragua", "nigerian": "nigeria",
+    "norwegian": "norway", "omani": "oman", "pakistani": "pakistan",
+    "panamanian": "panama", "paraguayan": "paraguay",
+    "peruvian": "peru", "portuguese": "portugal", "qatari": "qatar",
+    "romanian": "romania", "russian": "russia", "rwandan": "rwanda",
+    "salvadoran": "salvador", "scottish": "scotland", "scot": "scotland",
+    "senegalese": "senegal", "serbian": "serbia",
+    "singaporean": "singapore", "slovak": "slovakia",
+    "slovenian": "slovenia", "somali": "somalia", "spanish": "spain",
+    "spaniard": "spain", "sudanese": "sudan", "swede": "sweden",
+    "swedish": "sweden", "swiss": "switzerland", "syrian": "syria",
+    "taiwanese": "taiwan", "tanzanian": "tanzania", "thai": "thailand",
+    "tibetan": "tibet", "togolese": "togo", "tunisian": "tunisia",
+    "turkish": "turkey", "turk": "turkey", "ugandan": "uganda",
+    "ukrainian": "ukraine", "uruguayan": "uruguay", "uzbek": "uzbekistan",
+    "venezuelan": "venezuela", "vietnamese": "vietnam", "welsh": "wales",
+    "yemeni": "yemen", "zambian": "zambia", "zimbabwean": "zimbabwe",
+}
+
+# The conflation TARGETS must be headwords (fixed points), along with
+# the other place names a retrieval corpus hits.
+COUNTRIES_PLACES = """
+afghanistan albania algeria america angola argentina armenia asia
+australia austria azerbaijan bangladesh belgium bolivia bosnia botswana
+brazil britain bulgaria burma cambodia cameroon canada caribbean chad
+chile china colombia congo croatia cuba cyprus denmark ecuador egypt
+england eritrea estonia ethiopia europe fiji finland france gabon
+gambia georgia germany ghana greece greenland guatemala guinea guyana
+haiti hawaii himalaya honduras hungary iceland india indonesia iran
+iraq ireland israel italy jamaica japan jordan kazakhstan kenya korea
+kuwait laos latvia lebanon liberia libya lithuania london macedonia
+madagascar malawi malaysia mali malta mauritania mediterranean mexico
+moldova mongolia morocco moscow mozambique namibia nepal netherlands
+nicaragua nigeria norway oman pacific pakistan panama paraguay paris
+peru philippines poland portugal qatar romania rome russia rwanda
+sahara salvador scandinavia scotland senegal serbia siberia singapore
+slovakia slovenia somalia spain sudan sweden switzerland syria taiwan
+tanzania thailand tibet togo tokyo tunisia turkey uganda ukraine
+uruguay uzbekistan venezuela vietnam wales yemen zambia zimbabwe
+"""
+
+# --------------------------------------------------------------------
+# Rare-tail sweep 3 — general vocabulary the A-Z sweeps in data/data2
+# did not reach. Lemmas only.
+# --------------------------------------------------------------------
+
+RARE_TAIL_3 = """
+abalone abbess abbot abdication abeyance ablution abnegation abolitionist
+abrasion abrogate abscissa absentee absinthe abstruse abutment acanthus
+accede accentuate acclimate accomplice accordance accouterment
+accreditation acetate acetylene ache achievable acidic acolyte aconite
+acquittal acrimony actuate acuity adenoid adjacency adjudication
+adulterate aerate aerodrome aeronaut affectation afforest aftershock
+agglomerate aggrandize agility agleam aground airlock airship airstrip
+alacrity albumen alchemist alderman alewife alfresco algorithmic alienate
+alimony aliquot alkaloid allay allocution allotment alloyed almighty
+alphanumeric altimeter altruist amanuensis ambergris ambidextrous
+ambulatory ammeter ammunition amnesiac amortize amperage amphitheater
+amputee anachronism anaconda anagrammatic analgesic anarchic ancestral
+anchorage anchorite andante andiron anecdotal angina angleworm anglicize
+angora angstrom animate animosity anion anisette annals anneal annexation
+annotate annuity annul anodyne anoint anomalous anonymity antacid
+antechamber antedate antelope anterior anteroom anthill anthologize
+anthracite antibody anticline antidote antimony antipathy antipodes
+antiquarian antiquity antiseptic antler anvil aorta apace apartheid
+aperture aphelion aphorism apiary aplomb apocalypse apocryphal apogee
+apoplexy apostasy apostle apothecary appall apparition appellate
+appendage apperception applicable appurtenance apraxia aqueduct aquifer
+arabesque arability arbiter arbitrage arbor arboretum arcanum archduke
+archery archetype archipelago archway ardor arduous argot armada
+armadillo armament armature armistice armorer armory arnica arpeggio
+arraign arrant arrears arrogate arroyo arsenic artery artesian
+arthropod artichoke artifice artillery artisan ascetic ascot ascribe
+ashen ashore askance askew asparagus asperity aspersion asphyxiate
+aspic aspirant assailant assay assiduous assonance assuage astatine
+asterisk astern asteroidal astringent astrolabe astrophysics asunder
+atelier atheism athwart atoll atonal atone atrium atrocity atrophy
+attache attainder attar attenuate attestation attrition atypical
+auburn audacity augur august auk aural aureole auricle auspice austere
+autarky autocracy autocrat automatize autonomic autopsy avarice
+avast avatar aver aviary avid avocet avouch avow awl awning axial
+axilla azalea azimuth azure
+babble babushka baccalaureate bacchanal backbone backdrop backfire
+backgammon backhand backlash backlog backstage backwash backwater
+badger badinage badminton baffle bagatelle bagpipe bailiff bailiwick
+bairn bait baize balalaika balderdash baleen baleful balk balky
+ballast ballerina ballistic balm balmy balsa balsam baluster bandage
+bandanna bandit bandstand bandwagon bane baneful bangle banister
+bankrupt banns banshee bantam banter banyan baobab baptism baptistery
+barb barbarian barbarity barbican bard bargeman baritone barium
+barnacle barnstorm barometer baron baroness baronet baroque barrack
+barracuda barrage barrister barrow barter basalt bascule baseline
+bashful basilica basilisk bask basset bassinet bassoon bastion bathos
+bathyscaphe batik baton battalion batten battlement bauble baud
+bauxite bawdy bayberry bayonet bayou bazooka beadle beagle beaker
+beanstalk bearish bearskin beatific beatitude beau becalm beckon
+bedazzle bedeck bedevil bedlam bedraggle bedrock bedstead beechnut
+beefsteak beeline beeswax beet befall befit befuddle beget begonia
+begrudge beguile behemoth behest behoove belabor belay beleaguer
+belfry belie bellicose belligerent bellow bellwether belvedere bemoan
+bemuse benediction benefactor benefice beneficent benevolent benighted
+benign benzene bequeath bequest berate bereave beret bergamot beriberi
+berserk berth beryl beseech beset besiege besmirch bespeak bestial
+bestir bestow bestride betide betoken betroth bevel beverage bevy
+bewail bewhiskered bewitch bezel biannual bibliophile bicameral
+bicarbonate bicentennial bicuspid biddy bide biennial bier bifocal
+bifurcate bigamy bight bigot bilateral bilge bilious bilk billet
+billiards billow bimetallic bimonthly binnacle binomial biochemistry
+biogenesis biographer biopsy biosphere biotite biped biplane birch
+birdbath birdlime birthmark birthright biscuit bisect bishopric bismuth
+bison bisque bittern bitters bitumen bivalve bivouac blabber blackball
+blackberry blackbird blackguard blackjack blacklist blackmail blackout
+blacksmith blackthorn bladder blameworthy blanch blandish blare blarney
+blaspheme blasphemy blatant blather blazon bleach bleak bleat blemish
+blench blight blimp blindfold blintz blissful blister blithe blitz
+blizzard bloat blockade bloodhound bloodshed bloodstream bloodthirsty
+blot blotch blouse blubber bludgeon bluebell blueberry bluebird
+bluegrass blueprint bluff blunderbuss blurb blurt bluster boa boar
+boardwalk boast bobbin bobcat bobolink bobsled bode bodice bodkin bog
+bogey boggle bogus boil boisterous bole bolero bollard bolster bombard
+bombardier bombast bonanza bondage bondsman boneset bonfire bongo
+bonnet bonny bonus booby boodle bookbinder bookish bookkeeper booklet
+bookplate bookworm boomerang boon boor boost bootblack bootleg booty
+borax bordello boredom boric borough bosh bosky bosom botch botulism
+boudoir bouffant bough bouillon boulder boulevard bounteous bountiful
+bounty bouquet bourgeois bourn bovine bowels bower bowie bowsprit
+boxcar boxwood boycott brace bracken bracket brackish bract brad brag
+braggart braid braille brainstorm brake bramble bran brandish brash
+brassiere brassy bravado brawl brawn bray brazen brazier breach
+breadfruit breadth breakage breakneck breakwater breastplate
+breastwork breech breeches brethren breve brevet breviary brevity
+brew briar bribe brigade brigand brigantine brill brimstone brindle
+brine brink briquette brisk brisket bristle brittle broach brocade
+broccoli brochure brogan brogue broil brokerage bromide bromine
+bronchial bronchitis bronco brooch brood brook broom broth brothel
+brougham browbeat brucellosis bruin bruise brunch brunet brunt brusque
+brutal brute bubonic buccaneer buckboard buckram buckshot buckskin
+buckwheat bucolic budge budgerigar buffoon bugaboo bugbear buggy bugle
+bulbous bulge bulkhead bullfinch bullfrog bullion bullock bulrush
+bulwark bumblebee bumpkin bumptious buncombe bungalow bungle bunion
+bunk bunkum bunting buoy buoyant burdock bureaucrat burgeon burgher
+burglar burgundy burial burlap burlesque burnish burnoose burr burro
+bursar bursitis bushel bushwhack bustard bustle butane butte buttercup
+butterfat buttermilk butternut butterscotch buttock buttress buxom
+buzzard bygone byline bypass byplay byproduct bystander byway byword
+cabal cabana cabaret cabbage cabby cadaver caddie cadence cadenza cadet
+cadmium cadre caesura cairn caisson cajole calamine calamity calcify
+calcium caldron calibrate calico caliper caliph calisthenics calk
+callable calligraphy callous callow calorie calumny calve calypso
+camber cambric camellia cameo camomile camouflage camphor canape
+canard canasta candelabra candid candidacy candor canine canister
+canker cannery cannibal cannonade canny canoe canonical canopy cant
+cantaloupe cantankerous cantata canteen canter canticle cantilever
+canto canton cantor canvass canyon capacious caparison capillary
+capitulate capon caprice capricious capsize capstan capsule captaincy
+caption captious captivate carafe caramel carapace carat caraway
+carbide carbine carbohydrate carbolic carbuncle carburetor carcass
+carcinogen cardamom cardigan cardinal careen caress caret caribou
+caricature carillon carmine carnage carnal carnation carnival
+carnivore carouse carp carpal carrion cartel cartilage cartographer
+cartography carton cartoon cartridge cascade casein casement cashew
+cashmere casino cask casket cassava casserole cassette cassock
+castanet castaway caste castigate castle casual casualty cataclysm
+catacomb catalyst catamaran catapult cataract catastrophe catbird
+catcall catechism categorical catfish catharsis cathode catkin catnip
+catsup cattail caucus cauliflower causal caustic cauterize cavalcade
+cavalier cavalry cavern caviar cavil cavort cayenne cease cedar cede
+cedilla celebrant celerity celery celestial celibate cellar cello
+cellophane cellulose cement cemetery cenotaph censer censor censure
+census centaur centenary centennial centigrade centipede centrifuge
+centurion cephalic ceramic cereal cerebellum cerebral ceremonial
+cerise certitude cessation cession cesspool chafe chaff chagrin
+chalet chalice chamberlain chameleon chamois champ chancel chancellor
+chancery chandelier chantey chaparral chapel chaperon chaplain
+charade chariot charisma charlatan charnel charred chary chasm chassis
+chaste chasten chastise chateau chattel chauffeur checkmate cheddar
+cheetah chemise chenille cherish cheroot cherub chervil chessboard
+chestnut chevron chicanery chickadee chicory chide chieftain chiffon
+chigger chilblain childbirth chimera chimpanzee chinchilla chintz
+chipmunk chiropractor chirp chisel chivalry chive chloride chlorine
+chloroform chlorophyll chock chokecherry choler cholera chortle
+chowder christen chromatic chrome chromosome chronic chronicle
+chrysalis chrysanthemum chub chuckle chum chunk churl churn chute
+cicada cinch cinchona cincture cinder cinema cinnabar cinnamon cipher
+circlet circuitous circumference circumflex circumlocution
+circumnavigate circumscribe circumspect circumvent cirrus cistern
+citadel citation cite citrate citron citrus civet civic clairvoyant
+clam clamber clammy clamor clandestine clang clapboard claret clarify
+clarinet clarion clatter clause claustrophobia clavichord clavicle
+claw cleat cleave clemency clench clergy cleric clerical clientele
+climactic clime clinch clinker clip clipper clique cloak clobber
+cloister clot clothe clove clover cloy clump clumsy clutch clutter
+coadjutor coagulate coalesce coalition coarse coax cobalt cobble
+cobbler cobra cobweb cocaine cochineal cockade cockatoo cockerel
+cockle cockpit cockroach cocoa coconut cocoon coddle codicil codify
+coefficient coerce coeval coexist coffer coffin cog cogent cogitate
+cognac cognate cognizant cohere cohesion cohort coiffure coincide
+colander collage collateral collier colloquial colloquy collude
+collusion cologne colonel colonnade colossal colossus colt columbine
+coma comatose combat combustion comely comet comity commandant
+commandeer commemorate commensurate commiserate commissar commissary
+commodious commodore commonplace commonwealth commotion communal
+commune communique commute compatriot compendium complacent
+complaisant complicity comport compost composure compote compress
+compunction comrade concave concentric concerto conch concierge
+conciliate conclave concoct concomitant concourse concubine concur
+concussion condescend condiment condole condominium condone condor
+conduit confection confederate confer confidant configure confiscate
+conflagration confluence confound confrere congeal congenial
+congenital congest conglomerate congruent conic conifer conjecture
+conjugal conjugate conjure connive connoisseur connote connubial
+conquistador consanguinity conscript consecrate consensus consign
+consistory console  consonant consort consortium conspicuous
+constable constellation consternation constituent constrict construe
+consul consummate contagion contiguous continence contort contraband
+contralto contraption contravene contrite contrivance contusion
+conundrum convalesce convene convex conveyance convivial convoke
+convoy convulse coo coop cooper cooperage coot copious copperhead
+coppice copra copse coquette coracle cordial cordon corduroy
+coriander cork cormorant cornea cornet cornice cornucopia corolla
+corollary corona coronary coronation coroner coronet corporal
+corporeal corpulent corpuscle corral correlate corridor corroborate
+corrode corrugate corsage corsair corset cortege cortex corvette
+cosmic cosmopolitan cosmos cosset costume coterie cotillion
+cottonwood cougar coulee countenance counterfeit countermand
+counterpane counterpart counterpoint countersign countess coupe
+couplet coupon courier courteous courtesan courtier courtship
+couscous covenant covert covet covey cowardice cower cowl cowslip
+coxswain coy coyote cozen crab crabapple crackle cradle craft crag
+cranberry crane cranium crank cranny crape crappie crass crater
+cravat crave craven crawfish crayfish crayon craze creak crease
+credence credential credible credulous creed creek creel creosote
+crepe crescendo crescent cress crest crestfallen cretonne crevasse
+crevice crib cricket crier crimson cringe crinkle crinoline cripple
+crisp criterion critique croak crochet crock crocodile crocus crone
+crony crook croon croquet croquette crosier crossbow crotchety crouch
+croup crouton crucible crucifix crucify crude cruel cruet cruise
+crumb crumple crusade crustacean crux crypt cryptic cryptogram
+crystalline cub cubbyhole cubic cubit cuckoo cucumber cud cuddle
+cudgel cue cuff cuisine culinary cull culminate culpable culprit
+cultivate culvert cumbersome cumin cumulus cuneiform cunning cupola
+cur curate curator curb curd curfew curio curl curlew currant
+curriculum curry curt curtail curtsy curvature cusp cuspidor custard
+custodian cutlass cutlery cutlet cuttlefish cyclamen cyclone cygnet
+cylinder cymbal cynic cynosure cypress cyst czar
+dabble dachshund dado daffodil daft dagger dahlia dainty daiquiri
+dais daisy dale dally dalmatian damask dame damnation damper damsel
+damson dandelion dander dandle dandruff dandy dangle dank dapper
+dapple daredevil dart dastardly dative daub daunt dauphin davenport
+dawdle deacon deaden deadline deadlock deafen dearth debacle debark
+debase debauch debenture debilitate debit debonair debrief debris
+debut debutante decade decadent decamp decant decapitate decathlon
+decelerate decencies decency decent decentralize deception decibel
+deciduous decimal decimate decipher declaim declension declivity
+decompose decorous decorum decoy decrepit decry deduce deducible
+deed deem deface defame default defeatist defecate defector defer
+deference defiance deficit defile defoliate deforest defraud defray
+defrost deft defunct degenerate degrade dehydrate deify deign deity
+dejected delectable delegate delete deleterious deliberate delicacy
+delicatessen delineate delinquent delirium delta delude deluge
+delusion delve demagogue demarcate demean demeanor demented demerit
+demigod demise demitasse demobilize democracy demography demolish
+demoniac demote demur demure denigrate denizen denominate denote
+denouement denounce dentifrice dentin denture denude deplete deplore
+deploy depopulate deport depose depot deprave deprecate depreciate
+depredation deranged derelict deride derive derogatory derrick
+dervish descant desecrate desiccate desist desolate despicable
+despoil despondent despot destitute desultory detente detention
+detergent detonate detour detract detriment deuce devaluate
+devastate deviate devious devoid devolve devotee devout dewlap
+dexterity diabolic diadem diagonal dialect diameter diaper
+diaphanous diaphragm diatribe dibble dice dicker dickey dictum
+didactic diesel dietitian diffident diffuse digit digitalis dignify
+dignitary digress dilapidated dilate dilatory dilemma dilettante
+diligent dill dilute dimension diminution dimity dimple din dinghy
+dingy dint diocese diorama dioxide diphtheria diphthong diploma
+diplomat dipper dire dirge dirigible dirk dirndl disarray disavow
+disburse discern disclaim discomfit disconcert disconsolate
+discordant discotheque discredit discreet discrepancy discrete
+discretion discursive disdain disfigure disgorge disgruntle
+dishevel disinter dislodge dismal dismantle dismay dismember
+disparage disparate dispassionate dispel dispensary disperse
+dispirit disport disquiet disquisition dissemble disseminate
+dissension dissertation dissident dissipate dissolute dissonance
+dissuade distaff distend distill distinct distrait distraught
+dither ditty diurnal diva divan diverge divers divest dividend
+divine divisive divot divulge dizzy docile docket doctrinaire
+doctrine doddering doe doff dogged doggerel dogma dogwood doily
+doldrums dole doleful dolly dolorous dolphin dolt domain dome
+domicile dominion domino don donate donkey donor doodle doom
+doorjamb dormant dormer dormitory dormouse dorsal dosage dossier
+dotage dote doublet doubloon dour dowager dowdy dowel downcast
+downpour downright dowry doxology doyen doze dozen drab drachma
+draconian dragnet dragon dragoon drake dram dramatist drape drastic
+draught drawbridge drawl dray dread dreary dredge dregs drench
+dressage dribble drift drill drizzle droll dromedary drone drool
+droop drought drove drowse drub drudge drudgery drum dryad dual
+dubious ducal ducat duchess duchy duct ductile dudgeon duel duet
+duffel dugout duke dulcet dulcimer dullard dumbbell dumbfound dummy
+dumpling dun dunce dune dungaree dungeon dunk duodenum dupe duplex
+duplicity durable duration duress dusk dutiful dwarf dwell dwindle
+dynamic dynamite dynamo dynasty dysentery dyspepsia
+earl earnest earshot earthenware earthquake earthwork earwig easel
+eaves eavesdrop ebb ebony ebullient eccentric ecclesiastic echelon
+eclair eclectic eclipse ecliptic ecology economize ecru ecstasy
+ecumenical eczema eddy edelweiss edible edict edifice edify eel
+eerie efface effervesce effete efficacy effigy effluent effrontery
+effulgent effusive egalitarian egocentric egotism egress egret
+eiderdown eject elaborate elapse elastic elate elbow elder elegy
+elephantine elevate elfin elicit elide eligible elite elixir
+ellipse elm elocution elongate elope eloquent elucidate elude
+elusive emaciate emanate emancipate emasculate embalm embankment
+embargo embark embellish embezzle embitter emblazon emblem embody
+embolden emboss embower embrace embrasure embroider embroil embryo
+emend emerald emeritus emery emetic emigrate eminent emissary emit
+emollient emolument emote empathy emperor emphatic empirical
+emplacement empower empress emulate emulsify enact enamel enamor
+encamp encase enchant encircle enclave enclose encomium encompass
+encore encroach encumber encyclical encyclopedia endear endemic
+endive endocrine endow endue enema enemy energize enervate enfeeble
+enfold enforce enfranchise engender engraft engrave engross engulf
+enhance enigma enjoin enkindle enlace enlighten enliven enmesh
+enmity ennoble ennui enormity enrage enrapture enrich enroll
+ensconce ensemble enshrine enshroud ensign enslave ensnare ensue
+entail entangle entente enthrall enthrone entice entity entomb
+entomology entourage entrails entrance entreat entree entrench
+entrepreneur entwine enumerate enunciate envelop envenom enviable
+environ envisage envoy enzyme eon epaulet ephemeral epic epicure
+epidemic epidermis epigram epilepsy epilogue episcopal episode
+epistle epitaph epithet epitome epoch epoxy equanimity equate
+equator equerry equestrian equidistant equilateral equilibrium
+equine equinox equipoise equitable equity equivocal era eradicate
+erase ere erect ermine erode erotic errand errant erratic
+erroneous erudite erupt escalate escapade escarpment eschew escort
+escrow escutcheon esophagus esoteric espalier especial espionage
+esplanade espouse espresso esquire essay essence estimable
+estrange estuary etch eternal ether ethereal ethic ethnic ethos
+etiquette etymology eucalyptus eugenic eulogy eunuch euphemism
+euphony euphoria euthanasia evacuate evade evanescent evangelist
+evasive eventide eventual evict evince eviscerate evoke ewe ewer
+exacerbate exalt exasperate excavate excelsior excerpt excise
+exclamation excommunicate excoriate excrement excrescence excrete
+excruciate exculpate excursion execrable exegesis exemplar exempt
+exhale exhilarate exhort exhume exigency exodus exonerate
+exorbitant exorcise exotic expatiate expatriate expectorate
+expedient expedite expiate expire expletive explicable explicate
+explicit exponent expostulate expound expropriate expulsion
+expunge expurgate exquisite extant extemporaneous extenuate
+exterior exterminate extinct extirpate extol extort extradite
+extraneous extremity extricate extrinsic extrovert extrude
+exuberant exude exult eyelet eyrie
+fable fabricate facade facet facetious facile facsimile faction
+faculty fad fagot faience fairway fakir falcon fallacy fallible
+fallow falsetto falsify falter famine famish fanatic fanciful
+fandango fanfare fang fanlight fantail fantasia fantasy farce
+farina farrier farrow farthing fascinate fastidious fatal fathom
+fatigue fatuous faucet fauna fawn fealty feasible feat feather
+febrile feckless fecund federate fedora feign feint feldspar
+felicitate feline fell felon felt fen fencing fender fennel feral
+ferment fern ferocious ferret ferrous ferrule ferry fertile ferule
+fervent fervid fester festival festoon fetid fetish fetlock fetter
+feud feudal fez fiasco fiat fib fickle fictitious fiddle fidelity
+fidget fiduciary fief fiend fierce fiery fife filament filbert
+filch filial filibuster filigree fillet filly filth fin finagle
+finale finance finch finesse finial finicky finite fiord firebrand
+firefly firmament fiscal fissure fistula fitful fixture flaccid
+flagellate flageolet flagon flagstone flail flair flake flamboyant
+flamingo flange flank flannel flapjack flare flatter flaunt flax
+flay fleck fledgling fleece flexible flick flicker flimsy flinch
+flint flippant flirt flit floe flog flood floral florid florin
+flotilla flotsam flounce flounder flourish flout fluctuate flue
+fluent fluff fluid fluke flume fluoride flurry fluster flute flux
+foal foam fob fodder foe fog foible foist fold foliage folio
+folklore folly foment fondle fondue font foolhardy foolscap
+footfall footloose fop forage foray forbear forbearance ford
+forearm forebode forecastle foreclose forefather forego foreman
+forensic foreshorten forestall forsake forswear forsythia fort
+forte fortify fortitude fortnight fortress fortuitous forum fossil
+foster foul foulard foundling fount fountain fowl fox foxglove
+foyer fracas fraction fractious fracture fragile fragment fragrant
+frail franchise frank frankincense frantic fraternal fraud fraught
+fray frazzle freak freckle freight frenetic frenzy fresco freshet
+fret friar fricassee friction frieze frigate fright frigid frill
+fringe frisk fritter frivolous frock frolic frond frontier
+frontispiece frost froth froward frown frowzy frugal fruition
+frump frustrate fuchsia fuddle fudge fugitive fugue fulcrum
+fulfill fulminate fulsome fumble fume fumigate funereal fungicide
+funnel fur furbish furlong furlough furnace furrow furtive fuse
+fuselage fusillade fustian futile
+"""
+
+# --------------------------------------------------------------------
+# High-yield rare-tail veins (probed against the r5 lexicon): literary
+# and archaic verbs, learned adjectives, Latin/Greek/French loanwords,
+# and culinary loans. Same lemma-only rules.
+# --------------------------------------------------------------------
+
+LITERARY_VERBS = """
+abut admix aerify affright agglutinate americanize anathematize
+apostrophize asseverate auscultate beatify becloud bedew bedim befog
+begrime bejewel bemire besot bespangle bespatter bestrew betake
+bethink bowdlerize burgle cachinnate calcine calumniate catechize
+cerebrate chivy cicatrize circumambulate cohabit colligate commingle
+comminute conglobate conjoin contemn coquet coruscate crenellate
+cumber deaden debouch decoct decorticate deliquesce demit depone
+deprecate deputize descry devein dight disabuse disafforest disannul
+disembarrass disembody disembowel disenchant disencumber disendow
+disenthrall disfrock dishearten disinherit disoblige dispread
+dissever disthrone divagate divaricate dragoon dulcify ebonize
+edulcorate effectuate embrangle emend empurple enchain encipher
+encyst endue energify engird engirdle enhalo enisle ensile ensoul
+enswathe enwrap epitomize equivocate estivate etherealize etiolate
+evanesce eventuate evert excogitate exculpate exsiccate extravasate
+fabulate fankle fascinate fatten festinate fictionalize filtrate
+fissure fluidize footle foreknow foreordain forfend fossilize
+fructify fulminate fustigate gainsay gallivant galvanize gasify
+gormandize grangerize gruntle habilitate haver hebetate hibernate
+humify hypostatize immingle immure impaint impark impawn imprecate
+indurate infibulate ingeminate ingurgitate inhume inspissate
+instantiate insufflate intenerate interfuse interlard intermit
+intromit inumbrate invaginate inveigle inweave jellify jollify
+juxtapose lapidate levigate lixiviate lucubrate macerate madden
+madefy magnetize manumit marginate matriculate mellify memorialize
+mensurate metamorphose militate mithridatize mollify mortify
+mundify nasalize nidify nigrify nitrify nobilitate noctambulate
+nullify obnubilate obtest obtrude occlude odorize opalesce oppilate
+oppugn osculate ossify outface outfight outfox outgeneral outgrow
+outlast outpace outshine outspread outstrip overawe overbear
+overcloud overleap overmaster overpass oversee overset overshadow
+overspread overtop oxidize ozonize pacificate palliate palpate
+pauperize peptize peregrinate perennate perfuse perorate pestle
+petrify phlebotomize pinguefy placate plash pleach plenish
+pontificate postillate preconize predecease preponderate presage
+prettify prevaricate prognosticate propagandize propine prorogue
+proselytize protuberate provision pullulate pulverize putrefy
+quieten ramify rarefy ratiocinate ravel reave recrudesce rectify
+redact redintegrate reeve regurgitate reify remand remonstrate
+renege replevy reprehend reprobate repudiate respire resuscitate
+reticulate retrench revivify rhapsodize rigidify roil rubify
+ruminate rusticate saccharify salify sanctify saponify scarify
+scintillate sclerose scud scutter sedate sequester sibilate
+siccate signalize silicify skirl slake sliver solemnize solmizate
+somnambulate soothsay sorb spay spiflicate spoliate sporulate
+stellify stultify stupefy suberize sublimate subsume subtend
+suffuse sulphurate supervene supinate suppurate surcease surcharge
+swinge syllabify syncopate tabulate tantalize temporize tergiversate
+tittivate torpify tractate traduce tranship transmogrify transude
+traumatize triturate tumefy typify ulcerate ululate umbrate
+unbosom unburden unchurch unclasp uncloak unfetter unfrock unhand
+unhorse unkennel unlimber unmake unman unmoor unpeople unriddle
+unseat unsex unship unsling unstop unswathe unthrone untwine
+upbraid uprear uprise vamoose vaporize variegate vaticinate
+verbalize vesicate victual vilify vilipend vitiate vitrify
+vituperate vivify vociferate vulcanize waffle wamble waylay
+winnow wive woo worst wrack
+"""
+
+LEARNED_ADJECTIVES = """
+abstemious acaudal accipitrine acephalous acerb aciform adust
+aeonian aeriform agnate agrestic alar aldermanic aleatory algid
+alible alliaceous alpestrine ambagious amphibious ampullaceous
+anfractuous anguine anile antediluvian antemeridian aphotic apian
+apivorous apodictic aquiline arachnoid arcuate arenaceous
+armigerous asinine asperous atrabilious auctorial audile
+auriferous auroral austral autochthonous avuncular azoic
+bacchanalian baleful bibulous bicephalous bilabial bipartite
+bituminous blithesome boreal bosky bovid brachial brackish
+brumal bucolic bumptious cachectic cacophonous caducous caliginous
+calorific campestral cancellate canescent canorous caprine
+carious carminative  cataclysmic catarrhal caudal
+cerulean cervine chelate chthonic cinereous circumfluent
+cisalpine clactonian clamant clarty clavate coccygeal cogitable
+colubrine columnar comate comestible commodious compendious
+concupiscent confluent congeneric conglobate conoid consanguine
+contumacious contumelious coplanar coriaceous corvine costive
+crapulous crepuscular cretaceous cribriform crinoid cruciform
+cryptogamic cupreous cursorial cutaneous cyclopean
+deciduous declivitous decumbent dendritic denticulate dexter
+diaphoretic dicephalous diluvial dissilient dolichocephalic
+dolorous dotard dulcet ebracteate eburnean edacious edaphic
+effulgent eldritch eleemosynary elephantine emollient empyreal
+enate ensiform epicene epigeal equipollent eristic erose
+esculent esurient evanescent execrable exiguous exilic
+expiatory fabular falcate farinaceous farouche fatidic
+febrifugal feculent ferine filiform fissile flagitious
+flavescent flocculent floriferous fluvial foliaceous formic
+fossorial frangible fremescent friable frigorific fugacious
+fuliginous fulvous funambulatory fungoid furcate fuscous fusiform
+gelid geniculate gibbous glabrous glaucous globose gnomic
+gradely grallatorial graminivorous grandiloquent gravid
+gressorial gustatory guttural gyratory
+hebdomadal hebetudinous heliacal hibernal hircine hirsute
+histrionic horrent horrisonant hyaline hyetal hypnagogic
+ichthyic igneous illative imbricate immanent impecunious
+impuissant incarnadine inchoate incondite incrassate inculpable
+indehiscent infrangible infundibular insentient insessorial
+intercalary internecine intestate invidious irenic irrefragable
+jejune jocose jocund jugular lachrymose lacteal lacustrine
+lambent lanate lapidary larval lenticular lentiginous leonine
+lepidopterous leporine lissome lithic littoral loquacious
+lucent lucullan lugubrious lupine lustral luteous
+macled macrocephalic maculate malapert mammiferous manducable
+mantic marmoreal matutinal mellifluous mendacious mephitic
+mercurial meridional mesic metazoan micaceous minacious
+minatory mordant moribund multifarious multiparous mundane
+muricate murine muscid mutable myopic
+nacreous natant neap nescient nictitant nidificate niveous
+noctilucent nodose nubilous nugatory obconic obdurate
+oblanceolate obovate obsequious obstreperous ochreous
+odoriferous oleaginous olivaceous oneiric operose ophidian
+oracular orotund oscine osseous otiose oviparous ovoid
+pachydermatous palmate paludal pantropic papillose parlous
+parturient pavonine pellucid pendulous penurious perfervid
+perfidious periphrastic perspicacious pertinacious pestiferous
+petrous phocine phrenic piceous piscatorial piscine plangent
+platitudinous plenary plicate pluvial porcine prandial
+preprandial primeval proleptic psittacine puerile puissant
+pulchritudinous punctilious pyriform
+quadrumanous quaggy querulous quiescent quondam rakish ramose
+rampant raptorial rebarbative recondite recumbent redolent
+refulgent remiss reniform repand reptant retrorse riant riparian
+risible roborant rubicund rufous rugose ruminant runcinate
+saltatory salubrious sapid saponaceous saturnine saxicoline
+scabrous scalene sciatic scrofulous sebaceous sedulous senescent
+sericeous serpentine  sessile setaceous sidereal
+sinuous sociable somniferous soporific spatulate spheroid
+spinous splenetic squamous stelliform stentorian stertorous
+strident stygian subacid subaqueous subfusc sublunary
+succulent sudorific supernal supine sylvan
+tabescent taciturn tantamount tautological tawdry tellurian
+temerarious tenebrous tensile terraqueous testudinal thermic
+threnodic timorous tonsorial torpid tortile tortuous transpontine
+tremulous trenchant tumid turbid turgid tutelary
+uliginous ultramundane umbrageous uncial unctuous undulant
+ungual unguiculate urceolate ursine uxorious vagile vagrant
+valetudinarian vaporous  vatic vendible ventral
+veracious verdant vernal vertiginous vesicular vespertine
+vestigial vicennial virid viscid vitreous voluble voracious
+vulpine xeric zaftig zoophagous
+"""
+
+LOANWORDS = """
+antipasto baguette borscht bruschetta cannoli carbonara cilantro
+consomme cornmeal eclair escargot fennel frankfurter gazpacho
+guacamole horseradish hummus kebab linguine lox minestrone
+mozzarella paella pancetta pastrami pepperoni pesto pilaf
+prosciutto radicchio ricotta scallion sushi tabasco taco tarragon
+teriyaki tofu tortellini tortilla vermicelli wasabi watercress
+angst apparatchik aubade aurora autobahn avantgarde babel
+bagel baklava balaclava ballyhoo banzai barcarole bardo
+bathhouse bazaar bedouin beluga berceuse bhakti bijou bildungsroman
+biretta blintze bodega bolero bolshevik bonhomie bonsai bordello
+boudin bouzouki brasserie bravura brioche brouhaha bwana cabala
+cabriolet cacique cadeau caftan calaboose calzone camaraderie
+canasta cannelloni cantina capo carioca carpaccio caudillo
+chalupa chanteuse chapati charcuterie charpoy chiaroscuro chignon
+chimichanga chorizo chutzpah ciabatta cinquecento cloisonne
+cognoscente commedia concierge conquistador contretemps
+cornucopia corrida cortado coulis coupe couture couturier
+crudites curacao dacha dashiki debutante demitasse denouement
+derriere dhoti diaspora dirndl divertimento dojo dolmen doppelganger
+dressage duende dumka edamame effendi elan empanada enchilada
+ennui entrepot ersatz fajita fakir falafel fandango fatwa favela
+fedayeen feta fiesta finca flambe foie fracas frappe frisson
+fritto galette ganache gateau gaucho gazebo geisha gelato gemutlich
+genever gestalt gesundheit gnocchi golem gondola goulash gracioso
+graffito gravlax gringo grotto gulag guru gymkhana hacienda haiku
+halvah hamantasch harissa hashish hegira hibachi hidalgo hinterland
+hookah houri hubris hula igloo ikebana imbroglio impresario
+incognito inferno insouciance intelligentsia intifada  jalapeno
+jambalaya jihad jinricksha jodhpur junta kabuki kaffeeklatsch
+kamikaze karaoke karate kasbah kashrut kayak kefir keffiyeh kepi
+kibbutz kibitz kielbasa kimchi kimono kiosk kismet kitsch klezmer
+knish kohlrabi kolache kowtow kraal kremlin kudzu kugel kvetch
+lagniappe lahar lamasery latke lederhosen leitmotif lido
+limousine lingua llano loggia luau lyceum macchiato machete
+machismo madras maelstrom maestro mahjong maharaja mahatma
+mantra manzanita maquette maraca mariachi marimba marinara
+masala matador matzo mausoleum mazel mbira melee memoir menage
+menorah mesa mestizo mezcal mezuzah mihrab mikado milieu minaret
+mirepoix mocha moire mojito mole molto monsoon montage moquette
+moussaka muesli mufti mullah muumuu nabob nacho naan nirvana
+noblesse nosh nougatine novella nuance obento obi odalisque
+oeuvre oligarch ombre oompah origami ottoman oud outre paisano
+palaver palazzo pampas panache panatela panforte panini panzer
+paparazzo papaya papoose paprikash parka pasha pashmina pastiche
+patina patio patisserie patois pekoe pemmican penne pergola
+perestroika peso pho piazza pieta pilsner pinata pirogue
+pistou plaza pogrom poi polenta poltergeist poncho 
+portico potpourri poutine  primavera pronto protege
+provolone pueblo pundit putsch qigong quesadilla quinoa rajah
+ramen ranchero rani rapport rathskeller ratatouille realpolitik
+rebozo regalia reggae remoulade rendezvous repertoire riata
+rickshaw rigatoni riposte risque ristra rondeau rotunda roulade
+rucksack rumba ryokan sahib sake salaam salon salsa samba samovar
+sampan samurai sangria sarape sari sarong sashimi satay sauna
+savant savoir sayonara scampi schadenfreude schlep schmaltz
+schnauzer schnapps scherzo seance seder sensei seppuku seraglio
+serape shaman shamrock shashlik shawarma shiatsu shiksa shillelagh
+shish shogun siesta sirocco sitar smorgasbord sombrero sonata
+souk soutane soybean spumoni sputnik steppe stollen strudel
+stupa succah sukiyaki sultan sumo taboo tabouleh taffeta tagine
+tahini taiga tamale tamarind tandoori tango tapas tarantella
+tatami tchotchke tempeh tempura tepee tequila terrine tiara
+tikka tilde timbale tiramisu toccata tomatillo tong torte
+tostada toupee tourniquet trattoria trek troika trousseau tsar
+tsunami tundra turban tutu tycoon typhoon ukase umlaut vamoose
+vaquero veld vendetta veranda verismo vermouth vichyssoise
+vignette vihara virtuoso visa vizier vodka wok wanderlust
+wigwam wok wonton yarmulke yeti yoga yogurt yurt zeitgeist
+ziggurat zither zloty zydeco
+"""
+
+ALL_WORDS_3 = sorted(
+    set(COUNTRIES_PLACES.split())
+    | set(RARE_TAIL_3.split())
+    | set(LITERARY_VERBS.split())
+    | set(LEARNED_ADJECTIVES.split())
+    | set(LOANWORDS.split())
+)

@@ -183,11 +183,45 @@ KROVETZ_PUBLISHED_PAIRS = [
     ("radii", "radius"), ("larvae", "larva"), ("strata", "stratum"),
     ("corpora", "corpus"), ("oases", "oasis"),
     ("parentheses", "parenthesis"), ("automata", "automaton"),
+    # round 6: country/nationality supplementary table (the real
+    # KStem's country_nationality exception list) — demonym -> place,
+    # conflated ahead of the headword pass
+    ("italian", "italy"), ("japanese", "japan"), ("chinese", "china"),
+    ("russian", "russia"), ("german", "germany"), ("french", "france"),
+    ("spanish", "spain"), ("american", "america"),
+    ("british", "britain"), ("canadian", "canada"),
+    ("mexican", "mexico"), ("egyptian", "egypt"),
+    ("brazilian", "brazil"), ("indian", "india"), ("korean", "korea"),
+    ("norwegian", "norway"), ("turkish", "turkey"),
+    ("vietnamese", "vietnam"), ("portuguese", "portugal"),
+    ("swedish", "sweden"), ("irish", "ireland"), ("greek", "greece"),
+    # plural demonyms strip the inflection in the same pass
+    ("italians", "italian"), ("americans", "american"),
+    # round 6: loanword headword pass-throughs + their plurals
+    ("taco", "taco"), ("sushi", "sushi"), ("kayak", "kayak"),
+    ("tsunami", "tsunami"), ("karate", "karate"),
+    ("tacos", "taco"), ("kayaks", "kayak"), ("kimonos", "kimono"),
+    ("igloos", "igloo"),
+    # round 6: rare-tail verbs now dictionary-validated (recoding
+    # needs the headword: 'ramify' must be in the lexicon for
+    # 'ramified' -> 'ramify' instead of the -ied heuristic)
+    ("ramified", "ramify"), ("vilified", "vilify"),
+    ("ossified", "ossify"), ("mollified", "mollify"),
+    ("juxtaposed", "juxtapose"), ("inveigled", "inveigle"),
+    ("sequestered", "sequester"), ("upbraided", "upbraid"),
+    ("galvanized", "galvanize"), ("placating", "placate"),
+    ("ruminating", "ruminate"), ("scintillating", "scintillate"),
+    # round 6: learned-adjective pass-throughs (the rare tail the
+    # orthographic heuristics would otherwise mangle)
+    ("lugubrious", "lugubrious"), ("mellifluous", "mellifluous"),
+    ("perspicacious", "perspicacious"), ("saturnine", "saturnine"),
+    ("crepuscular", "crepuscular"), ("tenebrous", "tenebrous"),
+    ("taciturn", "taciturn"), ("quiescent", "quiescent"),
 ]
 
 
 def test_kstem_published_pairs_count():
-    assert len(KROVETZ_PUBLISHED_PAIRS) >= 50
+    assert len(KROVETZ_PUBLISHED_PAIRS) >= 150
 
 
 @pytest.mark.parametrize("word,stem", KROVETZ_PUBLISHED_PAIRS)
@@ -205,7 +239,7 @@ def test_kstem_lexicon_is_sane():
 
     from hadoop_ir_spark.functions.kstem import DIRECT, LEXICON, kstem
 
-    assert len(LEXICON) >= 19000
+    assert len(LEXICON) >= 21000
     assert all(re.fullmatch(r"[a-z]+", w) for w in LEXICON)
     for w in LEXICON:
         if w not in DIRECT:
