@@ -53,6 +53,9 @@ def main() -> None:
     for scan_name, idx_name in [
         ("dirichlet_topk", "indexed_dirichlet_topk"),
         ("phrase_search_topk", "indexed_phrase_topk"),
+        ("bm25_topk", "indexed_bm25_topk"),
+        ("jm_gslis_topk", "indexed_jm_topk"),
+        ("two_stage_topk", "indexed_two_stage_topk"),
     ]:
         times = {}
         for name in (scan_name, idx_name):
