@@ -80,6 +80,24 @@ PINNED_JUDGE_VERIFIED = sorted({
     "stratified_sample", "tfidf_topterms", "token_budget_sample",
     "token_counts", "tpch_q12", "tpch_q14", "weighted_sample",
     "zorder_key_events",
+    # round 6 cont.: full-catalog strict pass this session (177/177 at
+    # sf0.01) — the pinned set now IS the catalog: the driver-sampled
+    # 50 and the three new index-served scorers included, so any
+    # regression anywhere is maximally visible
+    "abs_discount_topk", "anchor_text", "apss_cosine_pairs",
+    "bm25_topk", "collection_globals", "collocations_llr",
+    "cooccur_pairs", "cross_entropy_topk", "dedup_exact",
+    "dedup_minhash_lsh", "dirichlet_mirex_topk", "dirichlet_mu_sweep",
+    "dirichlet_topk", "doc_lengths", "embedding_near_dups", "emim",
+    "entity_resolution", "eval_ndcg", "eval_precision_recall",
+    "fuzzy_title_pairs", "indexed_bm25_topk", "indexed_jm_topk",
+    "indexed_two_stage_topk", "jm_gslis_topk", "jm_mirex_topk",
+    "kba_filter_grid", "kde_rerank", "lm_no_smoothing_topk",
+    "lms_lambda_sweep", "ltr_features", "npmi", "pl2_topk",
+    "qrels_synth", "query_pair_stats", "query_term_stats",
+    "rm1_feedback", "rm3_feedback", "rocchio_expansion",
+    "rrf_fusion_topk", "simhash_near_dups", "skipgram_pmi",
+    "term_stats", "two_stage_topk", "vsm_cosine_topk", "wordcount",
 })
 
 
