@@ -1,0 +1,118 @@
+"""Pair-growth control runs (round-6 judge item #6): prove that the
+>5x SCALING rows `dedup_clusters` (6.2x), `near_dedup_kept` (7.4x) and
+`winnow_span_pairs` (7.3x) are LINEAR IN PAIRS — their problem size
+(near-duplicate pair count) grows faster than the data on the synthetic
+slice, and wall time tracks pairs, not docs^2.
+
+Method (the same way kmeans_clusters was proven in r4/r5): run the
+pair-generating stage of each operator at sf0.1 and at the sf1 slice,
+log the candidate-pair and output-pair counts next to the warm query
+wall times, and report time-per-pair — if the operator were quadratic
+in data the time ratio would exceed the pair ratio; linear-in-pairs
+means time ratio <= pair ratio (and time/pair roughly constant).
+
+Usage: python tools/pair_growth_control.py [sf01_dir] [sf1_dir]
+Prints a markdown table for SCALING.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        ROOT, ".scale", "sf1")
+
+    from pyspark.sql import functions as F
+
+    import hadoop_ir_spark.queries as Q
+    from hadoop_ir_spark import catalog
+    from hadoop_ir_spark.operators import dedup, winnow
+    from hadoop_ir_spark.queries.dedup import JACCARD_TAU
+    from hadoop_ir_spark.queries.llmdata import (
+        WIN_K,
+        WIN_MAX_DF,
+        WIN_MIN_SHARED,
+        WIN_W,
+    )
+    from hadoop_ir_spark.session import get_spark
+
+    Q.load_all()
+    spark = get_spark("pair-growth-control", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    stats: dict[str, dict[str, float]] = {}
+    for label, sf_dir in (("sf0.1", sf01), ("sf1", sf1)):
+        docs = catalog._docs(spark, sf_dir)
+        s: dict[str, float] = {"n_docs": docs.count()}
+
+        # --- jaccard stage shared by dedup_clusters / near_dedup_kept
+        sh = dedup.shingles(docs, k=3, id_col="doc_id")
+        a = sh.select(F.col("docno").alias("da"), "shingle")
+        b = sh.select(F.col("docno").alias("db"), "shingle")
+        s["jac_cand_pairs"] = (
+            a.join(b, "shingle").filter(F.col("da") < F.col("db"))
+            .select("da", "db").distinct().count())
+        s["jac_true_pairs"] = dedup.jaccard_pairs(
+            sh, tau=JACCARD_TAU).count()
+
+        # --- winnow fingerprint-join stage
+        fps = winnow.winnow_fingerprints(docs, k=WIN_K, w=WIN_W,
+                                         id_col="doc_id")
+        rare = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= WIN_MAX_DF).select("fp"))
+        fr = fps.join(rare, "fp")
+        wa = fr.select(F.col("docno").alias("da"), "fp")
+        wb = fr.select(F.col("docno").alias("db"), "fp")
+        s["win_cand_pairs"] = (
+            wa.join(wb, "fp").filter(F.col("da") < F.col("db"))
+            .select("da", "db").distinct().count())
+        s["win_out_pairs"] = winnow.span_dup_pairs(
+            fps, max_df=WIN_MAX_DF, min_shared=WIN_MIN_SHARED).count()
+
+        # --- warm wall times of the shipped queries
+        for name in ("dedup_clusters", "near_dedup_kept",
+                     "winnow_span_pairs"):
+            q = catalog.QUERIES[name]
+            q(spark, sf_dir).count()          # warm-up
+            t0 = time.time()
+            q(spark, sf_dir).count()
+            s[f"t_{name}"] = time.time() - t0
+        stats[label] = s
+
+    lo, hi = stats["sf0.1"], stats["sf1"]
+    print(f"\n## Pair-growth control (sf0.1 -> sf1, "
+          f"{int(lo['n_docs']):,} -> {int(hi['n_docs']):,} docs = "
+          f"{hi['n_docs'] / lo['n_docs']:.1f}x data)\n")
+    print("| measure | sf0.1 | sf1 | ratio |")
+    print("|---|---|---|---|")
+
+    def row(title, key, fmt=lambda v: f"{int(v):,}"):
+        print(f"| {title} | {fmt(lo[key])} | {fmt(hi[key])} |"
+              f" {hi[key] / max(lo[key], 1e-9):.1f}x |")
+
+    row("jaccard candidate pairs (shared 3-shingle)", "jac_cand_pairs")
+    row(f"jaccard true pairs (>= {JACCARD_TAU})", "jac_true_pairs")
+    row("winnow candidate pairs (shared fp, df-capped)", "win_cand_pairs")
+    row(f"winnow output pairs (>= {WIN_MIN_SHARED} shared)",
+        "win_out_pairs")
+    for name, pair_key in (("dedup_clusters", "jac_cand_pairs"),
+                           ("near_dedup_kept", "jac_cand_pairs"),
+                           ("winnow_span_pairs", "win_cand_pairs")):
+        tr = hi[f"t_{name}"] / lo[f"t_{name}"]
+        pr = hi[pair_key] / lo[pair_key]
+        print(f"| {name} warm time | {lo[f't_{name}']:.1f}s |"
+              f" {hi[f't_{name}']:.1f}s | {tr:.1f}x"
+              f" (pairs {pr:.1f}x -> time/pair {tr / pr:.2f}x) |")
+
+
+if __name__ == "__main__":
+    main()
