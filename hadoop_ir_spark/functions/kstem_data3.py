@@ -121,7 +121,7 @@ acquittal acrimony actuate acuity adenoid adjacency adjudication
 adulterate aerate aerodrome aeronaut affectation afforest aftershock
 agglomerate aggrandize agility agleam aground airlock airship airstrip
 alacrity albumen alchemist alderman alewife alfresco algorithmic alienate
-alimony aliquot alkaloid allay allocution allotment alloyed almighty
+alimony aliquot alkaloid allay allocution allotment alloy almighty
 alphanumeric altimeter altruist amanuensis ambergris ambidextrous
 ambulatory ammeter ammunition amnesiac amortize amperage amphitheater
 amputee anachronism anaconda anagrammatic analgesic anarchic ancestral
@@ -685,4 +685,699 @@ ALL_WORDS_3 = sorted(
     | set(LITERARY_VERBS.split())
     | set(LEARNED_ADJECTIVES.split())
     | set(LOANWORDS.split())
+)
+
+RARE_TAIL_4 = """
+gab gabardine gabble gable gad gadabout gadfly gaff gaffe gaggle
+gaiety gainful gait gaiter gala galaxy gale gall gallant galleon
+gallery gallivant gallstone galoot galosh galvanic gambit gambol
+gamely gamester gamin gamut gander gangling ganglion gangrene
+gangster gantry gape garb garble gargantuan gargle gargoyle garish
+garland garlic garner garnet garnish garret garrison garrote
+garrulous garter gasket gasp gastric gastronomy gateau gauche
+gaucherie gaudy gauge gaunt gauntlet gauze gavel gawk gazelle
+gazette gazetteer gearbox gecko geld gelatin gelding gem gendarme
+genealogy generalissimo generative generic genesis genial genie
+genital genitive genocide genre genteel gentian gentile gentility
+gentry genuflect genuine geode geodesic geodesy geographer geopolitics
+geranium gerbil geriatric germane germicide germinal germinate
+gerrymander gerund gestate gesticulate gewgaw geyser gherkin ghetto
+ghostly ghoul gibber gibberish gibbet gibbon gibe giblet giddy gild
+gill gilt gimcrack gimlet gimmick gingerly gingham gingivitis
+ginkgo ginseng giraffe gird girder girdle girth gist glacial
+glacier gladden glade gladiator gladiolus glamour glandular glaucoma
+glaze gleam glean glee glen glib glimmer glint glisten glitter
+gloaming gloat globular glockenspiel gloss glossary glottis glower
+glucose glum glut gluten glutinous glutton glycerin gnarl gnash
+gnat gnaw gneiss gnome gnu goad goatee gobble goblet goblin
+godchild goddess godhead godparent godsend goiter goldenrod
+goldfinch golem gondolier gong gonorrhea goodly gopher gore gorge
+gorgeous gorse gosling gossamer gossip gouache gouge gourd gourmand
+gourmet gout governess gown grabble gracile gradient gradual
+graduand graffito graft grail grampus granary grandee grandeur
+grandiloquence grandiose grange granite granule grapnel grapple
+grate gratis gratuitous gratuity gravel gravitate gravy grayling
+grebe greenery greengage greenhorn greenhouse greensward gregarious
+gremlin grenade grenadier grenadine greyhound griddle gridiron
+grievance grievous griffin grill grille grimace grime grimy grindstone
+gringo grippe grisly grist gristle grizzle grizzly groan groat grog
+groggy groin grommet groom groove grope grosbeak grosgrain grotesque
+grotto grouch groundsel groundwork grouse grout grove grovel growl
+grub grudge gruel gruesome gruff grumble grumpy grunt guano guarantee
+guaranty guardian gubernatorial gudgeon guerdon guernsey guerrilla
+guffaw guidon guild guile guillotine guilt guinea guise guitar gulch
+gulden gulf gull gullet gullible gully gulp gumbo gumption gunboat
+gunnery gunny gunwale guppy gurgle gusset gust gustation gusto gut
+gutta gutter guttersnipe guzzle gybe gymnasium gymnast gypsum gyrate
+gyrfalcon gyroscope
+haberdasher habiliment habitable habitat habituate hacienda hackle
+hackney hackneyed haddock haft hag haggard haggle hagiography
+hailstone hairsbreadth halberd halcyon hale halibut halitosis
+hallmark hallow hallucinate halter halve hamlet hammock hamper
+hamstring handbill handcart handicraft handiwork handmaiden handsel
+handspike hangar hangdog hanker hansom haphazard hapless harangue
+harass harbinger harbor hardihood hardtack hardy harebell harlequin
+harlot harmonium harness harpoon harpsichord harridan harrier
+harrow harry harsh hart harvest hashish hasp hassle hassock hasten
+hatch hatchet hatchway hauberk haughty haul haunch haunt hauteur
+havoc hawser hawthorn hayloft haymow hayrick hazard haze hazel
+headland headlong headstall headstrong headwater hearken hearsay
+hearse heartrending hearth heath heathen heather heave heckle
+hectare hector hedgerow heedless heft hegemony heifer heinous
+heirloom heliotrope helix hellebore helm helmsman helot helve
+hemisphere hemlock hemorrhage hemp henceforth henchman henna
+heraldic herbaceous herbage herculean hereabouts hereafter
+hereditament heresy heretic heritage hermetic hermit herringbone
+hessian heterodox heterogeneous hew hexagon heyday hiatus hibachi
+hibiscus hiccup hickory hideous hie hierarchy hieroglyph
+highfalutin hightail hijack hilarity hillock hind hinder hindmost
+hindrance hinge hinterland hippodrome hirsute hiss histamine
+histology historiography histrionics hitch hitherto hive hoard
+hoarfrost hoarse hoary hoax hobble hobgoblin hobnail hobnob hock
+hod hodgepodge hoe hogshead hoist hokum holler hollyhock holocaust
+hologram holster homage hombre homburg homely homeopathy homespun
+homestead homily hominy homogeneous homonym hone honeycomb
+honeydew honorarium hoodlum hoodwink hooligan hoopla hoosegow
+hopscotch horde horehound horizon hormone hornet hornpipe
+horology horoscope horrendous horrid horrific hortatory
+horticulture hosanna hosier hospice hostage hostel hostelry
+hostler hotbed hothead hothouse hovel hover howdah howitzer howl
+hoyden hubbub huckleberry huckster huddle hue huff hulk hullabaloo
+humane humanitarian humbug humdinger humdrum humerus humidor
+humility hummock humus hunchback hurdle hurl hurly hurricane
+hurtle husbandry hush husk hussar hussy hustings hustle hutch
+hyacinth hybrid hydrant hydrate hydraulic hydrogen hydrophobia
+hydroplane hyena hygiene hymnal hyperbola hyperbole hyphen
+hypochondria hypocrisy hypocrite hypodermic hypotenuse hypothecate
+hyssop hysteria
+iamb ibex ibis iceberg icebound icebreaker ichor icicle icon
+iconoclast ideate ideogram idiocy idiom idiosyncrasy idler idol
+idolater idyll igneous ignite ignoble ignominious ignoramus
+iguana ilk illegible illegitimate illiberal illicit illimitable
+illiterate illuminate illumine illusory illustrious imam imbecile
+imbibe imbroglio imbue immaculate immaterial immature immemorial
+immense immerse immigrate imminent immobile immoderate immodest
+immolate immortal immutable impale impalpable impanel impart
+impartial impassable impasse impassioned impassive impeach
+impeccable impecunious impede impediment impel impend imperative
+imperceptible imperial imperil imperious imperishable impermeable
+impersonate impertinent imperturbable impervious impetuous impetus
+impiety impinge impious implacable implant implausible implement
+implicate implore impolitic imponderable importunate importune
+impostor imposture impotent impound impoverish impracticable
+imprecation impregnable impresario imprimatur improvident
+improvise imprudent impudent impugn impunity impute inadvertent
+inalienable inamorata inane inanimate inanition inapt inarticulate
+inasmuch inaugurate inauspicious inboard inborn inbred incalculable
+incandescent incantation incapacitate incarcerate incarnate
+incendiary incense incessant incest inchoate incidence incinerate
+incipient incise incisive incisor incite inclement incognito
+incommode incommunicado incomparable incongruous inconsequential
+incontinent incontrovertible incorporeal incorrigible incredulous
+increment incriminate incrust incubate incubus inculcate incumbent
+incur incursion indefatigable indelible indelicate indemnify
+indemnity indentation indenture indeterminate indigenous indigent
+indignant indignity indigo indiscreet indiscretion indisposed
+indissoluble indite indolent indomitable indubitable induct
+indulge indulgent industrious inebriate ineffable ineluctable
+inept inert inertia inestimable inevitable inexorable inexplicable
+infallible infamous infamy infantile infantry infatuate infelicity
+infernal inferno infest infidel infinitesimal infinitive infirm
+infirmary infirmity inflame inflammable influenza infraction
+infrared infrequent infringe infuriate infuse ingenious ingenue
+ingenuity ingenuous ingest inglorious ingot ingrain ingrate
+ingratiate ingress inhere inherent inhibit inhospitable inimical
+inimitable iniquitous iniquity initiate inject injudicious
+injunction inkling inlay inlet inmate innards innate innocuous
+innuendo inoculate inoperable inopportune inordinate inquest
+inquietude inquisition inquisitive inroad insatiable inscribe
+inscrutable insensate insensible insidious insignia insincere
+insinuate insipid insolent insoluble insolvent insomnia insouciant
+instigate instill insubordinate insufferable insular insulate
+insulin insuperable insurgent insurrection intaglio intangible
+integer integument intemperate inter intercede intercept
+interdict interim interject interloper interlude intermediary
+interment interminable intermittent internecine interpolate
+interpose interregnum interrogate intersperse interstice
+intestine intimate intimidate intone intractable intransigent
+intrepid intricate intrigue intrinsic introspection introvert
+intrude intuit inundate inure invalid invective inveigh inventory
+inveterate invidious invigorate invincible inviolable inviolate
+invoke invoice involuntary inward iota irascible irate ire
+iridescent irksome ironclad ironic irradiate irrational
+irreconcilable irredeemable irrefutable irreparable irrepressible
+irreproachable irresolute irreverent irrevocable irrigate
+irritable isinglass island isle islet isotope isthmus itinerant
+itinerary ivory
+jab jabber jackal jackanapes jackass jackdaw jackknife jackpot jade
+jaded jagged jailer jalopy jamb jamboree jangle janitor jardiniere
+jargon jasmine jasper jaundice jaunt jaunty javelin jawbone jaywalk
+jealous jeer jejune jelly jennet jeopardize jeopardy jeremiad jerk
+jerkin jersey jest jester jetsam jettison jewel jeweler jibe jiffy
+jig jigger jiggle jigsaw jilt jimmy jingle jingo jinx jitney jitter
+jocose jocular jocund jodhpurs jog joggle jollity jolly jolt jonquil
+joshua jostle jot jounce journal journeyman joust jovial jowl
+jubilant jubilee judicature judicial judicious jug juggernaut juggle
+jugular juicy jujitsu julep jumble jumbo junction juncture jungle
+junket junta jurisdiction jurisprudence jurist juror jute juvenile
+kaiser kale kaleidoscope kangaroo kapok karat katydid kazoo kedge
+keel keelhaul keen keepsake keg kelp ken kennel kerchief kernel
+kerosene kestrel ketch kettledrum keynote keystone khaki khan
+kibosh kidnap kidney kiln kilo kilogram kilometer kilt kimono kin
+kindle kindred kinetic kingbolt kingdom kingfisher kingpin kink
+kinsman kiosk kipper kirk kismet kitten kittiwake kiwi klaxon
+kleptomania knack knapsack knave knavery knead kneecap knell
+knickers knickknack knighthood knit knob knoll knothole knotty
+knuckle kohl kopeck kosher kraal kudos kumquat
+label labial laboratory laborious labyrinth lace lacerate
+lachrymal lackadaisical lackey lackluster laconic lacquer lacrosse
+lactic lacuna ladle laggard lagniappe lagoon lair laird laity
+lama lamasery lambaste lambent lambkin lament lamentable laminate
+lampoon lamprey lance lancet landau landlocked landlubber landmark
+lank lanky lanolin lantern lanyard lapel lapidary lapse larboard
+larceny larder largess lariat lark larkspur larynx lascivious
+lash lassitude lasso latch latent lateral latex lath lathe lather
+latitude latrine latter lattice laud laudable laudanum laughingstock
+laureate laurel lava lavatory lave lavender lavish lax laxative
+layman lazaretto leach leaden leaflet leafy league leaven lecher
+lechery lectern lecture ledge ledger leech leek leer leeward leeway
+legacy legate legatee legation legend legerdemain leggings legible
+legion legislate legitimate legume leisure leitmotif lemming lemur
+lenient lenitive lentil leonine leopard leper leprechaun leprosy
+lesion lessee lessor lethal lethargy leucocyte levee leverage
+leviathan levitate levity levy lewd lexicographer lexicon liaison
+libation libel libertine libidinous library librettist libretto
+licentious lichen licit lickspittle lictor lieu lieutenant ligament
+ligature lightning lignite likeness lilt limber limbo limerick
+limousine limpet limpid linchpin lineage lineament linear linen
+linger lingerie lingo linguist liniment lintel lionize lippy
+liquefy liqueur liquidate lisle lisp lissome listless litany liter
+literal literati lithe lithograph litigant litigate litmus litter
+littoral liturgy livelihood livery livid lizard load loadstone
+loam loath loathe loathsome lobby lobe lobster locale locket
+lockjaw locomotion locust locution lode lodestar loft lofty loge
+loggerhead logic loincloth loiter loll lollipop lonesome longevity
+longhand longitude loom loon loophole loot lope loquacious lordly
+lore lorgnette lorry lotion lottery lout louver lovelorn lowland
+lozenge lubber lubricate lucid lucrative lucre ludicrous luff lug
+luggage lukewarm lull lullaby lumbago lumber luminary luminous
+lummox lunacy lunar lunatic luncheon lunge lurch lure lurid lurk
+luscious lush lust luster lustrous lusty lute luxuriant luxuriate
+lyceum lymph lynch lyre lyric
+"""
+
+RARE_TAIL_5 = """
+macabre macadam macaque macaroon mace macerate machete machination
+mackerel mackintosh macrocosm madcap madrigal maelstrom magenta
+maggot magisterial magistrate magnanimous magnate magnesia
+magniloquent magpie maharaja mahatma maim mainspring mainstay
+maize majestic majordomo malady malaise malapropism malaria
+malcontent malediction malefactor malevolent malfeasance malign
+malinger mallard malleable mallet malodorous malt mammal mammoth
+manacle mandarin mandate mandible mandolin mandrake mane maneuver
+manful mange manger mangle mango mangrove mangy manhandle mania
+manifest manifesto manifold manikin manipulate manna mannequin
+mannerism manor mansard manse mansion manslaughter mantel mantilla
+mantis mantle manual manumission manure manuscript maple mar
+maraud marauder marble mare margarine marginalia marigold marimba
+marina marinate marionette maritime marjoram marmalade marmoset
+marmot maroon marquee marquis marrow marshal marshmallow marsupial
+marten martial martinet martingale martyr marvel marzipan mascot
+masculine mash masochism masonry masque masquerade massacre
+massage masseur massif mastic masticate mastiff mastodon matador
+matchlock matriarch matricide matrimony matron maudlin maul
+mausoleum mauve maverick maw mawkish maxim maximal mayhem mayonnaise
+mazurka mead meadow meager mealy meander measles meat mecca
+mechanize medallion meddle meddlesome medial median mediate medicament
+medicinal medieval mediocre meditate medley meek meerschaum
+megalomania megaphone megrim melancholia melancholy melange melee
+mellow melodeon melodrama membrane memento menace menagerie menace
+mendacity mendicant menial meningitis menopause menses mensuration
+mercantile mercenary mercer merchandise merciful mercurial meridian
+meringue merino meritorious mermaid merriment mesh mesmerize mess
+messenger mestizo metabolism metallurgy metamorphosis metaphor
+metaphysics mete meteor meteorite methodical meticulous metronome
+metropolis mettle mew mezzanine miasma microbe microcosm micrometer
+microscope midden midge midget midriff midshipman midwife mien
+miff mightily mignonette migraine migrant migrate milch mildew
+milestone milieu militant militarism militia millennium millet
+milliner million millpond millstone mime mimeograph mimic mimicry
+minaret mince mincemeat mineralogy mingle miniature minimize minion
+minister ministration miniver mink minnow minster minstrel mint
+minuend minuet minutia minx miracle mirage mire mirth misadventure
+misalliance misanthrope miscarry miscegenation miscellany mischance
+mischief mischievous miscible misconstrue miscreant misdemeanor
+miser misgiving mishap misnomer misogynist missal missile missive
+mistletoe mite miter mitigate mitten moan moat mobilize moccasin
+mockery modicum modish modiste modulate mogul mohair moiety moil
+molar molasses molder molecule molest mollycoddle molten
+momentous momentum monarch monastery monetary mongrel monicker
+monition monitor monocle monogamy monogram monograph monolith
+monologue monomania monoplane monopolize monosyllable monotone
+monotonous monsoon monstrosity montage moodily moor moorings
+moose moot mop mope moraine morass moratorium morbid mordant
+moreover mores morgue moribund morocco morose morphine morrow
+morsel mortal mortar mortgage mortician mortify mortise mortuary
+mosaic mosque mosquito moss mote motet motif motley mottle motto
+mound mountaineer mountebank mourn mouthpiece movable mow mucilage
+muck mucous muddle mudguard muezzin muff muffin muffle mufti mug
+muggy mulatto mulch mulct mule mullein mullet mulligan mullion
+multifold multiform multiplex multiplicand multiplicity multitude
+mumble mummer mummify mummy mumps munch mundane municipal
+munificent munition mural murk murky murmur muscatel muscular
+muse musette mushroom musket musketeer muskmelon muskrat muslin
+muss mussel mustache mustang mustard muster musty mutate mute
+mutilate mutineer mutinous mutiny mutter mutton mutual muzzle
+myopia myriad myrrh myrtle mystic mystify myth mythical
+nab nabob nadir nag naiad nainsook naive naivete nankeen nape
+naphtha napkin narcissus narcotic narrate narrator nasal nascent
+nasturtium natal natatorium nation nattily natty naturalize
+naught nausea nauseate nauseous nautical nautilus nave navel
+navigable navigate neap nebula nebulous necessitate necessitous
+neckerchief necklace necromancy nectar nefarious negation
+negligee negligent negligible negotiate neigh neighborly nemesis
+neologism neophyte nephew nepotism nerveless nestle nether
+nettle neuralgia neurasthenia neurotic neuter neutralize nexus
+nib nibble nicety niche nickel nickname nicotine niece niggardly
+nihilism nimble nimbus nincompoop ninny nip nirvana nitwit
+nobility nocturnal nocturne nodule noel noggin noisome nomad
+nomenclature nominal nominate nominee nonage nonagenarian
+nonchalance nonchalant noncommittal nondescript nonentity
+nonpareil nonplus nonsense noodle nook noose normalcy nostalgia
+nostrum notable notary notation notch notoriety notorious
+notwithstanding nougat nourish nova novelette novice novitiate
+noxious nozzle nuance nub nubbin nucleus nude nudge nugget
+nuisance numb numeral numerator numerical numerous numismatics
+nunnery nuptial nursemaid nurture nutriment nutrition nuzzle
+nymph
+oaf oakum oasis oat oath obbligato obdurate obeisance obelisk
+obese obfuscate obituary objurgate oblate oblation obligatory
+oblige oblique obliterate oblivion oblivious oblong obloquy
+obnoxious oboe obscene obscure obsequies obsequious observatory
+obsess obsolescent obsolete obstetrics obstinate obstreperous
+obtuse obverse obviate occasion occident occult occupancy
+octagon octave octavo octet octogenarian ocular oculist odious
+odium odometer odyssey offal offertory officiate officious
+offing ogle ogre ohm oilcloth oilskin ointment oleander
+oleomargarine olfactory oligarchy olive omelet omen ominous
+omnibus omnipotent omniscient omnivorous onerous onion onlooker
+onomatopoeia onrush onset onslaught onus onyx ooze opacity opal
+opalescent opaque operetta ophthalmia opiate opine opium opossum
+opponent opportune opprobrium optician optimum option opulence
+opulent opus oracle oration orator oratorio orb orbit orchard
+orchestra orchid ordain ordeal ordinal ordinance ordination
+ordnance ore organdy orgy oriel orifice origin oriole orison
+ormolu ornate ornery ornithology orotund orphan orthodox
+orthography oscillate osier osmosis osprey ossify ostensible
+ostentation osteopathy ostler ostracize ostrich otiose ottoman
+oust outbuilding outcast outcrop outcry outdistance outdo
+outfitter outlandish outlaw outlay outmoded outpost outrage
+outrigger outright outset outskirt outspoken outward outwit
+ouzel oval ovation overalls overbearing overboard overcast
+overdue overhaul overseer overt overthrow overture overweening
+overwrought oviparous ovoid owlish oxcart oxidation
+pabulum pachyderm pacify packet packsaddle pact paddock padlock
+padre paean pagan pageant pagoda painstaking palatable palate
+palatial palaver palette palfrey palisade pall pallbearer pallet
+palliate pallid pallor palmetto palmistry palomino palpable
+palpitate palsy paltry pampas pamper pamphlet panacea pancreas
+pandemonium pander panegyric panel pang panic pannier panoply
+panorama pansy pantaloon pantheon panther pantomime pantry papacy
+papaw papist papoose paprika papyrus parable parabola parachute
+paradigm paradox paraffin paragon parakeet parallax paralysis
+paramount paramour paranoia parapet paraphernalia paraphrase
+parasite parasol parboil parcel parch parchment pardon pare
+paregoric parentage parenthesis pariah parish parity parka
+parlance parley parliament parlor parochial parody parole
+paroxysm parquet parricide parry parse parsimony parsley parsnip
+parson partake parterre partial participle particle particular
+partisan partition partridge parvenu pasha passe passel passim
+passive passkey pastel pastern pasteurize pastiche pastille
+pastime pastor pastoral pasture pasty patchwork pate patent
+paternal pathetic pathos patina patriarch patrician patricide
+patrimony patriot patrol patron patronage patronymic patter
+paucity paunch pauper pave pavilion pawn pawnbroker peaceable
+peacock peak peal peat pebble peccadillo peccary peck pectoral
+peculate pecuniary pedagogue pedal pedant peddle pedestal
+pedestrian pedigree pediment peek peerless peevish pelf pelican
+pellet pelt pelvis pemmican penal penalize penance penchant
+pendant pending pendulum penetrate penguin penicillin peninsula
+penitent penitentiary penmanship pennant penurious peon peony
+perambulate percale perceive percentile perceptible perch
+perchance percolate percussion perdition peremptory perennial
+perfidy perforate perforce perfunctory pergola perigee perihelion
+peril perimeter periodical peripatetic periphery periscope perish
+perjure perjury permeate permissible pernicious peroration
+peroxide perpendicular perpetrate perpetual perpetuate perplex
+perquisite persecute persevere persiflage persimmon persist
+personable personage personify perspicacity perspire persuade
+pert pertain pertinent perturb peruse pervade perverse pervert
+pessimism pestilence petal petite petition petrel petrify
+petticoat pettifogger petulant pew pewter phaeton phalanx
+phantasm phantom pharmacy pheasant phenomenal philander
+philanthropy philately philharmonic philippic philosophic
+phlegm phlegmatic phobia phoenix phonograph phosphorescent
+photogenic phraseology phrenology phylactery physiognomy
+physique piazza picador picaresque piccolo pickerel picket
+pickle picturesque piebald piecemeal pied pier pierce piety
+pigeonhole pigment pike piker pilfer pilgrim pillage pillar
+pillory pimpernel pinafore pincers pinch pine pinion pinnacle
+pinochle pioneer pious pipkin pippin piquant pique piracy
+pirouette piscatorial pistachio pistil pistol piston pitchblende
+pitcher pitchfork piteous pitfall pith pithy pitiable pittance
+pivot pixie placard placate placid plagiarize plague plaid
+plaintiff plaintive plait planetarium plank plankton plantain
+plantation plaque plasma plaster plateau platitude platoon
+platter plaudit plausible playwright plaza plea pleasantry
+plebeian plebiscite pledge plenipotentiary plenitude plenteous
+plentiful plethora pleurisy pliable pliant pliers plight plod
+plop plover plow pluck plumage plumb plumber plume plummet
+plunder plunge plural plurality plutocracy pneumatic pneumonia
+poach pock pod podium poignant poinsettia poise poker polar
+polarity polecat polemic polestar politic polity polka pollen
+pollute poltroon polygamy polyglot polygon pomade pomegranate
+pommel pomp pompadour pompano pompous poncho ponder ponderous
+pongee poniard pontiff pontoon popinjay poplar poplin poppycock
+populace populous porcelain porcupine pore porgy porous porpoise
+porridge porringer portage portal portcullis portend portent
+porter portfolio porthole portico portly portmanteau portray
+poseur posit posse posterity postern posthaste posthumous
+postilion postulate posy potable potash potassium potentate
+potential potion potpourri pottage potter poultice poultry
+pounce practicable pragmatic prairie prank prate prattle
+preamble precarious precaution precedence precept precinct
+precipice precipitate precipitous precise preclude precocious
+precursor predatory predecessor predicament predicate predilection
+predispose preeminent preempt preen prefabricate preface prefect
+prehensile prelate prelude premeditate premier premise premium
+premonition preoccupy preposterous prerogative presage prescience
+presentiment presentment preside press prestige presume
+presumptuous pretense pretentious preternatural pretext prevail
+prevalent previous prey prig prim primal primate primer primeval
+primordial primp primrose principality pristine privation privet
+privy probate probation probity proboscis proclaim proclivity
+procrastinate procure prod prodigal prodigious prodigy profane
+profanity proffer proficient profligate profound profuse progeny
+prognosis prohibit prohibition projectile proletarian proliferate
+prolific prolix prologue promenade prominent promiscuous
+promissory promontory promulgate prone prong pronounce propagate
+propel propensity prophecy prophesy prophet prophylactic
+propinquity propitiate propitious proponent proportion propound
+proprietary proprietor propriety propulsion prorate prosaic
+proscribe prosecute proselyte prosody prospectus prosper
+prostrate protagonist protean protege protocol proton prototype
+protract protrude protuberance provender proverb providence
+provident provincial proviso provocation provoke provost prow
+prowess prowl proximity proxy prude prudence prudent prune
+prurient pry psalm pseudonym psyche puberty publican puck pucker
+pudgy pueblo puerile pugilist pugnacious puissance pulchritude
+pullet pulley pulmonary pulp pulpit pulsate pulverize puma
+pumice pummel pumpernickel punchy punctilio punctual punctuate
+puncture pundit pungent punitive punt puny pupil puppet purblind
+purchase puree purgatory purge purify puritan purloin purport
+purposive purr purse purser pursuant pursue purvey purview pus
+pusillanimous putative putrid putter putty pygmy pylon pyre
+pyromaniac python
+"""
+
+RARE_TAIL_6 = """
+quack quadrangle quadrant quadrille quadruped quadruple quaff
+quagmire quail quaint qualm quandary quantum quarantine quarrel
+quarry quart quarterdeck quartet quarto quash quatrain quaver
+quay queasy quell quench querulous quest questionnaire quibble
+quicken quicklime quicksand quicksilver quiescence quietude
+quietus quill quilt quince quinine quintessence quintet quip
+quire quirk quitclaim quiver quixotic quiz quizzical quoit
+quorum quota quotation quoth quotient
+rabble rabid raccoon raceme raconteur racy raddle radial radiant
+radiate radical radish raffia raffle raft rafter ragamuffin rage
+ragged raglan ragout ragweed raid rail raillery raiment rajah
+rake rakish rally ramble rambunctious ramification rampage
+rampart ramrod ramshackle rancid rancor random rankle ransack
+ransom rant rapacious rapid rapier rapine rapport rapprochement
+rapscallion rapt rapture rarefy rarity rascal rash rasher rasp
+raspberry ratchet ratify ratio ration rational rattan rattle
+raucous ravage rave ravel raven ravenous ravine ravish raze razor
+reactionary ream reap rebate rebuff rebuke rebus rebut
+recalcitrant recant recapitulate recede receptacle recess
+recession recipe reciprocal reciprocate recital recite reckless
+reckon reclaim recline recluse recoil recollect recompense
+reconcile recondite reconnaissance reconnoiter reconstruct
+recount recoup recourse recreant recriminate recruit rectangle
+rectify rectitude rector rectory recumbent recuperate recur
+redeem redemption redolent redoubt redoubtable redound redress
+reed reef reek reel refectory referee referendum refinery
+refraction refractory refrain refulgent refurbish refute regal
+regale regalia regatta regency regenerate regent regicide regime
+regimen regiment registrar regnant regress rehabilitate rehearse
+reign reimburse rein reindeer reinforce reinstate reiterate
+rejoice rejoin rejoinder rejuvenate relapse relegate relent
+relentless relevant relic relinquish reliquary relish remediable
+remedial remedy reminisce remiss remission remnant remodel
+remonstrance remorse remunerate renaissance renal renascent rend
+render renegade renounce renovate renown rent renunciation
+repast repatriate repeal repel repent repertoire repertory repine
+replenish replete replica repose repository reprehensible
+repress reprieve reprimand reprisal reproach reprove reptile
+repugnant repulse reputable repute requiem requisite requisition
+requite rescind reseda resemblance resent reservoir residue
+resilient resin resolute resonant resound resplendent restitution
+restive resurgent resurrect resuscitate retaliate retard reticent
+retinue retort retract retrieve retroactive retrograde retrospect
+revel revelation revelry revenue reverberate revere reverie
+revert revile revoke revulsion rhapsody rhetoric rheumatic
+rhinestone rhubarb rhyme rhythm ribald rick rickety ricochet
+riddance rife riffle riffraff rifle rift rig righteous rigmarole
+rigor rile rill rime rind ringlet rinse riot riparian ripple rite
+ritual rivet rivulet roan rooster roast robust rococo rodent rodeo
+roe rogue roguish roister rollick romp rondo rood rook rookery
+rookie roost rosary roster rostrum rosy rot rote rotisserie rotor
+rotund rotunda roulette rouse rout rove rowdy rubble rubicund
+rubric ruddy rudiment rue rueful ruffian ruffle rugged rumba
+rumble ruminant rummage rump rumple rumpus rune rung runnel rupee
+rupture ruse russet rustic rustle rut ruthless
+saber sable sabotage sac saccharine sacerdotal sachem sachet sack
+sacrament sacrifice sacrilege sacrosanct saddle sadism safari
+saffron sag saga sagacious sagacity sage sago sail sainted sake
+salaam salacious salamander salary salient saline saliva sallow
+salmon salon saloon salutary salutation salute salvage salvation
+salve salvo samite sampler sanatorium sanctify sanctimonious
+sanction sanctity sanctuary sanctum sandal sandwich sane sangfroid
+sanguinary sanguine sanitarium sanitary sanity sap sapient sapling
+sapphire sarcasm sarcophagus sardine sardonic sari sarsaparilla
+sash sassafras satchel sate sateen satellite satiate satin satire
+satirize satrap saturate saturnine satyr saucer saunter savage
+savanna savant savor savory saw sawbuck sawdust saxophone scabbard
+scaffold scald scallop scalp scalpel scamp scamper scandal
+scansion scant scanty scapegoat scapegrace scar scarab scarcity
+scarf scathing scavenger scenario scenic scepter schedule scheme
+schism schist scholastic schooner sciatica scimitar scintilla
+scion scoff scone scoop scoot scope scorch score scorn scorpion
+scotch scoundrel scour scourge scowl scrabble scraggly scramble
+scrapbook scrape scrawl scrawny screech scribble scribe scrimmage
+scrimp script scripture scrivener scrofula scroll scrub scruple
+scrutiny scud scuffle scull scullery scullion sculptor scum
+scupper scurrilous scurry scurvy scuttle scythe seam seamstress
+sear seasonable seaworthy secede secession seclude secrete
+secretive sect sectarian sector secular sedan sedate sedentary
+sedge sediment sedition seduce sedulous seedling seemly seep
+seersucker seethe segment segregate seine seismograph seize
+seizure seldom selvage semaphore semblance semester seminary
+senate senile seniority sensibility sensual sensuous sentient
+sentinel sentry sepal separable sepia sepulcher sequel sequence
+sequin seraph serenade serene serf serge sergeant serial sermon
+serpent serrate serum servile servitude sesame session setback
+settee sever severance shabby shackle shad shaft shag shale
+shallop shallot shalloon sham shamble shambles shame shank
+shanty shard shareholder shark sharpen shatter shawl sheaf shear
+sheath sheathe shebang shed sheen sheepish sheer shekel shellac
+shepherd sherbet sheriff sherry shibboleth shield shiftless
+shilling shimmer shin shindig shingle shinny shipshape shipwreck
+shirk shoal shoat shock shoddy shopworn shore shorn shortcoming
+shortening shotgun shovel shrapnel shred shrew shrewd shriek
+shrift shrike shrill shrimp shrine shrink shrivel shroud shrub
+shrug shuck shudder shun shunt shutter shuttle shyster sibilant
+sibling sick sickle sidereal sidle siege sienna sierra siesta
+sieve sift sigh signatory signet significance signify silage
+silhouette silica silo silt simian similar simile similitude
+simmer simony simper simulate simultaneous sincere sincerity
+sinecure sinew singe singular sinister sinuous sinus sip siphon
+sire siren sirloin sirup sisal  situate sizable sizzle
+skein skeleton skeptic sketch skewer skid skiff skillet skim
+skimp skinflint skipper skirmish skit skittish skulduggery skulk
+skullcap slab slack slacken slag slake slander slant slapdash
+slapstick slash slat slate slattern slaughter slaver slay sleazy
+sledge sleek sleet sleight slender sleuth slight slim slime sling
+slink sloop slop slope sloth slouch slough sloven slovenly
+sludge slug sluggard sluggish sluice slum slumber slump slur
+slush smack smallpox smart smattering smear smelt smirch smirk
+smite smitten smock smolder smorgasbord smother smudge smug
+smuggle snaffle snag snare snarl snatch sneak sneer snicker
+snide sniff snip snipe snippet snivel snob snood snoop snooze
+snore snorkel snort snout snub snuff snuffle snug soar sob sober
+sobriety sobriquet sociology sod sodden sodium sofa soggy
+soiree sojourn solace solder soldier solemn solemnity solicit
+solicitous solicitude soliloquy solitaire solitary solitude
+solstice soluble solvent somber sombrero somnambulist somnolent
+sonnet sonorous soot sooth soothe soothsayer sop sophistry
+sophomore soporific soprano sorcery sordid sorghum sorority
+sorrel sortie sot sough soupcon sour souse soutane souvenir
+sovereign spacious spade span spangle spaniel spank spar sparse
+spasm spasmodic spat spate spatial spatter spatula spavin spawn
+specie specious speck spectacle specter spectrum speculate
+speedometer spelunker spendthrift sphagnum sphere sphinx spice
+spigot spike spinach spindle spinet spinnaker spinster spiral
+spire spirituous spite spittoon splash splay spleen splendid
+splendor splice splint splinter splotch splurge splutter spoil
+spokesman spoliation sponge sponsor spontaneous spoof spook
+spool spoonerism spoor sporadic spore sprain sprat sprawl spree
+sprig sprightly sprint sprite sprocket sprout spruce spry spume
+spur spurious spurn spurt sputter squab squabble squad squadron
+squalid squall squalor squander squash squat squaw squawk squeak
+squeal squeamish squeegee squelch squib squint squire squirm
+squirrel squirt stab stabilize staccato stadium stagecoach
+stagger stagnant stagnate staid stain stair stake stalactite
+stalagmite stale stalemate stalk stall stallion stalwart stamen
+stamina stammer stampede stance stanch stanchion stanza staple
+starboard starch stark starling startle statesman statistic
+statuary statue stature statute staunch stave steadfast stealth
+steed steep steeple steer stein stellar stencil stenographer
+stentorian steppe stereotype sterile sterling stern stevedore
+stew steward stickler stifle stigma stile stiletto stilt
+stimulant stimulate stint stipend stipple stipulate stirrup
+stoat stockade stocky stodgy stoic stoke stole stolid stomach
+stonemason stooge stoop stopgap stopper storied stork stout
+stove stow stowaway straddle straggle strait straiten strand
+stratagem strategy stratify stratosphere straw strawberry streak
+strenuous strew stricture strident strife stringent stripling
+strive stroll strut strychnine stubble stubborn stucco stud
+studious stultify stumble stump stun stunt stupendous stupor
+sturdy sturgeon stutter sty stygian stylish stylus stymie suave
+subaltern subdue subjugate subjunctive sublime subliminal
+submerge submissive suborn subpoena subsequent subservient
+subside subsidiary subsidize subsidy subsist substantial
+substantiate subterfuge subterranean subtle suburb subvert
+succinct succor succotash succulent succumb suction sudden suds
+sue suet suffice sufficient suffocate suffrage suffuse sugar
+suggestible suicide suitor sulfur sulk sullen sully sultry
+sumac sumptuous sunder sundry sup superannuated superb
+supercilious superficial superfluous superintend superlative
+supersede superstition supine supplant supple supplicate
+suppress surcease surcharge surety surfeit surly surmise
+surmount surname surpass surplice surplus surreptitious
+surrogate surveillance survey susceptible suspend sustenance
+suture suzerain svelte swab swaddle swagger swain swallow swamp
+swank swarm swarthy swashbuckler swath swathe sway swelter
+swerve swift swill swindle swine swirl swish switchboard swivel
+swoon swoop sword sybarite sycamore sycophant syllable sylph
+symmetry sympathetic symphony symposium symptom synagogue
+synchronize syncopate syndicate synod synonym synopsis syntax
+syringe
+tabernacle tableau tablet taboo tabulate tacit taciturn tackle
+tact tactic tactile taffeta taffy talisman tallow tally talon
+tamarack tambourine tamper tan tandem tang tangent tangerine
+tangible tannery tantalize tantamount tantrum taper tapestry
+tapioca taproot tarantula tardy tare tariff tarnish tarpaulin
+tarry tart tartan tassel tatter tattle tattoo taunt taut tavern
+tawdry tawny teak teal teamster teapot tedious tedium teem
+teeter teetotaler telegraph telepathy telescope temerity
+temperament temperance tempest template temporal temporize
+tempt tenacious tenacity tenant tendency tender tendon tendril
+tenement tenet tenor tense tentacle tentative tenuous tenure
+tepid termagant terminal terminate terminology terminus termite
+terrace terrain terrapin terrestrial terrible terrier terrific
+territory terror terse testament testator testify testimonial
+testimony testy tether thatch thaw theme thence theocracy
+theorem therapeutic thermal thermometer thesaurus thews thicket
+thimble thine thong thorax thorn thorough thoroughbred
+thoroughfare thrall thrash threadbare threnody thresh threshold
+thrift thrifty thrive throb throe throng throttle thrush thrust
+thud thug thumb thump thunderous thwart thyme tiara tic tick
+ticket tidal tidbit tide tidings tidy tiff tiger tighten tile
+till tiller tilt timber timbre timid timorous tincture tinder
+tine tinge tingle tinker tinkle tinsel tint tintinnabulation
+tipple tipsy tirade tissue tithe titian titillate titter tittle
+titular toadstool toady tocsin toddle toga toil toilet toilsome
+tolerate toll tomahawk tomb tome tomfoolery tonic tonnage tonsil
+tonsure topaz topiary topic topple topsail torment tornado
+torpedo torpid torpor torrent torrid torsion torso tort tortilla
+tortoise tortuous torture toss total tote totter toucan touchstone
+toupee tour tourist tournament tourniquet tousle tout tow toxic
+toxin tract tractable traction traduce tragedian trait traitor
+trajectory trammel trample trampoline trance tranquil transact
+transcend transcribe transept transgress transient transit
+transitory translucent transmit transmute transom transparent
+transpire transplant transpose trapeze trappings trauma travail
+traverse travesty trawl treacherous treachery treacle treadle
+treason treatise treble trek trellis tremble tremendous tremor
+tremulous trenchant trepidation trespass tress trestle tribe
+tribulation tribunal tribune tributary tribute trice trickle
+tricycle trident trifle trill trillion trilogy trim trinket trio
+tripe triple tripod trite triumph trivet trivial troll trolley
+trollop trombone troop trope trophy tropic trot troth troubadour
+trough trounce troupe trousseau trout trowel truant truce
+truculent trudge truism trump trumpery truncate truncheon trundle
+truss trustee truthful tryst tuber tubercle tuberculosis tubular
+tuck tuft tug tuition tulip tulle tumble tumbler tumbrel tumid
+tumult tumultuous tundra tunic turbine turbulent tureen turf
+turgid turmoil turncoat turnkey turnpike turnstile turpentine
+turpitude turquoise turret turtle tusk tussle tutelage tutor
+twaddle twain twang tweak tweed tweezers twig twilight twill
+twine twinge twinkle twirl twitch twitter tycoon tyke tympani
+typhoon typography tyranny tyrant tyro
+ubiquitous udder ulcer ulterior ultimate ultimatum umber umbrage
+umbrella umpire unanimous unassuming unbridled uncanny unconscionable
+uncouth unction unctuous undaunted undergrowth underhanded
+underling undermine understudy undertow underwrite undulate
+unerring unfathomable unfeigned unflinching ungainly unguent
+unicorn uniform unify unilateral unimpeachable unison unkempt
+unmitigated unprecedented unravel unregenerate unremitting
+unrequited unruly unsavory unscathed unseemly untenable untoward
+unwieldy unwitting upholster uproar uproarious urban urbane urchin
+urn usher usurp usury utensil utilitarian utilize utmost utopia
+uxorious
+vacate vacillate vacuous vagabond vagary vagrant vain vainglorious
+valance vale valedictory valet valiant valise valor vandal vane
+vanguard vanquish vantage vapid variance varlet varnish vassal
+vaudeville vault vaunt veal veer vegetate vehement vellum velocity
+velour velvet venal vend vendor veneer venerable venerate
+vengeance venial venison venom vent ventilate ventral ventricle
+ventriloquist venture venturesome veracity verandah verbatim
+verbena verbiage verbose verdant verdict verdure verge verily
+verisimilitude veritable verity vermilion vermin vernacular
+vernal versatile verse vertigo verve vestibule vestige vestment
+vestry veteran veterinary vex viaduct vial viand vicar vicarious
+viceroy vicinity vicissitude victor victuals vie vigil vigilant
+vigilante vignette vigor vile vilify villa village villain
+vindicate vindictive vintage viol violate violent violet violin
+viper virago virile virtual virtue virtuoso virulent visage
+viscera viscid viscount vise visor vista vitality vitriol
+vituperation vivacious vivid vivisection vixen vocabulary
+vocation vociferous vogue volatile volcano volition volley
+voluminous voluptuous voracious vortex votary vouch vouchsafe vow
+voyage vulgar vulnerable vulture
+wad waddle wade wafer waft wag wager waggish wagon waif wail
+wainscot waistcoat waive wallaby wallet wallop wallow wampum wan
+wand wane wangle wanton warble ward warden wardrobe warily
+warlock warp warrant warranty warren wart wary wassail wastrel
+watchword watershed wattle waylay wayward wean weasel weevil
+weir weird welfare welt welter wench wend wharf wheedle wheeze
+whelk whelp whet whether whey whiff whim whimper whimsical whine
+whinny whippet whippoorwill whirl whisk whittle whorl wick
+wicker wicket wield wile willful wilt wily wince winch windfall
+windlass winnow winsome wiry wisp wistful wizard wizened wobble
+woe wont wooded wraith wrangle wrath wreak wreath wrest wrestle
+wretch wriggle wright wring wrinkle wrist  writhe wry
+xenophobia xylophone
+yacht yammer yank yap yardarm yarn yaw yawl yearn yeast yelp
+yeoman yodel yoke yokel yonder yore yowl yucca yule
+zany zeal zealot zealous zenith zephyr zest zigzag zinc zinnia
+zodiac zombie zoological
+"""
+
+ALL_WORDS_3 = sorted(
+    set(ALL_WORDS_3)
+    | set(RARE_TAIL_4.split())
+    | set(RARE_TAIL_5.split())
+    | set(RARE_TAIL_6.split())
 )
