@@ -1381,3 +1381,143 @@ ALL_WORDS_3 = sorted(
     | set(RARE_TAIL_5.split())
     | set(RARE_TAIL_6.split())
 )
+
+# Specialized-domain veins (r6 cont.): technical/learned nouns the
+# general sweeps rarely reach. Same lemma-only policy.
+DOMAIN_TECHNICAL = """
+ablative accusative adjectival adverbial affricate allomorph
+allophone anaphora aorist aphesis apocope aspirate assonance
+bilabial causative clitic cognate conjugation consonance copula
+dative declension deixis diacritic dieresis diminutive diphthongize
+ditransitive enclitic epenthesis ergative etymon fricative gerundive
+glottal grapheme haplology homophone hyperbaton hyponym infinitive
+infix intransitive lenition lexeme locative metathesis morpheme
+nominative onomastics orthoepy oxytone palatal paradigmatic
+paronym participle partitive periphrasis philologist phoneme
+pleonasm plosive predicative preterit proclitic pronominal prosthesis
+reduplication rhotic sandhi semantic semiotics sibilance subjunctive
+substantive syncope synecdoche synesthesia tmesis transitive umlaut
+uvular velar vocative zeugma
+abscissa algebraic annulus antilogarithm asymptote binomial bisect
+calculus cardioid catenary centroid chord circumcircle coefficient
+combinatorics commutative congruence conic cosecant cosine cotangent
+cuboid cycloid decagon denominator determinant differential
+dodecahedron eigenvalue ellipse ellipsoid epicycloid equilateral
+factorial frustum geometric googol helicoid heptagon hexahedron
+hyperbola hypotenuse icosahedron integrand involute isosceles
+lemma lemniscate logarithm mantissa monomial nonagon numerator
+octahedron ordinate orthogonal parabola parallelepiped parallelogram
+pentagon polyhedron polynomial quadratic quadrilateral quaternion
+radian radicand reciprocal rhombus secant semicircle sinusoid
+tangent tetrahedron torus trapezium trapezoid trigonometry trinomial
+undecagon vector versine vertex vinculum
+alembic alkahest amalgamate anneal anode aqueous assay atomize
+benzol burette calcine calorimeter carboy catalyze cathode cation
+centrifugal chromate citrate colloid condensate crucible cyanide
+decant dephlogisticate desiccant dialysate distillate electrode
+electrolysis electrolyte emulsion ester ether eudiometer filtrate
+flask flocculate fluoresce fractionate galvanometer hydrolysis
+hydrometer hydroxide isomer litmus menstruum molar mordant nitrate
+osmose oxidize peroxide phlogiston pipette polymer precipitant
+reagent retort sublimate sulfide sulfite suspension tincture
+titrate valence vitriol volatilize voltaic
+abdominal adrenal alimentary alveolar aorta artery auricle biceps
+bile bronchus capillary carotid carpal cartilage cerebellum
+cerebrum cervical clavicle coccyx cochlea cornea corpuscle cranial
+cuticle dermis diaphragm duodenum embryonic epidermis epiglottis
+esophagus femoral femur fibula follicle ganglion gland glottis
+hemoglobin hormone humerus hypothalamus intestinal iris jugular
+kidney larynx ligament lobe lumbar lymphatic mandible marrow
+maxilla medulla membrane metacarpal mucus muscle nasal nerve
+neural occipital olfactory optic ovary pancreas parietal patella
+pectoral pelvic pericardium peritoneum phalange pharynx pituitary
+placenta plasma platelet pleura plexus pulmonary pupil radius
+retina sacrum scapula sclera sinew spleen sternum tarsal tendon
+thorax thyroid tibia tonsil trachea tympanum ulna uterus uvula
+ventricle vertebra viscera
+"""
+
+DOMAIN_CULTURE_CRAFT = """
+adze anvil auger awl bellows bevel bodkin brace bradawl broach
+burin caliper chisel clamp cleaver colter coulter crowbar dibber
+dolly drawknife file froe gimlet gouge grindstone hacksaw hasp
+hatchet hawk jig jointer lathe loom mallet mattock maul pestle
+pickax pitchfork plane pliers plumb punch rasp reamer riddle
+scriber scythe shears shovel sickle sledgehammer spade spanner
+spokeshave stylus swage tongs trowel vise whetstone winch wrench
+alb amice biretta cassock chasuble cincture cope cotta crosier
+dalmatic maniple miter orphrey pallium rochet stole surplice
+tippet tunicle zucchetto
+argosy barkentine bireme caravel carrack coracle corvette dhow
+dromond felucca galliot junk lugger pinnace proa quinquereme
+sampan scow skiff trireme umiak wherry xebec
+baldric basinet besagew brassard breastplate buckler burgonet
+chainmail cuirass gauntlet gorget greave habergeon halberd
+hauberk lance mace morion pauldron pike poleax quillon sallet
+scimitar tabard targe vambrace visor
+batik bombazine broadcloth buckram calico cambric canvas challis
+chambray chenille chiffon chino chintz corduroy crepe cretonne
+damask denim dimity duck faille flannel foulard fustian gabardine
+gauze gingham grosgrain haircloth herringbone hessian holland
+huckaback jacquard jean jersey khaki lame lawn linsey lisle
+madras melton mohair moire muslin nankeen organdy organza paisley
+percale pique plush pongee poplin sateen satin seersucker serge
+shantung sharkskin surah swansdown taffeta tarlatan ticking
+toile tulle tussah tweed twill velour velveteen voile whipcord
+worsted
+allemande barcarole beguine bolero bourree cakewalk cancan
+chaconne charleston cotillion courante csardas fandango farandole
+flamenco galliard galop gavotte gigue habanera hornpipe hula jig
+jitterbug jota landler mambo mazurka minuet pavane polka polonaise
+quadrille reel rigadoon rumba samba sarabande schottische
+seguidilla tarantella
+"""
+
+DOMAIN_MYTH_OCCUPATIONS = """
+ambrosia basilisk centaur cerberus chimera cockatrice cyclops dryad
+empyrean gorgon griffin harpy hippogriff hydra kraken leviathan
+lorelei manticore mermaid minotaur naiad nectar nemesis nereid
+nymph odyssey olympian oracle pantheon pegasus phoenix roc salamander
+satyr selkie siren sphinx styx sylph titan triton unicorn valkyrie
+wyvern
+alchemist almoner apothecary armiger arquebusier artificer
+balladmonger beadle bellfounder blacksmith boatwright bowyer
+brazier brewster burgess cartwright chandler chapman charwoman
+clothier cobbler cooper cordwainer costermonger currier cutler
+draper drayman drover falconer farrier fletcher fowler fuller
+gamekeeper glazier glover haberdasher hatter hawker herbalist
+hosteler huntsman ironmonger joiner lamplighter lapidary lighterman
+limner locksmith lorimer mercer miller milliner minstrel moneylender
+muleteer navvy ostler peddler pewterer plowman porter potter
+poulterer quarryman ropemaker saddler sawyer scrivener seamstress
+shepherdess shipwright silversmith skinner slater smith spinner
+stonecutter tanner thatcher tinker tinsmith vintner wainwright
+weaver wheelwright whitesmith woodcutter
+acrophobia agoraphobia arachnophobia claustrophobia hydrophobia
+kleptomania megalomania monomania necromania nymphomania pyromania
+xenophobia
+aesthetics agnosticism altruism animism asceticism atheism behaviorism
+casuistry determinism dialectic dualism empiricism epistemology
+existentialism fatalism hedonism humanism idealism materialism
+metaphysic monism mysticism nihilism nominalism ontology pantheism
+positivism pragmatism rationalism realism relativism scholasticism
+skepticism solipsism sophism stoicism syllogism teleology theism
+transcendentalism utilitarianism vitalism
+abbey acropolis arcade architrave archivolt balustrade baptistery
+bartizan bastion battlement belfry buttress campanile capital
+caryatid cenotaph clerestory cloister colonnade corbel cornice
+crenellation cupola dado donjon dormer entablature fanlight finial
+fresco frieze gable gargoyle gazebo keystone lintel loggia lunette
+machicolation mansard minaret mullion narthex nave newel obelisk
+oriel pagoda parapet pediment pergola peristyle pilaster portcullis
+portico quoin reredos rotunda sacristy spandrel spire steeple
+stupa tracery transept triforium turret tympanum vault vestibule
+wainscot ziggurat
+"""
+
+ALL_WORDS_3 = sorted(
+    set(ALL_WORDS_3)
+    | set(DOMAIN_TECHNICAL.split())
+    | set(DOMAIN_CULTURE_CRAFT.split())
+    | set(DOMAIN_MYTH_OCCUPATIONS.split())
+)
