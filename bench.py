@@ -52,6 +52,8 @@ HEADLINE = [
     "media_bmp_real",
     "event_asof_click",     # as-of join (union-tag plan)
     "event_sessions",
+    # round-6 additions
+    "indexed_bm25_topk",    # index-served scoring family
 ]
 
 
