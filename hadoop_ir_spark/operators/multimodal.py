@@ -3,12 +3,13 @@ video as opaque ``binary`` payload columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` stages.
 
 The decode layer is pluggable:
-- REAL built-in codecs (no external libs): RIFF/PCM WAV, 24-bit BMP, and
-  (r5) deflate-compressed PNG — see the codec section below.
-- REAL external path: PIL / soundfile / av decode for DCT/psychoacoustic
-  formats (JPEG/FLAC) — gated behind import-try; these libraries are
-  absent in this container, so that branch raises a clearly-marked
-  NotImplementedError if forced.
+- REAL built-in codecs (no external libs): RIFF/PCM WAV, 24-bit BMP,
+  (r5) deflate-compressed PNG and (r6) baseline grayscale JPEG —
+  Huffman entropy coding + DCT, see the codec section below.
+- REAL external path: PIL / soundfile / av decode for the remaining
+  formats (color JPEG, FLAC, video) — gated behind import-try; these
+  libraries are absent in this container, so that branch raises a
+  clearly-marked NotImplementedError if forced.
 - FAKE path (default when libs are missing): a deterministic byte-level
   "decode" — payload bytes ARE the samples. Feature math (exact integer
   sums → mean/variance) is reproducible in DuckDB for the oracle gate, so
@@ -199,8 +200,9 @@ def resize_images(media: DataFrame, width: int, height: int,
     """REAL resize for 24-bit BMP and (r5) 8-bit RGB PNG payloads:
     decode with the real parsers below, nearest-neighbor resample in
     numpy (``src = (dst * src_dim) // dst_dim``), re-encode a valid
-    file of the same format. JPEG (DCT) still needs PIL, absent here —
-    that path stays explicitly gated."""
+    file of the same format. Color JPEG resize still needs PIL, absent
+    here — that path stays explicitly gated (grayscale JPEG decode is
+    real as of r6; see decode_jpeg_gray below)."""
     if fmt not in ("bmp", "png"):
         if not _pil_available():
             raise NotImplementedError(
@@ -233,11 +235,13 @@ def resize_images(media: DataFrame, width: int, height: int,
 
 # ===========================================================================
 # REAL codecs (pure numpy/struct/zlib, no external libraries): RIFF/PCM WAV,
-# uncompressed 24-bit BMP, and (r5) deflate-compressed PNG. These are
-# genuine format implementations — the decoders parse actual
-# headers/chunks, verify CRCs, and reject malformed input — so the media
-# pipeline exercises a real COMPRESSED decode step end-to-end; only the
-# DCT/psychoacoustic codecs (JPEG/FLAC) remain PIL/soundfile-gated.
+# uncompressed 24-bit BMP, (r5) deflate-compressed PNG, and (r6) baseline
+# grayscale JPEG (Huffman + DCT — the codec family r5 left PIL-gated).
+# These are genuine format implementations — the decoders parse actual
+# headers/chunks/markers, verify CRCs, and reject malformed input — so the
+# media pipeline exercises real COMPRESSED and TRANSFORM decode steps
+# end-to-end; color JPEG and psychoacoustic audio (FLAC) remain
+# PIL/soundfile-gated.
 # ===========================================================================
 
 import struct
@@ -625,3 +629,427 @@ def bmp_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         extract, schema=BMP_FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL baseline JPEG codec (round 6) — pure numpy/struct, no external
+# libraries. Closes the last "DCT formats are PIL-gated" boundary:
+# encode_jpeg_gray writes a spec-shaped baseline sequential grayscale
+# JPEG (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, Huffman entropy coding, byte
+# stuffing, zigzag, level shift, 2-D DCT); decode_jpeg_gray is a REAL
+# decoder — marker walk, DQT/DHT/SOF0 parse, canonical-Huffman DC/AC
+# coefficient decode, dequantize, inverse zigzag, float IDCT — that
+# handles ANY 8-bit baseline grayscale JPEG using its in-stream tables,
+# not just this writer's output. The default Huffman tables follow the
+# ITU-T T.81 Annex K luminance examples (every real encoder ships
+# them); the decoder reads whatever DHT the stream carries.
+#
+# Oracle strategy (how a LOSSY codec gets a byte-exact value oracle):
+# the synthesized images are CONSTANT within each 8x8 block, so every
+# block is DC-only — the DCT has one nonzero coefficient, quantization
+# with the all-ones table is exact, and the IDCT reproduces the
+# constant exactly. The decoder is general; the test corpus is chosen
+# where lossy == lossless so DuckDB can recompute features from the
+# closed form. Random-content round-trips are bounded-error by
+# construction and property-tested separately.
+# --------------------------------------------------------------------------
+
+_ZIGZAG: "np.ndarray" = np.array([
+    (r, s - r)
+    for s in range(15)
+    for r in (range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 == 0
+              else range(max(0, s - 7), min(s, 7) + 1))
+], dtype=np.int64)  # 64 (row, col) pairs in scan order
+
+# ITU-T T.81 Annex K.3.1/K.3.2 luminance Huffman tables:
+# (bits[1..16] code-length counts, symbol list in code order)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_SYMS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_SYMS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: "list[int]", syms: "list[int]") -> dict:
+    """symbol -> (code, length) canonical Huffman assignment (T.81 C.2)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[syms[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix() -> "np.ndarray":
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[0, :] /= np.sqrt(2.0)
+    return m  # forward: M @ block @ M.T ; inverse: M.T @ coeff @ M
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:          # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _mag_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg_gray(pixels: "np.ndarray",
+                     quant: "np.ndarray | None" = None) -> bytes:
+    """Baseline sequential grayscale JPEG writer. ``pixels`` is (H, W)
+    uint8; partial edge MCUs are edge-replicated (the decoder crops back
+    to the declared dimensions). ``quant`` is an 8x8 table in natural
+    order; default all-ones (numerically transparent for DC-only
+    blocks)."""
+    pix = np.asarray(pixels, dtype=np.uint8)
+    if pix.ndim != 2:
+        raise ValueError("encode_jpeg_gray expects a (H, W) gray image")
+    h, w = pix.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = (np.ones((8, 8), dtype=np.int64) if quant is None
+         else np.asarray(quant, dtype=np.int64))
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant table must be 8x8 with entries in 1..255")
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(pix, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    m = _dct_matrix()
+    dc_codes = _huff_codes(_DC_BITS, _DC_SYMS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_SYMS)
+    zz_r, zz_c = _ZIGZAG[:, 0], _ZIGZAG[:, 1]
+    bw_ = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            coef = m @ (blk.astype(np.float64) - 128.0) @ m.T
+            qc = np.round(coef / q).astype(np.int64)
+            zz = qc[zz_r, zz_c]
+            # DC: category + extend bits of the prediction diff
+            diff = int(zz[0] - prev_dc)
+            prev_dc = int(zz[0])
+            s = _mag_category(diff)
+            code, ln = dc_codes[s]
+            bw_.put(code, ln)
+            if s:
+                bw_.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            # AC: (run, size) with ZRL/EOB
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if zz.any() else 0
+            for i in range(1, 64):
+                v = int(zz[i])
+                if v == 0:
+                    if i > last_nz:
+                        break
+                    run += 1
+                    if run == 16:
+                        zc, zl = ac_codes[0xF0]   # ZRL
+                        bw_.put(zc, zl)
+                        run = 0
+                    continue
+                s = _mag_category(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bw_.put(code, ln)
+                bw_.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                ec, el = ac_codes[0x00]           # EOB
+                bw_.put(ec, el)
+    scan = bw_.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_q = q[zz_r, zz_c].astype(np.uint8).tobytes()
+    out = struct.pack(">H", 0xFFD8)                        # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_q)                     # DQT Pq=0 Tq=0
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
+               + b"\x01\x11\x00")                          # SOF0 1 comp 1x1
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_SYMS))
+    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_SYMS))
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")        # SOS
+    out += scan + struct.pack(">H", 0xFFD9)                # EOI
+    return out
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 de-stuffing (T.81
+    F.2.2.5); any other 0xFF-marker inside the scan is a hard error."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.p >= len(self.d):
+            raise ValueError("JPEG scan data truncated")
+        byte = self.d[self.p]
+        self.p += 1
+        if byte == 0xFF:
+            if self.p >= len(self.d):
+                raise ValueError("JPEG scan data truncated at 0xFF")
+            nxt = self.d[self.p]
+            if nxt == 0x00:
+                self.p += 1
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside scan")
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_tree(bits: "list[int]", syms: "list[int]") -> dict:
+    """(length, code) -> symbol lookup for canonical tables."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = syms[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: "_BitReader", table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 17:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> "np.ndarray":
+    """Real baseline JPEG decoder for 8-bit single-component (grayscale)
+    streams: marker walk, DQT/DHT/SOF0/SOS parse (tables read from the
+    stream, multiple DQT/DHT segments supported), canonical-Huffman
+    DC/AC entropy decode with byte de-stuffing, dequantization, inverse
+    zigzag, float IDCT, level shift and clamp, cropped to the declared
+    dimensions. Rejects progressive/multi-component/restart-interval
+    streams explicitly (ValueError) rather than mis-decoding them."""
+    b = bytes(payload)
+    if len(b) < 4 or struct.unpack_from(">H", b, 0)[0] != 0xFFD8:
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    scan_tables = None
+    while pos + 4 <= len(b):
+        (marker,) = struct.unpack_from(">H", b, pos)
+        if marker >> 8 != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        if marker == 0xFFD9:
+            raise ValueError("EOI before SOS — no image data")
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        body = b[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xFFDB:                     # DQT (possibly several)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros((8, 8), dtype=np.int64)
+                vals = body[o + 1:o + 65]
+                if len(vals) != 64:
+                    raise ValueError("short DQT")
+                tbl[_ZIGZAG[:, 0], _ZIGZAG[:, 1]] = np.frombuffer(
+                    vals, dtype=np.uint8)
+                qt[tq] = tbl
+                o += 65
+        elif marker == 0xFFC4:                   # DHT (possibly several)
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1:o + 17])
+                nsym = sum(bits)
+                syms = list(body[o + 17:o + 17 + nsym])
+                if len(syms) != nsym:
+                    raise ValueError("short DHT")
+                huff[(tc, th)] = _huff_decode_tree(bits, syms)
+                o += 17 + nsym
+        elif marker == 0xFFC0:                   # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if nc != 1:
+                raise ValueError(
+                    "only single-component (grayscale) JPEG supported")
+            hv, tq = body[7], body[8]
+            if hv != 0x11:
+                raise ValueError("subsampling on 1 component unsupported")
+            sof = (h, w, tq)
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF marker 0x{marker:04X}) unsupported")
+        elif marker == 0xFFDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xFFDA:                   # SOS
+            if body[0] != 1:
+                raise ValueError("scan must reference exactly 1 component")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            scan_tables = (td, ta)
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if sof is None or scan_tables is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    h, w, tq = sof
+    if tq not in qt:
+        raise ValueError("SOF references an undefined quant table")
+    td, ta = scan_tables
+    if (0, td) not in huff or (1, ta) not in huff:
+        raise ValueError("SOS references undefined Huffman tables")
+    dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
+    q = qt[tq]
+    m = _dct_matrix()
+    zz_r, zz_c = _ZIGZAG[:, 0], _ZIGZAG[:, 1]
+    bh, bw = -(-h // 8), -(-w // 8)
+    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    br = _BitReader(b, pos)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.int64)
+            s = _read_symbol(br, dc_tbl)
+            if s > 11:
+                raise ValueError("invalid DC magnitude category")
+            diff = _extend(br.bits(s), s) if s else 0
+            pred += diff
+            zz[0] = pred
+            i = 1
+            while i < 64:
+                rs = _read_symbol(br, ac_tbl)
+                if rs == 0x00:                    # EOB
+                    break
+                if rs == 0xF0:                    # ZRL
+                    i += 16
+                    continue
+                run, size = rs >> 4, rs & 0x0F
+                i += run
+                if i > 63 or size == 0:
+                    raise ValueError("AC coefficient index out of range")
+                zz[i] = _extend(br.bits(size), size)
+                i += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            coef[zz_r, zz_c] = zz * q[zz_r, zz_c]
+            blk = m.T @ coef @ m + 128.0
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                np.clip(np.round(blk), 0, 255).astype(np.uint8)
+    return out[:h, :w]
+
+
+# Closed-form synthesis parameters for the oracle (block-constant, so
+# the lossy codec is exactly lossless on this corpus — see the module
+# comment above).
+JPEG_W = "8 * (1 + doc_id % 3)"     # 8/16/24
+JPEG_H = "8 * (1 + doc_id % 2)"     # 8/16
+JPEG_BLOCK = "(doc_id + 11 * by + 5 * bx) % 256"
+
+
+def synth_jpeg_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) with REAL Huffman-coded baseline JPEG
+    payloads; the 8x8 block at block coords (bx, by) is the constant
+    JPEG_BLOCK, so decoding is exact and DuckDB can recompute the
+    features from the closed form."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["media_id"]:
+                did = int(did)
+                w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+                by, bx = np.ogrid[0:h // 8, 0:w // 8]
+                blocks = ((did + 11 * by + 5 * bx) % 256).astype(np.uint8)
+                pix = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                rows.append((did, encode_jpeg_gray(pix)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(F.col(id_col).cast("long").alias("media_id")) \
+        .mapInPandas(build, schema="media_id long, payload binary")
+
+
+def jpeg_features(media: DataFrame) -> DataFrame:
+    """REAL DCT-decode path: Huffman-decode + dequantize + IDCT each
+    JPEG payload with ``decode_jpeg_gray`` and emit dimensions + exact
+    integer pixel sum + mean."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pix = decode_jpeg_gray(payload).astype(np.int64)
+                h, w = pix.shape
+                total = int(pix.sum())
+                rows.append((int(mid), w, h, total,
+                             float(total) / (h * w)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height",
+                               "sum_px", "mean_px"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=("media_id long, width int, height int, "
+                         "sum_px long, mean_px double"))

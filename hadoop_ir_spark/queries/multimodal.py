@@ -241,3 +241,40 @@ def q_media_png_real(spark, sf_dir):
     pngs = multimodal.synth_png_table(docs)
     out = multimodal.png_features(pngs)
     return out.withColumn("mean_px", F.round("mean_px", 6))
+
+
+@register("media_jpeg_real", f"""
+WITH par AS (
+  SELECT doc_id AS media_id,
+         {multimodal.JPEG_W} AS w, {multimodal.JPEG_H} AS h
+  FROM documents
+),
+bxs AS (SELECT unnest(range(0, 3)) AS bx),
+bys AS (SELECT unnest(range(0, 2)) AS by),
+blk AS (
+  SELECT media_id, w, h,
+         {multimodal.JPEG_BLOCK.replace("doc_id", "media_id")} AS v
+  FROM par, bxs, bys WHERE bx < w // 8 AND by < h // 8
+)
+SELECT media_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(sum(v) * 64 AS BIGINT) AS sum_px,
+       round(sum(v) * 64.0 / (max(w) * max(h)), 6) AS mean_px
+FROM blk GROUP BY media_id
+""")
+def q_media_jpeg_real(spark, sf_dir):
+    """Encode → REAL baseline-JPEG decode → features. The r6 decoder is
+    a from-scratch ITU T.81 baseline implementation (marker walk,
+    in-stream DQT/DHT parse, canonical-Huffman DC/AC entropy decode
+    with byte de-stuffing, dequantize, inverse zigzag, float IDCT) —
+    the last codec family the reference era left to external libraries
+    (PIL), now pure numpy. The synthesized images are constant within
+    each 8x8 block, so every block is DC-only and the lossy pipeline is
+    exactly lossless on this corpus: DuckDB recomputes the features
+    from the closed-form block values, independent of both codec
+    sides (each block contributes 64·v to the pixel sum)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    jpgs = multimodal.synth_jpeg_table(docs)
+    out = multimodal.jpeg_features(jpgs)
+    return out.withColumn("mean_px", F.round("mean_px", 6))

@@ -305,3 +305,79 @@ def test_png_gray_rgba_features_and_resize(spark):
     out = M.resize_images(media, width=2, height=2, fmt="png").collect()
     pix = M.decode_png(out[0]["payload"])
     assert pix.shape == (2, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# round 6: real baseline JPEG codec (Huffman + DCT, pure numpy)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_blocks_exact_roundtrip():
+    """Block-constant images are DC-only, so the lossy pipeline is
+    exactly lossless on them — the property the value oracle relies on."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for _ in range(10):
+        bh, bw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        blocks = rng.integers(0, 256, (bh, bw)).astype(np.uint8)
+        pix = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        out = multimodal.decode_jpeg_gray(multimodal.encode_jpeg_gray(pix))
+        assert (out == pix).all()
+
+
+def test_jpeg_arbitrary_content_bounded_error():
+    """With the all-ones quant table the only loss is DCT-coefficient
+    rounding — bounded, and the decoder must crop edge-padded MCUs back
+    to the declared (non-multiple-of-8) dimensions."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        h, w = int(rng.integers(5, 40)), int(rng.integers(5, 40))
+        pix = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        out = multimodal.decode_jpeg_gray(multimodal.encode_jpeg_gray(pix))
+        assert out.shape == (h, w)
+        assert np.abs(out.astype(int) - pix.astype(int)).max() <= 2
+
+
+def test_jpeg_quant_table_roundtrips_through_dqt():
+    """A non-trivial quant table must ride the DQT segment: coarse
+    quantization visibly changes pixels but decode still succeeds and
+    a flat image survives exactly (DC scales by q00 then back)."""
+    import numpy as np
+
+    q = np.full((8, 8), 16, dtype=np.int64)
+    q[0, 0] = 8
+    flat = np.full((16, 16), 200, dtype=np.uint8)
+    out = multimodal.decode_jpeg_gray(multimodal.encode_jpeg_gray(flat, quant=q))
+    assert (out == flat).all()
+
+
+def test_jpeg_rejects_malformed():
+    import struct
+
+    import numpy as np
+
+    for bad in (b"", b"\xff\xd8", b"\xff\xd8\xff\xd9", b"not a jpeg"):
+        with pytest.raises(ValueError):
+            multimodal.decode_jpeg_gray(bad)
+    good = multimodal.encode_jpeg_gray(
+        np.full((8, 8), 9, dtype=np.uint8))
+    # flip SOF0 to progressive SOF2: must be rejected, not mis-decoded
+    prog = good.replace(struct.pack(">H", 0xFFC0), struct.pack(">H", 0xFFC2))
+    with pytest.raises(ValueError, match="non-baseline"):
+        multimodal.decode_jpeg_gray(prog)
+    # truncated scan
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_gray(good[:-4] )
+
+
+def test_jpeg_features_pipeline(spark):
+    out = multimodal.jpeg_features(multimodal.synth_jpeg_table(
+        spark.createDataFrame([(5,)], "doc_id long"))).collect()[0]
+    w, h = 8 * (1 + 5 % 3), 8 * (1 + 5 % 2)
+    assert (out["width"], out["height"]) == (w, h)
+    exp = 64 * sum((5 + 11 * by + 5 * bx) % 256
+                   for by in range(h // 8) for bx in range(w // 8))
+    assert out["sum_px"] == exp

@@ -98,6 +98,9 @@ PINNED_JUDGE_VERIFIED = sorted({
     "rm1_feedback", "rm3_feedback", "rocchio_expansion",
     "rrf_fusion_topk", "simhash_near_dups", "skipgram_pmi",
     "term_stats", "two_stage_topk", "vsm_cosine_topk", "wordcount",
+    # round 6 cont.: the from-scratch baseline-JPEG codec entry,
+    # strict-verified at sf0.001/sf0.01/sf0.1 on addition
+    "media_jpeg_real",
 })
 
 
