@@ -216,3 +216,33 @@ def q_indexed_two_stage(spark, sf_dir):
 
 
 ORACLES["indexed_two_stage_topk"] = ORACLES["two_stage_topk"]
+
+
+@register("indexed_rm3_feedback")
+def q_indexed_rm3(spark, sf_dir):
+    """rm3_feedback (M10, GenerateFeedbackQueriesHBase.java:306-329)
+    with EVERY corpus access index-served: the initial Dirichlet run
+    scores from the index tables (same plan as indexed_dirichlet_topk),
+    and the RM1 expansion reads the feedback docs' term vectors from
+    the SAME postings parquet — the reference's HBase doc-vector
+    point-gets (RunQueryHBase.java:249-265) as one docno join. No pass
+    over the raw corpus anywhere in the pipeline; byte-identical to the
+    scan twin, so it reuses rm3_feedback's oracle verbatim."""
+    from hadoop_ir_spark.operators import feedback
+    from hadoop_ir_spark.queries.feedback_rerank import (
+        FB_DOCS,
+        FB_TERMS,
+        RM3_LAMBDA,
+    )
+
+    run = q_indexed_dirichlet(spark, sf_dir)
+    idx_dir = _index_dir(spark, sf_dir)
+    idx = index_io.load_index(spark, idx_dir)
+    rm1_w = feedback.rm1(run, idx["postings"], idx["doc_lengths"],
+                         fb_docs=FB_DOCS, fb_terms=FB_TERMS)
+    topics = _topics_df(spark).withColumn("qweight", F.lit(1.0))
+    out = feedback.rm3(rm1_w, topics, orig_lambda=RM3_LAMBDA)
+    return out.withColumn("weight", F.round("weight", 6))
+
+
+ORACLES["indexed_rm3_feedback"] = ORACLES["rm3_feedback"]

@@ -101,6 +101,9 @@ PINNED_JUDGE_VERIFIED = sorted({
     # round 6 cont.: the from-scratch baseline-JPEG codec entry,
     # strict-verified at sf0.001/sf0.01/sf0.1 on addition
     "media_jpeg_real",
+    # round 6 cont.: fully index-served RM3 pipeline, strict at
+    # sf0.001/sf0.01 on addition
+    "indexed_rm3_feedback",
 })
 
 
