@@ -1521,3 +1521,53 @@ ALL_WORDS_3 = sorted(
     | set(DOMAIN_CULTURE_CRAFT.split())
     | set(DOMAIN_MYTH_OCCUPATIONS.split())
 )
+
+DOMAIN_NATURAL_HISTORY = """
+avocet bittern bobwhite brant bufflehead bunting bushtit canvasback
+chickadee chiffchaff chukar coot cormorant cowbird crake creeper
+crossbill cuckoo curlew dickcissel dipper dotterel dovekie dowitcher
+dunlin eider fieldfare firecrest flicker flycatcher fulmar gadwall
+gallinule gannet garganey godwit goldeneye goldfinch goosander
+goshawk grackle grosbeak grouse guillemot gyrfalcon harrier hoopoe
+jacana jaeger junco kestrel killdeer kingbird kinglet kite kittiwake
+knot lapwing linnet longspur loon mallard merganser merlin murre
+nighthawk nightjar nuthatch oriole ouzel ovenbird oystercatcher
+peewee petrel phalarope phoebe pintail pipit plover pochard ptarmigan
+puffin redpoll redshank redstart roadrunner ruff sanderling sandpiper
+sapsucker scaup scoter shearwater shoveler shrike siskin skua
+smew snipe sora spoonbill starling stilt stint swift tanager tattler
+teal tern thrasher titmouse towhee turnstone veery vireo wagtail
+warbler waxwing wheatear whimbrel whippoorwill widgeon willet
+woodcock wren yellowhammer yellowlegs yellowthroat
+albacore alewife amberjack anchoveta angelfish archerfish barbel
+barracuda blenny bluegill bonefish bonito bowfin bream brill burbot
+butterfish capelin carp catfish char chub cichlid cisco coalfish
+cod coelacanth conger crappie croaker dab dace darter dogfish dorado
+dory eelpout escolar filefish flounder fluke gar garfish goby
+grayling grenadier grouper grunion grunt guppy gurnard haddock hake
+halibut hawkfish herring hogfish houndfish ide jackfish jewfish
+kingfish ladyfish lamprey lingcod lionfish loach lungfish mackerel
+madtom marlin menhaden minnow molly monkfish mooneye mudskipper
+mullet muskellunge needlefish oarfish paddlefish parrotfish perch
+permit pickerel pike pilchard pipefish piranha plaice pollock pomfret
+pompano porgy pufferfish pumpkinseed remora roach rockfish rudd
+sailfish sardine sawfish sculpin seahorse shad sheepshead skate
+smelt snapper snook sole spadefish sprat stickleback stingray
+sturgeon sucker sunfish surgeonfish swordfish tarpon tench tetra
+tilapia tilefish toadfish triggerfish tuna turbot wahoo walleye
+weakfish whitebait whitefish whiting wrasse zander
+bagworm bedbug billbug blackfly blowfly boatman bollworm borer
+budworm bumblebee caddisfly cankerworm centipede chafer chigger
+cicada cockchafer cockroach copepod cranefly cricket cutworm
+damselfly darner dobsonfly dragonfly drone dungbeetle earwig
+firebrat firefly froghopper gallfly glowworm gnat grasshopper grub
+hellgrammite honeybee hornet horntail hoverfly inchworm katydid
+lacewing ladybird ladybug leafcutter leafhopper locust louse
+mantis mayfly mealworm mealybug midge millipede mosquito moth
+muddauber nymph planthopper psyllid roach sawfly scarab silkworm
+silverfish skipper springtail stinkbug stonefly tarantula termite
+thrips tick treehopper wasp webworm weevil whitefly wireworm
+woodlouse yellowjacket
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(DOMAIN_NATURAL_HISTORY.split()))
