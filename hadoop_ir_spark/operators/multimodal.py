@@ -903,7 +903,14 @@ def decode_jpeg_gray(payload: bytes) -> "np.ndarray":
             raise ValueError(f"bad marker alignment at {pos}")
         if marker == 0xFFD9:
             raise ValueError("EOI before SOS — no image data")
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            # standalone markers (TEM/RSTn) carry no length field; one
+            # before the scan is malformed, not a parseable segment
+            raise ValueError(
+                f"unexpected standalone marker 0x{marker:04X} before scan")
         (ln,) = struct.unpack_from(">H", b, pos + 2)
+        if ln < 2:
+            raise ValueError("JPEG segment length < 2")
         body = b[pos + 4:pos + 2 + ln]
         if len(body) != ln - 2:
             raise ValueError("truncated JPEG segment")
@@ -926,6 +933,8 @@ def decode_jpeg_gray(payload: bytes) -> "np.ndarray":
             while o < len(body):
                 tc, th = body[o] >> 4, body[o] & 0x0F
                 bits = list(body[o + 1:o + 17])
+                if len(bits) != 16:
+                    raise ValueError("short DHT")
                 nsym = sum(bits)
                 syms = list(body[o + 17:o + 17 + nsym])
                 if len(syms) != nsym:
@@ -933,6 +942,8 @@ def decode_jpeg_gray(payload: bytes) -> "np.ndarray":
                 huff[(tc, th)] = _huff_decode_tree(bits, syms)
                 o += 17 + nsym
         elif marker == 0xFFC0:                   # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("short SOF0 segment")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -950,6 +961,8 @@ def decode_jpeg_gray(payload: bytes) -> "np.ndarray":
         elif marker == 0xFFDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xFFDA:                   # SOS
+            if len(body) < 6:
+                raise ValueError("short SOS segment")
             if body[0] != 1:
                 raise ValueError("scan must reference exactly 1 component")
             td, ta = body[2] >> 4, body[2] & 0x0F
