@@ -384,3 +384,45 @@ def test_normalize_text_idempotent(s):
     twice = apply(once)
     assert twice == once
     assert len(once) <= len(s) + 2 * (s.count("\u2026") + 1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_constant_block_roundtrip_property(bh, bw, seed):
+    """decode(encode(pixels)) == pixels exactly for arbitrary
+    block-constant images — the DC-only losslessness the media_jpeg_real
+    oracle relies on (driver-free: pure codec property)."""
+    import numpy as np
+
+    from hadoop_ir_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, (bh, bw)).astype(np.uint8)
+    pix = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    out = multimodal.decode_jpeg_gray(multimodal.encode_jpeg_gray(pix))
+    assert (out == pix).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_arbitrary_roundtrip_bounded_property(h, w, seed):
+    """With the all-ones quant table the only loss is DCT-coefficient
+    rounding: decode is shape-exact (edge MCUs cropped back) and every
+    pixel within 2 of the original, for arbitrary sizes and contents."""
+    import numpy as np
+
+    from hadoop_ir_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    out = multimodal.decode_jpeg_gray(multimodal.encode_jpeg_gray(pix))
+    assert out.shape == (h, w)
+    assert np.abs(out.astype(int) - pix.astype(int)).max() <= 2
