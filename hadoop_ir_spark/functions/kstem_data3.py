@@ -1571,3 +1571,72 @@ woodlouse yellowjacket
 """
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(DOMAIN_NATURAL_HISTORY.split()))
+
+LITERARY_VERBS_2 = """
+abase abash abdicate abet abjure ablate abnegate abolish abominate
+abrade abridge abrogate absolve abstain accede acclaim acclimatize
+accouter accrete adduce adhere adjoin adjudge adjure administrate
+admonish adorn adulate advert aggrieve alight alkalize allocate
+ameliorate amerce amortise anathemize anchylose anglicise animadvert
+annotate antedate anticipate apostatize appertain apportion appose
+apprehend approbate arbitrate archaize arraign arrogate asphyxiate
+assail assort astound atomise attaint attitudinize augment auspicate
+authenticate autograph avouch await awaken
+backbite backslide badger bamboozle bandy bankroll barnstorm barrack
+bayonet becalm bechance bedeck bedizen befuddle beggar begird
+behoove bejewel belabor beleaguer bemoan bename benumb bepaint
+bequeath berate bescreen beseem besmear besmirch bespeak besprinkle
+bestead bestialize betide betoken betray bewilder bewitch
+blackball blandish blaspheme bleach blindside bludgeon bluster
+bombinate boodle bootlick botanize bowse brabble brachiate
+braise brandish brattle brecciate bridle brutalize buccaneer
+bucket buckle buffet bulldoze bullyrag bushwhack buttonhole
+cadge cajole calender calibrate calk caracole caramelize carbonize
+carom castigate catalog catapult categorize cauterize cavort
+chaffer chagrin chaperone chaptalize chark chasten chastise
+cheapen checker cherish chide chirr chitter chivvy chouse
+chronicle churr circumnavigate circumscribe clabber clamber
+clepe cloture coalesce cocker cockle cocoon coddle codify coerce
+cogitate collate collimate collocate comfit commandeer commemorate
+commute compass complot comport composite compound comprise
+concatenate conciliate concretize condense condescend condole
+confabulate confect confederate conflate congratulate conjecture
+conjugate connive conscript consecrate consort contort contravene
+convalesce convoke coopt coppice copulate corral correlate
+corroborate coruscate counterfeit countermand countermarch
+countersign countervail cower cozen crepitate cribble criminate
+cringe crisscross crossbreed crosshatch cudgel cull curdle curvet
+dabble daggle dandify dawdle debar debark debilitate decamp
+decarbonize decertify declassify decompress deconsecrate decorate
+decoy decrease decrepitate decriminalize deduct deface defalcate
+defame defenestrate defer deflagrate deflate deflect defoliate
+deforce degauss degrade dehisce delaminate delimit delineate
+delouse demagnetize demarcate demean democratize demolish
+demonetize demonstrate demoralize demote denationalize denature
+denominate denude depilate deplane deplore deploy depolarize
+deprecate depressurize deputize deracinate derail derange
+derestrict derogate desalinate descale desecrate desegregate
+desensitize despatch despond destabilize desulfurize detoxify
+devalue devein devitalize dewater dezincify diagram dibble
+dignify digress dilacerate dilapidate disaffirm disaggregate
+disallow disambiguate disarticulate disassemble disavow disbar
+disburden discept discommode discompose disconfirm discountenance
+disembark disembogue disentangle disestablish disfavor
+disgorge dishallow dishonor disincline disinfect disinfest
+disintegrate dislimn dismast dismount disorient dispark dispirit
+dispossess disrate disrelish disrobe dissect dissemble dissimulate
+dissociate distemper distrain divinize dogmatize domesticate
+domicile dragoon dramatize drawl dulcify
+earmark earwig economize eddy effloresce egest elasticize
+electioneer electroplate elute emaciate emblazon embosom embrocate
+embus emend emigrate emote empale empanel emplane enchase encincture
+encrimson enfeoff engorge engraft enplane enrobe ensconce enshroud
+ensphere entrain entrammel enucleate enure envenom environ
+epoxy equilibrate escheat espy estop etherize eulogize euphemize
+evaginate evangelize eviscerate exacerbate exclaim excogitate
+exculpate exfoliate exheredate exorcize expatiate expectorate
+expiate explicate expostulate expropriate extenuate exteriorize
+extirpate extradite extrude exuviate
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(LITERARY_VERBS_2.split()))
