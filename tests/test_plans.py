@@ -123,3 +123,18 @@ def test_kmeans_centroid_cap_reaches_scan(spark, sf_dir):
     plan = init._jdf.queryExecution().executedPlan().toString()
     cap = KM_INIT_EVERY * KM_MAX_K
     assert re.search(rf"PushedFilters:.*LessThan\(vec_id,{cap}\)", plan), plan
+
+
+def test_indexed_scorers_push_query_terms_into_postings_scan(spark, sf_dir):
+    """The index-served scoring family's whole point: the query-term
+    `IN` filter must reach the postings parquet scan (PushedFilters →
+    row-group pruning), and the tiny query/stat frames must broadcast —
+    losing either silently turns an index probe into a full index scan."""
+    import re
+
+    for name in ("indexed_bm25_topk", "indexed_jm_topk",
+                 "indexed_two_stage_topk"):
+        plan = _plan(spark, sf_dir, name)
+        assert re.search(r"PushedFilters:.*In\(term", plan), name
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
