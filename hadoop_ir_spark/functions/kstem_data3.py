@@ -1640,3 +1640,75 @@ extirpate extradite extrude exuviate
 """
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(LITERARY_VERBS_2.split()))
+
+DOMAIN_PROFESSIONS_2 = """
+adenoma analgesia anesthesia aneurism angiogram antibiotic antigen
+antitoxin aphasia apnea arrhythmia arteriosclerosis atheroma
+autopsy bacillus biopsy carcinoma cardiogram catheter cauterization
+chemotherapy chiropody cirrhosis colic colitis coma concussion
+contusion convulsion cyanosis cyst dermatitis dialysis diastole
+diphtheria diuretic dropsy dyspnea edema electrocardiogram embolus
+emphysema endoscopy enema enzyme epidemiology fibrillation fibroid
+fistula gangrene gastroenteritis goitre hematoma hemophilia
+hemorrhoid histamine hive hypertension hypochondriac hypodermic
+hypoglycemia hysterectomy immunology incision incubation infarct
+inflammation inoculation insulin intravenous laparotomy laryngitis
+lesion lithium lobotomy lumbago lymphoma mastectomy metastasis
+morphia narcosis nephritis neuritis neurosis osteopath palliative
+palpitation paralysis paraplegia pathogen pediatrics pellagra
+peritonitis pharmacopoeia phlebitis placebo pleurisy podiatry
+prophylaxis psychosis quarantine quinsy resection rheumatism
+sanitation scalpel sciatica sclerosis sedative senility sepsis
+serum silicosis spasm splint sprue stethoscope stupor styptic
+suture syncope syringe systole tachycardia therapy thrombosis
+tonic tourniquet toxemia toxin tracheotomy traction tranquilizer
+trauma tremor triage tuberculosis tumor vaccination varicose
+vasectomy ventilator vertigo virus
+affidavit alimony amicus annuity antitrust arbitrage arbitration
+arraignment arrears assizes attainder bailment bankruptcy barratry
+bequest cartel caveat certiorari champerty chattel citation
+codicil collateral conservator consortium contraband conveyance
+covenant curtilage debenture decedent defalcation defendant
+demurrer deposition devise disbarment docket dower easement
+embezzlement emolument entailment equity escheat escrow estoppel
+eviction executor extortion extradition felony fiduciary franchise
+garnishee garnishment grantee grantor habeas indemnity indictment
+injunction inquest intestacy larceny lien litigation mandamus
+manslaughter mayhem misdemeanor misfeasance mortgagee mortgagor
+nonfeasance notary novation nuisance pardon perjury plaintiff
+pleading precedent probate promissory prosecution proxy quitclaim
+recidivism recognizance remainderman replevin reprieve rescission
+restitution retainer seisin sequestration solicitor statute
+subpoena subrogation surety testatrix tort tortfeasor trover
+trusteeship usufruct usury vagrancy venire venue verdict voir
+warranty
+agronomy alfalfa bale barrow bine binder broadcast brome byre
+chaff combine coulter cultivator dibble drill drover ensilage
+fallow farmstead farrow feedlot fodder forage furrow gelding
+gleaner grange granger haft harrow hayfork hayrack hayseed
+haystack heifer herdsman hogwash hopper husbandman irrigation
+lea loam manger mattock middling milch moldboard mow mulch
+paddock pasturage piggery pitchfork plowshare provender reaper
+rick roan rooster rotation scarecrow seedbed sheaf shearing
+sickle silage silo sow stall steer stubble stud swath swineherd
+teat tedder thresher tiller tilth trough udder weanling windrow
+winnower withers yearling yoke
+anticyclone barograph blizzard chinook cirrus cloudburst cumulus
+cyclone derecho dewpoint doldrums downburst downdraft drizzle
+drought flurry foehn gale graupel gust haboob hail hoarfrost
+hurricane isobar isotherm leeward mistral monsoon nimbus nor'easter
+occlusion overcast rainband rime sandstorm simoom sirocco sleet
+slush smog squall stratosphere stratus sunshower tempest thaw
+thermal thunderclap thunderhead tornado troposphere turbulence
+twister typhoon updraft virga vortex waterspout whirlwind
+williwaw windchill windward zephyr
+acre amphora angstrom are bushel carat chain cord cubit decibel
+dram fathom firkin furlong gill hectare hogshead hundredweight
+jigger kiloton knot league lumen lux megawatt micron mil
+milliampere nanometer nautical noggin ohm parsec peck pennyweight
+perch picofarad pint quart quire rod scruple stere stone tierce
+tun verst
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(
+    w for w in DOMAIN_PROFESSIONS_2.split() if w.isalpha()))
