@@ -495,7 +495,10 @@ def synth_png_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, encode_png_rgb(pix)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
+    # partition by WORK, not bytes (see synth_jpeg_table note)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return docs.select(F.col(id_col).cast("long").alias("media_id")) \
+        .repartition(par) \
         .mapInPandas(build, schema="media_id long, payload binary")
 
 
@@ -551,7 +554,10 @@ def synth_wav_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, encode_wav_pcm16(s, sr)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
+    # partition by WORK, not bytes (see synth_jpeg_table note)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return docs.select(F.col(id_col).cast("long").alias("media_id")) \
+        .repartition(par) \
         .mapInPandas(build, schema="media_id long, payload binary")
 
 
@@ -601,7 +607,10 @@ def synth_bmp_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, encode_bmp24(pix)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
+    # partition by WORK, not bytes (see synth_jpeg_table note)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return docs.select(F.col(id_col).cast("long").alias("media_id")) \
+        .repartition(par) \
         .mapInPandas(build, schema="media_id long, payload binary")
 
 
@@ -705,6 +714,9 @@ def _dct_matrix() -> "np.ndarray":
     return m  # forward: M @ block @ M.T ; inverse: M.T @ coeff @ M
 
 
+_DCT_M = _dct_matrix()  # shared, read-only
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.buf = bytearray()
@@ -754,7 +766,7 @@ def encode_jpeg_gray(pixels: "np.ndarray",
         raise ValueError("quant table must be 8x8 with entries in 1..255")
     bh, bw = -(-h // 8), -(-w // 8)
     padded = np.pad(pix, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-    m = _dct_matrix()
+    m = _DCT_M
     dc_codes = _huff_codes(_DC_BITS, _DC_SYMS)
     ac_codes = _huff_codes(_AC_BITS, _AC_SYMS)
     zz_r, zz_c = _ZIGZAG[:, 0], _ZIGZAG[:, 1]
@@ -855,7 +867,18 @@ class _BitReader:
 
 
 def _huff_decode_tree(bits: "list[int]", syms: "list[int]") -> dict:
-    """(length, code) -> symbol lookup for canonical tables."""
+    """(length, code) -> symbol lookup for canonical tables. Memoized on
+    the raw table bytes — a scan of N images carrying the same DHT (the
+    normal case: every image from one encoder) builds the dict once, not
+    N times."""
+    return _huff_decode_tree_cached(bytes(bits), bytes(syms))
+
+
+def _huff_decode_tree_cached(bits: bytes, syms: bytes) -> dict:
+    key = (bits, syms)
+    hit = _HUFF_CACHE.get(key)
+    if hit is not None:
+        return hit
     out, code, k = {}, 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
@@ -863,7 +886,12 @@ def _huff_decode_tree(bits: "list[int]", syms: "list[int]") -> dict:
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_CACHE) < 64:        # bound worker-lifetime growth
+        _HUFF_CACHE[key] = out
     return out
+
+
+_HUFF_CACHE: dict = {}
 
 
 def _read_symbol(br: "_BitReader", table: dict) -> int:
@@ -980,7 +1008,7 @@ def decode_jpeg_gray(payload: bytes) -> "np.ndarray":
         raise ValueError("SOS references undefined Huffman tables")
     dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
     q = qt[tq]
-    m = _dct_matrix()
+    m = _DCT_M
     zz_r, zz_c = _ZIGZAG[:, 0], _ZIGZAG[:, 1]
     bh, bw = -(-h // 8), -(-w // 8)
     out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
@@ -1042,7 +1070,13 @@ def synth_jpeg_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, encode_jpeg_gray(pix)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
+    # compute-bound on byte-tiny input: partition by WORK, not bytes
+    # (the fuzzy-join/APSS AQE-coalescing lesson — PLANS.md), else the
+    # whole encode+decode pipeline inherits the source parquet's 1-2
+    # files and serializes on 2 cores
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return docs.select(F.col(id_col).cast("long").alias("media_id")) \
+        .repartition(par) \
         .mapInPandas(build, schema="media_id long, payload binary")
 
 
