@@ -246,3 +246,56 @@ def q_indexed_rm3(spark, sf_dir):
 
 
 ORACLES["indexed_rm3_feedback"] = ORACLES["rm3_feedback"]
+
+
+@register("indexed_sdm_topk")
+def q_indexed_sdm(spark, sf_dir):
+    """sdm_topk served from the two materialized indexes: positional
+    tokens come from the positional parquet (term-sorted, query-vocab
+    filter pushed to the scan — the same read as indexed_phrase_topk)
+    and doc lengths from the inverted index, so the full sequential
+    dependence model (unigram + ordered-window + unordered-window
+    features) runs with zero corpus passes. Equivalent materialization
+    ⇒ reuses sdm_topk's oracle verbatim."""
+    from hadoop_ir_spark.operators import proximity
+    from hadoop_ir_spark.queries.proximity_q import (
+        _BIGRAMS,
+        _PAIRS,
+        _QTERMS,
+        _UPAIRS,
+        SDM_UW,
+        SDM_WO,
+        SDM_WT,
+        SDM_WU,
+        _sdm_features,
+    )
+
+    idx = index_io.load_index(spark, _index_dir(spark, sf_dir))
+    pos_dir = _pos_index_dir(spark, sf_dir)
+    ptoks = (
+        spark.read.parquet(os.path.join(pos_dir, "positional"))
+        .filter(F.col("term").isin(_QTERMS))
+        .cache()
+    )
+    qpost = ptoks.groupBy("docno", "term").agg(F.count("*").alias("tf"))
+    pairs = spark.createDataFrame(_PAIRS, "t1 string, t2 string")
+    upairs = spark.createDataFrame(_UPAIRS, "u1 string, u2 string")
+    ordered = proximity.ordered_pair_counts(ptoks, pairs)
+    unord = proximity.unordered_pair_counts(ptoks, upairs, window=SDM_UW)
+    bigrams = spark.createDataFrame(_BIGRAMS,
+                                    "qid string, t1 string, t2 string")
+    prox = (None, idx["doc_lengths"], qpost, ordered, unord, bigrams)
+
+    feats = _sdm_features(spark, sf_dir, prox=prox)
+    scored = feats.select(
+        "qid", "docno",
+        F.round(SDM_WT * F.col("f_t") + SDM_WO * F.col("f_o")
+                + SDM_WU * F.col("f_u"), 6).alias("score"),
+    )
+    out = rank.topk(scored, k=TOP_K)
+    return out.select("qid", "docno", "score",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+# the oracle alias (same SQL as sdm_topk) is installed by
+# queries/proximity_q.py at its import, which happens after this module

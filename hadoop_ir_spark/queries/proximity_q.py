@@ -153,11 +153,15 @@ def q_phrase_search(spark, sf_dir):
 
 
 
-def _sdm_features(spark, sf_dir):
+def _sdm_features(spark, sf_dir, prox=None):
     """Shared SDM feature frame: (qid, docno, f_t, f_o, f_u) — the three
     Dirichlet-smoothed feature sums per candidate, with the pair-count
-    frames checkpointed (each feeds a cf aggregate AND a feature join)."""
-    _, dlen, qpost, ordered, unord, bigrams = _spark_prox(spark, sf_dir)
+    frames checkpointed (each feeds a cf aggregate AND a feature join).
+    ``prox`` overrides the corpus-scan inputs with an equivalent
+    materialization (queries/indexed.py serves them from the positional
+    + inverted indexes)."""
+    _, dlen, qpost, ordered, unord, bigrams = (
+        prox if prox is not None else _spark_prox(spark, sf_dir))
     qpost = qpost.localCheckpoint()
     ordered = ordered.localCheckpoint()
     unord = unord.localCheckpoint()
@@ -398,6 +402,7 @@ def q_best_passage(spark, sf_dir):
 from hadoop_ir_spark.catalog import ORACLES as _ORACLES
 
 _ORACLES["indexed_phrase_topk"] = _ORACLES["phrase_search_topk"]
+_ORACLES["indexed_sdm_topk"] = _ORACLES["sdm_topk"]
 
 
 # ---------------------------------------------------------------------------

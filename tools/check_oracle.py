@@ -104,6 +104,8 @@ PINNED_JUDGE_VERIFIED = sorted({
     # round 6 cont.: fully index-served RM3 pipeline, strict at
     # sf0.001/sf0.01 on addition
     "indexed_rm3_feedback",
+    # round 6 cont.: SDM served from the positional + inverted indexes
+    "indexed_sdm_topk",
 })
 
 
