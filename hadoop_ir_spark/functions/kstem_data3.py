@@ -1712,3 +1712,44 @@ tun verst
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(
     w for w in DOMAIN_PROFESSIONS_2.split() if w.isalpha()))
+
+DOMAIN_EVERYDAY_2 = """
+armoire banquette bassinet bolster bureau cabinet candelabrum
+chaise chiffonier commode credenza davenport daybed divan dresser
+escritoire etagere footstool hammock hassock headboard highboy
+lectern lounger ottoman settle sideboard trundle valet vanity
+wardrobe whatnot
+carboy canteen cask creel cruse decanter demijohn ewer flagon
+flask gourd hamper jeroboam jorum keg magnum pannier pipkin
+puncheon tankard tumbler urn vat
+anorak ascot babushka balaclava bandeau bandolier beanie bodice
+bolero bonnet bowler brogan brogue buskin bustle camisole cape
+capelet cardigan chemise cloche clog cowl cravat culotte cummerbund
+dickey dirndl doublet duster espadrille fedora fez frock gaiter
+galosh gauntlet gilet gorget homburg hoopskirt jabot jerkin jodhpur
+jumper kepi kerchief kilt leggings loafer mantilla mitten mocassin
+muff mule nightcap nightgown overcoat oxford pantsuit parka peacoat
+pelisse peplum petticoat pinafore pullover raincoat redingote
+ruff sarong sash shawl shift slicker slipper smock snood sombrero
+stole surcoat suspenders tailcoat tam toga topcoat toque trench
+tricorn tunic turban tutu ulster vestment waistcoat wellington
+wimple windbreaker wrapper
+backgammon baccarat bezique bingo bocce canasta charades
+checkers chess cribbage croquet domino euchre hopscotch
+horseshoes keno lacrosse lotto mahjong marble ninepin
+parcheesi pinochle quoit roulette rummy skittle solitaire
+tiddlywinks whist
+babble bleat bray burble cackle caterwaul caw cheep chirp chirrup
+chitter clack clang clank clatter clink cluck coo crackle creak
+croak crunch cuckoo drone fizz fizzle gobble gurgle hiss honk hoot
+howl hum jangle jingle moo neigh patter peep ping plink plop
+plunk purr rasp rattle rumble rustle screech sizzle slosh slurp
+snarl snort splat splash sputter squeak squeal squelch swish
+thrum thud thump tick tinkle toot trill twang tweet twitter wheeze
+whinny whir whoosh yelp yip yowl zing zoom
+bairn bannock blether bothy brae bramble burn canny claymore
+crag croft dour gillie glen gloaming kirk laird loch plaid
+sporran tam tartan thane
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(DOMAIN_EVERYDAY_2.split()))
