@@ -1811,7 +1811,7 @@ rearguard reconnaissance regalia salvo scabbard sentry
 siege skirmish spear squadron standard stockade stronghold
 sword trench truce vanguard warhead warship
 badminton billiards bobsled bowling boxing chess checkers
-cricket croquet curling darts decathlon derby discus dominoes
+cricket croquet curling darts decathlon derby discus domino
 fencing golf gymnastics handball hockey hurdle javelin jousting
 lacrosse marathon polo regatta relay rodeo rugby skating
 slalom soccer softball sprint squash tennis tiddlywinks
@@ -2673,7 +2673,7 @@ bastide batholith bathyscaphe bathysphere batiste battue baulk
 bdellium beadledom bearberry bearskin beccafico bedight beglerbeg
 beldame bellbird belleek belomancy benthos bergschrund berm bezant
 bezique bhang bibcock bice bickern bigarreau bijou bilander billhook
-binnacle birdlime biremes bister blackcock bladderwort blae blain
+binnacle birdlime bireme bister blackcock bladderwort blae blain
 blastula blawort blende blesbok blewits bloodroot bloodstone blowhole
 bobstay bocage bombe bombycid bonder bordereau borecole bort boschbok
 boskage botargo bottomry boudin bourdon bourgade boutonniere bowfin

@@ -1734,9 +1734,9 @@ ruff sarong sash shawl shift slicker slipper smock snood sombrero
 stole surcoat suspenders tailcoat tam toga topcoat toque trench
 tricorn tunic turban tutu ulster vestment waistcoat wellington
 wimple windbreaker wrapper
-backgammon baccarat bezique bingo bocce canasta charades
+backgammon baccarat bezique bingo bocce canasta charade
 checkers chess cribbage croquet domino euchre hopscotch
-horseshoes keno lacrosse lotto mahjong marble ninepin
+horseshoe keno lacrosse lotto mahjong marble ninepin
 parcheesi pinochle quoit roulette rummy skittle solitaire
 tiddlywinks whist
 babble bleat bray burble cackle caterwaul caw cheep chirp chirrup
