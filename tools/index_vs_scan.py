@@ -56,6 +56,8 @@ def main() -> None:
         ("bm25_topk", "indexed_bm25_topk"),
         ("jm_gslis_topk", "indexed_jm_topk"),
         ("two_stage_topk", "indexed_two_stage_topk"),
+        ("rm3_feedback", "indexed_rm3_feedback"),
+        ("sdm_topk", "indexed_sdm_topk"),
     ]:
         times = {}
         for name in (scan_name, idx_name):
