@@ -1753,3 +1753,130 @@ sporran tam tartan thane
 """
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(DOMAIN_EVERYDAY_2.split()))
+
+LEARNED_NOUNS = """
+abecedarian abiogenesis ablution abnegation absolution acclamation
+accretion aculeus adjuration adumbration aegis affusion agglomeration
+agio agitprop agnomen ailanthus alembic alexandrine alluvium
+almagest alpenglow alpenhorn altercation amanuensis ambuscade
+amphora anabasis anacoluthon anathema anchoress ancien annulment
+antechapel anthelion antinomy antiphon aphelion apograph apologia
+apothegm apotheosis apparitor appellation apperception approbation
+appurtenance arbalest arcanum archimandrite archon armature
+arrogation asperges aspersion assignation asyndeton atavism
+athenaeum attar augury aureole auscultation austerity autarchy
+automaton avatar aviatrix axiology
+bacchanal bagatelle bailiwick baldachin banality bandbox banshee
+baptistry barcarolle bastinado bathysphere beatitude bedlamite
+beldam belletrist benefaction benefactress benison bibelot
+bibliomania bicorne bildungsroman billingsgate bionomics biretta
+blandishment blatherskite bludgeoner bocage bombazine bonhomie
+boniface bowdlerization brachylogy braggadocio brainchild
+breviary brigandage brouhaha bucentaur buckboard buffoonery
+bumbledom bunkum burgoo bushido busker buskin
+cabochon cacophony cadastre calorimetry calumny campanology
+canaille candelabrum canonicals capriccio captaincy carapace
+caravansary carboniferous carcanet carillonneur carmagnole
+cartomancy caryatid cassowary castellan casuist cataplasm
+catechumen cathexis caudillo causerie celadon cenacle centenarian
+cerecloth chanticleer chapbook charivari charlatanism chartulary
+chiliasm chinoiserie chirography chirology chrestomathy chrism
+cicatrix cicerone cinquefoil circumambience circumbendibus
+clairaudience claque claqueur clerisy clishmaclaver cloisonne
+cockalorum cockatrice codicology cognomen colloquium colophon
+columbarium comestibles commination commonality compendia
+conclavist concordance concupiscence condottiere confabulation
+congeries conquistadores consanguinity contretemps contumacy
+convolvulus coparcener coquetry corrigendum cotquean counterpane
+coxcomb cryptography cupidity curmudgeon cynosure
+decemvir decillion deipnosophist demijohn demimonde demiurge
+demogorgon dendrology denouement deodand desuetude detritus
+deviltry dharma diablerie diaspora diathesis dichotomy dilettantism
+diplopia dipsomania dirigisme disputation dissertation distich
+dithyramb divertissement dolmen doppelgänger dotard doxology
+dramaturgy dreadnought druidism dryad duumvirate dyarchy
+ebullition eclat ecdysiast effendi effluvium effulgence egression
+eidolon eisteddfod elucidation elysium emollient emporium enallage
+encomiast enormity entablature epexegesis ephemera epicenter
+epigone episcopacy epistemology epithalamium equipage ergotism
+erudition escadrille eschatology escritoire espalier esplanade
+etiology euphuism eurythmics exclave excrescence exegete exemplum
+exordium expatriation expiation exultation eyas
+factotum fainéant fandangle fanfaronade fantasm farrago
+fasciculus favoritism fealty fecundity fenestration feuilleton
+fichu filigree firmament flagellant flambeau flibbertigibbet
+florilegium flotage flummery folderol foofaraw foreshore
+formulary fortissimo fourragère franklin fripperies frippery
+frontispiece fructification fulguration funambulist fustian
+gadabout gallimaufry galligaskins gasconade gaucherie gazetteer
+gemütlichkeit genuflection geodesist geomancy gerontocracy
+gimcrackery girandole glossolalia gnomon gobbledygook gonfalon
+gramarye grandiloquence gravamen griffon grimoire grisaille
+groat guerdon gumption gynarchy
+habergeon hagiographer halcyon halloo haruspex hauteur hebdomad
+hecatomb hegira heliotropism hellion helpmeet heresiarch
+hermeneutics heterodoxy hidalgo hierarch hierophant hippodrome
+hireling hobbledehoy hodgepodge homiletics homunculus horology
+hortus hullabaloo husbandman hydromancy hyperborean
+iconography iconology ignominy imbroglio impecuniosity imprimatur
+incunabula incunabulum indirection ineptitude infelicity
+insouciance intelligentsia interregnum invective irredentism
+iteration
+jackanapes jacquerie jeremiad jetsam jingoism jobbery jocundity
+juvenilia
+kakistocracy kerfuffle kermis kinetoscope kismet knavery
+lagniappe lamasery lampoonery lassitude latitudinarian laudation
+legerdemain lexicography libation lickerishness lientery
+lignification liripipe literatim litotes locution logomachy
+longanimity longueur lucubration
+machicolation macrocosm maelstrom magniloquence malapropism
+malfeasance malversation mansuetude manumission maquette
+martinet materfamilias matriarchy mendacity mendicancy mesalliance
+metempsychosis micrology minutiae misandry misanthropy miscellanea
+misoneism mistral mithridatism mnemonics mobocracy moiety
+monomachy mountebankery mummery mumpsimus mundungus munificence
+mythography
+necromancy nepenthe nescience neologist nictitation nimiety
+noctambulism nostomania numerology numismatist
+obloquy obsequies odium oenology officialdom oligopoly oneiromancy
+onomastician opprobrium opsimath oratory orismology orotundity
+orrery orthoepy oscitancy ossuary ostentation otiosity oubliette
+paean paladin palanquin palimpsest palindrome panegyrist panjandrum
+panoply pantechnicon paralipsis paraphernalia pasquinade
+paterfamilias pathography peccancy peculation pedagogics pellitory
+pelmanism penumbra periapt periphery perpetuation perquisite
+persiflage perspicuity pettifoggery phantasmagoria philippic
+philomel phrenologist physiography pilgarlic pinchbeck plangency
+pleonasm plutolatry poetaster pogonotrophy polemics polyandry
+polygeny polyhistor polymath pomposity popinjay postprandial
+pother poultice preciosity prestidigitation preterition
+prolegomenon propaedeutic propinquity prosopography protasis
+psephology puissance pulchritude punctilio pusillanimity
+quacksalver quiddity quidnunc quietude quintessence quodlibet
+rapprochement ratiocination rebus recusancy redaction reification
+reliquiae remonstrance renascence reprobation retinue rhabdomancy
+rhetorician rodomontade roué rubrication rusticity
+sabbatical sagacity salmagundi saltation sangfroid sapience
+scaramouch sciamachy sciolism scrimshaw scripophily scrivenery
+scurrility selcouth selenography semaphore sempiternity seneschal
+sesquipedalian sibilance simulacrum sinecure skulduggery
+solecism soliloquist somnolence sophistry sortilege spoliation
+sprezzatura steganography stichomythia stupefaction suzerainty
+sybarite sycophancy syllabary syzygy
+tatterdemalion tautology taxidermy temerity tergiversation
+termagant terpsichorean thaumaturge thaumaturgy theodicy theogony
+theosophy threnody thurible tintinnabulation tmesis toxophilite
+traducement transmogrification trencherman trepidation
+triskaidekaphobia triumvirate troglodyte tromperie truculence
+turpitude tutelage
+ultracrepidarian umbrage unction uxoriousness
+vagility vainglory valediction valetudinarianism vaticination
+velleity verbosity verisimilitude vermiculation vicissitude
+vilification virago virtu vitriolics vociferation
+weltanschauung weltschmerz wanderjahr witticism wyvern
+xenophile xerography
+zealotry zeitgeber zymurgy
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(
+    w for w in LEARNED_NOUNS.split() if w.isalpha() and w.isascii()))
