@@ -1880,3 +1880,164 @@ zealotry zeitgeber zymurgy
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(
     w for w in LEARNED_NOUNS.split() if w.isalpha() and w.isascii()))
+
+LEARNED_ADJECTIVES_2 = """
+abactinal abaxial aberrant abessive abhorrent ablatival abranchial
+acarpous accretive acerose achromatic aciniform acockbill aculeate
+adactylous adenoidal adipose adjuratory adscititious adventitious
+aeruginous aestival affinal agamic agelong agglutinative aggrieved
+agnatic agonal agronomic alible alimental allantoid allochthonous
+allopatric alluvious alow amaranthine ambient ambivalent ameboid
+amendatory amentaceous ametabolic amphoric ampullar anadromous
+analeptic anapestic anastomotic anatropous ancipital anechoic
+anent anguilliform anhydrous aniconic animalcular anisomerous
+annectent annular anodal anomic anourous antenatal antephialtic
+anticlinal antiphonal antipodal aoristic apetalous aphyllous
+apiarian apocarpous apodal apogamous apolaustic aposematic
+appetent appositive apsidal apteral apterous aquiferous araceous
+arachnean arboraceous arcuated arendal argillaceous ariose
+aristate armillary arrhythmic arundinaceous asexual aspectual
+asperate aspheric assentient assertorial assumptive astucious
+atactic atonal atrabilious attritional auric auriculate
+autarchic autogenous autumnal avascular aweather azygous
+baccate bacciferous baculine balanoid balneal banausic barbate
+bardic barytone basaltic bathetic bathyal batrachian beamish
+bedfast beetling behindhand bellicose benedictory benthic
+besprent bibacious bibliopolic bicorn bicuspidate bifid bifoliate
+bijugate bilgy biparous bipartisan bipedal biramous bistable
+bivalent blebby blowzy bodeful boon boreal botryoidal bovoid
+brachycephalic bractless branchial brattish brevipennate
+bromidic brumous buccal bulbar bursiform byssal
+cadaverous caducean caespitose calamitous calcarine calceiform
+calefactory calendric caliginous callosal calycine cambial
+campanulate cancellous cancroid candent canescent cantankerous
+capillaceous capitate caprylic capsular carinate carneous
+carpellary cartilaginous caseous cataclinal catadromous
+catamenial catarrhine caudate cauline cavernicolous celiac
+centesimal cephalic ceraceous ceriferous cernuous cespitose
+chalybeate chambered chapfallen chartaceous chelate chevroned
+chiliastic chitinous chlorotic chordal chorionic chronometric
+cilial ciliate cinerary circadian circinate cirrate cismontane
+clonic cloven coccal cochleate coetaneous cognoscible colonic
+columelliform comal comatic combless comminatory commissural
+compital conational concentric conchoidal condylar confraternal
+congenerous conical coniferous conjunct connate connivent conoidal
+consanguineal contractile contrapuntal conventual coplanar
+coprophagous coralline cordate corditis coriaceous corneous
+cornute corolliform coronal costal cotyloid courant crenate
+crinite crural crustal cteniform cumbrous cuneal cuneate cupric
+cursorial cuspidated cutaneal cyclonic cymose
+dasyphyllous deciduate declinate decurrent decussate deltoid
+demersal demotic dendriform dentate denticular dermal dermoid
+desmoid deuteranopic dextral dextrorse diadelphous dialytic
+diandrous diastolic diatonic dicotyledonous didactylous digitate
+dimerous dioecious diphyletic disjunct distichous dorsal downcast
+dulcified duodecimal
+ectal ectopic edaphic effluent eidetic elegiac ellipsoidal
+emarginate embolic emetic enate endemical endogenous enneadic
+ensate entomic entopic eolian eonian epeiric epicanthic epigean
+equatorial equinoctial erectile eremitic ergative erogenous
+errhine eruciform escharotic esurient euphotic eusocial eutectic
+evitable exanimate exilic exogenous exoteric extrorse
+falciform fastigiate fatidical faucal faunal faveolate febrile
+fecal feculent felicific ferruginous fetial fibroid filar
+fimbriate fissiparous flabellate flexuous floccose fluviatile
+foliar foliose fossorial foveate frangible frutescent fugal
+fuliginous fumarolic funest fungiform funicular furfuraceous
+fuscous fusty
+galactic gallinaceous gamic geitonogamous gemmate generic
+genial geniculate gentilitial geocentric geostrophic gibboid
+glabrate glandular glaucescent globate glossal gnathic gracile
+grallatorial graminaceous grandiose granular graphemic gravid
+gregarine gressorial guttate
+habitudinal haemal hamate hastate hebetic heliolatrous helical
+hemal hematic hemic hemispheric herbaceous heterocercal
+heteromorphic hexadic hibernal hiemal hippocratic hispid
+histoid holoblastic holographic homologous humic hyaloid
+hydric hyetal hygric hylozoic hyoid hypabyssal hypogeal hypogene
+ichthyoid igneous imbricated immanent impennate imperforate
+implacental inapposite incarnadine incondite inframaximal
+infundibuliform inguinal insectivorous insessorial intercalary
+intercostal interfluve intergalactic interlobular internodal
+interosseous intertidal intramural introrse inumbrate invertebral
+irriguous isentropic isochronous isoclinal isomerous isopiestic
+jasperated jejunal jussive juvenescent
+labile lacertilian laciniate lactic lacunar lacustrine lanate
+lanceolate laniary lapidarian larine laryngeal latitudinous
+lauraceous leal lenitic lentic lenticular lepidote leptorrhine
+levorotatory lianoid libratory ligular limicolous liminal limnetic
+lingulate linguliform lithoid litoral lobate lophodont loricate
+lotic loxodromic lucific luctual lunate lunular lustral luteal
+lymphoid
+madrigalian magistral malacoid malar mammillary mandibular
+manducatory manganic mantic marcescent marsupial matronal
+maxillary mediastinal medullary meiotic melic melliferous
+mensural mephitic meristic mesial mesic metameric miasmal
+microcephalous miliary mimetic minatory mirthless modal molal
+monadic monandrous monaural monocarpic monochromic monoclinal
+monodic morainal mucid multifid multivalent mural muricate
+muriform mutafacient mycelial myoid myopic myotonic
+napiform natant natatorial nematic neonatal nephritic neritic
+nictitating nidicolous nidifugous nivational niveous nodical
+nomothetic nubile nuchal nucleate nullifidian nummular nuncupative
+obclavate obconical obcordate oblanceolate obovoid obsidional
+obtect occlusal ochlocratic ocellated octamerous ocular odic
+oecumenical oleic olivary omophagous oncotic oneiric oogamous
+opisthognathous oppidan opsonic oracular orbicular orectic
+organoleptic orgulous ornithic orogenic ortho orthotropic oscine
+osmotic osteal otic oviform ovine ovoviviparous oxytone
+pachydermous palatal paludine pandemic panduriform paniculate
+pantographic papular parheliacal paronymous parotic paschal
+passerine patulous pavonine pectinate pedate pedicular pelagic
+pellucid peltate pendent penial peptic perfervid perfoliate
+periclinal perigean perihelial peristaltic permian peronate
+petaline petiolar phatic philoprogenitive phocine phonic
+photic phreatic phthisic pinnate piscatory pisiform placental
+placoid plagal planar platitudinal plebby plicate plumbeous
+plumose pluvious podgy poditic pollical polyadic polycarpic
+polygynous polymorphous pomaceous ponderable pontifical
+porraceous postprandial potable prandial precative precatory
+prehensile prelapsarian premundane presbyopic primipara
+proximate pruinose psammophilous pubertal pulmonic pulsatile
+pulverulent punctate puniceous pyknic pyretic pyriform
+quadrennial quadric quadrifid quadrivalent quartan quinate
+quinquennial quotidian
+racemose rachitic radular ramal ramose raptorial rasorial
+recondite rectilinear recurvate refringent regnal regnant
+reliquary remontant renal reniform repand reptant restive
+retiform retral retrorse retuse rhematic rhinal rhizoid rhombic
+riant riparial roentgen rostral rotund rubescent rubious
+ruderal rufescent rugulose ruminal rupestral rutilant
+saccular sacral sagittal sagittate salic saline saltant
+saprogenic saprophytic sarmentose sartorial saurian saxatile
+scalar scandent scansorial scaphoid scapular sciurine sclerotic
+scopate scorbutic scutate sebaceous secund sedimentary segmental
+sejant semestral semiotic sempervirent senary sensate sentential
+septal septenary sericate serotinal serried sessile setose
+sibylline sideral sigmate sigmoid siliceous silvan sinistral
+sinistrorse sinuate siphonal sistroid solstitial somatic
+spatulate spectral spheral sphenic spicate spiculate spinose
+splanchnic splenetic sporogenous squamate stannic stellate
+stenothermal sternal stolid stomatal strigose strobilaceous
+styloid subjacent sublittoral subulate sudoriferous suffrutescent
+sulcate summery supernal surd sylvatic synodic syzygial
+tactual talismanic tantric tarsal tectonic tegular telic tellurian
+temporal tentacular terebinthine terete tergal ternary ternate
+terrene tertian tessellated testaceous tetchy thalassic thecal
+theurgic tholeiitic thoracic titular tonsorial topiary toroidal
+torquate totipalmate trabecular trenchant triadic tribal trifid
+trigonal trihedral trinal triploid triune trochal trophic
+tumular turbinal turdine tussal tympanic typal
+uberous uletic uliginose ultraistic umbonate uncinate undine
+unguiculate unipara univalent urceolate uredinial uropygial
+ustulate uvular
+vadose vagal vaginate vallate vaned varicose vatic vegetive
+velar venatic venose ventricose vermian verminous vernacular
+vesical vespertilian vespine vestal vicinal villous vimineous
+viperine virgate viridescent viscerous vitelline vitric
+voltaic voluble vortical vulturine
+xanthic xiphoid xylophagous
+zygodactyl zygomorphic
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(LEARNED_ADJECTIVES_2.split()))
