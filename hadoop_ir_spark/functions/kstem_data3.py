@@ -2041,3 +2041,98 @@ zygodactyl zygomorphic
 """
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(LEARNED_ADJECTIVES_2.split()))
+
+LITERARY_VERBS_3 = """
+facilitate faggot falsify famish fascicle fathom fatigue fawn
+feather federalize feminize fend ferment ferret fertilize fess
+fester festoon fetishize fictionize fidget filch filet filibuster
+fillip finalize finesse fingerprint firebomb fireproof fishtail
+fissure flagellate flambe flatten fletcherize flocculate floodlight
+florish flounce flour fluctuate flump fluoresce fluoridate flurry
+fluster flutter fodder foment footslog foreclose foredoom foregather
+foreshadow foreshorten foretaste foretell forewarn forfeit forgather
+formalize formularize fortify forward fractionalize fragmentize
+frequent freshen fricassee frivol frogmarch frolic fructuate
+frustrate fulminate fumigate funambulate functionalize furbelow
+furlough
+gad gaggle gainstay gallicize galumph gambade gangrene gantlet
+garnishee garrison gasconade gelatinize geminate generalize
+gentrify genuflect germanize gerrymander gesture ghettoize
+ghostwrite gibber gibbet gild gimbal gird girdle glaciate gladden
+glamorize glissade globalize glorify gloss glower gluttonize
+gollop gormandise gossip gouge gradate grecize greaten grecianize
+griddle grizzle grubstake guillotine gussy guzzle gyre
+hachure hackle hallow halloo hamshackle handfast handsel hansel
+haply harken harrumph hatchel headhunt hearken hebraize hectograph
+hedgehop helve hemstitch hibachi hight hinder hindermost hobnob
+hocus hogtie holystone homaging homage homogenize hopple hornswoggle
+horrify hospitalize hotfoot huckster humanize humbug hunker
+hutch hybridize hypnotize hypothecate hypothesize
+idealize ideate idolize illude illegalize illumine immaterialize
+immesh immobilize immortalize immunize imparadise impark impeach
+imperialize impersonalize impignorate implead imprint improvisate
+incommode incandesce incase incommensurate indemnify indispose
+individualize indoctrinate industrialize infantilize infatuate
+infold ingraft ingrain initial initialize inlay inmesh innervate
+innovate inosculate inscroll insculp inshrine insnare inspan
+inspirit instal instance instarring instate institutionalize
+insure intellectualize intercalate intercommunicate interdigitate
+interiorize interlace interleave interline interlineate interlink
+interlock intermarry intermeddle intermingle internalize
+interpenetrate interplead interstratify intertwine interweave
+intrench intrust invaginate invalid invalidate inveigle inventory
+invocate iodize ionize irradicate islamize italicize itemize
+iterate itinerate
+jacklight jackknife japan jawbone jaywalk jeopard jettison jimmy
+jinx jitterbug jolly jostle journalize joust jubilate judaize
+juggle jumble junket justle
+kayo kedge keelhaul kennel kern kibitz kidnap kipper knead kneecap
+knell
+lacerate lacquer lallygag lambast laminate lampoon lance
+landscape lapidify lariat latinize laurel leaven lecture legalize
+legitimatize legitimize lexicalize libel liberalize librate
+lignify lionize liquate liquidize literalize lithograph
+lobotomize localize lollygag lowercase lubricate luxate
+macadamize magnetize majorize maledict malinger malt mammock
+manacle mangle manhandle manicure manifold mantle manufacture
+marbleize marinate maroon martyr martyrize mash masquerade
+massacre masticate materialize matronize maximize mechanize
+medal meddle medicate melodize memorize mercerize mercurialize
+mesh mesmerize metabolize metalize meterstick methodize metrify
+microfilm militarize mineralize miniaturize minify minister
+ministrate mishandle mismanage misname misplead mispronounce
+misquote misreckon misrule misspend mistitle mistranslate
+mistreat mistrust miswrite mithridate mobilize modernize
+moisturize monetize mongrelize monopolize moralize motorize
+muckrake mudcap multiplicate mummify municipalize mutualize
+muzzle mystify mythicize mythologize
+nationalize naturalize necessitate necrose negative neologize
+neuter neutralize nickel nickelize nictate niello nix nobble
+nominalize normalize notarize novelize nuzzle
+obfuscate objectify objurgate obligate obsess obsolesce
+obstruct obturate obviate occidentalize octuple officialize
+officiate offprint olfact operationalize opiate oppress
+organize orientalize ornament orphan ossify ostracize outargue
+outbid outbluff outbrave outclass outdare outdistance outflank
+outguess outgun outhit outjockey outlive outman outmaneuver
+outmarch outmatch outnumber outplay outpoint outproduce outrange
+outrank outride outrival outrun outsail outscore outsell outsit
+outsmart outspend outstare outstay outtalk outthink outvote
+outwait outwalk outwear outweigh outwit overachieve overact
+overbake overbid overbuild overburden overbuy overcapitalize
+overcharge overcook overcount overcrop overcrowd overdevelop
+overdo overdose overdraw overdress overdrive overeat overeducate
+overemphasize overestimate overexert overexpose overextend
+overfeed overfill overfish overgeneralize overgraze overhang
+overhear overheat overindulge overinflate overlade overload
+overlook overman overmatch overpay overplay overpopulate
+overpower overpraise overprice overprint overproduce overprotect
+overrate overreach overreact override overripen overrule
+oversalt oversaturate oversell oversimplify oversleep overspend
+overstate overstay overstep overstimulate overstock overstrain
+overstress overstretch overstuff oversubscribe oversupply
+overtake overtax overtrain overtrump overturn overuse overvalue
+overwater overwhelm overwind overwork overwrite
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(LITERARY_VERBS_3.split()))
