@@ -2048,14 +2048,14 @@ feather federalize feminize fend ferment ferret fertilize fess
 fester festoon fetishize fictionize fidget filch filet filibuster
 fillip finalize finesse fingerprint firebomb fireproof fishtail
 fissure flagellate flambe flatten fletcherize flocculate floodlight
-florish flounce flour fluctuate flump fluoresce fluoridate flurry
+ flounce flour fluctuate flump fluoresce fluoridate flurry
 fluster flutter fodder foment footslog foreclose foredoom foregather
 foreshadow foreshorten foretaste foretell forewarn forfeit forgather
 formalize formularize fortify forward fractionalize fragmentize
 frequent freshen fricassee frivol frogmarch frolic fructuate
 frustrate fulminate fumigate funambulate functionalize furbelow
 furlough
-gad gaggle gainstay gallicize galumph gambade gangrene gantlet
+gad gaggle  gallicize galumph gambade gangrene gantlet
 garnishee garrison gasconade gelatinize geminate generalize
 gentrify genuflect germanize gerrymander gesture ghettoize
 ghostwrite gibber gibbet gild gimbal gird girdle glaciate gladden
@@ -2064,8 +2064,8 @@ gollop gormandise gossip gouge gradate grecize greaten grecianize
 griddle grizzle grubstake guillotine gussy guzzle gyre
 hachure hackle hallow halloo hamshackle handfast handsel hansel
 haply harken harrumph hatchel headhunt hearken hebraize hectograph
-hedgehop helve hemstitch hibachi hight hinder hindermost hobnob
-hocus hogtie holystone homaging homage homogenize hopple hornswoggle
+hedgehop helve hemstitch hibachi hight hinder  hobnob
+hocus hogtie holystone homage homogenize hopple hornswoggle
 horrify hospitalize hotfoot huckster humanize humbug hunker
 hutch hybridize hypnotize hypothecate hypothesize
 idealize ideate idolize illude illegalize illumine immaterialize
@@ -2075,7 +2075,7 @@ incommode incandesce incase incommensurate indemnify indispose
 individualize indoctrinate industrialize infantilize infatuate
 infold ingraft ingrain initial initialize inlay inmesh innervate
 innovate inosculate inscroll insculp inshrine insnare inspan
-inspirit instal instance instarring instate institutionalize
+inspirit instal instance  instate institutionalize
 insure intellectualize intercalate intercommunicate interdigitate
 interiorize interlace interleave interline interlineate interlink
 interlock intermarry intermeddle intermingle internalize
@@ -2100,7 +2100,7 @@ massacre masticate materialize matronize maximize mechanize
 medal meddle medicate melodize memorize mercerize mercurialize
 mesh mesmerize metabolize metalize meterstick methodize metrify
 microfilm militarize mineralize miniaturize minify minister
-ministrate mishandle mismanage misname misplead mispronounce
+ mishandle mismanage misname misplead mispronounce
 misquote misreckon misrule misspend mistitle mistranslate
 mistreat mistrust miswrite mithridate mobilize modernize
 moisturize monetize mongrelize monopolize moralize motorize
@@ -2136,3 +2136,211 @@ overwater overwhelm overwind overwork overwrite
 """
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(LITERARY_VERBS_3.split()))
+
+LITERARY_VERBS_4 = """
+pacify package paginate palatalize palisade palter pamphleteer
+panhandle pantomime parboil parcel pardon parenthesize parlay
+parole parrot particularize partition pasteurize pastor patinate
+patrol patronize pattern pauperize peal peculate pedal peddle
+pedestal pellet pelletize pend penalize pencil pension peptonize
+perambulate percolate peregrinate perfect perjure permute
+perorate perpetrate perpetuate persecute personalize personate
+personify phase philander philosophize phosphoresce photocopy
+photograph photosensitize picket pickle picnic picture piecemeal
+pigeonhole pillage pillory pilot pinion pinpoint pioneer pipeline
+pirate pirouette pivot placard plagiarize plaster plasticize
+platitudinize platoon pleasure plenish pluralize poach pocket
+podcast poetize polarize polemize pollard pollinate
+polymerize pommel pontificate popularize portage portend portion
+posit position postdate postfix postmark postpone postulate
+posture powder powwow precess precompute preconceive precondition
+precook predate predecease predestine predetermine predigest
+predispose preempt preen prefabricate prefigure preheat prejudge
+prelect premeditate premiere preoccupy preordain prepackage
+prepay preponderate prepossess prerecord presage prescind
+preselect presell  preserve preset preshrink presignify
+pressurize prestress presume pretest pretypify prevision prewash
+prill primp prink privatize privilege problematize proctor
+professionalize profiteer prognosticate prologue promenade
+promulgate pronate proofread propagandize prophesy propitiate
+proposition prorate proselyte proselytize prospect prostitute
+protocol prototype protract provision proximate psychoanalyze
+publicize puddle pulsate pulse pummel punctuate pupate puree
+purloin purpose putrefy putter puzzle pyramid
+quadruplicate qualify quantify quantize quarantine quarter
+quarterback quench query queue quibble quicken quickstep quiesce
+quintuple quirk quitclaim quiver quiz
+racketeer radicalize radiograph raffle rampage ramrod ranch
+rankle ransack ransom rant rapture rarify rasterize ratify ration
+rationalize rattle ravage ravel ravish rawhide reabsorb reacquire
+readapt readjust readmit reaffirm realign reallocate reanimate
+reappear reapply reappoint reapportion reappraise rearm rearrange
+reassemble reassert reassess reassign reassure reawaken rebaptize
+rebind reboot rebroadcast rebuff rebuild rebury recalculate
+recalibrate recapture recast rechannel recharge recharter recheck
+rechristen recirculate reclassify recodify recolonize recolor
+recombine recommence recommission recommit recompile recompute
+reconceive recondition reconfigure reconfirm reconnect reconquer
+reconsecrate reconsider reconsign reconstitute recontact
+reconvene reconvert recopy recork recount recoup recreate
+recriminate recross recrystallize rectify recycle redecorate
+rededicate redefine redeliver redeploy redeposit redesign
+redetermine redevelop redial redirect rediscount rediscover
+redistill redistribute redistrict redline redo redouble redound
+redraft redraw reduplicate reecho reedit reeducate reelect
+reemerge reemphasize reemploy reenact reencode reendow reengage
+reenlist reenter reequip reestablish reevaluate reexamine
+reexhibit reexperience reexport refashion refight refigure
+refile refinance refinish refit reflate refloat refocus refold
+reforest reforge reformat reformulate refortify refound refract
+refreeze refresh refuel refurnish regather regild regive
+regionalize registrate regrade regrant regrind regroup regrow
+rehandle rehang rehash rehear rehearse reheat rehire rehouse
+rehydrate reignite reimagine reimburse reimpose reincarnate
+reincorporate reindex reinfect reinflate reinject reinoculate
+reinsert reinspect reinstall reinstitute reinsure reintegrate
+reinter reinterpret reintroduce reinvent reinvest reinvigorate
+reinvite reissue rejudge rekey rekindle reknit relabel relandscape
+relaunch relearn relegate relend relet relight reline relink
+relist relive reload relocate remand remanufacture remap remarry
+rematch remeasure remediate remelt remigrate remilitarize remint
+remix remodel remold remonetize remortgage remount rename
+renationalize renegotiate renominate renumber reoccupy reoccur
+reopen reorder reorganize reorient repack
+repaint repaper repatriate repave replan replant replaster
+replay repledge replicate repolish repopulate reposition
+repossess repot repressurize reprice reprimand reprint reprise
+reprocess reprogram republish repudiate repurchase repurpose
+requalify requisition requite reread rerecord reroute rerun
+resaddle resalute resample reschedule reseal reseat resect reseed
+resell resensitize resequence reset resettle resew reshape
+resharpen reship reshoe reshuffle resift resign resile resilver
+resmelt resocialize resod resole resolidify resorb resow respace
+respell resplice respray restabilize restaff restage restamp
+restart restate restipulate restock restructure restudy restuff
+restyle resubmit resupply resurface resurvey retag retailor
+retake retape reteach retell retest rethink rethread retie retile
+retime retitle retool retrace retrain retransfer retranslate
+retransmit retread retrench retrial retrim retrofit retrogress
+retry retune retwist retype reunify reupholster reutter revaccinate
+revalidate revalue revamp revarnish revegetate reverberate
+reverify revet revictual revisit revitalize revoice revolt
+revolutionize reweave rewed reweigh reweld rewind rewire reword
+rework rewrap rezone
+saber sabotage saccharify sacrifice safeguard salaam
+salinize sallow salute salvage salve sample sanctuarize sandbag
+sandblast sandpaper sanitize sap saponify sass satiate satirize
+saturate sauce saunter scaffold scald scallop scalp scamper
+scandalize scant scapegoat scarify scatter scavenge schematize
+scheme schlep school scintillate scissor sclerose scoff scold
+scollop sconce scotch scour scourge scout scowl scrabble scram
+scrap scrapbook scrawl screen scribble scrimmage scrimp script
+scroll scrounge scrub scrunch scruple scud scuffle scull sculpt
+sculpture scupper scurry scuttle secede seclude secrete
+sectionalize secularize sedate sediment seduce seed seesaw
+segment segue seine seize sensationalize sensitize sentimentalize
+sepulcher sequence sequester sequestrate serenade serialize
+sermonize serrate shackle shamble shanghai shellac shelter
+shelve shepherd shimmer shimmy shingle shipwreck shirk shoehorn
+shoplift shortchange shortlist shoulder shovel showcase shred
+shrivel shroud shuck shudder shuffle shunt shush shuttle sideline
+sidestep sidetrack sidle signalize signpost silhouette silicify
+silt silver simonize simper singe singularize sinter siphon
+situate skeletonize sketch skewer skipper skirmish skitter
+skulk skyjack skylark skyrocket slacken slake slander slant
+slather slaughter slaver sleepwalk sleet sleuth slenderize slice
+slither sliver slobber slog slosh slouch slough sluice slumber
+slur smarten smite smolder smudge snaffle snafu snag snake snap
+snare snarl snatch sneak snicker sniff sniffle snip snipe snitch
+snivel snooker snoop snooze snore snorkel snort snowball snub
+snuff snuffle snuggle socialize sock sod sodden solace solder
+soldier solemnize soliloquize solubilize somersault soothsay
+sorrow souse sovietize spackle spangle spatter spearhead
+specialize speciate  speckle spellbind spiral spite
+splatter splay splint splotch splurge splutter spoliate sponge
+spoof spook spoon sporulate spotlight spraddle sprain sprawl
+spritz sprout spruce spume spurn spurt sputter squabble squall
+squander squat squawk squeegee squelch squinch squint squire
+squirm squirrel squish stabilize stack staff stagger stagnate
+stammer stampede standardize starch stargaze startle starve
+stash staunch steamroll steepen stencil stenograph stereotype
+sterilize stet stevedore stickle stifle stigmatize stimulate
+stipple stipulate stockade stockpile stoke stomach stonewall
+stoop stopper storyboard stow straddle strafe straggle
+straitjacket strand strangle strangulate stratify streak
+streamline strew striate stridulate stripe stroboscope stroll
+strop structure strut stucco stud stultify stumble stump stun
+stunt stupefy stutter stylize stymie subclassify subcontract
+subdivide subedit subirrigate subjectify subjoin subjugate
+sublease sublet sublimate sublime subluxate submerge submerse
+suborder subordinate suborn subpoena subrogate subscribe
+subserve subside subsidize subspecialize substantiate
+substantivize substitute subsume subtend subtitle subtotal
+subtract suburbanize subvene subvert succor suckle suffix
+suffocate suffuse sugarcoat sulfurize summarize summate
+sunbathe sunburn sunder superabound superadd superannuate
+supercharge supercool superheat superimpose superintend
+superpose supersaturate superscribe supersede supervene
+supervise supinate supplicate surcharge surfeit surmise
+surmount surtax suspire sustain swab swaddle swagger swindle
+swirl swivel swoon swoosh syllabicate syllogize symbolize
+symmetrize sympathize synchronize syncopate syndicate
+synopsize synthesize systematize systemize
+tabularize tabulate tailgate talc tally tamp tamper tan
+tantalize tarmac tarnish tarry tattle taunt tauten tautologize
+taxi teeter teethe telecast telegraph telemeter telephone
+telescope televise telex temporize tenant tender tenderize
+tenure terminate terrace terrify territorialize terrorize
+tessellate testify tether texture theologize theorize thermalize
+thieve thirst thrash thresh throb throttle thrum thump thwack
+thwart tickle tidy tighten tile tiller tilt tincture tinge
+tingle tinker tinkle tinsel tipple tiptoe tithe titillate
+titrate titter tittle toady toboggan toggle tomahawk tonsure
+tootle topple torpedo torture total totalize tote totter
+tousle tout tower traduce traffic trail traipse trammel
+trample tranquilize transact transcend transcribe transect
+transfigure transfix transfuse transgress transistorize
+transliterate translocate transmigrate transmit transmogrify
+transmute transpire transplant transport transpose transship
+transubstantiate transude trapes traumatize traverse trawl
+treadle treasure treble trellis trepan trephine triangulate
+tricycle trifurcate trill trisect triturate trivialize troll
+trundle truss tryst tumble tumefy tunnel turf tusk tussle
+tutor twaddle tweak tweedle tweeze twiddle twill twine twinge
+twinkle twirl twitch twitter typecast typeset typewrite
+tyrannize
+unbar unbend unbind unbolt unbuckle unburden unbutton uncap
+unchain unclamp unclench unclog uncoil uncork uncouple uncover
+uncrate uncross uncurl undeceive undercharge undercut
+underestimate underexpose underfeed undergird undergo underlay
+underlie underline undermine underpay underpin underplay
+underprice underrate underreport underscore undersell undershoot
+undersign underspend understate understudy undertake undervalue
+underwrite undo undock undrape undress undulate unearth unfasten
+unfold unfreeze unfurl unhinge unhitch unhook unionize unknot
+unlace unlatch unlearn unleash unload unlock unloose unmask
+unnerve unpack unpick unpin unplug unravel unreel unroll unsaddle
+unscramble unscrew unseal unsettle unsheathe unsnap unsnarl
+unstick unstitch unstrap unstring untangle untie unveil unwind
+unwrap unyoke upbraid upchuck update upend upgrade upholster
+uplift upload uproot upset upstage urbanize usurp utilize
+vacation vaccinate vacillate vacuum validate valuate vamp
+vandalize vanquish vaporize varnish vault vaunt vend veneer
+venerate ventilate ventriloquize verbalize verify vermiculate
+vernalize versify vesiculate vest vet veto vibrate victimize
+videotape vie vignette vindicate violate vitalize vitaminize
+vitrify vitriolize vivify vivisect vocalize vociferate voice
+volatilize volley volplane vouch vouchsafe vow voyage vulgarize
+waddle wager wallop wallow wallpaper waltz wangle warble
+waterproof wattle waylay weaponize  weatherproof weatherstrip
+wedge weed ween welter westernize wheedle whelm whet whimper
+whinny whipsaw whirl whisk whittle wholesale whoop wiggle wile
+wince winch winterize wiretap wisecrack witness wobble womanize
+woosh worst wrangle wreak wrest wrestle wriggle
+yammer yank yap yaw yelp yip yodel yoke yowl
+zero zigzag zincify zip zipper zone
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(
+    w for w in LITERARY_VERBS_4.split()
+    if w.isalpha() and not w.endswith("em")))
