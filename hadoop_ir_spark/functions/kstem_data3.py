@@ -2344,3 +2344,50 @@ zero zigzag zincify zip zipper zone
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(
     w for w in LITERARY_VERBS_4.split()
     if w.isalpha() and not w.endswith("em")))
+
+MISC_NOUNS_THIRD_PASS = """
+abattoir abutter acreage aerie affusion agora aiguille ait
+alcazar alkanet allee amphibology anabranch apron arcature
+arroyo atoll badland bajada barachois barranca barrens bayou
+ bight blowhole bluff bocage bogland bottomland boulevard
+bourn brook brookside butte caldera canebrake canyon cape
+cataract cirque cliffside col combe confluence coppice copse
+coulee coulisse cove crag creekbed crevasse cwm dale dell
+delta dingle divide dolina drumlin dune eminence escarpment
+esker estuary eyot fell fen firth fjord flatland floodplain
+foothill footpath fordable foreland forest fosse gill glade
+glen gorge grotto gulch gully hammock headland heath highland
+hillside hinterland hogback hollow holm hummock inlet interfluve
+islet isthmus karst kettle knoll kopje lagoon lakebed lakeshore
+landform ledge levee lowland mainland marsh marshland meadow
+mesa midden moor moorland moraine morass mound mudflat narrows
+outcrop oxbow palisade pampa panhandle pass peatland peninsula
+piedmont pinnacle plateau playa polder pond prairie promontory
+quagmire ravine reach ridge ridgeline rill riverbank riverbed
+rivulet salina saltmarsh sandbank sandbar savanna scarp scree
+seashore shoal sinkhole slough snowfield sound spit spur
+steppe strait strand swale swamp talus tarn terrace thicket
+tideland tidewater timberline tombolo tor tundra upland uplands
+vale valley veld wadi wash watercourse waterfall watershed
+wetland wold woodland
+aftercastle amidships ballastage beakhead berth bilander
+binnacle boatyard bollard bowline broadside bulkhead bulwark
+burgee cathead chandlery coaming companionway crosstree
+deadeye deckhand dockyard dolphin dunnage fairlead fantail
+fastnet fathometer fender figurehead flotage foredeck foremast
+forepeak foresail foretop freeboard futtock gaff galiot
+gangway garboard grapnel gudgeon gunnel halliard hatchway
+hawsehole hawsepipe headsail helmport holystone hull jibboom
+jibstay keelson lanyard larboard lazarette leeboard leech
+luff mainbrace mainsheet marline masthead mizzenmast moorage
+oarlock orlop outhaul painter poopdeck portside quarterdeck
+ratline rigging roadstead rowlock rudderpost scupper scuttlebutt
+seacock sheerline shroud skeg spanker spritsail stanchion
+staysail steerageway stempost sternpost stevedore strake
+taffrail thole thwart tiller topgallant topmast transom
+trysail wardroom waterline weatherdeck windlass yardarm
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(
+    w for w in MISC_NOUNS_THIRD_PASS.split() if not w.endswith('s') or
+    w in ('amidships', 'narrows')))
