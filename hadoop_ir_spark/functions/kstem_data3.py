@@ -2391,3 +2391,49 @@ trysail wardroom waterline weatherdeck windlass yardarm
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(
     w for w in MISC_NOUNS_THIRD_PASS.split() if not w.endswith('s') or
     w in ('amidships', 'narrows')))
+
+# Final r6 vein: -ance/-ence, -itude, practitioner (-ist/-ologist),
+# -escent, -arian/-ocrat and -ity abstract families — drafted by
+# family, deduplicated against the shipped lexicon at append time.
+SUFFIX_FAMILIES = """
+abhorrence absorbance acquaintance acquittance adherence aerialist
+affiance affirmance affluence algebraist ambidexterity anatomist
+anthropologist archaeologist assiduity authoritarian bacteriologist
+balloonist behaviorist bibliographer biochemist cardiologist
+chiropodist chronologist climatologist coherence complacence
+conchologist concurrence condolence conformity contiguity
+convalescent convergence corpulence cosmetologist cosmologist
+crassitude credulity criminologist cryptographer cytologist decadence
+depravity despondence dietician disciplinarian disobedience
+disquietude dissidence divergence effervescence effervescent
+effluence egyptologist embryologist emergence epidemiologist
+ethnologist etymologist exactitude exuberance falsity flatulence
+frugality furtherance futurist garrulity genealogist geneticist
+geophysicist gerontologist grammarian graphologist gullibility
+gynecologist habitude herpetologist histologist horologist
+hydrologist ichthyologist imminence immunologist impatience
+impertinence impetuosity impotence improbity imprudence impudence
+inaptitude incipience incoherence incongruity incontinence
+incredulity independence indifference indolence inference infinitude
+ingratitude insipidity insolence intransigence intrepidity
+iridescence jocosity jocularity laxity lenience lepidopterist
+libertarian limnologist loquacity lubricity luminescent luxuriance
+magnanimity magnificence malacologist malevolence mediocrity
+microbiologist mineralogist modernity mycologist naturalist
+nephrologist obesity obliquity obstetrician oceanographer omnipotence
+omniscience oncologist orthopedist parliamentarian pedologist
+penitence penologist perpetuity pertinence pharmacologist philatelist
+phonologist physiologist plutocrat pomologist ponderosity prevalence
+proctologist profundity prolixity promptitude pugnacity pursuance
+putrescent rapacity rapidity recurrence redolence refulgence
+resilience resurgence reticence rheumatologist rotundity salience
+salubrity seismologist semanticist senescence sentience
+septuagenarian serenity sinologist solidity solubility speleologist
+spontaneity stratigrapher suavity sublimity subservience succulence
+sufferance taxonomist technocrat technologist theocrat timidity
+totalitarian toxicologist transference tumescent uniformity urbanity
+urologist vastitude vehemence virologist virulence vivacity
+volcanologist voracity
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(SUFFIX_FAMILIES.split()))
