@@ -2437,3 +2437,94 @@ volcanologist voracity
 """
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(SUFFIX_FAMILIES.split()))
+
+# Final r6 vein cont.: lexicalized -ation and -ment nominalizations
+# (the real KStem lexicon is a dictionary and carries these as
+# headwords; pinned-conflated fixtures excluded at append time).
+NOMINALIZATIONS = """
+abatement abjuration ablation abomination abridgment accompaniment
+acculturation acknowledgment adaptation addiction adjournment
+adjustment admonishment admonition adornment advertisement
+affiliation affirmation aggrandizement aggregation agreement
+alienation alleviation alliteration amalgamation amazement amendment
+amortization amputation annihilation annotation announcement
+annunciation anticipation appointment apportionment appropriation
+arbitrament articulation aspiration assassination assessment
+asseveration assignment assimilation assortment astonishment
+atonement attachment attainment augmentation authentication avocation
+banishment bereavement betterment bewilderment calibration
+canonization capitulation captivation carbonation centralization
+certification chastisement clarification coagulation codification
+cogitation collocation colonization coloration commandment
+commemoration commencement commiseration commitment commutation
+complication comportment concealment conciliation condemnation
+confederation confinement confiscation conformation confrontation
+consecration consolation constipation consummation containment
+contamination contentment convocation corroboration cremation
+curtailment deactivation debarment debasement debilitation decampment
+decapitation deceleration declamation defecation deflation
+deforestation deformation degradation dehydration deliberation
+delineation demarcation denotation denunciation depletion deportation
+depreciation deprivation deputation derivation desecration
+designation desolation desperation detachment deterioration
+detestation detonation devastation deviation differentiation
+dilapidation dilation disappointment disarmament discernment
+discouragement disenchantment disengagement disfigurement
+disillusionment dismemberment dispensation dissemination dissipation
+divination domestication duplication edification elaboration elation
+elimination emancipation embarkation embarrassment embellishment
+embodiment employment emulation enactment encampment encouragement
+endearment endorsement enforcement engagement enjoyment enlargement
+enlightenment enlistment ennoblement enrichment enrollment
+enslavement entanglement entertainment enthronement enticement
+entrapment entrenchment enumeration enunciation equivocation
+eradication establishment estrangement evacuation evocation
+exaggeration exaltation exasperation excavation excitement
+excommunication exculpation exhalation exhilaration exhortation
+exhumation exoneration expiration exportation extermination
+extrapolation fertilization figuration fixation flirtation
+fluctuation fomentation formulation fornication fulfillment
+fumigation galvanization germination gesticulation glorification
+gradation gratification gyration hallucination harassment hibernation
+humiliation hybridization hydration hyphenation idealization
+illumination immolation impalement implication importation
+imprisonment improvement improvisation imputation incarnation
+incorporation incrimination incrustation indemnification
+indoctrination inducement inebriation infatuation infestation
+infiltration infringement inhumation insemination insinuation
+installment instigation instrumentation insubordination insulation
+integration intensification internment interrogation intimation
+intimidation intoxication inundation invalidation investment
+invocation involvement jubilation judgment justification laceration
+lactation lamentation lamination levitation libration localization
+malformation management manifestation manipulation masturbation
+maturation mechanization medication melioration menstruation
+miscalculation mismanagement mitigation modulation molestation
+mortification multiplication mutation mutilation mystification
+nationalization naturalization nourishment nullification obfuscation
+objurgation obliteration orchestration origination osculation
+ossification pacification pagination palpation pasteurization
+penetration perambulation percolation perforation perturbation
+petrification pigmentation polarization pollination postponement
+prefabrication preferment premeditation preoccupation prevarication
+proclamation procrastination procreation procurement prognostication
+proliferation prolongation promulgation pronouncement propagation
+propitiation prostration protestation punishment purification
+puzzlement ravishment readjustment rearmament recantation
+recapitulation reciprocation reclamation recuperation refutation
+regeneration regurgitation reimbursement reincarnation reinforcement
+reiteration rejuvenation relegation remuneration repatriation
+replication representation repudiation resentment restatement
+resuscitation retaliation retardation retirement revocation
+rumination sanctification settlement simulation solicitation
+sophistication stagnation standardization statement stipulation
+strangulation stratification subjugation sublimation subordination
+substantiation suffocation supplication syncopation syndication
+tabulation titillation toleration transfiguration transliteration
+transmigration transmutation transplantation treatment undulation
+unification urbanization usurpation vacillation validation
+vaporization veneration vexation vindication violation visitation
+wonderment
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(NOMINALIZATIONS.split()))
