@@ -2528,3 +2528,31 @@ wonderment
 """
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(NOMINALIZATIONS.split()))
+
+# Final r6 vein cont.: lexicalized -or agent nouns (no -or rule exists,
+# so these only fix PLURAL handling: generators -> generator) plus the
+# opaque wilderness/happenstance. Transparent -ness forms are
+# deliberately NOT headwords: the published Krovetz pairs
+# (happiness -> happy, darkness -> dark) show the real stemmer
+# conflates them, so the -ness rule must keep firing.
+AGENTS_AND_NESS = """
+abstractor absurdity accumulator adjudicator aggressor agitator
+annihilator annotator applicator aspirator bettor calculator
+calumniator collaborator collector communicator compensator
+competitor compositor confessor conqueror consolidator conspirator
+constrictor contributor coordinator corrector councilor creator
+decorator delegator demonstrator depositor detonator distributor
+duplicator educator ejector elector emancipator emulator escalator
+excavator exhibitor expositor extractor fabricator facilitator
+fornicator fumigator gyrator happenstance illuminator imitator
+incinerator indicator infiltrator inheritor initiator innovator
+inquisitor instigator interceptor interlocutor interrogator
+investigator legislator liberator liquidator litigator locator
+modulator objector obturator offeror operator oppressor percolator
+perpetrator possessor procrastinator progenitor projector promoter
+propagator protector purveyor refrigerator respirator rotator
+selector separator simulator speculator successor survivor tormentor
+transgressor verificator vibrator violator
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(AGENTS_AND_NESS.split()))
