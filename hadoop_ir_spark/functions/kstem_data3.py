@@ -2556,3 +2556,27 @@ transgressor verificator vibrator violator
 """
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(AGENTS_AND_NESS.split()))
+
+# Final r6 vein cont.: -ery/-ary place/practice nouns and
+# lexicalized -ive adjectives (dictionary headwords; the -ive
+# derivational rule still fires for out-of-dictionary forms).
+ERY_AND_IVE = """
+abortive adoptive affirmative allusive amative argumentative
+associative auditive automotive bakery beanery bestiary bindery
+cajolery calvary cautionary coercive cometary commemorative
+conductive congestive conjunctive connective constabulary
+constitutive consumptive contraceptive contrastive cookery
+coparcenary corrective correlative creamery curative deanery
+declarative degenerative denotative depressive digressive dismissive
+disruptive dissuasive distillery distinctive elective emotive
+epistolary excessive fernery festive fishery foolery hatchery
+hyperactive illustrative inoperative interpretive introspective
+irrespective iterative legendary manipulative millinery nutritive
+obstructive pejorative pervasive preclusive preemptive presbytery
+preservative presumptive printery prohibitive prudery purgative
+quackery reactive recursive reflexive regenerative regressive
+regulative remunerative repetitive reproductive restorative retentive
+ruminative saddlery shrubbery tertiary vinery waggery winery
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(ERY_AND_IVE.split()))
