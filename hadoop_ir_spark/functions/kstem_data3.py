@@ -2580,3 +2580,15 @@ ruminative saddlery shrubbery tertiary vinery waggery winery
 """
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(ERY_AND_IVE.split()))
+
+# Final r6 vein cont.: everyday compound nouns still missing.
+COMPOUNDS = """
+bedroll bookshop breadbasket classroom clipboard cookbook daydream doormat
+eggplant eggshell goldfish haircut handbag handcuff headache homework
+household housewife landslide lawnmower lifetime lipstick mealtime milkweed
+moonbeam moonlight nightmare nutshell oatmeal outdoors outfield pickpocket
+pigtail pinball pinwheel ponytail sailboat scoreboard seashell snowman
+springboard sunbeam tailspin teardrop toothache undershirt watchdog weekday
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(COMPOUNDS.split()))
