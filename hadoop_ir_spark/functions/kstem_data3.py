@@ -2592,3 +2592,25 @@ springboard sunbeam tailspin teardrop toothache undershirt watchdog weekday
 """
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(COMPOUNDS.split()))
+
+# Final r6 vein cont.: -ish adjectives, hides/young-animal terms,
+# collective nouns, numerals and ordinals.
+ISH_AND_MISC = """
+amateurish babyish billionth boorish boyish brutish bullcalf cete
+childish cliquish clowder clownish coltish coquettish cowhide currish
+darkish deerskin devilish doeskin dollish doltish donnish dovish
+dwarfish eighteen eighteenth eightieth eighty eleventh elfish elvish
+faddish feverish fiendish fifteenth fiftieth fortieth fortyish fourteen
+fourteenth freakish ghoulish girlish gnomish goatskin grayish greenish
+hawkish heathenish hellish hoggish hoydenish hundredth joey kidskin
+kittenish knavish lambskin larkish loutish lumpish millionth moleskin
+monkish mulish murmuration nightmarish nineteen nineteenth ninetieth ninety
+oafish offish ogreish peckish piglet pigskin pinkish polliwog
+porkling priggish prudish puckish puppyish quirkish roundish seventeen
+seventeenth seventieth seventy sheepskin shrewish sixteen sixteenth sixtieth
+sixty slavish snakeskin snobbish sottish sounder standoffish swinish
+sylphish thievish thirteenth thirtieth thousandth ticklish tigerish tomboyish
+twelfth twentieth unkindness vampirish vulturish waspish whitish wolfish
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(ISH_AND_MISC.split()))
