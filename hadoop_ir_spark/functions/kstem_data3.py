@@ -2614,3 +2614,20 @@ twelfth twentieth unkindness vampirish vulturish waspish whitish wolfish
 """
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(ISH_AND_MISC.split()))
+
+# Final r6 vein cont.: -ant/-ent/-ist agent and practitioner nouns.
+ANT_ENT_IST = """
+accordionist acupuncturist altoist arsonist assistant attendant bassist
+bigamist canoeist ceramist chauvinist combatant communicant conformist
+consultant contestant contortionist copyist cyclist dependent descendant
+deterrent disputant duelist elegist emigrant entrant eulogist
+extremist fatalist folklorist hedonist hobbyist humorist hypnotist
+informant inhabitant intendant leftist manicurist masochist medalist
+melodist memoirist methodist monopolist moralist motorist nihilist
+nudist opportunist optimist pacifist parachutist participant perfectionist
+pessimist plagiarist pollutant polygamist populist postulant pragmatist
+propagandist purist referent registrant resident respondent rightist
+royalist satirist saxophonist secessionist separatist trombonist
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(ANT_ENT_IST.split()))
