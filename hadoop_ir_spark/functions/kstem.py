@@ -393,8 +393,12 @@ _V_SQL = "('a','e','i','o','u')"
 
 
 def lexicon_cte_sql(name: str = "klex") -> str:
-    words = ", ".join(f"('{w}')" for w in sorted(LEXICON))
-    return f"{name}(w) AS (SELECT * FROM (VALUES {words}))"
+    # one space-joined string literal + string_split: parses orders of
+    # magnitude faster than a 26k-row VALUES list (DuckDB builds one
+    # constant, not 26k expression nodes) — measured ~60s -> ~2s on the
+    # stemmed oracles when the r6 lexicon crossed 25k headwords
+    words = " ".join(sorted(LEXICON))
+    return (f"{name}(w) AS (SELECT unnest(string_split('{words}', ' ')))")
 
 
 def direct_cte_sql(name: str = "kdirect") -> str:
