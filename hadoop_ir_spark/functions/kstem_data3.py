@@ -2631,3 +2631,20 @@ royalist satirist saxophonist secessionist separatist trombonist
 """
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(ANT_ENT_IST.split()))
+
+# Final r6 vein cont.: sports and informal verbs. Transparent -ing
+# sport nominals (swimming, skiing, rowing) are deliberately NOT
+# headwords — the pinned pair swimming->swim shows the aspect rule
+# must keep conflating them.
+SPORTS_INFORMAL = """
+absquatulate backstroke baseball basketball batboy biathlon breaststroke
+bullpen canoodle dillydally discombobulate flimflam flummox foosball
+football freestyle fullback goalie goalkeeper halfback heptathlon
+infielder judo kickball layup linebacker linesman luge
+midfielder netball offside outfielder paddleball paintball parkour
+pentathlon pickleball racquetball shillyshally shortstop shuffleboard skedaddle
+smooch southpaw steeplechase striker tailback tetherball touchdown
+triathlon waterpolo wingback winger
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(SPORTS_INFORMAL.split()))
