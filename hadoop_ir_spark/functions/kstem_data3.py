@@ -2648,3 +2648,19 @@ triathlon waterpolo wingback winger
 """
 
 ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(SPORTS_INFORMAL.split()))
+
+# Final r6 vein cont.: colors, breeds, cheeses/wines, hardware.
+MATERIAL_CULTURE = """
+airedale appaloosa asiago beaujolais bistre bordeaux borzoi
+boxer brie buff bulldog cabernet camembert carabiner
+chablis chardonnay chevre chianti chihuahua clydesdale cotter
+doberman edam emmental eyebolt fontina gouda gruyere
+havarti labrador limburger lipizzaner madeira malamute malbec
+manchego mascarpone merlot morgan muscat newfoundland papillon
+parmesan pecorino pekingese percheron pinscher pinto pointer
+pomeranian prosecco retriever riesling rioja romano roquefort
+rottweiler saluki samoyed sauterne setter shiraz tokay
+trunnion ultramarine vermillion vizsla washer weimaraner wolfhound
+"""
+
+ALL_WORDS_3 = sorted(set(ALL_WORDS_3) | set(MATERIAL_CULTURE.split()))
