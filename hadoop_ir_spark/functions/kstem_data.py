@@ -18,7 +18,7 @@ headwords; this list is ~4k high-frequency lemmas + the corpus
 vocabulary in kstem.py, extended in round 5 by ~15k more mid-frequency
 and rare-tail lemmas in kstem_data2.py and in round 6 by ~6k more
 (place names, literary verbs/adjectives, loanwords, domain sweeps and
-suffix families) in kstem_data3.py — total ~26.3k, plus the
+suffix families) in kstem_data3.py — total ~26.5k, plus the
 country/nationality exception table. That covers the overwhelming
 share of token OCCURRENCES in English text (frequency-rank coverage),
 while the rare tail still falls to the documented orthographic
