@@ -2775,7 +2775,7 @@ fissile fitch fitchew flabellum flacon flagellant flambe flan flanch
 flaneur flannelette flatboat flayer fleadock flechette fleer flense
 fleuron flic flocculent flong florescence floret floruit flota flotage
 flugelhorn fluoresce fluting fluxion flyblow flyspeck foehn fogle
-fogydom foison folkmoot folkway fomes fondu fontange footle 
+fogydom foison folkmoot folkway fomes fondu fontange footle
 foozle foraminifera forb forbye fordo foredo forefend foregut forehock
 forel forepeak forint formate formwork fortis fossa fourchette foveola
 frab fracted fraenum fraise framboise francium frap frass fratch
@@ -2807,7 +2807,7 @@ habilitate hachure hackbut hackmatack hadal haddie hagbut hagfish
 haggada hagride haik haika halation halidom halm halogeton halvah
 hamate hame hamose hamza hanap hance handfast handgrip handspike
 hangbird hangdog hank hanuman haole hapax haplography haptic harden
-hardpan  harl harmattan harquebus hartal hartshorn haslet hasp
+hardpan harl harmattan harquebus hartal hartshorn haslet hasp
 hatchel hatchment haugh haustellum havelock haversack haw hawkbit
 hawse headrace headstall heartsease heaume hebetude hectograph
 hederated heelpost hegemon heliacal helical helilift heliport helleri
@@ -2862,7 +2862,7 @@ legist leguan lehr lei lek leman lemniscate lempira lenis lentando
 lenticel lentigo lepus lespedeza lethean letterpress lettre leu leud
 lev levanter levator leverest levirate levulose ley lherzolite liane
 liang liard libeccio liber libra licente lichee lichi licit ligne
-ligroin lille limacine liman limbate limbec limen  limicoline
+ligroin lille limacine liman limbate limbec limen limicoline
 limnology linac linalool lingcod lingo linin linn linsang liriodendron
 lisle litchi litharge lithia lithophyte litre littoral liturgics
 livre lixiviate llanero llano loach lobation lobo lobule locellate
@@ -2870,7 +2870,7 @@ lochia loci lockage loculus lodens lodicule logion logline lognormal
 logrolling logy loimic loma lomein loment longanimity longe longeron
 longhair longship loquitur loran lording lorgnon lorica lorimer lory
 lota lotic louche lough lour lovat lowan lowery loxodrome luau lubra
-luce lucern  luctation luculent lucumo lues lugworm lumbrical
+luce lucern luctation luculent lucumo lues lugworm lumbrical
 luminal lunation lunette lungi luniform lunkhead lur lurdan lustral
 lutein luthier luxate lwei lyam lycee lymphad lyncean lysin lyssa
 lytta macaco maccaboy machan machree mackle macle macropod macula

@@ -92,19 +92,25 @@ def dataset_diff(a: DataFrame, b: DataFrame, key_cols: list[str],
 
     NULL safety: ``concat_ws`` silently DROPS null arguments (and
     ``xxhash64`` ignores them), which would make ('a', NULL, 'b') and
-    ('a', 'b', NULL) hash identically — so every compare column is
-    coalesced to a one-byte sentinel ('\\x00', which cannot collide
-    with the '\\x1f' separator or any cast value that itself contains
-    no NUL) before hashing. NULL-vs-value and NULL-position changes
-    therefore classify as ``changed``. The oracle SQL mirrors the same
-    coalesce.
+    ('a', 'b', NULL) hash identically — so every compare column
+    contributes TWO cells: an out-of-band null flag ('0'/'1') and
+    ``coalesce(value, '')``. Unlike an in-band sentinel (the r5
+    '\\x00' coalesce, which collided with a literal one-NUL-byte
+    value — ADVICE r6), the flag cell makes NULL distinguishable from
+    EVERY string value, so NULL-vs-value and NULL-position changes
+    always classify as ``changed``. The oracle SQL mirrors the same
+    flag+coalesce encoding.
     """
     compare_cols = compare_cols or [
         c for c in a.columns if c not in key_cols]
 
     def _cells(df):
-        return [F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                for c in compare_cols]
+        out = []
+        for c in compare_cols:
+            v = F.col(c).cast("string")
+            out.append(F.when(v.isNull(), F.lit("1")).otherwise(F.lit("0")))
+            out.append(F.coalesce(v, F.lit("")))
+        return out
 
     if digest == "md5":
         def dig(df):

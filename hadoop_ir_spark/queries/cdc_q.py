@@ -123,13 +123,19 @@ b AS (
   FROM orders WHERE o_orderkey % 13 = 0
 ),
 ha AS (SELECT o_orderkey, md5(concat_ws(chr(31),
-              coalesce(o_custkey::VARCHAR, chr(0)),
-              coalesce(o_orderstatus, chr(0)),
-              coalesce(o_orderpriority, chr(0)))) AS h FROM a),
+              CASE WHEN o_custkey IS NULL THEN '1' ELSE '0' END,
+              coalesce(o_custkey::VARCHAR, ''),
+              CASE WHEN o_orderstatus IS NULL THEN '1' ELSE '0' END,
+              coalesce(o_orderstatus, ''),
+              CASE WHEN o_orderpriority IS NULL THEN '1' ELSE '0' END,
+              coalesce(o_orderpriority, ''))) AS h FROM a),
 hb AS (SELECT o_orderkey, md5(concat_ws(chr(31),
-              coalesce(o_custkey::VARCHAR, chr(0)),
-              coalesce(o_orderstatus, chr(0)),
-              coalesce(o_orderpriority, chr(0)))) AS h FROM b)
+              CASE WHEN o_custkey IS NULL THEN '1' ELSE '0' END,
+              coalesce(o_custkey::VARCHAR, ''),
+              CASE WHEN o_orderstatus IS NULL THEN '1' ELSE '0' END,
+              coalesce(o_orderstatus, ''),
+              CASE WHEN o_orderpriority IS NULL THEN '1' ELSE '0' END,
+              coalesce(o_orderpriority, ''))) AS h FROM b)
 SELECT coalesce(ha.o_orderkey, hb.o_orderkey) AS o_orderkey,
        CASE WHEN ha.h IS NULL THEN 'added'
             WHEN hb.h IS NULL THEN 'removed'

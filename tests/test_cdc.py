@@ -99,3 +99,20 @@ def test_dataset_diff_null_positions(spark):
                for r in dataset_diff(a, b, key_cols=["k"],
                                      digest=digest).collect()}
         assert out == {1: "changed", 2: "unchanged", 3: "changed"}, digest
+
+
+def test_dataset_diff_null_vs_nul_byte(spark):
+    """The r5 in-band '\\x00' sentinel made a NULL<->literal-NUL-byte
+    change classify 'unchanged' (ADVICE r6). The flag-cell encoding
+    distinguishes NULL from every string value, including '\\x00'."""
+    from hadoop_ir_spark.operators.cdc import dataset_diff
+
+    a = spark.createDataFrame([(1, None), (2, "\x00")],
+                              "k long, c string")
+    b = spark.createDataFrame([(1, "\x00"), (2, None)],
+                              "k long, c string")
+    for digest in ("md5", "xxhash64"):
+        out = {r["k"]: r["status"]
+               for r in dataset_diff(a, b, key_cols=["k"],
+                                     digest=digest).collect()}
+        assert out == {1: "changed", 2: "changed"}, digest

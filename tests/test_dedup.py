@@ -263,6 +263,10 @@ def test_edit_distance_pairs_gram_join_equivalent():
         "kitten", "sitten", "sittin", "sitting", "apple", "appel",
         "ax", "axe", "oak", "a", "", "approximate", "approximately",
         "banana", "bananas", "bandana", "aa", "aaa", "aaaa", "aaab",
+        # true mixed short/long pair at q=2, k=2 (short_len=5): len-5
+        # "hello" pairs with len-6 "helloo" across the short/long
+        # boundary — exercised by the gram join, not the band fallback
+        "hello", "helloo",
     ]
     df = spark.createDataFrame([(w,) for w in set(words)], "title string")
     for k in (1, 2, 3):
@@ -273,6 +277,10 @@ def test_edit_distance_pairs_gram_join_equivalent():
                 for r in fuzzy.edit_distance_pairs(
                     df, max_dist=k, method="gram_join").collect()}
         assert gram == band, f"k={k}"
+        if k == 2:
+            # the mixed short/long boundary pair must survive the gram
+            # path (ADVICE r6: it is NOT handled by the band fallback)
+            assert band[("hello", "helloo")] == 1
         # cross-check the band method against brute force once
         if k == 2:
             brute = {}
@@ -292,3 +300,91 @@ def _lev(a: str, b: str) -> int:
                            prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+def test_choose_method_corpus_shapes():
+    """method="auto" probe: length-concentrated + realistic vocabulary
+    -> gram_join; varied lengths or degenerate vocabulary -> band."""
+    import random
+
+    from hadoop_ir_spark.operators import fuzzy
+    from hadoop_ir_spark.session import get_spark
+
+    spark = get_spark("tests")
+    rng = random.Random(7)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    # fixed 16-char strings over a full alphabet: the band is one giant
+    # bucket (n^2 candidates) and the gram vocabulary is large
+    fixed = spark.createDataFrame(
+        [("".join(rng.choice(letters) for _ in range(16)),)
+         for _ in range(400)], "title string").distinct()
+    assert fuzzy.choose_method(fixed, max_dist=2) == "gram_join"
+    # varied lengths: the band is selective, keep the default
+    varied = spark.createDataFrame(
+        [("".join(rng.choice(letters) for _ in range(4 + i % 40)),)
+         for i in range(400)], "title string").distinct()
+    assert fuzzy.choose_method(varied, max_dist=2) == "band"
+    # fixed-length but a 2-letter alphabet: band is non-selective AND
+    # the gram vocabulary is degenerate (<= 4 bigrams) -> gram filter
+    # cannot prune, keep band
+    degenerate = spark.createDataFrame(
+        [("".join(rng.choice("ab") for _ in range(16)),)
+         for _ in range(400)], "title string").distinct()
+    assert fuzzy.choose_method(degenerate, max_dist=2) == "band"
+    # dispatch: method="auto" must run end-to-end and match band output
+    out_auto = {(r["a"], r["b"]): r["dist"]
+                for r in fuzzy.edit_distance_pairs(
+                    degenerate, max_dist=1, method="auto").collect()}
+    out_band = {(r["a"], r["b"]): r["dist"]
+                for r in fuzzy.edit_distance_pairs(
+                    degenerate, max_dist=1, method="band").collect()}
+    assert out_auto == out_band
+
+
+def test_gram_join_lossless_property():
+    """Property-based Gravano losslessness (VERDICT r6 optional #8):
+    apply k random edit operations to random base strings and assert
+    every (base, edited) pair within threshold survives the gram path.
+    Random edit scripts hit boundary shapes (prefix/suffix edits,
+    repeated chars, short/long straddles) the corpus fixtures don't."""
+    import random
+
+    from hadoop_ir_spark.operators import fuzzy
+    from hadoop_ir_spark.session import get_spark
+
+    spark = get_spark("tests")
+    rng = random.Random(1234)
+    letters = "abcdef"
+
+    def mutate(s, nops):
+        for _ in range(nops):
+            op = rng.choice("ids" if s else "i")
+            i = rng.randrange(len(s) + (op == "i"))
+            if op == "i":
+                s = s[:i] + rng.choice(letters) + s[i:]
+            elif op == "d":
+                s = s[:i] + s[i + 1:]
+            else:
+                s = s[:i] + rng.choice(letters) + s[i + 1:]
+        return s
+
+    for k, q in ((1, 2), (2, 2), (2, 3), (3, 2)):
+        words = set()
+        expected = {}
+        for _ in range(60):
+            base = "".join(rng.choice(letters)
+                           for _ in range(rng.randrange(1, 15)))
+            edited = mutate(base, rng.randrange(1, k + 1))
+            words.update((base, edited))
+        # ground truth over ALL pairs in the pool (mutations can collide)
+        ws = sorted(words)
+        for i, x in enumerate(ws):
+            for y in ws[i + 1:]:
+                d = _lev(x, y)
+                if d <= k:
+                    expected[(x, y)] = d
+        df = spark.createDataFrame([(w,) for w in ws], "title string")
+        got = {(r["a"], r["b"]): r["dist"]
+               for r in fuzzy.edit_distance_pairs(
+                   df, max_dist=k, q=q, method="gram_join").collect()}
+        assert got == expected, f"k={k} q={q}"

@@ -381,3 +381,24 @@ def test_jpeg_features_pipeline(spark):
     exp = 64 * sum((5 + 11 * by + 5 * bx) % 256
                    for by in range(h // 8) for bx in range(w // 8))
     assert out["sum_px"] == exp
+
+
+def test_jpeg_zrl_overflow_rejected():
+    """A ZRL run that pushes the coefficient index past 63 must raise
+    the uniform ValueError (ADVICE r6), not silently end the block."""
+    import numpy as np
+
+    good = multimodal.encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
+    sos = good.index(b"\xff\xda")
+    scan_start = sos + 10                 # marker(2) + len(2) + body(6)
+    bw = multimodal._BitWriter()
+    code, ln = multimodal._huff_codes(
+        multimodal._DC_BITS, multimodal._DC_SYMS)[0]
+    bw.put(code, ln)                      # DC category 0 (diff = 0)
+    zc, zl = multimodal._huff_codes(
+        multimodal._AC_BITS, multimodal._AC_SYMS)[0xF0]
+    for _ in range(4):                    # i: 1 -> 17 -> 33 -> 49 -> 65
+        bw.put(zc, zl)
+    bad = good[:scan_start] + bw.flush() + good[-2:]
+    with pytest.raises(ValueError, match="AC coefficient index"):
+        multimodal.decode_jpeg_gray(bad)
