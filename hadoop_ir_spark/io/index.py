@@ -57,20 +57,75 @@ def build_index(docs: DataFrame, out_dir: str, id_col: str = "docno",
 
 def build_positional_index(docs: DataFrame, out_dir: str,
                            id_col: str = "docno",
-                           text_col: str = "text") -> None:
+                           text_col: str = "text",
+                           pair_window: int | None = 8) -> None:
     """Positional companion to ``build_index``: one parquet table
     positional(docno, pos, term) — the materialization phrase/proximity
     operators read instead of re-tokenizing the corpus (the reference
     cannot build this at all: its mappers drop positions at tokenization,
     TrecRun.java:123-136). Sorted by term within partitions so a
     query-vocabulary ``term IN (...)`` filter prunes row groups via
-    parquet min/max stats."""
+    parquet min/max stats.
+
+    When ``pair_window`` is set, two PAIR-POSTINGS tables are built in
+    the same pass (VERDICT r6 #2) so proximity scoring never re-runs
+    positional offset joins at query time:
+
+    - ``pair_ordered(docno, t1, t2, otf)`` — exact-adjacency (Indri
+      ``#1``) counts for EVERY adjacent token pair;
+    - ``pair_unordered_w{W}(docno, u1, u2, utf)`` — unordered
+      window-W (Indri ``#uwW``) counts, pairs normalized u1 <= u2.
+
+    Build shape: both derive from ``lead(term, d) over (partition by
+    docno order by pos)`` — ONE shuffle by docno and one per-doc sort
+    shared by all offsets, instead of W-1 (docno, pos) self-joins. The
+    unordered table is the standard space/time trade of a proximity
+    index: (W-1) x corpus tokens rows pre-aggregation, linear in the
+    corpus, embarrassingly partition-parallel. Both tables are
+    range-partitioned and sorted on (t1/u1, t2/u2) so a query-pair
+    ``IN`` filter prunes files AND row groups via parquet min/max —
+    the per-query read is then proportional to the query pairs'
+    postings, never the corpus."""
+    from pyspark.sql.window import Window
+
     from hadoop_ir_spark.operators.proximity import positional_tokens
 
     ptoks = positional_tokens(docs, None, id_col=id_col, text_col=text_col)
     (ptoks.sortWithinPartitions("term")
      .write.mode("overwrite")
      .parquet(os.path.join(out_dir, "positional")))
+    if pair_window is None:
+        return
+    if pair_window < 2:
+        raise ValueError("pair_window must be >= 2")
+    spark = docs.sparkSession
+    ptoks = spark.read.parquet(os.path.join(out_dir, "positional"))
+    w = Window.partitionBy("docno").orderBy("pos")
+    ordered = (
+        ptoks.withColumn("t2", F.lead("term", 1).over(w))
+        .filter(F.col("t2").isNotNull())
+        .groupBy("docno", F.col("term").alias("t1"), "t2")
+        .agg(F.count(F.lit(1)).alias("otf"))
+    )
+    (ordered.repartitionByRange("t1", "t2")
+     .sortWithinPartitions("t1", "t2")
+     .write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "pair_ordered")))
+    nxt = F.array(*[F.lead("term", d).over(w)
+                    for d in range(1, pair_window)])
+    unord = (
+        ptoks.withColumn("_n", nxt)
+        .select("docno", "term", F.explode("_n").alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .select("docno", F.least("term", "w2").alias("u1"),
+                F.greatest("term", "w2").alias("u2"))
+        .groupBy("docno", "u1", "u2")
+        .agg(F.count(F.lit(1)).alias("utf"))
+    )
+    (unord.repartitionByRange("u1", "u2")
+     .sortWithinPartitions("u1", "u2")
+     .write.mode("overwrite")
+     .parquet(os.path.join(out_dir, f"pair_unordered_w{pair_window}")))
 
 
 def build_bucketed_index(docs: DataFrame, table_prefix: str,

@@ -158,8 +158,23 @@ def _sdm_features(spark, sf_dir, prox=None):
     Dirichlet-smoothed feature sums per candidate, with the pair-count
     frames checkpointed (each feeds a cf aggregate AND a feature join).
     ``prox`` overrides the corpus-scan inputs with an equivalent
-    materialization (queries/indexed.py serves them from the positional
-    + inverted indexes)."""
+    materialization (queries/indexed.py serves them from the inverted
+    + pair-postings indexes).
+
+    Plan shape: the same ALGEBRAIC SPLIT as the M5 Dirichlet scorer
+    (operators/scoring.py score_gslis) applied per feature class —
+
+        sum_x log((tf_x + mu*cf_x/C) / (dl + mu))
+      = QC_q - N_q * log(dl + mu) + sum_{matched x} delta_x,
+        delta_x = log(1 + tf_x * C / (mu * cf_x)),
+
+    where QC_q = sum_x log(mu*cf_x/C) and N_q = |features of q| are
+    per-query constants (tiny broadcast frames). Only MATCHED rows
+    (docs that actually contain the term / pair) ever enter a join —
+    there is no candidate x feature fan-out and no left joins carrying
+    every (candidate, feature) combination, which at sf1 halves the
+    feature-frame cost (the fan-out plan spent ~5.5s in cand/st/so/su/
+    final; this shape spends it only on matched postings)."""
     _, dlen, qpost, ordered, unord, bigrams = (
         prox if prox is not None else _spark_prox(spark, sf_dir))
     qpost = qpost.localCheckpoint()
@@ -182,38 +197,62 @@ def _sdm_features(spark, sf_dir, prox=None):
         "qid", F.least("t1", "t2").alias("u1"),
         F.greatest("t1", "t2").alias("u2")).distinct()
 
-    cand = qpost.join(F.broadcast(topics), "term").select("qid", "docno").distinct()
-    cand = cand.join(dlen, "docno").localCheckpoint()
+    # per-query constants: QC = sum log(mu*cf/C), N = feature count
+    def _qconst(feats, qc, n):
+        return feats.groupBy("qid").agg(
+            F.sum(F.log(SDM_MU * F.col("cf") / c)).alias(qc),
+            F.count(F.lit(1)).cast("double").alias(n))
 
-    def dirichlet(tf_col, cf_col):
-        return F.log((F.coalesce(tf_col, F.lit(0)) + SDM_MU * cf_col / c)
-                     / (F.col("doc_len") + SDM_MU))
+    qt = topics.join(tstats, "term")                      # (qid, term, cf)
+    qo = bigrams.join(cfo, ["t1", "t2"])                  # cf=0 pairs drop
+    qu = ubigrams.join(cfu, ["u1", "u2"])
+    qconst = (
+        _qconst(qt, "qc_t", "n_t")
+        .join(_qconst(qo, "qc_o", "n_o"), "qid", "left")
+        .join(_qconst(qu, "qc_u", "n_u"), "qid", "left")
+    )
 
-    st = (
-        cand.join(F.broadcast(topics.join(tstats, "term")), "qid")
-        .join(qpost.withColumnRenamed("tf", "utf_"),
-              ["docno", "term"], "left")
+    def delta(tf_col):
+        # log((tf + mu*cf/C) / (mu*cf/C)) for a matched row
+        return F.log1p(tf_col * c / (SDM_MU * F.col("cf")))
+
+    # matched contributions only — each frame holds one row per doc
+    # that CONTAINS the feature; candidates are exactly mt's keys
+    # (docs matching >= 1 query unigram, the scan-scoring convention)
+    mt = (
+        qpost.join(F.broadcast(qt), "term")
         .groupBy("qid", "docno")
-        .agg(F.sum(dirichlet(F.col("utf_"), F.col("cf"))).alias("f_t"))
+        .agg(F.sum(delta(F.col("tf"))).alias("dt"))
     )
-    so = (
-        cand.join(F.broadcast(bigrams.join(cfo, ["t1", "t2"])), "qid")
-        .join(ordered, ["docno", "t1", "t2"], "left")
+    mo = (
+        ordered.join(F.broadcast(qo), ["t1", "t2"])
         .groupBy("qid", "docno")
-        .agg(F.sum(dirichlet(F.col("otf"), F.col("cf"))).alias("f_o"))
+        .agg(F.sum(delta(F.col("otf"))).alias("do_"))
     )
-    su = (
-        cand.join(F.broadcast(ubigrams.join(cfu, ["u1", "u2"])), "qid")
-        .join(unord, ["docno", "u1", "u2"], "left")
+    mu_ = (
+        unord.join(F.broadcast(qu), ["u1", "u2"])
         .groupBy("qid", "docno")
-        .agg(F.sum(dirichlet(F.col("utf"), F.col("cf"))).alias("f_u"))
+        .agg(F.sum(delta(F.col("utf"))).alias("du"))
     )
+
+    ldl = F.log(F.col("doc_len") + SDM_MU)
+
+    def assemble(qc, n, d):
+        # a query with NO cf>0 features of this class contributes 0
+        return F.when(F.col(qc).isNull(), F.lit(0.0)).otherwise(
+            F.col(qc) - F.col(n) * ldl + F.coalesce(F.col(d), F.lit(0.0)))
+
     return (
-        st.join(so, ["qid", "docno"], "left")
-        .join(su, ["qid", "docno"], "left")
-        .select("qid", "docno", "f_t",
-                F.coalesce("f_o", F.lit(0.0)).alias("f_o"),
-                F.coalesce("f_u", F.lit(0.0)).alias("f_u"))
+        mt.join(mo, ["qid", "docno"], "left")
+        .join(mu_, ["qid", "docno"], "left")
+        .join(dlen, "docno")
+        .join(F.broadcast(qconst), "qid")
+        .select(
+            "qid", "docno",
+            (F.col("qc_t") - F.col("n_t") * ldl + F.col("dt")).alias("f_t"),
+            assemble("qc_o", "n_o", "do_").alias("f_o"),
+            assemble("qc_u", "n_u", "du").alias("f_u"),
+        )
     )
 
 

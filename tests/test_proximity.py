@@ -193,3 +193,54 @@ def test_rocchio_query_terms_carry_alpha(spark, sf_dir):
         # any surfaced original query term must carry at least alpha
         for t in set(q.split()) & got.keys():
             assert got[t] >= ROCCHIO_ALPHA
+
+
+def test_pair_postings_tables_match_offset_joins(spark, tmp_path):
+    """The build-time pair-postings tables (r7: lead()-derived #1 and
+    #uw8 counts over ALL terms) restricted to a query pair set must
+    equal the query-time offset equi-join operators on the filtered
+    positional stream — the equivalence indexed_sdm_topk's oracle reuse
+    rests on."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hadoop_ir_spark.io import index as index_io
+    from hadoop_ir_spark.operators.proximity import (
+        ordered_pair_counts,
+        positional_tokens,
+        unordered_pair_counts,
+    )
+
+    rng = random.Random(3)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab)
+                      for _ in range(rng.randrange(1, 30))))
+         for i in range(30)],
+        "docno long, text string",
+    )
+    out = str(tmp_path / "posidx")
+    index_io.build_positional_index(docs, out, pair_window=4)
+
+    qterms = ["a", "b", "c"]
+    pairs = [(t1, t2) for t1 in qterms for t2 in qterms]
+    upairs = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    pairs_df = spark.createDataFrame(pairs, "t1 string, t2 string")
+    upairs_df = spark.createDataFrame(upairs, "u1 string, u2 string")
+    ptoks = positional_tokens(docs, qterms)
+
+    want_o = {(r["docno"], r["t1"], r["t2"]): r["otf"]
+              for r in ordered_pair_counts(ptoks, pairs_df).collect()}
+    got_o = {(r["docno"], r["t1"], r["t2"]): r["otf"]
+             for r in spark.read.parquet(out + "/pair_ordered")
+             .join(F.broadcast(pairs_df), ["t1", "t2"]).collect()}
+    assert got_o == want_o
+
+    want_u = {(r["docno"], r["u1"], r["u2"]): r["utf"]
+              for r in unordered_pair_counts(
+                  ptoks, upairs_df, window=4).collect()}
+    got_u = {(r["docno"], r["u1"], r["u2"]): r["utf"]
+             for r in spark.read.parquet(out + "/pair_unordered_w4")
+             .join(F.broadcast(upairs_df), ["u1", "u2"]).collect()}
+    assert got_u == want_u
