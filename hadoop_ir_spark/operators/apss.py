@@ -61,28 +61,17 @@ IDF_SCALE = 100        # idf_q = (n_docs * IDF_SCALE) div df
 NW_SCALE = 1_000_000   # ceil-quantization scale for normalized weights
 
 
-def apss_cosine_pairs(docs: DataFrame, tau: float = 0.9,
-                      id_col: str = "doc_id",
-                      text_col: str = "text",
-                      small_index: bool = True) -> DataFrame:
-    """Exact pairs (id_a < id_b, cosine) with tf-idf cosine ≥ ``tau``.
-
-    Returns columns ``id_a, id_b, cosine`` (cosine rounded to 6).
-
-    ``small_index=True`` (default) BROADCASTS the prefix index and the
-    verification postings: the candidate/verify joins then run over an
-    explicitly repartitioned probe side with no shuffle and no possible
-    key skew. This is the right plan whenever the prefix index fits in
-    memory (tau-monotone; tens of millions of postings). The quadratic
-    expansion is compute-bound on byte-tiny inputs — exactly where AQE's
-    byte-based partition coalescing serializes the work (measured here:
-    the fused auto-planned join ran 50s where the explicit plan runs
-    ~8s) — so the probe side is repartitioned by parallelism, not bytes.
-    At index sizes beyond memory set ``small_index=False``: the
-    candidate stage becomes a salted shuffle join on term (vocabulary
-    hot keys spread over salt buckets) and verification shuffles on the
-    pair key.
-    """
+def prefix_candidate_pairs(docs: DataFrame, tau: float = 0.9,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           small_index: bool = True):
+    """The Bayardo prefix-filter candidate stage: returns
+    ``(cand, uw, n2)`` where ``cand`` is the distinct (id_a < id_b)
+    candidate-pair frame the verification join must score, ``uw`` the
+    checkpointed integer tf-idf postings, ``n2`` the per-doc squared
+    norms. Public so tests can PIN the filter's selectivity — the r5
+    ascending-maxq ordering bug passed every correctness check (the
+    filter stayed lossless) and only the candidate COUNT exposes it."""
     post = (docs
             .select(F.col(id_col).alias("docno"),
                     F.explode(tokens_col(text_col)).alias("term"))
@@ -132,6 +121,34 @@ def apss_cosine_pairs(docs: DataFrame, tau: float = 0.9,
             .select(F.least("da", "db").alias("id_a"),
                     F.greatest("da", "db").alias("id_b"))
             .distinct())
+    return cand, uw, n2
+
+
+def apss_cosine_pairs(docs: DataFrame, tau: float = 0.9,
+                      id_col: str = "doc_id",
+                      text_col: str = "text",
+                      small_index: bool = True) -> DataFrame:
+    """Exact pairs (id_a < id_b, cosine) with tf-idf cosine ≥ ``tau``.
+
+    Returns columns ``id_a, id_b, cosine`` (cosine rounded to 6).
+
+    ``small_index=True`` (default) BROADCASTS the prefix index and the
+    verification postings: the candidate/verify joins then run over an
+    explicitly repartitioned probe side with no shuffle and no possible
+    key skew. This is the right plan whenever the prefix index fits in
+    memory (tau-monotone; tens of millions of postings). The quadratic
+    expansion is compute-bound on byte-tiny inputs — exactly where AQE's
+    byte-based partition coalescing serializes the work (measured here:
+    the fused auto-planned join ran 50s where the explicit plan runs
+    ~8s) — so the probe side is repartitioned by parallelism, not bytes.
+    At index sizes beyond memory set ``small_index=False``: the
+    candidate stage becomes a salted shuffle join on term (vocabulary
+    hot keys spread over salt buckets) and verification shuffles on the
+    pair key.
+    """
+    cand, uw, n2 = prefix_candidate_pairs(docs, tau, id_col, text_col,
+                                          small_index)
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
 
     pa = uw.select(F.col("docno").alias("id_a"), "term",
                    F.col("w").alias("wa"))
@@ -157,14 +174,16 @@ def apss_cosine_pairs(docs: DataFrame, tau: float = 0.9,
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 
-def apss_oracle_sql(tau: float, sample_mod: int | None = None) -> str:
+def apss_oracle_sql(tau: float, sample_mod: int | None = None,
+                    src: str = "documents") -> str:
     """Brute-force DuckDB replay: every shared-term pair, exact integer
     dot, same quantized weights — what the lossless filter must equal.
     ``sample_mod`` mirrors the catalog entry's deterministic hash-slice
-    of the input corpus (see q_apss_cosine_pairs for why)."""
-    src = "documents"
+    of the input corpus (see q_apss_cosine_pairs for why); ``src``
+    overrides the corpus relation (the Zipf fixture entry passes a
+    ``read_parquet(...)`` literal)."""
     if sample_mod is not None:
-        src = f"""(SELECT * FROM documents
+        src = f"""(SELECT * FROM {src}
    WHERE CAST(('0x' || substr(md5('apss:' || CAST(doc_id AS VARCHAR)), 1, 15))
               AS BIGINT) % {sample_mod} = 0)"""
     return f"""

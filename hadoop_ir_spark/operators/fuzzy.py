@@ -123,14 +123,18 @@ def choose_method(strings: DataFrame, col: str = "title",
 def edit_distance_pairs(strings: DataFrame, col: str = "title",
                         max_dist: int = 2, q: int = 2,
                         method: str = "band",
-                        parallelism: int | None = None) -> DataFrame:
+                        parallelism: int | None = None,
+                        candidates_only: bool = False) -> DataFrame:
     """Self-join of distinct strings with ``levenshtein <= max_dist``:
     (a, b, dist) with a < b (each unordered pair once).
 
     ``strings`` must carry one row per distinct value of ``col`` (use
     ``.distinct()`` upstream — duplicate values would only multiply
     identical pairs). ``q`` is the q-gram width for the count filter
-    (>= 2, only used by ``method="gram_join"``).
+    (>= 2, only used by ``method="gram_join"``). ``candidates_only``
+    returns the (a, b) pairs ENTERING the levenshtein verification —
+    the method's probe count, pinnable in tests so a filter-ordering
+    regression (the r5 ascending-maxq class) fails loudly.
 
     The probe side is explicitly repartitioned: the input is BYTES-tiny
     (thousands of short strings) so AQE's coalescing would pack it into
@@ -151,6 +155,8 @@ def edit_distance_pairs(strings: DataFrame, col: str = "title",
     s = strings.select(F.col(col).alias("_s"))
 
     def _finish(pairs: DataFrame) -> DataFrame:
+        if candidates_only:
+            return pairs.select("a", "b")
         # threshold form = banded O(k*len) DP with early abandon;
         # returns -1 when the distance exceeds k
         return (

@@ -30,6 +30,7 @@ _MODULES = [
     "sketches_q",
     "llmdata",
     "proximity_q",
+    "zipf_q",
 ]
 
 

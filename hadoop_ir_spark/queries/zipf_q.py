@@ -1,0 +1,82 @@
+"""Zipf-vocabulary regression surface (VERDICT r6 #4).
+
+The synthetic grading corpus has a ~31-term vocabulary, so the two
+candidate-filter operators whose 100 TB value IS their selectivity —
+the APSS prefix filter (Bayardo WWW'07) and the fuzzy join's positional
+q-gram filter (Gravano VLDB'01) — are degenerate on it: every doc pair
+shares terms, every title pair shares grams. Their measured behavior on
+a REALISTIC vocabulary (1875x / 483x candidate reduction, SCALING.md)
+lived only in a measurement tool until this module; a future ordering
+bug of the r5 ascending-maxq class (lossless, correctness-green,
+selectivity silently 1.0x) would have been invisible to the catalog.
+
+These entries run the operators on a committed fixed corpus —
+``fixtures/zipf/documents.parquet``, 8,000 docs whose tokens are
+Zipf(1.07)-sampled from the ~20k-word KStem headword lexicon with 300
+planted near-dup pairs, generated deterministically by
+``tools/zipf_selectivity.py`` (SEED 20260814) and committed so Spark
+and the DuckDB oracle read the same bytes regardless of evaluation
+order. Both entries take the (sf_dir-independent) fixture as input —
+they are a fixed-size regression guard, not an sf-scaled workload; the
+selectivity COUNTS are pinned in tests/test_zipf_surface.py, which is
+what fails loudly if the filters stop pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.operators import apss, fuzzy
+
+ZIPF_PARQUET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))),
+    "fixtures", "zipf", "documents.parquet")
+
+ZIPF_TAU = 0.85        # same thresholds the r6 selectivity table used
+ZIPF_FUZZY_K = 3
+ZIPF_TITLE_LEN = 16    # fixed-width prefix: band non-selective by design
+
+
+def _zipf_docs(spark):
+    return spark.read.parquet(ZIPF_PARQUET)
+
+
+@register("apss_cosine_pairs_zipf",
+          apss.apss_oracle_sql(ZIPF_TAU,
+                               src=f"read_parquet('{ZIPF_PARQUET}')"))
+def q_apss_zipf(spark, sf_dir):
+    """Exact APSS on the Zipf fixture: unlike the main catalog entry
+    (which must hash-slice the grading corpus because its vocabulary
+    makes the prefix filter degenerate), this runs UNsliced — on a
+    realistic vocabulary the filter admits 3.7% of postings and 17k of
+    32.0M shared-term pairs (SCALING.md), so full size is cheap. The
+    brute-force DuckDB replay is the losslessness check."""
+    return apss.apss_cosine_pairs(_zipf_docs(spark), tau=ZIPF_TAU)
+
+
+@register("fuzzy_pairs_zipf", f"""
+WITH titles AS (
+  SELECT DISTINCT substr(text, 1, {ZIPF_TITLE_LEN}) AS title
+  FROM read_parquet('{ZIPF_PARQUET}')
+)
+SELECT a.title AS a, b.title AS b,
+       CAST(levenshtein(a.title, b.title) AS INT) AS dist
+FROM titles a JOIN titles b
+  ON a.title < b.title
+ AND levenshtein(a.title, b.title) <= {ZIPF_FUZZY_K}
+""")
+def q_fuzzy_zipf(spark, sf_dir):
+    """Edit-distance self-join over fixed-width (16-char) Zipf title
+    prefixes with ``method="gram_join"`` — the corpus shape where
+    length banding degenerates to all-pairs (every title is in one
+    band) and the positional q-gram filter is what keeps the plan off
+    the quadratic: 54,665 DP probes vs 26.4M banded (483x, SCALING.md).
+    The DuckDB oracle is the brute-force pair set."""
+    titles = _zipf_docs(spark).select(
+        F.substring("text", 1, ZIPF_TITLE_LEN).alias("title")).distinct()
+    return fuzzy.edit_distance_pairs(
+        titles, "title", max_dist=ZIPF_FUZZY_K, method="gram_join")

@@ -1,0 +1,72 @@
+"""Selectivity regression guards on the committed Zipf fixture
+(VERDICT r6 #4): the APSS prefix filter and the fuzzy q-gram filter are
+LOSSLESS under any ordering bug — correctness checks cannot catch the
+r5 ascending-maxq class of regression (measured 1.0x pruning). These
+tests pin the candidate COUNTS the r6 measurements established, so a
+filter that stops pruning fails loudly."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_ir_spark.queries.zipf_q import (
+    ZIPF_FUZZY_K,
+    ZIPF_PARQUET,
+    ZIPF_TAU,
+    ZIPF_TITLE_LEN,
+)
+
+# measured on the fixture (tools/zipf_selectivity.py, SCALING.md r6):
+# 17,064 prefix-filtered candidates vs 31,995,939 unfiltered shared-term
+# pairs; 54,665 gram-join DP probes vs 26,430,085 banded. The bounds
+# leave ~2x headroom for benign filter tweaks while sitting 3 orders of
+# magnitude under the degenerate counts.
+APSS_CAND_MAX = 40_000
+FUZZY_PROBE_MAX = 120_000
+
+
+@pytest.fixture(scope="module")
+def zipf_docs(spark):
+    return spark.read.parquet(ZIPF_PARQUET)
+
+
+def test_apss_prefix_filter_prunes_on_zipf(spark, zipf_docs):
+    from hadoop_ir_spark.operators import apss
+
+    cand, _, _ = apss.prefix_candidate_pairs(zipf_docs, tau=ZIPF_TAU)
+    n = cand.count()
+    assert n <= APSS_CAND_MAX, (
+        f"{n:,} candidates — the prefix filter stopped pruning "
+        "(r5 ascending-maxq regression class); unfiltered is ~32.0M")
+    # and it still finds every planted/true pair: the strict oracle
+    # (apss_cosine_pairs_zipf) is the losslessness check; here we pin
+    # the exact output count so both sides of the trade stay visible
+    from hadoop_ir_spark.operators.apss import apss_cosine_pairs
+    assert apss_cosine_pairs(zipf_docs, tau=ZIPF_TAU).count() == 179
+
+
+def test_fuzzy_gram_filter_prunes_on_zipf(spark, zipf_docs):
+    from pyspark.sql import functions as F
+
+    from hadoop_ir_spark.operators import fuzzy
+
+    titles = zipf_docs.select(
+        F.substring("text", 1, ZIPF_TITLE_LEN).alias("title")).distinct()
+    probes = fuzzy.edit_distance_pairs(
+        titles, "title", max_dist=ZIPF_FUZZY_K, method="gram_join",
+        candidates_only=True).count()
+    assert probes <= FUZZY_PROBE_MAX, (
+        f"{probes:,} DP probes — the q-gram count filter stopped "
+        "pruning; the banded/all-pairs count here is ~26.4M")
+
+
+def test_fuzzy_auto_selects_gram_join_on_zipf(spark, zipf_docs):
+    """The fixed-width Zipf titles are exactly the corpus shape the
+    auto selector must route away from the band path."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ir_spark.operators import fuzzy
+
+    titles = zipf_docs.select(
+        F.substring("text", 1, ZIPF_TITLE_LEN).alias("title")).distinct()
+    assert fuzzy.choose_method(titles, max_dist=ZIPF_FUZZY_K) == "gram_join"

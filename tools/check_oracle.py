@@ -106,6 +106,10 @@ PINNED_JUDGE_VERIFIED = sorted({
     "indexed_rm3_feedback",
     # round 6 cont.: SDM served from the positional + inverted indexes
     "indexed_sdm_topk",
+    # round 7: Zipf-fixture selectivity surface (VERDICT r6 #4),
+    # strict at sf0.01 on addition; candidate counts pinned in
+    # tests/test_zipf_surface.py
+    "apss_cosine_pairs_zipf", "fuzzy_pairs_zipf",
 })
 
 
