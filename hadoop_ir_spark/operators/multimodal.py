@@ -4,12 +4,14 @@ Arrow-batched ``mapInPandas`` stages.
 
 The decode layer is pluggable:
 - REAL built-in codecs (no external libs): RIFF/PCM WAV, 24-bit BMP,
-  (r5) deflate-compressed PNG and (r6) baseline grayscale JPEG —
-  Huffman entropy coding + DCT, see the codec section below.
-- REAL external path: PIL / soundfile / av decode for the remaining
-  formats (color JPEG, FLAC, video) — gated behind import-try; these
-  libraries are absent in this container, so that branch raises a
-  clearly-marked NotImplementedError if forced.
+  (r5) deflate-compressed PNG, (r6) baseline grayscale JPEG and (r7)
+  baseline 3-component YCbCr color JPEG (4:2:0/4:2:2/4:4:4 decode,
+  4:2:0 encode) — Huffman entropy coding + DCT, see the codec section
+  below. No image decode path is library-gated anymore.
+- REAL external path: soundfile / av decode for the remaining formats
+  (FLAC, video) — gated behind import-try; these libraries are absent
+  in this container, so that branch raises a clearly-marked
+  NotImplementedError if forced.
 - FAKE path (default when libs are missing): a deterministic byte-level
   "decode" — payload bytes ARE the samples. Feature math (exact integer
   sums → mean/variance) is reproducible in DuckDB for the oracle gate, so
@@ -197,24 +199,21 @@ def audio_window_features(media: DataFrame, window: int = 32,
 
 def resize_images(media: DataFrame, width: int, height: int,
                   fmt: str = "bmp") -> DataFrame:
-    """REAL resize for 24-bit BMP and (r5) 8-bit RGB PNG payloads:
-    decode with the real parsers below, nearest-neighbor resample in
-    numpy (``src = (dst * src_dim) // dst_dim``), re-encode a valid
-    file of the same format. Color JPEG resize still needs PIL, absent
-    here — that path stays explicitly gated (grayscale JPEG decode is
-    real as of r6; see decode_jpeg_gray below)."""
-    if fmt not in ("bmp", "png"):
-        if not _pil_available():
-            raise NotImplementedError(
-                f"resize_images({fmt!r}) requires PIL; the real 'bmp' and"
-                " 'png' codecs are the available paths in this environment"
-            )
-        raise NotImplementedError("PIL resize path not wired yet")
+    """REAL resize for 24-bit BMP, (r5) 8-bit RGB PNG and (r7) baseline
+    color JPEG payloads: decode with the real parsers below,
+    nearest-neighbor resample in numpy (``src = (dst * src_dim) //
+    dst_dim``), re-encode a valid file of the same format. No external
+    codec library remains on any path (the r6 PIL gate is gone:
+    grayscale JPEG decode landed in r6, 4:2:0 color JPEG in r7)."""
+    if fmt not in ("bmp", "png", "jpeg"):
+        raise ValueError(f"resize_images: unsupported format {fmt!r}")
 
     import numpy as np
 
-    dec = decode_bmp24 if fmt == "bmp" else decode_png
-    enc = encode_bmp24 if fmt == "bmp" else encode_png_rgb
+    dec = {"bmp": decode_bmp24, "png": decode_png,
+           "jpeg": decode_jpeg_color}[fmt]
+    enc = {"bmp": encode_bmp24, "png": encode_png_rgb,
+           "jpeg": encode_jpeg_color_rgb}[fmt]
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -747,6 +746,48 @@ def _mag_category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
+def _encode_block(bw_: "_BitWriter", blk: "np.ndarray", q: "np.ndarray",
+                  dc_codes: dict, ac_codes: dict, prev_dc: int) -> int:
+    """DCT + quantize + entropy-code one 8x8 sample block; returns the
+    new DC predictor. Shared by the grayscale and color encoders."""
+    m = _DCT_M
+    zz_r, zz_c = _ZIGZAG[:, 0], _ZIGZAG[:, 1]
+    coef = m @ (blk.astype(np.float64) - 128.0) @ m.T
+    qc = np.round(coef / q).astype(np.int64)
+    zz = qc[zz_r, zz_c]
+    # DC: category + extend bits of the prediction diff
+    diff = int(zz[0] - prev_dc)
+    new_dc = int(zz[0])
+    s = _mag_category(diff)
+    code, ln = dc_codes[s]
+    bw_.put(code, ln)
+    if s:
+        bw_.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    # AC: (run, size) with ZRL/EOB
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if zz.any() else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            if i > last_nz:
+                break
+            run += 1
+            if run == 16:
+                zc, zl = ac_codes[0xF0]   # ZRL
+                bw_.put(zc, zl)
+                run = 0
+            continue
+        s = _mag_category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw_.put(code, ln)
+        bw_.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        ec, el = ac_codes[0x00]           # EOB
+        bw_.put(ec, el)
+    return new_dc
+
+
 def encode_jpeg_gray(pixels: "np.ndarray",
                      quant: "np.ndarray | None" = None) -> bytes:
     """Baseline sequential grayscale JPEG writer. ``pixels`` is (H, W)
@@ -766,54 +807,21 @@ def encode_jpeg_gray(pixels: "np.ndarray",
         raise ValueError("quant table must be 8x8 with entries in 1..255")
     bh, bw = -(-h // 8), -(-w // 8)
     padded = np.pad(pix, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-    m = _DCT_M
     dc_codes = _huff_codes(_DC_BITS, _DC_SYMS)
     ac_codes = _huff_codes(_AC_BITS, _AC_SYMS)
-    zz_r, zz_c = _ZIGZAG[:, 0], _ZIGZAG[:, 1]
     bw_ = _BitWriter()
     prev_dc = 0
     for by in range(bh):
         for bx in range(bw):
             blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-            coef = m @ (blk.astype(np.float64) - 128.0) @ m.T
-            qc = np.round(coef / q).astype(np.int64)
-            zz = qc[zz_r, zz_c]
-            # DC: category + extend bits of the prediction diff
-            diff = int(zz[0] - prev_dc)
-            prev_dc = int(zz[0])
-            s = _mag_category(diff)
-            code, ln = dc_codes[s]
-            bw_.put(code, ln)
-            if s:
-                bw_.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            # AC: (run, size) with ZRL/EOB
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if zz.any() else 0
-            for i in range(1, 64):
-                v = int(zz[i])
-                if v == 0:
-                    if i > last_nz:
-                        break
-                    run += 1
-                    if run == 16:
-                        zc, zl = ac_codes[0xF0]   # ZRL
-                        bw_.put(zc, zl)
-                        run = 0
-                    continue
-                s = _mag_category(v)
-                code, ln = ac_codes[(run << 4) | s]
-                bw_.put(code, ln)
-                bw_.put(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                ec, el = ac_codes[0x00]           # EOB
-                bw_.put(ec, el)
+            prev_dc = _encode_block(bw_, blk, q, dc_codes, ac_codes,
+                                    prev_dc)
     scan = bw_.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    zz_q = q[zz_r, zz_c].astype(np.uint8).tobytes()
+    zz_q = q[_ZIGZAG[:, 0], _ZIGZAG[:, 1]].astype(np.uint8).tobytes()
     out = struct.pack(">H", 0xFFD8)                        # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, b"\x00" + zz_q)                     # DQT Pq=0 Tq=0
@@ -824,6 +832,148 @@ def encode_jpeg_gray(pixels: "np.ndarray",
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")        # SOS
     out += scan + struct.pack(">H", 0xFFD9)                # EOI
     return out
+
+
+
+# ITU-T T.81 Annex K.3.1/K.3.2 CHROMINANCE Huffman tables (same
+# canonical form as the luminance pair above); the long length-16 AC
+# tail is generated from its contiguous runs to avoid transcription
+# errors — canonical validity is what decode correctness depends on,
+# and the bits/symbol-count invariant is asserted below.
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_SYMS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_SYMS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1,
+    0x17, 0x18, 0x19, 0x1A,
+    *range(0x26, 0x2B), *range(0x35, 0x3B), *range(0x43, 0x4B),
+    *range(0x53, 0x5B), *range(0x63, 0x6B), *range(0x73, 0x7B),
+    *range(0x82, 0x8B), *range(0x92, 0x9B), *range(0xA2, 0xAB),
+    *range(0xB2, 0xBB), *range(0xC2, 0xCB), *range(0xD2, 0xDB),
+    *range(0xE2, 0xEB), *range(0xF2, 0xFB),
+]
+assert sum(_AC_BITS_C) == len(_AC_SYMS_C) == 162
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _zz_bytes(q: "np.ndarray") -> bytes:
+    return q[_ZIGZAG[:, 0], _ZIGZAG[:, 1]].astype(np.uint8).tobytes()
+
+
+def _check_quant(q: "np.ndarray | None") -> "np.ndarray":
+    q = (np.ones((8, 8), dtype=np.int64) if q is None
+         else np.asarray(q, dtype=np.int64))
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant table must be 8x8 with entries in 1..255")
+    return q
+
+
+def rgb_to_ycbcr(pix: "np.ndarray"):
+    """(H, W, 3) uint8 RGB → three (H, W) uint8 planes via the
+    JFIF/BT.601 full-range matrix, floor(x + 0.5)-rounded then clamped
+    — the exact inverse pairing of decode_jpeg_color's conversion."""
+    p = np.asarray(pix, dtype=np.float64)
+    if p.ndim != 3 or p.shape[2] != 3:
+        raise ValueError("rgb_to_ycbcr expects a (H, W, 3) image")
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = np.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+    cr = np.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+    clip = lambda a: np.clip(a, 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(cb), clip(cr)
+
+
+def encode_jpeg_color(y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray",
+                      quant_luma: "np.ndarray | None" = None,
+                      quant_chroma: "np.ndarray | None" = None) -> bytes:
+    """Baseline sequential 3-component YCbCr 4:2:0 JPEG writer from
+    full-resolution planes: Y coded at 2x2 sampling, Cb/Cr downsampled
+    by an exact integer 2x2 mean (``(sum + 2) // 4`` — deterministic,
+    and lossless on 2x2-constant chroma, which is what the DC-only
+    value oracle synthesizes). MCUs are 16x16 pixels interleaved
+    Y1 Y2 Y3 Y4 Cb Cr (T.81 A.2.3) with one DC predictor per
+    component; luma uses the Annex K luminance Huffman/quant pair
+    (table ids 0), chroma the chrominance pair (table ids 1). Partial
+    edge MCUs are edge-replicated and cropped back by the decoder."""
+    y = np.asarray(y, dtype=np.uint8)
+    cb = np.asarray(cb, dtype=np.uint8)
+    cr = np.asarray(cr, dtype=np.uint8)
+    if y.ndim != 2 or y.shape != cb.shape or y.shape != cr.shape:
+        raise ValueError(
+            "encode_jpeg_color expects three equal-shape (H, W) planes")
+    h, w = y.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ql = _check_quant(quant_luma)
+    qc = _check_quant(quant_chroma)
+    mh, mw = -(-h // 16), -(-w // 16)
+
+    def pad(p):
+        return np.pad(p, ((0, mh * 16 - h), (0, mw * 16 - w)), mode="edge")
+
+    yp = pad(y)
+
+    def sub(p):
+        p = pad(p).astype(np.int64)
+        s = (p[0::2, 0::2] + p[0::2, 1::2]
+             + p[1::2, 0::2] + p[1::2, 1::2])
+        return ((s + 2) // 4).astype(np.uint8)
+
+    cbs, crs = sub(cb), sub(cr)                  # (mh*8, mw*8)
+    dc_l = _huff_codes(_DC_BITS, _DC_SYMS)
+    ac_l = _huff_codes(_AC_BITS, _AC_SYMS)
+    dc_c = _huff_codes(_DC_BITS_C, _DC_SYMS_C)
+    ac_c = _huff_codes(_AC_BITS_C, _AC_SYMS_C)
+    bw_ = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mh):
+        for mx in range(mw):
+            for v in range(2):
+                for u in range(2):
+                    y0, x0 = (my * 2 + v) * 8, (mx * 2 + u) * 8
+                    pred[0] = _encode_block(
+                        bw_, yp[y0:y0 + 8, x0:x0 + 8], ql, dc_l, ac_l,
+                        pred[0])
+            pred[1] = _encode_block(
+                bw_, cbs[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], qc,
+                dc_c, ac_c, pred[1])
+            pred[2] = _encode_block(
+                bw_, crs[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], qc,
+                dc_c, ac_c, pred[2])
+    scan = bw_.flush()
+
+    out = struct.pack(">H", 0xFFD8)                        # SOI
+    out += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(0xFFDB, b"\x00" + _zz_bytes(ql)
+                     + b"\x01" + _zz_bytes(qc))           # DQT Tq=0,1
+    out += _jpeg_seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+                     + b"\x01\x22\x00"                    # Y  2x2 Tq0
+                     + b"\x02\x11\x01"                    # Cb 1x1 Tq1
+                     + b"\x03\x11\x01")                   # Cr 1x1 Tq1
+    out += _jpeg_seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_SYMS))
+    out += _jpeg_seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_SYMS))
+    out += _jpeg_seg(0xFFC4, b"\x01" + bytes(_DC_BITS_C)
+                     + bytes(_DC_SYMS_C))
+    out += _jpeg_seg(0xFFC4, b"\x11" + bytes(_AC_BITS_C)
+                     + bytes(_AC_SYMS_C))
+    out += _jpeg_seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    out += scan + struct.pack(">H", 0xFFD9)                # EOI
+    return out
+
+
+def encode_jpeg_color_rgb(pix: "np.ndarray",
+                          quant_luma: "np.ndarray | None" = None,
+                          quant_chroma: "np.ndarray | None" = None) -> bytes:
+    """(H, W, 3) uint8 RGB convenience wrapper: BT.601 conversion +
+    the 4:2:0 planar writer above."""
+    y, cb, cr = rgb_to_ycbcr(pix)
+    return encode_jpeg_color(y, cb, cr, quant_luma, quant_chroma)
 
 
 class _BitReader:
@@ -909,22 +1059,21 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> "np.ndarray":
-    """Real baseline JPEG decoder for 8-bit single-component (grayscale)
-    streams: marker walk, DQT/DHT/SOF0/SOS parse (tables read from the
-    stream, multiple DQT/DHT segments supported), canonical-Huffman
-    DC/AC entropy decode with byte de-stuffing, dequantization, inverse
-    zigzag, float IDCT, level shift and clamp, cropped to the declared
-    dimensions. Rejects progressive/multi-component/restart-interval
-    streams explicitly (ValueError) rather than mis-decoding them."""
-    b = bytes(payload)
+def _parse_jpeg_headers(b: bytes):
+    """Marker walk shared by the grayscale and color decoders: returns
+    ``(qt, huff, (h, w, comps), scan_refs, scan_pos)`` where ``comps``
+    is the SOF0 component list ``[(cid, hh, vv, tq), ...]`` in stream
+    order and ``scan_refs`` the SOS list ``[(cid, td, ta), ...]``.
+    Tables are read from the stream (multiple DQT/DHT segments
+    supported); progressive/extended SOFs and restart intervals are
+    rejected explicitly rather than mis-decoded."""
     if len(b) < 4 or struct.unpack_from(">H", b, 0)[0] != 0xFFD8:
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
     qt: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
-    scan_tables = None
+    scan_refs = None
     while pos + 4 <= len(b):
         (marker,) = struct.unpack_from(">H", b, pos)
         if marker >> 8 != 0xFF:
@@ -970,18 +1119,23 @@ def decode_jpeg_gray(payload: bytes) -> "np.ndarray":
                 huff[(tc, th)] = _huff_decode_tree(bits, syms)
                 o += 17 + nsym
         elif marker == 0xFFC0:                   # SOF0 baseline
-            if len(body) < 9:
+            if len(body) < 6:
                 raise ValueError("short SOF0 segment")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
-            if nc != 1:
+            if nc not in (1, 3):
                 raise ValueError(
-                    "only single-component (grayscale) JPEG supported")
-            hv, tq = body[7], body[8]
-            if hv != 0x11:
-                raise ValueError("subsampling on 1 component unsupported")
-            sof = (h, w, tq)
+                    "only 1-component (grayscale) or 3-component (YCbCr) "
+                    "baseline JPEG supported")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("short SOF0 segment")
+            comps = []
+            for i in range(nc):
+                cid = body[6 + 3 * i]
+                hv = body[7 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]))
+            sof = (h, w, comps)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError(
@@ -989,64 +1143,170 @@ def decode_jpeg_gray(payload: bytes) -> "np.ndarray":
         elif marker == 0xFFDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xFFDA:                   # SOS
-            if len(body) < 6:
+            if len(body) < 4:
                 raise ValueError("short SOS segment")
-            if body[0] != 1:
-                raise ValueError("scan must reference exactly 1 component")
-            td, ta = body[2] >> 4, body[2] & 0x0F
-            scan_tables = (td, ta)
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("short SOS segment")
+            scan_refs = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
             pos = pos + 2 + ln
             break
         pos += 2 + ln
-    if sof is None or scan_tables is None:
+    if sof is None or scan_refs is None:
         raise ValueError("JPEG missing SOF0 or SOS")
-    h, w, tq = sof
+    return qt, huff, sof, scan_refs, pos
+
+
+def _decode_block_zz(br: "_BitReader", dc_tbl: dict, ac_tbl: dict,
+                     pred: int):
+    """Entropy-decode one block's 64 zigzag coefficients; returns
+    ``(zz, new_pred)``. Shared by the grayscale and color decoders."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = _read_symbol(br, dc_tbl)
+    if s > 11:
+        raise ValueError("invalid DC magnitude category")
+    diff = _extend(br.bits(s), s) if s else 0
+    pred += diff
+    zz[0] = pred
+    i = 1
+    while i < 64:
+        rs = _read_symbol(br, ac_tbl)
+        if rs == 0x00:                    # EOB
+            break
+        if rs == 0xF0:                    # ZRL
+            i += 16
+            if i > 63:
+                # T.81 F.2.2.2: ZRL is only valid when 16 more
+                # zero coefficients fit in the block
+                raise ValueError("AC coefficient index out of range")
+            continue
+        run, size = rs >> 4, rs & 0x0F
+        i += run
+        if i > 63 or size == 0:
+            raise ValueError("AC coefficient index out of range")
+        zz[i] = _extend(br.bits(size), size)
+        i += 1
+    return zz, pred
+
+
+def _idct_block(zz: "np.ndarray", q: "np.ndarray") -> "np.ndarray":
+    """Dequantize + inverse zigzag + float IDCT + level shift + clamp."""
+    zz_r, zz_c = _ZIGZAG[:, 0], _ZIGZAG[:, 1]
+    coef = np.zeros((8, 8), dtype=np.float64)
+    coef[zz_r, zz_c] = zz * q[zz_r, zz_c]
+    blk = _DCT_M.T @ coef @ _DCT_M + 128.0
+    return np.clip(np.round(blk), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_gray(payload: bytes) -> "np.ndarray":
+    """Real baseline JPEG decoder for 8-bit single-component (grayscale)
+    streams: marker walk, DQT/DHT/SOF0/SOS parse (tables read from the
+    stream, multiple DQT/DHT segments supported), canonical-Huffman
+    DC/AC entropy decode with byte de-stuffing, dequantization, inverse
+    zigzag, float IDCT, level shift and clamp, cropped to the declared
+    dimensions. Rejects progressive/restart-interval streams explicitly
+    (ValueError) rather than mis-decoding them; 3-component streams go
+    through ``decode_jpeg_color``."""
+    b = bytes(payload)
+    qt, huff, (h, w, comps), scan_refs, pos = _parse_jpeg_headers(b)
+    if len(comps) != 1:
+        raise ValueError(
+            "only single-component (grayscale) JPEG supported here — "
+            "use decode_jpeg_color for 3-component streams")
+    cid, hh, vv, tq = comps[0]
+    if (hh, vv) != (1, 1):
+        raise ValueError("subsampling on 1 component unsupported")
+    if len(scan_refs) != 1:
+        raise ValueError("scan must reference exactly 1 component")
+    cs, td, ta = scan_refs[0]
+    if cs != cid:
+        raise ValueError("SOS references an unknown component")
     if tq not in qt:
         raise ValueError("SOF references an undefined quant table")
-    td, ta = scan_tables
     if (0, td) not in huff or (1, ta) not in huff:
         raise ValueError("SOS references undefined Huffman tables")
     dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
     q = qt[tq]
-    m = _DCT_M
-    zz_r, zz_c = _ZIGZAG[:, 0], _ZIGZAG[:, 1]
     bh, bw = -(-h // 8), -(-w // 8)
     out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
     br = _BitReader(b, pos)
     pred = 0
     for by in range(bh):
         for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int64)
-            s = _read_symbol(br, dc_tbl)
-            if s > 11:
-                raise ValueError("invalid DC magnitude category")
-            diff = _extend(br.bits(s), s) if s else 0
-            pred += diff
-            zz[0] = pred
-            i = 1
-            while i < 64:
-                rs = _read_symbol(br, ac_tbl)
-                if rs == 0x00:                    # EOB
-                    break
-                if rs == 0xF0:                    # ZRL
-                    i += 16
-                    if i > 63:
-                        # T.81 F.2.2.2: ZRL is only valid when 16 more
-                        # zero coefficients fit in the block
-                        raise ValueError("AC coefficient index out of range")
-                    continue
-                run, size = rs >> 4, rs & 0x0F
-                i += run
-                if i > 63 or size == 0:
-                    raise ValueError("AC coefficient index out of range")
-                zz[i] = _extend(br.bits(size), size)
-                i += 1
-            coef = np.zeros((8, 8), dtype=np.float64)
-            coef[zz_r, zz_c] = zz * q[zz_r, zz_c]
-            blk = m.T @ coef @ m + 128.0
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
-                np.clip(np.round(blk), 0, 255).astype(np.uint8)
+            zz, pred = _decode_block_zz(br, dc_tbl, ac_tbl, pred)
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = _idct_block(zz, q)
     return out[:h, :w]
+
+
+def decode_jpeg_color(payload: bytes) -> "np.ndarray":
+    """Real baseline JPEG decoder for 8-bit 3-component (YCbCr)
+    interleaved streams with per-component sampling factors in {1, 2}
+    — covering 4:2:0 (Y 2x2, chroma 1x1, the r7 encoder's output and
+    the dominant layout in the wild), 4:2:2 and 4:4:4. Decode shape
+    (T.81 A.2.3): MCUs of Hc x Vc blocks per component in SOF order,
+    one DC predictor per component; after entropy decode + IDCT each
+    component plane is upsampled to full resolution by sample
+    replication (pixel (x, y) reads plane[(y*Vc)//Vmax,
+    (x*Hc)//Hmax]) and converted to RGB with the JFIF/BT.601
+    full-range matrix, each channel floor(x + 0.5)-rounded then
+    clamped — integer-deterministic, so the DC-only value oracle can
+    recompute pixels in SQL. Returns (H, W, 3) uint8."""
+    b = bytes(payload)
+    qt, huff, (h, w, comps), scan_refs, pos = _parse_jpeg_headers(b)
+    if len(comps) != 3:
+        raise ValueError(
+            "decode_jpeg_color expects a 3-component (YCbCr) stream — "
+            "use decode_jpeg_gray for single-component streams")
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if len({cid for cid, _, _, _ in comps}) != 3:
+        raise ValueError("duplicate SOF component ids")
+    if len(scan_refs) != 3:
+        raise ValueError("scan must reference exactly 3 components")
+    hmax = max(hh for _, hh, _, _ in comps)
+    vmax = max(vv for _, _, vv, _ in comps)
+    tables = []
+    for i, (cs, td, ta) in enumerate(scan_refs):
+        cid, hh, vv, tq = comps[i]
+        if cs != cid:
+            raise ValueError("SOS component order must match SOF")
+        if hh not in (1, 2) or vv not in (1, 2):
+            raise ValueError("sampling factors other than 1/2 unsupported")
+        if tq not in qt:
+            raise ValueError("SOF references an undefined quant table")
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("SOS references undefined Huffman tables")
+        tables.append((huff[(0, td)], huff[(1, ta)]))
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [np.zeros((mcuy * vv * 8, mcux * hh * 8), dtype=np.uint8)
+              for _, hh, vv, _ in comps]
+    br = _BitReader(b, pos)
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, hh, vv, tq) in enumerate(comps):
+                dc_tbl, ac_tbl = tables[ci]
+                q = qt[tq]
+                for v in range(vv):
+                    for u in range(hh):
+                        zz, preds[ci] = _decode_block_zz(
+                            br, dc_tbl, ac_tbl, preds[ci])
+                        y0, x0 = (my * vv + v) * 8, (mx * hh + u) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = \
+                            _idct_block(zz, q)
+    ys, xs = np.arange(h), np.arange(w)
+    full = [planes[ci][(ys * vv) // vmax][:, (xs * hh) // hmax]
+            .astype(np.float64)
+            for ci, (_, hh, vv, _) in enumerate(comps)]
+    yy, cb, cr = full
+    r = np.floor(yy + 1.402 * (cr - 128.0) + 0.5)
+    g = np.floor(yy - 0.344136 * (cb - 128.0)
+                 - 0.714136 * (cr - 128.0) + 0.5)
+    bch = np.floor(yy + 1.772 * (cb - 128.0) + 0.5)
+    return np.clip(np.stack([r, g, bch], axis=-1), 0, 255).astype(np.uint8)
 
 
 # Closed-form synthesis parameters for the oracle (block-constant, so
@@ -1104,3 +1364,71 @@ def jpeg_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         extract, schema=("media_id long, width int, height int, "
                          "sum_px long, mean_px double"))
+
+
+# Closed-form synthesis parameters for the COLOR oracle: each 16x16 MCU
+# carries constant YCbCr, so all six blocks per MCU are DC-only, the
+# 2x2 chroma mean and the replication upsample are exact, and DuckDB
+# can recompute every RGB pixel from the same floor(x + 0.5) + clamp
+# conversion the decoder applies (integer-deterministic IEEE doubles).
+JPEG_C_W = "16 * (1 + doc_id % 3)"    # 16/32/48
+JPEG_C_H = "16 * (1 + doc_id % 2)"    # 16/32
+JPEG_C_Y = "(doc_id + 7 * my + 3 * mx) % 256"
+JPEG_C_CB = "(3 * doc_id + 5 * my + 11 * mx) % 256"
+JPEG_C_CR = "(5 * doc_id + 13 * my + mx) % 256"
+
+
+def synth_jpeg_color_table(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) with REAL baseline 4:2:0 color JPEG payloads;
+    the 16x16 MCU at (mx, my) carries the constant YCbCr triple
+    (JPEG_C_Y, JPEG_C_CB, JPEG_C_CR), so decoding is exact and DuckDB
+    recomputes the RGB features from the closed form."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["media_id"]:
+                did = int(did)
+                w, h = 16 * (1 + did % 3), 16 * (1 + did % 2)
+                my, mx = np.ogrid[0:h // 16, 0:w // 16]
+                one = np.ones((16, 16), dtype=np.uint8)
+                y = np.kron(((did + 7 * my + 3 * mx) % 256)
+                            .astype(np.uint8), one)
+                cb = np.kron(((3 * did + 5 * my + 11 * mx) % 256)
+                             .astype(np.uint8), one)
+                cr = np.kron(((5 * did + 13 * my + mx) % 256)
+                             .astype(np.uint8), one)
+                rows.append((did, encode_jpeg_color(y, cb, cr)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    # compute-bound on byte-tiny input: partition by WORK, not bytes
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(F.col(id_col).cast("long").alias("media_id")) \
+        .repartition(par) \
+        .mapInPandas(build, schema="media_id long, payload binary")
+
+
+def jpeg_color_features(media: DataFrame) -> DataFrame:
+    """REAL color-DCT decode path: interleaved-MCU Huffman decode +
+    IDCT + chroma upsample + BT.601 conversion per payload via
+    ``decode_jpeg_color``, emitting dimensions + exact per-channel
+    integer pixel sums + mean over all channels."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pix = decode_jpeg_color(payload).astype(np.int64)
+                h, w = pix.shape[:2]
+                sr = int(pix[..., 0].sum())
+                sg = int(pix[..., 1].sum())
+                sb = int(pix[..., 2].sum())
+                rows.append((int(mid), w, h, sr, sg, sb,
+                             float(sr + sg + sb) / (3 * h * w)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height",
+                               "sum_r", "sum_g", "sum_b", "mean_rgb"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=("media_id long, width int, height int, "
+                         "sum_r long, sum_g long, sum_b long, "
+                         "mean_rgb double"))

@@ -278,3 +278,59 @@ def q_media_jpeg_real(spark, sf_dir):
     jpgs = multimodal.synth_jpeg_table(docs)
     out = multimodal.jpeg_features(jpgs)
     return out.withColumn("mean_px", F.round("mean_px", 6))
+
+
+_CY = multimodal.JPEG_C_Y.replace("doc_id", "media_id")
+_CCB = multimodal.JPEG_C_CB.replace("doc_id", "media_id")
+_CCR = multimodal.JPEG_C_CR.replace("doc_id", "media_id")
+
+
+@register("media_jpeg_color", f"""
+WITH par AS (
+  SELECT doc_id AS media_id,
+         {multimodal.JPEG_C_W} AS w, {multimodal.JPEG_C_H} AS h
+  FROM documents
+),
+mxs AS (SELECT unnest(range(0, 3)) AS mx),
+mys AS (SELECT unnest(range(0, 2)) AS my),
+mcu AS (
+  SELECT media_id, w, h,
+         {_CY} AS yv, {_CCB} AS cbv, {_CCR} AS crv
+  FROM par, mxs, mys WHERE mx < w // 16 AND my < h // 16
+),
+px AS (
+  SELECT media_id, w, h,
+    LEAST(255, GREATEST(0, floor(
+      yv + CAST(1.402 AS DOUBLE) * (crv - 128) + 0.5))) AS r,
+    LEAST(255, GREATEST(0, floor(
+      yv - CAST(0.344136 AS DOUBLE) * (cbv - 128)
+         - CAST(0.714136 AS DOUBLE) * (crv - 128) + 0.5))) AS g,
+    LEAST(255, GREATEST(0, floor(
+      yv + CAST(1.772 AS DOUBLE) * (cbv - 128) + 0.5))) AS b
+  FROM mcu
+)
+SELECT media_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(sum(r) * 256 AS BIGINT) AS sum_r,
+       CAST(sum(g) * 256 AS BIGINT) AS sum_g,
+       CAST(sum(b) * 256 AS BIGINT) AS sum_b,
+       round((sum(r) + sum(g) + sum(b)) * 256.0
+             / (3 * max(w) * max(h)), 6) AS mean_rgb
+FROM px GROUP BY media_id
+""")
+def q_media_jpeg_color(spark, sf_dir):
+    """Encode → REAL baseline 4:2:0 COLOR JPEG decode → RGB features
+    (VERDICT r6 #6, closing the last PIL-gated decode path). The r7
+    decoder handles 3-component interleaved MCUs with per-component
+    sampling factors, chroma upsample and BT.601 conversion — pure
+    numpy/struct. The synthesized images carry constant YCbCr per
+    16x16 MCU, so every block is DC-only, the 2x2 chroma mean and the
+    replication upsample are exact, and DuckDB recomputes each MCU's
+    RGB from the same floor(x + 0.5) + clamp conversion (constants
+    pinned as doubles on both sides), independent of both codec
+    sides."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    jpgs = multimodal.synth_jpeg_color_table(docs)
+    out = multimodal.jpeg_color_features(jpgs)
+    return out.withColumn("mean_rgb", F.round("mean_rgb", 6))

@@ -65,10 +65,12 @@ def test_audio_window_features(media):
         multimodal.audio_window_features(media, use_real_decode=True).collect()
 
 
-def test_resize_compressed_formats_gated(media):
-    # r5: png is a real codec now; only DCT formats (jpeg) stay gated
-    with pytest.raises(NotImplementedError, match="PIL"):
-        multimodal.resize_images(media, 64, 64, fmt="jpeg")
+def test_resize_unknown_format_rejected(media):
+    # r7: jpeg resize is a real path now (color codec); nothing in the
+    # resize family is PIL-gated anymore — unknown formats are a plain
+    # ValueError, not a gate
+    with pytest.raises(ValueError, match="unsupported format"):
+        multimodal.resize_images(media, 64, 64, fmt="tiff")
 
 
 def test_resize_bmp_real_roundtrip(spark):
@@ -402,3 +404,186 @@ def test_jpeg_zrl_overflow_rejected():
     bad = good[:scan_start] + bw.flush() + good[-2:]
     with pytest.raises(ValueError, match="AC coefficient index"):
         multimodal.decode_jpeg_gray(bad)
+
+
+# --------------------------------------------------------------------------
+# round 7: baseline 4:2:0 color JPEG codec
+# --------------------------------------------------------------------------
+
+
+def _expected_rgb(y, cb, cr):
+    import numpy as np
+
+    yy = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = np.floor(yy + 1.402 * crf + 0.5)
+    g = np.floor(yy - 0.344136 * cbf - 0.714136 * crf + 0.5)
+    b = np.floor(yy + 1.772 * cbf + 0.5)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_color_mcu_constant_exact_roundtrip():
+    """MCU-constant YCbCr images are DC-only in all six blocks per MCU,
+    the 2x2 chroma mean and replication upsample are exact, so decode
+    must equal the closed-form conversion — the property the value
+    oracle (media_jpeg_color) relies on."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        mh, mw = int(rng.integers(1, 3)), int(rng.integers(1, 4))
+        one = np.ones((16, 16), dtype=np.uint8)
+        y = np.kron(rng.integers(0, 256, (mh, mw)).astype(np.uint8), one)
+        cb = np.kron(rng.integers(0, 256, (mh, mw)).astype(np.uint8), one)
+        cr = np.kron(rng.integers(0, 256, (mh, mw)).astype(np.uint8), one)
+        got = multimodal.decode_jpeg_color(
+            multimodal.encode_jpeg_color(y, cb, cr))
+        assert np.array_equal(got, _expected_rgb(y, cb, cr))
+
+
+def test_jpeg_color_arbitrary_content_bounded_error():
+    """Arbitrary Y content with 2x2-constant chroma (so subsampling is
+    lossless): the only loss is per-plane DCT rounding, which the
+    BT.601 conversion amplifies by at most ~1.8x per channel — and the
+    decoder must crop non-multiple-of-16 dimensions back."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        h, w = int(rng.integers(9, 50)), int(rng.integers(9, 50))
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        ch = rng.integers(0, 256, ((h + 1) // 2, (w + 1) // 2, 2))
+        cb = np.repeat(np.repeat(ch[..., 0], 2, 0), 2, 1)[:h, :w] \
+            .astype(np.uint8)
+        cr = np.repeat(np.repeat(ch[..., 1], 2, 0), 2, 1)[:h, :w] \
+            .astype(np.uint8)
+        got = multimodal.decode_jpeg_color(
+            multimodal.encode_jpeg_color(y, cb, cr))
+        assert got.shape == (h, w, 3)
+        want = _expected_rgb(y, cb, cr)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 8
+
+
+def test_jpeg_color_rgb_wrapper_roundtrip():
+    """encode_jpeg_color_rgb -> decode_jpeg_color on a 2x2-flat-color
+    image: conversion round trip is within +-2 per channel (BT.601
+    forward + inverse rounding), DCT adds nothing on flat content."""
+    import numpy as np
+
+    pix = np.zeros((16, 16, 3), dtype=np.uint8)
+    pix[:, :8] = (200, 30, 90)
+    pix[:, 8:] = (10, 220, 140)
+    got = multimodal.decode_jpeg_color(multimodal.encode_jpeg_color_rgb(pix))
+    assert np.abs(got.astype(int) - pix.astype(int)).max() <= 2
+
+
+def test_jpeg_color_444_and_422_sampling_decode():
+    """The decoder's MCU walk is generic over sampling factors in
+    {1, 2}; hand-assemble 4:4:4 and 4:2:2 streams (shared entropy
+    coder, per-component hv in SOF) and check exact DC-only decode."""
+    import struct
+
+    import numpy as np
+
+    def build(hv_y, planes):
+        # planes: full-res (h, w) per component, already at the coded
+        # resolution for chroma (this test uses constant planes so
+        # resolution does not matter)
+        h, w = planes[0].shape
+        hh, vv = hv_y
+        q = np.ones((8, 8), dtype=np.int64)
+        dc = multimodal._huff_codes(multimodal._DC_BITS, multimodal._DC_SYMS)
+        ac = multimodal._huff_codes(multimodal._AC_BITS, multimodal._AC_SYMS)
+        bw_ = multimodal._BitWriter()
+        pred = [0, 0, 0]
+        mcux, mcuy = -(-w // (8 * hh)), -(-h // (8 * vv))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, p in enumerate(planes):
+                    chh, cvv = (hh, vv) if ci == 0 else (1, 1)
+                    for v in range(cvv):
+                        for u in range(chh):
+                            blk = np.full((8, 8), p[0, 0], dtype=np.uint8)
+                            pred[ci] = multimodal._encode_block(
+                                bw_, blk, q, dc, ac, pred[ci])
+        scan = bw_.flush()
+        seg = multimodal._jpeg_seg
+        out = struct.pack(">H", 0xFFD8)
+        out += seg(0xFFDB, b"\x00" + multimodal._zz_bytes(q))
+        out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+                   + bytes([1, (hh << 4) | vv, 0])
+                   + b"\x02\x11\x00" + b"\x03\x11\x00")
+        out += seg(0xFFC4, b"\x00" + bytes(multimodal._DC_BITS)
+                   + bytes(multimodal._DC_SYMS))
+        out += seg(0xFFC4, b"\x10" + bytes(multimodal._AC_BITS)
+                   + bytes(multimodal._AC_SYMS))
+        out += seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+        return out + scan + struct.pack(">H", 0xFFD9)
+
+    y = np.full((16, 16), 77, dtype=np.uint8)
+    cb = np.full((16, 16), 60, dtype=np.uint8)
+    cr = np.full((16, 16), 200, dtype=np.uint8)
+    want = _expected_rgb(y, cb, cr)
+    for hv in ((1, 1), (2, 1), (2, 2)):       # 4:4:4, 4:2:2, 4:2:0
+        got = multimodal.decode_jpeg_color(build(hv, [y, cb, cr]))
+        assert got.shape == (16, 16, 3), hv
+        assert np.array_equal(got, want), hv
+
+
+def test_jpeg_color_rejects_malformed():
+    import struct
+
+    import numpy as np
+
+    one = np.full((16, 16), 50, dtype=np.uint8)
+    good = multimodal.encode_jpeg_color(one, one, one)
+    # gray decoder must refuse 3-component streams and vice versa
+    with pytest.raises(ValueError, match="single-component"):
+        multimodal.decode_jpeg_gray(good)
+    gray = multimodal.encode_jpeg_gray(np.full((8, 8), 9, dtype=np.uint8))
+    with pytest.raises(ValueError, match="3-component"):
+        multimodal.decode_jpeg_color(gray)
+    # truncated scan
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_color(good[:-6])
+    # progressive SOF
+    prog = good.replace(struct.pack(">H", 0xFFC0),
+                        struct.pack(">H", 0xFFC2))
+    with pytest.raises(ValueError, match="non-baseline"):
+        multimodal.decode_jpeg_color(prog)
+    # SOS order must match SOF (swap Cb/Cr selectors)
+    bad = good.replace(b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00",
+                       b"\x03\x01\x00\x03\x11\x02\x11\x00\x3f\x00")
+    with pytest.raises(ValueError, match="match SOF"):
+        multimodal.decode_jpeg_color(bad)
+    # sampling factor 3 rejected
+    bad = good.replace(b"\x01\x22\x00\x02\x11\x01\x03\x11\x01",
+                       b"\x01\x33\x00\x02\x11\x01\x03\x11\x01")
+    with pytest.raises(ValueError, match="sampling factors"):
+        multimodal.decode_jpeg_color(bad)
+    # 2-component SOF rejected at parse
+    with pytest.raises(ValueError, match="1-component|3-component"):
+        multimodal.decode_jpeg_color(
+            good.replace(struct.pack(">BHHB", 8, 16, 16, 3),
+                         struct.pack(">BHHB", 8, 16, 16, 2)))
+
+
+def test_jpeg_color_resize_real():
+    import numpy as np
+
+    from hadoop_ir_spark.session import get_spark
+
+    spark = get_spark("tests")
+    pix = np.zeros((32, 32, 3), dtype=np.uint8)
+    pix[:16] = (250, 10, 10)
+    pix[16:] = (10, 10, 250)
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_jpeg_color_rgb(pix)))],
+        "media_id long, payload binary")
+    out = multimodal.resize_images(df, 16, 16, fmt="jpeg").collect()[0]
+    got = multimodal.decode_jpeg_color(bytes(out["payload"]))
+    assert got.shape == (16, 16, 3)
+    # top half red-ish, bottom half blue-ish survives the resize
+    assert got[0, 0, 0] > 200 and got[0, 0, 2] < 60
+    assert got[15, 0, 2] > 200 and got[15, 0, 0] < 60

@@ -110,6 +110,9 @@ PINNED_JUDGE_VERIFIED = sorted({
     # strict at sf0.01 on addition; candidate counts pinned in
     # tests/test_zipf_surface.py
     "apss_cosine_pairs_zipf", "fuzzy_pairs_zipf",
+    # round 7: real baseline 4:2:0 color JPEG codec (VERDICT r6 #6),
+    # strict at sf0.001/0.01/0.1 on addition
+    "media_jpeg_color",
 })
 
 
