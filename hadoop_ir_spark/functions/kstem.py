@@ -48,6 +48,7 @@ from hadoop_ir_spark.functions.kstem_data3 import (
     ALL_WORDS_3,
     NATIONALITY_CONFLATIONS,
 )
+from hadoop_ir_spark.functions.kstem_data4 import ALL_WORDS_4
 
 VOWELS = set("aeiou")
 
@@ -214,7 +215,7 @@ wise wish with within without witness wolf woman wonder wood word work
 world worry worth would wrap write wrong yard year yes yet yield you
 young zero zone
 """.split()) | frozenset(EXTENDED_WORDS) | frozenset(ALL_WORDS_2) \
-    | frozenset(ALL_WORDS_3)
+    | frozenset(ALL_WORDS_3) | frozenset(ALL_WORDS_4)
 
 # Supplementary exception table (kstem country_nationality design):
 # demonym -> place conflations run with the irregulars, BEFORE the

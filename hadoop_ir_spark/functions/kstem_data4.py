@@ -1,0 +1,393 @@
+"""Fourth extended headword block for the KStem port (kstem.py) —
+round-7 continuation of kstem_data{,2,3}.py, same provenance rules:
+hand-vendored from public-domain common-English lemma knowledge, NOT
+copied from any dictionary file. Lemmas only (singular nouns, base
+verbs, positive adjectives); regular plurals, -ed/-ing forms and
+transparent derivations stay OUT so the suffix rules keep firing;
+lexicalized suffix-lookalikes go IN.
+
+Round-7 scope (VERDICT r6 "Next round #1"): close the remaining gap to
+the real UMass KStem's ~30k headwords. The earlier files exhausted the
+common-vocabulary veins (r7 probes measured 5-25% novelty on nature /
+medicine / music / nautical / architecture drafts), so this file works
+the LEARNED and rare-tail layers: systematic Greco-Latin formations
+(-ology/-ography/-ometry/-itis/-phobia and their agent nouns -- each a
+dictionary lemma the orthographic heuristics would otherwise mangle),
+the rare-species and materia-medica tails of the earlier domains, and
+technical craft vocabularies. Every batch is vetted by
+tools/kstem_vet.py (dedupe + fixture-hijack + smuggling sweep) before
+vendoring.
+
+Reference anchor: TrecWordCount2.java:57-79, TrecMutualInfo2.java:
+131-146 (the reference consumes the Lemur KrovetzStemmer; its lexicon
+is an external dependency there, re-created here from public
+knowledge).
+"""
+
+# Tranche 1: rare-tail species/plants, materia medica, chemistry and
+# minerals, music, nautical, architecture, -ology disciplines, learned
+# verbs (the vetted survivors of the r7 domain probes).
+TRANCHE_1 = """
+abaft adagio addax aerology agrology algology alkane alkene
+allegro allspice amide amine angelology aphorize apiology apotheosize
+araneology arborvitae areology arsenate arteriole asperse asphodel aspidistra
+assyriology audiology bargeboard benight beryllium betony bibliology bindweed
+binturong bittersweet bloviate bluefish borate bowerbird boxfish breezeway
+brier brig bronchiole bryology bugloss caladium calcite calendula
+campanula canna capercaillie carcinology carpology cetology chachalaca chanson
+chlorate circumlocute coati cockatiel cockscomb coleopterology colobus coltsfoot
+conchology coneflower constellate cornflower cosmetology cotoneaster cottontail coypu
+cranesbill craniology cryobiology cryptology cryptozoology dactylology daphne datura
+delphinium demonology dendrochronology deontology depredate diffract diminuendo dolomite
+eardrum effuse egyptology emolliate endocarditis endocrinology ensorcell enzymology
+epoxide escapology ethane etude execrate exobiology fennec feverfew
+fireship fireweed fisher fluorite formaldehyde frangipani freesia futurology
+gardenia gastritis gemology germanium glaciology glissando glycerol glycogen
+gnatcatcher greenfinch hagiology halyard hartebeest hellbender helminthology hepatica
+hepatology hippology hoatzin hornbill horsetail hurdygurdy hydride inculpate
+intermezzo ironwood javelina jib joist ketone kinesiology knapweed
+knotweed lactose langur lanthanum largo laryngology lee lepidopterology
+lexicology lichenology lied lightship lithology locoweed loganberry loosestrife
+lovebird macaw magnetite mammalogy mandrill mariology martyrology mayapple
+meerkat metrology mewl midbrain molding monkshood monohull moonflower
+mucosa mugwort muskox mycology myelin natter nematology neonatology
+nephology nephrology nitride nosology octane ophthalmology orology osteology
+otolaryngology otology oxalate oxeye paca pademelon palynology pandiculate
+parasitology peafowl pedology pentane peptide perchlorate petrology pettifog
+phenology phlebotomy phosphide phycology pizzicato planetology pondweed posology
+primatology proctology propane protozoology pulmonology pupfish quagga ranunculus
+redbud reflexology rheology rheumatology ricercar rubidium ruthenium ryegrass
+sablefish sagebrush saltbush sandalwood scoliosis selenology semiology septet
+serology serviceberry sextet silane silicone sinology sinusitis snowberry
+soapwort soffit solfege solute somatology sonatina sousaphone sparrowhawk
+spearmint speedwell speleology spicebush spiderwort spirea splanchnology sponson
+springbok spurge stomatology sucrose sweetgum symptomatology syphilology tabla
+takin tellurium tendonitis teratology thalamus thanatology theremin timbrel
+titivate tonsillitis traumatology treefrog trichology trogon tuberose tumbleweed
+typology ufology ureter urethra vexillology vibraphone vibrato victimology
+vinca virginal vulcanology wallflower warthog waterbuck waterlily whiptail
+wigeon wintergreen wolfsbane wormwood zebu zeolite zymology
+"""
+
+
+# Tranche 2: systematic Greco-Latin formations (-ography/-ometry/
+# -onomy/-mancy/-cracy/-archy/-phobia/-mania/-itis/-osis/-ectomy/
+# -oscopy/-lysis/-genesis/-sphere/-cide and instrument/agent nouns:
+# -ologist/-ician/-meter/-phone/-scope/-graph/-gram), SI and
+# historical units, world currencies, fabrics, gemstones, dances,
+# games, hand tools, vessels, weapons, headwear, garments, spirits,
+# breads and confections, historical occupations, ecclesiastical and
+# legal terms, rhetoric and prosody, enzymes, alkaloids, pharmaceutical
+# generics (INN), landforms, astronomy, meteorology, cell biology,
+# paleontology, -escent/-iferous adjectives, -ism doctrines,
+# phonetics/grammar, classical diseases, mathematics, heraldry,
+# printing and horology craft vocabulary, French/Italian loanwords,
+# rare-tail insects/fish/mollusks. Vetted batch-by-batch with
+# tools/kstem_vet.py; plural-form lemmas that would hijack an existing
+# singular's -s conflation (charades/jacks/tights class) and -ing/-ed
+# lookalikes that would hijack aspect conflations (kerning/leading/
+# splined class) were dropped in vetting.
+TRANCHE_2 = """
+abasia ablaut ablepsia absolutism abstractionism abulia academicism acalculia
+acaricide accelerometer acetaminophen achondroplasia acidimetry acidosis aconitine acromegaly
+actinograph actinometer adenectomy adenitis aestheticism afghani aggiornamento agnosia
+agraphia ailurophobia akathisia alexandrite alexia alexithymia algicide algophobia
+alkalimetry alkalosis allosaurus altimetry amblyopia amontillado amoxicillin ampicillin
+amylase amyloidosis anadiplosis anarchism anastomosis anesthesiologist angelshark angelwing
+angiography anglophile anglophobia anglophone anhedonia aniseikonia anisometropia ankylosaurus
+ankylosis anomia anopheles anosmia anoxia anthropometry antidisestablishmentarianism antimetabole
+antiphrasis antiquarianism antithesis antlion antonomasia apatosaurus aphaeresis aphagia
+aphakia aphonia apoapsis apophony aposiopesis aquavit arabinose archaeopteryx
+archdeacon archegonium argentiferous argonaut aristocracy armagnac arriviste arteriography
+arthralgia arthroscope arthroscopy asbestosis ascender ascus aspergillosis asthenia
+asthenosphere astraphobia astrometry ataxia atherosclerosis athetosis atomism atorvastatin
+atresia audiologist audiometry audiophile autobiography autolysis avitaminosis axon
+azithromycin backslant backswimmer bacteremia bactericide baht balboa balletomania
+bandsaw barathea bardiche baroscope barramundi basidium bathymetry beautician
+becquerel belladonnine benzocaine berberine bibliomancy bigeye biometry birr
+biscotti blacktip blazar blepharitis blowfish bluefin boater bodoni
+bola boldface bolide bolivar bolometry bolshevism bonapartism bordure
+borescope bossanova boucle brachiosaurus braconid bradycardia bradykinesia bricolage
+broadsword bronchiolitis bronchoscope bronchoscopy brontosaurus brucine brutalism bulimia
+bureaucracy busby butadiene butanol butanone cachexia cadency calvados
+campanologist camphene candela candlefish cannelure canoness capsaicin cardiograph
+carotene carpsucker cassis catachresis catalase catalepsy catalexis cataplexy
+catatonia causalgia cedi cellobiose cellulase cellulitis centigram centiliter
+cephalosporin ceratopsian cero chalcid characin charlotte chesterfield cheviot
+chikungunya chiromancy chloramphenicol chloroplast chloroquine cholecystitis cholinesterase chorea
+choriamb chorister chromatid chromosphere chronograph chronometer chronometry chrysoprase
+chubsucker cilium cimetidine cinchonine cinematographer ciprofloxacin cissoid citrine
+clafoutis claudication clerihew clindamycin clinician clinometer clownfish coagulase
+coalescent codeine coif colchicine coleoptile collagenase colonoscopy colorimeter
+colorimetry colposcope conenose conga coniine conjunctivitis contrapposto coping
+coppersmith coprolalia cordoba cornbread corvina cosmographer cosmography craniometry
+craniotomy crasis cretinism cruciferous cryptologist cubism cumulonimbus cunner
+cuttlebone cyanopsia cynophobia cystoscopy dadaism dalasi damselfish dandyism
+darwinism deaminase decarboxylase deciliter decimeter deerstalker defeatism dehydrogenase
+dekagram deliquescent demographer denar dendrite dendrogram dengue densimeter
+densitometer densitometry deoxyribose dermatosis descender deshabille detritivore dexamethasone
+dextrose diacope diagnostician diarchy diastase diazepam diclofenac digoxin
+digraph dilatometer dimeter dinar dingbat dipeptidase diphenhydramine diplodocus
+dipsophobia directrix dirham discography diverticulitis diverticulosis dobra dogmatism
+donatism dong doxycycline drumfish duvetyn dynamism dysarthria dyscalculia
+dysgraphia dyskinesia dyslalia dyslexia dysmenorrhea dysmetria dysphonia dysphoria
+dysplasia dyspraxia dysrhythmia dystonia dystrophy earphone echocardiogram echolalia
+echopraxia eclecticism econometrics ecosphere ectomorph ecumenism efflorescent egalitarianism
+egoism egomania eigenvector elastase electrocardiograph electroencephalograph electrometer elephantiasis
+ellipsis embattled embolectomy embracery emetine encephalogram endocrinologist endometriosis
+endoscope endosperm enjambment envoi epanalepsis epee ephebiphobia ephedrine
+epicureanism epigenesis epiglottitis epinephrine episcope epistrophe epizeuxis ergophobia
+ergotamine eroticism erotomania erythema erythromycin escapement eserine esophagitis
+essentialism ethnography ethologist ethylene eulachon evangelism exarchy exceptionalism
+exophthalmos exoplanet exosphere expressionism facula fallfish faro farthingale
+fasciitis fauvism federalism femtosecond fermi fetishism fibromyalgia fibrosis
+fibrositis filariasis filicide filmography flagellum flatfish flathead fleur
+fluoroscope fluoroscopy fluoxetine focaccia folliculitis formalism fossiliferous fougasse
+fourbeard foxtrot frambesia francophile francophone fratricide frugivore fucose
+functionalism furosemide futurism futurologist galactose ganger gardant gasometer
+gasometry gaspergou gastrectomy gastroscope gastroscopy gastrula gauss gemination
+genoise gentamicin geoduck geometrician geophone geosynchronous geriatrician ghazal
+gigahertz gigawatt glossitis glucosamine glycolysis gnosticism goatfish goniometer
+goniometry goosefish gourami graben gradualism gramophone granivore gravimeter
+gravimetry gravure grayback greatcoat greenbottle grinder guarani guitarfish
+gymnosperm habitue hadrosaur hairspring hakeling halftone halophile hardhead
+harmaline haustorium hawkmoth hectogram hectoliter heliopause heliosphere hellenism
+hematologist hemianopsia hemiparesis hemiplegia hemochromatosis hemolysis hemophobia hendiadys
+henotheism heparin heptameter heptarchy herbicide herbivore hermeticism heteronomy
+histoplasmosis historicism historiographer hogchoker hogsucker holography hoodoo hopsack
+horsehair hryvnia hyaluronidase hydrocortisone hydrogenase hydrography hydrometry hydrophone
+hydrosphere hygrograph hygrometry hygroscope hyoscyamine hyperacusis hyperalgesia hypercapnia
+hyperemia hyperesthesia hyperglycemia hyperkinesia hyperopia hyperplasia hyperpnea hypertensive
+hyperthermia hypertonia hypertrophy hyperventilation hypha hypnotism hypokinesia hypomania
+hypotaxis hypotension hypothermia hypotonia hypoxia hypsometer hypsometry ibogaine
+ibuprofen icefish ideograph iguanodon illusionism imagism immanentism impetigo
+impressionism inclinometer individualism indomethacin infanticide insecticide insectivore interferometry
+interpleader interrobang interrogatory intuitionism inulin invertase iritis ischemia
+isocolon isomerase isometry isoniazid isoprene isopropanol jadeite jawfish
+jive johnnycake jumpsuit kahawai keratitis keratosis ketamine keyway
+killifish kiloampere kilocalorie kilohertz kiloliter kilovolt kilowatt kina
+kinase kinesiologist kinesthesia kip kleptocracy kummel kuna kunzite
+kwacha kwanza kwashiorkor kymograph labiodental labyrinthitis lactase lactometer
+lactulose lambada laminectomy lampfish lanternfish laparoscope laparoscopy lapis
+larvicide laryngoscope lavafield lavash lazuli leafminer leatherjacket lector
+legalism leishmaniasis leone leptospirosis leukopenia lexicologist liberalism libertinism
+lidocaine ligase lilangeni limoncello limonene lindy linotype lipase
+lira lisinopril listeriosis litas literalism lithosphere lizardfish loachfish
+lobectomy lobeline loden logician lookdown loperamide lordosis loti
+lucerne luciferase luminism lumpectomy lumpfish lupus lyricism lysozyme
+maar macron magnetar mahimahi majuscule malaguena maltase maltose
+mammalogist mammogram mammography mannose mantid marocain martlet mastoiditis
+maxixe megahertz megavolt meiosis melanosis meliorism menominee menthol
+merengue meritocracy mescaline mesmerism mesomorph mesophile mesosphere metalepsis
+metalliferous metformin methadone methotrexate metical metoprolol metronidazole microampere
+microfarad microgram micrography microliter micrometry microsecond microvolt microwatt
+millenarianism milliammeter millibar millivolt milliwatt minimalism minuscule misericord
+miticide mitochondrion mitosis modernism mojarra molluscicide monarchy monasticism
+monetarism mononucleosis monophobia monotheism monotype moonfish moonstone morningstar
+morphogenesis morphometry mortmain mosasaur mossbunker mudminnow mummichog muscarine
+musicologist myalgia myasthenia mycosis mydriasis myocarditis myoclonus myopathy
+mysophobia mythomania naiant naira nanogram naphthalene naproxen narcolepsy
+nativism naturalism necrophile necrophobia necrosis negativism negroni neonatologist
+neophobia nephelometer nephrectomy nephrosis netmaker neuropathy ngultrum nimbostratus
+ninon nitroglycerin novocaine nuclease nucleolus nudibranch nuevo nunatak
+nyctophobia nystagmus nystatin oakworm objectivism obscurantism occultation occultism
+odometry oenophile oilfish oliguria omeprazole omnivore operationalism operculum
+ophidiophobia ophthalmoscope ophthalmoscopy opportunism optometer ordinand organelle organicism
+orientalism orogenesis oscillograph osculum osmometer osmometry osteologist osteomalacia
+osteomyelitis osteoporosis otitis otolaryngologist otorrhea otoscope ouguiya ouzo
+ovule oxidase oxymoron oxytocin pacifism paleographer paleography palilalia
+pancreatitis panentheism panfish pantoum papaverine paraboloid paraphasia parapsychosis
+parasitologist paresis paresthesia pargeter parochialism parosmia pasodoble passant
+pastourelle pataca paternalism pathogenesis patriarchy pauperism pavlova pedantism
+pediculosis pedometer pentameter pentimento pentose peptidase perfectionism periapsis
+pericarditis permease pertussis pesticide phagocytosis pharyngitis phenobarbital phenomenalism
+philistinism phloem phonetician phonogram phosphatase photogram photogrammetry photolithography
+photolysis photometer photophobia photopsia photosphere physostigmine picosecond pictogram
+pictograph pietism pilocarpine pinene pingo pinkeye piscivore pita
+planetologist planimeter planimetry plasmid plasmolysis plastid platonism plesiosaur
+plowwright pluralism pluviometer pluviometry pneumonitis pointillism polarimeter polarimetry
+polariscope poliomyelitis polydipsia polygraph polymerase polymorph polyphagia polyptoton
+polysyndeton polyuria pondskater popover pornographer pornography postiche predeterminism
+prednisone presbycusis presentism pricklefish primatologist primitivism probabilism procaine
+prognathism proliferous propanol propranolol prosopagnosia prosopopoeia prostatitis protease
+protectionism pruritus pseudomorph pseudopod psittacosis psychrometer pteranodon pterosaur
+ptosis puffer pula pulmonologist purism puritanism pyrolysis pyromancy
+pyrometer pyrometry pyrophobia quadriplegia quietism quillback quinacrine quinidine
+quinone radiography radiometer radiometry raffinose ranitidine ratfish recrudescent
+redhorse reductase reductionism refractometer regionalism rennin reprography reserpine
+retinoscope revanchism reversion revisionism rhamnose rhinitis rhinorrhea rhodonite
+ribbonfish ribonuclease ribose ribosome riel rigorism ripsaw riyal
+rockling rodenticide roentgenography romanticism rosefish rotogravure roue router
+rufiyaa sabayon salinometer salmonellosis salpingitis sambuca sanddab sarcoidosis
+sardonyx sastrugi sauger scaphopod scapulimancy scarlatina scattergram scenography
+schistosomiasis schwa scientism scopolamine scorpionfish scraper scup seabass
+searobin sectarianism secularism seif seismogram seismography seismometer seminiferous
+semiologist sensationalism sensitometer sentimentalism separatism septicemia serif sestina
+sfumato shiner siemens sievert sigmoidoscopy skipjack snakehead snifter
+sociometry solanine solfatara somnambulism somoni sonogram sorbitol sorbose
+sororicide souwester sparteine spasticity speakerphone spearfish spectrogram spectrography
+spectrometry spermicide sphygmogram sphygmograph sphygmomanometer spiritualism spirochetosis spirograph
+spittlebug splake splendiferous splenectomy spondee spondylitis sporangium squalene
+squawfish squirearchy steatorrhea stegosaurus stenography stenosis stereometry stereoscope
+stethoscopy stetson stolon stoma stomatitis stonecat stratigraphy stratocumulus
+streptomycin structuralism stumpknocker styrene subjectivism sucrase sudoku sulfadiazine
+sunstone surffish surrealism sweetlips syllabub syllepsis symbiosis symploce
+syncretism syndicalism synergism synovitis synthetase tabby tachograph tachypnea
+taka tala tamoxifen tanka tanzanite technocracy technophile technophobia
+telephotography tellin telomerase tendinitis tenge tenpounder tensiometer tensiometry
+tentworm tephra terahertz terawatt terpene terrycloth terza tetracycline
+tetragram tetrameter tetraplegia tetrarchy thallus thanatophobia thebaine theobromine
+theologian theoretician thermograph thermography thermolysis thermometry thermophile thermosphere
+thiopental thoracotomy threadfin thurifer thyroiditis thyrotoxicosis tigermoth tinnitus
+tokenism tomcod tomography tonsillectomy topminnow torticollis totemism tourbillon
+tourmaline toxoplasmosis tracheid traditionalism tramadol transaminase transferase trehalose
+triarchy tribalism triceratops trichinosis trichologist tricorne tricot trigram
+trigraph trilby trilobite trimeter triolet triphthong tripletail trismus
+triumphalism trochee troutperch trypanosomiasis trypsin tsavorite tubocurarine tuff
+tugrik tuile turgescent typeface typesetter typographer tyrannicide tyrannosaur
+ultraism ultramontanism umbelliferous unilateralism universalism urease uremia urethritis
+urticaria utopianism uveitis uxoricide vaginitis vancomycin variometer varsouvienne
+vasculitis vatu velociraptor vermicide vert vesper videographer videography
+videophone vinegarroon viscometer viscometry vitiligo volumetry voluntarism vorticism
+vulcanologist walkingstick warfarin warmouth wattmeter weber wentletrap whirligig
+winkle woodborer woodcut woollybear xerostomia xylem xylitol xylography
+xylose yahtzee yellowtail yen yohimbine yuan zabaglione zealotism
+zibeline zincography zoophobia zweihander zwieback zygote zymase
+"""
+
+
+# Tranche 3: -ine/-iform/-oid learned adjectives, mythological and
+# folklore common nouns, world cuisine, kitchenware, -arium/-ary
+# places, -let diminutives, -monger agent nouns, carriages and horse
+# tack, agriculture, rare literary adjectives, -phyte/-phage/-gamy/
+# -latry/-lith/-urgy/-ploid/-pod biological and technical families,
+# waterway/landscape nouns, an extensive mineral and rock vocabulary
+# (84% novel -- the deepest untouched vein), aviation/railway/
+# automotive craft terms, archaeology, fungi, grasses, ferns, palms,
+# -wort/-berry plant compounds and -wood/-bird/-stone/-craft/-ware/
+# -work English compounds. Same vetting discipline as tranche 2;
+# multiword-name fragments and -ed/-ing hijack shapes dropped.
+TRANCHE_3 = """
+actinolite acupressure adularia aegirine agaric aileron airframe alabandite
+albite aliform allogamy almandine amanita amblygonite amniocentesis amoeboid
+analcime anatase andalusite andesine andesite android aneuploid angioplasty
+anglesite anhydrite ankerite annabergite anorthite anorthosite anthophyllite anthropoid
+anthropophagy antigorite apatite aquiform aragonite areca arfvedsonite argentite
+arkose armamentarium armlet arsenopyrite arthroplasty atheneum autogamy autogyro
+autorotation avine axinite azurite baba babassu bacilliform bacteriophage
+balljoint baneberry baptisterium barberry barite basanite basketwork bastnaesite
+beadwork bellhousing benitoite bentgrass bentonite bentwood bermudagrass bibimbap
+bibliolatry biryani bismuthinite blepharoplasty bloodwood bluestem bluestone boehmite
+bogeyman bogie boletus bomblet boracite bornite boulangerite bournonite
+brakeshoe branchlet brassware braunite bridgework brightwork brochantite bronzite
+brookite brooklet brownstone brucite brushwood bryophyte bryozoan buffalograss
+bunchberry burrito bushcraft butterwort buttonwood bytownite calaverite caldarium
+canarygrass cancrine cancrinite candlewood carnotite cassiterite cassoulet catenoid
+celadonite celestine celestite cerussite ceviche chabazite chainlet chalcanthite
+chalcocite chalcopyrite chamosite changeling cheatgrass checkerberry chemotaxis chemurgy
+chinaberry chinaware chlorite chloritoid chondrodite chowmein chromite chrysocolla
+chrysotile cist clinochlore clinopyroxene cloudberry cloudlet clubmoss cobaltite
+cocksfoot cogongrass colemanite columbite compunctious congee copestone coprinus
+coprophagy coquito coralberry cordgrass cordierite cordiform cordwood cordyceps
+coruscating covellite cowling crabgrass creamware crematorium cremini cristobalite
+crocidolite crocoite crowberry crystalloid cummingtonite cuprite curbstone curricle
+currycomb cylindroid danburite dangleberry datolite delftware dendroid dermoplasty
+diatomite dickite dihedral dinnerware diploid dipstick discoid dolma
+dolphinarium drawbar dripstone droplet ductwork dumortierite earthstar eclogite
+efficacious elbaite enamelware enargite endogamy enoki enstatite eolithic
+epidote epiphyte epsomite equanimous erythrite eudialyte euxenite factoid
+falconine falsework farkleberry fayalite fearmonger felicitous ferberite fergusonite
+fieldcraft firebird fishmonger flaperon flatcar flatlet fluorapatite fontlet
+footplate formicarium forsterite foxtail franklinite fretwork friarbird frigatebird
+frittata fruitwood fuelwood fuzzball gadolinite galaxite galerina gamagrass
+gametophyte garnierite gaskin gaylussite geotropism gibbsite giftware gig
+glasswort glauconite glaucophane glideslope globoid gmelinite goethite goosegrass
+goshenite gossipmonger graniteware granodiorite graywacke greasewood greenockite greenwood
+greisen grifola grillwork grossular gumwood gyoza gyrocopter gyromitra
+habile hairgrass halite halophyte handcar handcraft haploid harmotome
+hauyne heartwood hedenbergite heliolatry heliotropic hemimorphite henge hessite
+heterogamy heulandite hexaploid hiddenite hidebound hillfort hippopotamine hollowware
+hornblende hornfels huebnerite humanoid humite hydrophyte hydrotropism hydrozoan
+hyperboloid hypergamy hypersthene iconolatry idolatry ignition ijolite illite
+ilmenite indiangrass inkcap insalubrious insectarium intercooler iolite ironware
+ironwork isopod jarosite johnsongrass jubaea juicer juneberry junegrass
+keloid kernite kidneystone kimberlite kitchenware knotgrass kofta labradorite
+lacertine lacework lacquerware lakelet lamprophyre lanceform latania latewood
+latticework laumontite lazurite leadwork leprosarium leucite limonite lingonberry
+lobelet logwood loup lousewort lovegrass lubricious ludwigite lusterware
+lycanthrope lymegrass macrophage macrophyte madwort maghemite maitake maladroit
+mandoline manicotti mariolatry masher mastoid matchwood matsutake meadowgrass
+megalithic melanite mellifluent meretricious merman meshwork mesolite mesolithic
+mesophyte metalware metalwork microcline migmatite milkwort millwork mimetite
+mirabilite misfire molybdenite monazite moneywort moniliform monoglot monophagous
+monzonite mooseberry morchella mordacious mordenite motherwort moxibustion mucoid
+mudstone mudwort muffler muscovite musteline mycena myriapod nannyberry
+natrolite navelwort necrolatry necrophagy needlecraft needlegrass needlework negroid
+neolithic newsmonger nipplewort noseband notelet nutcracker oceanarium octoploid
+odograph ogress oilpan oligoclase omphacite openwork opprobrious orchardgrass
+ornithopod ornithopter orthoclase osteophyte osteoplasty otavite otolith ovenware
+pakora paleolithic palstave pampasgrass pardine partridgeberry pearlwort pectolite
+peeler pegmatite penniform pennywort pentlandite peridotite perovskite perspicuous
+petalite phenakite phillipsite phlogopite phonolite phosgenite phototaxis phototropism
+phrasemonger picrite piemontite pierogi pillwort pipework pitot plagioclase
+planetoid plasterwork playlet plexiform plumelet pokeberry pollucite polybasite
+polydactyl polyphagous polyploid polypore porcini portobello powertrain prehnite
+protozoan proustite psilocybe psilomelane puffball pullman pulpwood pushrod
+pyrargyrite pyrolusite pyromorphite pyrophyllite pyroxene pyroxenite pyrrhotite quackgrass
+quillwort rainbird rammelsbergite ranine realgar redbird redtop reishi
+rheumatoid rhinoplasty rhodochrosite rhyolite ricebird ricer richterite riebeckite
+rootlet rosewood roundhouse ruddervator rumormonger russula rutile sailplane
+salmonberry saltgrass saltwort samarskite samosa sandbur sandwort sanidine
+saponite sapphirine saprophyte sapwood sasquatch saturnalian sauropod sawgrass
+scandalmonger scapolite scaremonger schizoid schorl scolecite scoutcraft scrollwork
+scutiform seacraft secretarybird sententious serandite serpentinite sharecropper shiitake
+shorebird shunter siderite sillimanite silverberry silverware simurgh skarn
+skutterudite slatternly sleeper sleepygrass slenderwort slipstream slipware smaltite
+smithsonite smutgrass snowbird soapberry soapstone sodalite softwood songbird
+soricine sourwood souterrain souvlaki spadework spatterware spearwort spermatozoon
+sperrylite spessartine sphalerite sphene spikegrass spikemoss spleenwort spodumene
+spoiler sporophyte sporozoan spycraft stabilator stabilizer starlet starter
+statecraft staurolite stephanite stibnite stilbite stinkhorn stitchwort stoneware
+strainer streamlet stroganoff strontianite sudatorium sugarberry sulky sump
+sunbird supercharger surfbird swallowwort swather switchgrass switchyard sybaritic
+syenite sylvanite sylvite tabbouleh tableware tabloid tachylite taillight
+tailorbird tailplane tapenade tarantass taurine tendentious tenebrific tennantite
+tenorite tephrite tetrahedrite tetraploid thallophyte thenardite thermotaxis theropod
+thigmotropism thimbleberry thomsonite thoracentesis thoracoplasty thorianite thorite thoroughwort
+tiebar timberwork titanite tonalite toothwort topazolite torbernite toroid
+torpedograss tourmalinite townlet trachyte trackage tramway transaxle travertine
+treacly trelliswork tremolite tridymite triplane troctolite trona tulipwood
+turbocharger turbofan turboprop turgite tussockgrass twinberry tzatziki ulexite
+ultralight ululant unciform undercarriage uraninite uvarovite vanadinite variscite
+veridical vermiculite vermiform vesuvianite vetiver vindaloo vituperative vivarium
+vivianite wagonette warmonger watercraft waterwort wavelet waxcap waxwork
+weaverbird websterite wendigo wernerite wheatgrass wheelbase whirlybird whoremonger
+whortleberry wickerwork wildrye willemite windscreen wineberry winglet wiregrass
+witchcraft witchgrass witherite wolfberry wolframite wollastonite woodcraft woodenware
+woodsia wordmonger wulfenite wurtzite xenolith xenotime xerophyte zaratite
+zebrawood zebrine zester zinnwaldite zoisite zoolatry zoophyte zoysia
+"""
+
+
+# Tranche 4: applied-science disciplines (-therapy/-metrics/-dynamics/
+# -chemistry), atmospheric/oceanographic and structural-geology terms,
+# perfumery raw materials. Plural-form lemmas that hijack a singular
+# (eugenics/lahars class) and -ing hijack shapes dropped in vetting.
+TRANCHE_4 = """
+aerodonetics astrochemistry astrogeology bioluminescence chemiluminescence crystallogeny electrochemistry heliometry magnetometry micropaleontology neuroanatomy neurochemistry paleobotany paleoclimatology paleogeography petrochemistry photochemistry radiochemistry sonoluminescence zoopathology
+adiabatic aeroembolism ampelography anabatic anemometry barotrauma campimetry cartology
+chemoreceptor chronobiology chronotherapy chypre civetone cliometrics cryosurgery dactylography
+decompression defibrillator dendrometry electroencephalography electromyography electrotherapy enology ergonomics
+evapotranspiration fluidics galbanum geochemistry geochronology geomorphology glossography glyptography
+gnomonics halocline heliotherapy hydroponics hydrotherapy hypnotherapy iatrogenesis lithotripsy
+lopolith lysimeter magnetohydrodynamics mechanotherapy metallography monocline myography nucleation
+oakmoss oenometry optoelectronics orographic orthodontics orthopedics periodontics petitgrain
+pharmacognosy phototherapy prosthodontics psychoacoustics psychobiology psychodynamics psychometrics psychopharmacology
+psychophysics pycnocline pyroclastic radiotherapy rhinology roentgenology stereochemistry supersaturation
+telemechanics thermochemistry thermocline transpiration ultrasonography unconformity vetivert ylang
+zoogeography
+"""
+
+ALL_WORDS_4 = sorted(
+    set(TRANCHE_1.split()) | set(TRANCHE_2.split())
+    | set(TRANCHE_3.split()) | set(TRANCHE_4.split()))

@@ -217,11 +217,37 @@ KROVETZ_PUBLISHED_PAIRS = [
     ("perspicacious", "perspicacious"), ("saturnine", "saturnine"),
     ("crepuscular", "crepuscular"), ("tenebrous", "tenebrous"),
     ("taciturn", "taciturn"), ("quiescent", "quiescent"),
+    # round 7: plurals strip to the newly vendored learned/technical
+    # lemmas (the ~29k push — inflection rules + dictionary validation)
+    ("seismographs", "seismograph"), ("cardiograms", "cardiogram"),
+    ("fungicides", "fungicide"), ("herbicides", "herbicide"),
+    ("anemometers", "anemometer"), ("kaleidoscopes", "kaleidoscope"),
+    ("hydrangeas", "hydrangea"), ("wolverines", "wolverine"),
+    ("sapphires", "sapphire"), ("concertos", "concerto"),
+    ("schooners", "schooner"), ("gargoyles", "gargoyle"),
+    ("kestrels", "kestrel"),
+    # round 7: -ies plurals over new -y/-ology/-cracy lemmas
+    ("colonoscopies", "colonoscopy"), ("appendectomies", "appendectomy"),
+    ("taxonomies", "taxonomy"), ("monopolies", "monopoly"),
+    ("theocracies", "theocracy"), ("autonomies", "autonomy"),
+    # round 7: rare-tail pass-throughs (headword conservatism)
+    ("lachrymose", "lachrymose"), ("pusillanimous", "pusillanimous"),
+    ("ineluctable", "ineluctable"), ("recondite", "recondite"),
+    ("obstreperous", "obstreperous"), ("sedulous", "sedulous"),
+    # round 7: lexicalized -ing noun stays a headword (ceiling class)
+    ("cowling", "cowling"),
+    # round 7: -ed/-ing over rare verbs the lexicon now validates
+    ("bloviated", "bloviate"), ("bloviating", "bloviate"),
+    ("gallivanted", "gallivant"), ("pettifogging", "pettifog"),
+    ("expatiated", "expatiate"),
+    # round 7: deceptive Greco-Latin -s/-is singulars pass through
+    ("sarcophagus", "sarcophagus"), ("anadiplosis", "anadiplosis"),
+    ("cumulonimbus", "cumulonimbus"),
 ]
 
 
 def test_kstem_published_pairs_count():
-    assert len(KROVETZ_PUBLISHED_PAIRS) >= 150
+    assert len(KROVETZ_PUBLISHED_PAIRS) >= 220
 
 
 @pytest.mark.parametrize("word,stem", KROVETZ_PUBLISHED_PAIRS)

@@ -1,0 +1,98 @@
+"""Vet a candidate KStem headword batch before vendoring it
+(the r6 anti-smuggling workflow, scripted for the r7 lexicon push).
+
+Reads whitespace-separated candidate words from stdin and reports:
+
+- duplicates (already in LEXICON or DIRECT) — dropped;
+- non-lemma shapes (uppercase/non-alpha/len<3) — dropped;
+- fixture hijacks: with the batch ADDED to the lexicon, every
+  KROVETZ_PUBLISHED_PAIRS pair and every pinned_derived guard must
+  still hold (the r6 'writ' broke writing->write class);
+- conflation-shift report: existing-lexicon derived forms whose stem
+  CHANGES under the batch (informational — some shifts are the point
+  of adding the headword, e.g. 'ramified' -> 'ramify').
+
+Prints the surviving batch as 8-per-line blocks ready to paste into
+kstem_data4.py.
+
+Usage: python tools/kstem_vet.py < words.txt
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import hadoop_ir_spark.functions.kstem as ks
+
+    draft = sys.stdin.read().split()
+    seen = set()
+    cand = []
+    for w in draft:
+        w = w.strip().lower()
+        if w and w not in seen:
+            seen.add(w)
+            cand.append(w)
+    bad_shape = [w for w in cand if not re.fullmatch(r"[a-z]{3,}", w)]
+    cand = [w for w in cand if re.fullmatch(r"[a-z]{3,}", w)]
+    dup = [w for w in cand if w in ks.LEXICON or w in ks.DIRECT]
+    new = [w for w in cand if w not in ks.LEXICON and w not in ks.DIRECT]
+
+    # probe kstem with the batch installed
+    old_lex = ks.LEXICON
+    probe_words = sorted(
+        {w + s for w in old_lex for s in ("s", "ed", "ing")
+         if len(w) <= 9})
+    before = {}
+    for w in probe_words:
+        before[w] = ks.kstem(w)
+    ks.LEXICON = frozenset(set(old_lex) | set(new))
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tests"))
+        from test_misc_ops import KROVETZ_PUBLISHED_PAIRS
+        hijacks = [(w, s, ks.kstem(w))
+                   for w, s in KROVETZ_PUBLISHED_PAIRS
+                   if ks.kstem(w) != s]
+        pinned_derived = {"happiness", "darkness", "quickly", "happily",
+                          "maker", "runner", "printer", "payment",
+                          "useful", "stability", "validity", "usability",
+                          "creation"}
+        smuggled = sorted(pinned_derived & set(new))
+        shifts = [(w, before[w], ks.kstem(w))
+                  for w in probe_words if ks.kstem(w) != before[w]]
+        nonfixed = [w for w in new
+                    if w not in ks.DIRECT and ks.kstem(w) != w]
+    finally:
+        ks.LEXICON = old_lex
+
+    print(f"# draft={len(draft)} unique={len(cand)} "
+          f"bad_shape={len(bad_shape)} dup={len(dup)} NEW={len(new)}",
+          file=sys.stderr)
+    if bad_shape:
+        print(f"# bad shape: {' '.join(bad_shape[:20])}", file=sys.stderr)
+    if smuggled:
+        print(f"# SMUGGLED pinned derived: {smuggled}", file=sys.stderr)
+    if hijacks:
+        print(f"# FIXTURE HIJACKS: {hijacks}", file=sys.stderr)
+    if nonfixed:
+        print(f"# non-fixed-point (impossible?): {nonfixed}",
+              file=sys.stderr)
+    if shifts:
+        print(f"# conflation shifts ({len(shifts)}):", file=sys.stderr)
+        for w, b, a in shifts[:40]:
+            print(f"#   {w}: {b} -> {a}", file=sys.stderr)
+    if hijacks or smuggled:
+        sys.exit(1)
+    out = sorted(new)
+    for i in range(0, len(out), 8):
+        print(" ".join(out[i:i + 8]))
+
+
+if __name__ == "__main__":
+    main()
