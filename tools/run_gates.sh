@@ -23,7 +23,8 @@ fi
 run timeout 900 python -m pytest tests/ -q
 if [ "${1:-}" != "quick" ]; then
   run timeout 900 python tools/plan_audit.py
-  run timeout 900 python bench.py
+  # bench runs each query twice since the r7 min-of-2 change
+  run timeout 1800 python bench.py
 fi
 
 echo "==> gates rc=$rc"
