@@ -133,3 +133,111 @@ pairs AS (
 )
 SELECT * FROM pairs WHERE n_shared >= {min_shared}
 """
+
+
+def duplicated_spans(docs: DataFrame, min_len: int = 8,
+                     id_col: str = "docno",
+                     text_col: str = "text") -> DataFrame:
+    """(docno, span_start, span_end, span_len): maximal token spans
+    covered by length-``min_len`` token windows occurring MORE THAN
+    ONCE in the corpus (any document, any position — a second
+    occurrence inside the same document counts). This is the EXACT
+    counterpart of the winnowing detector above: Lee et al.'s
+    ExactSubstr criterion (arXiv:2107.06499 §4.1) with the distributed
+    suffix array replaced by an L-gram seed join + per-doc interval
+    merge — every position whose L-gram repeats is duplicated
+    evidence, and a shared run of T >= L tokens is covered by
+    T - L + 1 consecutive duplicated seeds, so merging seed intervals
+    [p, p+L-1] (adjacency gap <= L) reconstructs the maximal span
+    exactly.
+
+    Plan shape: per-position L-grams are map-only expressions (the
+    same ``_let`` binding as winnowing — the transform output feeds
+    posexplode once, not once per element); seeds group on the gram
+    STRING, which keeps the operator exact and the DuckDB oracle
+    byte-identical (at 100 TB swap ``hash64(gram)`` in as the shuffle
+    key and keep strings only for in-bucket verification); surviving
+    seeds return to their (docno, pos) homes by one more equi-join and
+    merge with a lag + running-sum window per document
+    (gaps-and-islands). Everything is linear in duplicated positions;
+    nothing is quadratic in documents. ``span_start`` is the 0-based
+    token ordinal.
+    """
+    from pyspark.sql.window import Window
+
+    L = min_len
+    grams = docs.select(
+        F.col(id_col).alias("docno"),
+        F.posexplode(_let(tokens_col(text_col), lambda t: F.when(
+            F.size(t) >= L,
+            F.transform(F.sequence(F.lit(1), F.size(t) - (L - 1)),
+                        lambda i: F.array_join(F.slice(t, i, L), " ")),
+        ).otherwise(F.array().cast("array<string>")))).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("gram")
+    )
+    dup = grams.join(dup_grams, "gram").select("docno", "pos")
+    w = Window.partitionBy("docno").orderBy("pos")
+    isl = (
+        dup.withColumn(
+            "_gap",
+            F.when(F.col("pos") - F.lag("pos", 1, -(1 << 30)).over(w) > L,
+                   1).otherwise(0))
+        .withColumn("_island", F.sum("_gap").over(w))
+    )
+    return (
+        isl.groupBy("docno", "_island")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + L - 1).alias("span_end"))
+        .select(
+            "docno",
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("int").alias("span_len"),
+        )
+    )
+
+
+def duplicated_spans_oracle_sql(min_len: int = 8) -> str:
+    """DuckDB mirror over the ``documents`` view (same tokenizer, same
+    gram strings, same interval merge)."""
+    L = min_len
+    return f"""
+WITH toked AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT docno, pos,
+         array_to_string(list_slice(toks, pos + 1, pos + {L}), ' ') AS gram
+  FROM (SELECT docno, toks,
+               unnest(range(0, len(toks) - {L} + 1)) AS pos
+        FROM toked WHERE len(toks) >= {L})
+),
+dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+dup AS (SELECT docno, pos FROM grams JOIN dupg USING (gram)),
+isl AS (
+  SELECT docno, pos,
+         CASE WHEN pos - lag(pos, 1, -1073741824)
+                      OVER (PARTITION BY docno ORDER BY pos) > {L}
+              THEN 1 ELSE 0 END AS gap
+  FROM dup
+),
+isl2 AS (
+  SELECT docno, pos,
+         sum(gap) OVER (PARTITION BY docno ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+)
+SELECT docno,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {L} - 1 AS INT) AS span_end,
+       CAST(max(pos) + {L} - min(pos) AS INT) AS span_len
+FROM isl2 GROUP BY docno, island
+"""

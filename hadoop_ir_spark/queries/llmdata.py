@@ -273,6 +273,29 @@ def _register_winnow():
 
 _register_winnow()
 
+EXACT_SPAN_LEN = 8
+
+
+def _register_exact_spans():
+    from hadoop_ir_spark.operators import winnow
+
+    @register("exact_dup_spans",
+              winnow.duplicated_spans_oracle_sql(EXACT_SPAN_LEN))
+    def q_exact_dup_spans(spark, sf_dir):
+        """Maximal EXACTLY-duplicated token spans (>= 8-token windows
+        occurring more than once anywhere in the corpus) — Lee et al.
+        arXiv:2107.06499 ExactSubstr, the exact complement to
+        winnow_span_pairs' probabilistic fingerprints: L-gram seed
+        group + per-doc gaps-and-islands merge, no suffix array, no
+        pair enumeration (see operators/winnow.py:duplicated_spans)."""
+        return winnow.duplicated_spans(
+            _docs(spark, sf_dir), min_len=EXACT_SPAN_LEN, id_col="doc_id")
+
+    return q_exact_dup_spans
+
+
+_register_exact_spans()
+
 
 def _register_more_recalls():
     from hadoop_ir_spark.operators import similarity as sim

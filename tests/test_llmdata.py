@@ -195,3 +195,39 @@ def test_nb_classifier_beats_baseline(spark, sf_dir):
     ).collect()[0]
     baseline = max(agg["p1"], 1 - agg["p1"])
     assert agg["acc"] >= baseline  # never worse than majority vote
+
+
+def test_duplicated_spans_exact_substring(spark):
+    """ExactSubstr semantics: a shared >= L-token run merges into ONE
+    maximal span on each side; within-doc repeats count; clean docs
+    emit nothing; runs shorter than L are invisible."""
+    from hadoop_ir_spark.operators.winnow import duplicated_spans
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h i j k l"),           # tokens 0..9 shared
+        (2, "x y a b c d e f g h i j z w"),       # same run at 2..11
+        (3, "totally different words here q r s t u v"),
+        (4, "p p p p p p p p p p"),               # self-repeat
+        (5, "a b c d e f g zz"),                  # only 7 shared: < L
+    ], "docno long, text string")
+    out = {(r["docno"], r["span_start"], r["span_end"], r["span_len"])
+           for r in duplicated_spans(docs, min_len=8,
+                                     id_col="docno").collect()}
+    assert out == {(1, 0, 9, 10), (2, 2, 11, 10), (4, 0, 9, 10)}
+
+
+def test_duplicated_spans_two_islands(spark):
+    """Two separated duplicated regions in one doc stay two spans."""
+    from hadoop_ir_spark.operators.winnow import duplicated_spans
+
+    run1 = "a b c d e f g h"
+    run2 = "q r s t u v w x"
+    docs = spark.createDataFrame([
+        (1, f"{run1} k1 k2 k3 k4 k5 k6 k7 k8 k9 {run2}"),
+        (2, f"mm {run1} nn"),
+        (3, f"oo {run2} pp"),
+    ], "docno long, text string")
+    out = {(r["docno"], r["span_start"], r["span_len"])
+           for r in duplicated_spans(docs, min_len=8,
+                                     id_col="docno").collect()}
+    assert out == {(1, 0, 8), (1, 17, 8), (2, 1, 8), (3, 1, 8)}
