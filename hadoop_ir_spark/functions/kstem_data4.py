@@ -388,6 +388,56 @@ telemechanics thermochemistry thermocline transpiration ultrasonography unconfor
 zoogeography
 """
 
+
+# Tranche 5: learned -ic/-al/-ous adjectives, Greco-Latin abstract
+# nouns, compound verbs, physiographic and liturgical vocabulary,
+# mining, classical architecture, reptiles, pasta shapes, Sanskrit/
+# Japanese/Yiddish/Hindi loanwords, cat breeds, knots. Same vetting
+# discipline (dropped: 'choral' which hijacked chorales->chorale via
+# the -es rule, 'dal' which hijacked dales->dale, plural/gerund
+# shapes, multiword-name fragments, ambiguous common-word homonyms).
+TRANCHE_5 = """
+abecedary adventive aeolian aeronautical agnolotti alchemical amaut anaclitic
+anagogic anamorphic angelical angiosperm anionic anisotropic anole anserous
+antependium anticyclonic antiphonary aplasia apocalyptic apolitical apostolic apotropaic
+aquacultural archidiaconal archiepiscopal arithmetical arterial arthritic asana ascetical
+ashram astrarium asymptotic auditory autarkic autodidactic autoimmune axiomatic
+ayurveda babka backfill backlight backpedal balsamic banlieue barometric
+baronial barrette batard benevolence bento bestiarist bhaji bhatura
+bialy biconcave biconvex bilinear biogenic bioluminescent biometric bionic
+biotic biquadratic birman bitonal blastular bodysurf boma boomslang
+borekas boule bucatini bureaucratic bushmaster cabalistic cadastral caloric
+campanelle capacitive capellini carcinogenic cardiovascular carnassial carrick cartesian
+cartographic cavatappi cavatelli cella censorial chaat chai chakra
+challah chartreux chivalric choleric chuckwalla cinematic cislunar clastic
+coeducational collegial colloidal combinatorial comedic commensal comstock conchiglie
+confessional congregational consonantal consular cosmological cottonmouth couronne credo
+crowdsource cruet curler cymric dashi deadhead diarist dosa
+downshift ebullience epigrammatist epiphany farfalle fettuccine ficelle freelance
+freewheel fusilli futon garganelli gatecrash gefilte geothermal ghevar
+gravitas gulab halfhitch halwa headframe heliostat henpeck hitchhike
+horsewhip hydrothermal iconoclasm idli impluvium insolation insula inukshuk
+jalebi jumbe kachori kaiseki kamik katana kheer kickstart
+kirtan koan koi kombu korat korma kreplach kulfi
+kundalini laddu langour laperm largesse lasagne leapfrog lekythos
+lingam linguini lipread locus logjam mafaldine mairie manga
+massasauga matcha matzah miche miso mochi monstrance mostaccioli
+mucker mukluk muktuk munchkin mystique nebelung nori nosedive
+ocicat odeon orecchiette orzo overwinter palaestra palmier paneer
+papadum pappardelle paratha parodist pastina perciatelli permafrost peterbald
+pranayama prefecture propylaea prusik radiatori raga ragdoll raita
+ratsnake residuum rhymester rishi riverine rotelle roti rotini
+rubberneck rugelach saag sadhu samadhi sambar samsara sanctus
+scenarist seamount shoji sidewinder singapura sjambok smelter snowshoe
+sokoke soundproof spaghettini sphynx spitball stasis stelline stoa
+strozzapreti stylobate subalpine subtropical sutra swami tableland taipan
+tantra tegu telecommute telluric timberhitch tommyknocker tonkinese topknot
+tortelli tortiglioni toyger triclinium tzimmes udon ulu uttapam
+vada vedanta veldt virtuosity volcanism waterboard whitewash windsurf
+winze yakitori yogi zen ziti
+"""
+
 ALL_WORDS_4 = sorted(
     set(TRANCHE_1.split()) | set(TRANCHE_2.split())
-    | set(TRANCHE_3.split()) | set(TRANCHE_4.split()))
+    | set(TRANCHE_3.split()) | set(TRANCHE_4.split())
+    | set(TRANCHE_5.split()))
