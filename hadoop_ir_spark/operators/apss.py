@@ -59,12 +59,18 @@ from hadoop_ir_spark.operators.skew import salted_join
 
 IDF_SCALE = 100        # idf_q = (n_docs * IDF_SCALE) div df
 NW_SCALE = 1_000_000   # ceil-quantization scale for normalized weights
+# small_index="auto": broadcast the prefix index while the FULL postings
+# table (an upper bound on the tau-filtered index) stays under this many
+# rows (~20M postings ≈ hundreds of MB of (term, docno) pairs — inside
+# comfortable broadcast range on executor-sized heaps); beyond it, the
+# salted-shuffle plan takes over.
+AUTO_BROADCAST_MAX_POSTINGS = 20_000_000
 
 
 def prefix_candidate_pairs(docs: DataFrame, tau: float = 0.9,
                            id_col: str = "doc_id",
                            text_col: str = "text",
-                           small_index: bool = True):
+                           small_index: "bool | str" = True):
     """The Bayardo prefix-filter candidate stage: returns
     ``(cand, uw, n2)`` where ``cand`` is the distinct (id_a < id_b)
     candidate-pair frame the verification join must score, ``uw`` the
@@ -88,6 +94,10 @@ def prefix_candidate_pairs(docs: DataFrame, tau: float = 0.9,
                   .alias("w"))
           .localCheckpoint())
 
+    if small_index == "auto":
+        # uw is already checkpointed, so the count is ~free; the full
+        # postings count upper-bounds the tau-filtered prefix index
+        small_index = uw.count() <= AUTO_BROADCAST_MAX_POSTINGS
     n2 = uw.groupBy("docno").agg(
         F.sum(F.col("w") * F.col("w")).alias("n2"))
     uwn = (uw.join(n2, "docno")
@@ -127,7 +137,7 @@ def prefix_candidate_pairs(docs: DataFrame, tau: float = 0.9,
 def apss_cosine_pairs(docs: DataFrame, tau: float = 0.9,
                       id_col: str = "doc_id",
                       text_col: str = "text",
-                      small_index: bool = True) -> DataFrame:
+                      small_index: "bool | str" = True) -> DataFrame:
     """Exact pairs (id_a < id_b, cosine) with tf-idf cosine ≥ ``tau``.
 
     Returns columns ``id_a, id_b, cosine`` (cosine rounded to 6).
@@ -144,8 +154,17 @@ def apss_cosine_pairs(docs: DataFrame, tau: float = 0.9,
     At index sizes beyond memory set ``small_index=False``: the
     candidate stage becomes a salted shuffle join on term (vocabulary
     hot keys spread over salt buckets) and verification shuffles on the
-    pair key.
+    pair key. ``small_index="auto"`` resolves the switch from a corpus
+    token count against AUTO_BROADCAST_MAX_POSTINGS (one linear pass —
+    the same remove-the-default-anti-pattern probe as
+    fuzzy.choose_method, VERDICT r6 finding #2 class).
     """
+    if small_index == "auto":
+        # resolve ONCE so the candidate and verification stages agree
+        from hadoop_ir_spark.functions.text import tokens_col as _tc
+        est = (docs.select(F.explode(_tc(text_col)).alias("t"))
+               .filter(F.col("t") != "").count())
+        small_index = est <= AUTO_BROADCAST_MAX_POSTINGS
     cand, uw, n2 = prefix_candidate_pairs(docs, tau, id_col, text_col,
                                           small_index)
     par = docs.sparkSession.sparkContext.defaultParallelism * 2

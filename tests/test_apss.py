@@ -76,3 +76,24 @@ def test_apss_pairs_are_canonical_and_thresholded(spark, sf_dir):
     for r in out:
         assert r.id_a < r.id_b
         assert r.cosine >= 0.9 - 1e-6
+
+
+def test_apss_small_index_auto(spark):
+    """small_index="auto" resolves from corpus size and produces the
+    identical pair set on both resolution outcomes."""
+    from hadoop_ir_spark.operators import apss
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7} common text body")
+         for i in range(40)],
+        "doc_id long, text string")
+    auto = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+            apss.apss_cosine_pairs(docs, tau=0.8,
+                                   small_index="auto").collect()}
+    bcast = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+             apss.apss_cosine_pairs(docs, tau=0.8,
+                                    small_index=True).collect()}
+    salted = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+              apss.apss_cosine_pairs(docs, tau=0.8,
+                                     small_index=False).collect()}
+    assert auto == bcast == salted and auto
