@@ -159,14 +159,13 @@ def apss_cosine_pairs(docs: DataFrame, tau: float = 0.9,
     the same remove-the-default-anti-pattern probe as
     fuzzy.choose_method, VERDICT r6 finding #2 class).
     """
-    if small_index == "auto":
-        # resolve ONCE so the candidate and verification stages agree
-        from hadoop_ir_spark.functions.text import tokens_col as _tc
-        est = (docs.select(F.explode(_tc(text_col)).alias("t"))
-               .filter(F.col("t") != "").count())
-        small_index = est <= AUTO_BROADCAST_MAX_POSTINGS
     cand, uw, n2 = prefix_candidate_pairs(docs, tau, id_col, text_col,
                                           small_index)
+    if small_index == "auto":
+        # resolve from the SAME checkpointed postings frame the
+        # candidate stage used (count is ~free post-checkpoint), so
+        # both stages always agree and no extra corpus pass runs
+        small_index = uw.count() <= AUTO_BROADCAST_MAX_POSTINGS
     par = docs.sparkSession.sparkContext.defaultParallelism * 2
 
     pa = uw.select(F.col("docno").alias("id_a"), "term",

@@ -92,7 +92,8 @@ def choose_method(strings: DataFrame, col: str = "title",
     SCALING.md).
     """
     k = max_dist
-    s = strings.select(F.col(col).alias("_s"))
+    s = strings.select(F.col(col).alias("_s")).filter(
+        F.col("_s").isNotNull())
     hist = {
         int(r["_len"]): int(r["_n"])
         for r in s.groupBy(F.length("_s").alias("_len"))
