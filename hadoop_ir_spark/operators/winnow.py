@@ -241,3 +241,50 @@ SELECT docno,
        CAST(max(pos) + {L} - min(pos) AS INT) AS span_len
 FROM isl2 GROUP BY docno, island
 """
+
+
+def remove_duplicated_spans(docs: DataFrame, min_len: int = 8,
+                            id_col: str = "docno",
+                            text_col: str = "text") -> DataFrame:
+    """(docno, clean_text, n_tokens, n_removed): the corpus with every
+    token covered by a duplicated span (see ``duplicated_spans``)
+    excised — the pipeline ACTION of Lee et al.'s ExactSubstr dedup
+    (arXiv:2107.06499 removes every occurrence of a duplicated
+    substring; keeping exactly one copy requires a global occurrence
+    order the paper itself forgoes in the distributed setting).
+    Documents with no duplicated span pass through intact;
+    ``clean_text`` is the surviving tokens joined by single spaces
+    (the tokenizer's normalization, same as every token-level oracle).
+
+    Plan: spans per doc are FEW (bounded by doc_len / min_len), so the
+    token-vs-span containment check is an equi-join on docno with a
+    post-filter — never a range/nested-loop join — followed by one
+    per-doc ordered reassembly (collect + sort inside an aggregate,
+    bounded by doc length)."""
+    spans = duplicated_spans(docs, min_len=min_len, id_col=id_col,
+                             text_col=text_col)
+    toks = docs.select(
+        F.col(id_col).alias("docno"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "term"),
+    )
+    marked = (
+        toks.join(spans, "docno", "left")
+        .withColumn("_in", (F.col("pos") >= F.col("span_start"))
+                    & (F.col("pos") <= F.col("span_end")))
+        .groupBy("docno", "pos", "term")
+        .agg(F.max(F.coalesce(F.col("_in"), F.lit(False))).alias("_rm"))
+    )
+    return (
+        marked.groupBy("docno")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        ~F.col("_rm"),
+                        F.struct(F.col("pos"), F.col("term"))))),
+                    lambda x: x["term"]),
+                " ").alias("clean_text"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(F.col("_rm").cast("int")).cast("int").alias("n_removed"),
+        )
+    )

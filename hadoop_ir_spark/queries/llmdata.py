@@ -297,6 +297,54 @@ def _register_exact_spans():
 _register_exact_spans()
 
 
+def _register_exact_span_clean():
+    from hadoop_ir_spark.operators import winnow
+
+    spans_sql = winnow.duplicated_spans_oracle_sql(EXACT_SPAN_LEN)
+
+    @register("exact_dedup_clean", f"""
+WITH spans AS ({spans_sql}),
+toked AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+words AS (
+  SELECT docno, unnest(toks) AS term,
+         unnest(range(0, len(toks))) AS pos
+  FROM toked WHERE len(toks) > 0
+),
+marked AS (
+  SELECT w.docno, w.pos, w.term,
+         max(CASE WHEN s.span_start IS NOT NULL
+                   AND w.pos BETWEEN s.span_start AND s.span_end
+                  THEN 1 ELSE 0 END) AS rm
+  FROM words w LEFT JOIN spans s ON s.docno = w.docno
+  GROUP BY w.docno, w.pos, w.term
+)
+SELECT docno,
+       coalesce(string_agg(CASE WHEN rm = 0 THEN term END, ' '
+                           ORDER BY pos), '') AS clean_text,
+       CAST(count(*) AS INT) AS n_tokens,
+       CAST(sum(rm) AS INT) AS n_removed
+FROM marked GROUP BY docno
+""")
+    def q_exact_dedup_clean(spark, sf_dir):
+        """The ExactSubstr pipeline ACTION: the corpus with every token
+        covered by a duplicated >= 8-token span excised (Lee et al.
+        arXiv:2107.06499 remove every occurrence), plus per-doc removal
+        accounting. Docs with zero tokens carry no rows (token-level
+        convention shared with every stats oracle)."""
+        return winnow.remove_duplicated_spans(
+            _docs(spark, sf_dir), min_len=EXACT_SPAN_LEN, id_col="doc_id")
+
+    return q_exact_dedup_clean
+
+
+_register_exact_span_clean()
+
+
 def _register_more_recalls():
     from hadoop_ir_spark.operators import similarity as sim
     from hadoop_ir_spark.queries.similarity import ANN_K

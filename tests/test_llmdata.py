@@ -231,3 +231,26 @@ def test_duplicated_spans_two_islands(spark):
            for r in duplicated_spans(docs, min_len=8,
                                      id_col="docno").collect()}
     assert out == {(1, 0, 8), (1, 17, 8), (2, 1, 8), (3, 1, 8)}
+
+
+def test_remove_duplicated_spans(spark):
+    """Span removal: duplicated tokens excised on BOTH occurrences,
+    clean docs intact, counts reconcile, all-duplicate doc -> empty."""
+    from hadoop_ir_spark.operators.winnow import remove_duplicated_spans
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h i j k l"),
+        (2, "x y a b c d e f g h i j z w"),
+        (3, "clean words only here s t u v w9 w8"),
+        (4, "a b c d e f g h i j"),        # fully duplicated
+    ], "docno long, text string")
+    out = {r["docno"]: r for r in remove_duplicated_spans(
+        docs, min_len=8, id_col="docno").collect()}
+    assert out[1]["clean_text"] == "k l" and out[1]["n_removed"] == 10
+    assert out[2]["clean_text"] == "x y z w"
+    assert out[3]["clean_text"].startswith("clean words")
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 10
+    for r in out.values():
+        kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert kept + r["n_removed"] == r["n_tokens"]

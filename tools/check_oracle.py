@@ -113,9 +113,9 @@ PINNED_JUDGE_VERIFIED = sorted({
     # round 7: real baseline 4:2:0 color JPEG codec (VERDICT r6 #6),
     # strict at sf0.001/0.01/0.1 on addition
     "media_jpeg_color",
-    # round 7: Lee et al. ExactSubstr duplicated spans, strict at
-    # 3 SFs on addition
-    "exact_dup_spans",
+    # round 7: Lee et al. ExactSubstr duplicated spans + the removal
+    # action, strict at 3 SFs on addition
+    "exact_dup_spans", "exact_dedup_clean",
 })
 
 
