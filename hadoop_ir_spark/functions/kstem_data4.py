@@ -437,7 +437,116 @@ vada vedanta veldt virtuosity volcanism waterboard whitewash windsurf
 winze yakitori yogi zen ziti
 """
 
+
+# Tranche 6: -ize verbs, ballet/equestrian/chess vocabulary, abstract
+# mathematics, pigment names, historical garments and fortifications,
+# architectural moldings, carriages, finance, neuropsychiatric
+# symptoms, early-music forms, falconry, brewing/papermaking/
+# glassmaking/pottery/weaving/leather/joinery craft terms, soil
+# science, immunology, genetics, pharmacy dose forms, dentistry,
+# surveying, organ stops, collector -ist/-phile nouns, cuisine
+# technique terms, spices, deep-sea fish, Scottish/dialect words and
+# world-English loanwords (Indian/Levantine/Latin-American/Filipino/
+# Australian). Same vetting discipline; every -ing craft nominal
+# (malting/couching class), plural-form lemma (bolas/grains/weeds
+# class) and common-word homonym (madder = mad-comparative class)
+# dropped in vetting.
+TRANCHE_6 = """
+abiogenic accretionary acotyledon adaxial adnate adventitial aiguillette allonge
+ametropic anagnorisis apomictic apsis arboreous areolar argol asynchronous
+autotrophic avulsion bathypelagic benthonic bezoar bilabiate bipinnate bryophytic
+calcareous calciferous calvarium cleistogamous colophony columella costate crenulate
+cuspidate dimorphic ecdysial echinate epipelagic filamentous heterotrophic hirtellous
+incised katabasis labiate ligneous lyrate macaronic megaron mesopelagic
+monoecious mucronate papillate parousia petiolate pinnatifid pleroma propylaeum
+pubescent revolute rhyton saccate sastruga scurfy serrulate sphragistics
+squarrose stemma stipitate synaxis temenos tomentose toponym transmontane
+tridentate trifoliate trilobate tropopause turbinate unifoliate vamplate velarium
+velutinous verrucose vomitorium xystus
+abseiler actinide anticlockwise antimonide archaeoastronomy arsenide astatide astrobiology
+astrometeorology belayer betwixt boride bromate carabineer cosmochemistry doughty
+erstwhile fey gormless helioseismology heretofore hyaloclastite hypochlorite ignimbrite
+insomuch iodate jumar lanthanide lapilli magnetohydrodynamic metalloid molybdate
+nevermore palagonite peperite peradventure perborate periodate permanganate persulfate
+rappel scrambler selenide serac sere silicide stannate thenceforth
+theretofore thiocyanate thiosulfate titanate tungstate twee vanadate whereat
+wherefrom wherein whereinto whereof whereon wheresoever whereto whereunto
+wherewith wherewithal whilom withal
+acrosome actin adipocyte aldosterone androgen angiotensin anther anthocyanin
+aril astrocyte axoneme barbicel basophil bilirubin calamus calcitonin
+calyx capitulum carotenoid carpel catadioptric catoptrics centriole centrosome
+ceruloplasmin chelicera cholecystokinin chondral chondroblast chromoplast chymotrypsin collimator
+cortisol corymb creatinine cryogen cyme cytosine dehiscent desmosome
+dioptrics dystrophin elastin endocardium endometrium endorphin endosome enkephalin
+eosinophil epicardium erythroblast erythrocyte erythropoietin etalon exoskeleton ferritin
+fibrin fibrinogen fibroblast gastrin ghrelin globulin glucagon glutathione
+gonadotropin granulocyte hallucinogen hemocyanin hemolymph hepatocyte hypanthium inflorescence
+infructescence instar internode involucre keratinase keratinocyte leptin leucoplast
+leukocyte lymphoblast lymphocyte lysosome megakaryoblast megakaryocyte melanocyte melanosome
+melatonin microtubule mitogen monochromator monocyte myoblast myocardium myocyte
+myoglobin myosin nectary neuroblast neutrophil nucleoside ootheca osteoblast
+osteoclast osteocyte oxyhemoglobin parathormone pedicel pepsinogen perineum peroxisome
+phagocyte phagosome phycobilin plasmin pome prolactin proleg pronotum
+proteasome prothrombin protoplast puparium purine pyrimidine rachilla renin
+reticle reticulocyte scape schizocarp secretin serotonin somatostatin somatotropin
+spikelet spinneret spiracle spliceosome stipule stridulation synaptosome synovium
+tegmen tepal teratogen thrombin thrombocyte thromboplastin thymine thyroglobulin
+thyroxine thyrse transferrin trophoblast troponin trypsinogen tubulin tymbal
+umbel uracil vasopressin xanthophyll
+aasvogel abattis accessorize adobo aerosolize agama agglutinin ailurophile
+ajowan akinesia alette almuce amah amchur analav anemoscope
+aneuploidy anglaise annatto annulet anodize anosognosia antivenin apicoectomy
+aprosodia aquarist arbitrageur arctophile armilla arnis aromatize asafoetida
+asomatognosia astereognosis astragal austringer autosome ballon banca bancassurance
+barangay barre bastardize batfish batonnet batterie beerstone berbere
+bergerette bewit bey bick bicyclist bijection birdsmouth blobfish
+bloomery bolo bontebok brancher brise bristlemouth britzka brumby
+brunoise bruxism burnie bushbuck bycocket cairngorm caltrop cannibalize
+canzonetta capriole carabao cardinality caricaturist cartelize cartophile casbah
+casemate cassation catheterize cavesson centromere ceramicist chacra chaine
+chainman changement channelize charnushka chemisette chernozem chevauchee chiasma
+chiffonade chromatin ciseaux cisticola codimension cohomology collateralize collyrium
+commoditize computerize concasse concertino confit containerize contextualize continuum
+convolution corroboree cotehardie coucou counterscarp covariance croise cryptomnesia
+cullet cytokine demiglace demilitarize demilune dentition denuclearize desalinize
+destigmatize destrier dextrin dhobi diacetyl digitalize dikdik discophile
+disintermediation dobby dolomitize dormeuse dragonfish drongo ductia dulcian
+duxelles dysgeusia dyssomnia ecarte edentulous eigenspace electuary emblematize
+embrocation endodontics endomorphism enfeoffment epimorphism epistasis epistemic epitope
+equitation escrowee estampie ethicist eurobond factorage factorize fangtooth
+fenugreek flautist forfaiting fouette francolin frogfish frottola fuchsine
+functor furiant gastrique gemshorn genet genotype gerenuk gingiva
+gleysol gonfalonier greenware groupoid grysbok gulper hamerkop hammam
+haplotype hapten hatchetfish heriot heterosis heterozygote histosol hollander
+homeomorphism homomorphism homotopy homozygote hoquetus hornero houppelande hypergraphia
+hyperlexia hypermnesia hypersurface hypothecation hyrax idempotent immunoglobulin interferon
+interleukin intrados involution isabelline isogram jeepney jete karromata
+karyotype keyboardist klipspringer korhaan kori kraeusen krummhorn kundiman
+lanternshark lauda lauter leatherhard levade liege linters lourie
+lupulin lymphokine lyophilize macropsia mahleb malambo malocclusion marver
+medievalist mercerization metastasize micropsia minbar miniaturist mollisol monoid
+monomorphism morphism mousebird mutagen nage nargileh nazard nilpotent
+norimon onlay ontic oologist operand operon orthodontia orthophoto
+oxblood oxygenize palletize panade paramnesia pareidolia passager passamezzo
+pavise pedalboard pedestrianize penche periodontitis persillade phenotype phillumenist
+photogrammetrist pilentum pirn planetable platinize pleiotropy plie pointe
+polygene polytope portative potto pritchel proletarianize pugmill pukka
+pulpitis quaich qualia quebracho quenelle raku rankett rattail
+recombinant recoupment reedbuck reglet rehypothecation releve remouillage rhebok
+rhizosphere ricercare rohrflote rouille routinize rubberize saggar sallyport
+salpicon sampaguita scotia scripophilist securitize seigniorage semigroup sgraffito
+shawm sheikh simplex sinfonietta sissonne sitatunga skywriter slickhead
+sloganize slurry snaggletooth snailfish soffritto solferino solum soutenu
+sparge spodosol steeplechaser subgroup submanifold sumach suni suppository
+surjection swagman syllabize tacheometer telegraphist telomere telos tendu
+texturize tiercel tombeau topee tourdion transposon tremulant trilateration
+trub tsessebe turaco tuyere underglaze vascularize vatman veloute
+vertisol vexillologist vibist villanella viperfish vorlauf waddy wallaroo
+warrigal weatherize wergild windchest wingwalker wort yarak zugzwang
+zwischenzug zygosity zymurgist
+"""
+
 ALL_WORDS_4 = sorted(
     set(TRANCHE_1.split()) | set(TRANCHE_2.split())
     | set(TRANCHE_3.split()) | set(TRANCHE_4.split())
-    | set(TRANCHE_5.split()))
+    | set(TRANCHE_5.split()) | set(TRANCHE_6.split()))

@@ -265,7 +265,7 @@ def test_kstem_lexicon_is_sane():
 
     from hadoop_ir_spark.functions.kstem import DIRECT, LEXICON, kstem
 
-    assert len(LEXICON) >= 21000
+    assert len(LEXICON) >= 30000
     assert all(re.fullmatch(r"[a-z]+", w) for w in LEXICON)
     for w in LEXICON:
         if w not in DIRECT:
