@@ -72,10 +72,13 @@ def prefix_candidate_pairs(docs: DataFrame, tau: float = 0.9,
                            text_col: str = "text",
                            small_index: "bool | str" = True):
     """The Bayardo prefix-filter candidate stage: returns
-    ``(cand, uw, n2)`` where ``cand`` is the distinct (id_a < id_b)
-    candidate-pair frame the verification join must score, ``uw`` the
-    checkpointed integer tf-idf postings, ``n2`` the per-doc squared
-    norms. Public so tests can PIN the filter's selectivity — the r5
+    ``(cand, uw, n2, small_index)`` where ``cand`` is the distinct
+    (id_a < id_b) candidate-pair frame the verification join must
+    score, ``uw`` the checkpointed integer tf-idf postings, ``n2`` the
+    per-doc squared norms, and ``small_index`` the RESOLVED plan
+    boolean (``"auto"`` decided here, once — the verification stage
+    reuses it so the two stages can never desynchronize, ADVICE r7).
+    Public so tests can PIN the filter's selectivity — the r5
     ascending-maxq ordering bug passed every correctness check (the
     filter stayed lossless) and only the candidate COUNT exposes it."""
     post = (docs
@@ -131,7 +134,7 @@ def prefix_candidate_pairs(docs: DataFrame, tau: float = 0.9,
             .select(F.least("da", "db").alias("id_a"),
                     F.greatest("da", "db").alias("id_b"))
             .distinct())
-    return cand, uw, n2
+    return cand, uw, n2, small_index
 
 
 def apss_cosine_pairs(docs: DataFrame, tau: float = 0.9,
@@ -157,15 +160,12 @@ def apss_cosine_pairs(docs: DataFrame, tau: float = 0.9,
     pair key. ``small_index="auto"`` resolves the switch from a corpus
     token count against AUTO_BROADCAST_MAX_POSTINGS (one linear pass —
     the same remove-the-default-anti-pattern probe as
-    fuzzy.choose_method, VERDICT r6 finding #2 class).
+    fuzzy.choose_method, VERDICT r6 finding #2 class); the candidate
+    stage resolves it ONCE and returns the boolean, so both stages
+    always plan the same way (ADVICE r7).
     """
-    cand, uw, n2 = prefix_candidate_pairs(docs, tau, id_col, text_col,
-                                          small_index)
-    if small_index == "auto":
-        # resolve from the SAME checkpointed postings frame the
-        # candidate stage used (count is ~free post-checkpoint), so
-        # both stages always agree and no extra corpus pass runs
-        small_index = uw.count() <= AUTO_BROADCAST_MAX_POSTINGS
+    cand, uw, n2, small_index = prefix_candidate_pairs(
+        docs, tau, id_col, text_col, small_index)
     par = docs.sparkSession.sparkContext.defaultParallelism * 2
 
     pa = uw.select(F.col("docno").alias("id_a"), "term",

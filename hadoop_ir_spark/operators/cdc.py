@@ -93,13 +93,17 @@ def dataset_diff(a: DataFrame, b: DataFrame, key_cols: list[str],
     NULL safety: ``concat_ws`` silently DROPS null arguments (and
     ``xxhash64`` ignores them), which would make ('a', NULL, 'b') and
     ('a', 'b', NULL) hash identically — so every compare column
-    contributes TWO cells: an out-of-band null flag ('0'/'1') and
-    ``coalesce(value, '')``. Unlike an in-band sentinel (the r5
-    '\\x00' coalesce, which collided with a literal one-NUL-byte
-    value — ADVICE r6), the flag cell makes NULL distinguishable from
-    EVERY string value, so NULL-vs-value and NULL-position changes
-    always classify as ``changed``. The oracle SQL mirrors the same
-    flag+coalesce encoding.
+    contributes THREE cells: an out-of-band null flag ('0'/'1'), the
+    value's LENGTH, and ``coalesce(value, '')``. Unlike an in-band
+    sentinel (the r5 '\\x00' coalesce, which collided with a literal
+    one-NUL-byte value — ADVICE r6), the flag cell makes NULL
+    distinguishable from EVERY string value; the length cell makes the
+    encoding injective even for values CONTAINING the '\\x1f'
+    separator (ADVICE r7: without it, ('a\\x1f0', 'b') and
+    ('a', '0\\x1fb') concatenate identically) — a decoder can always
+    consume flag, then length, then exactly ``length`` value chars, so
+    no two distinct rows share an encoding. The oracle SQL mirrors the
+    same flag+length+coalesce encoding.
     """
     compare_cols = compare_cols or [
         c for c in a.columns if c not in key_cols]
@@ -109,6 +113,7 @@ def dataset_diff(a: DataFrame, b: DataFrame, key_cols: list[str],
         for c in compare_cols:
             v = F.col(c).cast("string")
             out.append(F.when(v.isNull(), F.lit("1")).otherwise(F.lit("0")))
+            out.append(F.length(F.coalesce(v, F.lit(""))).cast("string"))
             out.append(F.coalesce(v, F.lit("")))
         return out
 

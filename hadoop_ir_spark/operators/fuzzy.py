@@ -102,10 +102,15 @@ def choose_method(strings: DataFrame, col: str = "title",
     n = sum(hist.values())
     if n == 0:
         return "band"
-    band_pairs = sum(
+    # raw counts ORDERED pairs including self-matches; the band path
+    # enqueues each unordered pair once and no self pairs, so subtract
+    # the n self-matches and halve (ADVICE r7 — without this the
+    # effective per-string threshold was ~half the documented constant)
+    raw = sum(
         n_l * sum(hist.get(l2, 0) for l2 in range(l - k, l + k + 1))
         for l, n_l in hist.items()
     )
+    band_pairs = (raw - n) / 2
     if band_pairs <= AUTO_BAND_CANDIDATES_PER_STRING * n:
         return "band"
     grams = F.expr(

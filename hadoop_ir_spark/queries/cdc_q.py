@@ -124,17 +124,23 @@ b AS (
 ),
 ha AS (SELECT o_orderkey, md5(concat_ws(chr(31),
               CASE WHEN o_custkey IS NULL THEN '1' ELSE '0' END,
+              length(coalesce(o_custkey::VARCHAR, ''))::VARCHAR,
               coalesce(o_custkey::VARCHAR, ''),
               CASE WHEN o_orderstatus IS NULL THEN '1' ELSE '0' END,
+              length(coalesce(o_orderstatus, ''))::VARCHAR,
               coalesce(o_orderstatus, ''),
               CASE WHEN o_orderpriority IS NULL THEN '1' ELSE '0' END,
+              length(coalesce(o_orderpriority, ''))::VARCHAR,
               coalesce(o_orderpriority, ''))) AS h FROM a),
 hb AS (SELECT o_orderkey, md5(concat_ws(chr(31),
               CASE WHEN o_custkey IS NULL THEN '1' ELSE '0' END,
+              length(coalesce(o_custkey::VARCHAR, ''))::VARCHAR,
               coalesce(o_custkey::VARCHAR, ''),
               CASE WHEN o_orderstatus IS NULL THEN '1' ELSE '0' END,
+              length(coalesce(o_orderstatus, ''))::VARCHAR,
               coalesce(o_orderstatus, ''),
               CASE WHEN o_orderpriority IS NULL THEN '1' ELSE '0' END,
+              length(coalesce(o_orderpriority, ''))::VARCHAR,
               coalesce(o_orderpriority, ''))) AS h FROM b)
 SELECT coalesce(ha.o_orderkey, hb.o_orderkey) AS o_orderkey,
        CASE WHEN ha.h IS NULL THEN 'added'

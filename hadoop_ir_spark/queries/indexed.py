@@ -79,12 +79,19 @@ _POS_INDEX_CACHE: dict[str, str] = {}
 
 
 def _pos_index_dir(spark, sf_dir: str) -> str:
+    # pair_window is passed EXPLICITLY as SDM_UW (ADVICE r7): q_indexed_sdm
+    # reads pair_unordered_w{SDM_UW}, so building with the (coincidentally
+    # equal) default would break silently if proximity_q ever changed the
+    # window width.
+    from hadoop_ir_spark.queries.proximity_q import SDM_UW
+
     key = os.path.abspath(sf_dir)
     if key not in _POS_INDEX_CACHE:
         out = os.path.join(
             _TMPROOT, "pos_" + key.strip("/").replace("/", "_"))
         index_io.build_positional_index(_docs(spark, sf_dir), out,
-                                        id_col="doc_id")
+                                        id_col="doc_id",
+                                        pair_window=SDM_UW)
         _POS_INDEX_CACHE[key] = out
     return _POS_INDEX_CACHE[key]
 
@@ -307,5 +314,53 @@ def q_indexed_sdm(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"))
 
 
-# the oracle alias (same SQL as sdm_topk) is installed by
-# queries/proximity_q.py at its import, which happens after this module
+@register("indexed_best_passage")
+def q_indexed_best_passage(spark, sf_dir):
+    """best_passage with EVERY corpus access index-served (VERDICT r7
+    #3): the Dirichlet run scores from the inverted index (same plan as
+    indexed_dirichlet_topk) and the query-term positional stream reads
+    the build-time ``positional`` parquet — the last proximity-family
+    query-time corpus re-tokenize is gone. The positional table is
+    sorted by term within partitions, so the ``term IN (...)`` filter
+    prunes row groups via parquet min/max stats; everything downstream
+    (hit join, window expansion, per-(qid, docno) argmax) is identical
+    to the scan twin. Equivalent materialization ⇒ reuses
+    best_passage's oracle verbatim."""
+    from pyspark.sql import Window
+
+    from hadoop_ir_spark.catalog import _topics_df
+    from hadoop_ir_spark.queries.proximity_q import _QTERMS, PASSAGE_W
+
+    run = q_indexed_dirichlet(spark, sf_dir).select("qid", "docno")
+    pos_dir = _pos_index_dir(spark, sf_dir)
+    ptoks = (
+        spark.read.parquet(os.path.join(pos_dir, "positional"))
+        .filter(F.col("term").isin(_QTERMS))
+    )
+    topics = _topics_df(spark).distinct()
+    hits = (
+        run.join(F.broadcast(topics), "qid")
+        .join(ptoks, ["docno", "term"])
+        .select("qid", "docno", (F.col("pos") + 1).alias("ord"))
+        .localCheckpoint()   # consumed twice (starts x members)
+    )
+    offs = F.array(*[F.col("ord") + d for d in range(PASSAGE_W)])
+    starts = hits.select("qid", "docno", F.col("ord").alias("win_start"),
+                         F.explode(offs).alias("m_ord"))
+    members = hits.select("qid", "docno", F.col("ord").alias("m_ord"))
+    wins = (
+        starts.join(members, ["qid", "docno", "m_ord"])
+        .groupBy("qid", "docno", "win_start")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("qid", "docno").orderBy(
+        F.desc("n_hits"), F.asc("win_start"))
+    return (
+        wins.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "docno", "win_start", "n_hits")
+    )
+
+
+# the oracle aliases (same SQL as sdm_topk / best_passage) are installed
+# by queries/proximity_q.py at its import, which happens after this module

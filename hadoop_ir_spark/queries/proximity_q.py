@@ -442,6 +442,7 @@ from hadoop_ir_spark.catalog import ORACLES as _ORACLES
 
 _ORACLES["indexed_phrase_topk"] = _ORACLES["phrase_search_topk"]
 _ORACLES["indexed_sdm_topk"] = _ORACLES["sdm_topk"]
+_ORACLES["indexed_best_passage"] = _ORACLES["best_passage"]
 
 
 # ---------------------------------------------------------------------------

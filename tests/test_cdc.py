@@ -116,3 +116,21 @@ def test_dataset_diff_null_vs_nul_byte(spark):
                for r in dataset_diff(a, b, key_cols=["k"],
                                      digest=digest).collect()}
         assert out == {1: "changed", 2: "changed"}, digest
+
+
+def test_dataset_diff_separator_injection(spark):
+    """Values CONTAINING the '\\x1f' cell separator must not alias
+    across column boundaries (ADVICE r7: ('a\\x1f0', 'b') vs
+    ('a', '0\\x1fb') concatenated identically under the flag+coalesce
+    encoding). The length-prefix cell makes the encoding injective."""
+    from hadoop_ir_spark.operators.cdc import dataset_diff
+
+    a = spark.createDataFrame([(1, "a\x1f0", "b"), (2, "x", "y\x1f")],
+                              "k long, c1 string, c2 string")
+    b = spark.createDataFrame([(1, "a", "0\x1fb"), (2, "x\x1f", "y")],
+                              "k long, c1 string, c2 string")
+    for digest in ("md5", "xxhash64"):
+        out = {r["k"]: r["status"]
+               for r in dataset_diff(a, b, key_cols=["k"],
+                                     digest=digest).collect()}
+        assert out == {1: "changed", 2: "changed"}, digest

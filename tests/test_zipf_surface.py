@@ -33,7 +33,7 @@ def zipf_docs(spark):
 def test_apss_prefix_filter_prunes_on_zipf(spark, zipf_docs):
     from hadoop_ir_spark.operators import apss
 
-    cand, _, _ = apss.prefix_candidate_pairs(zipf_docs, tau=ZIPF_TAU)
+    cand, _, _, _ = apss.prefix_candidate_pairs(zipf_docs, tau=ZIPF_TAU)
     n = cand.count()
     assert n <= APSS_CAND_MAX, (
         f"{n:,} candidates — the prefix filter stopped pruning "
