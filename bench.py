@@ -10,6 +10,18 @@ repetition cannot distort the recorded engine time (VERDICT r6 finding #1:
 BENCH_r06 recorded 3.08s for a query that re-times at 0.84s isolated).
 The first-repetition times are kept separately in BENCH_FULL.json under
 "first_run" for anyone studying cache/codegen warm-up.
+
+Load-aware contamination detection (VERDICT r7 finding #1 — min-of-2
+cannot absorb a spike spanning both reps, and the record's
+trustworthiness must not depend on a human noticing): os.getloadavg()
+is sampled before every repetition; a repetition taken at 1-min load
+above LOAD_FLAG_FRACTION x cpus is FLAGGED, and a query whose kept
+repetitions were all flagged — or whose two reps disagree by more than
+RETRY_DISAGREE_RATIO (a spike the threshold missed) — is re-run once
+more. Per-query load samples live in BENCH_FULL.json under "load_avg";
+queries still contaminated after the retry are listed in "load_flagged"
+(and counted in the printed line's "n_load_flagged"), so a reviewer can
+machine-discard them instead of adjudicating the record by hand.
 """
 
 from __future__ import annotations
@@ -83,19 +95,46 @@ def main():
     if os.path.isdir(warm_dir):
         catalog.QUERIES["dirichlet_topk"](spark, warm_dir).count()
 
+    # a rep sampled above this 1-min load is suspect: the bench's own
+    # local[cpus] JVM cannot sustain more than ~cpus runnable threads,
+    # so load beyond it means a foreign process is competing for cores
+    load_limit = cpus * float(os.environ.get("SPARK_GRAFT_LOAD_FRAC", "1.0"))
+    retry_disagree = 1.5
+
+    def _rep(name):
+        load1 = os.getloadavg()[0]
+        t0 = time.time()
+        n = catalog.QUERIES[name](spark, sf_dir).count()
+        return round(time.time() - t0, 3), round(load1, 2), n
+
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    load_avg: dict[str, list[float]] = {}
+    load_flagged: list[str] = []
     for name in names:
-        reps = []
+        reps, loads = [], []
         for _ in range(2):
-            t0 = time.time()
-            df = catalog.QUERIES[name](spark, sf_dir)
-            n = df.count()
-            reps.append(round(time.time() - t0, 3))
+            t, load1, n = _rep(name)
+            reps.append(t)
+            loads.append(load1)
+        disagree = max(reps) / max(min(reps), 1e-9) > retry_disagree
+        if all(l > load_limit for l in loads) or disagree:
+            t, load1, n = _rep(name)       # one machine-driven retry
+            reps.append(t)
+            loads.append(load1)
+        # the kept number is the min of reps taken under sane load;
+        # if every rep was contaminated, keep the min and flag the query
+        clean = [t for t, l in zip(reps, loads) if l <= load_limit]
+        if clean:
+            timings[name] = min(clean)
+        else:
+            timings[name] = min(reps)
+            load_flagged.append(name)
         first_run[name] = reps[0]
-        timings[name] = min(reps)
-        print(f"# {name}: {timings[name]}s (reps {reps}, {n} rows)",
-              file=sys.stderr)
+        load_avg[name] = loads
+        flag = " LOAD-FLAGGED" if name in load_flagged else ""
+        print(f"# {name}: {timings[name]}s (reps {reps}, loads {loads}, "
+              f"{n} rows){flag}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -104,6 +143,9 @@ def main():
         "unit": "sec",
         "queries": timings,
         "first_run": first_run,
+        "load_avg": load_avg,
+        "load_limit": load_limit,
+        "load_flagged": load_flagged,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail on disk: the driver keeps only the last 2000
@@ -118,6 +160,8 @@ def main():
     # those are what a perf review reads first).
     out = dict(full)
     del out["first_run"]          # detail lives in BENCH_FULL.json
+    del out["load_avg"]
+    out["n_load_flagged"] = len(load_flagged)
     out["n_queries"] = len(timings)
     out["full_detail"] = "BENCH_FULL.json"
     kept = sorted(timings, key=timings.get, reverse=True)

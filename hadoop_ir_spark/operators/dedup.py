@@ -183,15 +183,14 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 24,
     )
 
 
-def lsh_candidates(sigs: DataFrame, bands: int = 8) -> DataFrame:
-    """Band the signatures, group each (band, key) bucket, and expand the
-    in-bucket pairs (docno_a < docno_b) with an array expression — one
-    pass over the signatures, no self-join (a self-join would scan the
-    full signature lineage twice). Skewed mega-buckets are the LSH
-    parameterization's problem, not the plan's: bucket width is bounded
-    by collision probability at the chosen bands/rows."""
+def band_key_frame(sigs: DataFrame, bands: int = 8) -> DataFrame:
+    """(docno, band, key): the banded signature keys LSH buckets on —
+    factored out of ``lsh_candidates`` so a persisted dedup index
+    (operators/dedup_incremental.py) stores EXACTLY the keys the
+    in-corpus path buckets on; two docs are LSH candidates iff they
+    share a (band, key) row."""
     n = bands
-    banded = sigs.select(
+    return sigs.select(
         "docno",
         F.posexplode(
             F.transform(
@@ -210,6 +209,22 @@ def lsh_candidates(sigs: DataFrame, bands: int = 8) -> DataFrame:
             )
         ).alias("band", "key"),
     )
+
+
+def lsh_candidates(sigs: DataFrame, bands: int = 8) -> DataFrame:
+    """Band the signatures, group each (band, key) bucket, and expand the
+    in-bucket pairs (docno_a < docno_b) with an array expression — one
+    pass over the signatures, no self-join (a self-join would scan the
+    full signature lineage twice). Skewed mega-buckets are the LSH
+    parameterization's problem, not the plan's: bucket width is bounded
+    by collision probability at the chosen bands/rows."""
+    return lsh_candidates_from_keys(band_key_frame(sigs, bands=bands))
+
+
+def lsh_candidates_from_keys(banded: DataFrame) -> DataFrame:
+    """Bucket-and-expand over an existing (docno, band, key) frame —
+    the second half of ``lsh_candidates``, shared with the incremental
+    path (which already holds the banded keys of the new snapshot)."""
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list("docno")).alias("members"))

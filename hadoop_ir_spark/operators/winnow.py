@@ -98,15 +98,17 @@ def span_dup_pairs(fps: DataFrame, max_df: int = 50,
 
 
 def winnow_oracle_sql(k: int = 5, w: int = 4, max_df: int = 50,
-                      min_shared: int = 2) -> str:
+                      min_shared: int = 2,
+                      src: str = "documents") -> str:
     """DuckDB mirror over the ``documents`` view (same hash, same window
-    minima, same df-cap)."""
+    minima, same df-cap); ``src`` overrides the corpus relation (the
+    Zipf fixture entry passes a ``read_parquet(...)`` literal)."""
     return f"""
 WITH toked AS (
   SELECT doc_id AS docno,
          list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
                      t -> t <> '') AS toks
-  FROM documents
+  FROM {src}
 ),
 grams AS (
   SELECT docno,
@@ -163,10 +165,17 @@ def duplicated_spans(docs: DataFrame, min_len: int = 8,
     nothing is quadratic in documents. ``span_start`` is the 0-based
     token ordinal.
     """
-    from pyspark.sql.window import Window
+    seeds = _dup_seed_frame(docs, min_len, id_col, text_col)
+    return _merge_islands(seeds.select("docno", "pos"), min_len)
 
+
+def _gram_stream(docs: DataFrame, min_len: int, id_col: str,
+                 text_col: str) -> DataFrame:
+    """(docno, pos, gram): every position's ``min_len``-token gram string
+    (the ExactSubstr seed universe). Map-only; the ``_let`` binding keeps
+    the transform output evaluated once, not once per posexplode element."""
     L = min_len
-    grams = docs.select(
+    return docs.select(
         F.col(id_col).alias("docno"),
         F.posexplode(_let(tokens_col(text_col), lambda t: F.when(
             F.size(t) >= L,
@@ -174,12 +183,30 @@ def duplicated_spans(docs: DataFrame, min_len: int = 8,
                         lambda i: F.array_join(F.slice(t, i, L), " ")),
         ).otherwise(F.array().cast("array<string>")))).alias("pos", "gram"),
     )
+
+
+def _dup_seed_frame(docs: DataFrame, min_len: int, id_col: str,
+                    text_col: str) -> DataFrame:
+    """(docno, pos, gram): the positions whose L-gram occurs >= 2 times
+    corpus-wide — the duplicated-evidence seeds both removal variants
+    consume. One groupBy on the gram string + one equi-join back."""
+    grams = _gram_stream(docs, min_len, id_col, text_col)
     dup_grams = (
         grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= 2)
         .select("gram")
     )
-    dup = grams.join(dup_grams, "gram").select("docno", "pos")
+    return grams.join(dup_grams, "gram").select("docno", "pos", "gram")
+
+
+def _merge_islands(dup: DataFrame, min_len: int) -> DataFrame:
+    """Merge per-doc seed positions (each covering [pos, pos+L-1]) into
+    maximal spans via lag + running-sum gaps-and-islands: consecutive
+    seeds with gap <= L cover a contiguous range, so the merged islands
+    are EXACTLY the covered position set."""
+    from pyspark.sql.window import Window
+
+    L = min_len
     w = Window.partitionBy("docno").orderBy("pos")
     isl = (
         dup.withColumn(
@@ -243,15 +270,122 @@ FROM isl2 GROUP BY docno, island
 """
 
 
+def remove_spans_keep_first_oracle_sql(min_len: int = 8) -> str:
+    """DuckDB mirror of ``remove_duplicated_spans(keep="first")`` over
+    the ``documents`` view: same tokenizer, same gram strings, same
+    lexicographic-min canonical marking, same two island merges, same
+    removal predicate (covered-by-dup AND NOT covered-by-canonical),
+    same reassembly."""
+    L = min_len
+    return f"""
+WITH toked AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT docno, pos,
+         array_to_string(list_slice(toks, pos + 1, pos + {L}), ' ') AS gram
+  FROM (SELECT docno, toks,
+               unnest(range(0, len(toks) - {L} + 1)) AS pos
+        FROM toked WHERE len(toks) >= {L})
+),
+dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+seeds AS (SELECT g.docno, g.pos, g.gram FROM grams g JOIN dupg USING (gram)),
+canon AS (
+  SELECT docno, pos FROM (
+    SELECT docno, pos,
+           row_number() OVER (PARTITION BY gram
+                              ORDER BY docno, pos) AS rn
+    FROM seeds) WHERE rn = 1
+),
+isl_a AS (
+  SELECT docno, pos,
+         CASE WHEN pos - lag(pos, 1, -1073741824)
+                      OVER (PARTITION BY docno ORDER BY pos) > {L}
+              THEN 1 ELSE 0 END AS gap
+  FROM (SELECT DISTINCT docno, pos FROM seeds)
+),
+spans_all AS (
+  SELECT docno, min(pos) AS s, max(pos) + {L} - 1 AS e
+  FROM (SELECT docno, pos,
+               sum(gap) OVER (PARTITION BY docno ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl_a)
+  GROUP BY docno, island
+),
+isl_c AS (
+  SELECT docno, pos,
+         CASE WHEN pos - lag(pos, 1, -1073741824)
+                      OVER (PARTITION BY docno ORDER BY pos) > {L}
+              THEN 1 ELSE 0 END AS gap
+  FROM canon
+),
+spans_canon AS (
+  SELECT docno, min(pos) AS s, max(pos) + {L} - 1 AS e
+  FROM (SELECT docno, pos,
+               sum(gap) OVER (PARTITION BY docno ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl_c)
+  GROUP BY docno, island
+),
+words AS (
+  SELECT docno, unnest(toks) AS term,
+         unnest(range(0, len(toks))) AS pos
+  FROM toked WHERE len(toks) > 0
+),
+m1 AS (
+  SELECT w.docno, w.pos, w.term,
+         max(CASE WHEN s.s IS NOT NULL AND w.pos BETWEEN s.s AND s.e
+                  THEN 1 ELSE 0 END) AS a
+  FROM words w LEFT JOIN spans_all s ON s.docno = w.docno
+  GROUP BY w.docno, w.pos, w.term
+),
+m2 AS (
+  SELECT m.docno, m.pos, m.term, m.a,
+         max(CASE WHEN c.s IS NOT NULL AND m.pos BETWEEN c.s AND c.e
+                  THEN 1 ELSE 0 END) AS k
+  FROM m1 m LEFT JOIN spans_canon c ON c.docno = m.docno
+  GROUP BY m.docno, m.pos, m.term, m.a
+)
+SELECT docno,
+       coalesce(string_agg(CASE WHEN NOT (a = 1 AND k = 0) THEN term END,
+                           ' ' ORDER BY pos), '') AS clean_text,
+       CAST(count(*) AS INT) AS n_tokens,
+       CAST(sum(CASE WHEN a = 1 AND k = 0 THEN 1 ELSE 0 END) AS INT)
+         AS n_removed
+FROM m2 GROUP BY docno
+"""
+
+
 def remove_duplicated_spans(docs: DataFrame, min_len: int = 8,
                             id_col: str = "docno",
-                            text_col: str = "text") -> DataFrame:
-    """(docno, clean_text, n_tokens, n_removed): the corpus with every
-    token covered by a duplicated span (see ``duplicated_spans``)
-    excised — the pipeline ACTION of Lee et al.'s ExactSubstr dedup
-    (arXiv:2107.06499 removes every occurrence of a duplicated
-    substring; keeping exactly one copy requires a global occurrence
-    order the paper itself forgoes in the distributed setting).
+                            text_col: str = "text",
+                            keep: str = "none") -> DataFrame:
+    """(docno, clean_text, n_tokens, n_removed): the corpus with tokens
+    covered by duplicated spans (see ``duplicated_spans``) excised —
+    the pipeline ACTION of Lee et al.'s ExactSubstr dedup
+    (arXiv:2107.06499).
+
+    ``keep`` selects the retention policy:
+
+    - ``"none"`` (the paper's distributed-setting choice): EVERY
+      occurrence of a duplicated span is removed.
+    - ``"first"``: deterministic canonical-copy retention (VERDICT r7
+      #4) — the globally FIRST occurrence (lexicographic min
+      (docno, pos)) of each duplicated L-gram group is CANONICAL; a
+      token position is removed iff it is covered by >= 1 duplicated
+      seed and NOT covered by any canonical seed. For a span whose
+      text's first occurrence is unique (the common planted-duplicate
+      shape), exactly that first copy survives corpus-wide and every
+      later copy is excised; where a span's sub-grams first occur in
+      DIFFERENT documents, each sub-run survives at its own first
+      home — the text is still conserved, possibly split across its
+      first-occurrence sites (the inherent granularity of gram-level
+      canonicalization; a suffix-array global order has the same
+      property at suffix granularity).
+
     Documents with no duplicated span pass through intact;
     ``clean_text`` is the surviving tokens joined by single spaces
     (the tokenizer's normalization, same as every token-level oracle).
@@ -260,20 +394,55 @@ def remove_duplicated_spans(docs: DataFrame, min_len: int = 8,
     token-vs-span containment check is an equi-join on docno with a
     post-filter — never a range/nested-loop join — followed by one
     per-doc ordered reassembly (collect + sort inside an aggregate,
-    bounded by doc length)."""
-    spans = duplicated_spans(docs, min_len=min_len, id_col=id_col,
-                             text_col=text_col)
+    bounded by doc length). ``keep="first"`` adds ONE global min
+    aggregate over the seed frame (the canonical marker) and a second
+    docno equi-join for the canonical span set — still linear in
+    duplicated positions."""
+    if keep not in ("none", "first"):
+        raise ValueError(f"unknown keep policy {keep!r}")
     toks = docs.select(
         F.col(id_col).alias("docno"),
         F.posexplode(tokens_col(text_col)).alias("pos", "term"),
     )
-    marked = (
-        toks.join(spans, "docno", "left")
-        .withColumn("_in", (F.col("pos") >= F.col("span_start"))
-                    & (F.col("pos") <= F.col("span_end")))
-        .groupBy("docno", "pos", "term")
-        .agg(F.max(F.coalesce(F.col("_in"), F.lit(False))).alias("_rm"))
-    )
+    if keep == "none":
+        spans = duplicated_spans(docs, min_len=min_len, id_col=id_col,
+                                 text_col=text_col)
+        marked = (
+            toks.join(spans, "docno", "left")
+            .withColumn("_in", (F.col("pos") >= F.col("span_start"))
+                        & (F.col("pos") <= F.col("span_end")))
+            .groupBy("docno", "pos", "term")
+            .agg(F.max(F.coalesce(F.col("_in"), F.lit(False))).alias("_rm"))
+        )
+    else:
+        seeds = _dup_seed_frame(docs, min_len, id_col, text_col) \
+            .localCheckpoint()   # feeds the canonical min AND both span sets
+        canon = seeds.groupBy("gram").agg(
+            F.min(F.struct("docno", "pos")).alias("_c"))
+        canon_seeds = (
+            seeds.join(canon, "gram")
+            .filter((F.col("docno") == F.col("_c.docno"))
+                    & (F.col("pos") == F.col("_c.pos")))
+            .select("docno", "pos")
+        )
+        spans_all = _merge_islands(seeds.select("docno", "pos"), min_len)
+        spans_canon = _merge_islands(canon_seeds, min_len)
+        in_all = (
+            toks.join(spans_all, "docno", "left")
+            .withColumn("_in", (F.col("pos") >= F.col("span_start"))
+                        & (F.col("pos") <= F.col("span_end")))
+            .groupBy("docno", "pos", "term")
+            .agg(F.max(F.coalesce(F.col("_in"), F.lit(False))).alias("_a"))
+        )
+        marked = (
+            in_all.join(spans_canon, "docno", "left")
+            .withColumn("_in", (F.col("pos") >= F.col("span_start"))
+                        & (F.col("pos") <= F.col("span_end")))
+            .groupBy("docno", "pos", "term", "_a")
+            .agg(F.max(F.coalesce(F.col("_in"), F.lit(False))).alias("_k"))
+            .select("docno", "pos", "term",
+                    (F.col("_a") & ~F.col("_k")).alias("_rm"))
+        )
     return (
         marked.groupBy("docno")
         .agg(

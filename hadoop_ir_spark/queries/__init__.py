@@ -31,6 +31,7 @@ _MODULES = [
     "llmdata",
     "proximity_q",
     "zipf_q",
+    "incremental_q",
 ]
 
 

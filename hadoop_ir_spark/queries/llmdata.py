@@ -345,6 +345,29 @@ FROM marked GROUP BY docno
 _register_exact_span_clean()
 
 
+def _register_exact_span_keep_first():
+    from hadoop_ir_spark.operators import winnow
+
+    @register("exact_dedup_keep_first",
+              winnow.remove_spans_keep_first_oracle_sql(EXACT_SPAN_LEN))
+    def q_exact_dedup_keep_first(spark, sf_dir):
+        """ExactSubstr removal with deterministic canonical-copy
+        retention (VERDICT r7 #4): the globally first occurrence
+        (min (docno, pos)) of each duplicated L-gram group survives;
+        every later occurrence of duplicated-span text is excised —
+        what most production pipelines ship instead of the paper's
+        remove-every-occurrence (see
+        operators/winnow.py:remove_duplicated_spans keep="first")."""
+        return winnow.remove_duplicated_spans(
+            _docs(spark, sf_dir), min_len=EXACT_SPAN_LEN, id_col="doc_id",
+            keep="first")
+
+    return q_exact_dedup_keep_first
+
+
+_register_exact_span_keep_first()
+
+
 def _register_more_recalls():
     from hadoop_ir_spark.operators import similarity as sim
     from hadoop_ir_spark.queries.similarity import ANN_K

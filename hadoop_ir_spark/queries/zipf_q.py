@@ -29,7 +29,7 @@ import os
 from pyspark.sql import functions as F
 
 from hadoop_ir_spark.catalog import register
-from hadoop_ir_spark.operators import apss, fuzzy
+from hadoop_ir_spark.operators import apss, dedup, fuzzy, winnow
 
 ZIPF_PARQUET = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(
@@ -80,3 +80,123 @@ def q_fuzzy_zipf(spark, sf_dir):
         F.substring("text", 1, ZIPF_TITLE_LEN).alias("title")).distinct()
     return fuzzy.edit_distance_pairs(
         titles, "title", max_dist=ZIPF_FUZZY_K, method="gram_join")
+
+
+# ---------------------------------------------------------------------------
+# r8 (VERDICT r7 #6): the dedup family's Zipf twins. dedup_minhash_lsh and
+# winnow_span_pairs were graded only on the ~31-term synthetic corpus, where
+# every doc pair shares shingles — banding/df-cap selectivity was unguarded
+# (the same blind spot the APSS/fuzzy entries above closed in r7). Both
+# entries run on the committed Zipf fixture; candidate/fingerprint counts
+# are pinned in tests/test_zipf_surface.py.
+#
+# Oracle strategy: winnowing is deterministic, so its oracle is the exact
+# replay winnow_oracle_sql already is. MinHash-LSH is approximate BY
+# CONSTRUCTION — on an arbitrary corpus no brute-force J >= tau oracle can
+# match it exactly (the grading-corpus entry relies on every planted pair
+# sitting at J >= 0.96, far above the S-curve knee; the Zipf corpus has no
+# such guarantee) — so the oracle REPLAYS the full pipeline: portable
+# 60-bit base hash, the same 24 affine permutations, the same 8 band keys,
+# the same bucket join, the same exact-Jaccard verification. Exact by
+# construction at ANY tau; what the entry grades is that the distributed
+# plan computes the algorithm, and what the pinned counts grade is that
+# banding keeps pruning.
+# ---------------------------------------------------------------------------
+
+ZIPF_MINHASH_TAU = 0.5
+ZIPF_WIN_K, ZIPF_WIN_W = 5, 4
+ZIPF_WIN_MAX_DF, ZIPF_WIN_MIN_SHARED = 50, 2
+
+_M31 = (1 << 31) - 1
+_GOLD = 0x9E3779B1
+
+
+def _minhash_replay_sql(tau: float, src: str, num_hashes: int = 24,
+                        bands: int = 8) -> str:
+    """DuckDB replay of shingle → sign → band → bucket → verify with the
+    identical integer hash family (see operators/dedup.py:
+    minhash_permutation — a_i = 2i+1, b_i = i*golden mod p, p = 2^31-1)."""
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(({2 * i + 1} * b + {i * _GOLD % _M31}) % {_M31}) AS h{i}"
+        for i in range(num_hashes))
+    banded = "\n  UNION ALL ".join(
+        "SELECT docno, {band} AS band, {key} AS key FROM sig".format(
+            band=b,
+            key=" || ',' || ".join(
+                f"h{b * rows + j}::VARCHAR" for j in range(rows)))
+        for b in range(bands))
+    return f"""
+WITH toklist AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM {src}
+),
+sh AS (
+  SELECT DISTINCT docno,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)]) AS shingle
+  FROM toklist WHERE len(toks) >= 3
+),
+base AS (
+  SELECT docno,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {_M31} AS b
+  FROM sh
+),
+sig AS (
+  SELECT docno,
+         {mins}
+  FROM base GROUP BY docno
+),
+banded AS (
+  {banded}
+),
+cand AS (
+  SELECT DISTINCT a.docno AS docno_a, b.docno AS docno_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key
+               AND a.docno < b.docno
+),
+sizes AS (SELECT docno, count(*) AS n FROM sh GROUP BY docno),
+inter AS (
+  SELECT c.docno_a, c.docno_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.docno = c.docno_a
+  JOIN sh y ON y.docno = c.docno_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT docno_a, docno_b,
+       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.docno = docno_a
+JOIN sizes sb ON sb.docno = docno_b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= {tau}
+"""
+
+
+@register("dedup_minhash_zipf", _minhash_replay_sql(
+    ZIPF_MINHASH_TAU, f"read_parquet('{ZIPF_PARQUET}')"))
+def q_minhash_zipf(spark, sf_dir):
+    """MinHash-LSH near-dup detection on the Zipf fixture — a realistic
+    vocabulary where banding's selectivity is live (and pinned in
+    tests/test_zipf_surface.py); the oracle replays the identical
+    pipeline (see module comment on why replay, not brute force)."""
+    out = dedup.minhash_near_dups(
+        _zipf_docs(spark), tau=ZIPF_MINHASH_TAU, k=3,
+        num_hashes=24, bands=8, id_col="doc_id", portable=True)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@register("winnow_pairs_zipf", winnow.winnow_oracle_sql(
+    ZIPF_WIN_K, ZIPF_WIN_W, ZIPF_WIN_MAX_DF, ZIPF_WIN_MIN_SHARED,
+    src=f"read_parquet('{ZIPF_PARQUET}')"))
+def q_winnow_zipf(spark, sf_dir):
+    """Winnowing span-duplicate candidates on the Zipf fixture — the
+    df-cap and the 2/(w+1) fingerprint density are live here (pinned in
+    tests/test_zipf_surface.py); winnowing is deterministic, so the
+    oracle is the usual exact replay."""
+    fps = winnow.winnow_fingerprints(
+        _zipf_docs(spark), k=ZIPF_WIN_K, w=ZIPF_WIN_W, id_col="doc_id")
+    return winnow.span_dup_pairs(
+        fps, max_df=ZIPF_WIN_MAX_DF, min_shared=ZIPF_WIN_MIN_SHARED)

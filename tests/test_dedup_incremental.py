@@ -1,0 +1,131 @@
+"""Cross-snapshot incremental dedup (VERDICT r7 #1): the operator's
+entire value is incremental(old, new) ≡ from-scratch(old ∪ new)
+restricted to the new snapshot — pinned here on corpora with
+cross-snapshot AND within-snapshot duplicates, old docs with ids that
+interleave the new ids (precedence is (snapshot, docno), not numeric
+id), and docs too short to shingle (exact-path-only coverage)."""
+
+from __future__ import annotations
+
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators import dedup_incremental as dinc
+
+WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango "
+         "uniform victor whiskey xray yankee zulu one two three four five "
+         "six seven eight nine ten eleven twelve thirteen fourteen")
+
+
+def _shingle_set(text, k=3):
+    toks = [t for t in text.lower().split() if t]
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _scratch_statuses(old, new, tau=0.9):
+    """Brute-force from-scratch rule on old ∪ new: a NEW doc drops iff
+    an exact-text or Jaccard >= tau partner of lower precedence exists
+    (precedence = (snapshot, docno))."""
+    uni = [(0, d, t) for d, t in old] + [(1, d, t) for d, t in new]
+    out = {}
+    for isn, d, t in uni:
+        if not isn:
+            continue
+        dropped = False
+        s = _shingle_set(t)
+        for isn2, d2, t2 in uni:
+            if (isn2, d2) >= (isn, d):
+                continue
+            if t2 == t:
+                dropped = True
+                break
+            s2 = _shingle_set(t2)
+            if s and s2:
+                j = len(s & s2) / len(s | s2)
+                if j >= tau:
+                    dropped = True
+                    break
+        out[d] = "dropped" if dropped else "kept"
+    return out
+
+
+@pytest.fixture(scope="module")
+def snapshots():
+    a = WORDS                         # 40 tokens
+    a_near = WORDS + " extra"         # J = 38/39 ≈ 0.974
+    d = " ".join(w + "x" for w in WORDS.split())
+    d_near = d + " moretail"
+    c = "completely separate content " + " ".join(
+        f"w{i}" for i in range(30))
+    old = [(10, a), (11, "other old content " + d[:50]), (2, c)]
+    new = [
+        (1, a_near),      # near-dup of OLD id 10 — numeric id LOWER
+        (5, d),           # kept (its partner is higher-id)
+        (6, d_near),      # within-new near-dup -> dropped
+        (7, "tiny doc"),  # too short to shingle...
+        (8, "tiny doc"),  # ...exact path must still drop this one
+        (9, c),           # exact copy of OLD -> dropped
+        (12, "entirely unique new content nothing shared here at all "
+             + " ".join(f"u{i}" for i in range(20))),
+    ]
+    return old, new
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "docno long, text string")
+
+
+def test_incremental_equals_from_scratch(spark, tmp_path, snapshots):
+    old, new = snapshots
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx)
+    got = {r["docno"]: r["status"]
+           for r in dinc.dedup_incremental(_df(spark, new), idx).collect()}
+    assert got == _scratch_statuses(old, new)
+    # the interesting rows, spelled out: old-precedes-new regardless of
+    # numeric id; exact path catches unshingleable docs
+    assert got[1] == "dropped" and got[5] == "kept" and got[6] == "dropped"
+    assert got[7] == "kept" and got[8] == "dropped"
+    assert got[9] == "dropped" and got[12] == "kept"
+
+
+def test_update_index_equals_rebuild(spark, tmp_path, snapshots):
+    old, new = snapshots
+    idx_old = str(tmp_path / "old")
+    idx_upd = str(tmp_path / "upd")
+    idx_scratch = str(tmp_path / "scratch")
+    dinc.build_dedup_index(_df(spark, old), idx_old)
+    dinc.update_dedup_index(spark, idx_old, idx_upd, _df(spark, new))
+    dinc.build_dedup_index(_df(spark, old + new), idx_scratch)
+    for table in dinc.INDEX_TABLES:
+        a = sorted(map(tuple, spark.read.parquet(
+            f"{idx_upd}/{table}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(
+            f"{idx_scratch}/{table}").collect()))
+        assert a == b, table
+
+
+def test_incremental_dup_spans_equals_scratch(spark, tmp_path):
+    from hadoop_ir_spark.operators.winnow import duplicated_spans
+
+    span_s = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    span_t = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    old = [(100, f"{span_s} filler old words here aa bb cc dd")]
+    new = [
+        (1, f"pre1 pre2 {span_s} post1"),    # cross-snapshot dup span
+        (2, f"{span_t} mid1 mid2 mid3"),     # within-new dup span...
+        (3, f"zz {span_t}"),                 # ...both sides spanned
+        (4, "nothing duplicated in this one at all n1 n2 n3 n4 n5"),
+    ]
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx, min_len=8)
+    got = {tuple(r) for r in dinc.incremental_dup_spans(
+        _df(spark, new), idx, min_len=8).collect()}
+    new_ids = {d for d, _ in new}
+    want = {tuple(r) for r in duplicated_spans(
+        _df(spark, old + new), min_len=8).collect()
+        if r["docno"] in new_ids}
+    assert got == want
+    assert {r[0] for r in got} == {1, 2, 3}

@@ -254,3 +254,41 @@ def test_remove_duplicated_spans(spark):
     for r in out.values():
         kept = len(r["clean_text"].split()) if r["clean_text"] else 0
         assert kept + r["n_removed"] == r["n_tokens"]
+
+
+def test_remove_duplicated_spans_keep_first(spark):
+    """keep="first" conservation (VERDICT r7 #4): every duplicated
+    span's text survives EXACTLY ONCE corpus-wide — at its globally
+    first occurrence (min (docno, pos)); later copies are excised,
+    clean docs pass intact, counts reconcile."""
+    from hadoop_ir_spark.operators.winnow import remove_duplicated_spans
+
+    run = "a b c d e f g h i j"                       # 10-token span
+    run2 = "q r s t u v w x y z"                      # second span
+    docs = spark.createDataFrame([
+        (1, f"{run} k1 k2"),                          # first home of run
+        (2, f"m1 m2 {run} m3"),                       # later copy -> excised
+        (3, f"{run2} {run}"),                         # later copies of both
+        (2000, f"n1 {run2} n2"),                      # run2 first home is
+                                                      # docno 3 (3 < 2000)
+        (5, "clean words only here s0 t0 u0 v0 w9 w8"),
+    ], "docno long, text string")
+    out = {r["docno"]: r for r in remove_duplicated_spans(
+        docs, min_len=8, id_col="docno", keep="first").collect()}
+    # first occurrences survive
+    assert out[1]["clean_text"] == f"{run} k1 k2"
+    assert out[1]["n_removed"] == 0
+    assert out[3]["clean_text"] == run2               # run2's first home
+    assert out[3]["n_removed"] == 10                  # its copy of run goes
+    # later copies excised
+    assert out[2]["clean_text"] == "m1 m2 m3"
+    assert out[2]["n_removed"] == 10
+    assert out[2000]["clean_text"] == "n1 n2"
+    # clean doc intact; counts reconcile
+    assert out[5]["n_removed"] == 0
+    for r in out.values():
+        kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert kept + r["n_removed"] == r["n_tokens"]
+    # conservation: each span's text appears exactly once corpus-wide
+    all_text = " | ".join(r["clean_text"] for r in out.values())
+    assert all_text.count(run) == 1 and all_text.count(run2) == 1

@@ -70,3 +70,46 @@ def test_fuzzy_auto_selects_gram_join_on_zipf(spark, zipf_docs):
     titles = zipf_docs.select(
         F.substring("text", 1, ZIPF_TITLE_LEN).alias("title")).distinct()
     assert fuzzy.choose_method(titles, max_dist=ZIPF_FUZZY_K) == "gram_join"
+
+
+# r8 (VERDICT r7 #6): the dedup family's Zipf guards. Measured on the
+# fixture: 216 LSH candidate pairs (24 hashes / 8 bands) and 521
+# fingerprint-sharing pairs (k=5, w=4) against the same ~32.0M all-pairs
+# degenerate count; winnowing keeps 158,513 fingerprints of ~440k corpus
+# positions (the 2/(w+1) expected density). Bounds leave >2x headroom.
+MINHASH_CAND_MAX = 1_000
+WINNOW_PAIR_MAX = 2_000
+WINNOW_FP_MAX = 250_000
+
+
+def test_minhash_banding_prunes_on_zipf(spark, zipf_docs):
+    from hadoop_ir_spark.operators import dedup
+
+    sh = dedup.shingles(zipf_docs, k=3, id_col="doc_id").localCheckpoint()
+    sigs = dedup.minhash_signatures(sh, num_hashes=24)
+    n = dedup.lsh_candidates(sigs, bands=8).count()
+    assert n <= MINHASH_CAND_MAX, (
+        f"{n:,} LSH candidates — banding stopped bucketing selectively "
+        "(degenerate all-pairs here is ~32.0M)")
+
+
+def test_winnow_fingerprints_prune_on_zipf(spark, zipf_docs):
+    from hadoop_ir_spark.operators import winnow
+    from hadoop_ir_spark.queries.zipf_q import (
+        ZIPF_WIN_K,
+        ZIPF_WIN_MAX_DF,
+        ZIPF_WIN_W,
+    )
+
+    fps = winnow.winnow_fingerprints(
+        zipf_docs, k=ZIPF_WIN_K, w=ZIPF_WIN_W,
+        id_col="doc_id").localCheckpoint()
+    n_fp = fps.count()
+    assert n_fp <= WINNOW_FP_MAX, (
+        f"{n_fp:,} fingerprints — selection density broke the 2/(w+1) "
+        "winnowing bound")
+    n = winnow.span_dup_pairs(fps, max_df=ZIPF_WIN_MAX_DF,
+                              min_shared=1).count()
+    assert n <= WINNOW_PAIR_MAX, (
+        f"{n:,} fingerprint-sharing pairs — the fingerprint join stopped "
+        "pruning (degenerate all-pairs here is ~32.0M)")

@@ -116,6 +116,15 @@ PINNED_JUDGE_VERIFIED = sorted({
     # round 7: Lee et al. ExactSubstr duplicated spans + the removal
     # action, strict at 3 SFs on addition
     "exact_dup_spans", "exact_dedup_clean",
+    # round 8: cross-snapshot incremental dedup (VERDICT r7 #1) — the
+    # oracles ARE the from-scratch recompute, so green == incremental
+    # ≡ from-scratch; strict at sf0.001/0.01 on addition
+    "dedup_incremental_kept", "incremental_dup_spans",
+    # round 8: ExactSubstr canonical-copy retention (VERDICT r7 #4),
+    # index-served best_passage (VERDICT r7 #3), dedup-family Zipf
+    # twins (VERDICT r7 #6; counts pinned in tests/test_zipf_surface.py)
+    "exact_dedup_keep_first", "indexed_best_passage",
+    "dedup_minhash_zipf", "winnow_pairs_zipf",
 })
 
 
