@@ -889,18 +889,29 @@ def rgb_to_ycbcr(pix: "np.ndarray"):
     return clip(y), clip(cb), clip(cr)
 
 
+JPEG_SAMPLINGS = {"4:2:0": (2, 2), "4:2:2": (2, 1), "4:4:4": (1, 1)}
+
+
 def encode_jpeg_color(y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray",
                       quant_luma: "np.ndarray | None" = None,
-                      quant_chroma: "np.ndarray | None" = None) -> bytes:
-    """Baseline sequential 3-component YCbCr 4:2:0 JPEG writer from
-    full-resolution planes: Y coded at 2x2 sampling, Cb/Cr downsampled
-    by an exact integer 2x2 mean (``(sum + 2) // 4`` — deterministic,
-    and lossless on 2x2-constant chroma, which is what the DC-only
-    value oracle synthesizes). MCUs are 16x16 pixels interleaved
-    Y1 Y2 Y3 Y4 Cb Cr (T.81 A.2.3) with one DC predictor per
-    component; luma uses the Annex K luminance Huffman/quant pair
-    (table ids 0), chroma the chrominance pair (table ids 1). Partial
-    edge MCUs are edge-replicated and cropped back by the decoder."""
+                      quant_chroma: "np.ndarray | None" = None,
+                      sampling: str = "4:2:0") -> bytes:
+    """Baseline sequential 3-component YCbCr JPEG writer from
+    full-resolution planes, ``sampling`` in {"4:2:0", "4:2:2",
+    "4:4:4"} (r8 — decode already handled all three; the r7 encoder
+    was 4:2:0-only): Y coded at (hs x vs) sampling, Cb/Cr downsampled
+    by an exact integer hs x vs block mean (``(sum + n//2) // n`` —
+    deterministic, lossless on block-constant chroma, which is what
+    the DC-only value oracle synthesizes; identity at 4:4:4). MCUs
+    are (8·hs x 8·vs)-pixel interleaved Y blocks then Cb, Cr
+    (T.81 A.2.3) with one DC predictor per component; luma uses the
+    Annex K luminance Huffman/quant pair (table ids 0), chroma the
+    chrominance pair (table ids 1). Partial edge MCUs are
+    edge-replicated and cropped back by the decoder."""
+    if sampling not in JPEG_SAMPLINGS:
+        raise ValueError(f"unknown sampling {sampling!r} "
+                         f"(choose from {sorted(JPEG_SAMPLINGS)})")
+    hs, vs = JPEG_SAMPLINGS[sampling]
     y = np.asarray(y, dtype=np.uint8)
     cb = np.asarray(cb, dtype=np.uint8)
     cr = np.asarray(cr, dtype=np.uint8)
@@ -912,18 +923,22 @@ def encode_jpeg_color(y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray",
         raise ValueError("empty image")
     ql = _check_quant(quant_luma)
     qc = _check_quant(quant_chroma)
-    mh, mw = -(-h // 16), -(-w // 16)
+    mph, mpw = 8 * vs, 8 * hs                    # MCU pixel size
+    mh, mw = -(-h // mph), -(-w // mpw)
 
     def pad(p):
-        return np.pad(p, ((0, mh * 16 - h), (0, mw * 16 - w)), mode="edge")
+        return np.pad(p, ((0, mh * mph - h), (0, mw * mpw - w)),
+                      mode="edge")
 
     yp = pad(y)
 
     def sub(p):
         p = pad(p).astype(np.int64)
-        s = (p[0::2, 0::2] + p[0::2, 1::2]
-             + p[1::2, 0::2] + p[1::2, 1::2])
-        return ((s + 2) // 4).astype(np.uint8)
+        if hs == 1 and vs == 1:
+            return p.astype(np.uint8)
+        n = hs * vs
+        s = sum(p[v::vs, u::hs] for v in range(vs) for u in range(hs))
+        return ((s + n // 2) // n).astype(np.uint8)
 
     cbs, crs = sub(cb), sub(cr)                  # (mh*8, mw*8)
     dc_l = _huff_codes(_DC_BITS, _DC_SYMS)
@@ -934,9 +949,9 @@ def encode_jpeg_color(y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray",
     pred = [0, 0, 0]
     for my in range(mh):
         for mx in range(mw):
-            for v in range(2):
-                for u in range(2):
-                    y0, x0 = (my * 2 + v) * 8, (mx * 2 + u) * 8
+            for v in range(vs):
+                for u in range(hs):
+                    y0, x0 = (my * vs + v) * 8, (mx * hs + u) * 8
                     pred[0] = _encode_block(
                         bw_, yp[y0:y0 + 8, x0:x0 + 8], ql, dc_l, ac_l,
                         pred[0])
@@ -953,7 +968,7 @@ def encode_jpeg_color(y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray",
     out += _jpeg_seg(0xFFDB, b"\x00" + _zz_bytes(ql)
                      + b"\x01" + _zz_bytes(qc))           # DQT Tq=0,1
     out += _jpeg_seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
-                     + b"\x01\x22\x00"                    # Y  2x2 Tq0
+                     + bytes([0x01, (hs << 4) | vs, 0x00])  # Y hs x vs Tq0
                      + b"\x02\x11\x01"                    # Cb 1x1 Tq1
                      + b"\x03\x11\x01")                   # Cr 1x1 Tq1
     out += _jpeg_seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_SYMS))
@@ -969,11 +984,13 @@ def encode_jpeg_color(y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray",
 
 def encode_jpeg_color_rgb(pix: "np.ndarray",
                           quant_luma: "np.ndarray | None" = None,
-                          quant_chroma: "np.ndarray | None" = None) -> bytes:
+                          quant_chroma: "np.ndarray | None" = None,
+                          sampling: str = "4:2:0") -> bytes:
     """(H, W, 3) uint8 RGB convenience wrapper: BT.601 conversion +
-    the 4:2:0 planar writer above."""
+    the planar writer above."""
     y, cb, cr = rgb_to_ycbcr(pix)
-    return encode_jpeg_color(y, cb, cr, quant_luma, quant_chroma)
+    return encode_jpeg_color(y, cb, cr, quant_luma, quant_chroma,
+                             sampling=sampling)
 
 
 class _BitReader:

@@ -587,3 +587,60 @@ def test_jpeg_color_resize_real():
     # top half red-ish, bottom half blue-ish survives the resize
     assert got[0, 0, 0] > 200 and got[0, 0, 2] < 60
     assert got[15, 0, 2] > 200 and got[15, 0, 0] < 60
+
+
+def test_jpeg_color_encoder_sampling_variants_roundtrip():
+    """r8: the encoder's 4:2:2/4:4:4 variants (decode handled them
+    since r7). MCU-constant planes are DC-only and the block-mean
+    chroma subsample is lossless on constant blocks, so decode must
+    equal the closed-form conversion EXACTLY for every sampling; and
+    the SOF Y sampling byte must match the requested layout."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    for sampling, (hs, vs) in sorted(
+            multimodal.JPEG_SAMPLINGS.items()):
+        mph, mpw = 8 * vs, 8 * hs
+        one = np.ones((mph, mpw), dtype=np.uint8)
+        mh, mw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        y = np.kron(rng.integers(0, 256, (mh, mw)).astype(np.uint8), one)
+        cb = np.kron(rng.integers(0, 256, (mh, mw)).astype(np.uint8), one)
+        cr = np.kron(rng.integers(0, 256, (mh, mw)).astype(np.uint8), one)
+        payload = multimodal.encode_jpeg_color(y, cb, cr,
+                                               sampling=sampling)
+        sof = payload.index(b"\xff\xc0")
+        assert payload[sof + 11] == (hs << 4) | vs, sampling
+        got = multimodal.decode_jpeg_color(payload)
+        assert np.array_equal(got, _expected_rgb(y, cb, cr)), sampling
+
+
+def test_jpeg_color_encoder_sampling_variants_bounded_error():
+    """Arbitrary Y with subsample-block-constant chroma at every
+    sampling: loss is per-plane DCT rounding only, and non-MCU-multiple
+    dimensions crop back."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    for sampling, (hs, vs) in sorted(
+            multimodal.JPEG_SAMPLINGS.items()):
+        h, w = int(rng.integers(9, 40)), int(rng.integers(9, 40))
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        ch = rng.integers(0, 256, (-(-h // vs), -(-w // hs), 2))
+        cb = np.repeat(np.repeat(ch[..., 0], vs, 0), hs, 1)[:h, :w] \
+            .astype(np.uint8)
+        cr = np.repeat(np.repeat(ch[..., 1], vs, 0), hs, 1)[:h, :w] \
+            .astype(np.uint8)
+        got = multimodal.decode_jpeg_color(
+            multimodal.encode_jpeg_color(y, cb, cr, sampling=sampling))
+        assert got.shape == (h, w, 3), sampling
+        want = _expected_rgb(y, cb, cr)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 8, sampling
+
+
+def test_jpeg_color_encoder_rejects_unknown_sampling():
+    import numpy as np
+
+    one = np.ones((8, 8), dtype=np.uint8)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sampling"):
+        multimodal.encode_jpeg_color(one, one, one, sampling="4:1:1")

@@ -58,6 +58,7 @@ def main() -> None:
         ("two_stage_topk", "indexed_two_stage_topk"),
         ("rm3_feedback", "indexed_rm3_feedback"),
         ("sdm_topk", "indexed_sdm_topk"),
+        ("best_passage", "indexed_best_passage"),
     ]:
         times = {}
         for name in (scan_name, idx_name):
