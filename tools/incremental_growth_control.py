@@ -1,0 +1,90 @@
+"""Old-side-growth control for cross-snapshot incremental dedup (r8).
+
+The incremental operator's 100 TB claim is NOT "it scales with the
+data" — it is "the STANDING CORPUS side is never rescanned": per-week
+cost must track the snapshot, not the archive. The SCALING.md sweep
+rows grow both sides together (2.8× per 10×), which cannot isolate
+that claim; this control holds the NEW snapshot FIXED (the sf0.1
+split) and grows only the OLD side 10× (sf0.1 old split → sf1 old
+split), then times the incremental query against both indexes.
+
+A recompute-everything design would grow ~10×; the fingerprint-index
+design should stay near-flat (the old side enters only through the
+band-key and candidate-shingle equi-joins, both pruned, plus the
+seed-gram count join).
+
+Usage: python tools/incremental_growth_control.py
+Prints a markdown block ready for SCALING.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    import tempfile
+
+    from hadoop_ir_spark.operators import dedup_incremental as dinc
+    from hadoop_ir_spark.queries.incremental_q import (
+        INC_SPAN_LEN,
+        INC_TAU,
+        _new_docs,
+        _old_docs,
+    )
+    from hadoop_ir_spark.session import get_spark
+
+    sf01 = "/root/testdata/sf0.1"
+    sf1 = os.path.join(ROOT, ".scale", "sf1")
+    if not os.path.isdir(sf1):
+        sys.exit("generate .scale/sf1 first (tools/make_sf1.py)")
+
+    spark = get_spark("inc-growth", cpus=32)
+    tmp = tempfile.mkdtemp(prefix="inc_growth_")
+    new = _new_docs(spark, sf01)
+    n_new = new.count()
+
+    rows = []
+    for label, sf_dir in (("sf0.1 old", sf01), ("sf1 old (10x)", sf1)):
+        old = _old_docs(spark, sf_dir)
+        n_old = old.count()
+        idx = os.path.join(tmp, label.split()[0])
+        t0 = time.time()
+        dinc.build_dedup_index(old, idx, min_len=INC_SPAN_LEN,
+                               id_col="doc_id")
+        t_build = time.time() - t0
+        times = {}
+        for qlabel, fn in (
+            ("dedup", lambda: dinc.dedup_incremental(
+                new, idx, tau=INC_TAU, id_col="doc_id").count()),
+            ("spans", lambda: dinc.incremental_dup_spans(
+                new, idx, min_len=INC_SPAN_LEN, id_col="doc_id").count()),
+        ):
+            fn()                                   # warm
+            t0 = time.time()
+            fn()
+            times[qlabel] = time.time() - t0
+        rows.append((label, n_old, t_build, times))
+
+    print(f"\nFixed NEW snapshot: {n_new:,} docs (the sf0.1 split).\n")
+    print("| old corpus | old docs | index build (one-time) |"
+          " dedup_incremental | incremental_dup_spans |")
+    print("|---|---|---|---|---|")
+    for label, n_old, t_build, times in rows:
+        print(f"| {label} | {n_old:,} | {t_build:.1f}s "
+              f"| {times['dedup']:.2f}s | {times['spans']:.2f}s |")
+    (_, _, _, t_a), (_, _, _, t_b) = rows
+    print(f"\nper-snapshot growth at 10x old side: "
+          f"dedup {t_b['dedup'] / t_a['dedup']:.2f}x, "
+          f"spans {t_b['spans'] / t_a['spans']:.2f}x "
+          f"(recompute-everything would be ~10x)")
+
+
+if __name__ == "__main__":
+    main()
