@@ -259,6 +259,86 @@ def incremental_dup_spans(new_docs: DataFrame, index_dir: str, *,
     return _merge_islands(dup, min_len)
 
 
+def init_dedup_index_root(docs: DataFrame, index_root: str, *, k: int = 3,
+                          num_hashes: int = 24, bands: int = 8,
+                          min_len: int = 8, id_col: str = "docno",
+                          text_col: str = "text",
+                          portable: bool = True) -> str:
+    """Create a VERSIONED index root: ``index_root/v0`` holds the
+    initial snapshot's fingerprint tables and ``index_root/CURRENT``
+    points at it. Snapshot rotation (parquet cannot be overwritten
+    while scanned) is what lets the streaming path fold batches in
+    while readers of the previous version keep working."""
+    v0 = os.path.join(index_root, "v0")
+    build_dedup_index(docs, v0, k=k, num_hashes=num_hashes, bands=bands,
+                      min_len=min_len, id_col=id_col, text_col=text_col,
+                      portable=portable)
+    _write_pointer(index_root, "v0")
+    return v0
+
+
+def current_dedup_index(index_root: str) -> str:
+    with open(os.path.join(index_root, "CURRENT")) as f:
+        return os.path.join(index_root, f.read().strip())
+
+
+def _write_pointer(index_root: str, version: str) -> None:
+    tmp = os.path.join(index_root, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(index_root, "CURRENT"))
+
+
+def streaming_dedup_incremental(new_docs_stream: DataFrame,
+                                index_root: str, statuses_dir: str, *,
+                                tau: float = 0.9, k: int = 3,
+                                num_hashes: int = 24, bands: int = 8,
+                                min_len: int = 8, id_col: str = "docno",
+                                text_col: str = "text",
+                                portable: bool = True,
+                                checkpoint_dir: str | None = None):
+    """The weekly pipeline as a Structured Streaming job: each
+    micro-batch of arriving documents is deduplicated against the
+    CURRENT index snapshot (per-doc statuses appended to
+    ``statuses_dir`` with the batch id), then folded into the next
+    snapshot (``index_root/v{N+1}`` + atomic CURRENT pointer swap — the
+    same two-step promotion as ``io/cdc.py``'s upsert sink), so batch
+    N+1 sees batch N as part of the standing corpus. Sequential
+    equivalence (stream of batches ≡ applying ``dedup_incremental`` +
+    ``update_dedup_index`` one batch at a time) is pinned in
+    tests/test_dedup_incremental.py.
+
+    foreachBatch is the right harness here because the per-batch work
+    is a full multi-join DAG over a PERSISTED index — not row-wise
+    keyed state, which is what applyInPandasWithState models. Restart
+    safety: the checkpoint replays an unfinished batch; statuses append
+    per (batch_id, docno) and the pointer swap is atomic, so a replay
+    overwrites the same version dir and re-appends the same rows (dedup
+    on read by (batch_id, docno) if exactly-once statuses matter)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = current_dedup_index(index_root)
+        batch = batch_df.localCheckpoint()   # statuses + index update
+        statuses = dedup_incremental(
+            batch, cur, tau=tau, k=k, num_hashes=num_hashes, bands=bands,
+            id_col=id_col, text_col=text_col, portable=portable)
+        (statuses.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(statuses_dir))
+        nxt = f"v{int(os.path.basename(cur)[1:]) + 1}"
+        update_dedup_index(spark, cur, os.path.join(index_root, nxt),
+                           batch, k=k, num_hashes=num_hashes, bands=bands,
+                           min_len=min_len, id_col=id_col,
+                           text_col=text_col, portable=portable)
+        _write_pointer(index_root, nxt)
+
+    writer = (new_docs_stream.writeStream.foreachBatch(apply_batch)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def update_dedup_index(spark: SparkSession, index_dir: str, out_dir: str,
                        new_docs: DataFrame, *, k: int = 3,
                        num_hashes: int = 24, bands: int = 8,

@@ -129,3 +129,47 @@ def test_incremental_dup_spans_equals_scratch(spark, tmp_path):
         if r["docno"] in new_ids}
     assert got == want
     assert {r[0] for r in got} == {1, 2, 3}
+
+
+def test_streaming_dedup_incremental_sequential_equivalence(
+        spark, tmp_path):
+    """The foreachBatch packaging: batch 2 must see batch 1 as part of
+    the standing corpus (index snapshot rotated between batches), and
+    the final index must equal a from-scratch build over everything."""
+    b_text = "brand new content " + " ".join(f"b{i}" for i in range(30))
+    d_text = "another novel doc " + " ".join(f"d{i}" for i in range(30))
+    old = [(10, WORDS), (11, "old only content " + WORDS[:60])]
+    batch1 = [(20, WORDS), (21, b_text)]        # 20 = exact copy of old
+    batch2 = [(30, b_text), (31, d_text)]       # 30 dups BATCH 1's doc
+
+    root = str(tmp_path / "idx")
+    statuses = str(tmp_path / "statuses")
+    ckpt = str(tmp_path / "ckpt")
+    incoming = str(tmp_path / "incoming")
+    dinc.init_dedup_index_root(_df(spark, old), root)
+    assert dinc.current_dedup_index(root).endswith("v0")
+
+    stream_schema = "docno long, text string"
+    for batch in (batch1, batch2):
+        _df(spark, batch).write.mode("append").parquet(incoming)
+        stream = spark.readStream.schema(stream_schema).parquet(incoming)
+        q = dinc.streaming_dedup_incremental(
+            stream, root, statuses, checkpoint_dir=ckpt)
+        q.awaitTermination()
+
+    got = {r["docno"]: r["status"]
+           for r in spark.read.parquet(statuses).collect()}
+    assert got == {20: "dropped", 21: "kept",
+                   30: "dropped", 31: "kept"}
+    assert dinc.current_dedup_index(root).endswith("v2")
+
+    # rotated index == from-scratch build over old + both batches
+    scratch = str(tmp_path / "scratch")
+    dinc.build_dedup_index(_df(spark, old + batch1 + batch2), scratch)
+    cur = dinc.current_dedup_index(root)
+    for table in dinc.INDEX_TABLES:
+        a = sorted(map(tuple, spark.read.parquet(
+            f"{cur}/{table}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(
+            f"{scratch}/{table}").collect()))
+        assert a == b, table
