@@ -139,7 +139,8 @@ SELECT * FROM pairs WHERE n_shared >= {min_shared}
 
 def duplicated_spans(docs: DataFrame, min_len: int = 8,
                      id_col: str = "docno",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     gram_key: str = "string") -> DataFrame:
     """(docno, span_start, span_end, span_len): maximal token spans
     covered by length-``min_len`` token windows occurring MORE THAN
     ONCE in the corpus (any document, any position — a second
@@ -165,7 +166,7 @@ def duplicated_spans(docs: DataFrame, min_len: int = 8,
     nothing is quadratic in documents. ``span_start`` is the 0-based
     token ordinal.
     """
-    seeds = _dup_seed_frame(docs, min_len, id_col, text_col)
+    seeds = _dup_seed_frame(docs, min_len, id_col, text_col, gram_key)
     return _merge_islands(seeds.select("docno", "pos"), min_len)
 
 
@@ -186,11 +187,25 @@ def _gram_stream(docs: DataFrame, min_len: int, id_col: str,
 
 
 def _dup_seed_frame(docs: DataFrame, min_len: int, id_col: str,
-                    text_col: str) -> DataFrame:
+                    text_col: str, gram_key: str = "string") -> DataFrame:
     """(docno, pos, gram): the positions whose L-gram occurs >= 2 times
     corpus-wide — the duplicated-evidence seeds both removal variants
-    consume. One groupBy on the gram string + one equi-join back."""
+    consume. One groupBy on the gram key + one equi-join back.
+
+    ``gram_key`` picks the shuffle key: ``"string"`` groups on the
+    L-token gram itself (byte-exact against the DuckDB oracle — the
+    catalog default), ``"hash"`` on its portable 60-bit ``hash64`` —
+    the 100 TB path, 8-byte shuffle keys instead of L-token strings in
+    both the count shuffle and the join; identical output absent
+    60-bit collisions (equivalence pinned in tests/test_llmdata.py)."""
+    if gram_key not in ("string", "hash"):
+        raise ValueError(f"unknown gram_key {gram_key!r}")
     grams = _gram_stream(docs, min_len, id_col, text_col)
+    if gram_key == "hash":
+        from hadoop_ir_spark.functions.hashes import hash64
+
+        grams = grams.select("docno", "pos",
+                             hash64(F.col("gram")).alias("gram"))
     dup_grams = (
         grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= 2)
@@ -362,7 +377,8 @@ FROM m2 GROUP BY docno
 def remove_duplicated_spans(docs: DataFrame, min_len: int = 8,
                             id_col: str = "docno",
                             text_col: str = "text",
-                            keep: str = "none") -> DataFrame:
+                            keep: str = "none",
+                            gram_key: str = "string") -> DataFrame:
     """(docno, clean_text, n_tokens, n_removed): the corpus with tokens
     covered by duplicated spans (see ``duplicated_spans``) excised —
     the pipeline ACTION of Lee et al.'s ExactSubstr dedup
@@ -397,7 +413,10 @@ def remove_duplicated_spans(docs: DataFrame, min_len: int = 8,
     bounded by doc length). ``keep="first"`` adds ONE global min
     aggregate over the seed frame (the canonical marker) and a second
     docno equi-join for the canonical span set — still linear in
-    duplicated positions."""
+    duplicated positions. ``gram_key="hash"`` swaps the seed shuffle
+    key for the 60-bit gram hash (see ``_dup_seed_frame`` — the 100 TB
+    path; the catalog default stays "string" for oracle
+    byte-equality)."""
     if keep not in ("none", "first"):
         raise ValueError(f"unknown keep policy {keep!r}")
     toks = docs.select(
@@ -406,7 +425,7 @@ def remove_duplicated_spans(docs: DataFrame, min_len: int = 8,
     )
     if keep == "none":
         spans = duplicated_spans(docs, min_len=min_len, id_col=id_col,
-                                 text_col=text_col)
+                                 text_col=text_col, gram_key=gram_key)
         marked = (
             toks.join(spans, "docno", "left")
             .withColumn("_in", (F.col("pos") >= F.col("span_start"))
@@ -415,7 +434,8 @@ def remove_duplicated_spans(docs: DataFrame, min_len: int = 8,
             .agg(F.max(F.coalesce(F.col("_in"), F.lit(False))).alias("_rm"))
         )
     else:
-        seeds = _dup_seed_frame(docs, min_len, id_col, text_col) \
+        seeds = _dup_seed_frame(docs, min_len, id_col, text_col,
+                                gram_key) \
             .localCheckpoint()   # feeds the canonical min AND both span sets
         canon = seeds.groupBy("gram").agg(
             F.min(F.struct("docno", "pos")).alias("_c"))

@@ -292,3 +292,33 @@ def test_remove_duplicated_spans_keep_first(spark):
     # conservation: each span's text appears exactly once corpus-wide
     all_text = " | ".join(r["clean_text"] for r in out.values())
     assert all_text.count(run) == 1 and all_text.count(run2) == 1
+
+
+def test_exact_substr_hash_gram_key_equivalence(spark):
+    """gram_key="hash" (the 100 TB shuffle-key swap: 8-byte hash64
+    keys instead of L-token strings) must produce IDENTICAL spans and
+    removals to the string-keyed default on both retention policies."""
+    from hadoop_ir_spark.operators.winnow import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    run = "a b c d e f g h i j"
+    docs = spark.createDataFrame([
+        (1, f"{run} k1 k2"),
+        (2, f"m1 m2 {run} m3"),
+        (3, f"{run} {run}"),
+        (4, "nothing shared here at all n1 n2 n3 n4 n5 n6"),
+    ], "docno long, text string")
+    a = {tuple(r) for r in duplicated_spans(
+        docs, min_len=8, id_col="docno").collect()}
+    b = {tuple(r) for r in duplicated_spans(
+        docs, min_len=8, id_col="docno", gram_key="hash").collect()}
+    assert a == b and a
+    for keep in ("none", "first"):
+        s = {tuple(r) for r in remove_duplicated_spans(
+            docs, min_len=8, id_col="docno", keep=keep).collect()}
+        h = {tuple(r) for r in remove_duplicated_spans(
+            docs, min_len=8, id_col="docno", keep=keep,
+            gram_key="hash").collect()}
+        assert s == h, keep
