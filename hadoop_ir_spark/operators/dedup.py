@@ -349,6 +349,24 @@ def simhash_fingerprints(post: DataFrame, bits: int = SIMHASH_BITS,
     return sums.select("docno", fp.alias("fingerprint"))
 
 
+def simhash_band_frame(fps: DataFrame, bands: int) -> DataFrame:
+    """(docno, fingerprint, band, key): the pigeonhole band chunks —
+    factored out so the incremental path (dedup_incremental) buckets a
+    persisted fingerprint table with EXACTLY the keys the in-corpus
+    path uses; within Hamming k and bands >= k+1, a pair must agree on
+    >= 1 band key."""
+    width = SIMHASH_BITS // bands
+    chunks = F.array(*[
+        F.shiftright("fingerprint", b * width)
+         .bitwiseAND(F.lit((1 << width) - 1))
+        for b in range(bands)
+    ])
+    return fps.select(
+        "docno", F.col("fingerprint"),
+        F.posexplode(chunks).alias("band", "key"),
+    )
+
+
 def simhash_near_dups(fps: DataFrame, max_hamming: int = 3,
                       bands: int | None = None) -> DataFrame:
     """(docno_a, docno_b, hamming ≤ max_hamming). With ``bands`` set to
@@ -360,16 +378,7 @@ def simhash_near_dups(fps: DataFrame, max_hamming: int = 3,
         b = fps.select(F.col("docno").alias("docno_b"), F.col("fingerprint").alias("fb"))
         pairs = a.crossJoin(b).filter(F.col("docno_a") < F.col("docno_b"))
     else:
-        width = SIMHASH_BITS // bands
-        chunks = F.array(*[
-            F.shiftright("fingerprint", b * width)
-             .bitwiseAND(F.lit((1 << width) - 1))
-            for b in range(bands)
-        ])
-        banded = fps.select(
-            "docno", F.col("fingerprint"),
-            F.posexplode(chunks).alias("band", "key"),
-        )
+        banded = simhash_band_frame(fps, bands)
         a = banded.select(F.col("docno").alias("docno_a"),
                           F.col("fingerprint").alias("fa"), "band", "key")
         b = banded.select(F.col("docno").alias("docno_b"),

@@ -60,7 +60,8 @@ from hadoop_ir_spark.functions.text import tokens_col
 from hadoop_ir_spark.operators import dedup
 from hadoop_ir_spark.operators.winnow import _let, _merge_islands
 
-INDEX_TABLES = ("content_hashes", "shingles", "band_keys", "seed_grams")
+INDEX_TABLES = ("content_hashes", "shingles", "band_keys", "seed_grams",
+                "simhash")
 
 
 def _norm(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -129,6 +130,25 @@ def build_dedup_index(docs: DataFrame, out_dir: str, *, k: int = 3,
      .sortWithinPartitions("gh")
      .write.mode("overwrite")
      .parquet(os.path.join(out_dir, "seed_grams")))
+
+    _write_simhash(d, out_dir, portable)
+
+
+def _simhash_fps(d: DataFrame, portable: bool) -> DataFrame:
+    from hadoop_ir_spark.operators import stats
+
+    return dedup.simhash_fingerprints(
+        stats.postings(d), portable=portable)
+
+
+def _write_simhash(d: DataFrame, out_dir: str, portable: bool) -> None:
+    """8 bytes per doc: the SimHash fingerprint table (the banded
+    pigeonhole candidate path needs only this — no postings)."""
+    (_simhash_fps(d, portable)
+     .repartitionByRange("docno")
+     .sortWithinPartitions("docno")
+     .write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "simhash")))
 
 
 def load_dedup_index(spark: SparkSession,
@@ -228,6 +248,132 @@ def dedup_incremental(new_docs: DataFrame, index_dir: str, *,
     return (
         d.select("docno").join(dropped, "docno", "left")
         .select("docno",
+                F.when(F.col("_d"), F.lit("dropped"))
+                .otherwise(F.lit("kept")).alias("status"))
+    )
+
+
+def simhash_incremental(new_docs: DataFrame, index_dir: str, *,
+                        max_hamming: int = 3, bands: int | None = None,
+                        id_col: str = "docno", text_col: str = "text",
+                        portable: bool = True) -> DataFrame:
+    """(docno, status) for the NEW snapshot under SimHash semantics:
+    ``dropped`` iff a doc of lower precedence (any indexed old doc, or
+    a lower-docno new doc) sits within Hamming ``max_hamming`` of its
+    fingerprint. With ``bands`` >= max_hamming+1 (the default) the
+    banded candidate stage is pigeonhole-EXACT, so this equals the
+    from-scratch rule on old ∪ new restricted to the new snapshot —
+    same per-pair precedence argument as ``dedup_incremental``.
+
+    Plan: fingerprint the new docs (one postings shuffle), band both
+    sides (the old side is the index's 8-bytes-per-doc ``simhash``
+    table — never the old corpus), two band-key equi-joins, Hamming
+    verify on the 64-bit pair. Snapshot-proportional; the old side
+    contributes band keys only."""
+    bands = bands if bands is not None else max_hamming + 1
+    spark = new_docs.sparkSession
+    d = _norm(new_docs, id_col, text_col)
+    fps_new = _simhash_fps(d, portable).localCheckpoint()
+    fps_old = spark.read.parquet(os.path.join(index_dir, "simhash"))
+
+    bn = dedup.simhash_band_frame(fps_new, bands)
+    bo = dedup.simhash_band_frame(fps_old, bands)
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    drop_no = (
+        bn.select("band", "key", F.col("docno").alias("dn"),
+                  F.col("fingerprint").alias("fa"))
+        .join(bo.select("band", "key", F.col("fingerprint").alias("fb")),
+              ["band", "key"])
+        .filter(ham <= max_hamming)
+        .select(F.col("dn").alias("docno"))
+    )
+    drop_nn = (
+        bn.select("band", "key", F.col("docno").alias("da"),
+                  F.col("fingerprint").alias("fa"))
+        .join(bn.select("band", "key", F.col("docno").alias("db"),
+                        F.col("fingerprint").alias("fb")),
+              ["band", "key"])
+        .filter((F.col("da") < F.col("db")) & (ham <= max_hamming))
+        .select(F.col("db").alias("docno"))
+    )
+    dropped = (drop_no.unionByName(drop_nn).distinct()
+               .withColumn("_d", F.lit(True)))
+    return (
+        d.select("docno").join(dropped, "docno", "left")
+        .select("docno",
+                F.when(F.col("_d"), F.lit("dropped"))
+                .otherwise(F.lit("kept")).alias("status"))
+    )
+
+
+def embedding_incremental(new_emb: DataFrame, old_emb: DataFrame, *,
+                          tau: float = 0.45, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          n_blocks: int = 8) -> DataFrame:
+    """(vec_id, status) for a NEW embedding snapshot against a standing
+    vector store: ``dropped`` iff cosine >= tau with any OLD vector or
+    a lower-id NEW vector — the vector-side member of the incremental
+    family (same per-pair precedence rule, so incremental ≡
+    from-scratch on old ∪ new restricted to the new snapshot).
+
+    Plan: new-vs-old NEVER forms old-vs-old pairs (the recompute a
+    union-input ``embedding_near_dups`` would pay): the OLD side blocks
+    by ``xxhash64(id) % n_blocks`` and only the NEW side replicates to
+    every block (B·|new| rows — the snapshot is the small side), so
+    each task is one float64 GEMM of (new × old-block) emitting only
+    the matched NEW ids. new-vs-new reuses the triangle-blocked
+    ``dedup.embedding_near_dups``. Work is |new|·|old|/parallelism
+    FLOPs at memory bandwidth with snapshot-sized replication —
+    nothing old-quadratic."""
+    import numpy as np
+    import pandas as pd
+
+    spark = new_emb.sparkSession
+    old = old_emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+         .cast("int").alias("_blk"),
+        F.lit(0).alias("_side"),
+    )
+    new_rep = new_emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_blk"),
+        F.lit(1).alias("_side"),
+    )
+
+    def hits(key, pdf):
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
+        o = pdf[pdf["_side"] == 0]
+        n = pdf[pdf["_side"] == 1]
+        if not len(o) or not len(n):
+            return empty
+        O = np.stack([np.asarray(v, dtype=np.float64) for v in o["_vec"]])
+        N = np.stack([np.asarray(v, dtype=np.float64) for v in n["_vec"]])
+        O /= np.linalg.norm(O, axis=1, keepdims=True)
+        N /= np.linalg.norm(N, axis=1, keepdims=True)
+        matched = (N @ O.T >= tau).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": n["_id"].to_numpy(dtype="int64")[matched]})
+
+    drop_no = (
+        old.unionByName(new_rep).groupBy("_blk")
+        .applyInPandas(hits, schema="vec_id long")
+        .distinct()
+    )
+    drop_nn = (
+        dedup.embedding_near_dups(new_emb, tau=tau, id_col=id_col,
+                                  vec_col=vec_col)
+        .select(F.col("id_b").alias("vec_id"))   # b is the higher id
+        .distinct()
+    )
+    dropped = (drop_no.unionByName(drop_nn).distinct()
+               .withColumn("_d", F.lit(True)))
+    return (
+        new_emb.select(F.col(id_col).cast("long").alias("vec_id"))
+        .join(dropped, "vec_id", "left")
+        .select("vec_id",
                 F.when(F.col("_d"), F.lit("dropped"))
                 .otherwise(F.lit("kept")).alias("status"))
     )
@@ -391,3 +537,9 @@ def update_dedup_index(spark: SparkSession, index_dir: str, out_dir: str,
      .sortWithinPartitions("gh")
      .write.mode("overwrite")
      .parquet(os.path.join(out_dir, "seed_grams")))
+
+    (idx["simhash"].unionByName(_simhash_fps(d, portable))
+     .repartitionByRange("docno")
+     .sortWithinPartitions("docno")
+     .write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "simhash")))

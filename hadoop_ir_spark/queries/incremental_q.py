@@ -178,3 +178,104 @@ def q_incremental_dup_spans(spark, sf_dir):
     return dinc.incremental_dup_spans(
         _new_docs(spark, sf_dir), idx_dir, min_len=INC_SPAN_LEN,
         id_col="doc_id")
+
+
+INC_SIMHASH_K = 3
+
+
+@register("simhash_incremental_kept", f"""
+WITH {_SQL_SPLIT},
+tok AS (
+  SELECT docno, unnest(string_split_regex(lower(text), '[^0-9a-zA-Z]+'))
+           AS term
+  FROM uni
+),
+post AS (SELECT docno, term, count(*) AS tf
+         FROM tok WHERE term <> '' GROUP BY docno, term),
+h AS (SELECT docno, term, tf,
+             CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+      FROM post),
+bitsums AS (
+  SELECT docno, t.bit,
+         sum(CASE WHEN (h >> t.bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h, (SELECT unnest(range(60)) AS bit) t
+  GROUP BY docno, t.bit
+),
+fp AS (
+  SELECT docno,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS f
+  FROM bitsums GROUP BY docno
+),
+prec AS (SELECT docno, isn FROM uni),
+drops AS (
+  SELECT b.docno FROM fp a
+  JOIN fp b ON a.docno <> b.docno
+  JOIN prec pa ON pa.docno = a.docno
+  JOIN prec pb ON pb.docno = b.docno
+  WHERE pb.isn = 1 AND (pa.isn = 0 OR a.docno < b.docno)
+    AND bit_count(xor(a.f, b.f)) <= {INC_SIMHASH_K}
+)
+SELECT n.docno,
+       CASE WHEN n.docno IN (SELECT docno FROM drops)
+            THEN 'dropped' ELSE 'kept' END AS status
+FROM newd n
+""")
+def q_simhash_incremental_kept(spark, sf_dir):
+    """Incremental SIMHASH dedup of the new snapshot against the
+    persisted fingerprint table (8 bytes per old doc — the old corpus
+    is never read): dropped iff a lower-precedence doc sits within
+    Hamming {k}. Banding with bands = k+1 is pigeonhole-exact, so the
+    oracle is the brute-force from-scratch recompute over old ∪ new
+    restricted to the new snapshot."""
+    idx_dir = _dedup_index_dir(spark, sf_dir)
+    return dinc.simhash_incremental(
+        _new_docs(spark, sf_dir), idx_dir,
+        max_hamming=INC_SIMHASH_K, id_col="doc_id")
+
+
+INC_COSINE_TAU = 0.45   # same threshold as embedding_near_dups
+
+
+@register("embedding_incremental_kept", f"""
+WITH olde AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0
+),
+newe AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+  UNION ALL
+  SELECT vec_id + {_INJECT_OFFSET}, embedding FROM embeddings
+  WHERE vec_id % 5 = 0
+),
+uni AS (SELECT vec_id, embedding, 0 AS isn FROM olde
+        UNION ALL SELECT vec_id, embedding, 1 FROM newe),
+n AS (
+  SELECT vec_id, isn,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS v
+  FROM uni
+),
+drops AS (
+  SELECT b.vec_id FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE b.isn = 1 AND (a.isn = 0 OR a.vec_id < b.vec_id)
+    AND list_dot_product(a.v, b.v) >= {INC_COSINE_TAU}
+)
+SELECT e.vec_id,
+       CASE WHEN e.vec_id IN (SELECT vec_id FROM drops)
+            THEN 'dropped' ELSE 'kept' END AS status
+FROM newe e
+""")
+def q_embedding_incremental_kept(spark, sf_dir):
+    """The vector-side incremental dedup: a NEW embedding snapshot vs
+    the standing vector store, dropped iff cosine >= 0.45 with any old
+    vector or a lower-id new one. new-vs-old is an old-blocked GEMM
+    that forms NO old-vs-old pairs (the recompute a union run would
+    pay); oracle = brute-force from-scratch with the same precedence,
+    restricted to the new snapshot."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0).unionByName(
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .withColumn("vec_id", F.col("vec_id") + _INJECT_OFFSET))
+    return dinc.embedding_incremental(new, old, tau=INC_COSINE_TAU)

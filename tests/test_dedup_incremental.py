@@ -173,3 +173,69 @@ def test_streaming_dedup_incremental_sequential_equivalence(
         b = sorted(map(tuple, spark.read.parquet(
             f"{scratch}/{table}").collect()))
         assert a == b, table
+
+
+def test_simhash_incremental_equals_from_scratch(spark, tmp_path,
+                                                 snapshots):
+    """Banded (pigeonhole-exact) incremental SimHash == brute-force
+    from-scratch Hamming rule on old ∪ new with (snapshot, docno)
+    precedence."""
+    from hadoop_ir_spark.operators import dedup, stats
+
+    old, new = snapshots
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx)
+    got = {r["docno"]: r["status"] for r in dinc.simhash_incremental(
+        _df(spark, new), idx, max_hamming=3).collect()}
+
+    uni = _df(spark, old + new)
+    fps = dedup.simhash_fingerprints(stats.postings(uni), portable=True)
+    pairs = dedup.simhash_near_dups(fps, max_hamming=3,
+                                    bands=None).collect()   # brute force
+    prec = {d: (0, d) for d, _ in old} | {d: (1, d) for d, _ in new}
+    dropped = set()
+    for r in pairs:
+        for x, y in ((r["docno_a"], r["docno_b"]),
+                     (r["docno_b"], r["docno_a"])):
+            if prec[y] < prec[x] and prec[x][0] == 1:
+                dropped.add(x)
+    want = {d: "dropped" if d in dropped else "kept" for d, _ in new}
+    assert got == want
+    assert got[9] == "dropped"     # exact copy of old -> Hamming 0
+
+
+def test_embedding_incremental_equals_from_scratch(spark):
+    """Old-blocked GEMM incremental == brute-force from-scratch cosine
+    rule with (snapshot, id) precedence; no old-vs-old work is the
+    design, identical decisions are the contract."""
+    from hadoop_ir_spark.operators import dedup
+
+    import numpy as np
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # planted near-dups: 100 ~ old 2; 103 ~ new 101 (within-new)
+    old = [(i, v) for i, v in rows[:6]]
+    new = [(i, v) for i, v in rows[6:]]
+    new += [(100, [x * 1.001 for x in old[2][1]]),
+            (103, [x * 1.002 for x in new[1][1]])]
+    odf = spark.createDataFrame(old, "vec_id long, embedding array<double>")
+    ndf = spark.createDataFrame(new, "vec_id long, embedding array<double>")
+    tau = 0.9
+    got = {r["vec_id"]: r["status"] for r in
+           dinc.embedding_incremental(ndf, odf, tau=tau,
+                                      n_blocks=3).collect()}
+
+    pairs = dedup.embedding_near_dups(
+        odf.unionByName(ndf), tau=tau, n_blocks=2).collect()
+    prec = {i: (0, i) for i, _ in old} | {i: (1, i) for i, _ in new}
+    dropped = set()
+    for r in pairs:
+        for x, y in ((r["id_a"], r["id_b"]), (r["id_b"], r["id_a"])):
+            if prec[y] < prec[x] and prec[x][0] == 1:
+                dropped.add(x)
+    want = {i: "dropped" if i in dropped else "kept" for i, _ in new}
+    assert got == want
+    assert got[100] == "dropped" and got[103] == "dropped"

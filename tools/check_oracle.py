@@ -125,6 +125,9 @@ PINNED_JUDGE_VERIFIED = sorted({
     # twins (VERDICT r7 #6; counts pinned in tests/test_zipf_surface.py)
     "exact_dedup_keep_first", "indexed_best_passage",
     "dedup_minhash_zipf", "winnow_pairs_zipf",
+    # round 8 cont.: the SimHash / embedding members of the incremental
+    # family, strict at 3 SFs on addition
+    "simhash_incremental_kept", "embedding_incremental_kept",
 })
 
 
