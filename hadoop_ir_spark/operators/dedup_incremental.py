@@ -486,60 +486,101 @@ def streaming_dedup_incremental(new_docs_stream: DataFrame,
 
 
 def update_dedup_index(spark: SparkSession, index_dir: str, out_dir: str,
-                       new_docs: DataFrame, *, k: int = 3,
+                       new_docs: DataFrame | None = None, *, k: int = 3,
                        num_hashes: int = 24, bands: int = 8,
                        min_len: int = 8, id_col: str = "docno",
                        text_col: str = "text",
-                       portable: bool = True) -> None:
-    """Fold an accepted snapshot into the fingerprint store: writes the
-    four tables to ``out_dir`` (a NEW snapshot dir — parquet cannot be
+                       portable: bool = True,
+                       removed_docs: DataFrame | None = None) -> None:
+    """Fold a CDC batch into the fingerprint store: ``new_docs`` are
+    added, ``removed_docs`` retracted (the takedown/defect path a real
+    pipeline needs — pass the removed documents WITH their text, since
+    seed-gram counts subtract per-gram and the index deliberately
+    stores only aggregate counts, never per-doc gram lists). Writes the
+    five tables to ``out_dir`` (a NEW snapshot dir — parquet cannot be
     overwritten while scanned, same discipline as ``io.index
-    .update_index``). Row tables are append-shaped unions (only the new
-    docs are tokenized/signed); seed-gram counts merge by sum — a
-    full-outer on the DELTA's gram set. Equality with a from-scratch
-    ``build_dedup_index(old ∪ new)`` is pinned in
-    tests/test_dedup_incremental.py."""
-    d = _norm(new_docs, id_col, text_col)
+    .update_index``).
+
+    Only the DELTA is tokenized/signed on both sides: row tables are
+    append-shaped unions plus a broadcast-able anti-join on the removed
+    docnos; seed-gram counts merge by signed sum — a full-outer on the
+    delta's gram set — and grams whose count reaches 0 are deleted.
+    Equality with a from-scratch ``build_dedup_index`` over the
+    resulting corpus is pinned in tests/test_dedup_incremental.py for
+    both directions."""
+    if new_docs is None and removed_docs is None:
+        raise ValueError("update_dedup_index: nothing to add or remove")
+    d = _norm(new_docs, id_col, text_col) if new_docs is not None else None
+    r = (_norm(removed_docs, id_col, text_col)
+         if removed_docs is not None else None)
     idx = load_dedup_index(spark, index_dir)
 
-    ch = idx["content_hashes"].unionByName(
-        d.select("docno", F.md5("text").alias("content_hash")))
+    def _minus_removed(df: DataFrame) -> DataFrame:
+        if r is None:
+            return df
+        return df.join(F.broadcast(r.select("docno")), "docno",
+                       "left_anti")
+
+    ch = _minus_removed(idx["content_hashes"])
+    if d is not None:
+        ch = ch.unionByName(
+            d.select("docno", F.md5("text").alias("content_hash")))
     (ch.repartitionByRange("content_hash")
      .sortWithinPartitions("content_hash")
      .write.mode("overwrite")
      .parquet(os.path.join(out_dir, "content_hashes")))
 
-    sh_new = dedup.shingles(d, k=k).localCheckpoint()
-    (idx["shingles"].unionByName(sh_new)
-     .repartitionByRange("docno")
+    sh = _minus_removed(idx["shingles"])
+    sh_new = None
+    if d is not None:
+        sh_new = dedup.shingles(d, k=k).localCheckpoint()
+        sh = sh.unionByName(sh_new)
+    (sh.repartitionByRange("docno")
      .sortWithinPartitions("docno", "shingle")
      .write.mode("overwrite")
      .parquet(os.path.join(out_dir, "shingles")))
 
-    sigs = dedup.minhash_signatures(sh_new, num_hashes=num_hashes,
-                                    portable=portable)
-    (idx["band_keys"]
-     .unionByName(dedup.band_key_frame(sigs, bands=bands))
-     .repartitionByRange("band", "key")
+    bk = _minus_removed(idx["band_keys"])
+    if sh_new is not None:
+        sigs = dedup.minhash_signatures(sh_new, num_hashes=num_hashes,
+                                        portable=portable)
+        bk = bk.unionByName(dedup.band_key_frame(sigs, bands=bands))
+    (bk.repartitionByRange("band", "key")
      .sortWithinPartitions("band", "key")
      .write.mode("overwrite")
      .parquet(os.path.join(out_dir, "band_keys")))
 
-    delta = (seed_gram_stream(d, min_len=min_len)
-             .groupBy("gh").agg(F.count(F.lit(1)).cast("long").alias("_dn")))
+    def _gram_counts(docs_frame, sign):
+        return (seed_gram_stream(docs_frame, min_len=min_len)
+                .groupBy("gh")
+                .agg((F.lit(sign) * F.count(F.lit(1)))
+                     .cast("long").alias("_dn")))
+
+    deltas = []
+    if d is not None:
+        deltas.append(_gram_counts(d, 1))
+    if r is not None:
+        deltas.append(_gram_counts(r, -1))
+    delta = deltas[0]
+    if len(deltas) == 2:
+        delta = (deltas[0].unionByName(deltas[1])
+                 .groupBy("gh").agg(F.sum("_dn").alias("_dn")))
     merged = (
         idx["seed_grams"].join(delta, "gh", "full_outer")
         .select("gh",
                 (F.coalesce(F.col("n"), F.lit(0))
                  + F.coalesce(F.col("_dn"), F.lit(0))).alias("n"))
+        .filter(F.col("n") > 0)
     )
     (merged.repartitionByRange("gh")
      .sortWithinPartitions("gh")
      .write.mode("overwrite")
      .parquet(os.path.join(out_dir, "seed_grams")))
 
-    (idx["simhash"].unionByName(_simhash_fps(d, portable))
-     .repartitionByRange("docno")
+    sim = _minus_removed(idx["simhash"])
+    if d is not None:
+        sim = sim.unionByName(_simhash_fps(d, portable))
+    (sim.repartitionByRange("docno")
      .sortWithinPartitions("docno")
      .write.mode("overwrite")
      .parquet(os.path.join(out_dir, "simhash")))

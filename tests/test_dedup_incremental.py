@@ -239,3 +239,41 @@ def test_embedding_incremental_equals_from_scratch(spark):
     want = {i: "dropped" if i in dropped else "kept" for i, _ in new}
     assert got == want
     assert got[100] == "dropped" and got[103] == "dropped"
+
+
+def test_update_index_with_removals_equals_rebuild(spark, tmp_path,
+                                                   snapshots):
+    """The retraction path: update(add batch, remove bad docs) must
+    equal a from-scratch build over the resulting corpus — including
+    seed-gram counts decrementing to deletion."""
+    old, new = snapshots
+    bad_ids = {10, 2}                       # retract two old docs
+    removed = [(d, t) for d, t in old if d in bad_ids]
+    survivors = [(d, t) for d, t in old if d not in bad_ids]
+
+    idx_old = str(tmp_path / "old")
+    idx_upd = str(tmp_path / "upd")
+    idx_scratch = str(tmp_path / "scratch")
+    dinc.build_dedup_index(_df(spark, old), idx_old)
+    dinc.update_dedup_index(spark, idx_old, idx_upd, _df(spark, new),
+                            removed_docs=_df(spark, removed))
+    dinc.build_dedup_index(_df(spark, survivors + new), idx_scratch)
+    for table in dinc.INDEX_TABLES:
+        a = sorted(map(tuple, spark.read.parquet(
+            f"{idx_upd}/{table}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(
+            f"{idx_scratch}/{table}").collect()))
+        assert a == b, table
+
+    # removal-only batch also works
+    idx_rm = str(tmp_path / "rm")
+    idx_rm_scratch = str(tmp_path / "rm_scratch")
+    dinc.update_dedup_index(spark, idx_old, idx_rm,
+                            removed_docs=_df(spark, removed))
+    dinc.build_dedup_index(_df(spark, survivors), idx_rm_scratch)
+    for table in dinc.INDEX_TABLES:
+        a = sorted(map(tuple, spark.read.parquet(
+            f"{idx_rm}/{table}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(
+            f"{idx_rm_scratch}/{table}").collect()))
+        assert a == b, table
