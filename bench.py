@@ -22,6 +22,16 @@ more. Per-query load samples live in BENCH_FULL.json under "load_avg";
 queries still contaminated after the retry are listed in "load_flagged"
 (and counted in the printed line's "n_load_flagged"), so a reviewer can
 machine-discard them instead of adjudicating the record by hand.
+
+Caveat measured at the r8 close: the bench's OWN load1 reaches ~18 on a
+32-core box (median ~9), so the absolute threshold can only catch GROSS
+contamination (a second full-width job); moderate background load is
+indistinguishable from self-load in loadavg terms. The stronger
+detector is HISTORY: the previous record's per-query min is read before
+overwriting, and queries whose new min exceeds HIST_RATIO x their
+previous min are listed in "regression_suspects" — a machine-generated
+re-time-these-isolated worklist that separates real regressions from
+one-run contamination (advisory: code changes legitimately move times).
 """
 
 from __future__ import annotations
@@ -100,6 +110,13 @@ def main():
     # so load beyond it means a foreign process is competing for cores
     load_limit = cpus * float(os.environ.get("SPARK_GRAFT_LOAD_FRAC", "1.0"))
     retry_disagree = 1.5
+    hist_ratio = 1.5
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json")) as f:
+            prev = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        prev = {}
 
     def _rep(name):
         load1 = os.getloadavg()[0]
@@ -136,6 +153,11 @@ def main():
         print(f"# {name}: {timings[name]}s (reps {reps}, loads {loads}, "
               f"{n} rows){flag}", file=sys.stderr)
 
+    suspects = {
+        n: {"prev": prev[n], "now": t}
+        for n, t in timings.items()
+        if n in prev and prev[n] > 0.2 and t / prev[n] > hist_ratio
+    }
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total",
@@ -146,13 +168,13 @@ def main():
         "load_avg": load_avg,
         "load_limit": load_limit,
         "load_flagged": load_flagged,
+        "regression_suspects": suspects,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail on disk: the driver keeps only the last 2000
     # chars of stdout, so a 106-query JSON line (~4.5k chars) gets its head
     # truncated and fails to parse (this is exactly what produced
     # BENCH_r03.json "parsed": null). Persist everything here ...
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     # ... and keep the printed line comfortably under the tail window by
@@ -161,7 +183,9 @@ def main():
     out = dict(full)
     del out["first_run"]          # detail lives in BENCH_FULL.json
     del out["load_avg"]
+    del out["regression_suspects"]
     out["n_load_flagged"] = len(load_flagged)
+    out["n_regression_suspects"] = len(suspects)
     out["n_queries"] = len(timings)
     out["full_detail"] = "BENCH_FULL.json"
     kept = sorted(timings, key=timings.get, reverse=True)
