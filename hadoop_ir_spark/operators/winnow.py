@@ -439,36 +439,54 @@ def remove_duplicated_spans(docs: DataFrame, min_len: int = 8,
             .groupBy("docno", "pos", "term")
             .agg(F.max(F.coalesce(F.col("_in"), F.lit(False))).alias("_rm"))
         )
-    else:
-        seeds = _dup_seed_frame(docs, min_len, id_col, text_col,
-                                gram_key) \
-            .localCheckpoint()   # feeds the canonical min AND both span sets
-        canon = seeds.groupBy("gram").agg(
-            F.min(F.struct("docno", "pos")).alias("_c"))
-        canon_seeds = (
-            seeds.join(canon, "gram")
-            .filter((F.col("docno") == F.col("_c.docno"))
-                    & (F.col("pos") == F.col("_c.pos")))
-            .select("docno", "pos")
-        )
-        spans_all = _merge_islands(seeds.select("docno", "pos"), min_len)
-        spans_canon = _merge_islands(canon_seeds, min_len)
-        in_all = (
-            toks.join(spans_all, "docno", "left")
-            .withColumn("_in", (F.col("pos") >= F.col("span_start"))
-                        & (F.col("pos") <= F.col("span_end")))
-            .groupBy("docno", "pos", "term")
-            .agg(F.max(F.coalesce(F.col("_in"), F.lit(False))).alias("_a"))
-        )
-        marked = (
-            in_all.join(spans_canon, "docno", "left")
-            .withColumn("_in", (F.col("pos") >= F.col("span_start"))
-                        & (F.col("pos") <= F.col("span_end")))
-            .groupBy("docno", "pos", "term", "_a")
-            .agg(F.max(F.coalesce(F.col("_in"), F.lit(False))).alias("_k"))
-            .select("docno", "pos", "term",
-                    (F.col("_a") & ~F.col("_k")).alias("_rm"))
-        )
+        return _reassemble(marked)
+    seeds = _dup_seed_frame(docs, min_len, id_col, text_col,
+                            gram_key) \
+        .localCheckpoint()   # feeds the canonical min AND both span sets
+    canon = seeds.groupBy("gram").agg(
+        F.min(F.struct("docno", "pos")).alias("_c"))
+    canon_seeds = (
+        seeds.join(canon, "gram")
+        .filter((F.col("docno") == F.col("_c.docno"))
+                & (F.col("pos") == F.col("_c.pos")))
+        .select("docno", "pos")
+    )
+    spans_all = _merge_islands(seeds.select("docno", "pos"), min_len)
+    spans_canon = _merge_islands(canon_seeds, min_len)
+    return _excise_keep_first(toks, spans_all, spans_canon)
+
+
+def _excise_keep_first(toks: DataFrame, spans_all: DataFrame,
+                       spans_canon: DataFrame) -> DataFrame:
+    """The keep-first removal predicate + reassembly, shared verbatim
+    with the cross-snapshot operator (``dedup_incremental
+    .incremental_clean_keep_first``): a token position is removed iff
+    covered by >= 1 duplicated span and NOT covered by any canonical
+    span of the same document. Spans per doc are FEW, so both
+    containment checks are docno equi-joins with post-filters."""
+    in_all = (
+        toks.join(spans_all, "docno", "left")
+        .withColumn("_in", (F.col("pos") >= F.col("span_start"))
+                    & (F.col("pos") <= F.col("span_end")))
+        .groupBy("docno", "pos", "term")
+        .agg(F.max(F.coalesce(F.col("_in"), F.lit(False))).alias("_a"))
+    )
+    marked = (
+        in_all.join(spans_canon, "docno", "left")
+        .withColumn("_in", (F.col("pos") >= F.col("span_start"))
+                    & (F.col("pos") <= F.col("span_end")))
+        .groupBy("docno", "pos", "term", "_a")
+        .agg(F.max(F.coalesce(F.col("_in"), F.lit(False))).alias("_k"))
+        .select("docno", "pos", "term",
+                (F.col("_a") & ~F.col("_k")).alias("_rm"))
+    )
+    return _reassemble(marked)
+
+
+def _reassemble(marked: DataFrame) -> DataFrame:
+    """(docno, pos, term, _rm) → (docno, clean_text, n_tokens,
+    n_removed): per-doc ordered surviving-token join (collect + sort
+    inside an aggregate, bounded by doc length)."""
     return (
         marked.groupBy("docno")
         .agg(

@@ -1,4 +1,5 @@
-"""Catalog entries for cross-snapshot incremental dedup (VERDICT r7 #1).
+"""Catalog entries for cross-snapshot incremental dedup (VERDICT r7 #1;
+fold-in, keep-first, and index-served embeddings r9 per VERDICT r8).
 
 Snapshot split (deterministic, mirrored in the oracles): the OLD corpus
 is ``doc_id % 3 <> 0``; the NEW snapshot is ``doc_id % 3 = 0`` plus an
@@ -6,15 +7,37 @@ injected re-crawl — every ``doc_id % 5 = 0`` document re-appears under
 ``doc_id + 10_000_000``. The injection guarantees both duplicate
 classes the operator exists for: cross-snapshot (``%5`` docs with
 ``%3 <> 0`` live in OLD, their copies in NEW) and within-snapshot
-(``%15`` docs and their copies are both NEW).
+(``%15`` docs and their copies are both NEW). A memoized per-corpus
+guard asserts ``max(id) < offset`` so a corpus with ids >= 10M fails
+loudly instead of silently colliding injected ids with real ones
+(ADVICE r8).
 
 The Spark side builds the persisted fingerprint index on the OLD
 snapshot once per (process, sf_dir) — the weekly pipeline's standing
-artifact — then runs the incremental query against it; the oracle is
-the FROM-SCRATCH recompute over old ∪ new composed as CTEs, restricted
-to the new snapshot. Green means incremental ≡ from-scratch, which is
-the entire point of the operator (the per-pair precedence rule makes
-the equivalence exact — see operators/dedup_incremental.py docstring).
+artifact, embeddings included — then runs the incremental query against
+it; the oracle is the FROM-SCRATCH recompute over old ∪ new composed as
+CTEs, restricted to the new snapshot. Green means incremental ≡
+from-scratch, which is the entire point of the operator (the per-pair
+precedence rule makes the equivalence exact — see
+operators/dedup_incremental.py docstring). The ``_folded`` entry runs
+the same query against an index assembled by TWO O(snapshot) fold-ins
+instead of one build, against the IDENTICAL oracle — green means
+fold-in ≡ rebuild on the grading corpus, not just on unit fixtures.
+
+MinHash oracle note (ADVICE r8): ``dedup_incremental_kept`` runs
+LSH-candidate MinHash on the Spark side, and the grading corpus DOES
+hold natural union pairs at J ∈ [0.9, 0.96) (measured: 0.909, 0.929,
+0.952 …), so an exact all-pairs Jaccard oracle is NOT a sound grader —
+a pair at J = 0.909 misses all 8 bands with p ≈ 1.5e-5, a lurking
+strict-gate flake. Both ``_kept`` entries therefore use a FULL PIPELINE
+REPLAY oracle (same 60-bit base hash, same 24 affine permutations, same
+8 band keys, same bucket join, same exact-Jaccard verification, plus
+the exact-content path and the precedence rule — the union-side twin of
+``zipf_q._minhash_replay_sql``): exact by construction at any corpus.
+tests/test_incremental_margin.py pins that replay ≡ brute force on the
+committed corpora, i.e. LSH recall is currently 100% there — if a
+regeneration plants a marginal pair, that test reports it instead of a
+one-in-1e5 gate flake.
 """
 
 from __future__ import annotations
@@ -36,6 +59,30 @@ _INJECT_OFFSET = 10_000_000
 _TMPROOT = tempfile.mkdtemp(prefix="hadoop_ir_spark_dedupidx_")
 atexit.register(shutil.rmtree, _TMPROOT, ignore_errors=True)
 _IDX_CACHE: dict[str, str] = {}
+_OFFSET_OK: set[str] = set()
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _assert_offset(spark, sf_dir):
+    """ADVICE r8: injected re-crawl ids are id + 10M — a corpus whose
+    real ids reach that range would corrupt precedence in both the
+    Spark split and the oracle CTEs. One memoized max() scan per
+    (process, sf_dir) over both id-bearing tables."""
+    key = os.path.abspath(sf_dir)
+    if key in _OFFSET_OK:
+        return
+    mx_doc = _docs(spark, sf_dir).agg(F.max("doc_id")).first()[0]
+    mx_vec = _emb(spark, sf_dir).agg(F.max("vec_id")).first()[0]
+    for label, mx in (("doc_id", mx_doc), ("vec_id", mx_vec)):
+        if mx is not None and mx >= _INJECT_OFFSET:
+            raise ValueError(
+                f"incremental split: max({label}) = {mx} >= inject offset "
+                f"{_INJECT_OFFSET} — injected re-crawl ids would collide "
+                f"with real ids")
+    _OFFSET_OK.add(key)
 
 
 def _old_docs(spark, sf_dir):
@@ -44,6 +91,7 @@ def _old_docs(spark, sf_dir):
 
 
 def _new_docs(spark, sf_dir):
+    _assert_offset(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return docs.filter(F.col("doc_id") % 3 == 0).unionByName(
         docs.filter(F.col("doc_id") % 5 == 0)
@@ -53,12 +101,37 @@ def _new_docs(spark, sf_dir):
 
 def _dedup_index_dir(spark, sf_dir: str) -> str:
     """Memoized OLD-snapshot fingerprint index per (process, sf_dir) —
-    the pipeline's standing artifact, built once, queried per snapshot."""
+    the pipeline's standing artifact, built once, queried per snapshot.
+    The old-side embeddings (vec_id % 3 <> 0) persist alongside the
+    text fingerprints (VERDICT r8 #3)."""
     key = os.path.abspath(sf_dir)
     if key not in _IDX_CACHE:
+        _assert_offset(spark, sf_dir)
         out = os.path.join(_TMPROOT, key.strip("/").replace("/", "_"))
+        old_emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 3 != 0)
         dinc.build_dedup_index(_old_docs(spark, sf_dir), out,
+                               min_len=INC_SPAN_LEN, id_col="doc_id",
+                               embeddings=old_emb, emb_id_col="vec_id")
+        _IDX_CACHE[key] = out
+    return _IDX_CACHE[key]
+
+
+def _folded_index_dir(spark, sf_dir: str) -> str:
+    """The SAME old corpus assembled the way the weekly pipeline would:
+    build on the first half (doc_id % 3 = 1), then FOLD the second half
+    (doc_id % 3 = 2) in with the O(snapshot) ``update_dedup_index`` —
+    queries against it must answer exactly like the one-shot build."""
+    key = os.path.abspath(sf_dir) + "#folded"
+    if key not in _IDX_CACHE:
+        _assert_offset(spark, sf_dir)
+        out = os.path.join(_TMPROOT,
+                           key.strip("/").replace("/", "_").replace("#", "_"))
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        dinc.build_dedup_index(docs.filter(F.col("doc_id") % 3 == 1), out,
                                min_len=INC_SPAN_LEN, id_col="doc_id")
+        dinc.update_dedup_index(spark, out,
+                                docs.filter(F.col("doc_id") % 3 == 2),
+                                min_len=INC_SPAN_LEN, id_col="doc_id")
         _IDX_CACHE[key] = out
     return _IDX_CACHE[key]
 
@@ -75,8 +148,9 @@ uni AS (SELECT docno, text, 0 AS isn FROM oldd
         UNION ALL SELECT docno, text, 1 FROM newd)
 """
 
-
-@register("dedup_incremental_kept", f"""
+# the brute-force variant: NOT the grader (see module docstring), kept
+# for tests/test_incremental_margin.py's replay ≡ exact recall pin
+_SQL_KEPT_EXACT = f"""
 WITH {_SQL_SPLIT},
 toklist AS (
   SELECT docno,
@@ -115,15 +189,123 @@ dropped AS (SELECT docno FROM ndrop UNION SELECT docno FROM edrop)
 SELECT n.docno,
        CASE WHEN d.docno IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
 FROM newd n LEFT JOIN dropped d ON d.docno = n.docno
-""")
+"""
+
+_M31 = (1 << 31) - 1
+_GOLD = 0x9E3779B1
+
+
+def _kept_replay_sql(num_hashes: int = 24, bands: int = 8) -> str:
+    """The GRADING oracle (ADVICE r8): full-pipeline MinHash-LSH replay
+    over old ∪ new with the identical integer hash family as
+    ``dedup.minhash_permutation`` (a_i = 2i+1, b_i = i·golden mod p,
+    p = 2^31 - 1; 60-bit md5 base hash) — the union-side twin of
+    ``zipf_q._minhash_replay_sql``, plus the exact-content path and the
+    (snapshot, docno) precedence rule, restricted to the new snapshot.
+    Exact by construction at any corpus: candidate buckets are
+    per-document and corpus-independent, so the replay forms exactly
+    the buckets the incremental plan's new-vs-old and new-vs-new joins
+    form (old-vs-old buckets exist in the replay but cannot drop a new
+    doc)."""
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(({2 * i + 1} * b + {i * _GOLD % _M31}) % {_M31}) AS h{i}"
+        for i in range(num_hashes))
+    banded = "\n  UNION ALL ".join(
+        "SELECT docno, {band} AS band, {key} AS key FROM sig".format(
+            band=b,
+            key=" || ',' || ".join(
+                f"h{b * rows + j}::VARCHAR" for j in range(rows)))
+        for b in range(bands))
+    return f"""
+WITH {_SQL_SPLIT},
+toklist AS (
+  SELECT docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM uni
+),
+sh AS (
+  SELECT DISTINCT docno,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)]) AS shingle
+  FROM toklist WHERE len(toks) >= 3
+),
+base AS (
+  SELECT docno,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {_M31} AS b
+  FROM sh
+),
+sig AS (
+  SELECT docno,
+         {mins}
+  FROM base GROUP BY docno
+),
+banded AS (
+  {banded}
+),
+cand AS (
+  SELECT DISTINCT a.docno AS da, b.docno AS db
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key
+               AND a.docno <> b.docno
+),
+sizes AS (SELECT docno, count(*) AS n FROM sh GROUP BY docno),
+inter AS (
+  SELECT c.da, c.db, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.docno = c.da
+  JOIN sh y ON y.docno = c.db AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+prec AS (SELECT docno, isn FROM uni),
+ndrop AS (
+  SELECT i.db AS docno FROM inter i
+  JOIN sizes sa ON sa.docno = i.da
+  JOIN sizes sb ON sb.docno = i.db
+  JOIN prec pa ON pa.docno = i.da
+  JOIN prec pb ON pb.docno = i.db
+  WHERE pb.isn = 1 AND (pa.isn = 0 OR i.da < i.db)
+    AND i.i::DOUBLE / (sa.n + sb.n - i.i) >= {INC_TAU}
+),
+edrop AS (
+  SELECT b.docno FROM uni b JOIN uni a ON a.text = b.text
+  WHERE b.isn = 1 AND (a.isn = 0 OR (a.isn = 1 AND a.docno < b.docno))
+),
+dropped AS (SELECT docno FROM ndrop UNION SELECT docno FROM edrop)
+SELECT n.docno,
+       CASE WHEN d.docno IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
+FROM newd n LEFT JOIN dropped d ON d.docno = n.docno
+"""
+
+
+_SQL_KEPT = _kept_replay_sql()
+
+
+@register("dedup_incremental_kept", _SQL_KEPT)
 def q_dedup_incremental_kept(spark, sf_dir):
     """Incremental MinHash+exact dedup of the NEW snapshot against the
     persisted OLD-corpus fingerprint index: (docno, status) with
     ``dropped`` iff an exact-content or Jaccard >= 0.9 partner of lower
     precedence exists (any old doc, or a lower-docno new doc). The
-    oracle is the full-corpus from-scratch recompute as CTEs — green
-    means incremental ≡ from-scratch, restricted to the new snapshot."""
+    oracle is the full-corpus from-scratch PIPELINE REPLAY as CTEs —
+    green means incremental ≡ from-scratch, restricted to the new
+    snapshot; replay rather than brute force because the corpus holds
+    natural pairs inside the LSH S-curve (see module docstring and
+    tests/test_incremental_margin.py)."""
     idx_dir = _dedup_index_dir(spark, sf_dir)
+    return dinc.dedup_incremental(
+        _new_docs(spark, sf_dir), idx_dir, tau=INC_TAU, id_col="doc_id")
+
+
+@register("dedup_incremental_folded", _SQL_KEPT)
+def q_dedup_incremental_folded(spark, sf_dir):
+    """The same incremental query against an index assembled by two
+    O(snapshot) FOLD-INS (build on doc_id%3=1, fold doc_id%3=2) instead
+    of one build, graded against the IDENTICAL from-scratch oracle —
+    the catalog-level proof that the snapshot-partitioned fold-in
+    (VERDICT r8 #1) preserves query semantics, not just table bytes."""
+    idx_dir = _folded_index_dir(spark, sf_dir)
     return dinc.dedup_incremental(
         _new_docs(spark, sf_dir), idx_dir, tau=INC_TAU, id_col="doc_id")
 
@@ -170,12 +352,114 @@ FROM isl2 GROUP BY docno, island
 def q_incremental_dup_spans(spark, sf_dir):
     """ExactSubstr duplicated spans of the NEW snapshot against
     old ∪ new, with the old side served ENTIRELY from the index's
-    seed-gram count table (a gram is duplicated iff
+    seed-gram count-delta log (a gram is duplicated iff
     n_new + n_old >= 2 — exactly the from-scratch union count). The
     oracle recomputes the union from scratch, hash-grouped the same
     way, restricted to new docnos."""
     idx_dir = _dedup_index_dir(spark, sf_dir)
     return dinc.incremental_dup_spans(
+        _new_docs(spark, sf_dir), idx_dir, min_len=INC_SPAN_LEN,
+        id_col="doc_id")
+
+
+@register("incremental_keep_first_clean", f"""
+WITH {_SQL_SPLIT},
+toked AS (
+  SELECT docno, isn,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM uni
+),
+grams AS (
+  SELECT docno, isn, pos,
+         CAST(('0x' || substr(md5(
+               array_to_string(list_slice(toks, pos + 1,
+                                          pos + {INC_SPAN_LEN}), ' ')),
+               1, 15)) AS BIGINT) AS gh
+  FROM (SELECT docno, isn, toks,
+               unnest(range(0, len(toks) - {INC_SPAN_LEN} + 1)) AS pos
+        FROM toked WHERE len(toks) >= {INC_SPAN_LEN})
+),
+dupg AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+seeds AS (SELECT g.docno, g.isn, g.pos, g.gh
+          FROM grams g JOIN dupg USING (gh)),
+canon AS (
+  SELECT docno, pos FROM (
+    SELECT docno, isn, pos,
+           row_number() OVER (PARTITION BY gh
+                              ORDER BY isn, docno, pos) AS rn
+    FROM seeds) WHERE rn = 1 AND isn = 1
+),
+isl_a AS (
+  SELECT docno, pos,
+         CASE WHEN pos - lag(pos, 1, -1073741824)
+                      OVER (PARTITION BY docno ORDER BY pos) > {INC_SPAN_LEN}
+              THEN 1 ELSE 0 END AS gap
+  FROM (SELECT docno, pos FROM seeds WHERE isn = 1)
+),
+spans_all AS (
+  SELECT docno, min(pos) AS s, max(pos) + {INC_SPAN_LEN} - 1 AS e
+  FROM (SELECT docno, pos,
+               sum(gap) OVER (PARTITION BY docno ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl_a)
+  GROUP BY docno, island
+),
+isl_c AS (
+  SELECT docno, pos,
+         CASE WHEN pos - lag(pos, 1, -1073741824)
+                      OVER (PARTITION BY docno ORDER BY pos) > {INC_SPAN_LEN}
+              THEN 1 ELSE 0 END AS gap
+  FROM canon
+),
+spans_canon AS (
+  SELECT docno, min(pos) AS s, max(pos) + {INC_SPAN_LEN} - 1 AS e
+  FROM (SELECT docno, pos,
+               sum(gap) OVER (PARTITION BY docno ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl_c)
+  GROUP BY docno, island
+),
+words AS (
+  SELECT docno, unnest(toks) AS term,
+         unnest(range(0, len(toks))) AS pos
+  FROM toked WHERE isn = 1 AND len(toks) > 0
+),
+m1 AS (
+  SELECT w.docno, w.pos, w.term,
+         max(CASE WHEN s.s IS NOT NULL AND w.pos BETWEEN s.s AND s.e
+                  THEN 1 ELSE 0 END) AS a
+  FROM words w LEFT JOIN spans_all s ON s.docno = w.docno
+  GROUP BY w.docno, w.pos, w.term
+),
+m2 AS (
+  SELECT m.docno, m.pos, m.term, m.a,
+         max(CASE WHEN c.s IS NOT NULL AND m.pos BETWEEN c.s AND c.e
+                  THEN 1 ELSE 0 END) AS k
+  FROM m1 m LEFT JOIN spans_canon c ON c.docno = m.docno
+  GROUP BY m.docno, m.pos, m.term, m.a
+)
+SELECT docno,
+       coalesce(string_agg(CASE WHEN NOT (a = 1 AND k = 0) THEN term END,
+                           ' ' ORDER BY pos), '') AS clean_text,
+       CAST(count(*) AS INT) AS n_tokens,
+       CAST(sum(CASE WHEN a = 1 AND k = 0 THEN 1 ELSE 0 END) AS INT)
+         AS n_removed
+FROM m2 GROUP BY docno
+""")
+def q_incremental_keep_first_clean(spark, sf_dir):
+    """The cross-snapshot removal ACTION (VERDICT r8 #2): clean the NEW
+    snapshot with ExactSubstr keep-first semantics resolved across
+    old ∪ new — spans whose canonical (first-by-precedence) occurrence
+    is in the standing corpus are excised from every new copy; spans
+    confined to the snapshot survive only at their earliest new home.
+    The old side is served entirely from the seed-gram count log (no
+    stored minima — see the operator docstring for why counts suffice
+    under the family's precedence, and stay sound under retraction).
+    The oracle is the from-scratch keep-first recompute over the union
+    as CTEs, restricted to the new snapshot."""
+    idx_dir = _dedup_index_dir(spark, sf_dir)
+    return dinc.incremental_clean_keep_first(
         _new_docs(spark, sf_dir), idx_dir, min_len=INC_SPAN_LEN,
         id_col="doc_id")
 
@@ -267,15 +551,17 @@ SELECT e.vec_id,
 FROM newe e
 """)
 def q_embedding_incremental_kept(spark, sf_dir):
-    """The vector-side incremental dedup: a NEW embedding snapshot vs
-    the standing vector store, dropped iff cosine >= 0.45 with any old
-    vector or a lower-id new one. new-vs-old is an old-blocked GEMM
-    that forms NO old-vs-old pairs (the recompute a union run would
-    pay); oracle = brute-force from-scratch with the same precedence,
-    restricted to the new snapshot."""
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    old = emb.filter(F.col("vec_id") % 3 != 0)
+    """The vector-side incremental dedup, now INDEX-SERVED (VERDICT r8
+    #3): the standing vectors are the dedup index's persisted
+    ``embeddings`` table (folded/retracted with everything else), read
+    like every sibling — dropped iff cosine >= 0.45 with any old vector
+    or a lower-id new one. new-vs-old is an old-blocked GEMM that forms
+    NO old-vs-old pairs (the recompute a union run would pay); oracle =
+    brute-force from-scratch with the same precedence, restricted to
+    the new snapshot."""
+    idx_dir = _dedup_index_dir(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     new = emb.filter(F.col("vec_id") % 3 == 0).unionByName(
         emb.filter(F.col("vec_id") % 5 == 0)
         .withColumn("vec_id", F.col("vec_id") + _INJECT_OFFSET))
-    return dinc.embedding_incremental(new, old, tau=INC_COSINE_TAU)
+    return dinc.embedding_incremental(new, idx_dir, tau=INC_COSINE_TAU)

@@ -188,6 +188,77 @@ def q_minhash_zipf(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
+# ---------------------------------------------------------------------------
+# r9 (VERDICT r8 #5): the SimHash Zipf twin. simhash_near_dups /
+# simhash_incremental_kept are graded only on the ~31-term synthetic corpus;
+# banding is pigeonhole-exact so RECALL cannot fade, but bucket-width SKEW
+# can: on a Zipf vocabulary the head terms dominate every fingerprint's high
+# bits, so band keys cluster (measured here: max bucket 231 of 8,000 docs at
+# bands=2 — still 455x under all-pairs, but 30x wider than a uniform-key
+# model predicts). The entry grades the banded plan against the brute-force
+# Hamming rule (exact because banding with bands >= k+1 is pigeonhole-
+# complete); the bucket-size distribution and candidate counts are pinned in
+# tests/test_zipf_surface.py so skew growth fails loudly. k=1 (bands=2) is
+# the parameterization where banding still prunes on this corpus — at k=3
+# the fixture's fingerprints are so clustered that 66,742 pairs sit within
+# Hamming 3 (a finding in itself: SimHash at 60 bits is a weak separator on
+# head-heavy Zipf text; the pinned counts document it).
+# ---------------------------------------------------------------------------
+
+ZIPF_SIMHASH_K = 1
+
+
+def _simhash_oracle_sql(max_hamming: int, src: str) -> str:
+    """Brute-force DuckDB mirror of the SimHash pipeline (same 60-bit
+    term hash, same tf-weighted bit sums) — exact for the banded plan
+    because pigeonhole banding at bands >= k+1 has perfect recall."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS docno,
+         unnest(string_split_regex(lower(text), '[^0-9a-zA-Z]+')) AS term
+  FROM {src}
+),
+post AS (SELECT docno, term, count(*) AS tf
+         FROM tok WHERE term <> '' GROUP BY docno, term),
+h AS (SELECT docno, term, tf,
+             CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+      FROM post),
+bitsums AS (
+  SELECT docno, t.bit,
+         sum(CASE WHEN (h >> t.bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h, (SELECT unnest(range(60)) AS bit) t
+  GROUP BY docno, t.bit
+),
+fp AS (
+  SELECT docno,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS f
+  FROM bitsums GROUP BY docno
+)
+SELECT a.docno AS docno_a, b.docno AS docno_b,
+       CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+FROM fp a, fp b
+WHERE a.docno < b.docno
+  AND bit_count(xor(a.f, b.f)) <= {max_hamming}
+"""
+
+
+@register("simhash_near_dups_zipf", _simhash_oracle_sql(
+    ZIPF_SIMHASH_K, f"read_parquet('{ZIPF_PARQUET}')"))
+def q_simhash_zipf(spark, sf_dir):
+    """Banded SimHash near-dup detection on the Zipf fixture — a
+    realistic head-heavy vocabulary where band-key skew is live (bucket
+    distribution pinned in tests/test_zipf_surface.py); the oracle is
+    the brute-force Hamming rule, exact because pigeonhole banding has
+    perfect recall at bands >= k+1."""
+    from hadoop_ir_spark.operators import stats
+
+    post = stats.postings(_zipf_docs(spark), id_col="doc_id")
+    fps = dedup.simhash_fingerprints(post, portable=True)
+    out = dedup.simhash_near_dups(
+        fps, max_hamming=ZIPF_SIMHASH_K, bands=ZIPF_SIMHASH_K + 1)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
 @register("winnow_pairs_zipf", winnow.winnow_oracle_sql(
     ZIPF_WIN_K, ZIPF_WIN_W, ZIPF_WIN_MAX_DF, ZIPF_WIN_MIN_SHARED,
     src=f"read_parquet('{ZIPF_PARQUET}')"))

@@ -1,9 +1,14 @@
-"""Cross-snapshot incremental dedup (VERDICT r7 #1): the operator's
-entire value is incremental(old, new) ≡ from-scratch(old ∪ new)
-restricted to the new snapshot — pinned here on corpora with
+"""Cross-snapshot incremental dedup (VERDICT r7 #1; layout r9): the
+operator's entire value is incremental(old, new) ≡ from-scratch(old ∪
+new) restricted to the new snapshot — pinned here on corpora with
 cross-snapshot AND within-snapshot duplicates, old docs with ids that
 interleave the new ids (precedence is (snapshot, docno), not numeric
-id), and docs too short to shingle (exact-path-only coverage)."""
+id), and docs too short to shingle (exact-path-only coverage). The r9
+snapshot-partitioned store adds: in-place O(snapshot) fold-in equal to
+a rebuild (add / remove / re-add directions), compaction preserving
+logical content, index-served embedding retraction, replay-idempotent
+streaming (ADVICE r8 medium), and the cross-snapshot keep-first
+removal action (VERDICT r8 #2)."""
 
 from __future__ import annotations
 
@@ -77,6 +82,15 @@ def _df(spark, rows):
     return spark.createDataFrame(rows, "docno long, text string")
 
 
+def _index_content(spark, idx_dir):
+    """The index's LOGICAL content (tombstones applied, count deltas
+    summed) as sorted python values — what rebuild-equality compares."""
+    out = {}
+    for t, df in dinc.load_dedup_index(spark, idx_dir).items():
+        out[t] = sorted(map(tuple, df.collect()))
+    return out
+
+
 def test_incremental_equals_from_scratch(spark, tmp_path, snapshots):
     old, new = snapshots
     idx = str(tmp_path / "idx")
@@ -92,19 +106,32 @@ def test_incremental_equals_from_scratch(spark, tmp_path, snapshots):
 
 
 def test_update_index_equals_rebuild(spark, tmp_path, snapshots):
+    """In-place O(snapshot) fold-in (VERDICT r8 #1): appending a snap
+    partition must be logically identical to rebuilding from scratch."""
     old, new = snapshots
-    idx_old = str(tmp_path / "old")
-    idx_upd = str(tmp_path / "upd")
+    idx = str(tmp_path / "idx")
     idx_scratch = str(tmp_path / "scratch")
-    dinc.build_dedup_index(_df(spark, old), idx_old)
-    dinc.update_dedup_index(spark, idx_old, idx_upd, _df(spark, new))
+    dinc.build_dedup_index(_df(spark, old), idx)
+    dinc.update_dedup_index(spark, idx, _df(spark, new))
     dinc.build_dedup_index(_df(spark, old + new), idx_scratch)
-    for table in dinc.INDEX_TABLES:
-        a = sorted(map(tuple, spark.read.parquet(
-            f"{idx_upd}/{table}").collect()))
-        b = sorted(map(tuple, spark.read.parquet(
-            f"{idx_scratch}/{table}").collect()))
-        assert a == b, table
+    a, b = _index_content(spark, idx), _index_content(spark, idx_scratch)
+    assert set(a) == set(b)
+    for t in a:
+        assert a[t] == b[t], t
+    # and the folded index answers queries over old ∪ new as "old":
+    # a doc duplicating a NEW-snapshot doc must now drop via the index
+    probe = _df(spark, [(100, new[1][1])])      # exact copy of folded doc 5
+    got = {r["docno"]: r["status"]
+           for r in dinc.dedup_incremental(probe, idx).collect()}
+    assert got == {100: "dropped"}
+
+
+def test_update_index_param_mismatch_raises(spark, tmp_path, snapshots):
+    old, new = snapshots
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx, k=3)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dinc.update_dedup_index(spark, idx, _df(spark, new), k=4)
 
 
 def test_incremental_dup_spans_equals_scratch(spark, tmp_path):
@@ -131,11 +158,129 @@ def test_incremental_dup_spans_equals_scratch(spark, tmp_path):
     assert {r[0] for r in got} == {1, 2, 3}
 
 
+# ---------------------------------------------------------------------------
+# keep-first across snapshots (VERDICT r8 #2)
+# ---------------------------------------------------------------------------
+
+_PREC_OFFSET = 1_000_000   # encodes (snapshot, docno) order numerically
+
+
+def _scratch_keep_first(spark, old, new, min_len=8):
+    """From-scratch keep-first over old ∪ new with the incremental
+    family's precedence, via ``remove_duplicated_spans(keep="first")``
+    on precedence-encoded docnos (old ids < every offset new id, new
+    order preserved), restricted to the new snapshot."""
+    from hadoop_ir_spark.operators.winnow import remove_duplicated_spans
+
+    assert all(d < _PREC_OFFSET for d, _ in old)
+    uni = old + [(d + _PREC_OFFSET, t) for d, t in new]
+    rows = remove_duplicated_spans(
+        _df(spark, uni), min_len=min_len, keep="first").collect()
+    return {r["docno"] - _PREC_OFFSET:
+            (r["clean_text"], r["n_tokens"], r["n_removed"])
+            for r in rows if r["docno"] >= _PREC_OFFSET}
+
+
+def test_incremental_keep_first_equals_scratch(spark, tmp_path):
+    span = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    span2 = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    # old owner has a HIGHER numeric id than the new copies: precedence,
+    # not id order, must decide canonical ownership
+    old = [(100, f"{span} old filler aa bb cc dd ee ff gg hh")]
+    new = [
+        (1, f"n1 n2 {span} n3"),          # old owns canonical -> excised
+        (2, f"{span2} m1 m2 m3 m4"),      # snapshot-confined dup: doc 2
+        (3, f"zz {span2} tail1"),         # is canonical, doc 3 excised
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 nothing duplicated here"),
+    ]
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx, min_len=8)
+    got = {r["docno"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in dinc.incremental_clean_keep_first(
+               _df(spark, new), idx, min_len=8).collect()}
+    assert got == _scratch_keep_first(spark, old, new)
+    # spelled out: old-side ownership excises the new copy...
+    assert "p1" not in got[1][0] and got[1][2] > 0
+    # ...snapshot-confined spans survive at their earliest new home only
+    assert "q1" in got[2][0] and got[2][2] == 0
+    assert "q1" not in got[3][0] and got[3][2] > 0
+    assert got[4][2] == 0
+
+
+def test_keep_first_conservation_across_snapshots(spark, tmp_path,
+                                                  snapshots):
+    """Cross-snapshot text conservation: every duplicated L-gram keeps
+    at least one live occurrence — in the untouched old corpus if it
+    has one there, else at its canonical new home."""
+    L = 8
+    span = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    old = [(50, f"{span} old context oa ob oc od oe of og oh")]
+    new = [(5, f"x1 x2 {span} x3"),
+           (6, f"{span} y1 y2 y3"),
+           (7, "w1 w2 w3 fresh f1 f2 f3 f4 f5 f6 f7 f8 f1 f2 f3 f4 f5 "
+               "f6 f7 f8 trailing tokens here")]   # within-doc repeat
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx, min_len=L)
+    cleaned = {r["docno"]: r["clean_text"]
+               for r in dinc.incremental_clean_keep_first(
+                   _df(spark, new), idx, min_len=L).collect()}
+
+    def grams(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i:i + L]) for i in range(len(toks) - L + 1)}
+
+    from collections import Counter
+    counts = Counter()
+    for _, t in old + new:
+        toks = t.lower().split()
+        for i in range(len(toks) - L + 1):
+            counts[" ".join(toks[i:i + L])] += 1
+    surviving = set()
+    for _, t in old:                       # old corpus is untouched
+        surviving |= grams(t)
+    for d in cleaned:
+        surviving |= grams(cleaned[d])
+    for g, n in counts.items():
+        if n >= 2:
+            assert g in surviving, f"duplicated gram lost everywhere: {g}"
+
+
+def test_keep_first_after_retraction(spark, tmp_path):
+    """Retracting the old canonical owner hands ownership to the
+    earliest new copy — counts decrement, no stored min to invalidate
+    (the design argument for count-served canonicalization)."""
+    span = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    old = [(100, f"{span} old owner oa ob oc od oe"),
+           (101, "unrelated old text za zb zc zd ze zf zg zh zi")]
+    new = [(1, f"h1 {span} h2"), (2, f"{span} k1 k2")]
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx, min_len=8)
+    # before retraction: both new copies excised (old owns the span)
+    before = {r["docno"]: r["clean_text"]
+              for r in dinc.incremental_clean_keep_first(
+                  _df(spark, new), idx, min_len=8).collect()}
+    assert "r1" not in before[1] and "r1" not in before[2]
+    # retract the owner; doc 1 (earliest new) becomes canonical
+    dinc.update_dedup_index(spark, idx,
+                            removed_docs=_df(spark, [old[0]]))
+    after = {r["docno"]: r["clean_text"]
+             for r in dinc.incremental_clean_keep_first(
+                 _df(spark, new), idx, min_len=8).collect()}
+    assert "r1" in after[1] and "r1" not in after[2]
+    survivors = [old[1]]
+    assert after == {d: v[0] for d, v in
+                     _scratch_keep_first(spark, survivors, new).items()}
+
+
+# ---------------------------------------------------------------------------
+# streaming: sequential equivalence + replay idempotence (ADVICE r8)
+# ---------------------------------------------------------------------------
+
 def test_streaming_dedup_incremental_sequential_equivalence(
         spark, tmp_path):
     """The foreachBatch packaging: batch 2 must see batch 1 as part of
-    the standing corpus (index snapshot rotated between batches), and
-    the final index must equal a from-scratch build over everything."""
+    the standing corpus (one snap partition folded per batch), and the
+    final index must equal a from-scratch build over everything."""
     b_text = "brand new content " + " ".join(f"b{i}" for i in range(30))
     d_text = "another novel doc " + " ".join(f"d{i}" for i in range(30))
     old = [(10, WORDS), (11, "old only content " + WORDS[:60])]
@@ -146,8 +291,7 @@ def test_streaming_dedup_incremental_sequential_equivalence(
     statuses = str(tmp_path / "statuses")
     ckpt = str(tmp_path / "ckpt")
     incoming = str(tmp_path / "incoming")
-    dinc.init_dedup_index_root(_df(spark, old), root)
-    assert dinc.current_dedup_index(root).endswith("v0")
+    dinc.build_dedup_index(_df(spark, old), root)
 
     stream_schema = "docno long, text string"
     for batch in (batch1, batch2):
@@ -161,18 +305,56 @@ def test_streaming_dedup_incremental_sequential_equivalence(
            for r in spark.read.parquet(statuses).collect()}
     assert got == {20: "dropped", 21: "kept",
                    30: "dropped", 31: "kept"}
-    assert dinc.current_dedup_index(root).endswith("v2")
+    man = dinc._read_manifest(root)
+    assert man["last_batch_id"] == 1 and len(man["snaps"]) == 3
 
-    # rotated index == from-scratch build over old + both batches
+    # folded index == from-scratch build over old + both batches
     scratch = str(tmp_path / "scratch")
     dinc.build_dedup_index(_df(spark, old + batch1 + batch2), scratch)
-    cur = dinc.current_dedup_index(root)
-    for table in dinc.INDEX_TABLES:
-        a = sorted(map(tuple, spark.read.parquet(
-            f"{cur}/{table}").collect()))
-        b = sorted(map(tuple, spark.read.parquet(
-            f"{scratch}/{table}").collect()))
-        assert a == b, table
+    a, b = _index_content(spark, root), _index_content(spark, scratch)
+    for t in a:
+        assert a[t] == b[t], t
+
+
+def test_streaming_replay_idempotent(spark, tmp_path):
+    """ADVICE r8 (medium): a crash between the manifest swap and the
+    streaming checkpoint commit replays the batch against an index that
+    already contains it — without the batch-id cursor every batch doc
+    would self-match as an exact duplicate and the fold would double.
+    The replay must reproduce identical statuses and leave the index
+    untouched."""
+    uniq = "wholly original content " + " ".join(f"z{i}" for i in range(25))
+    old = [(10, WORDS)]
+    batch = [(20, WORDS), (21, uniq)]
+    idx = str(tmp_path / "idx")
+    statuses = str(tmp_path / "statuses")
+    dinc.build_dedup_index(_df(spark, old), idx)
+
+    dinc._apply_dedup_batch(_df(spark, batch), 0, idx, statuses)
+    man1 = dinc._read_manifest(idx)
+    content1 = _index_content(spark, idx)
+    st1 = {r["docno"]: r["status"]
+           for r in spark.read.parquet(statuses).collect()}
+    assert st1 == {20: "dropped", 21: "kept"}
+
+    # the crash-after-swap replay: same batch, same batch_id
+    dinc._apply_dedup_batch(_df(spark, batch), 0, idx, statuses)
+    assert dinc._read_manifest(idx) == man1          # fold skipped
+    assert _index_content(spark, idx) == content1
+    st2 = {r["docno"]: r["status"]
+           for r in spark.read.parquet(statuses).collect()}
+    assert st2 == st1                                 # 21 did NOT self-match
+
+    # progress still works after a replay...
+    batch2 = [(30, uniq)]                             # dups batch 0's doc
+    dinc._apply_dedup_batch(_df(spark, batch2), 1, idx, statuses)
+    st3 = {r["docno"]: r["status"]
+           for r in spark.read.parquet(statuses).collect()}
+    assert st3 == {20: "dropped", 21: "kept", 30: "dropped"}
+    # ...and a two-behind replay (checkpoint reset) fails loudly instead
+    # of silently recomputing against the wrong view
+    with pytest.raises(RuntimeError, match="already applied"):
+        dinc._apply_dedup_batch(_df(spark, batch), 0, idx, statuses)
 
 
 def test_simhash_incremental_equals_from_scratch(spark, tmp_path,
@@ -204,28 +386,35 @@ def test_simhash_incremental_equals_from_scratch(spark, tmp_path,
     assert got[9] == "dropped"     # exact copy of old -> Hamming 0
 
 
-def test_embedding_incremental_equals_from_scratch(spark):
-    """Old-blocked GEMM incremental == brute-force from-scratch cosine
-    rule with (snapshot, id) precedence; no old-vs-old work is the
-    design, identical decisions are the contract."""
-    from hadoop_ir_spark.operators import dedup
-
+def _emb_rows():
     import numpy as np
     rng = np.random.default_rng(7)
     base = rng.normal(size=(12, 8))
-    rows = []
-    for i, v in enumerate(base):
-        rows.append((i, [float(x) for x in v]))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
     # planted near-dups: 100 ~ old 2; 103 ~ new 101 (within-new)
-    old = [(i, v) for i, v in rows[:6]]
-    new = [(i, v) for i, v in rows[6:]]
+    old = rows[:6]
+    new = rows[6:]
     new += [(100, [x * 1.001 for x in old[2][1]]),
             (103, [x * 1.002 for x in new[1][1]])]
+    return old, new
+
+
+def test_embedding_incremental_equals_from_scratch(spark, tmp_path):
+    """Index-served (VERDICT r8 #3) old-blocked GEMM incremental ==
+    brute-force from-scratch cosine rule with (snapshot, id) precedence;
+    no old-vs-old work is the design, identical decisions the contract."""
+    from hadoop_ir_spark.operators import dedup
+
+    old, new = _emb_rows()
     odf = spark.createDataFrame(old, "vec_id long, embedding array<double>")
     ndf = spark.createDataFrame(new, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(
+        _df(spark, [(i, f"doc {i} text") for i, _ in old]), idx,
+        embeddings=odf, emb_id_col="vec_id")
     tau = 0.9
     got = {r["vec_id"]: r["status"] for r in
-           dinc.embedding_incremental(ndf, odf, tau=tau,
+           dinc.embedding_incremental(ndf, idx, tau=tau,
                                       n_blocks=3).collect()}
 
     pairs = dedup.embedding_near_dups(
@@ -241,39 +430,105 @@ def test_embedding_incremental_equals_from_scratch(spark):
     assert got[100] == "dropped" and got[103] == "dropped"
 
 
+def test_embedding_fold_and_retraction(spark, tmp_path):
+    """Vectors ride the same fold-in and tombstones as the text tables
+    (VERDICT r8 #3): fold new vectors in, retract one OLD vector, and
+    the incremental decisions must match a from-scratch run over the
+    surviving store."""
+    old, new = _emb_rows()
+    odf = spark.createDataFrame(old, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "idx")
+    docs = _df(spark, [(i, f"doc {i} body") for i, _ in old])
+    dinc.build_dedup_index(docs, idx, embeddings=odf, emb_id_col="vec_id")
+    # retract old vec 2 — the partner of planted near-dup 100
+    dinc.update_dedup_index(
+        spark, idx, removed_docs=_df(spark, [(2, "doc 2 body")]))
+    live = sorted(r["docno"] for r in
+                  dinc.load_dedup_index(spark, idx)["embeddings"].collect())
+    assert live == [0, 1, 3, 4, 5]
+    ndf = spark.createDataFrame(new, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["status"] for r in
+           dinc.embedding_incremental(ndf, idx, tau=0.9,
+                                      n_blocks=3).collect()}
+    assert got[100] == "kept"       # its only partner was retracted
+    assert got[103] == "dropped"    # within-new pair unaffected
+    # fold the new vectors in; a re-probe of a folded vector now drops
+    dinc.update_dedup_index(spark, idx, new_embeddings=ndf,
+                            emb_id_col="vec_id")
+    probe = spark.createDataFrame([(500, new[0][1])],
+                                  "vec_id long, embedding array<double>")
+    got2 = {r["vec_id"]: r["status"] for r in
+            dinc.embedding_incremental(probe, idx, tau=0.99).collect()}
+    assert got2 == {500: "dropped"}
+
+
 def test_update_index_with_removals_equals_rebuild(spark, tmp_path,
                                                    snapshots):
     """The retraction path: update(add batch, remove bad docs) must
     equal a from-scratch build over the resulting corpus — including
-    seed-gram counts decrementing to deletion."""
+    seed-gram counts decrementing to deletion — and a re-add after
+    removal must resurrect the doc's rows."""
     old, new = snapshots
     bad_ids = {10, 2}                       # retract two old docs
     removed = [(d, t) for d, t in old if d in bad_ids]
     survivors = [(d, t) for d, t in old if d not in bad_ids]
 
-    idx_old = str(tmp_path / "old")
-    idx_upd = str(tmp_path / "upd")
+    idx = str(tmp_path / "idx")
     idx_scratch = str(tmp_path / "scratch")
-    dinc.build_dedup_index(_df(spark, old), idx_old)
-    dinc.update_dedup_index(spark, idx_old, idx_upd, _df(spark, new),
+    dinc.build_dedup_index(_df(spark, old), idx)
+    dinc.update_dedup_index(spark, idx, _df(spark, new),
                             removed_docs=_df(spark, removed))
     dinc.build_dedup_index(_df(spark, survivors + new), idx_scratch)
-    for table in dinc.INDEX_TABLES:
-        a = sorted(map(tuple, spark.read.parquet(
-            f"{idx_upd}/{table}").collect()))
-        b = sorted(map(tuple, spark.read.parquet(
-            f"{idx_scratch}/{table}").collect()))
-        assert a == b, table
+    a, b = _index_content(spark, idx), _index_content(spark, idx_scratch)
+    for t in a:
+        assert a[t] == b[t], t
 
     # removal-only batch also works
     idx_rm = str(tmp_path / "rm")
     idx_rm_scratch = str(tmp_path / "rm_scratch")
-    dinc.update_dedup_index(spark, idx_old, idx_rm,
+    dinc.build_dedup_index(_df(spark, old), idx_rm)
+    dinc.update_dedup_index(spark, idx_rm,
                             removed_docs=_df(spark, removed))
     dinc.build_dedup_index(_df(spark, survivors), idx_rm_scratch)
-    for table in dinc.INDEX_TABLES:
-        a = sorted(map(tuple, spark.read.parquet(
-            f"{idx_rm}/{table}").collect()))
-        b = sorted(map(tuple, spark.read.parquet(
-            f"{idx_rm_scratch}/{table}").collect()))
-        assert a == b, table
+    a = _index_content(spark, idx_rm)
+    b = _index_content(spark, idx_rm_scratch)
+    for t in a:
+        assert a[t] == b[t], t
+
+    # re-add a removed doc: tombstone precedence is by snap id, so the
+    # re-added rows are live again and content equals a fresh build
+    dinc.update_dedup_index(spark, idx_rm, _df(spark, [removed[0]]))
+    idx_re_scratch = str(tmp_path / "re_scratch")
+    dinc.build_dedup_index(_df(spark, survivors + [removed[0]]),
+                           idx_re_scratch)
+    a = _index_content(spark, idx_rm)
+    b = _index_content(spark, idx_re_scratch)
+    for t in a:
+        assert a[t] == b[t], t
+
+
+def test_compaction_preserves_logical_content(spark, tmp_path, snapshots):
+    """compact_dedup_index merges the snapshot log to one snap per table
+    without changing what readers see, and queries keep answering."""
+    old, new = snapshots
+    removed = [old[0]]
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx)
+    dinc.update_dedup_index(spark, idx, _df(spark, new),
+                            removed_docs=_df(spark, removed))
+    before = _index_content(spark, idx)
+    dinc.compact_dedup_index(spark, idx)
+    man = dinc._read_manifest(idx)
+    assert len(man["snaps"]) == 1
+    after = _index_content(spark, idx)
+    for t in before:
+        assert before[t] == after[t], t
+    # superseded snap dirs are gone; tombstones folded away
+    import os
+    assert not os.path.isdir(os.path.join(idx, "tombstones",
+                                          f"snap={man['snaps'][0]}"))
+    # post-compaction query: a copy of a folded doc still drops
+    probe = _df(spark, [(900, new[0][1])])
+    got = {r["docno"]: r["status"]
+           for r in dinc.dedup_incremental(probe, idx).collect()}
+    assert got == {900: "dropped"}

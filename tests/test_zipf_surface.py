@@ -113,3 +113,44 @@ def test_winnow_fingerprints_prune_on_zipf(spark, zipf_docs):
     assert n <= WINNOW_PAIR_MAX, (
         f"{n:,} fingerprint-sharing pairs — the fingerprint join stopped "
         "pruning (degenerate all-pairs here is ~32.0M)")
+
+
+# r9 (VERDICT r8 #5): SimHash banding skew guard. Banding is pigeonhole-
+# exact (recall cannot fade), so what needs pinning is BUCKET WIDTH: on the
+# Zipf fixture the head terms dominate every fingerprint's bit pattern and
+# band keys cluster. Measured at bands=2 (the simhash_near_dups_zipf
+# parameterization): max bucket 231 of 8,000 docs, 70,422 candidate pairs
+# (455x under the ~32.0M all-pairs), 5,974 true Hamming<=1 pairs. Bounds
+# leave ~2x headroom; a skew regression (e.g. a hash change that collapses
+# keys) fails here before it becomes a 100 TB shuffle bomb.
+SIMHASH_BUCKET_MAX = 500
+SIMHASH_CAND_MAX = 150_000
+SIMHASH_PAIRS = 5_974
+
+
+def test_simhash_banding_bucket_skew_on_zipf(spark, zipf_docs):
+    from pyspark.sql import functions as F
+
+    from hadoop_ir_spark.operators import dedup, stats
+    from hadoop_ir_spark.queries.zipf_q import ZIPF_SIMHASH_K
+
+    bands = ZIPF_SIMHASH_K + 1
+    fps = dedup.simhash_fingerprints(
+        stats.postings(zipf_docs, id_col="doc_id"),
+        portable=True).localCheckpoint()
+    sizes = (dedup.simhash_band_frame(fps, bands)
+             .groupBy("band", "key").count().localCheckpoint())
+    mx = sizes.agg(F.max("count")).first()[0]
+    cand = sizes.agg(F.sum(F.col("count") * (F.col("count") - 1) / 2)
+                     .cast("long")).first()[0]
+    assert mx <= SIMHASH_BUCKET_MAX, (
+        f"widest simhash band bucket holds {mx} docs — band keys are "
+        f"collapsing (skew regression); at scale this is a hot shuffle key")
+    assert cand <= SIMHASH_CAND_MAX, (
+        f"{cand:,} banded candidate pairs — banding stopped pruning "
+        f"(degenerate all-pairs here is ~32.0M)")
+    n = dedup.simhash_near_dups(fps, max_hamming=ZIPF_SIMHASH_K,
+                                bands=bands).count()
+    assert n == SIMHASH_PAIRS, (
+        f"{n:,} Hamming<={ZIPF_SIMHASH_K} pairs (expected {SIMHASH_PAIRS:,})"
+        " — fingerprints moved on a committed fixture")

@@ -128,6 +128,12 @@ PINNED_JUDGE_VERIFIED = sorted({
     # round 8 cont.: the SimHash / embedding members of the incremental
     # family, strict at 3 SFs on addition
     "simhash_incremental_kept", "embedding_incremental_kept",
+    # round 9: snapshot-partitioned fold-in twin (fold ≡ rebuild at the
+    # catalog level), cross-snapshot keep-first removal action (VERDICT
+    # r8 #2), SimHash Zipf twin (VERDICT r8 #5; bucket distribution
+    # pinned in tests/test_zipf_surface.py); strict at 3 SFs on addition
+    "dedup_incremental_folded", "incremental_keep_first_clean",
+    "simhash_near_dups_zipf",
 })
 
 

@@ -1,4 +1,5 @@
-"""Old-side-growth control for cross-snapshot incremental dedup (r8).
+"""Old-side-growth control for cross-snapshot incremental dedup (r8;
+UPDATE-step timing added r9 per VERDICT r8 #1).
 
 The incremental operator's 100 TB claim is NOT "it scales with the
 data" — it is "the STANDING CORPUS side is never rescanned": per-week
@@ -6,12 +7,21 @@ cost must track the snapshot, not the archive. The SCALING.md sweep
 rows grow both sides together (2.8× per 10×), which cannot isolate
 that claim; this control holds the NEW snapshot FIXED (the sf0.1
 split) and grows only the OLD side 10× (sf0.1 old split → sf1 old
-split), then times the incremental query against both indexes.
+split), then times BOTH halves of the weekly cycle against both
+indexes:
 
-A recompute-everything design would grow ~10×; the fingerprint-index
-design should stay near-flat (the old side enters only through the
-band-key and candidate-shingle equi-joins, both pruned, plus the
-seed-gram count join).
+- the incremental QUERIES (dedup / spans / keep-first): a
+  recompute-everything design would grow ~10×; the fingerprint-index
+  design should stay near-flat (the old side enters only through the
+  band-key and candidate-shingle equi-joins, both pruned, plus the
+  seed-gram count-log join);
+- the index UPDATE (folding the accepted snapshot in): the r8
+  monolithic layout full-shuffled and rewrote all five tables —
+  O(standing corpus), ~10× here; the r9 snapshot-partitioned layout
+  appends one delta-sized snap dir per table and must be ~1×.
+
+compact_dedup_index is the one deliberately corpus-proportional
+maintenance pass; its time is printed for documentation, not graded.
 
 Usage: python tools/incremental_growth_control.py
 Prints a markdown block ready for SCALING.md.
@@ -47,7 +57,7 @@ def main() -> None:
 
     spark = get_spark("inc-growth", cpus=32)
     tmp = tempfile.mkdtemp(prefix="inc_growth_")
-    new = _new_docs(spark, sf01)
+    new = _new_docs(spark, sf01).localCheckpoint()
     n_new = new.count()
 
     rows = []
@@ -65,25 +75,44 @@ def main() -> None:
                 new, idx, tau=INC_TAU, id_col="doc_id").count()),
             ("spans", lambda: dinc.incremental_dup_spans(
                 new, idx, min_len=INC_SPAN_LEN, id_col="doc_id").count()),
+            ("keep_first", lambda: dinc.incremental_clean_keep_first(
+                new, idx, min_len=INC_SPAN_LEN, id_col="doc_id").count()),
         ):
             fn()                                   # warm
             t0 = time.time()
             fn()
             times[qlabel] = time.time() - t0
+        # the fold-in: append the accepted snapshot (mutates the index,
+        # so timed AFTER the queries)
+        t0 = time.time()
+        dinc.update_dedup_index(spark, idx, new, min_len=INC_SPAN_LEN,
+                                id_col="doc_id")
+        times["update"] = time.time() - t0
+        t0 = time.time()
+        dinc.compact_dedup_index(spark, idx)
+        times["compact"] = time.time() - t0
         rows.append((label, n_old, t_build, times))
 
     print(f"\nFixed NEW snapshot: {n_new:,} docs (the sf0.1 split).\n")
     print("| old corpus | old docs | index build (one-time) |"
-          " dedup_incremental | incremental_dup_spans |")
-    print("|---|---|---|---|---|")
-    for label, n_old, t_build, times in rows:
+          " dedup_incremental | incremental_dup_spans |"
+          " incremental_clean_keep_first | update_dedup_index (fold-in) |"
+          " compact (elective) |")
+    print("|---|---|---|---|---|---|---|---|")
+    for label, n_old, t_build, t in rows:
         print(f"| {label} | {n_old:,} | {t_build:.1f}s "
-              f"| {times['dedup']:.2f}s | {times['spans']:.2f}s |")
+              f"| {t['dedup']:.2f}s | {t['spans']:.2f}s "
+              f"| {t['keep_first']:.2f}s | {t['update']:.2f}s "
+              f"| {t['compact']:.1f}s |")
     (_, _, _, t_a), (_, _, _, t_b) = rows
     print(f"\nper-snapshot growth at 10x old side: "
           f"dedup {t_b['dedup'] / t_a['dedup']:.2f}x, "
-          f"spans {t_b['spans'] / t_a['spans']:.2f}x "
-          f"(recompute-everything would be ~10x)")
+          f"spans {t_b['spans'] / t_a['spans']:.2f}x, "
+          f"keep_first {t_b['keep_first'] / t_a['keep_first']:.2f}x, "
+          f"FOLD-IN {t_b['update'] / t_a['update']:.2f}x "
+          f"(recompute-everything / rewrite-the-store would be ~10x; "
+          f"compact is O(corpus) by design: "
+          f"{t_b['compact'] / t_a['compact']:.1f}x)")
 
 
 if __name__ == "__main__":
