@@ -26,12 +26,30 @@ machine-discard them instead of adjudicating the record by hand.
 Caveat measured at the r8 close: the bench's OWN load1 reaches ~18 on a
 32-core box (median ~9), so the absolute threshold can only catch GROSS
 contamination (a second full-width job); moderate background load is
-indistinguishable from self-load in loadavg terms. The stronger
-detector is HISTORY: the previous record's per-query min is read before
-overwriting, and queries whose new min exceeds HIST_RATIO x their
-previous min are listed in "regression_suspects" — a machine-generated
-re-time-these-isolated worklist that separates real regressions from
-one-run contamination (advisory: code changes legitimately move times).
+indistinguishable from self-load in loadavg terms. Two stronger
+detectors close that gap:
+
+- CPU-SHARE (r9, VERDICT r8 #4): every repetition also measures the
+  bench's OWN process-tree CPU time (driver python + the JVM + its
+  python workers, one /proc sweep — see _tree_cpu_seconds) and records
+  cpu/wall. Contention shows up DIRECTLY as a low core share: the same
+  query doing the same work suddenly gets fewer cores, so wall grows
+  while cpu does not. A rep whose cpu/wall falls below CPU_SHARE_FRAC x
+  the best rep of the same query is discarded like a load-flagged rep
+  (and triggers the retry); the kept rep's ratio is recorded in
+  BENCH_FULL.json "cpu_wall".
+- HISTORY: the previous record's per-query min is read before
+  overwriting, and queries whose new min exceeds HIST_RATIO x their
+  previous min are listed in "regression_suspects". Each suspect now
+  carries prev/now cpu-share and a machine verdict: "contended" when
+  the share dropped below CPU_SHARE_FRAC x its previous value (the
+  r8-close media_bmp_resize miss class — wall 4.4x, cpu flat), else
+  "regression" (cpu moved with wall: the code really got slower).
+  Advisory: code changes legitimately move times.
+
+The flag rules are pure functions (cpu_starved / classify_suspect) so
+tests/test_bench_cpu_guard.py can pin them against a DELIBERATE
+contamination run (burner processes competing for every core).
 """
 
 from __future__ import annotations
@@ -84,6 +102,67 @@ HEADLINE = [
 ]
 
 
+CPU_SHARE_FRAC = 0.55   # a rep below this fraction of the best rep's
+                        # cpu/wall share was starved of cores
+
+
+def _tree_cpu_seconds(root_pid: int | None = None) -> float:
+    """Total CPU seconds (utime+stime+reaped-children time) of
+    ``root_pid`` (default: this process) and every live descendant —
+    the JVM py4j launches and its python workers — via one /proc sweep.
+    Including cutime/cstime keeps the delta conserved when a worker is
+    reaped between two sweeps (its time moves into the parent's
+    children counters instead of vanishing)."""
+    clk = os.sysconf("SC_CLK_TCK")
+    root_pid = root_pid if root_pid is not None else os.getpid()
+    ticks: dict[int, int] = {}
+    kids: dict[int, list[int]] = {}
+    for ent in os.listdir("/proc"):
+        if not ent.isdigit():
+            continue
+        try:
+            with open(f"/proc/{ent}/stat", "rb") as f:
+                rest = f.read().decode("ascii", "replace").rsplit(")", 1)[1]
+        except (OSError, IndexError):
+            continue
+        fld = rest.split()
+        # fld[0] = state; stat fields 4..17 land at fld[1..14]
+        ppid = int(fld[1])
+        ticks[int(ent)] = (int(fld[11]) + int(fld[12])      # utime+stime
+                           + int(fld[13]) + int(fld[14]))   # cutime+cstime
+        kids.setdefault(ppid, []).append(int(ent))
+    total, stack, seen = 0, [root_pid], set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in ticks:
+            continue
+        seen.add(p)
+        total += ticks[p]
+        stack.extend(kids.get(p, []))
+    return total / clk
+
+
+def cpu_starved(ratios: list[float],
+                frac: float = CPU_SHARE_FRAC) -> list[int]:
+    """Indices of repetitions whose cpu/wall core share is anomalously
+    low relative to the best repetition of the SAME query — the same
+    work suddenly running on fewer cores means something else had them."""
+    best = max(ratios) if ratios else 0.0
+    if best <= 0:
+        return []
+    return [i for i, r in enumerate(ratios) if r < frac * best]
+
+
+def classify_suspect(prev_ratio: float | None, now_ratio: float,
+                     frac: float = CPU_SHARE_FRAC) -> str:
+    """History verdict for a regression suspect: wall grew — did the
+    core share collapse with it (contention) or did cpu grow too (a
+    real slowdown)?"""
+    if prev_ratio and prev_ratio > 0 and now_ratio < frac * prev_ratio:
+        return "contended"
+    return "regression"
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -114,34 +193,47 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "BENCH_FULL.json")) as f:
-            prev = json.load(f).get("queries", {})
+            _prev_full = json.load(f)
+        prev = _prev_full.get("queries", {})
+        prev_cpu = _prev_full.get("cpu_wall", {})
     except (OSError, ValueError):
-        prev = {}
+        prev, prev_cpu = {}, {}
 
     def _rep(name):
         load1 = os.getloadavg()[0]
+        c0 = _tree_cpu_seconds()
         t0 = time.time()
         n = catalog.QUERIES[name](spark, sf_dir).count()
-        return round(time.time() - t0, 3), round(load1, 2), n
+        wall = time.time() - t0
+        cpu = _tree_cpu_seconds() - c0
+        return (round(wall, 3), round(load1, 2),
+                round(cpu / max(wall, 1e-9), 2), n)
 
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     load_avg: dict[str, list[float]] = {}
+    cpu_wall: dict[str, list[float]] = {}
     load_flagged: list[str] = []
     for name in names:
-        reps, loads = [], []
+        reps, loads, shares = [], [], []
         for _ in range(2):
-            t, load1, n = _rep(name)
+            t, load1, share, n = _rep(name)
             reps.append(t)
             loads.append(load1)
+            shares.append(share)
         disagree = max(reps) / max(min(reps), 1e-9) > retry_disagree
-        if all(l > load_limit for l in loads) or disagree:
-            t, load1, n = _rep(name)       # one machine-driven retry
+        starved = set(cpu_starved(shares)) if min(reps) > 0.2 else set()
+        if all(l > load_limit for l in loads) or disagree or starved:
+            t, load1, share, n = _rep(name)       # one machine-driven retry
             reps.append(t)
             loads.append(load1)
-        # the kept number is the min of reps taken under sane load;
-        # if every rep was contaminated, keep the min and flag the query
-        clean = [t for t, l in zip(reps, loads) if l <= load_limit]
+            shares.append(share)
+            starved = set(cpu_starved(shares)) if min(reps) > 0.2 else set()
+        # the kept number is the min of reps taken under sane load AND a
+        # sane core share; if every rep was contaminated, keep the min
+        # and flag the query
+        clean = [t for i, (t, l) in enumerate(zip(reps, loads))
+                 if l <= load_limit and i not in starved]
         if clean:
             timings[name] = min(clean)
         else:
@@ -149,15 +241,22 @@ def main():
             load_flagged.append(name)
         first_run[name] = reps[0]
         load_avg[name] = loads
+        cpu_wall[name] = shares
         flag = " LOAD-FLAGGED" if name in load_flagged else ""
         print(f"# {name}: {timings[name]}s (reps {reps}, loads {loads}, "
-              f"{n} rows){flag}", file=sys.stderr)
+              f"cpu/wall {shares}, {n} rows){flag}", file=sys.stderr)
 
-    suspects = {
-        n: {"prev": prev[n], "now": t}
-        for n, t in timings.items()
-        if n in prev and prev[n] > 0.2 and t / prev[n] > hist_ratio
-    }
+    suspects = {}
+    for n, t in timings.items():
+        if n in prev and prev[n] > 0.2 and t / prev[n] > hist_ratio:
+            now_ratio = max(cpu_wall.get(n, [0.0]))
+            prevs = prev_cpu.get(n)
+            prev_ratio = max(prevs) if prevs else None
+            suspects[n] = {
+                "prev": prev[n], "now": t,
+                "prev_cpu_wall": prev_ratio, "now_cpu_wall": now_ratio,
+                "verdict": classify_suspect(prev_ratio, now_ratio),
+            }
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total",
@@ -166,6 +265,7 @@ def main():
         "queries": timings,
         "first_run": first_run,
         "load_avg": load_avg,
+        "cpu_wall": cpu_wall,
         "load_limit": load_limit,
         "load_flagged": load_flagged,
         "regression_suspects": suspects,
@@ -183,6 +283,7 @@ def main():
     out = dict(full)
     del out["first_run"]          # detail lives in BENCH_FULL.json
     del out["load_avg"]
+    del out["cpu_wall"]
     del out["regression_suspects"]
     out["n_load_flagged"] = len(load_flagged)
     out["n_regression_suspects"] = len(suspects)

@@ -3,12 +3,18 @@ SimHash, embedding cosine).
 
 Oracle strategy: the Spark side runs the real pipelines (banded LSH etc.);
 the DuckDB side brute-forces the mathematically-equivalent definition.
-Where the pipelines are approximate by construction, parameters are chosen
-so the approximation is exact on this data regime:
-- MinHash-LSH: 24 hashes / 8 bands ⇒ recall ≥ 0.997 per pair at J=0.9, and
-  every planted near-dup pair here sits at J ≥ 0.96 (recall 0.9999+) —
-  verified candidates then equal the brute-force J ≥ 0.9 pairs.
-- SimHash banding: bands(4) > max_hamming(3) is pigeonhole-exact.
+Where the pipelines are approximate by construction:
+- MinHash-LSH (r9, ADVICE r8): the corpus holds NATURAL pairs inside the
+  S-curve (J = 0.909, 0.929, 0.952 … measured — the old "every graded
+  pair sits at J ≥ 0.96" note was true only of the PLANTED pairs), so a
+  brute-force J ≥ 0.9 grader carries a ~1.5e-5/pair/run flake; the
+  oracle is therefore the full pipeline REPLAY (same hash family, same
+  bands, same bucket join, same exact-Jaccard verification — exact by
+  construction at any corpus; see zipf_q._minhash_replay_sql). That LSH
+  recall is nevertheless currently 100% on the committed corpora is
+  pinned by tests/test_incremental_margin.py.
+- SimHash banding: bands(4) > max_hamming(3) is pigeonhole-exact, so its
+  brute-force oracle IS exact.
 Hashes are the portable md5-derived 60-bit form (operators/dedup.hash60)
 so both engines compute identical fingerprints.
 """
@@ -121,14 +127,15 @@ def q_ngram_jaccard(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
-@register("dedup_minhash_lsh", f"""
-WITH {SQL_SHINGLES}
-SELECT docno_a, docno_b, round(jaccard, 6) AS jaccard
-FROM jac WHERE jaccard >= {MINHASH_TAU}
-""")
+from hadoop_ir_spark.queries.zipf_q import _minhash_replay_sql  # noqa: E402
+
+
+@register("dedup_minhash_lsh",
+          _minhash_replay_sql(MINHASH_TAU, "documents"))
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup detection; the oracle is the brute-force
-    J >= tau pair set (see module docstring on exactness)."""
+    """MinHash-LSH near-dup detection; the oracle REPLAYS the full
+    pipeline (exact by construction — see module docstring on why brute
+    force is not a sound grader here)."""
     out = dedup.minhash_near_dups(
         _docs(spark, sf_dir), tau=MINHASH_TAU, k=3,
         num_hashes=24, bands=8, id_col="doc_id", portable=True,

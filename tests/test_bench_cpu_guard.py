@@ -1,0 +1,86 @@
+"""Deliberate-contamination pin for the bench's CPU-share detector
+(VERDICT r8 #4): the r8 close documented a miss class — moderate
+background load inflated media_bmp_resize 4.4x while loadavg stayed
+under the gross threshold and min-of-2 could not absorb a spike
+spanning both reps. The cpu/wall core-share detector catches that
+DIRECTLY: the same work on fewer cores means wall grows while the
+bench's own process-tree CPU does not.
+
+This test reproduces the miss class on purpose: one clean repetition of
+a CPU-bound Spark job, one repetition with burner processes competing
+for every core, and asserts (a) the tree-CPU meter sees the job's work,
+(b) the contaminated rep's core share collapses, (c) bench.cpu_starved
+machine-flags exactly that rep, and (d) bench.classify_suspect labels
+the history pair "contended", not "regression"."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def _cpu_bound_rep(spark):
+    """A few seconds of pure JVM compute (md5 over a range — codegen,
+    no IO), measured the way bench._rep measures — except ROOTED AT THE
+    JVM: the bench roots at the driver python and real contamination is
+    a foreign process outside that tree, but this test's burners are
+    children of the test process, so rooting at the driver would count
+    the contaminator's own CPU as ours and hide the share collapse."""
+    from pyspark.sql import functions as F
+
+    jvm_pid = spark.sparkContext._gateway.proc.pid
+    c0 = bench._tree_cpu_seconds(jvm_pid)
+    t0 = time.time()
+    (spark.range(0, 12_000_000)
+     .select(F.md5(F.col("id").cast("string")).alias("h"))
+     .filter(F.col("h").startswith("0000")).count())
+    wall = time.time() - t0
+    cpu = bench._tree_cpu_seconds(jvm_pid) - c0
+    return wall, cpu / max(wall, 1e-9)
+
+
+@pytest.mark.skipif((os.cpu_count() or 0) < 4,
+                    reason="needs cores to contend for")
+def test_cpu_share_detector_catches_deliberate_contamination(spark):
+    # warm (codegen etc.) then the clean reference rep
+    _cpu_bound_rep(spark)
+    wall_clean, share_clean = _cpu_bound_rep(spark)
+    assert share_clean > 0.5, (
+        f"tree-CPU meter blind: clean rep ran {wall_clean:.1f}s wall but "
+        f"measured core share {share_clean:.2f} — /proc sweep is not "
+        f"seeing the JVM's work")
+
+    # the contaminated rep: ~6 spinning processes per core
+    burners = [subprocess.Popen(
+        [sys.executable, "-c", "while True: pass"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        for _ in range(6 * (os.cpu_count() or 4))]
+    try:
+        time.sleep(0.5)                       # let the scheduler settle
+        wall_cont, share_cont = _cpu_bound_rep(spark)
+    finally:
+        for p in burners:
+            p.kill()
+        for p in burners:
+            p.wait()
+
+    assert wall_cont > wall_clean, "burners did not slow the job at all"
+    # the detector's core claim: contention shows as a share collapse
+    assert share_cont < bench.CPU_SHARE_FRAC * share_clean, (
+        f"core share under contention ({share_cont:.2f}) did not drop "
+        f"below {bench.CPU_SHARE_FRAC} x clean ({share_clean:.2f}) — the "
+        f"flag rule would have missed this contamination")
+    # the pure flag functions bench.py applies per query / per suspect:
+    assert bench.cpu_starved([share_clean, share_cont]) == [1]
+    assert bench.classify_suspect(share_clean, share_cont) == "contended"
+    # and a genuine slowdown (cpu moving with wall) is NOT mislabeled
+    assert bench.classify_suspect(share_clean, share_clean * 0.9) \
+        == "regression"

@@ -54,6 +54,10 @@ def main() -> None:
     sf1 = os.path.join(ROOT, ".scale", "sf1")
     if not os.path.isdir(sf1):
         sys.exit("generate .scale/sf1 first (tools/make_sf1.py)")
+    corpora = [("sf0.1 old", sf01), ("sf1 old (10x)", sf1)]
+    sf2 = os.path.join(ROOT, ".scale", "sf2docs")
+    if os.path.isdir(sf2):       # optional 100x row (tools/make_docs100x.py)
+        corpora.append(("100x old", sf2))
 
     spark = get_spark("inc-growth", cpus=32)
     tmp = tempfile.mkdtemp(prefix="inc_growth_")
@@ -61,7 +65,7 @@ def main() -> None:
     n_new = new.count()
 
     rows = []
-    for label, sf_dir in (("sf0.1 old", sf01), ("sf1 old (10x)", sf1)):
+    for label, sf_dir in corpora:
         old = _old_docs(spark, sf_dir)
         n_old = old.count()
         idx = os.path.join(tmp, label.split()[0])
@@ -104,15 +108,17 @@ def main() -> None:
               f"| {t['dedup']:.2f}s | {t['spans']:.2f}s "
               f"| {t['keep_first']:.2f}s | {t['update']:.2f}s "
               f"| {t['compact']:.1f}s |")
-    (_, _, _, t_a), (_, _, _, t_b) = rows
-    print(f"\nper-snapshot growth at 10x old side: "
-          f"dedup {t_b['dedup'] / t_a['dedup']:.2f}x, "
-          f"spans {t_b['spans'] / t_a['spans']:.2f}x, "
-          f"keep_first {t_b['keep_first'] / t_a['keep_first']:.2f}x, "
-          f"FOLD-IN {t_b['update'] / t_a['update']:.2f}x "
-          f"(recompute-everything / rewrite-the-store would be ~10x; "
-          f"compact is O(corpus) by design: "
-          f"{t_b['compact'] / t_a['compact']:.1f}x)")
+    t_a = rows[0][3]
+    for label, n_old, _, t_b in rows[1:]:
+        scale = n_old // rows[0][1]
+        print(f"\nper-snapshot growth at {scale}x old side ({label}): "
+              f"dedup {t_b['dedup'] / t_a['dedup']:.2f}x, "
+              f"spans {t_b['spans'] / t_a['spans']:.2f}x, "
+              f"keep_first {t_b['keep_first'] / t_a['keep_first']:.2f}x, "
+              f"FOLD-IN {t_b['update'] / t_a['update']:.2f}x "
+              f"(recompute-everything / rewrite-the-store would be "
+              f"~{scale}x; compact is O(corpus) by design: "
+              f"{t_b['compact'] / t_a['compact']:.1f}x)")
 
 
 if __name__ == "__main__":

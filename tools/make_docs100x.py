@@ -1,0 +1,70 @@
+"""Generate a 100x documents-only slice for the incremental-dedup
+old-side growth control (VERDICT r8 optional #8): the 10x control
+(.scale/sf1) pins the "standing corpus never rescanned" claim where
+constants still dominate; at 100x (~500k docs, ~50M seed-gram rows)
+parquet row-group statistics and the band-key join's pruning actually
+start to matter, so a near-flat query time there is the stronger
+evidence.
+
+Same decorrelation scheme as tools/make_sf1.py's documents table (copy
+i > 0 resamples ~1/3 of tokens from the corpus unigram distribution, so
+similarity operators see realistic near-dup rates, not a pathological
+100-way-duplicate corpus); only documents.parquet is written — the
+growth control's old side reads nothing else.
+
+Usage: python tools/make_docs100x.py [dest_dir]   (default .scale/sf2docs)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 100
+
+
+def main() -> None:
+    dest = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", "sf2docs")
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT * FROM '{SRC}/documents.parquet' ORDER BY doc_id"
+    ).fetch_df()
+    d_off = int(docs["doc_id"].max()) + 1
+    token_lists = [t.split(" ") for t in docs["text"].tolist()]
+    flat_arr = np.array([w for ws in token_lists for w in ws], dtype=object)
+    out_frames = [docs]
+    for i in range(1, COPIES):
+        rng = np.random.default_rng(62_000 + i)
+        new_texts = []
+        for ws in token_lists:
+            ws = list(ws)
+            mask = rng.random(len(ws)) < 1.0 / 3.0
+            idx = np.nonzero(mask)[0]
+            if len(idx):
+                repl = flat_arr[rng.integers(0, len(flat_arr),
+                                             size=len(idx))]
+                for j, r in zip(idx, repl):
+                    ws[j] = r
+            new_texts.append(" ".join(ws))
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + i * d_off
+        d["text"] = new_texts
+        d["n_chars"] = d["text"].str.len().astype("int64")
+        out_frames.append(d)
+    all_docs = pd.concat(out_frames, ignore_index=True)
+    con.register("all_docs", all_docs)
+    con.execute(f"COPY (SELECT * FROM all_docs) TO "
+                f"'{dest}/documents.parquet' (FORMAT PARQUET)")
+    print(f"documents: {len(all_docs)} rows -> {dest}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
