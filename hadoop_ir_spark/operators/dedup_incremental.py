@@ -196,10 +196,20 @@ def _live_rows(spark: SparkSession, index_dir: str, table: str,
     keeps only its re-added rows). Tombstones are takedown-sized —
     broadcast."""
     snaps = _visible_snaps(index_dir, snaps)
-    rows = _union_snaps(spark, index_dir, table, snaps)
+    return _live_rows_tomb(spark, index_dir, table, snaps, snaps)
+
+
+def _live_rows_tomb(spark: SparkSession, index_dir: str, table: str,
+                    row_snaps: list[int],
+                    tomb_snaps: list[int]) -> DataFrame | None:
+    """Row union over ``row_snaps`` with tombstones drawn from
+    ``tomb_snaps`` — the two lists differ only in keep-last compaction,
+    where the merged prefix must have EVERY visible tombstone applied
+    (including the kept last snap's) so the tombstone dirs can drop."""
+    rows = _union_snaps(spark, index_dir, table, row_snaps)
     if rows is None:
         return None
-    tomb = _union_snaps(spark, index_dir, TOMBSTONES, snaps)
+    tomb = _union_snaps(spark, index_dir, TOMBSTONES, tomb_snaps)
     if tomb is None:
         return rows.drop("_snap")
     last_rm = tomb.groupBy("docno").agg(F.max("_snap").alias("_tsnap"))
@@ -420,33 +430,74 @@ def update_dedup_index(spark: SparkSession, index_dir: str,
     _write_manifest(index_dir, man)
 
 
-def compact_dedup_index(spark: SparkSession, index_dir: str) -> None:
-    """Periodic maintenance: merge the snapshot log back to ONE snap per
-    table — tombstones folded into the row tables, seed-gram deltas
-    summed (zero/negative-count grams dropped) — then atomically point
-    the manifest at the compacted snapshot and delete the superseded
-    dirs. Readers before the swap see the old log; after, the compacted
-    one; the logical content is identical (pinned in tests). This is
-    the ONLY standing-corpus-proportional operation in the family, and
-    it is elective — run it when the visible snap count (or tombstone
-    mass) makes the per-query union tax noticeable, and only while no
-    streaming fold is mid-flight (a replay needs the pre-fold snap
-    list, which compaction collapses)."""
+def compact_dedup_index(spark: SparkSession, index_dir: str, *,
+                        keep_last_snap: bool = False) -> None:
+    """Periodic maintenance: merge the snapshot log back down —
+    tombstones folded into the row tables, seed-gram deltas summed
+    (zero/negative-count grams dropped) — then atomically swap the
+    manifest and delete the superseded dirs. Readers before the swap
+    see the old log; after, the compacted one; the logical content is
+    identical (pinned in tests). This is the ONLY
+    standing-corpus-proportional operation in the family, and it is
+    elective — run it when the visible snap count (or tombstone mass)
+    makes the per-query union tax noticeable.
+
+    ``keep_last_snap=False`` collapses everything to one snapshot — the
+    full merge, safe only while no streaming fold is awaiting its
+    checkpoint commit (a replay needs the pre-fold snap list, which a
+    full collapse destroys). ``keep_last_snap=True`` merges all snaps
+    EXCEPT the most recent one, with every visible tombstone applied to
+    the merged part (tombstones in or before the last snap only ever
+    kill earlier rows, so applying them during the merge is exhaustive
+    and the tombstone dirs can be dropped): the last snap — the one a
+    streaming replay needs to subtract — survives verbatim, so this
+    variant is safe to run INSIDE the streaming cycle right after a
+    fold (see ``streaming_dedup_incremental(compact_every=...)``)."""
     man = _read_manifest(index_dir)
     old_snaps = list(man["snaps"])
+    any_tomb = any(
+        os.path.isdir(os.path.join(index_dir, TOMBSTONES, f"snap={s}"))
+        for s in old_snaps)
+    merge, kept = old_snaps, []
+    if keep_last_snap:
+        if len(old_snaps) <= 1:
+            return
+        merge, kept = old_snaps[:-1], [old_snaps[-1]]
+    if len(merge) <= 1 and not any_tomb:
+        return        # already compact: nothing to merge, nothing to fold
     sid = man["next_snap"]
-    idx = load_dedup_index(spark, index_dir)
-    for t, df in idx.items():
+    # the merged view: row tables restricted to the merge prefix but
+    # with ALL visible tombstones applied (passing the full snap list to
+    # the tombstone side); seed-gram deltas summed over the prefix only
+    out = {}
+    for t in INDEX_TABLES:
+        if t == "seed_grams":
+            out[t] = (seed_gram_deltas(spark, index_dir, merge)
+                      .groupBy("gh").agg(F.sum("n").alias("n"))
+                      .filter(F.col("n") > 0))
+        else:
+            out[t] = _live_rows_tomb(spark, index_dir, t, merge, old_snaps)
+    emb = _live_rows_tomb(spark, index_dir, EMBEDDINGS_TABLE, merge,
+                          old_snaps)
+    if emb is not None:
+        out[EMBEDDINGS_TABLE] = emb
+    for t, df in out.items():
+        if df is None:
+            continue
         _write_snap_table(df, index_dir, t, sid)
     _write_manifest(index_dir, {
-        "snaps": [sid], "next_snap": sid + 1, "last_snap": sid,
+        "snaps": [sid] + kept, "next_snap": sid + 1,
+        "last_snap": kept[-1] if kept else sid,
         "last_batch_id": man.get("last_batch_id"),
         "params": man["params"],
     })
-    for t in (*INDEX_TABLES, EMBEDDINGS_TABLE, TOMBSTONES):
-        for s in old_snaps:
+    for t in (*INDEX_TABLES, EMBEDDINGS_TABLE):
+        for s in merge:
             shutil.rmtree(os.path.join(index_dir, t, f"snap={s}"),
                           ignore_errors=True)
+    for s in old_snaps:   # tombstones are fully applied either way
+        shutil.rmtree(os.path.join(index_dir, TOMBSTONES, f"snap={s}"),
+                      ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -808,7 +859,8 @@ def streaming_dedup_incremental(new_docs_stream: DataFrame,
                                 min_len: int = 8, id_col: str = "docno",
                                 text_col: str = "text",
                                 portable: bool = True,
-                                checkpoint_dir: str | None = None):
+                                checkpoint_dir: str | None = None,
+                                compact_every: int | None = None):
     """The weekly pipeline as a Structured Streaming job: each
     micro-batch of arriving documents is deduplicated against the
     index's visible snapshots (per-doc statuses written to
@@ -834,13 +886,22 @@ def streaming_dedup_incremental(new_docs_stream: DataFrame,
     ``batch_id <= last_batch_id`` — the replay recomputes statuses
     against the PRE-fold view (visible snaps minus the batch's own
     snap, so no doc self-matches) and SKIPS the fold entirely. Pinned
-    by tests/test_dedup_incremental.py::test_streaming_replay_idempotent."""
+    by tests/test_dedup_incremental.py::test_streaming_replay_idempotent.
+
+    ``compact_every=N`` keeps the snapshot log from growing one dir per
+    micro-batch forever: whenever the visible snap count reaches N, the
+    batch's fold is followed by ``compact_dedup_index(keep_last_snap=
+    True)`` — the merged prefix absorbs every older snap while the
+    batch's own snap (the one a replay must subtract) survives
+    verbatim, so replay safety is unaffected by where in the cycle a
+    crash lands."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         _apply_dedup_batch(batch_df, batch_id, index_dir, statuses_dir,
                            tau=tau, k=k, num_hashes=num_hashes,
                            bands=bands, min_len=min_len, id_col=id_col,
-                           text_col=text_col, portable=portable)
+                           text_col=text_col, portable=portable,
+                           compact_every=compact_every)
 
     writer = (new_docs_stream.writeStream.foreachBatch(apply_batch)
               .trigger(availableNow=True))
@@ -855,7 +916,8 @@ def _apply_dedup_batch(batch_df: DataFrame, batch_id: int,
                        num_hashes: int = 24, bands: int = 8,
                        min_len: int = 8, id_col: str = "docno",
                        text_col: str = "text",
-                       portable: bool = True) -> None:
+                       portable: bool = True,
+                       compact_every: int | None = None) -> None:
     """One micro-batch: statuses → fold → manifest swap, idempotent on
     replay (module-level so the restart-safety test can drive the exact
     foreachBatch code path without killing a JVM)."""
@@ -887,3 +949,6 @@ def _apply_dedup_batch(batch_df: DataFrame, batch_id: int,
                        num_hashes=num_hashes, bands=bands,
                        min_len=min_len, id_col=id_col, text_col=text_col,
                        portable=portable, batch_id=batch_id)
+    if compact_every is not None and \
+            len(_read_manifest(index_dir)["snaps"]) >= compact_every:
+        compact_dedup_index(spark, index_dir, keep_last_snap=True)

@@ -532,3 +532,87 @@ def test_compaction_preserves_logical_content(spark, tmp_path, snapshots):
     got = {r["docno"]: r["status"]
            for r in dinc.dedup_incremental(probe, idx).collect()}
     assert got == {900: "dropped"}
+
+
+def test_compaction_keep_last_snap(spark, tmp_path, snapshots):
+    """keep_last_snap=True merges every snap EXCEPT the newest (with all
+    tombstones applied to the merged part), so the pre-fold view a
+    streaming replay needs survives — logical content identical, last
+    snap dir intact, tombstones gone."""
+    import os
+
+    old, new = snapshots
+    removed = [old[0]]
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx)
+    dinc.update_dedup_index(spark, idx, removed_docs=_df(spark, removed))
+    dinc.update_dedup_index(spark, idx, _df(spark, new), batch_id=7)
+    before = _index_content(spark, idx)
+    last = dinc._read_manifest(idx)["last_snap"]
+    pre_fold_before = {
+        t: sorted(map(tuple, df.collect()))
+        for t, df in dinc.load_dedup_index(
+            spark, idx, snaps=[s for s in dinc._read_manifest(idx)["snaps"]
+                               if s != last]).items()}
+
+    dinc.compact_dedup_index(spark, idx, keep_last_snap=True)
+    man = dinc._read_manifest(idx)
+    assert man["last_snap"] == last and last in man["snaps"]
+    assert len(man["snaps"]) == 2 and man["last_batch_id"] == 7
+    after = _index_content(spark, idx)
+    for t in before:
+        assert before[t] == after[t], t
+    # the replay-critical pre-fold view is byte-identical too
+    pre_fold_after = {
+        t: sorted(map(tuple, df.collect()))
+        for t, df in dinc.load_dedup_index(
+            spark, idx, snaps=[s for s in man["snaps"]
+                               if s != last]).items()}
+    for t in pre_fold_before:
+        assert pre_fold_before[t] == pre_fold_after[t], t
+    assert not os.path.isdir(os.path.join(idx, "tombstones"))\
+        or not os.listdir(os.path.join(idx, "tombstones"))
+    # an already-compact log (one prefix snap, no tombstones): no-op
+    man_before = dinc._read_manifest(idx)
+    dinc.compact_dedup_index(spark, idx, keep_last_snap=True)
+    assert dinc._read_manifest(idx) == man_before
+    assert _index_content(spark, idx) == after
+
+
+def test_streaming_auto_compaction(spark, tmp_path):
+    """compact_every keeps the log bounded under streaming without
+    breaking replay: after each compacting fold the index still equals
+    a from-scratch build, and a replay of the just-folded batch (the
+    crash-after-swap window landing AFTER the compaction) still
+    recomputes identical statuses and skips the fold."""
+    texts = ["batch doc %d " % i + " ".join(f"t{i}w{j}" for j in range(25))
+             for i in range(6)]
+    old = [(1, WORDS)]
+    batches = [[(10, texts[0]), (11, texts[1])],
+               [(20, texts[2]), (21, WORDS)],        # 21 dups OLD
+               [(30, texts[0]), (31, texts[4])]]     # 30 dups batch 0's doc
+    idx = str(tmp_path / "idx")
+    statuses = str(tmp_path / "statuses")
+    dinc.build_dedup_index(_df(spark, old), idx)
+    for bid, batch in enumerate(batches):
+        dinc._apply_dedup_batch(_df(spark, batch), bid, idx, statuses,
+                                compact_every=2)
+    man = dinc._read_manifest(idx)
+    assert len(man["snaps"]) <= 2, "auto-compaction did not bound the log"
+    got = {r["docno"]: r["status"]
+           for r in spark.read.parquet(statuses).collect()}
+    assert got == {10: "kept", 11: "kept", 20: "kept", 21: "dropped",
+                   30: "dropped", 31: "kept"}
+    scratch = str(tmp_path / "scratch")
+    dinc.build_dedup_index(
+        _df(spark, old + [r for b in batches for r in b]), scratch)
+    a, b = _index_content(spark, idx), _index_content(spark, scratch)
+    for t in a:
+        assert a[t] == b[t], t
+    # replay of the last (compacting) batch: statuses identical, no refold
+    dinc._apply_dedup_batch(_df(spark, batches[-1]), 2, idx, statuses,
+                            compact_every=2)
+    assert dinc._read_manifest(idx) == man
+    got2 = {r["docno"]: r["status"]
+            for r in spark.read.parquet(statuses).collect()}
+    assert got2 == got
