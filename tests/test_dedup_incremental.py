@@ -616,3 +616,32 @@ def test_streaming_auto_compaction(spark, tmp_path):
     got2 = {r["docno"]: r["status"]
             for r in spark.read.parquet(statuses).collect()}
     assert got2 == got
+
+
+def test_fold_in_reads_no_standing_table(spark, tmp_path, snapshots,
+                                         monkeypatch):
+    """The O(snapshot) claim, pinned structurally: update_dedup_index
+    must not READ any standing table at all — the only parquet reads
+    during a fold are the caller's own inputs (here: none, the batch is
+    an in-memory frame). A regression back to union-and-rewrite would
+    show up as a read under the index dir."""
+    import pyspark.sql.readwriter as rw
+
+    old, new = snapshots
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx)
+
+    read_paths = []
+    orig = rw.DataFrameReader.parquet
+
+    def spying(self, *paths, **kw):
+        read_paths.extend(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", spying)
+    dinc.update_dedup_index(spark, idx, _df(spark, new),
+                            removed_docs=_df(spark, [old[0]]))
+    inside = [p for p in read_paths if str(p).startswith(idx)]
+    assert not inside, (
+        f"fold-in read standing tables: {inside} — the O(snapshot) "
+        f"property regressed to union-and-rewrite")
