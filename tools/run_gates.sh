@@ -15,12 +15,12 @@ run() {
   if ! "$@"; then rc=1; echo "!! FAILED: $*"; fi
 }
 
-run timeout 900 python tools/check_oracle.py --strict /root/testdata/sf0.01
+run timeout 1500 python tools/check_oracle.py --strict /root/testdata/sf0.01
 if [ "${1:-}" != "quick" ]; then
-  run timeout 900 python tools/check_oracle.py --strict /root/testdata/sf0.001
-  run timeout 900 python tools/check_oracle.py --strict /root/testdata/sf0.1
+  run timeout 1500 python tools/check_oracle.py --strict /root/testdata/sf0.001
+  run timeout 1500 python tools/check_oracle.py --strict /root/testdata/sf0.1
 fi
-run timeout 900 python -m pytest tests/ -q
+run timeout 2400 python -m pytest tests/ -q   # full suite is ~18 min as of r9
 if [ "${1:-}" != "quick" ]; then
   run timeout 900 python tools/plan_audit.py
   # bench runs each query twice since the r7 min-of-2 change
