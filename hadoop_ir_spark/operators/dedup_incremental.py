@@ -39,10 +39,14 @@ id — the restart-safety cursor). Six tables:
 
 Retractions are **tombstones**: ``tombstones/snap=<id>`` holds the
 docnos removed at snapshot ``id``; readers drop any per-doc row whose
-snap id is <= the docno's latest tombstone (so re-adding a removed doc
-later works). Seed-gram counts retract through negative deltas in the
-same log (the takedown batch is passed WITH its text — the index
-deliberately stores only aggregate counts, never per-doc gram lists).
+snap id is STRICTLY OLDER than the docno's latest tombstone — a
+tombstone never kills rows written in its own snapshot, which is what
+makes a docno appearing in BOTH ``removed_docs`` and ``new_docs`` of
+one update a REPLACE (old rows die, same-batch new rows live), and
+re-adding a removed doc later work. Seed-gram counts retract through
+negative deltas in the same log (the takedown batch is passed WITH the
+text that was previously indexed — the index deliberately stores only
+aggregate counts, never per-doc gram lists).
 
 **Fold-in is O(snapshot)** (VERDICT r8 #1): ``update_dedup_index``
 tokenizes/signs ONLY the delta and appends one new ``snap=<id>`` dir
@@ -192,9 +196,11 @@ def _live_rows(spark: SparkSession, index_dir: str, table: str,
                snaps=None) -> DataFrame | None:
     """A per-doc table's LIVE rows: union of visible snap dirs minus
     tombstoned docs. A row written at snap S is dead iff its docno has
-    a tombstone at some snap > S (so a doc removed and later re-added
-    keeps only its re-added rows). Tombstones are takedown-sized —
-    broadcast."""
+    a tombstone at some snap STRICTLY NEWER than S — same-snap rows
+    survive their own snapshot's tombstone (the REPLACE semantics: one
+    update can retract a doc's old content and index its new content),
+    and a doc removed and later re-added keeps only its re-added rows.
+    Tombstones are takedown-sized — broadcast."""
     snaps = _visible_snaps(index_dir, snaps)
     return _live_rows_tomb(spark, index_dir, table, snaps, snaps)
 
@@ -203,9 +209,10 @@ def _live_rows_tomb(spark: SparkSession, index_dir: str, table: str,
                     row_snaps: list[int],
                     tomb_snaps: list[int]) -> DataFrame | None:
     """Row union over ``row_snaps`` with tombstones drawn from
-    ``tomb_snaps`` — the two lists differ only in keep-last compaction,
+    ``tomb_snaps`` — the lists differ only in keep-last compaction,
     where the merged prefix must have EVERY visible tombstone applied
-    (including the kept last snap's) so the tombstone dirs can drop."""
+    (kept snaps' included: those only ever kill strictly-older rows,
+    all of which are in the prefix)."""
     rows = _union_snaps(spark, index_dir, table, row_snaps)
     if rows is None:
         return None
@@ -214,7 +221,7 @@ def _live_rows_tomb(spark: SparkSession, index_dir: str, table: str,
         return rows.drop("_snap")
     last_rm = tomb.groupBy("docno").agg(F.max("_snap").alias("_tsnap"))
     return (rows.join(F.broadcast(last_rm), "docno", "left")
-            .filter(F.col("_snap") > F.coalesce(F.col("_tsnap"), F.lit(-1)))
+            .filter(F.col("_snap") >= F.coalesce(F.col("_tsnap"), F.lit(-1)))
             .drop("_snap", "_tsnap"))
 
 
@@ -253,6 +260,18 @@ def load_dedup_index(spark: SparkSession, index_dir: str,
     if emb is not None:
         out[EMBEDDINGS_TABLE] = emb
     return out
+
+
+def _clear_snap_dirs(index_dir: str, sid: int) -> None:
+    """Remove EVERY table's ``snap=<sid>`` dir before a write cycle at
+    ``sid``: per-table overwrite only clobbers the tables the CURRENT
+    call writes, so a crashed earlier attempt that wrote a different
+    table subset (e.g. an add-batch crash followed by a removal-only
+    batch reusing the id) would otherwise leak half-indexed rows into
+    visibility at the manifest swap."""
+    for t in (*INDEX_TABLES, EMBEDDINGS_TABLE, TOMBSTONES):
+        shutil.rmtree(os.path.join(index_dir, t, f"snap={sid}"),
+                      ignore_errors=True)
 
 
 def _write_snap_table(df: DataFrame, index_dir: str, table: str,
@@ -346,7 +365,7 @@ def build_dedup_index(docs: DataFrame, out_dir: str, *, k: int = 3,
         _write_snap_table(df, out_dir, t, 0)
     _write_manifest(out_dir, {
         "snaps": [0], "next_snap": 1, "last_snap": 0,
-        "last_batch_id": None,
+        "last_batch_id": None, "last_batch_snap": None,
         "params": _params(k, num_hashes, bands, min_len, portable),
     })
 
@@ -371,12 +390,17 @@ def update_dedup_index(spark: SparkSession, index_dir: str,
     cost left in the family).
 
     ``new_docs`` are added; ``removed_docs`` are retracted (the
-    takedown/defect path — pass the removed documents WITH their text,
-    since seed-gram counts subtract per-gram and the index deliberately
-    stores only aggregate counts, never per-doc gram lists): removals
-    write a tombstone partition that readers anti-apply, plus negative
-    seed-gram count deltas into the log. ``new_embeddings`` appends to
-    the vector table (retraction shares the doc tombstones).
+    takedown/defect path — pass the removed documents WITH the text
+    that was previously indexed, since seed-gram counts subtract
+    per-gram and the index deliberately stores only aggregate counts,
+    never per-doc gram lists): removals write a tombstone partition
+    that readers anti-apply, plus negative seed-gram count deltas into
+    the log. A docno appearing in BOTH lists is a REPLACE — the
+    tombstone kills its strictly-older rows while the same-snapshot new
+    rows survive (``removed_docs`` must carry the OLD text, ``new_docs``
+    the NEW text; passing identical text in both is undefined).
+    ``new_embeddings`` appends to the vector table (retraction shares
+    the doc tombstones).
 
     Visibility is atomic — the new snap id enters the manifest only
     after every dir is fully written, and a crashed fold's partial dirs
@@ -392,6 +416,7 @@ def update_dedup_index(spark: SparkSession, index_dir: str,
     man = _read_manifest(index_dir)
     _check_params(man, _params(k, num_hashes, bands, min_len, portable))
     sid = man["next_snap"]
+    _clear_snap_dirs(index_dir, sid)   # crashed-attempt leftovers
 
     sg_deltas = []
     if new_docs is not None:
@@ -427,6 +452,10 @@ def update_dedup_index(spark: SparkSession, index_dir: str,
     man["last_snap"] = sid
     if batch_id is not None:
         man["last_batch_id"] = batch_id
+        # the replay cursor must name the BATCH's snap, not merely the
+        # newest one — a manual (non-batch) update landing in the
+        # crash window would otherwise poison the pre-fold view
+        man["last_batch_snap"] = sid
     _write_manifest(index_dir, man)
 
 
@@ -444,28 +473,40 @@ def compact_dedup_index(spark: SparkSession, index_dir: str, *,
 
     ``keep_last_snap=False`` collapses everything to one snapshot — the
     full merge, safe only while no streaming fold is awaiting its
-    checkpoint commit (a replay needs the pre-fold snap list, which a
-    full collapse destroys). ``keep_last_snap=True`` merges all snaps
-    EXCEPT the most recent one, with every visible tombstone applied to
-    the merged part (tombstones in or before the last snap only ever
-    kill earlier rows, so applying them during the merge is exhaustive
-    and the tombstone dirs can be dropped): the last snap — the one a
-    streaming replay needs to subtract — survives verbatim, so this
-    variant is safe to run INSIDE the streaming cycle right after a
-    fold (see ``streaming_dedup_incremental(compact_every=...)``)."""
+    checkpoint commit (a replay needs the pre-fold view; a full
+    collapse destroys it and resets the ``last_batch_snap`` cursor, so
+    a subsequent replay fails LOUDLY instead of self-matching).
+    ``keep_last_snap=True`` keeps the newest snap AND the last batch's
+    snap (usually the same one) verbatim and merges everything older,
+    so it is safe to run INSIDE the streaming cycle right after a fold
+    (see ``streaming_dedup_incremental(compact_every=...)``) no matter
+    where a crash lands.
+
+    Every visible tombstone is applied to the merged rows (kept snaps'
+    tombstones only ever kill strictly-older rows, all of which are in
+    the merged part); kept snaps keep their tombstone dirs, which stay
+    correct — the merged rows' new snap id postdates them, so nothing
+    is double-killed, while kept-vs-kept ordering is preserved.
+    Superseded dirs are NOT deleted here: readers holding a lazy plan
+    against the pre-swap view must keep resolving (the reason the old
+    layout rotated version dirs). ``vacuum_dedup_index`` reclaims the
+    unreferenced dirs when no reader can span the swap."""
     man = _read_manifest(index_dir)
     old_snaps = list(man["snaps"])
-    any_tomb = any(
-        os.path.isdir(os.path.join(index_dir, TOMBSTONES, f"snap={s}"))
-        for s in old_snaps)
     merge, kept = old_snaps, []
     if keep_last_snap:
-        if len(old_snaps) <= 1:
-            return
-        merge, kept = old_snaps[:-1], [old_snaps[-1]]
-    if len(merge) <= 1 and not any_tomb:
+        keep_ids = {old_snaps[-1]}
+        if man.get("last_batch_snap") in old_snaps:
+            keep_ids.add(man["last_batch_snap"])
+        kept = [s for s in old_snaps if s in keep_ids]
+        merge = [s for s in old_snaps if s not in keep_ids]
+    merge_tomb = any(
+        os.path.isdir(os.path.join(index_dir, TOMBSTONES, f"snap={s}"))
+        for s in merge)
+    if len(merge) <= 1 and not merge_tomb:
         return        # already compact: nothing to merge, nothing to fold
     sid = man["next_snap"]
+    _clear_snap_dirs(index_dir, sid)   # crashed-attempt leftovers
     # the merged view: row tables restricted to the merge prefix but
     # with ALL visible tombstones applied (passing the full snap list to
     # the tombstone side); seed-gram deltas summed over the prefix only
@@ -485,19 +526,41 @@ def compact_dedup_index(spark: SparkSession, index_dir: str, *,
         if df is None:
             continue
         _write_snap_table(df, index_dir, t, sid)
+    lbs = man.get("last_batch_snap")
     _write_manifest(index_dir, {
         "snaps": [sid] + kept, "next_snap": sid + 1,
         "last_snap": kept[-1] if kept else sid,
         "last_batch_id": man.get("last_batch_id"),
+        "last_batch_snap": lbs if lbs in kept else None,
         "params": man["params"],
     })
-    for t in (*INDEX_TABLES, EMBEDDINGS_TABLE):
-        for s in merge:
-            shutil.rmtree(os.path.join(index_dir, t, f"snap={s}"),
-                          ignore_errors=True)
-    for s in old_snaps:   # tombstones are fully applied either way
-        shutil.rmtree(os.path.join(index_dir, TOMBSTONES, f"snap={s}"),
-                      ignore_errors=True)
+
+
+def vacuum_dedup_index(index_dir: str) -> list[str]:
+    """Delete every snap dir the manifest no longer references —
+    compaction leftovers and crashed-fold orphans. Run it only when no
+    reader still holds a lazy plan resolved against a pre-compaction
+    manifest (e.g. between weekly runs); the split between swap and
+    vacuum is the same snapshot-expiry discipline lakehouse table
+    formats use. Returns the deleted paths."""
+    visible = set(_read_manifest(index_dir)["snaps"])
+    deleted = []
+    for t in (*INDEX_TABLES, EMBEDDINGS_TABLE, TOMBSTONES):
+        tdir = os.path.join(index_dir, t)
+        if not os.path.isdir(tdir):
+            continue
+        for ent in os.listdir(tdir):
+            if not ent.startswith("snap="):
+                continue
+            try:
+                sid = int(ent.split("=", 1)[1])
+            except ValueError:
+                continue
+            if sid not in visible:
+                p = os.path.join(tdir, ent)
+                shutil.rmtree(p, ignore_errors=True)
+                deleted.append(p)
+    return deleted
 
 
 # ---------------------------------------------------------------------------
@@ -933,8 +996,19 @@ def _apply_dedup_batch(batch_df: DataFrame, batch_id: int,
                 f"checkpoint and the index manifest disagree by more than "
                 f"one batch (was the checkpoint dir reset?)")
         # replay after the fold committed but before the checkpoint did:
-        # recompute statuses against the PRE-fold view and skip the fold
-        pre = [s for s in man["snaps"] if s != man["last_snap"]]
+        # recompute statuses against the PRE-fold view and skip the fold.
+        # The view subtracts the BATCH's own snap (last_batch_snap, not
+        # last_snap: a manual update landing in the crash window must
+        # stay visible, and must not shadow the batch's snap — every
+        # batch doc would self-match as an exact duplicate).
+        lbs = man.get("last_batch_snap")
+        if lbs not in man["snaps"]:
+            raise RuntimeError(
+                f"streaming_dedup_incremental: batch {batch_id} replayed "
+                f"but its snap is no longer visible (full compaction ran "
+                f"before the checkpoint committed?) — the pre-fold view "
+                f"cannot be reconstructed")
+        pre = [s for s in man["snaps"] if s != lbs]
         statuses = dedup_incremental(
             batch, index_dir, tau=tau, k=k, num_hashes=num_hashes,
             bands=bands, id_col=id_col, text_col=text_col,

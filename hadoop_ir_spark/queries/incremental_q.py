@@ -191,73 +191,23 @@ SELECT n.docno,
 FROM newd n LEFT JOIN dropped d ON d.docno = n.docno
 """
 
-_M31 = (1 << 31) - 1
-_GOLD = 0x9E3779B1
-
-
 def _kept_replay_sql(num_hashes: int = 24, bands: int = 8) -> str:
     """The GRADING oracle (ADVICE r8): full-pipeline MinHash-LSH replay
-    over old ∪ new with the identical integer hash family as
-    ``dedup.minhash_permutation`` (a_i = 2i+1, b_i = i·golden mod p,
-    p = 2^31 - 1; 60-bit md5 base hash) — the union-side twin of
-    ``zipf_q._minhash_replay_sql``, plus the exact-content path and the
+    over old ∪ new — the shared CTE block from
+    ``queries/minhash_replay.py`` (symmetric candidate orientation for
+    the precedence tail), plus the exact-content path and the
     (snapshot, docno) precedence rule, restricted to the new snapshot.
     Exact by construction at any corpus: candidate buckets are
     per-document and corpus-independent, so the replay forms exactly
     the buckets the incremental plan's new-vs-old and new-vs-new joins
     form (old-vs-old buckets exist in the replay but cannot drop a new
     doc)."""
-    rows = num_hashes // bands
-    mins = ",\n         ".join(
-        f"min(({2 * i + 1} * b + {i * _GOLD % _M31}) % {_M31}) AS h{i}"
-        for i in range(num_hashes))
-    banded = "\n  UNION ALL ".join(
-        "SELECT docno, {band} AS band, {key} AS key FROM sig".format(
-            band=b,
-            key=" || ',' || ".join(
-                f"h{b * rows + j}::VARCHAR" for j in range(rows)))
-        for b in range(bands))
+    from hadoop_ir_spark.queries.minhash_replay import replay_cte_block
+
     return f"""
 WITH {_SQL_SPLIT},
-toklist AS (
-  SELECT docno,
-         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
-                     t -> t <> '') AS toks
-  FROM uni
-),
-sh AS (
-  SELECT DISTINCT docno,
-         unnest([array_to_string(toks[i:i+2], ' ')
-                 for i in range(1, len(toks) - 1)]) AS shingle
-  FROM toklist WHERE len(toks) >= 3
-),
-base AS (
-  SELECT docno,
-         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {_M31} AS b
-  FROM sh
-),
-sig AS (
-  SELECT docno,
-         {mins}
-  FROM base GROUP BY docno
-),
-banded AS (
-  {banded}
-),
-cand AS (
-  SELECT DISTINCT a.docno AS da, b.docno AS db
-  FROM banded a
-  JOIN banded b ON a.band = b.band AND a.key = b.key
-               AND a.docno <> b.docno
-),
-sizes AS (SELECT docno, count(*) AS n FROM sh GROUP BY docno),
-inter AS (
-  SELECT c.da, c.db, count(*) AS i
-  FROM cand c
-  JOIN sh x ON x.docno = c.da
-  JOIN sh y ON y.docno = c.db AND y.shingle = x.shingle
-  GROUP BY 1, 2
-),
+docsrc AS (SELECT docno, text FROM uni),
+{replay_cte_block(num_hashes, bands, symmetric=True)},
 prec AS (SELECT docno, isn FROM uni),
 ndrop AS (
   SELECT i.db AS docno FROM inter i

@@ -1,0 +1,77 @@
+"""The ONE DuckDB mirror of the MinHash-LSH pipeline (shared by every
+replay oracle — zipf_q, dedup.py's main entry, incremental_q's union
+variant — so the hash family lives in exactly two places: the Spark
+implementation in ``operators/dedup.py`` and this SQL twin; a change to
+either shows up as a strict-gate mismatch, not a silent fork).
+
+Hash family (``operators/dedup.py:minhash_permutation``): base = 60-bit
+md5 hash of the shingle mod p, h_i = (a_i·base + b_i) mod p with
+a_i = 2i+1, b_i = i·golden mod p, p = 2^31 − 1. Band keys are the
+','-joined per-band minima (injective for integer rows, so bucket
+equality in SQL ≡ the struct equality Spark buckets on).
+"""
+
+from __future__ import annotations
+
+_M31 = (1 << 31) - 1
+_GOLD = 0x9E3779B1
+
+
+def replay_cte_block(num_hashes: int = 24, bands: int = 8,
+                     symmetric: bool = False) -> str:
+    """CTE chain from a caller-supplied ``docsrc(docno, text)`` relation
+    to ``cand(da, db)`` (bucket-sharing pairs; ``symmetric=False`` emits
+    each unordered pair once with da < db, ``True`` emits both
+    orientations for precedence-rule tails), ``sizes(docno, n)`` and
+    ``inter(da, db, i)`` (shared-shingle counts for candidates). Callers
+    prepend ``WITH <docsrc>,`` and append their verification tail."""
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(({2 * i + 1} * b + {i * _GOLD % _M31}) % {_M31}) AS h{i}"
+        for i in range(num_hashes))
+    banded = "\n  UNION ALL ".join(
+        "SELECT docno, {band} AS band, {key} AS key FROM sig".format(
+            band=b,
+            key=" || ',' || ".join(
+                f"h{b * rows + j}::VARCHAR" for j in range(rows)))
+        for b in range(bands))
+    pair_pred = "a.docno <> b.docno" if symmetric else "a.docno < b.docno"
+    return f"""toklist AS (
+  SELECT docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM docsrc
+),
+sh AS (
+  SELECT DISTINCT docno,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)]) AS shingle
+  FROM toklist WHERE len(toks) >= 3
+),
+base AS (
+  SELECT docno,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {_M31} AS b
+  FROM sh
+),
+sig AS (
+  SELECT docno,
+         {mins}
+  FROM base GROUP BY docno
+),
+banded AS (
+  {banded}
+),
+cand AS (
+  SELECT DISTINCT a.docno AS da, b.docno AS db
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key
+               AND {pair_pred}
+),
+sizes AS (SELECT docno, count(*) AS n FROM sh GROUP BY docno),
+inter AS (
+  SELECT c.da, c.db, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.docno = c.da
+  JOIN sh y ON y.docno = c.db AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)"""

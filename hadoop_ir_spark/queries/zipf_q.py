@@ -107,70 +107,23 @@ ZIPF_MINHASH_TAU = 0.5
 ZIPF_WIN_K, ZIPF_WIN_W = 5, 4
 ZIPF_WIN_MAX_DF, ZIPF_WIN_MIN_SHARED = 50, 2
 
-_M31 = (1 << 31) - 1
-_GOLD = 0x9E3779B1
-
 
 def _minhash_replay_sql(tau: float, src: str, num_hashes: int = 24,
                         bands: int = 8) -> str:
     """DuckDB replay of shingle → sign → band → bucket → verify with the
-    identical integer hash family (see operators/dedup.py:
-    minhash_permutation — a_i = 2i+1, b_i = i*golden mod p, p = 2^31-1)."""
-    rows = num_hashes // bands
-    mins = ",\n         ".join(
-        f"min(({2 * i + 1} * b + {i * _GOLD % _M31}) % {_M31}) AS h{i}"
-        for i in range(num_hashes))
-    banded = "\n  UNION ALL ".join(
-        "SELECT docno, {band} AS band, {key} AS key FROM sig".format(
-            band=b,
-            key=" || ',' || ".join(
-                f"h{b * rows + j}::VARCHAR" for j in range(rows)))
-        for b in range(bands))
+    identical integer hash family — the shared CTE block lives in
+    ``queries/minhash_replay.py`` (one SQL twin of
+    ``operators/dedup.py:minhash_permutation``, r9)."""
+    from hadoop_ir_spark.queries.minhash_replay import replay_cte_block
+
     return f"""
-WITH toklist AS (
-  SELECT doc_id AS docno,
-         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
-                     t -> t <> '') AS toks
-  FROM {src}
-),
-sh AS (
-  SELECT DISTINCT docno,
-         unnest([array_to_string(toks[i:i+2], ' ')
-                 for i in range(1, len(toks) - 1)]) AS shingle
-  FROM toklist WHERE len(toks) >= 3
-),
-base AS (
-  SELECT docno,
-         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {_M31} AS b
-  FROM sh
-),
-sig AS (
-  SELECT docno,
-         {mins}
-  FROM base GROUP BY docno
-),
-banded AS (
-  {banded}
-),
-cand AS (
-  SELECT DISTINCT a.docno AS docno_a, b.docno AS docno_b
-  FROM banded a
-  JOIN banded b ON a.band = b.band AND a.key = b.key
-               AND a.docno < b.docno
-),
-sizes AS (SELECT docno, count(*) AS n FROM sh GROUP BY docno),
-inter AS (
-  SELECT c.docno_a, c.docno_b, count(*) AS i
-  FROM cand c
-  JOIN sh x ON x.docno = c.docno_a
-  JOIN sh y ON y.docno = c.docno_b AND y.shingle = x.shingle
-  GROUP BY 1, 2
-)
-SELECT docno_a, docno_b,
+WITH docsrc AS (SELECT doc_id AS docno, text FROM {src}),
+{replay_cte_block(num_hashes, bands)}
+SELECT da AS docno_a, db AS docno_b,
        round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter
-JOIN sizes sa ON sa.docno = docno_a
-JOIN sizes sb ON sb.docno = docno_b
+JOIN sizes sa ON sa.docno = da
+JOIN sizes sb ON sb.docno = db
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= {tau}
 """
 

@@ -523,10 +523,13 @@ def test_compaction_preserves_logical_content(spark, tmp_path, snapshots):
     after = _index_content(spark, idx)
     for t in before:
         assert before[t] == after[t], t
-    # superseded snap dirs are gone; tombstones folded away
+    # the compacted snap itself carries no tombstones (all folded in);
+    # superseded dirs linger until vacuum reclaims them
     import os
     assert not os.path.isdir(os.path.join(idx, "tombstones",
                                           f"snap={man['snaps'][0]}"))
+    assert dinc.vacuum_dedup_index(idx)      # something was reclaimed
+    assert _index_content(spark, idx) == after
     # post-compaction query: a copy of a folded doc still drops
     probe = _df(spark, [(900, new[0][1])])
     got = {r["docno"]: r["status"]
@@ -570,8 +573,14 @@ def test_compaction_keep_last_snap(spark, tmp_path, snapshots):
                                if s != last]).items()}
     for t in pre_fold_before:
         assert pre_fold_before[t] == pre_fold_after[t], t
-    assert not os.path.isdir(os.path.join(idx, "tombstones"))\
-        or not os.listdir(os.path.join(idx, "tombstones"))
+    # superseded dirs stay on disk (a reader with a lazy pre-swap plan
+    # must keep resolving) until vacuum, which deletes exactly the
+    # unreferenced ones and changes nothing logical
+    merged_tomb = os.path.join(idx, "tombstones", "snap=1")
+    assert os.path.isdir(merged_tomb)
+    deleted = dinc.vacuum_dedup_index(idx)
+    assert merged_tomb in deleted and not os.path.isdir(merged_tomb)
+    assert _index_content(spark, idx) == after
     # an already-compact log (one prefix snap, no tombstones): no-op
     man_before = dinc._read_manifest(idx)
     dinc.compact_dedup_index(spark, idx, keep_last_snap=True)
@@ -645,3 +654,83 @@ def test_fold_in_reads_no_standing_table(spark, tmp_path, snapshots,
     assert not inside, (
         f"fold-in read standing tables: {inside} — the O(snapshot) "
         f"property regressed to union-and-rewrite")
+
+
+def test_replace_doc_in_one_update(spark, tmp_path):
+    """A docno in BOTH removed_docs and new_docs is a REPLACE: the
+    tombstone kills the doc's strictly-older rows, the same-snapshot
+    new rows survive, and the result equals a rebuild over the
+    replaced corpus — including across keep-last compaction (the r9
+    review's resurrection scenario)."""
+    old_text = WORDS
+    new_text = "replacement body " + " ".join(f"rp{i}" for i in range(30))
+    others = [(11, "some other standing doc " + WORDS[:50])]
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, [(10, old_text)] + others), idx)
+    dinc.update_dedup_index(spark, idx, _df(spark, [(10, new_text)]),
+                            removed_docs=_df(spark, [(10, old_text)]))
+    scratch = str(tmp_path / "scratch")
+    dinc.build_dedup_index(_df(spark, [(10, new_text)] + others), scratch)
+    a, b = _index_content(spark, idx), _index_content(spark, scratch)
+    for t in a:
+        assert a[t] == b[t], t
+    # the old content no longer matches; the new content does
+    got = {r["docno"]: r["status"] for r in dinc.dedup_incremental(
+        _df(spark, [(100, old_text), (101, new_text)]), idx).collect()}
+    assert got == {100: "kept", 101: "dropped"}
+    # ...and compaction (keep-last) does not resurrect the old rows
+    dinc.compact_dedup_index(spark, idx, keep_last_snap=True)
+    a = _index_content(spark, idx)
+    for t in b:
+        assert a[t] == b[t], t
+
+
+def test_crashed_attempt_leftovers_cleared(spark, tmp_path, snapshots):
+    """A crashed fold that wrote SOME tables at next_snap must not leak
+    them into visibility when the next update writes a DIFFERENT table
+    subset at the same id (r9 review finding)."""
+    old, new = snapshots
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx)
+    sid = dinc._read_manifest(idx)["next_snap"]
+    # simulate: an add-batch crashed after writing only content_hashes
+    ghost = _df(spark, [(999, "ghost half indexed doc")]) \
+        .select("docno", F.md5("text").alias("content_hash"))
+    dinc._write_snap_table(ghost, idx, "content_hashes", sid)
+    # a removal-only update reuses the id and swaps the manifest
+    dinc.update_dedup_index(spark, idx,
+                            removed_docs=_df(spark, [old[0]]))
+    live = {r["docno"] for r in dinc.load_dedup_index(
+        spark, idx)["content_hashes"].collect()}
+    assert 999 not in live, "crashed-attempt ghost rows became visible"
+    survivors = [d for d in old if d[0] != old[0][0]]
+    scratch = str(tmp_path / "scratch")
+    dinc.build_dedup_index(_df(spark, survivors), scratch)
+    a, b = _index_content(spark, idx), _index_content(spark, scratch)
+    for t in a:
+        assert a[t] == b[t], t
+
+
+def test_replay_with_manual_update_in_crash_window(spark, tmp_path):
+    """The replay cursor names the BATCH's snap, not merely the newest
+    one: a manual (non-batch) update landing between the fold's
+    manifest swap and the checkpoint commit must neither self-match the
+    batch nor disappear from the replay's view (r9 review finding)."""
+    uniq = "one of a kind " + " ".join(f"q{i}" for i in range(25))
+    old = [(10, WORDS), (11, "standing other " + WORDS[:60])]
+    batch = [(20, WORDS), (21, uniq)]
+    idx = str(tmp_path / "idx")
+    statuses = str(tmp_path / "statuses")
+    dinc.build_dedup_index(_df(spark, old), idx)
+    dinc._apply_dedup_batch(_df(spark, batch), 0, idx, statuses)
+    # crash window: operator retracts doc 10 manually (no batch_id)
+    dinc.update_dedup_index(spark, idx, removed_docs=_df(spark, [old[0]]))
+    # replay of batch 0: statuses recomputed against (old - 10), fold
+    # skipped; 20's partner was just retracted, so it is now kept —
+    # and crucially 21 did not self-match
+    dinc._apply_dedup_batch(_df(spark, batch), 0, idx, statuses)
+    got = {r["docno"]: r["status"]
+           for r in spark.read.parquet(statuses).collect()}
+    assert got == {20: "kept", 21: "kept"}
+    man = dinc._read_manifest(idx)
+    assert len(man["snaps"]) == 3          # fold NOT re-applied
