@@ -809,10 +809,19 @@ def _old_gram_counts(spark: SparkSession, index_dir: str, snaps,
     grams in ``new_ghs`` only — semi-join the count-delta log on the
     snapshot's gram set FIRST (each snap dir is gh-sorted for pruning),
     THEN sum, so the aggregate input is snapshot-shaped, not
-    standing-corpus-shaped."""
-    return (seed_gram_deltas(spark, index_dir, snaps)
-            .join(new_ghs.select("gh"), "gh", "left_semi")
-            .groupBy("gh").agg(F.sum("n").alias("n")))
+    standing-corpus-shaped.
+
+    With a SINGLE visible snap (a freshly built or compacted index —
+    the steady-state weekly shape) the dir is already one row per gh
+    (build/update/compact all group before writing), so the merge
+    aggregate is skipped entirely and the plan is the r8 direct join —
+    the delta log costs one extra exchange only while uncompacted
+    update snaps are stacked."""
+    deltas = (seed_gram_deltas(spark, index_dir, snaps)
+              .join(new_ghs.select("gh"), "gh", "left_semi"))
+    if len(snaps) == 1:
+        return deltas
+    return deltas.groupBy("gh").agg(F.sum("n").alias("n"))
 
 
 def incremental_dup_spans(new_docs: DataFrame, index_dir: str, *,
