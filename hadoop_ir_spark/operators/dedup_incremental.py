@@ -9,7 +9,7 @@ The persisted **dedup index** is a snapshot-partitioned parquet
 fingerprint store: one directory per table, one ``snap=<id>`` subdir
 per accepted snapshot, and an atomically-swapped ``MANIFEST.json``
 naming the visible snapshot ids (plus the last applied streaming batch
-id — the restart-safety cursor). Six tables:
+id — the restart-safety cursor). Eight tables:
 
 - ``content_hashes(docno, content_hash)`` — md5 of the raw text, the
   exact-duplicate path (also the only path that can catch docs too
@@ -33,6 +33,10 @@ id — the restart-safety cursor). Six tables:
   the new snapshot needs only this log, never the old corpus;
 - ``simhash(docno, fingerprint)`` — 8 bytes per doc, the banded
   pigeonhole-exact SimHash candidate side;
+- ``winnow_fps(docno, fp)`` / ``winnow_df(fp, df)`` — the winnowing
+  span-fingerprint rows (fp-sorted for the incremental pair join) and
+  their document-frequency COUNT-DELTA LOG (the df-cap needs union df;
+  the log serves it snapshot-proportionally and retraction-correctly);
 - ``embeddings(docno, embedding)`` — optional: the standing vector
   store serving ``embedding_incremental`` (VERDICT r8 #3), retracted
   through the same tombstones as every other per-doc table.
@@ -104,13 +108,20 @@ from hadoop_ir_spark.operators.winnow import (
     _excise_keep_first,
     _let,
     _merge_islands,
+    winnow_fingerprints,
 )
 
 INDEX_TABLES = ("content_hashes", "shingles", "band_keys", "seed_grams",
-                "simhash")
+                "simhash", "winnow_fps", "winnow_df")
 EMBEDDINGS_TABLE = "embeddings"
 TOMBSTONES = "tombstones"
 MANIFEST = "MANIFEST.json"
+
+# count-delta logs: (key, count) per snap dir, true value = sum over
+# visible snaps (negative rows are retractions); everything else is a
+# per-doc row table governed by tombstones
+DELTA_TABLES = {"seed_grams": ("gh", "n", "gh long, n long"),
+                "winnow_df": ("fp", "df", "fp long, df long")}
 
 # write discipline per table: range-partition key(s) and within-partition
 # sort key(s) — every snap dir keeps the same parquet min/max pruning the
@@ -121,6 +132,8 @@ _RANGE_KEYS = {
     "band_keys": ("band", "key"),
     "seed_grams": ("gh",),
     "simhash": ("docno",),
+    "winnow_fps": ("fp",),      # the incremental join probes by fingerprint
+    "winnow_df": ("fp",),
     EMBEDDINGS_TABLE: ("docno",),
     TOMBSTONES: ("docno",),
 }
@@ -130,6 +143,8 @@ _SORT_KEYS = {
     "band_keys": ("band", "key"),
     "seed_grams": ("gh",),
     "simhash": ("docno",),
+    "winnow_fps": ("fp", "docno"),
+    "winnow_df": ("fp",),
     EMBEDDINGS_TABLE: ("docno",),
     TOMBSTONES: ("docno",),
 }
@@ -159,9 +174,11 @@ def _write_manifest(index_dir: str, man: dict) -> None:
     os.replace(tmp, os.path.join(index_dir, MANIFEST))
 
 
-def _params(k, num_hashes, bands, min_len, portable) -> dict:
+def _params(k, num_hashes, bands, min_len, portable,
+            win_k, win_w) -> dict:
     return {"k": k, "num_hashes": num_hashes, "bands": bands,
-            "min_len": min_len, "portable": portable}
+            "min_len": min_len, "portable": portable,
+            "win_k": win_k, "win_w": win_w}
 
 
 def _check_params(man: dict, params: dict) -> None:
@@ -225,16 +242,21 @@ def _live_rows_tomb(spark: SparkSession, index_dir: str, table: str,
             .drop("_snap", "_tsnap"))
 
 
-def seed_gram_deltas(spark: SparkSession, index_dir: str,
-                     snaps=None) -> DataFrame:
-    """The raw (gh, n) count-delta log over the visible snaps —
-    consumers semi-join it on their own gram set BEFORE aggregating, so
+def _delta_log(spark: SparkSession, index_dir: str, table: str,
+               snaps=None) -> DataFrame:
+    """The raw count-delta log of ``table`` over the visible snaps —
+    consumers semi-join it on their own key set BEFORE aggregating, so
     a query never pays a standing-corpus-wide groupBy."""
     snaps = _visible_snaps(index_dir, snaps)
-    df = _union_snaps(spark, index_dir, "seed_grams", snaps)
+    df = _union_snaps(spark, index_dir, table, snaps)
     if df is None:
-        return spark.createDataFrame([], "gh long, n long")
+        return spark.createDataFrame([], DELTA_TABLES[table][2])
     return df.drop("_snap")
+
+
+def seed_gram_deltas(spark: SparkSession, index_dir: str,
+                     snaps=None) -> DataFrame:
+    return _delta_log(spark, index_dir, "seed_grams", snaps)
 
 
 def load_dedup_index(spark: SparkSession, index_dir: str,
@@ -245,10 +267,11 @@ def load_dedup_index(spark: SparkSession, index_dir: str,
     materialize — equality is pinned in tests/test_dedup_incremental.py."""
     out = {}
     for t in INDEX_TABLES:
-        if t == "seed_grams":
-            out[t] = (seed_gram_deltas(spark, index_dir, snaps)
-                      .groupBy("gh").agg(F.sum("n").alias("n"))
-                      .filter(F.col("n") > 0))
+        if t in DELTA_TABLES:
+            key, val, _ = DELTA_TABLES[t]
+            out[t] = (_delta_log(spark, index_dir, t, snaps)
+                      .groupBy(key).agg(F.sum(val).alias(val))
+                      .filter(F.col(val) > 0))
         else:
             df = _live_rows(spark, index_dir, t, snaps)
             if df is None:
@@ -324,12 +347,12 @@ def _norm_emb(embeddings: DataFrame, emb_id_col: str,
 
 
 def _fingerprint_frames(d: DataFrame, *, k: int, num_hashes: int,
-                        bands: int, min_len: int,
-                        portable: bool) -> dict[str, DataFrame]:
-    """One tokenize/sign pass over a (delta-sized) corpus → the five
-    core fingerprint frames. Shingles are checkpointed so the write and
-    the signature derivation share one materialization (the r8 layout's
-    write-then-reread, without the reread)."""
+                        bands: int, min_len: int, portable: bool,
+                        win_k: int, win_w: int) -> dict[str, DataFrame]:
+    """One tokenize/sign pass over a (delta-sized) corpus → the seven
+    core fingerprint frames. Shingles and winnow fingerprints are
+    checkpointed where two frames derive from one materialization (the
+    r8 layout's write-then-reread, without the reread)."""
     ch = d.select("docno", F.md5("text").alias("content_hash"))
     sh = dedup.shingles(d, k=k).localCheckpoint()
     sigs = dedup.minhash_signatures(sh, num_hashes=num_hashes,
@@ -337,8 +360,11 @@ def _fingerprint_frames(d: DataFrame, *, k: int, num_hashes: int,
     bk = dedup.band_key_frame(sigs, bands=bands)
     sg = (seed_gram_stream(d, min_len=min_len)
           .groupBy("gh").agg(F.count(F.lit(1)).cast("long").alias("n")))
+    wfp = winnow_fingerprints(d, k=win_k, w=win_w).localCheckpoint()
+    wdf = wfp.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("df"))
     return {"content_hashes": ch, "shingles": sh, "band_keys": bk,
-            "seed_grams": sg, "simhash": _simhash_fps(d, portable)}
+            "seed_grams": sg, "simhash": _simhash_fps(d, portable),
+            "winnow_fps": wfp, "winnow_df": wdf}
 
 
 def build_dedup_index(docs: DataFrame, out_dir: str, *, k: int = 3,
@@ -346,6 +372,7 @@ def build_dedup_index(docs: DataFrame, out_dir: str, *, k: int = 3,
                       min_len: int = 8, id_col: str = "docno",
                       text_col: str = "text",
                       portable: bool = True,
+                      win_k: int = 5, win_w: int = 4,
                       embeddings: DataFrame | None = None,
                       emb_id_col: str = "docno",
                       emb_vec_col: str = "embedding") -> None:
@@ -357,7 +384,8 @@ def build_dedup_index(docs: DataFrame, out_dir: str, *, k: int = 3,
     os.makedirs(out_dir, exist_ok=True)
     frames = _fingerprint_frames(d, k=k, num_hashes=num_hashes,
                                  bands=bands, min_len=min_len,
-                                 portable=portable)
+                                 portable=portable, win_k=win_k,
+                                 win_w=win_w)
     if embeddings is not None:
         frames[EMBEDDINGS_TABLE] = _norm_emb(embeddings, emb_id_col,
                                              emb_vec_col)
@@ -366,7 +394,8 @@ def build_dedup_index(docs: DataFrame, out_dir: str, *, k: int = 3,
     _write_manifest(out_dir, {
         "snaps": [0], "next_snap": 1, "last_snap": 0,
         "last_batch_id": None, "last_batch_snap": None,
-        "params": _params(k, num_hashes, bands, min_len, portable),
+        "params": _params(k, num_hashes, bands, min_len, portable,
+                          win_k, win_w),
     })
 
 
@@ -376,6 +405,7 @@ def update_dedup_index(spark: SparkSession, index_dir: str,
                        min_len: int = 8, id_col: str = "docno",
                        text_col: str = "text",
                        portable: bool = True,
+                       win_k: int = 5, win_w: int = 4,
                        removed_docs: DataFrame | None = None,
                        new_embeddings: DataFrame | None = None,
                        emb_id_col: str = "docno",
@@ -414,17 +444,20 @@ def update_dedup_index(spark: SparkSession, index_dir: str,
     if new_docs is None and removed_docs is None and new_embeddings is None:
         raise ValueError("update_dedup_index: nothing to add or remove")
     man = _read_manifest(index_dir)
-    _check_params(man, _params(k, num_hashes, bands, min_len, portable))
+    _check_params(man, _params(k, num_hashes, bands, min_len, portable,
+                               win_k, win_w))
     sid = man["next_snap"]
     _clear_snap_dirs(index_dir, sid)   # crashed-attempt leftovers
 
-    sg_deltas = []
+    deltas: dict[str, list[DataFrame]] = {t: [] for t in DELTA_TABLES}
     if new_docs is not None:
         d = _norm(new_docs, id_col, text_col)
         frames = _fingerprint_frames(d, k=k, num_hashes=num_hashes,
                                      bands=bands, min_len=min_len,
-                                     portable=portable)
-        sg_deltas.append(frames.pop("seed_grams"))
+                                     portable=portable, win_k=win_k,
+                                     win_w=win_w)
+        for t in DELTA_TABLES:
+            deltas[t].append(frames.pop(t))
         for t, df in frames.items():
             _write_snap_table(df, index_dir, t, sid)
     if new_embeddings is not None:
@@ -435,17 +468,23 @@ def update_dedup_index(spark: SparkSession, index_dir: str,
         r = _norm(removed_docs, id_col, text_col)
         _write_snap_table(r.select("docno").distinct(), index_dir,
                           TOMBSTONES, sid)
-        sg_deltas.append(
+        deltas["seed_grams"].append(
             seed_gram_stream(r, min_len=min_len)
             .groupBy("gh")
             .agg((-F.count(F.lit(1))).cast("long").alias("n")))
-    if sg_deltas:
-        sg = sg_deltas[0]
-        if len(sg_deltas) == 2:
-            sg = (sg_deltas[0].unionByName(sg_deltas[1])
-                  .groupBy("gh").agg(F.sum("n").cast("long").alias("n")))
-        _write_snap_table(sg.filter(F.col("n") != 0), index_dir,
-                          "seed_grams", sid)
+        deltas["winnow_df"].append(
+            winnow_fingerprints(r, k=win_k, w=win_w)
+            .groupBy("fp")
+            .agg((-F.count(F.lit(1))).cast("long").alias("df")))
+    for t, parts in deltas.items():
+        if not parts:
+            continue
+        key, val, _ = DELTA_TABLES[t]
+        df = parts[0]
+        if len(parts) == 2:
+            df = (parts[0].unionByName(parts[1])
+                  .groupBy(key).agg(F.sum(val).cast("long").alias(val)))
+        _write_snap_table(df.filter(F.col(val) != 0), index_dir, t, sid)
 
     man["snaps"] = man["snaps"] + [sid]
     man["next_snap"] = sid + 1
@@ -512,10 +551,11 @@ def compact_dedup_index(spark: SparkSession, index_dir: str, *,
     # the tombstone side); seed-gram deltas summed over the prefix only
     out = {}
     for t in INDEX_TABLES:
-        if t == "seed_grams":
-            out[t] = (seed_gram_deltas(spark, index_dir, merge)
-                      .groupBy("gh").agg(F.sum("n").alias("n"))
-                      .filter(F.col("n") > 0))
+        if t in DELTA_TABLES:
+            key, val, _ = DELTA_TABLES[t]
+            out[t] = (_delta_log(spark, index_dir, t, merge)
+                      .groupBy(key).agg(F.sum(val).alias(val))
+                      .filter(F.col(val) > 0))
         else:
             out[t] = _live_rows_tomb(spark, index_dir, t, merge, old_snaps)
     emb = _live_rows_tomb(spark, index_dir, EMBEDDINGS_TABLE, merge,
@@ -803,25 +843,31 @@ def embedding_incremental(new_emb: DataFrame, index_dir: str, *,
     )
 
 
-def _old_gram_counts(spark: SparkSession, index_dir: str, snaps,
-                     new_ghs: DataFrame) -> DataFrame:
-    """(gh, n): the standing corpus's true seed-gram counts for the
-    grams in ``new_ghs`` only — semi-join the count-delta log on the
-    snapshot's gram set FIRST (each snap dir is gh-sorted for pruning),
-    THEN sum, so the aggregate input is snapshot-shaped, not
-    standing-corpus-shaped.
+def _old_delta_counts(spark: SparkSession, index_dir: str, snaps,
+                      keys_df: DataFrame, table: str) -> DataFrame:
+    """The standing corpus's true counts from a delta-log table, for the
+    keys in ``keys_df`` only — semi-join the log on the snapshot's key
+    set FIRST (each snap dir is key-sorted for pruning), THEN sum, so
+    the aggregate input is snapshot-shaped, not standing-corpus-shaped.
 
     With a SINGLE visible snap (a freshly built or compacted index —
-    the steady-state weekly shape) the dir is already one row per gh
+    the steady-state weekly shape) the dir is already one row per key
     (build/update/compact all group before writing), so the merge
     aggregate is skipped entirely and the plan is the r8 direct join —
     the delta log costs one extra exchange only while uncompacted
     update snaps are stacked."""
-    deltas = (seed_gram_deltas(spark, index_dir, snaps)
-              .join(new_ghs.select("gh"), "gh", "left_semi"))
+    key, val, _ = DELTA_TABLES[table]
+    deltas = (_delta_log(spark, index_dir, table, snaps)
+              .join(keys_df.select(key), key, "left_semi"))
     if len(snaps) == 1:
         return deltas
-    return deltas.groupBy("gh").agg(F.sum("n").alias("n"))
+    return deltas.groupBy(key).agg(F.sum(val).alias(val))
+
+
+def _old_gram_counts(spark: SparkSession, index_dir: str, snaps,
+                     new_ghs: DataFrame) -> DataFrame:
+    return _old_delta_counts(spark, index_dir, snaps, new_ghs,
+                             "seed_grams")
 
 
 def incremental_dup_spans(new_docs: DataFrame, index_dir: str, *,
@@ -908,6 +954,66 @@ def incremental_clean_keep_first(new_docs: DataFrame, index_dir: str, *,
     toks = d.select(
         "docno", F.posexplode(tokens_col("text")).alias("pos", "term"))
     return _excise_keep_first(toks, spans_all, spans_canon)
+
+
+def incremental_winnow_pairs(new_docs: DataFrame, index_dir: str, *,
+                             max_df: int = 50, min_shared: int = 2,
+                             id_col: str = "docno",
+                             text_col: str = "text",
+                             snaps=None) -> DataFrame:
+    """(doc_a, doc_b, n_shared): winnowing span-duplicate candidate
+    pairs (``winnow.span_dup_pairs`` semantics) of the from-scratch run
+    over old ∪ new, RESTRICTED to pairs involving >= 1 NEW doc — the
+    winnowing member of the incremental family (r9; the last
+    single-corpus detector without a cross-snapshot twin). Fingerprint
+    parameters (win_k, win_w) come from the index manifest so the new
+    side fingerprints exactly like the stored rows.
+
+    Equivalence argument: a pair involving a new doc can only form on
+    fingerprints the NEW doc selected, so the df-cap needs union df for
+    the SNAPSHOT's fingerprints only — df_new from the snapshot plus
+    df_old from the index's ``winnow_df`` count log (semi-joined on the
+    snapshot's fp set, retraction-correct by signed sum). Candidate
+    join: new fps vs the fp-sorted ``winnow_fps`` rows for new-vs-old,
+    a snapshot self-join for new-vs-new; per-doc fingerprints are
+    distinct, so the pair count of shared rare fps matches the
+    from-scratch count exactly. Snapshot-proportional: the old side
+    enters through one pruned fp equi-join and the df log."""
+    spark = new_docs.sparkSession
+    man = _read_manifest(index_dir)
+    win_k = man["params"]["win_k"]
+    win_w = man["params"]["win_w"]
+    d = _norm(new_docs, id_col, text_col)
+    snaps = _visible_snaps(index_dir, snaps)
+    fps_new = winnow_fingerprints(d, k=win_k, w=win_w).localCheckpoint()
+    dfn = fps_new.groupBy("fp").agg(F.count(F.lit(1)).alias("_dfn"))
+    df_old = _old_delta_counts(spark, index_dir, snaps, dfn, "winnow_df")
+    rare = (
+        dfn.join(df_old, "fp", "left")
+        .filter(F.col("_dfn") + F.coalesce(F.col("df"), F.lit(0))
+                <= max_df)
+        .select("fp")
+    )
+    f2 = fps_new.join(rare, "fp").localCheckpoint()   # feeds no + nn
+    old_rows = _live_rows(spark, index_dir, "winnow_fps", snaps) \
+        .join(rare, "fp")
+    pairs_no = (
+        f2.select("fp", F.col("docno").alias("_dn"))
+        .join(old_rows.select("fp", F.col("docno").alias("_do")), "fp")
+        .select(F.least("_dn", "_do").alias("doc_a"),
+                F.greatest("_dn", "_do").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pairs_nn = (
+        f2.select("fp", F.col("docno").alias("doc_a"))
+        .join(f2.select("fp", F.col("docno").alias("doc_b")), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (pairs_no.unionByName(pairs_nn)
+            .filter(F.col("n_shared") >= min_shared))
 
 
 # ---------------------------------------------------------------------------

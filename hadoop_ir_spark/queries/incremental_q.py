@@ -414,6 +414,65 @@ def q_incremental_keep_first_clean(spark, sf_dir):
         id_col="doc_id")
 
 
+# winnowing member (r9): fingerprint params come from the index build
+# defaults (win_k=5, win_w=4 — the same k/w the single-corpus
+# winnow_span_pairs entry grades); cap/threshold match it too
+INC_WIN_K, INC_WIN_W = 5, 4
+INC_WIN_MAX_DF, INC_WIN_MIN_SHARED = 50, 2
+
+
+@register("incremental_winnow_pairs", f"""
+WITH {_SQL_SPLIT},
+toked AS (
+  SELECT docno, isn,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM uni
+),
+grams AS (
+  SELECT docno, isn,
+         list_transform(range(1, len(toks) - {INC_WIN_K} + 2),
+           i -> CAST(('0x' || substr(md5(
+                  array_to_string(list_slice(toks, i, i + {INC_WIN_K} - 1),
+                                  ' ')),
+                  1, 15)) AS BIGINT)) AS g
+  FROM toked WHERE len(toks) >= {INC_WIN_K}
+),
+wins AS (
+  SELECT docno, isn,
+         list_distinct(list_transform(range(1, len(g) - {INC_WIN_W} + 2),
+           j -> list_min(list_slice(g, j, j + {INC_WIN_W} - 1)))) AS fps
+  FROM grams WHERE len(g) >= {INC_WIN_W}
+),
+fp AS (SELECT docno, isn, unnest(fps) AS fp FROM wins),
+rare AS (SELECT fp FROM fp GROUP BY fp
+         HAVING count(*) <= {INC_WIN_MAX_DF}),
+pairs AS (
+  SELECT a.docno AS doc_a, b.docno AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fp a JOIN rare USING (fp) JOIN fp b USING (fp)
+  WHERE a.docno < b.docno AND (a.isn = 1 OR b.isn = 1)
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM pairs
+WHERE n_shared >= {INC_WIN_MIN_SHARED}
+""")
+def q_incremental_winnow_pairs(spark, sf_dir):
+    """Winnowing span-duplicate candidate pairs of the NEW snapshot
+    against old ∪ new — the winnowing member of the incremental family
+    (r9): fingerprints of the new docs join the index's fp-sorted
+    ``winnow_fps`` rows (new-vs-old) and themselves (new-vs-new), with
+    the df-cap served union-correctly from the ``winnow_df`` count log.
+    The oracle is the from-scratch winnowing replay over the union as
+    CTEs, restricted to pairs involving >= 1 new doc — green means
+    incremental ≡ from-scratch on exactly the pairs a weekly run must
+    surface."""
+    idx_dir = _dedup_index_dir(spark, sf_dir)
+    return dinc.incremental_winnow_pairs(
+        _new_docs(spark, sf_dir), idx_dir, max_df=INC_WIN_MAX_DF,
+        min_shared=INC_WIN_MIN_SHARED, id_col="doc_id")
+
+
 INC_SIMHASH_K = 3
 
 

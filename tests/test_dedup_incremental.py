@@ -734,3 +734,50 @@ def test_replay_with_manual_update_in_crash_window(spark, tmp_path):
     assert got == {20: "kept", 21: "kept"}
     man = dinc._read_manifest(idx)
     assert len(man["snaps"]) == 3          # fold NOT re-applied
+
+
+def test_incremental_winnow_pairs_equals_scratch(spark, tmp_path):
+    """The winnowing member (r9): incremental pairs == from-scratch
+    span_dup_pairs over old ∪ new restricted to pairs involving >= 1
+    new doc, at matching (k, w, max_df, min_shared) — including the
+    union-df cap path and retraction."""
+    from hadoop_ir_spark.operators.winnow import (
+        span_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    span = " ".join(f"wsp{i}" for i in range(12))     # > w+k-1 tokens
+    old = [(100, f"{span} old tail oa ob oc od oe of og oh")]
+    new = [(1, f"n1 n2 {span} n3 n4"),
+           (2, f"{span} m1 m2 m3"),
+           (3, "u1 u2 u3 u4 u5 u6 u7 nothing shared u8 u9 u10")]
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx)
+
+    def scratch(docs, max_df, min_shared, new_ids):
+        fps = winnow_fingerprints(_df(spark, docs), k=5, w=4)
+        return {tuple(r) for r in span_dup_pairs(
+            fps, max_df=max_df, min_shared=min_shared).collect()
+            if r["doc_a"] in new_ids or r["doc_b"] in new_ids}
+
+    new_ids = {d for d, _ in new}
+    got = {tuple(r) for r in dinc.incremental_winnow_pairs(
+        _df(spark, new), idx, max_df=50, min_shared=1).collect()}
+    want = scratch(old + new, 50, 1, new_ids)
+    assert got == want and got
+    assert {frozenset(p[:2]) for p in got} == {
+        frozenset({100, 1}), frozenset({100, 2}), frozenset({1, 2})}
+
+    # union-df cap: at max_df=2 the span's fps (df=3 across old ∪ new)
+    # are boilerplate — from-scratch agrees
+    got_cap = {tuple(r) for r in dinc.incremental_winnow_pairs(
+        _df(spark, new), idx, max_df=2, min_shared=1).collect()}
+    assert got_cap == scratch(old + new, 2, 1, new_ids) == set()
+
+    # retraction: removing the old owner drops its pairs AND its df
+    # contribution (the span's fps fall back to df=2 across the union)
+    dinc.update_dedup_index(spark, idx, removed_docs=_df(spark, [old[0]]))
+    got_rm = {tuple(r) for r in dinc.incremental_winnow_pairs(
+        _df(spark, new), idx, max_df=2, min_shared=1).collect()}
+    assert got_rm == scratch(new, 2, 1, new_ids)
+    assert {frozenset(p[:2]) for p in got_rm} == {frozenset({1, 2})}

@@ -134,6 +134,10 @@ PINNED_JUDGE_VERIFIED = sorted({
     # pinned in tests/test_zipf_surface.py); strict at 3 SFs on addition
     "dedup_incremental_folded", "incremental_keep_first_clean",
     "simhash_near_dups_zipf",
+    # round 9 cont.: the winnowing member of the incremental family
+    # (strict at 3 SFs on addition; oracle = from-scratch union replay
+    # restricted to pairs involving a new doc)
+    "incremental_winnow_pairs",
 })
 
 
