@@ -537,8 +537,21 @@ def compact_dedup_index(spark: SparkSession, index_dir: str, *,
         keep_ids = {old_snaps[-1]}
         if man.get("last_batch_snap") in old_snaps:
             keep_ids.add(man["last_batch_snap"])
-        kept = [s for s in old_snaps if s in keep_ids]
-        merge = [s for s in old_snaps if s not in keep_ids]
+        # the kept set must be a contiguous SUFFIX of the snap list (in
+        # LIST order — the list is logical time; a compacted snap's id is
+        # numerically newest but logically oldest): if a merged snap
+        # postdated a kept one, its tombstones would vanish from
+        # visibility without ever being applied to the kept snap's rows
+        # — a doc retracted between the last batch fold and a later
+        # manual add would resurrect, and the count-delta logs (which DO
+        # merge their negative deltas) would go inconsistent with the
+        # row tables (VERDICT r9 #1, reproduced). With a suffix, every
+        # merged snap is logically older than every kept snap, so merged
+        # tombstones only ever target merged rows and the merged
+        # count-delta prefix is downward-closed (no net-negative grams).
+        cut = min(old_snaps.index(s) for s in keep_ids)
+        kept = old_snaps[cut:]
+        merge = old_snaps[:cut]
     merge_tomb = any(
         os.path.isdir(os.path.join(index_dir, TOMBSTONES, f"snap={s}"))
         for s in merge)

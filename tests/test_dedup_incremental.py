@@ -685,6 +685,58 @@ def test_replace_doc_in_one_update(spark, tmp_path):
         assert a[t] == b[t], t
 
 
+def test_compaction_keep_last_after_manual_window(spark, tmp_path):
+    """The VERDICT r9 #1 resurrection repro: build → batch fold →
+    MANUAL retraction of a batch doc → MANUAL add →
+    compact_dedup_index(keep_last_snap=True). The kept set used to be
+    {newest, last_batch_snap} = {3, 1}, NOT a suffix — the snap-2
+    tombstone (which killed the snap-1 doc) fell into the merged
+    prefix, was applied only to merged rows, and then vanished from
+    visibility while the kept snap-1 rows stayed verbatim: the
+    retracted doc resurrected and the row tables went inconsistent
+    with the count-delta logs. The fix keeps the contiguous suffix
+    starting at last_batch_snap, so compaction must now preserve
+    logical content exactly and equal a from-scratch rebuild."""
+    t1 = WORDS
+    t5 = "early manual add " + " ".join(f"em{i}" for i in range(30))
+    t10 = "retractable body " + " ".join(f"rb{i}" for i in range(30))
+    t20 = "batch doc body " + " ".join(f"bb{i}" for i in range(30))
+    t30 = "late manual add " + " ".join(f"ma{i}" for i in range(30))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, [(1, t1)]), idx)              # snap 0
+    dinc.update_dedup_index(spark, idx, _df(spark, [(5, t5)]))      # snap 1
+    dinc.update_dedup_index(spark, idx,
+                            _df(spark, [(10, t10), (20, t20)]),
+                            batch_id=0)                             # snap 2
+    dinc.update_dedup_index(spark, idx,
+                            removed_docs=_df(spark, [(10, t10)]))   # snap 3
+    dinc.update_dedup_index(spark, idx, _df(spark, [(30, t30)]))    # snap 4
+    before = _index_content(spark, idx)
+    dinc.compact_dedup_index(spark, idx, keep_last_snap=True)
+    man = dinc._read_manifest(idx)
+    # kept is the contiguous suffix from last_batch_snap: [2, 3, 4];
+    # [0, 1] merged into the new snap 5. The old code kept {2, 4} and
+    # merged [0, 1, 3] — dropping the snap-3 tombstone that killed the
+    # kept snap-2 doc.
+    assert man["snaps"] == [5, 2, 3, 4] and man["last_batch_snap"] == 2
+    after = _index_content(spark, idx)
+    for t in before:
+        assert before[t] == after[t], t
+    scratch = str(tmp_path / "scratch")
+    dinc.build_dedup_index(
+        _df(spark, [(1, t1), (5, t5), (20, t20), (30, t30)]), scratch)
+    b = _index_content(spark, scratch)
+    for t in b:
+        assert after[t] == b[t], t
+    # the retracted doc stays dead: a copy of its text is NOT a dup
+    got = {r["docno"]: r["status"] for r in dinc.dedup_incremental(
+        _df(spark, [(100, t10), (101, t20)]), idx).collect()}
+    assert got == {100: "kept", 101: "dropped"}
+    # ...and survives vacuum (the bug became permanent after vacuum)
+    dinc.vacuum_dedup_index(idx)
+    assert _index_content(spark, idx) == after
+
+
 def test_crashed_attempt_leftovers_cleared(spark, tmp_path, snapshots):
     """A crashed fold that wrote SOME tables at next_snap must not leak
     them into visibility when the next update writes a DIFFERENT table
