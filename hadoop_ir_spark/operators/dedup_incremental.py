@@ -222,6 +222,31 @@ def _live_rows(spark: SparkSession, index_dir: str, table: str,
     return _live_rows_tomb(spark, index_dir, table, snaps, snaps)
 
 
+# Above this many tombstone rows the anti-filter join switches from
+# broadcast to shuffle (VERDICT r9 #6): tombstones are takedown-sized in
+# the normal pipeline, but a snapshot-sized retraction batch must not be
+# forced through a driver-side broadcast. Sized from parquet footers —
+# no Spark job.
+TOMBSTONE_BROADCAST_MAX = 1_000_000
+
+
+def _tomb_rowcount(index_dir: str, snaps: list[int]) -> int:
+    """Total tombstone rows over ``snaps``, from parquet file footers
+    (metadata-only, no Spark job — the broadcast/shuffle switch must not
+    cost an action per table read)."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for sid in snaps:
+        p = os.path.join(index_dir, TOMBSTONES, f"snap={sid}")
+        if not os.path.isdir(p):
+            continue
+        for ent in os.listdir(p):
+            if ent.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(p, ent)).metadata.num_rows
+    return n
+
+
 def _live_rows_tomb(spark: SparkSession, index_dir: str, table: str,
                     row_snaps: list[int],
                     tomb_snaps: list[int]) -> DataFrame | None:
@@ -229,7 +254,9 @@ def _live_rows_tomb(spark: SparkSession, index_dir: str, table: str,
     ``tomb_snaps`` — the lists differ only in keep-last compaction,
     where the merged prefix must have EVERY visible tombstone applied
     (kept snaps' included: those only ever kill strictly-older rows,
-    all of which are in the prefix)."""
+    all of which are in the prefix). Takedown-sized tombstones broadcast;
+    a mass retraction (> TOMBSTONE_BROADCAST_MAX rows by parquet footer
+    count) falls back to a shuffle join on docno."""
     rows = _union_snaps(spark, index_dir, table, row_snaps)
     if rows is None:
         return None
@@ -237,7 +264,9 @@ def _live_rows_tomb(spark: SparkSession, index_dir: str, table: str,
     if tomb is None:
         return rows.drop("_snap")
     last_rm = tomb.groupBy("docno").agg(F.max("_snap").alias("_tsnap"))
-    return (rows.join(F.broadcast(last_rm), "docno", "left")
+    if _tomb_rowcount(index_dir, tomb_snaps) <= TOMBSTONE_BROADCAST_MAX:
+        last_rm = F.broadcast(last_rm)
+    return (rows.join(last_rm, "docno", "left")
             .filter(F.col("_snap") >= F.coalesce(F.col("_tsnap"), F.lit(-1)))
             .drop("_snap", "_tsnap"))
 
@@ -1008,8 +1037,14 @@ def incremental_winnow_pairs(new_docs: DataFrame, index_dir: str, *,
         .select("fp")
     )
     f2 = fps_new.join(rare, "fp").localCheckpoint()   # feeds no + nn
-    old_rows = _live_rows(spark, index_dir, "winnow_fps", snaps) \
-        .join(rare, "fp")
+    old_fps = _live_rows(spark, index_dir, "winnow_fps", snaps)
+    if old_fps is None:
+        raise FileNotFoundError(
+            f"dedup index at {index_dir} has no visible winnow_fps data "
+            f"for snaps {snaps} — pass snaps that cover at least one "
+            f"indexed snapshot (ADVICE r9: match load_dedup_index's "
+            f"loud failure instead of an AttributeError)")
+    old_rows = old_fps.join(rare, "fp")
     pairs_no = (
         f2.select("fp", F.col("docno").alias("_dn"))
         .join(old_rows.select("fp", F.col("docno").alias("_do")), "fp")

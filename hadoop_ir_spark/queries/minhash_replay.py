@@ -18,13 +18,15 @@ _GOLD = 0x9E3779B1
 
 
 def replay_cte_block(num_hashes: int = 24, bands: int = 8,
-                     symmetric: bool = False) -> str:
+                     symmetric: bool = False, k: int = 3) -> str:
     """CTE chain from a caller-supplied ``docsrc(docno, text)`` relation
     to ``cand(da, db)`` (bucket-sharing pairs; ``symmetric=False`` emits
     each unordered pair once with da < db, ``True`` emits both
     orientations for precedence-rule tails), ``sizes(docno, n)`` and
     ``inter(da, db, i)`` (shared-shingle counts for candidates). Callers
-    prepend ``WITH <docsrc>,`` and append their verification tail."""
+    prepend ``WITH <docsrc>,`` and append their verification tail.
+    ``k`` is the word-shingle width, mirroring ``dedup.shingles(k=)``
+    (ADVICE r9: previously pinned to 3 silently)."""
     rows = num_hashes // bands
     mins = ",\n         ".join(
         f"min(({2 * i + 1} * b + {i * _GOLD % _M31}) % {_M31}) AS h{i}"
@@ -44,9 +46,9 @@ def replay_cte_block(num_hashes: int = 24, bands: int = 8,
 ),
 sh AS (
   SELECT DISTINCT docno,
-         unnest([array_to_string(toks[i:i+2], ' ')
-                 for i in range(1, len(toks) - 1)]) AS shingle
-  FROM toklist WHERE len(toks) >= 3
+         unnest([array_to_string(toks[i:i+{k - 1}], ' ')
+                 for i in range(1, len(toks) - {k - 2})]) AS shingle
+  FROM toklist WHERE len(toks) >= {k}
 ),
 base AS (
   SELECT docno,

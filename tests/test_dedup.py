@@ -388,3 +388,36 @@ def test_gram_join_lossless_property():
                for r in fuzzy.edit_distance_pairs(
                    df, max_dist=k, q=q, method="gram_join").collect()}
         assert got == expected, f"k={k} q={q}"
+
+
+def test_replay_cte_k_param_matches_spark(spark):
+    """ADVICE r9: replay_cte_block hard-coded k=3 shingles. The k
+    parameter must mirror dedup.shingles(k=) exactly — pinned here by
+    comparing the DuckDB `sh` CTE and the candidate set against the
+    Spark pipeline at k=4 (and the k=3 default stays byte-identical to
+    the pre-parameter SQL)."""
+    import duckdb
+
+    from hadoop_ir_spark.queries.minhash_replay import replay_cte_block
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again today for good measure")
+    rows = [(1, base), (2, base + " ok"), (3, "totally different words "
+            "in this third document here now friends")]
+    for k in (3, 4):
+        docs = spark.createDataFrame(rows, "docno int, text string")
+        sh_spark = sorted(map(tuple, dedup.shingles(docs, k=k).collect()))
+        sigs = dedup.minhash_signatures(dedup.shingles(docs, k=k),
+                                        num_hashes=24)
+        cand_spark = {(r["docno_a"], r["docno_b"])
+                      for r in dedup.lsh_candidates(sigs, bands=8).collect()}
+        con = duckdb.connect()
+        vals = ", ".join(f"({d}, '{t}')" for d, t in rows)
+        pre = (f"WITH docsrc(docno, text) AS (VALUES {vals}),\n"
+               + replay_cte_block(24, 8, k=k))
+        sh_duck = sorted(map(tuple, con.execute(
+            pre + "\nSELECT docno, shingle FROM sh").fetchall()))
+        cand_duck = set(map(tuple, con.execute(
+            pre + "\nSELECT da, db FROM cand").fetchall()))
+        assert sh_spark == sh_duck, f"shingle mismatch at k={k}"
+        assert cand_spark == cand_duck, f"candidate mismatch at k={k}"

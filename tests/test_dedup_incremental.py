@@ -833,3 +833,38 @@ def test_incremental_winnow_pairs_equals_scratch(spark, tmp_path):
         _df(spark, new), idx, max_df=2, min_shared=1).collect()}
     assert got_rm == scratch(new, 2, 1, new_ids)
     assert {frozenset(p[:2]) for p in got_rm} == {frozenset({1, 2})}
+
+
+def test_mass_retraction_shuffle_path(spark, tmp_path, snapshots,
+                                      monkeypatch):
+    """VERDICT r9 #6: the tombstone anti-filter broadcasts only while
+    the tombstone side is takedown-sized. With the threshold forced to
+    0 (simulating a snapshot-sized removal batch) the join must take
+    the shuffle path — no broadcast exchange on the tombstone frame —
+    and the logical content must still equal a from-scratch rebuild."""
+    old, new = snapshots
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx)
+    dinc.update_dedup_index(spark, idx, _df(spark, new),
+                            removed_docs=_df(spark, old[:2]))
+    scratch = str(tmp_path / "scratch")
+    dinc.build_dedup_index(_df(spark, old[2:] + new), scratch)
+    b = _index_content(spark, scratch)
+
+    def analyzed(df):
+        # the FORCED hint lives in the logical plan; the physical plan
+        # may still auto-broadcast a byte-tiny side, which is fine —
+        # the guard's job is to stop forcing it at mass-retraction size
+        return df._jdf.queryExecution().analyzed().toString()
+
+    monkeypatch.setattr(dinc, "TOMBSTONE_BROADCAST_MAX", 0)
+    rows = dinc._live_rows(spark, idx, "content_hashes")
+    assert "ResolvedHint" not in analyzed(rows), \
+        "tombstone side still hint-broadcast above the threshold"
+    a = _index_content(spark, idx)
+    for t in b:
+        assert a[t] == b[t], t
+    # and back under the threshold the takedown-sized broadcast returns
+    monkeypatch.setattr(dinc, "TOMBSTONE_BROADCAST_MAX", 1_000_000)
+    rows = dinc._live_rows(spark, idx, "content_hashes")
+    assert "ResolvedHint" in analyzed(rows)
