@@ -574,3 +574,120 @@ def q_embedding_incremental_kept(spark, sf_dir):
         emb.filter(F.col("vec_id") % 5 == 0)
         .withColumn("vec_id", F.col("vec_id") + _INJECT_OFFSET))
     return dinc.embedding_incremental(new, idx_dir, tau=INC_COSINE_TAU)
+
+
+# ---------------------------------------------------------------------------
+# persisted + incremental ANN index (VERDICT r9 missing #2)
+# ---------------------------------------------------------------------------
+
+ANN_IDX_EVERY = 25     # centroid id-sample stride (matches ann_ivf_topk)
+ANN_IDX_NPROBE = 4
+ANN_IDX_K = 10
+ANN_QUERY_EVERY = 50
+
+
+def _ann_index_dir(spark, sf_dir: str) -> str:
+    """Memoized trained-ANN store per (process, sf_dir), assembled the
+    way the weekly pipeline would: build on the standing embeddings
+    (vec_id % 3 <> 0), TRAIN the IVF index once over them
+    (``train_ann_index``), then fold the new snapshot's vectors
+    (vec_id % 3 = 0) in O(snapshot) — assignment to the persisted
+    centroids only, the standing assignment never re-read. The doc side
+    is a thin slice (doc_id % 15 = 1): the ANN tables depend only on
+    the embeddings, and the text fingerprints are already exercised by
+    the ``_dedup_index_dir`` family."""
+    key = os.path.abspath(sf_dir) + "#ann"
+    if key not in _IDX_CACHE:
+        out = os.path.join(_TMPROOT,
+                           key.strip("/").replace("/", "_").replace("#", "_"))
+        emb = _emb(spark, sf_dir)
+        dinc.build_dedup_index(
+            _docs(spark, sf_dir).select("doc_id", "text")
+            .filter(F.col("doc_id") % 15 == 1),
+            out, min_len=INC_SPAN_LEN, id_col="doc_id",
+            embeddings=emb.filter(F.col("vec_id") % 3 != 0),
+            emb_id_col="vec_id")
+        dinc.train_ann_index(spark, out, every=ANN_IDX_EVERY)
+        dinc.update_dedup_index(
+            spark, out, min_len=INC_SPAN_LEN,
+            new_embeddings=emb.filter(F.col("vec_id") % 3 == 0),
+            emb_id_col="vec_id")
+        _IDX_CACHE[key] = out
+    return _IDX_CACHE[key]
+
+
+_ANN_COS_EC = (
+    "list_dot_product(e.embedding::DOUBLE[], c.cv)"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(c.cv, c.cv)))"
+)
+
+
+@register("indexed_ann_topk", f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id % 3 <> 0 AND vec_id % {ANN_IDX_EVERY} = 0
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.cos DESC, s.cid ASC) AS rn
+    FROM (SELECT e.vec_id, c.cid, {_ANN_COS_EC} AS cos
+          FROM embeddings e CROSS JOIN cent c) s
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id % {ANN_QUERY_EVERY} = 0),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT s.qid, s.cid,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY s.cos DESC, s.cid ASC) AS rn
+    FROM (SELECT q.qid, c.cid,
+                 list_dot_product(q.qv::DOUBLE[], c.cv)
+                 / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+          FROM q CROSS JOIN cent c) s
+  ) WHERE rn <= {ANN_IDX_NPROBE}
+),
+cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a USING (cid)),
+scored AS (
+  SELECT cd.qid, cd.vec_id,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))),
+           6) AS cosine
+  FROM cand cd
+  JOIN embeddings e ON e.vec_id = cd.vec_id
+  JOIN q ON q.qid = cd.qid
+),
+ranked AS (
+  SELECT qid, vec_id AS docno, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id DESC) AS rank
+  FROM scored
+)
+SELECT qid, docno, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_IDX_K}
+""")
+def q_indexed_ann_topk(spark, sf_dir):
+    """IVF top-k served from the PERSISTED ANN index: centroids trained
+    once over the standing embeddings (deterministic id-sample, the IVF
+    family's convention), the new snapshot's vectors folded in
+    O(snapshot) by assignment-to-existing-centroids, retraction via the
+    store's shared tombstones. Oracle = the same composed-CTE pipeline
+    as ann_ivf_topk with the centroid CTE restricted to the standing
+    side — by the fold≡rebuild property (tests/test_dedup_incremental
+    ::test_ann_index_fold_equals_rebuild), serving from the index equals
+    assigning the union corpus to the standing-trained centroids."""
+    idx_dir = _ann_index_dir(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    out = dinc.indexed_ann_topk(queries, idx_dir, k=ANN_IDX_K,
+                                nprobe=ANN_IDX_NPROBE)
+    return out.select("qid", "docno", "cosine",
+                      F.col("rank").cast("int").alias("rank"))
