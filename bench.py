@@ -142,6 +142,44 @@ def _tree_cpu_seconds(root_pid: int | None = None) -> float:
     return total / clk
 
 
+CAL_TOLERANCE = 0.10    # calibration runs this far above the rolling
+                        # reference mark the whole record host-degraded
+
+
+def calibration_probe() -> float:
+    """Fixed, pure-CPU, single-threaded numpy kernel (ufuncs never fan
+    out to BLAS threads) timed with perf_counter — the host-state canary
+    VERDICT r9 #4 asked for. Frequency/thermal decay slows EVERY query
+    proportionally while loadavg and cpu/wall core share stay flat (the
+    r9-close record: ~15% across-the-board, cpu/wall ~unchanged), so
+    neither existing detector can see it; this kernel does identical
+    work every run, so its wall time IS the host's effective
+    single-core throughput."""
+    import numpy as np
+
+    x = np.arange(4_000_000, dtype=np.float64) * 1e-6
+    best = float("inf")
+    for _ in range(4):                # min-of-4 absorbs cold-page/ramp
+        y = x
+        t0 = time.perf_counter()
+        for _ in range(4):
+            y = np.sin(y) * 1.000001 + 1e-9
+        dt = time.perf_counter() - t0
+        # fold into a scalar so the loop cannot be elided
+        s = float(y[::65536].sum())
+        assert s == s                 # not NaN; keeps `s` alive
+        best = min(best, dt)
+    return round(best, 3)
+
+
+def calibration_flagged(before: float, after: float, reference: float,
+                        tol: float = CAL_TOLERANCE) -> bool:
+    """True when BOTH probe runs sit above the rolling reference by more
+    than ``tol`` — the record was taken on a degraded host (one slow
+    probe could itself be a transient; two bracket the whole bench)."""
+    return reference > 0 and min(before, after) > (1.0 + tol) * reference
+
+
 def cpu_starved(ratios: list[float],
                 frac: float = CPU_SHARE_FRAC) -> list[int]:
     """Indices of repetitions whose cpu/wall core share is anomalously
@@ -196,8 +234,15 @@ def main():
             _prev_full = json.load(f)
         prev = _prev_full.get("queries", {})
         prev_cpu = _prev_full.get("cpu_wall", {})
+        prev_cal = float(_prev_full.get("calibration", {})
+                         .get("reference") or 0.0)
     except (OSError, ValueError):
-        prev, prev_cpu = {}, {}
+        prev, prev_cpu, prev_cal = {}, {}, 0.0
+
+    # host-state canary: one probe before the sweep, one after (the pair
+    # brackets the record), judged against the rolling best-known host
+    # speed — a fresh repo has no reference, so the first record seeds it
+    cal_before = calibration_probe()
 
     def _rep(name):
         load1 = os.getloadavg()[0]
@@ -257,6 +302,14 @@ def main():
                 "prev_cpu_wall": prev_ratio, "now_cpu_wall": now_ratio,
                 "verdict": classify_suspect(prev_ratio, now_ratio),
             }
+    cal_after = calibration_probe()
+    cal_ref = min(x for x in (prev_cal, cal_before, cal_after) if x > 0)
+    cal = {
+        "before": cal_before, "after": cal_after,
+        "reference": cal_ref,
+        "flagged": calibration_flagged(cal_before, cal_after,
+                                       prev_cal or cal_ref),
+    }
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total",
@@ -269,6 +322,7 @@ def main():
         "load_limit": load_limit,
         "load_flagged": load_flagged,
         "regression_suspects": suspects,
+        "calibration": cal,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail on disk: the driver keeps only the last 2000

@@ -127,7 +127,9 @@ def q_ngram_jaccard(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
-from hadoop_ir_spark.queries.zipf_q import _minhash_replay_sql  # noqa: E402
+from hadoop_ir_spark.queries.minhash_replay import (  # noqa: E402
+    minhash_replay_sql as _minhash_replay_sql,
+)
 
 
 @register("dedup_minhash_lsh",

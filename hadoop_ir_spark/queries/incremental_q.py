@@ -691,3 +691,78 @@ def q_indexed_ann_topk(spark, sf_dir):
                                 nprobe=ANN_IDX_NPROBE)
     return out.select("qid", "docno", "cosine",
                       F.col("rank").cast("int").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# incremental duplicate-cluster maintenance (VERDICT r9 missing #3)
+# ---------------------------------------------------------------------------
+
+def _cc_index_dir(spark, sf_dir: str) -> str:
+    """Memoized label-maintaining store per (process, sf_dir): build on
+    the standing corpus, compute the standing labels ONCE
+    (build_cc_labels — exact + verified-LSH components from the index's
+    own tables), then fold the new snapshot in — the fold merges only
+    the snapshot's pair edges into the standing labels (contracted CC +
+    alias log), never re-running CC over the standing pair set."""
+    key = os.path.abspath(sf_dir) + "#cc"
+    if key not in _IDX_CACHE:
+        _assert_offset(spark, sf_dir)
+        out = os.path.join(_TMPROOT,
+                           key.strip("/").replace("/", "_").replace("#", "_"))
+        dinc.build_dedup_index(_old_docs(spark, sf_dir), out,
+                               min_len=INC_SPAN_LEN, id_col="doc_id")
+        dinc.build_cc_labels(spark, out, tau=INC_TAU)
+        dinc.update_dedup_index(spark, out, _new_docs(spark, sf_dir),
+                                min_len=INC_SPAN_LEN, id_col="doc_id")
+        _IDX_CACHE[key] = out
+    return _IDX_CACHE[key]
+
+
+def _cc_oracle_sql(num_hashes: int = 24, bands: int = 8) -> str:
+    """From-scratch duplicate clusters over old ∪ new: the same pair
+    rule the store maintains (exact-content star edges + banded-LSH
+    candidates verified at exact Jaccard >= tau — the minhash_replay
+    CTE block), resolved by recursive-CTE reachability to min-id
+    labels (the dedup_clusters oracle pattern)."""
+    from hadoop_ir_spark.queries.minhash_replay import replay_cte_block
+
+    return f"""
+WITH RECURSIVE {_SQL_SPLIT},
+docsrc AS (SELECT docno, text FROM uni),
+{replay_cte_block(num_hashes, bands)},
+np AS (
+  SELECT i.da AS a, i.db AS b FROM inter i
+  JOIN sizes sa ON sa.docno = i.da
+  JOIN sizes sb ON sb.docno = i.db
+  WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= {INC_TAU}
+),
+exg AS (SELECT docno, min(docno) OVER (PARTITION BY text) AS m FROM uni),
+exs AS (SELECT m AS a, docno AS b FROM exg WHERE docno > m),
+allp AS (SELECT a, b FROM np UNION SELECT a, b FROM exs),
+edges AS (SELECT a, b FROM allp UNION SELECT b, a FROM allp),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS docno, CAST(min(root) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register("incremental_dedup_clusters", _cc_oracle_sql())
+def q_incremental_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster labels MAINTAINED INCREMENTALLY: the standing
+    corpus's components are computed once and persisted in the dedup
+    index (cc_labels); the new snapshot's fold merges only the
+    snapshot's pair edges (exact + verified-LSH, the same per-pair,
+    corpus-independent rule) into the standing labels via a contracted
+    CC pass and an alias log — incremental union-find: new edges can
+    only merge existing components or attach new docs. Oracle =
+    from-scratch recursive-CTE components over old ∪ new with the same
+    pair rule; fold ≡ rebuild is pinned in
+    tests/test_dedup_incremental.py::test_cc_labels_fold_equals_rebuild."""
+    idx_dir = _cc_index_dir(spark, sf_dir)
+    return (dinc.cc_labels_frame(spark, idx_dir)
+            .select("docno", F.col("label").alias("cluster_id")))

@@ -77,3 +77,22 @@ inter AS (
   JOIN sh y ON y.docno = c.db AND y.shingle = x.shingle
   GROUP BY 1, 2
 )"""
+
+
+def minhash_replay_sql(tau: float, src: str, num_hashes: int = 24,
+                       bands: int = 8) -> str:
+    """DuckDB replay of shingle → sign → band → bucket → verify with the
+    identical integer hash family: the standard near-dup-pair oracle
+    (``dedup_minhash_lsh`` / ``dedup_minhash_zipf``). Lives here — not
+    in zipf_q — so catalog-free consumers (and queries/dedup.py, loaded
+    BEFORE zipf_q by catalog's load_all) never form an import cycle."""
+    return f"""
+WITH docsrc AS (SELECT doc_id AS docno, text FROM {src}),
+{replay_cte_block(num_hashes, bands)}
+SELECT da AS docno_a, db AS docno_b,
+       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.docno = da
+JOIN sizes sb ON sb.docno = db
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= {tau}
+"""

@@ -29,6 +29,7 @@ import os
 from pyspark.sql import functions as F
 
 from hadoop_ir_spark.catalog import register
+from hadoop_ir_spark.queries.minhash_replay import minhash_replay_sql
 from hadoop_ir_spark.operators import apss, dedup, fuzzy, winnow
 
 ZIPF_PARQUET = os.path.join(
@@ -108,24 +109,11 @@ ZIPF_WIN_K, ZIPF_WIN_W = 5, 4
 ZIPF_WIN_MAX_DF, ZIPF_WIN_MIN_SHARED = 50, 2
 
 
-def _minhash_replay_sql(tau: float, src: str, num_hashes: int = 24,
-                        bands: int = 8) -> str:
-    """DuckDB replay of shingle → sign → band → bucket → verify with the
-    identical integer hash family — the shared CTE block lives in
-    ``queries/minhash_replay.py`` (one SQL twin of
-    ``operators/dedup.py:minhash_permutation``, r9)."""
-    from hadoop_ir_spark.queries.minhash_replay import replay_cte_block
-
-    return f"""
-WITH docsrc AS (SELECT doc_id AS docno, text FROM {src}),
-{replay_cte_block(num_hashes, bands)}
-SELECT da AS docno_a, db AS docno_b,
-       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.docno = da
-JOIN sizes sb ON sb.docno = db
-WHERE i::DOUBLE / (sa.n + sb.n - i) >= {tau}
-"""
+# the replay-SQL builder lives in queries/minhash_replay.py (its
+# cycle-free home — r10: queries/dedup.py importing it from HERE made a
+# direct `import zipf_q` fail through catalog's load_all back-edge);
+# re-exported for existing callers
+_minhash_replay_sql = minhash_replay_sql
 
 
 @register("dedup_minhash_zipf", _minhash_replay_sql(
@@ -224,3 +212,87 @@ def q_winnow_zipf(spark, sf_dir):
         _zipf_docs(spark), k=ZIPF_WIN_K, w=ZIPF_WIN_W, id_col="doc_id")
     return winnow.span_dup_pairs(
         fps, max_df=ZIPF_WIN_MAX_DF, min_shared=ZIPF_WIN_MIN_SHARED)
+
+
+# ---------------------------------------------------------------------------
+# positional-proximity twin (r10, VERDICT r9 optional #9): the offset
+# self-join behind phrase/SDM is the last family graded only on the
+# ~31-term corpus, where EVERY position survives the query-vocab filter
+# (440k join rows at sf0.1 scale). On a realistic Zipf vocabulary the
+# filter is the selectivity lever: only the query terms' occurrences
+# enter the offset join. Counts pinned in tests/test_zipf_surface.py.
+# ---------------------------------------------------------------------------
+
+ZIPF_PROX_TERMS = ["crone", "livid", "mutter", "swing"]   # hot→mid mix
+ZIPF_PROX_PAIRS = [("crone", "livid"), ("livid", "mutter"),
+                   ("mutter", "swing")]
+ZIPF_PROX_UW = 8
+
+_PROX_TERMS_IN = ", ".join(f"'{t}'" for t in ZIPF_PROX_TERMS)
+_PROX_PAIRS_VALUES = ", ".join(f"('{a}', '{b}')"
+                               for a, b in ZIPF_PROX_PAIRS)
+
+
+@register("prox_pairs_zipf", f"""
+WITH toklist AS (
+  SELECT doc_id AS docno,
+         list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'),
+                     t -> t <> '') AS toks
+  FROM read_parquet('{ZIPF_PARQUET}')
+),
+words AS (
+  SELECT docno, term, ord FROM (
+    SELECT docno, unnest(toks) AS term,
+           unnest(range(1, len(toks) + 1)) AS ord
+    FROM toklist
+  ) WHERE term IN ({_PROX_TERMS_IN})
+),
+dpairs AS (SELECT * FROM (VALUES {_PROX_PAIRS_VALUES}) AS p(t1, t2)),
+upairs AS (SELECT * FROM (VALUES {_PROX_PAIRS_VALUES}) AS u(u1, u2)),
+ordered AS (
+  SELECT a.docno, a.term AS t1, b.term AS t2, count(*) AS otf
+  FROM words a
+  JOIN words b ON a.docno = b.docno AND b.ord = a.ord + 1
+  JOIN dpairs p ON p.t1 = a.term AND p.t2 = b.term
+  GROUP BY 1, 2, 3
+),
+unord AS (
+  SELECT a.docno, least(a.term, b.term) AS u1,
+         greatest(a.term, b.term) AS u2, count(*) AS utf
+  FROM words a
+  JOIN words b ON a.docno = b.docno
+              AND b.ord > a.ord AND b.ord <= a.ord + {ZIPF_PROX_UW - 1}
+  JOIN upairs u ON u.u1 = least(a.term, b.term)
+               AND u.u2 = greatest(a.term, b.term)
+  GROUP BY 1, 2, 3
+)
+SELECT 'O' AS kind, docno, t1, t2, CAST(otf AS BIGINT) AS n FROM ordered
+UNION ALL
+SELECT 'U' AS kind, docno, u1 AS t1, u2 AS t2, CAST(utf AS BIGINT) AS n
+FROM unord
+""")
+def q_prox_pairs_zipf(spark, sf_dir):
+    """Exact-adjacency (#1) and unordered-window-8 (#uw8) pair counts
+    over the Zipf fixture for a hot→mid query-term mix — the positional
+    offset-join selectivity surface: the query-vocab filter admits only
+    the terms' occurrences into the join (vs every position on the
+    degenerate grading vocabulary). Same operators the phrase/SDM
+    family composes (`proximity.ordered/unordered_pair_counts`)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ir_spark.operators import proximity
+
+    ptoks = proximity.positional_tokens(
+        _zipf_docs(spark), ZIPF_PROX_TERMS, id_col="doc_id")
+    pairs = spark.createDataFrame(ZIPF_PROX_PAIRS, "t1 string, t2 string")
+    upairs = spark.createDataFrame(ZIPF_PROX_PAIRS,
+                                   "u1 string, u2 string")
+    o = (proximity.ordered_pair_counts(ptoks, pairs)
+         .select(F.lit("O").alias("kind"), "docno", "t1", "t2",
+                 F.col("otf").cast("long").alias("n")))
+    u = (proximity.unordered_pair_counts(ptoks, upairs,
+                                         window=ZIPF_PROX_UW)
+         .select(F.lit("U").alias("kind"), "docno",
+                 F.col("u1").alias("t1"), F.col("u2").alias("t2"),
+                 F.col("utf").cast("long").alias("n")))
+    return o.unionByName(u)

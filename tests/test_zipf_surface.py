@@ -154,3 +154,45 @@ def test_simhash_banding_bucket_skew_on_zipf(spark, zipf_docs):
     assert n == SIMHASH_PAIRS, (
         f"{n:,} Hamming<={ZIPF_SIMHASH_K} pairs (expected {SIMHASH_PAIRS:,})"
         " — fingerprints moved on a committed fixture")
+
+
+# positional-proximity surface (r10, VERDICT r9 optional #9): measured on
+# the fixture — 440,032 total positions, 99,612 query-term occurrences
+# (the words projection), 145,828 window-8 offset-join matches. On the
+# degenerate ~31-term grading vocabulary EVERY position survives the
+# query-vocab filter (~3.1M offset matches at this size) — the filter is
+# the family's selectivity lever. Bounds leave ~1.6x headroom.
+PROX_WORDS_MAX = 160_000
+PROX_UW_CAND_MAX = 250_000
+
+
+def test_proximity_vocab_filter_prunes_on_zipf(spark, zipf_docs):
+    from pyspark.sql import functions as F
+
+    from hadoop_ir_spark.operators import proximity
+    from hadoop_ir_spark.queries.zipf_q import (
+        ZIPF_PROX_TERMS,
+        ZIPF_PROX_UW,
+    )
+
+    total = zipf_docs.select(
+        F.size(F.split(F.lower("text"), "[^0-9a-zA-Z]+")).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    ptoks = proximity.positional_tokens(zipf_docs, ZIPF_PROX_TERMS,
+                                        id_col="doc_id")
+    nw = ptoks.count()
+    assert nw <= PROX_WORDS_MAX, (
+        f"{nw:,} positional rows for {len(ZIPF_PROX_TERMS)} query terms "
+        f"of {total:,} positions — the query-vocab filter stopped "
+        f"pruning the offset join's input")
+    left = ptoks.select(
+        "docno", F.col("term").alias("w1"),
+        F.explode(F.array(*[F.col("pos") + d
+                            for d in range(1, ZIPF_PROX_UW)])).alias("p2"))
+    right = ptoks.select("docno", F.col("pos").alias("p2"),
+                         F.col("term").alias("w2"))
+    cand = left.join(right, ["docno", "p2"]).count()
+    assert cand <= PROX_UW_CAND_MAX, (
+        f"{cand:,} window-{ZIPF_PROX_UW} offset matches — degenerate-"
+        f"vocabulary scale is ~3.1M here; the positional join lost its "
+        f"selectivity")
