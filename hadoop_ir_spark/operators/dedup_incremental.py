@@ -649,6 +649,17 @@ def update_dedup_index(spark: SparkSession, index_dir: str,
     ``new_embeddings`` appends to the vector table (retraction shares
     the doc tombstones).
 
+    When the store carries trained maintenance artifacts, the fold also
+    maintains them at snapshot-proportional cost: a trained ANN index
+    (``train_ann_index``) gets the new vectors assigned to the
+    PERSISTED centroids; standing cc labels (``build_cc_labels``) get
+    the snapshot's pair edges merged in (contracted CC + alias log).
+    Both add pruned equi-join reads of standing tables — the same class
+    as the incremental queries, never a corpus rescan — so the
+    structural zero-reads property pinned by
+    ``test_fold_in_reads_no_standing_table`` applies to the bare
+    fingerprint fold (no ANN/cc trained).
+
     Visibility is atomic — the new snap id enters the manifest only
     after every dir is fully written, and a crashed fold's partial dirs
     are invisible and clobbered on replay (``snap`` ids come from the

@@ -138,6 +138,11 @@ PINNED_JUDGE_VERIFIED = sorted({
     # (strict at 3 SFs on addition; oracle = from-scratch union replay
     # restricted to pairs involving a new doc)
     "incremental_winnow_pairs",
+    # round 10: persisted ANN index (VERDICT r9 #2), incremental
+    # duplicate-cluster maintenance (VERDICT r9 #3), proximity
+    # offset-join Zipf twin (VERDICT r9 optional #9); strict at 3 SFs
+    # on addition
+    "indexed_ann_topk", "incremental_dedup_clusters", "prox_pairs_zipf",
 })
 
 
