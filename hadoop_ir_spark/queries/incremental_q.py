@@ -589,10 +589,11 @@ ANN_QUERY_EVERY = 50
 def _ann_index_dir(spark, sf_dir: str) -> str:
     """Memoized trained-ANN store per (process, sf_dir), assembled the
     way the weekly pipeline would: build on the standing embeddings
-    (vec_id % 3 <> 0), TRAIN the IVF index once over them
-    (``train_ann_index``), then fold the new snapshot's vectors
-    (vec_id % 3 = 0) in O(snapshot) — assignment to the persisted
-    centroids only, the standing assignment never re-read. The doc side
+    (vec_id % 3 <> 0), TRAIN the IVF index and the PQ index once over
+    them (``train_ann_index`` / ``train_pq_index``), then fold the new
+    snapshot's vectors (vec_id % 3 = 0) in O(snapshot) — assignment to
+    the persisted centroids plus encoding against the persisted
+    codebook, the standing assignment/codes never re-read. The doc side
     is a thin slice (doc_id % 15 = 1): the ANN tables depend only on
     the embeddings, and the text fingerprints are already exercised by
     the ``_dedup_index_dir`` family."""
@@ -608,6 +609,7 @@ def _ann_index_dir(spark, sf_dir: str) -> str:
             embeddings=emb.filter(F.col("vec_id") % 3 != 0),
             emb_id_col="vec_id")
         dinc.train_ann_index(spark, out, every=ANN_IDX_EVERY)
+        dinc.train_pq_index(spark, out)
         dinc.update_dedup_index(
             spark, out, min_len=INC_SPAN_LEN,
             new_embeddings=emb.filter(F.col("vec_id") % 3 == 0),
@@ -691,6 +693,95 @@ def q_indexed_ann_topk(spark, sf_dir):
                                 nprobe=ANN_IDX_NPROBE)
     return out.select("qid", "docno", "cosine",
                       F.col("rank").cast("int").alias("rank"))
+
+
+def _register_indexed_pq():
+    """Registered via a helper so the oracle SQL can borrow the PQ
+    constants without a circular import at module-load order."""
+    from hadoop_ir_spark.operators import similarity
+
+    sub = 64 // similarity.PQ_M
+    d2 = ("(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+          " + list_dot_product({b}, {b}))")
+
+    @register("indexed_pq_topk", f"""
+WITH embd AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+samples AS (
+  SELECT v, rn FROM (
+    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+    FROM embd
+    WHERE vec_id % {similarity.PQ_TRAIN_EVERY} = 0 AND vec_id % 3 <> 0
+  ) WHERE rn <= {similarity.PQ_K}
+),
+cb AS (
+  SELECT t.s AS s, rn - 1 AS code,
+         list_slice(v, t.s * {sub} + 1, t.s * {sub} + {sub}) AS cv
+  FROM samples, range({similarity.PQ_M}) t(s)
+),
+xs AS (
+  SELECT vec_id, t.s AS s,
+         list_slice(v, t.s * {sub} + 1, t.s * {sub} + {sub}) AS xv
+  FROM embd, range({similarity.PQ_M}) t(s)
+),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, x.s, c.code,
+           row_number() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY {d2.format(a='x.xv', b='c.cv')} ASC, c.code ASC
+           ) AS rn
+    FROM xs x JOIN cb c ON c.s = x.s
+  ) WHERE rn = 1
+),
+qs AS (
+  SELECT vec_id AS qid, t.s AS s,
+         list_slice(v, t.s * {sub} + 1, t.s * {sub} + {sub}) AS qv
+  FROM embd, range({similarity.PQ_M}) t(s)
+  WHERE vec_id % {ANN_QUERY_EVERY} = 0
+),
+lut AS (
+  SELECT q.qid, q.s, c.code,
+         CAST(floor({d2.format(a='q.qv', b='c.cv')} * 1e6 + 0.5)
+              AS BIGINT) AS d2_i
+  FROM qs q JOIN cb c ON c.s = q.s
+),
+scored AS (
+  SELECT l.qid, e.vec_id, CAST(sum(l.d2_i) AS BIGINT) AS di
+  FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, vec_id AS docno, di,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY di ASC, vec_id DESC) AS rank
+  FROM scored
+)
+SELECT qid, docno, round(di::DOUBLE / 1e6, 6) AS approx_d2,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_IDX_K}
+""")
+    def q_indexed_pq_topk(spark, sf_dir):
+        """PQ/ADC top-k served from the PERSISTED PQ index: sub-codebooks
+        trained once over the standing embeddings (``train_pq_index``,
+        the deterministic sample the PQ family uses), the new snapshot's
+        vectors folded in O(snapshot) by encoding against the persisted
+        codebook, retraction via the store's shared tombstones. Oracle =
+        the same composed-CTE pipeline as pq_ann_topk with the training
+        sample restricted to the standing side — by the fold≡rebuild
+        property (tests/test_dedup_incremental.py
+        ::test_pq_index_fold_equals_rebuild), serving from the index
+        equals encoding the union corpus against the standing-trained
+        codebook."""
+        idx_dir = _ann_index_dir(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        return dinc.indexed_pq_topk(queries, idx_dir, k=ANN_IDX_K)
+
+
+_register_indexed_pq()
 
 
 # ---------------------------------------------------------------------------

@@ -1075,6 +1075,99 @@ def test_ann_index_retraction_and_compaction(spark, tmp_path):
         == {i for i in ids if i % 2 == 0 and i != 3} - {3}
 
 
+def test_pq_index_fold_equals_rebuild(spark, tmp_path):
+    """train_pq_index persists the sub-codebooks + per-doc codes;
+    folding new vectors must equal encoding the UNION corpus against
+    the SAME persisted codebook (the O(snapshot) claim's correctness
+    half), and indexed_pq_topk must equal similarity.pq_topk over the
+    union with that codebook."""
+    from hadoop_ir_spark.operators import similarity
+
+    old_ids = list(range(0, 20))
+    new_ids = list(range(20, 30))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, old_ids), idx,
+                           embeddings=_emb_df(spark, old_ids))
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8)
+    man = dinc._read_manifest(idx)
+    assert man["pq"]["codebook_snap"] == 1 \
+        and man["pq"]["code_snaps"] == [1]
+
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, new_ids),
+                            new_embeddings=_emb_df(spark, new_ids))
+    man = dinc._read_manifest(idx)
+    assert man["pq"]["code_snaps"] == [1, 2]
+
+    cb = dinc._pq_codebook_frame(spark, idx, man)
+    union_emb = _emb_df(spark, old_ids + new_ids)
+    want_codes = sorted(map(tuple, similarity.pq_encode(
+        union_emb, cb, m=4, id_col="docno", vec_col="embedding", dims=8)
+        .select(F.col("vec_id").alias("docno"), "s", "code").collect()))
+    got_codes = sorted(map(tuple, dinc.load_dedup_index(
+        spark, idx)["ann_codes"].collect()))
+    assert got_codes == want_codes
+
+    queries = spark.createDataFrame(
+        [(100, _vec(3)), (101, _vec(27))], "qid long, embedding array<double>")
+    got = sorted(map(tuple, dinc.indexed_pq_topk(
+        queries, idx, k=5).collect()))
+    lut = similarity.pq_lut(queries, cb, m=4, dims=8)
+    want = sorted(map(tuple, similarity.pq_topk(
+        similarity.pq_encode(union_emb, cb, m=4, id_col="docno",
+                             vec_col="embedding", dims=8), lut, k=5)
+        .select("qid", F.col("vec_id").alias("docno"), "approx_d2", "rank")
+        .collect()))
+    assert got == want and len(got) == 10
+
+
+def test_pq_index_retraction_and_compaction(spark, tmp_path):
+    """A tombstone retracts a doc's code rows (shared-tombstone claim);
+    compaction carries the PQ tables and the manifest pq block through
+    the merge; retrain=True replaces the trained artifact."""
+    ids = list(range(0, 16))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, ids), idx,
+                           embeddings=_emb_df(spark, ids))
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8)
+    # retract doc 3 (kept encoded docs must lose exactly those rows)
+    dinc.update_dedup_index(spark, idx,
+                            removed_docs=_docs_for(spark, [3]))
+    live = dinc.load_dedup_index(spark, idx)
+    assert 3 not in {r["docno"] for r in live["ann_codes"].collect()}
+    queries = spark.createDataFrame(
+        [(100, _vec(3))], "qid long, embedding array<double>")
+    got = {r["docno"] for r in dinc.indexed_pq_topk(
+        queries, idx, k=30).collect()}
+    assert 3 not in got and got   # full scan, retracted doc excluded
+
+    before = {t: sorted(map(tuple, df.collect()))
+              for t, df in dinc.load_dedup_index(spark, idx).items()}
+    dinc.compact_dedup_index(spark, idx)
+    man = dinc._read_manifest(idx)
+    assert man["pq"]["codebook_snap"] == man["snaps"][0]
+    assert man["pq"]["code_snaps"] == [man["snaps"][0]]
+    after = {t: sorted(map(tuple, df.collect()))
+             for t, df in dinc.load_dedup_index(spark, idx).items()}
+    assert set(before) == set(after)
+    for t in before:
+        assert before[t] == after[t], t
+
+    # double-train guards; retrain replaces the block
+    with pytest.raises(ValueError, match="already has a trained"):
+        dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8)
+    dinc.train_pq_index(spark, idx, m=2, kk=3, train_every=2, dims=8,
+                        retrain=True)
+    man2 = dinc._read_manifest(idx)
+    sid = man2["snaps"][-1]
+    assert man2["pq"] == {"m": 2, "kk": 3, "train_every": 2, "dims": 8,
+                          "codebook_snap": sid, "code_snaps": [sid]}
+    # retrained codes cover exactly the live docs, 2 subspaces each
+    live2 = dinc.load_dedup_index(spark, idx)
+    codes2 = live2["ann_codes"].collect()
+    assert {r["docno"] for r in codes2} == set(ids) - {3}
+    assert {r["s"] for r in codes2} == {0, 1}
+
+
 # ---------------------------------------------------------------------------
 # incremental duplicate-cluster maintenance (VERDICT r9 missing #3)
 # ---------------------------------------------------------------------------
