@@ -1745,8 +1745,13 @@ def build_cc_labels(spark: SparkSession, index_dir: str, *,
     the documented answer to the two retraction deferrals — a tombstone
     kills the removed doc's label row immediately, but (a) a component
     its removal SPLITS keeps its merged label, and (b) a component
-    labeled BY the removed doc's id keeps that id as a (consistent,
-    still unique) cluster name — both until the next rebuild."""
+    labeled BY the removed doc's id keeps that dead id as its cluster
+    name — both until the next rebuild. A dead name stays unique only
+    while the doc stays dead: RE-ADDING a doc whose id names a standing
+    component would conflate the re-added doc with the stale cluster, so
+    the fold detects that case (new docno with a visible tombstone whose
+    id survives in the label column) and fails loudly, naming
+    ``rebuild=True`` as the repair — see ``_cc_fold_frames``."""
     man = _read_manifest(index_dir)
     if man.get("cc") and not rebuild:
         raise ValueError(
@@ -1811,6 +1816,62 @@ def _cc_fold_frames(spark: SparkSession, index_dir: str, man: dict,
     snapshot-proportional."""
     snaps = man["snaps"]
     cc = man["cc"]
+    lsnaps = [s for s in cc["label_snaps"] if s in snaps]
+    amap = _cc_alias_map(spark, index_dir, lsnaps)
+    old_lab = _live_rows_tomb(spark, index_dir, CC_LABELS, lsnaps, snaps)
+
+    # dead-min re-add guard: a NEW doc whose id previously NAMED a
+    # standing component (it was the min-id label, then retracted while
+    # its partners' rows survived) would collide with the stale label on
+    # re-add — the contraction conflates the re-added doc with the stale
+    # cluster node, and the read view spuriously merges two logically
+    # distinct clusters (from-scratch would rename the old component to
+    # its next-min member). Detection is cheap and skipped entirely when
+    # the store has no retraction history: re-add candidates are the new
+    # docnos with a visible tombstone (or in this batch's removed set),
+    # minus names the alias log has already re-pointed away; only for
+    # those is the standing label column probed. The repair is the
+    # documented ``build_cc_labels(rebuild=True)`` pass.
+    tomb = _union_snaps(spark, index_dir, TOMBSTONES, snaps)
+    if old_lab is not None and (tomb is not None
+                                or removed_ids is not None):
+        hist = (tomb.select("docno").distinct() if tomb is not None
+                else None)
+        if removed_ids is not None:
+            hist = (removed_ids.select("docno") if hist is None
+                    else hist.unionByName(removed_ids.select("docno"))
+                    .distinct())
+        cand = (d.select("docno").distinct().join(hist, "docno")
+                .select(F.col("docno").alias("label")))
+        if amap:
+            aliased = spark.createDataFrame(
+                [(k,) for k in sorted(amap)], "label long")
+            cand = cand.join(F.broadcast(aliased), "label", "anti")
+            pre = spark.createDataFrame(sorted(amap.items()),
+                                        "f long, t long")
+            cand = cand.unionByName(
+                pre.join(F.broadcast(cand.withColumnRenamed(
+                    "label", "t")), "t")
+                .select(F.col("f").alias("label"))).distinct()
+        probe = old_lab
+        if removed_ids is not None:
+            # rows of docs retracted in THIS batch die with it — a
+            # full-component REPLACE leaves no stale name behind
+            probe = probe.join(F.broadcast(removed_ids), "docno", "anti")
+        hit = (probe.join(F.broadcast(cand), "label")
+               .select("label").limit(1).collect())
+        if hit:
+            raise ValueError(
+                f"dedup index at {index_dir}: document "
+                f"{hit[0]['label']} is being re-added but its id still "
+                f"NAMES a standing duplicate component (it was the "
+                f"component's min-id label when it was retracted) — "
+                f"folding it in would conflate the re-added document "
+                f"with the stale cluster. Run build_cc_labels(spark, "
+                f"index_dir, rebuild=True) first to rename standing "
+                f"components to their live minima, then retry the "
+                f"update")
+
     old_ch = _live_rows(spark, index_dir, "content_hashes", snaps)
     old_bk = _live_rows(spark, index_dir, "band_keys", snaps)
     old_sh = _live_rows(spark, index_dir, "shingles", snaps)
@@ -1862,8 +1923,6 @@ def _cc_fold_frames(spark: SparkSession, index_dir: str, man: dict,
     e_no = (ex_no.select(F.col("docno_old").alias("a"),
                          F.col("docno_new").alias("b"))
             .unionByName(near_no))
-    lsnaps = [s for s in cc["label_snaps"] if s in snaps]
-    old_lab = _live_rows_tomb(spark, index_dir, CC_LABELS, lsnaps, snaps)
     singles = e_no.select("a").distinct()
     if old_lab is not None:
         joined = e_no.join(old_lab.withColumnRenamed("docno", "a"), "a",
@@ -1871,7 +1930,6 @@ def _cc_fold_frames(spark: SparkSession, index_dir: str, man: dict,
         singles = (joined.filter(F.col("label").isNull())
                    .select("a").distinct())
         e_no = joined.select(F.coalesce("label", "a").alias("a"), "b")
-    amap = _cc_alias_map(spark, index_dir, lsnaps)
     if amap:
         adf = spark.createDataFrame(sorted(amap.items()),
                                     "from_label long, to_label long")

@@ -1267,3 +1267,55 @@ def test_cc_labels_retraction_and_repair(spark, tmp_path):
                        [(1, WORDS + " extra"), (8, c), (2, c)], "s")
     dinc.build_cc_labels(spark, idx, rebuild=True)
     assert _cc_frame(spark, idx) == want
+
+
+def test_cc_dead_min_readd_fails_loudly(spark, tmp_path):
+    """Re-adding a doc whose id still NAMES a standing component (it was
+    the component's min-id label when retracted, and its partners' rows
+    survive under that name) must fail loudly instead of conflating the
+    re-added doc with the stale cluster — from-scratch would rename the
+    old component to its next-min member, so a silent fold would
+    spuriously merge two logically distinct clusters. rebuild=True is
+    the documented repair; a stale name the alias log has already
+    re-pointed away is NOT a collision and must not raise."""
+    c = "completely separate content " + " ".join(
+        f"w{i}" for i in range(30))
+    old = [(0, WORDS), (1, WORDS + " extra"), (4, c), (8, c)]
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx)
+    dinc.build_cc_labels(spark, idx)
+    assert dict(_cc_frame(spark, idx)) == {0: 0, 1: 0, 4: 4, 8: 4}
+
+    # retract min 0; its partner keeps the dead-named label 0
+    dinc.update_dedup_index(spark, idx,
+                            removed_docs=_df(spark, [(0, WORDS)]))
+    # re-adding 0 (with ANY content) collides with the stale name
+    with pytest.raises(ValueError, match="NAMES a standing"):
+        dinc.update_dedup_index(spark, idx,
+                                _df(spark, [(0, "unrelated body text")]))
+    # same-batch REPLACE of a live min is the same collision
+    with pytest.raises(ValueError, match="NAMES a standing"):
+        dinc.update_dedup_index(spark, idx,
+                                _df(spark, [(4, "replacement body")]),
+                                removed_docs=_df(spark, [(4, c)]))
+    # the failed attempts staged nothing visible
+    assert dict(_cc_frame(spark, idx)) == {1: 0, 4: 4, 8: 4}
+
+    # repair, then the same re-add lands cleanly and equals from-scratch
+    dinc.build_cc_labels(spark, idx, rebuild=True)
+    dinc.update_dedup_index(spark, idx,
+                            _df(spark, [(0, "unrelated body text")]))
+    want = _cc_scratch(spark, tmp_path,
+                       [(1, WORDS + " extra"), (4, c), (8, c),
+                        (0, "unrelated body text")], "s0")
+    assert _cc_frame(spark, idx) == want
+
+    # an aliased-away dead name is no collision: merge {4,8} with a new
+    # smaller-id copy (alias 4 -> 2), retract 4, re-add 4 — must fold
+    dinc.update_dedup_index(spark, idx, _df(spark, [(2, c)]))
+    dinc.update_dedup_index(spark, idx, removed_docs=_df(spark, [(4, c)]))
+    dinc.update_dedup_index(spark, idx, _df(spark, [(4, c)]))
+    want = _cc_scratch(spark, tmp_path,
+                       [(1, WORDS + " extra"), (8, c), (2, c), (4, c),
+                        (0, "unrelated body text")], "s1")
+    assert _cc_frame(spark, idx) == want
