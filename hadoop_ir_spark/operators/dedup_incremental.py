@@ -296,8 +296,32 @@ def _manifest_lock(index_dir: str, timeout_s: float = 60.0,
                 except PermissionError:
                     pass          # alive under another uid
             if stale:
+                # steal via RENAME, not unlink: rename is atomic, so of
+                # two concurrent stealers exactly one wins (the other
+                # gets FileNotFoundError and re-loops) — a bare unlink
+                # could remove a FRESH lock the winner just created,
+                # double-admitting writers. After the rename, verify the
+                # stolen file really is the dead holder's: losing that
+                # race means a live writer's lock was grabbed — restore
+                # it atomically (link fails if a third writer already
+                # re-locked; their lock stands, ours never existed).
+                steal = f"{path}.steal-{uuid.uuid4().hex[:8]}"
                 try:
-                    os.unlink(path)
+                    os.rename(path, steal)
+                except FileNotFoundError:
+                    continue
+                try:
+                    with open(steal) as f:
+                        stolen = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    stolen = 0
+                if stolen not in (0, pid):
+                    try:
+                        os.link(steal, path)
+                    except FileExistsError:
+                        pass
+                try:
+                    os.unlink(steal)
                 except FileNotFoundError:
                     pass
                 continue

@@ -924,6 +924,65 @@ def test_concurrent_writers_serialize_or_raise(spark, tmp_path, snapshots,
         assert a[t] == b[t], t
 
 
+def test_manifest_lock_steal_and_mutual_exclusion(tmp_path, monkeypatch):
+    """The manifest lock steals a DEAD holder's lock (rename-based, so
+    two concurrent stealers cannot double-admit), never steals a LIVE
+    holder's, and stays mutually exclusive under thread contention with
+    a planted stale lock."""
+    import os
+    import threading
+    import time
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    path = os.path.join(idx, dinc.LOCK_FILE)
+    monkeypatch.setattr(dinc, "_LOCK_STEAL_MIN_AGE_S", 0.0)
+
+    # a dead holder's lock (bogus pid) is stolen and the writer proceeds
+    with open(path, "w") as f:
+        f.write("999999999")
+    os.utime(path, (1, 1))
+    with dinc._manifest_lock(idx, timeout_s=5):
+        assert os.path.exists(path)     # we hold our own fresh lock
+    assert not os.path.exists(path)
+
+    # a LIVE holder's lock is never stolen — the waiter times out
+    with open(path, "w") as f:
+        f.write(str(os.getpid()))
+    os.utime(path, (1, 1))
+    with pytest.raises(dinc.ConcurrentWriteError, match="timed out"):
+        with dinc._manifest_lock(idx, timeout_s=0.3, poll_s=0.05):
+            pass
+    os.unlink(path)
+
+    # contention stress: plant a stale lock, race 8 threads through the
+    # lock around a shared critical-section flag — never two inside
+    with open(path, "w") as f:
+        f.write("999999998")
+    os.utime(path, (1, 1))
+    inside, peak, errs = [0], [0], []
+
+    def worker():
+        try:
+            for _ in range(5):
+                with dinc._manifest_lock(idx, timeout_s=30):
+                    inside[0] += 1
+                    peak[0] = max(peak[0], inside[0])
+                    time.sleep(0.002)
+                    inside[0] -= 1
+        except Exception as e:          # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs and peak[0] == 1
+    # no steal/temp debris left behind
+    assert [e for e in os.listdir(idx) if ".steal-" in e] == []
+
+
 def test_vacuum_spares_inflight_and_respects_retention(spark, tmp_path,
                                                        snapshots):
     """ADVICE r9: vacuum must not delete an in-flight writer's staging
