@@ -2091,7 +2091,8 @@ def streaming_dedup_incremental(new_docs_stream: DataFrame,
                                 text_col: str = "text",
                                 portable: bool = True,
                                 checkpoint_dir: str | None = None,
-                                compact_every: int | None = None):
+                                compact_every: int | None = None,
+                                emb_col: str | None = None):
     """The weekly pipeline as a Structured Streaming job: each
     micro-batch of arriving documents is deduplicated against the
     index's visible snapshots (per-doc statuses written to
@@ -2125,14 +2126,22 @@ def streaming_dedup_incremental(new_docs_stream: DataFrame,
     True)`` — the merged prefix absorbs every older snap while the
     batch's own snap (the one a replay must subtract) survives
     verbatim, so replay safety is unaffected by where in the cycle a
-    crash lands."""
+    crash lands.
+
+    ``emb_col`` names an embedding column carried on the stream: each
+    batch's vectors fold into the ``embeddings`` table alongside the
+    text fingerprints, and a trained ANN/PQ index is maintained
+    per-batch at O(batch) (assignment to the persisted centroids /
+    encoding against the persisted codebook — see
+    ``update_dedup_index``). Replay semantics are unchanged: a
+    replayed batch skips the fold, vectors included."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         _apply_dedup_batch(batch_df, batch_id, index_dir, statuses_dir,
                            tau=tau, k=k, num_hashes=num_hashes,
                            bands=bands, min_len=min_len, id_col=id_col,
                            text_col=text_col, portable=portable,
-                           compact_every=compact_every)
+                           compact_every=compact_every, emb_col=emb_col)
 
     writer = (new_docs_stream.writeStream.foreachBatch(apply_batch)
               .trigger(availableNow=True))
@@ -2148,7 +2157,8 @@ def _apply_dedup_batch(batch_df: DataFrame, batch_id: int,
                        min_len: int = 8, id_col: str = "docno",
                        text_col: str = "text",
                        portable: bool = True,
-                       compact_every: int | None = None) -> None:
+                       compact_every: int | None = None,
+                       emb_col: str | None = None) -> None:
     """One micro-batch: statuses → fold → manifest swap, idempotent on
     replay (module-level so the restart-safety test can drive the exact
     foreachBatch code path without killing a JVM)."""
@@ -2190,7 +2200,9 @@ def _apply_dedup_batch(batch_df: DataFrame, batch_id: int,
     update_dedup_index(spark, index_dir, batch, k=k,
                        num_hashes=num_hashes, bands=bands,
                        min_len=min_len, id_col=id_col, text_col=text_col,
-                       portable=portable, batch_id=batch_id)
+                       portable=portable, batch_id=batch_id,
+                       new_embeddings=(batch if emb_col else None),
+                       emb_id_col=id_col, emb_vec_col=emb_col or "")
     if compact_every is not None and \
             len(_read_manifest(index_dir)["snaps"]) >= compact_every:
         compact_dedup_index(spark, index_dir, keep_last_snap=True)

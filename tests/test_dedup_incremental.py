@@ -316,6 +316,60 @@ def test_streaming_dedup_incremental_sequential_equivalence(
         assert a[t] == b[t], t
 
 
+def test_streaming_fold_maintains_vector_side(spark, tmp_path):
+    """emb_col: a stream carrying an embedding column folds vectors into
+    the embeddings table per batch and maintains the trained ANN + PQ
+    indexes at O(batch) — the final assignment/codes must equal the
+    union corpus assigned to the persisted centroids / encoded against
+    the persisted codebook, and a replayed batch must skip the vector
+    fold too."""
+    from hadoop_ir_spark.operators import similarity
+
+    old_ids = list(range(0, 12))
+    idx = str(tmp_path / "idx")
+    statuses = str(tmp_path / "statuses")
+    dinc.build_dedup_index(_docs_for(spark, old_ids), idx,
+                           embeddings=_emb_df(spark, old_ids))
+    dinc.train_ann_index(spark, idx, every=4)
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8)
+
+    def _batch(ids):
+        docs = {i: t for i, t in
+                ((r["docno"], r["text"])
+                 for r in _docs_for(spark, ids).collect())}
+        vecs = {i: v for i, v in
+                ((r["docno"], r["embedding"])
+                 for r in _emb_df(spark, ids).collect())}
+        return spark.createDataFrame(
+            [(i, docs[i], vecs[i]) for i in ids],
+            "docno long, text string, embedding array<double>")
+
+    dinc._apply_dedup_batch(_batch([20, 21]), 0, idx, statuses,
+                            emb_col="embedding")
+    dinc._apply_dedup_batch(_batch([22, 23]), 1, idx, statuses,
+                            emb_col="embedding")
+    # a replay of batch 1 (crash after swap) must not double-fold vectors
+    dinc._apply_dedup_batch(_batch([22, 23]), 1, idx, statuses,
+                            emb_col="embedding")
+
+    man = dinc._read_manifest(idx)
+    live = dinc.load_dedup_index(spark, idx)
+    all_ids = old_ids + [20, 21, 22, 23]
+    assert {r["docno"] for r in live["embeddings"].collect()} \
+        == set(all_ids)
+    union_emb = _emb_df(spark, all_ids)
+    cents = dinc._ann_centroid_frame(spark, idx, man)
+    want_assign = sorted(map(tuple, similarity.assign_centroids(
+        union_emb, cents, id_col="docno", vec_col="embedding")
+        .select(F.col("vec_id").alias("docno"), "centroid_id").collect()))
+    assert sorted(map(tuple, live["ann_assign"].collect())) == want_assign
+    cb = dinc._pq_codebook_frame(spark, idx, man)
+    want_codes = sorted(map(tuple, similarity.pq_encode(
+        union_emb, cb, m=4, id_col="docno", vec_col="embedding", dims=8)
+        .select(F.col("vec_id").alias("docno"), "s", "code").collect()))
+    assert sorted(map(tuple, live["ann_codes"].collect())) == want_codes
+
+
 def test_streaming_replay_idempotent(spark, tmp_path):
     """ADVICE r8 (medium): a crash between the manifest swap and the
     streaming checkpoint commit replays the batch against an index that
