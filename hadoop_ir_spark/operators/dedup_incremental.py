@@ -1694,6 +1694,79 @@ def indexed_pq_topk(queries: DataFrame, index_dir: str, *,
         .withColumnRenamed("vec_id", "docno"))
 
 
+def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
+                       k: int = 10, nprobe: int = 4,
+                       qid_col: str = "qid",
+                       vec_col: str = "embedding",
+                       snaps=None) -> DataFrame:
+    """IVF-PQ approximate top-k — the composition of the store's two
+    persisted indexes and the 100 TB serving path: probe the ``nprobe``
+    centroids nearest each query (``ann_centroids``), restrict to live
+    vectors assigned to those lists (``ann_assign``, range-partitioned
+    on centroid_id so ~nprobe/|C| of the files are read), then score
+    ONLY those candidates via the compressed ADC scan (``ann_codes``
+    joined to the broadcast per-query LUT — 2 ints per subspace, never
+    a raw vector). Returns (qid, docno, approx_d2, rank), ranked by
+    ascending quantized distance with docno-desc tie-break — the PQ
+    family's semantics restricted to the IVF candidate set. Both
+    indexes fold O(snapshot) and retract through the shared tombstones,
+    so the composed query inherits the store's whole maintenance
+    story."""
+    from hadoop_ir_spark.operators import similarity
+    from hadoop_ir_spark.operators.dedup import cosine_expr
+
+    spark = queries.sparkSession
+    man = _read_manifest(index_dir)
+    if not man.get("ann") or not man.get("pq"):
+        raise ValueError(
+            f"dedup index at {index_dir} needs BOTH trained indexes for "
+            f"IVF-PQ — run train_ann_index and train_pq_index first")
+    vis = _visible_snaps(index_dir, snaps)
+    for blk, key in (("ann", "centroid_snap"), ("pq", "codebook_snap")):
+        if man[blk][key] not in vis:
+            raise FileNotFoundError(
+                f"dedup index at {index_dir}: trained {blk} snap "
+                f"{man[blk][key]} is not in the visible snaps {vis}")
+    cents = _ann_centroid_frame(spark, index_dir, man)
+    assign = _live_rows_tomb(
+        spark, index_dir, ANN_ASSIGN,
+        [s for s in man["ann"]["assign_snaps"] if s in vis], vis)
+    codes = _live_rows_tomb(
+        spark, index_dir, ANN_CODES,
+        [s for s in man["pq"]["code_snaps"] if s in vis], vis)
+    if assign is None or codes is None:
+        raise FileNotFoundError(
+            f"dedup index at {index_dir} has no visible ann_assign/"
+            f"ann_codes data for snaps {vis}")
+
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(vec_col).alias("qv"))
+    qprobe = q.crossJoin(F.broadcast(cents)).select(
+        "qid", "centroid_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("csim"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"),
+                                           F.asc("centroid_id"))
+    probes = (qprobe.withColumn("_r", F.row_number().over(wq))
+              .filter(F.col("_r") <= nprobe)
+              .select("qid", "centroid_id"))
+    cand = assign.join(F.broadcast(probes), "centroid_id").select(
+        "qid", "docno")
+    lut = similarity.pq_lut(queries, _pq_codebook_frame(
+        spark, index_dir, man), m=man["pq"]["m"], qid_col=qid_col,
+        vec_col=vec_col, dims=man["pq"]["dims"])
+    scored = (codes.join(cand, "docno")
+              .join(F.broadcast(lut), ["qid", "s", "code"])
+              .groupBy("qid", "docno")
+              .agg(F.sum("d2_i").alias("_di")))
+    w = Window.partitionBy("qid").orderBy(F.asc("_di"), F.desc("docno"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "docno",
+                    F.round(F.col("_di").cast("double") / 1e6, 6)
+                    .alias("approx_d2"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
 # ---------------------------------------------------------------------------
 # incremental duplicate-cluster maintenance (VERDICT r9 missing #3):
 # persist the connected-components label table and merge each snapshot's

@@ -780,6 +780,116 @@ FROM ranked WHERE rank <= {ANN_IDX_K}
             F.col("vec_id").alias("qid"), "embedding")
         return dinc.indexed_pq_topk(queries, idx_dir, k=ANN_IDX_K)
 
+    @register("indexed_ivfpq_topk", f"""
+WITH embd AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM embd
+  WHERE vec_id % 3 <> 0 AND vec_id % {ANN_IDX_EVERY} = 0
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.cos DESC, s.cid ASC) AS rn
+    FROM (SELECT e.vec_id, c.cid,
+                 list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+          FROM embd e CROSS JOIN cent c) s
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM embd
+      WHERE vec_id % {ANN_QUERY_EVERY} = 0),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT s.qid, s.cid,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY s.cos DESC, s.cid ASC) AS rn
+    FROM (SELECT q.qid, c.cid,
+                 list_dot_product(q.qv, c.cv)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+          FROM q CROSS JOIN cent c) s
+  ) WHERE rn <= {ANN_IDX_NPROBE}
+),
+cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a USING (cid)),
+samples AS (
+  SELECT v, rn FROM (
+    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+    FROM embd
+    WHERE vec_id % {{pq_train_every}} = 0 AND vec_id % 3 <> 0
+  ) WHERE rn <= {{pq_k}}
+),
+cb AS (
+  SELECT t.s AS s, rn - 1 AS code,
+         list_slice(v, t.s * {{sub}} + 1, t.s * {{sub}} + {{sub}}) AS cv
+  FROM samples, range({{pq_m}}) t(s)
+),
+xs AS (
+  SELECT vec_id, t.s AS s,
+         list_slice(v, t.s * {{sub}} + 1, t.s * {{sub}} + {{sub}}) AS xv
+  FROM embd, range({{pq_m}}) t(s)
+),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, x.s, c.code,
+           row_number() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY {{d2_xc}} ASC, c.code ASC
+           ) AS rn
+    FROM xs x JOIN cb c ON c.s = x.s
+  ) WHERE rn = 1
+),
+qs AS (
+  SELECT vec_id AS qid, t.s AS s,
+         list_slice(v, t.s * {{sub}} + 1, t.s * {{sub}} + {{sub}}) AS qv
+  FROM embd, range({{pq_m}}) t(s)
+  WHERE vec_id % {ANN_QUERY_EVERY} = 0
+),
+lut AS (
+  SELECT q.qid, q.s, c.code,
+         CAST(floor({{d2_qc}} * 1e6 + 0.5) AS BIGINT) AS d2_i
+  FROM qs q JOIN cb c ON c.s = q.s
+),
+scored AS (
+  SELECT l.qid, e.vec_id, CAST(sum(l.d2_i) AS BIGINT) AS di
+  FROM enc e
+  JOIN cand cd ON cd.vec_id = e.vec_id
+  JOIN lut l ON l.qid = cd.qid AND l.s = e.s AND l.code = e.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, vec_id AS docno, di,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY di ASC, vec_id DESC) AS rank
+  FROM scored
+)
+SELECT qid, docno, round(di::DOUBLE / 1e6, 6) AS approx_d2,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_IDX_K}
+""".replace("{pq_train_every}", str(similarity.PQ_TRAIN_EVERY))
+   .replace("{pq_k}", str(similarity.PQ_K))
+   .replace("{pq_m}", str(similarity.PQ_M))
+   .replace("{sub}", str(sub))
+   .replace("{d2_xc}", d2.format(a='x.xv', b='c.cv'))
+   .replace("{d2_qc}", d2.format(a='q.qv', b='c.cv')))
+    def q_indexed_ivfpq_topk(spark, sf_dir):
+        """IVF-PQ composed from the store's TWO persisted indexes — the
+        100 TB serving path: probe nprobe centroid lists (ann_assign,
+        pruned by centroid_id range-partitioning), ADC-score only those
+        candidates from the compressed ann_codes (2 ints/subspace,
+        never a raw vector). Oracle composes the indexed_ann_topk
+        candidate CTEs with the indexed_pq_topk codebook/LUT CTEs,
+        restricting the scored join to the probed candidates."""
+        idx_dir = _ann_index_dir(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        return dinc.indexed_ivfpq_topk(queries, idx_dir, k=ANN_IDX_K,
+                                       nprobe=ANN_IDX_NPROBE)
+
 
 _register_indexed_pq()
 

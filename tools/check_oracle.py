@@ -143,7 +143,7 @@ PINNED_JUDGE_VERIFIED = sorted({
     # offset-join Zipf twin (VERDICT r9 optional #9); strict at 3 SFs
     # on addition
     "indexed_ann_topk", "incremental_dedup_clusters", "prox_pairs_zipf",
-    "indexed_pq_topk",
+    "indexed_pq_topk", "indexed_ivfpq_topk",
 })
 
 
