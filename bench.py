@@ -142,8 +142,15 @@ def _tree_cpu_seconds(root_pid: int | None = None) -> float:
     return total / clk
 
 
-CAL_TOLERANCE = 0.10    # calibration runs this far above the rolling
-                        # reference mark the whole record host-degraded
+CAL_TOLERANCE = 0.25    # calibration runs this far above the rolling
+                        # reference mark the whole record host-degraded.
+                        # Sized to the MEASURED ambient drift of this
+                        # host class (r10: consecutive warm probes on an
+                        # idle VM span 0.123-0.152s, ~24% — virtualized
+                        # frequency/steal noise), so the canary flags
+                        # the genuinely-degraded class (>25%, e.g. a
+                        # sustained thermal clamp) and leaves sub-25%
+                        # drift to regression_suspects adjudication
 
 
 def calibration_probe() -> float:
@@ -158,8 +165,15 @@ def calibration_probe() -> float:
     import numpy as np
 
     x = np.arange(4_000_000, dtype=np.float64) * 1e-6
+    y = x
+    # untimed warm-up window: the cold-start ramp (page faults, CPU
+    # frequency climb) measured LONGER than 4 timed reps on this host
+    # class — burn it off before the first timed rep
+    t_end = time.perf_counter() + 0.25
+    while time.perf_counter() < t_end:
+        y = np.sin(y) * 1.000001 + 1e-9
     best = float("inf")
-    for _ in range(4):                # min-of-4 absorbs cold-page/ramp
+    for _ in range(8):                # min-of-8 absorbs residual jitter
         y = x
         t0 = time.perf_counter()
         for _ in range(4):

@@ -246,8 +246,13 @@ def _write_manifest(index_dir: str, man: dict) -> None:
 # ---------------------------------------------------------------------------
 
 LOCK_FILE = ".manifest.lock"
-# a lock younger than this is never stolen even if its pid looks dead —
-# shrinks the (single-host, best-effort) steal race window
+# a lock younger than this is never stolen even if its pid looks dead.
+# LOAD-BEARING for mutual exclusion, not just a nicety: a stealer that
+# lost the rename race can observe the winner's FRESH lock (possibly
+# still empty, its writer between open and write) — the age floor is
+# what keeps such a lock from ever being a steal candidate, and the
+# post-rename content check + link-restore only backstops the residual
+# stat-to-rename microsecond window on genuinely old files.
 _LOCK_STEAL_MIN_AGE_S = 10.0
 
 
@@ -315,7 +320,10 @@ def _manifest_lock(index_dir: str, timeout_s: float = 60.0,
                         stolen = int(f.read().strip() or "0")
                 except (OSError, ValueError):
                     stolen = 0
-                if stolen not in (0, pid):
+                if stolen != pid:
+                    # not the dead holder's file we inspected — a fresh
+                    # lock (possibly still EMPTY, its writer between
+                    # open and write) was grabbed by mistake: restore it
                     try:
                         os.link(steal, path)
                     except FileExistsError:

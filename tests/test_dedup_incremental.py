@@ -978,11 +978,14 @@ def test_concurrent_writers_serialize_or_raise(spark, tmp_path, snapshots,
         assert a[t] == b[t], t
 
 
-def test_manifest_lock_steal_and_mutual_exclusion(tmp_path, monkeypatch):
+def test_manifest_lock_steal_and_mutual_exclusion(tmp_path):
     """The manifest lock steals a DEAD holder's lock (rename-based, so
     two concurrent stealers cannot double-admit), never steals a LIVE
     holder's, and stays mutually exclusive under thread contention with
-    a planted stale lock."""
+    a planted stale lock. Runs with the PRODUCTION min-steal-age — the
+    age guard is load-bearing: it is what keeps a fresh, mid-write
+    (still empty) lock from ever being a steal candidate, and an early
+    version of this test that zeroed it caught a real double-admit."""
     import os
     import threading
     import time
@@ -990,7 +993,6 @@ def test_manifest_lock_steal_and_mutual_exclusion(tmp_path, monkeypatch):
     idx = str(tmp_path / "idx")
     os.makedirs(idx)
     path = os.path.join(idx, dinc.LOCK_FILE)
-    monkeypatch.setattr(dinc, "_LOCK_STEAL_MIN_AGE_S", 0.0)
 
     # a dead holder's lock (bogus pid) is stolen and the writer proceeds
     with open(path, "w") as f:

@@ -105,6 +105,10 @@ def main() -> None:
         def qpq():
             return dinc.indexed_pq_topk(queries, idx, k=TOP_K).count()
 
+        def qivfpq():
+            return dinc.indexed_ivfpq_topk(queries, idx, k=TOP_K,
+                                           nprobe=NPROBE).count()
+
         q()                                    # warm
         t0 = time.time()
         q()
@@ -113,6 +117,10 @@ def main() -> None:
         t0 = time.time()
         qpq()
         t_query_pq = time.time() - t0
+        qivfpq()                               # warm
+        t0 = time.time()
+        qivfpq()
+        t_query_ivfpq = time.time() - t0
         # one fold maintains BOTH indexes (assign + encode) — the
         # realistic weekly cycle with the full maintenance surface on
         t0 = time.time()
@@ -120,23 +128,25 @@ def main() -> None:
                                 emb_id_col="vec_id")
         t_fold = time.time() - t0
         rows.append((label, n_old, n_cents, t_train, t_train_pq,
-                     t_query, t_query_pq, t_fold))
+                     t_query, t_query_pq, t_query_ivfpq, t_fold))
 
     print(f"\nFixed NEW vector snapshot: {n_new:,} vectors; "
           f"{n_q} queries; centroid set pinned by id-cap "
           f"(every={ANN_EVERY}, max_k={ANN_MAX_K}).\n")
     print("| old corpus | old vectors | centroids | IVF train | PQ train |"
-          " indexed_ann_topk | indexed_pq_topk | fold-in (both) |")
-    print("|---|---|---|---|---|---|---|---|")
-    for label, n_old, n_c, t_tr, t_tpq, t_q, t_qpq, t_f in rows:
+          " indexed_ann_topk | indexed_pq_topk | indexed_ivfpq_topk |"
+          " fold-in (both) |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for label, n_old, n_c, t_tr, t_tpq, t_q, t_qpq, t_qi, t_f in rows:
         print(f"| {label} | {n_old:,} | {n_c} | {t_tr:.1f}s | {t_tpq:.1f}s "
-              f"| {t_q:.2f}s | {t_qpq:.2f}s | {t_f:.2f}s |")
+              f"| {t_q:.2f}s | {t_qpq:.2f}s | {t_qi:.2f}s | {t_f:.2f}s |")
     a, b = rows[0], rows[1]
     scale = b[1] // a[1]
     print(f"\nper-snapshot growth at {scale}x old side: "
           f"IVF query {b[5] / a[5]:.2f}x, PQ query {b[6] / a[6]:.2f}x "
           f"(compressed scan, corpus-proportional by design), "
-          f"FOLD-IN {b[7] / a[7]:.2f}x for BOTH maintenance paths "
+          f"IVF-PQ query {b[7] / a[7]:.2f}x, "
+          f"FOLD-IN {b[8] / a[8]:.2f}x for BOTH maintenance paths "
           f"(re-deriving centroids/codebooks per session — the r9 state — "
           f"would grow with the training scan ~{scale}x; train is "
           f"O(corpus) by design: IVF {b[3] / a[3]:.1f}x, "
