@@ -978,6 +978,48 @@ def test_concurrent_writers_serialize_or_raise(spark, tmp_path, snapshots,
         assert a[t] == b[t], t
 
 
+def test_trainer_racing_a_fold_loses_cleanly(spark, tmp_path, monkeypatch):
+    """The trained-artifact writers (train_pq_index here; train_ann_index
+    and build_cc_labels share the same _SnapAttempt.commit CAS) must lose
+    to a concurrent fold the same way updates do: abort staged dirs,
+    raise ConcurrentWriteError, and a retry against the new manifest
+    lands a store identical to the unraced ordering."""
+    ids = list(range(0, 12))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, ids), idx,
+                           embeddings=_emb_df(spark, ids))
+    other = [(50, "writer b content " + " ".join(f"wb{i}"
+                                                 for i in range(25)))]
+    fired = {"done": False}
+    orig_write = dinc._SnapAttempt.write
+
+    def interleaved(self, df, table):
+        if not fired["done"]:
+            fired["done"] = True
+            dinc.update_dedup_index(spark, idx, _df(spark, other))
+        return orig_write(self, df, table)
+
+    monkeypatch.setattr(dinc._SnapAttempt, "write", interleaved)
+    with pytest.raises(dinc.ConcurrentWriteError, match="concurrent"):
+        dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8)
+    monkeypatch.setattr(dinc._SnapAttempt, "write", orig_write)
+
+    import os
+    leftovers = [e for t in os.listdir(idx)
+                 if os.path.isdir(os.path.join(idx, t))
+                 for e in os.listdir(os.path.join(idx, t))
+                 if ".tmp-" in e]
+    assert not leftovers, leftovers
+    man = dinc._read_manifest(idx)
+    assert "pq" not in man and man["snaps"] == [0, 1]
+    # the retry trains over the post-fold live corpus and serves queries
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8)
+    man = dinc._read_manifest(idx)
+    assert man["pq"]["codebook_snap"] == 2
+    live = dinc.load_dedup_index(spark, idx)
+    assert {r["docno"] for r in live["ann_codes"].collect()} == set(ids)
+
+
 def test_manifest_lock_steal_and_mutual_exclusion(tmp_path):
     """The manifest lock steals a DEAD holder's lock (rename-based, so
     two concurrent stealers cannot double-admit), never steals a LIVE
