@@ -1,0 +1,149 @@
+"""Randomized-sequence equality fuzz for the snapshot-partitioned dedup
+store (r10). Two real ordering bugs were found by hand-constructed
+sequences (the r9 keep-last compaction resurrection; the r10 dead-min
+cc re-add) — this test hunts the next one automatically: a seeded walk
+of add / remove / replace / re-add / compact(full|keep-last) / vacuum
+ops against a store carrying embeddings AND both trained ANN indexes,
+with three invariants checked mid-walk and at the end:
+
+1. the store's logical fingerprint/embedding content equals a
+   from-scratch ``build_dedup_index`` over the surviving corpus;
+2. ``ann_assign`` equals assigning the live embeddings to the PERSISTED
+   centroids (fold ≡ rebuild under the trained artifact);
+3. ``ann_codes`` equals encoding the live embeddings against the
+   PERSISTED codebook.
+
+The walk deliberately reuses a small text pool so exact-duplicate
+groups, near-duplicate shingle sets, and below-min-length docs (the
+content-hash-only path) all occur, and re-adds removed docnos (the
+tombstone REPLACE/re-add semantics are where the bodies were buried).
+cc labels are excluded: their retraction deferrals are documented
+non-equalities."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_ir_spark.operators import dedup_incremental as dinc
+from hadoop_ir_spark.operators import similarity
+
+BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango")
+POOL = [
+    BASE,
+    BASE + " uniform victor",
+    "wholly different body " + " ".join(f"t{i}" for i in range(24)),
+    "wholly different body " + " ".join(f"t{i}" for i in range(24)) + " x",
+    "short doc",                       # below shingle min_len: hash-only
+    " ".join(f"z{i} q{i}" for i in range(18)),
+]
+
+
+def _vec(i, dim=8):
+    return [float((i * 31 + d * 17) % 23 - 11) / 11.0 + 0.01 * d
+            for d in range(dim)]
+
+
+def _frame(spark, docs: dict[int, str]):
+    return spark.createDataFrame(
+        sorted(docs.items()), "docno long, text string")
+
+
+def _emb(spark, ids):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in sorted(ids)],
+        "docno long, embedding array<double>")
+
+
+def _check(spark, tmp_path, idx, corpus, tag):
+    scratch = str(tmp_path / f"scratch_{tag}")
+    dinc.build_dedup_index(_frame(spark, corpus), scratch,
+                           embeddings=_emb(spark, corpus))
+    live = dinc.load_dedup_index(spark, idx)
+    want = dinc.load_dedup_index(spark, scratch)
+    for t in want:
+        got = sorted(map(tuple, live[t].collect()))
+        exp = sorted(map(tuple, want[t].collect()))
+        assert got == exp, f"{tag}: table {t} diverged from rebuild"
+    man = dinc._read_manifest(idx)
+    emb_live = _emb(spark, corpus)
+    cents = dinc._ann_centroid_frame(spark, idx, man)
+    want_assign = sorted(map(tuple, similarity.assign_centroids(
+        emb_live, cents, id_col="docno", vec_col="embedding")
+        .select(F.col("vec_id").alias("docno"), "centroid_id").collect()))
+    assert sorted(map(tuple, live["ann_assign"].collect())) \
+        == want_assign, f"{tag}: ann_assign diverged"
+    cb = dinc._pq_codebook_frame(spark, idx, man)
+    want_codes = sorted(map(tuple, similarity.pq_encode(
+        emb_live, cb, m=man["pq"]["m"], id_col="docno",
+        vec_col="embedding", dims=man["pq"]["dims"])
+        .select(F.col("vec_id").alias("docno"), "s", "code").collect()))
+    assert sorted(map(tuple, live["ann_codes"].collect())) \
+        == want_codes, f"{tag}: ann_codes diverged"
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_store_random_walk_rebuild_equality(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    corpus = {i: POOL[i % len(POOL)] for i in range(4)}
+    removed_texts: dict[int, str] = {}    # docno -> text at removal time
+    next_id = 4
+
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_frame(spark, corpus), idx,
+                           embeddings=_emb(spark, corpus))
+    dinc.train_ann_index(spark, idx, every=3)
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=2, dims=8)
+
+    n_ops = 12
+    for step in range(n_ops):
+        op = rng.choices(
+            ["add", "readd", "remove", "replace", "compact_full",
+             "compact_keep", "vacuum"],
+            weights=[4, 2, 3, 2, 1, 2, 1])[0]
+        if op == "add":
+            new = {}
+            for _ in range(rng.randint(1, 3)):
+                new[next_id] = rng.choice(POOL)
+                next_id += 1
+            dinc.update_dedup_index(
+                spark, idx, _frame(spark, new),
+                new_embeddings=_emb(spark, new))
+            corpus.update(new)
+        elif op == "readd" and removed_texts:
+            d = rng.choice(sorted(removed_texts))
+            new = {d: rng.choice(POOL)}
+            dinc.update_dedup_index(
+                spark, idx, _frame(spark, new),
+                new_embeddings=_emb(spark, new))
+            corpus.update(new)
+            del removed_texts[d]
+        elif op == "remove" and len(corpus) > 2:
+            victims = rng.sample(sorted(corpus), rng.randint(1, 2))
+            rm = {d: corpus[d] for d in victims}
+            dinc.update_dedup_index(spark, idx,
+                                    removed_docs=_frame(spark, rm))
+            for d in victims:
+                removed_texts[d] = corpus.pop(d)
+        elif op == "replace" and corpus:
+            d = rng.choice(sorted(corpus))
+            old_text = corpus[d]
+            new_text = rng.choice([t for t in POOL if t != old_text])
+            dinc.update_dedup_index(
+                spark, idx, _frame(spark, {d: new_text}),
+                removed_docs=_frame(spark, {d: old_text}),
+                new_embeddings=_emb(spark, [d]))
+            corpus[d] = new_text
+        elif op == "compact_full":
+            dinc.compact_dedup_index(spark, idx)
+        elif op == "compact_keep":
+            dinc.compact_dedup_index(spark, idx, keep_last_snap=True)
+        elif op == "vacuum":
+            dinc.vacuum_dedup_index(idx)
+        if step == n_ops // 2:
+            _check(spark, tmp_path, idx, corpus, f"s{seed}_mid")
+
+    _check(spark, tmp_path, idx, corpus, f"s{seed}_end")
