@@ -710,6 +710,49 @@ def test_fold_in_reads_no_standing_table(spark, tmp_path, snapshots,
         f"property regressed to union-and-rewrite")
 
 
+def test_trained_fold_reads_only_artifacts(spark, tmp_path, monkeypatch):
+    """The O(snapshot) claim for the VECTOR side, pinned structurally:
+    a fold into a store carrying trained IVF + PQ indexes may read the
+    trained ARTIFACT dirs (ann_centroids / ann_codebook — broadcast-
+    sized by construction) but must never read the standing per-doc
+    tables (ann_assign, ann_codes, embeddings, or any fingerprint
+    table). A regression back to re-assign/re-encode-the-corpus would
+    show up as a read outside the two artifact snap dirs."""
+    import os
+
+    import pyspark.sql.readwriter as rw
+
+    ids = list(range(0, 12))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, ids), idx,
+                           embeddings=_emb_df(spark, ids))
+    dinc.train_ann_index(spark, idx, every=4)
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8)
+    man = dinc._read_manifest(idx)
+    allowed = {
+        os.path.join(idx, dinc.ANN_CENTROIDS,
+                     f"snap={man['ann']['centroid_snap']}"),
+        os.path.join(idx, dinc.ANN_CODEBOOK,
+                     f"snap={man['pq']['codebook_snap']}"),
+    }
+
+    read_paths = []
+    orig = rw.DataFrameReader.parquet
+
+    def spying(self, *paths, **kw):
+        read_paths.extend(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", spying)
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, [20, 21]),
+                            new_embeddings=_emb_df(spark, [20, 21]))
+    inside = [p for p in read_paths
+              if str(p).startswith(idx) and str(p) not in allowed]
+    assert not inside, (
+        f"trained fold read standing tables: {inside} — the vector "
+        f"side's O(snapshot) property regressed")
+
+
 def test_replace_doc_in_one_update(spark, tmp_path):
     """A docno in BOTH removed_docs and new_docs is a REPLACE: the
     tombstone kills the doc's strictly-older rows, the same-snapshot
