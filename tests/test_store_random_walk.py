@@ -85,6 +85,81 @@ def _check(spark, tmp_path, idx, corpus, tag):
         == want_codes, f"{tag}: ann_codes diverged"
 
 
+def _cc_scratch(spark, tmp_path, corpus, tag):
+    out = str(tmp_path / f"ccscratch_{tag}")
+    dinc.build_dedup_index(_frame(spark, corpus), out)
+    dinc.build_cc_labels(spark, out)
+    return sorted(map(tuple, dinc.cc_labels_frame(spark, out).collect()))
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_cc_random_walk_fold_equality(spark, tmp_path, seed):
+    """cc-label walk with the documented retraction semantics: folds
+    with NO retraction since the last (re)build must keep
+    cc_labels_frame exactly equal to a from-scratch build over the
+    current corpus (the incremental union-find's fold ≡ rebuild claim,
+    alias chains included); after a retraction the deferrals apply, so
+    the walk rebuilds (the documented repair) and re-checks equality.
+    A dead-min re-add collision must raise, and rebuild-then-retry must
+    land."""
+    rng = random.Random(seed)
+    corpus = {i: POOL[i % len(POOL)] for i in range(5)}
+    next_id = 5
+
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_frame(spark, corpus), idx)
+    dinc.build_cc_labels(spark, idx)
+    clean = True          # no retraction since last (re)build
+
+    for step in range(10):
+        op = rng.choices(["add", "remove", "readd_all"],
+                         weights=[5, 2, 2])[0]
+        if op == "add":
+            new = {}
+            for _ in range(rng.randint(1, 3)):
+                new[next_id] = rng.choice(POOL)
+                next_id += 1
+            dinc.update_dedup_index(spark, idx, _frame(spark, new))
+            corpus.update(new)
+        elif op == "remove" and len(corpus) > 3:
+            d = rng.choice(sorted(corpus))
+            dinc.update_dedup_index(
+                spark, idx, removed_docs=_frame(spark, {d: corpus[d]}))
+            corpus.pop(d)
+            clean = False
+        elif op == "readd_all":
+            # re-add a fresh doc at a previously-used id range start: if
+            # it collides with a dead-min standing label the fold must
+            # RAISE; rebuild is the repair and the retry must land
+            d = rng.randint(0, next_id - 1)
+            if d in corpus:
+                continue
+            new = {d: rng.choice(POOL)}
+            try:
+                dinc.update_dedup_index(spark, idx, _frame(spark, new))
+            except ValueError as e:
+                assert "NAMES a standing" in str(e)
+                dinc.build_cc_labels(spark, idx, rebuild=True)
+                clean = True
+                dinc.update_dedup_index(spark, idx, _frame(spark, new))
+            corpus.update(new)
+        # the deferral window persists until an ELECTIVE rebuild (so
+        # later re-adds can actually hit the dead-min guard above);
+        # equality to from-scratch is only claimed — and checked — in
+        # the clean state
+        if not clean and rng.random() < 0.4:
+            dinc.build_cc_labels(spark, idx, rebuild=True)
+            clean = True
+        # a scratch rebuild per check dominates the runtime — checking
+        # every other step (and always the last) keeps the walk honest
+        # at half the cost
+        if clean and (step % 2 == 1 or step == 9):
+            got = sorted(map(tuple,
+                             dinc.cc_labels_frame(spark, idx).collect()))
+            want = _cc_scratch(spark, tmp_path, corpus, f"{seed}_{step}")
+            assert got == want, f"seed {seed} step {step}: cc diverged"
+
+
 @pytest.mark.parametrize("seed", [11, 23, 47])
 def test_store_random_walk_rebuild_equality(spark, tmp_path, seed):
     rng = random.Random(seed)

@@ -20,7 +20,8 @@ if [ "${1:-}" != "quick" ]; then
   run timeout 1500 python tools/check_oracle.py --strict /root/testdata/sf0.001
   run timeout 1500 python tools/check_oracle.py --strict /root/testdata/sf0.1
 fi
-run timeout 2400 python -m pytest tests/ -q   # full suite is ~18 min as of r9
+run timeout 3000 python -m pytest tests/ -q   # full suite is ~30 min as of r10
+                                              # (random-walk fuzz added)
 if [ "${1:-}" != "quick" ]; then
   run timeout 900 python tools/plan_audit.py
   # bench runs each query twice since the r7 min-of-2 change
