@@ -246,13 +246,13 @@ def _write_manifest(index_dir: str, man: dict) -> None:
 # ---------------------------------------------------------------------------
 
 LOCK_FILE = ".manifest.lock"
-# a lock younger than this is never stolen even if its pid looks dead.
-# LOAD-BEARING for mutual exclusion, not just a nicety: a stealer that
-# lost the rename race can observe the winner's FRESH lock (possibly
-# still empty, its writer between open and write) — the age floor is
-# what keeps such a lock from ever being a steal candidate, and the
-# post-rename content check + link-restore only backstops the residual
-# stat-to-rename microsecond window on genuinely old files.
+# a lock younger than this is never stolen even if its pid looks dead —
+# it gates both the staleness decision and crashed-steal-mutex
+# reclamation. Mutual exclusion itself does NOT depend on it: the steal
+# protocol serializes stealers behind a steal-mutex and re-verifies the
+# lock's inode+content under it before unlinking, so a fresh lock can
+# never be removed by a stale decision (the 8-thread stress in
+# tests/test_dedup_incremental.py pins this).
 _LOCK_STEAL_MIN_AGE_S = 10.0
 
 
@@ -301,37 +301,48 @@ def _manifest_lock(index_dir: str, timeout_s: float = 60.0,
                 except PermissionError:
                     pass          # alive under another uid
             if stale:
-                # steal via RENAME, not unlink: rename is atomic, so of
-                # two concurrent stealers exactly one wins (the other
-                # gets FileNotFoundError and re-loops) — a bare unlink
-                # could remove a FRESH lock the winner just created,
-                # double-admitting writers. After the rename, verify the
-                # stolen file really is the dead holder's: losing that
-                # race means a live writer's lock was grabbed — restore
-                # it atomically (link fails if a third writer already
-                # re-locked; their lock stands, ours never existed).
-                steal = f"{path}.steal-{uuid.uuid4().hex[:8]}"
+                # Steal protocol: while the lock path EXISTS, only a
+                # steal-mutex holder may remove it — creators go through
+                # O_CREAT|O_EXCL and can only act on an ABSENT path, so
+                # they can never be victimized. (Earlier attempts —
+                # bare unlink, then rename+restore — both double-
+                # admitted under an 8-thread stress: the staleness
+                # decision is made against the OLD file, but unlink/
+                # rename act on whatever sits at the path NOW, which
+                # after another stealer's steal-and-recreate is a FRESH
+                # live lock.) Under the mutex, re-verify by INODE and
+                # content that the path still holds the exact file we
+                # deemed stale before unlinking it.
+                mpath = path + ".steal-mutex"
                 try:
-                    os.rename(path, steal)
-                except FileNotFoundError:
+                    mfd = os.open(mpath,
+                                  os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    # another stealer is active; reclaim only a CRASHED
+                    # stealer's mutex (age-gated, same floor)
+                    try:
+                        if time.time() - os.stat(mpath).st_mtime \
+                                > _LOCK_STEAL_MIN_AGE_S:
+                            os.unlink(mpath)
+                    except OSError:
+                        pass
+                    time.sleep(poll_s)
                     continue
                 try:
-                    with open(steal) as f:
-                        stolen = int(f.read().strip() or "0")
-                except (OSError, ValueError):
-                    stolen = 0
-                if stolen != pid:
-                    # not the dead holder's file we inspected — a fresh
-                    # lock (possibly still EMPTY, its writer between
-                    # open and write) was grabbed by mistake: restore it
+                    os.close(mfd)
                     try:
-                        os.link(steal, path)
-                    except FileExistsError:
+                        st2 = os.stat(path)
+                        with open(path) as f:
+                            pid2 = int(f.read().strip() or "0")
+                    except (OSError, ValueError):
+                        continue      # already stolen/released
+                    if st2.st_ino == st.st_ino and pid2 == pid:
+                        os.unlink(path)
+                finally:
+                    try:
+                        os.unlink(mpath)
+                    except FileNotFoundError:
                         pass
-                try:
-                    os.unlink(steal)
-                except FileNotFoundError:
-                    pass
                 continue
             if time.monotonic() > deadline:
                 raise ConcurrentWriteError(

@@ -1064,13 +1064,14 @@ def test_trainer_racing_a_fold_loses_cleanly(spark, tmp_path, monkeypatch):
 
 
 def test_manifest_lock_steal_and_mutual_exclusion(tmp_path):
-    """The manifest lock steals a DEAD holder's lock (rename-based, so
-    two concurrent stealers cannot double-admit), never steals a LIVE
-    holder's, and stays mutually exclusive under thread contention with
-    a planted stale lock. Runs with the PRODUCTION min-steal-age — the
-    age guard is load-bearing: it is what keeps a fresh, mid-write
-    (still empty) lock from ever being a steal candidate, and an early
-    version of this test that zeroed it caught a real double-admit."""
+    """The manifest lock steals a DEAD holder's lock, never steals a
+    LIVE holder's, and stays mutually exclusive under thread contention
+    with a planted stale lock. The steal is serialized behind a
+    steal-mutex with an inode+content re-verification before unlink —
+    two earlier protocols (bare unlink; rename+restore) BOTH
+    double-admitted under this 8-thread stress, because the staleness
+    decision is made against the old file while unlink/rename act on
+    whatever sits at the path by then."""
     import os
     import threading
     import time
