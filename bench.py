@@ -318,11 +318,17 @@ def main():
             }
     cal_after = calibration_probe()
     cal_ref = min(x for x in (prev_cal, cal_before, cal_after) if x > 0)
+    cal_base = prev_cal or cal_ref
     cal = {
         "before": cal_before, "after": cal_after,
         "reference": cal_ref,
-        "flagged": calibration_flagged(cal_before, cal_after,
-                                       prev_cal or cal_ref),
+        # sub-threshold drift made explicit (ADVICE r10 low): the
+        # fraction the BETTER probe sits above the judged-against
+        # reference — regression_suspects adjudication reads this
+        # directly instead of reconstructing it from before/after
+        "drift": round(min(cal_before, cal_after) / cal_base - 1.0, 3)
+        if cal_base > 0 else None,
+        "flagged": calibration_flagged(cal_before, cal_after, cal_base),
     }
     total = round(sum(timings.values()), 3)
     full = {

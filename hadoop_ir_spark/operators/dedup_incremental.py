@@ -114,6 +114,7 @@ corpus).
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
@@ -246,12 +247,13 @@ def _write_manifest(index_dir: str, man: dict) -> None:
 # ---------------------------------------------------------------------------
 
 LOCK_FILE = ".manifest.lock"
-# a lock younger than this is never stolen even if its pid looks dead —
-# it gates both the staleness decision and crashed-steal-mutex
-# reclamation. Mutual exclusion itself does NOT depend on it: the steal
-# protocol serializes stealers behind a steal-mutex and re-verifies the
-# lock's inode+content under it before unlinking, so a fresh lock can
-# never be removed by a stale decision (the 8-thread stress in
+# a lock younger than this is never stolen even if its pid looks dead
+# (gates the staleness decision). Mutual exclusion itself does NOT
+# depend on it: the steal protocol serializes stealers behind a
+# flock()-based steal-mutex (kernel-released on holder death — no
+# crashed-stealer reclamation path to race) and re-verifies the lock's
+# inode+content under it before unlinking, so a fresh lock can never be
+# removed by a stale decision (the 8-thread stress in
 # tests/test_dedup_incremental.py pins this).
 _LOCK_STEAL_MIN_AGE_S = 10.0
 
@@ -271,10 +273,18 @@ def _manifest_lock(index_dir: str, timeout_s: float = 60.0,
     (O_CREAT|O_EXCL lock file holding the owner pid). Single-host
     best-effort: a lock whose pid is dead AND whose file is older than
     ``_LOCK_STEAL_MIN_AGE_S`` is stolen (a writer crashing inside the
-    tiny rename+swap window must not wedge the store forever). A
+    tiny rename+swap window must not wedge the store forever). Steals
+    serialize behind a flock()-based steal-mutex on a persistent file —
+    the kernel releases a dead stealer's flock, so there is no
+    crashed-mutex reclamation path (and no reclaim TOCTOU; ADVICE r10).
+    Residual risk: pid REUSE can make a dead holder look alive
+    (``os.kill(pid, 0)`` probes the pid, not the process identity) —
+    the age floor mitigates but cannot eliminate it; a wedged store
+    from a recycled pid needs the dead lock file removed by hand. A
     multi-host deployment needs a real lock service / catalog CAS —
     the same caveat every lakehouse format carries for raw-filesystem
-    commits."""
+    commits. Cross-process behavior is pinned in
+    tests/test_lock_multiprocess.py."""
     path = os.path.join(index_dir, LOCK_FILE)
     deadline = time.monotonic() + timeout_s
     while True:
@@ -313,23 +323,23 @@ def _manifest_lock(index_dir: str, timeout_s: float = 60.0,
                 # live lock.) Under the mutex, re-verify by INODE and
                 # content that the path still holds the exact file we
                 # deemed stale before unlinking it.
+                # The mutex is flock() on a PERSISTENT file (never
+                # unlinked): the kernel drops the lock when its holder
+                # dies, so there is no crashed-stealer reclamation path
+                # at all — the r10 stat-then-unlink reclaim was the same
+                # decide-on-old-file/act-on-current-path TOCTOU class
+                # this block exists to fix (ADVICE r10 low). flock is
+                # per open-file-description, so it excludes both other
+                # processes and other threads of this one.
                 mpath = path + ".steal-mutex"
+                mfd = os.open(mpath, os.O_CREAT | os.O_RDWR)
                 try:
-                    mfd = os.open(mpath,
-                                  os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                except FileExistsError:
-                    # another stealer is active; reclaim only a CRASHED
-                    # stealer's mutex (age-gated, same floor)
-                    try:
-                        if time.time() - os.stat(mpath).st_mtime \
-                                > _LOCK_STEAL_MIN_AGE_S:
-                            os.unlink(mpath)
-                    except OSError:
-                        pass
+                    fcntl.flock(mfd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                except OSError:
+                    os.close(mfd)     # another stealer is active
                     time.sleep(poll_s)
                     continue
                 try:
-                    os.close(mfd)
                     try:
                         st2 = os.stat(path)
                         with open(path) as f:
@@ -339,10 +349,7 @@ def _manifest_lock(index_dir: str, timeout_s: float = 60.0,
                     if st2.st_ino == st.st_ino and pid2 == pid:
                         os.unlink(path)
                 finally:
-                    try:
-                        os.unlink(mpath)
-                    except FileNotFoundError:
-                        pass
+                    os.close(mfd)     # releases the flock; file persists
                 continue
             if time.monotonic() > deadline:
                 raise ConcurrentWriteError(
@@ -974,13 +981,56 @@ def compact_dedup_index(spark: SparkSession, index_dir: str, *,
             # their alias dirs, which the reader still applies
             l_merge = [s for s in new_cc["label_snaps"] if s in merge]
             new_lsnaps = [s for s in new_cc["label_snaps"] if s in kept]
+            prefix_amap = _cc_alias_map(spark, index_dir, l_merge)
             rows = _live_rows_tomb(spark, index_dir, CC_LABELS,
                                    l_merge, old_snaps) if l_merge else None
             if rows is not None:
-                out[CC_LABELS] = _cc_apply_aliases(
-                    rows, _cc_alias_map(spark, index_dir, l_merge))
+                out[CC_LABELS] = _cc_apply_aliases(rows, prefix_amap)
                 new_lsnaps = [sid] + new_lsnaps
-            new_cc = {**new_cc, "label_snaps": new_lsnaps}
+            # persist the retraction evidence the fold-time re-add
+            # guards need (ADVICE r10): this compaction may fold merged
+            # tombstone dirs out of visibility, but a dead doc's id can
+            # keep NAMING the post-compaction store — as a raw label on
+            # surviving partner rows (the dead-min deferral) or as a
+            # kept-snap alias key (the alias-side twin). Record every
+            # such name with no live doc row in the cc block; the
+            # guards union it with whatever tombstones remain visible.
+            # Bounded by retracted cluster minima standing since the
+            # last rebuild — build_cc_labels(rebuild=True) clears it.
+            all_l = [s for s in man["cc"]["label_snaps"]
+                     if s in old_snaps]
+            allrows = _live_rows_tomb(spark, index_dir, CC_LABELS,
+                                      all_l, old_snaps)
+            kept_amap = _cc_alias_map(
+                spark, index_dir,
+                [s for s in man["cc"]["label_snaps"] if s in kept])
+            names = None
+            if allrows is not None:
+                # kept rows never carry a prefix-alias key (rows are
+                # written amap-resolved), so applying the prefix map to
+                # the full union yields exactly the post-compaction raw
+                # label column
+                names = (_cc_apply_aliases(allrows, prefix_amap)
+                         .select(F.col("label").alias("docno"))
+                         .distinct())
+            if kept_amap:
+                kdf = spark.createDataFrame(
+                    [(int(k),) for k in sorted(kept_amap)], "docno long")
+                names = kdf if names is None else (names.unionByName(kdf)
+                                                   .distinct())
+            dead_names: list[int] = []
+            if names is not None:
+                live_ch = _live_rows_tomb(spark, index_dir,
+                                          "content_hashes", old_snaps,
+                                          old_snaps)
+                if live_ch is not None:
+                    names = names.join(
+                        live_ch.select("docno").distinct(), "docno",
+                        "anti")
+                dead_names = sorted(
+                    r["docno"] for r in names.collect())
+            new_cc = {**new_cc, "label_snaps": new_lsnaps,
+                      "dead_names": dead_names}
         for t, df in out.items():
             if df is None:
                 continue
@@ -1949,10 +1999,23 @@ def _cc_fold_frames(spark: SparkSession, index_dir: str, man: dict,
     # those is the standing label column probed. The repair is the
     # documented ``build_cc_labels(rebuild=True)`` pass.
     tomb = _union_snaps(spark, index_dir, TOMBSTONES, snaps)
+    # retraction history = visible tombstones + this batch's removals +
+    # the cc block's persisted dead_names (ADVICE r10: compaction folds
+    # merged tombstone dirs out of visibility while stale dead-named
+    # label rows survive the merge — compact_dedup_index records every
+    # label/alias-key with no live doc row so this guard stays armed
+    # across compactions)
+    dead_names = cc.get("dead_names") or []
     if old_lab is not None and (tomb is not None
-                                or removed_ids is not None):
+                                or removed_ids is not None
+                                or dead_names):
         hist = (tomb.select("docno").distinct() if tomb is not None
                 else None)
+        if dead_names:
+            dn = spark.createDataFrame([(int(x),) for x in dead_names],
+                                       "docno long")
+            hist = dn if hist is None else (hist.unionByName(dn)
+                                            .distinct())
         if removed_ids is not None:
             hist = (removed_ids.select("docno") if hist is None
                     else hist.unionByName(removed_ids.select("docno"))
@@ -2056,6 +2119,37 @@ def _cc_fold_frames(spark: SparkSession, index_dir: str, man: dict,
              .distinct().localCheckpoint())
 
     comp = dedup.connected_components(edges, "a", "b", algorithm="star")
+    if amap:
+        # alias-key re-add guard (ADVICE r10): ``_cc_apply_aliases``
+        # re-points label VALUES at read time with no snapshot scoping,
+        # so a component this fold labels with a standing alias KEY
+        # would be silently re-pointed to the key's old merge target —
+        # conflating a brand-new cluster with an unrelated standing
+        # one. A component min can only collide with an alias key when
+        # a retracted ex-label doc is re-added as its NEW cluster's
+        # min (contracted old labels are amap-RESOLVED and resolved
+        # targets are never keys; live old docs that are keys always
+        # contract through their standing row) — the alias-side twin
+        # of the dead-min guard above, and the same repair applies.
+        # Joining an EXISTING cluster under a smaller min stays legal
+        # (the existing re-add test pins that path folds cleanly).
+        keys = spark.createDataFrame([(int(k),) for k in sorted(amap)],
+                                     "cluster_id long")
+        bad = (comp.select("cluster_id").distinct()
+               .join(F.broadcast(keys), "cluster_id")
+               .limit(1).collect())
+        if bad:
+            raise ValueError(
+                f"dedup index at {index_dir}: document "
+                f"{bad[0]['cluster_id']} is being re-added as its new "
+                f"cluster's min-id label, but that id is a standing "
+                f"ALIAS key (it named a component that was merged away "
+                f"before the doc was retracted) — the alias log would "
+                f"re-point the new cluster's rows to the old merge "
+                f"target at read time, conflating two distinct "
+                f"clusters. Run build_cc_labels(spark, index_dir, "
+                f"rebuild=True) first to fold the alias log away, then "
+                f"retry the update")
     # label rows: new docs + newly-clustered old singletons
     row_ids = (d.select(F.col("docno").alias("node"))
                .unionByName(singles.select(F.col("a").alias("node")))

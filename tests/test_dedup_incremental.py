@@ -1067,11 +1067,14 @@ def test_manifest_lock_steal_and_mutual_exclusion(tmp_path):
     """The manifest lock steals a DEAD holder's lock, never steals a
     LIVE holder's, and stays mutually exclusive under thread contention
     with a planted stale lock. The steal is serialized behind a
-    steal-mutex with an inode+content re-verification before unlink —
-    two earlier protocols (bare unlink; rename+restore) BOTH
-    double-admitted under this 8-thread stress, because the staleness
-    decision is made against the old file while unlink/rename act on
-    whatever sits at the path by then."""
+    flock()-based steal-mutex with an inode+content re-verification
+    before unlink — two earlier protocols (bare unlink; rename+restore)
+    BOTH double-admitted under this 8-thread stress, because the
+    staleness decision is made against the old file while unlink/rename
+    act on whatever sits at the path by then. The mutex file itself is
+    persistent (never unlinked): the kernel releases a dead holder's
+    flock, so there is no crashed-stealer reclamation path left to race
+    (ADVICE r10 low)."""
     import os
     import threading
     import time
@@ -1121,8 +1124,18 @@ def test_manifest_lock_steal_and_mutual_exclusion(tmp_path):
     for t in threads:
         t.join()
     assert not errs and peak[0] == 1
-    # no steal/temp debris left behind
-    assert [e for e in os.listdir(idx) if ".steal-" in e] == []
+    # the persistent flock mutex file is the ONLY thing left behind —
+    # and nothing holds it once the stress is over
+    debris = [e for e in os.listdir(idx) if ".steal-" in e]
+    assert debris in ([], [dinc.LOCK_FILE + ".steal-mutex"])
+    if debris:
+        import fcntl
+        fd = os.open(os.path.join(idx, debris[0]), os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)  # acquirable
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
 
 
 def test_vacuum_spares_inflight_and_respects_retention(spark, tmp_path,
@@ -1520,3 +1533,153 @@ def test_cc_dead_min_readd_fails_loudly(spark, tmp_path):
                        [(1, WORDS + " extra"), (8, c), (2, c), (4, c),
                         (0, "unrelated body text")], "s1")
     assert _cc_frame(spark, idx) == want
+
+
+def test_cc_alias_key_readd_as_new_min_fails_loudly(spark, tmp_path):
+    """ADVICE r10 medium #2: the alias log re-points label VALUES at
+    read time with no snapshot scoping. A retracted doc whose id is a
+    standing alias KEY (it named a component that was merged away),
+    re-added as the MIN of a brand-new cluster, would write rows with
+    its raw id — which the standing alias silently re-points to the old
+    merge target, conflating two logically distinct clusters. The fold
+    must fail loudly instead; joining an EXISTING cluster under a
+    smaller min stays legal (pinned by the tail of
+    test_cc_dead_min_readd_fails_loudly)."""
+    c = "completely separate content " + " ".join(
+        f"w{i}" for i in range(30))
+    x = "brand new duplicate body " + " ".join(
+        f"q{i}" for i in range(30))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, [(4, c), (8, c)]), idx)
+    dinc.build_cc_labels(spark, idx)
+    assert dict(_cc_frame(spark, idx)) == {4: 4, 8: 4}
+
+    # merge {4,8} under a smaller min -> alias 4 -> 2
+    dinc.update_dedup_index(spark, idx, _df(spark, [(2, c)]))
+    assert dict(_cc_frame(spark, idx)) == {2: 2, 4: 2, 8: 2}
+    # retract 4, then re-add it as the min of a NEW cluster {4, 7}
+    dinc.update_dedup_index(spark, idx, removed_docs=_df(spark, [(4, c)]))
+    with pytest.raises(ValueError, match="ALIAS key"):
+        dinc.update_dedup_index(spark, idx,
+                                _df(spark, [(4, x), (7, x)]))
+    # nothing staged by the failed attempt
+    assert dict(_cc_frame(spark, idx)) == {2: 2, 8: 2}
+
+    # the documented repair folds the alias log away; the same update
+    # then lands and equals from-scratch
+    dinc.build_cc_labels(spark, idx, rebuild=True)
+    dinc.update_dedup_index(spark, idx, _df(spark, [(4, x), (7, x)]))
+    want = _cc_scratch(spark, tmp_path,
+                       [(2, c), (8, c), (4, x), (7, x)], "s")
+    assert _cc_frame(spark, idx) == want
+    got = dict(_cc_frame(spark, idx))
+    assert got[4] == 4 and got[7] == 4      # the new cluster keeps 4
+
+
+def test_cc_dead_min_guard_survives_compaction(spark, tmp_path):
+    """ADVICE r10 medium #1: compaction folds merged tombstone dirs out
+    of visibility while stale dead-min label rows survive the merge —
+    the re-add guard used to key on visible tombstones only, so the
+    exact hazard it exists for (re-adding a dead doc whose id still
+    NAMES a standing component) slipped through silently after a
+    compaction. The evidence now persists in the cc block's dead_names
+    and the guard stays armed; rebuild clears it."""
+    c = "completely separate content " + " ".join(
+        f"w{i}" for i in range(30))
+    old = [(0, WORDS), (1, WORDS + " extra"), (4, c), (8, c)]
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx)
+    dinc.build_cc_labels(spark, idx)
+    dinc.update_dedup_index(spark, idx,
+                            removed_docs=_df(spark, [(0, WORDS)]))
+    dinc.compact_dedup_index(spark, idx)                  # full merge
+    man = dinc._read_manifest(idx)
+    # no tombstone dirs remain, but the dead name is recorded
+    assert not any(
+        s for s in man["snaps"]
+        if (tmp_path / "idx" / dinc.TOMBSTONES / f"snap={s}").is_dir())
+    assert man["cc"]["dead_names"] == [0]
+    assert dict(_cc_frame(spark, idx)) == {1: 0, 4: 4, 8: 4}
+
+    with pytest.raises(ValueError, match="NAMES a standing"):
+        dinc.update_dedup_index(spark, idx,
+                                _df(spark, [(0, "unrelated body text")]))
+    assert dict(_cc_frame(spark, idx)) == {1: 0, 4: 4, 8: 4}
+
+    # rebuild renames the component to its live min and clears the
+    # evidence; the re-add then lands and equals from-scratch
+    dinc.build_cc_labels(spark, idx, rebuild=True)
+    assert not dinc._read_manifest(idx)["cc"].get("dead_names")
+    dinc.update_dedup_index(spark, idx,
+                            _df(spark, [(0, "unrelated body text")]))
+    want = _cc_scratch(spark, tmp_path,
+                       [(1, WORDS + " extra"), (4, c), (8, c),
+                        (0, "unrelated body text")], "s")
+    assert _cc_frame(spark, idx) == want
+
+    # a dead ALIAS KEY is recorded too when its alias dir SURVIVES the
+    # compaction (kept snap): the tombstone dir folds away, yet the
+    # standing alias would still re-point a re-added 4's new rows — the
+    # fold must stay loud. (When the alias itself is in the MERGED
+    # prefix it is folded into the rows and the key genuinely becomes
+    # safe to re-use — that case is pinned below.)
+    x = "brand new duplicate body " + " ".join(f"q{i}" for i in range(30))
+    idx2 = str(tmp_path / "idx2")
+    dinc.build_dedup_index(_df(spark, [(4, c), (8, c)]), idx2)
+    dinc.build_cc_labels(spark, idx2)
+    dinc.update_dedup_index(spark, idx2,
+                            removed_docs=_df(spark, [(4, c)]))
+    # doc 2 contracts 8 through its dead-named label 4 -> alias 4 -> 2
+    dinc.update_dedup_index(spark, idx2, _df(spark, [(2, c)]))
+    dinc.compact_dedup_index(spark, idx2, keep_last_snap=True)
+    man2 = dinc._read_manifest(idx2)
+    assert 4 in man2["cc"]["dead_names"]
+    assert not any(
+        (tmp_path / "idx2" / dinc.TOMBSTONES / f"snap={s}").is_dir()
+        for s in man2["snaps"])
+    with pytest.raises(ValueError, match="ALIAS key"):
+        dinc.update_dedup_index(spark, idx2, _df(spark, [(4, x), (7, x)]))
+    dinc.build_cc_labels(spark, idx2, rebuild=True)
+    dinc.update_dedup_index(spark, idx2, _df(spark, [(4, x), (7, x)]))
+    assert _cc_frame(spark, idx2) == _cc_scratch(
+        spark, tmp_path, [(2, c), (8, c), (4, x), (7, x)], "s2")
+
+    # merged-prefix alias: a FULL compaction folds 4 -> 2 into the rows,
+    # after which re-using 4 as a new min is genuinely safe and must
+    # fold cleanly (matches from-scratch, which also labels {4,7} as 4)
+    idx3 = str(tmp_path / "idx3")
+    dinc.build_dedup_index(_df(spark, [(4, c), (8, c)]), idx3)
+    dinc.build_cc_labels(spark, idx3)
+    dinc.update_dedup_index(spark, idx3, _df(spark, [(2, c)]))  # 4 -> 2
+    dinc.update_dedup_index(spark, idx3,
+                            removed_docs=_df(spark, [(4, c)]))
+    dinc.compact_dedup_index(spark, idx3)
+    assert dinc._read_manifest(idx3)["cc"]["dead_names"] == []
+    dinc.update_dedup_index(spark, idx3, _df(spark, [(4, x), (7, x)]))
+    assert _cc_frame(spark, idx3) == _cc_scratch(
+        spark, tmp_path, [(2, c), (8, c), (4, x), (7, x)], "s3")
+
+
+def test_cc_alias_log_empty_after_full_compaction(spark, tmp_path):
+    """VERDICT r10 #7: a FULL compaction folds every visible alias into
+    the merged rows, so the post-compaction alias log is empty and the
+    driver-side merge map cannot grow unboundedly across compaction
+    cycles."""
+    c = "completely separate content " + " ".join(
+        f"w{i}" for i in range(30))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, [(4, c), (8, c)]), idx)
+    dinc.build_cc_labels(spark, idx)
+    dinc.update_dedup_index(spark, idx, _df(spark, [(2, c)]))  # alias 4->2
+    lsn = dinc._read_manifest(idx)["cc"]["label_snaps"]
+    assert dinc._cc_alias_map(spark, idx, lsn) == {4: 2}
+
+    before = _cc_frame(spark, idx)
+    dinc.compact_dedup_index(spark, idx)
+    man = dinc._read_manifest(idx)
+    lsn = man["cc"]["label_snaps"]
+    assert dinc._cc_alias_map(spark, idx, lsn) == {}
+    assert not any(
+        (tmp_path / "idx" / dinc.CC_ALIAS / f"snap={s}").is_dir()
+        for s in man["snaps"])
+    assert _cc_frame(spark, idx) == before    # resolved view unchanged
