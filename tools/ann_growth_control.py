@@ -51,6 +51,7 @@ ANN_EVERY = 25
 ANN_MAX_K = 200        # id-cap: the SAME centroid ids qualify at every SF
 NPROBE = 4
 TOP_K = 10
+REFINE = 40            # exact-re-rank shortlist (4·k, the catalog value)
 
 
 def main() -> None:
@@ -109,6 +110,11 @@ def main() -> None:
             return dinc.indexed_ivfpq_topk(queries, idx, k=TOP_K,
                                            nprobe=NPROBE).count()
 
+        def qref():
+            return dinc.indexed_ivfpq_topk(queries, idx, k=TOP_K,
+                                           nprobe=NPROBE,
+                                           refine=REFINE).count()
+
         q()                                    # warm
         t0 = time.time()
         q()
@@ -121,6 +127,26 @@ def main() -> None:
         t0 = time.time()
         qivfpq()
         t_query_ivfpq = time.time() - t0
+        qref()                                 # warm
+        t0 = time.time()
+        qref()
+        t_query_ref = time.time() - t0
+        # recall@k vs brute force over the standing corpus: the refine
+        # stage's recovery of the quantization loss, measured (r11,
+        # VERDICT r10 #1)
+        from hadoop_ir_spark.operators import similarity
+        exact = similarity.cosine_topk(
+            old_emb, queries, k=TOP_K).localCheckpoint()
+
+        def _mean_recall(approx):
+            return similarity.recall_vs_exact(
+                exact, approx.withColumnRenamed("docno", "vec_id"),
+                k=TOP_K).agg(F.avg("recall")).first()[0]
+
+        r_adc = _mean_recall(dinc.indexed_ivfpq_topk(
+            queries, idx, k=TOP_K, nprobe=NPROBE))
+        r_ref = _mean_recall(dinc.indexed_ivfpq_topk(
+            queries, idx, k=TOP_K, nprobe=NPROBE, refine=REFINE))
         # one fold maintains BOTH indexes (assign + encode) — the
         # realistic weekly cycle with the full maintenance surface on
         t0 = time.time()
@@ -128,25 +154,32 @@ def main() -> None:
                                 emb_id_col="vec_id")
         t_fold = time.time() - t0
         rows.append((label, n_old, n_cents, t_train, t_train_pq,
-                     t_query, t_query_pq, t_query_ivfpq, t_fold))
+                     t_query, t_query_pq, t_query_ivfpq, t_query_ref,
+                     r_adc, r_ref, t_fold))
 
     print(f"\nFixed NEW vector snapshot: {n_new:,} vectors; "
           f"{n_q} queries; centroid set pinned by id-cap "
           f"(every={ANN_EVERY}, max_k={ANN_MAX_K}).\n")
     print("| old corpus | old vectors | centroids | IVF train | PQ train |"
           " indexed_ann_topk | indexed_pq_topk | indexed_ivfpq_topk |"
+          " ivfpq refined | recall adc | recall refined |"
           " fold-in (both) |")
-    print("|---|---|---|---|---|---|---|---|---|")
-    for label, n_old, n_c, t_tr, t_tpq, t_q, t_qpq, t_qi, t_f in rows:
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|")
+    for (label, n_old, n_c, t_tr, t_tpq, t_q, t_qpq, t_qi, t_qr,
+         r_a, r_r, t_f) in rows:
         print(f"| {label} | {n_old:,} | {n_c} | {t_tr:.1f}s | {t_tpq:.1f}s "
-              f"| {t_q:.2f}s | {t_qpq:.2f}s | {t_qi:.2f}s | {t_f:.2f}s |")
+              f"| {t_q:.2f}s | {t_qpq:.2f}s | {t_qi:.2f}s | {t_qr:.2f}s "
+              f"| {r_a:.3f} | {r_r:.3f} | {t_f:.2f}s |")
     a, b = rows[0], rows[1]
     scale = b[1] // a[1]
     print(f"\nper-snapshot growth at {scale}x old side: "
           f"IVF query {b[5] / a[5]:.2f}x, PQ query {b[6] / a[6]:.2f}x "
           f"(compressed scan, corpus-proportional by design), "
           f"IVF-PQ query {b[7] / a[7]:.2f}x, "
-          f"FOLD-IN {b[8] / a[8]:.2f}x for BOTH maintenance paths "
+          f"refined {b[8] / a[8]:.2f}x "
+          f"(recall adc {a[9]:.3f}->{b[9]:.3f} vs refined "
+          f"{a[10]:.3f}->{b[10]:.3f} at {b[8] / b[7]:.2f}x the ADC cost), "
+          f"FOLD-IN {b[11] / a[11]:.2f}x for BOTH maintenance paths "
           f"(re-deriving centroids/codebooks per session — the r9 state — "
           f"would grow with the training scan ~{scale}x; train is "
           f"O(corpus) by design: IVF {b[3] / a[3]:.1f}x, "

@@ -144,6 +144,10 @@ PINNED_JUDGE_VERIFIED = sorted({
     # on addition
     "indexed_ann_topk", "incremental_dedup_clusters", "prox_pairs_zipf",
     "indexed_pq_topk", "indexed_ivfpq_topk",
+    # round 11: IVF-PQ exact re-rank (refine) stage + composed-path
+    # recall canary (VERDICT r10 #1), persisted k-means-trained IVF
+    # index (VERDICT r10 #5); strict at sf0.001/sf0.01/sf0.1 on addition
+    "indexed_ivfpq_refined", "ann_recall_ivfpq", "indexed_ann_kmeans_topk",
 })
 
 
