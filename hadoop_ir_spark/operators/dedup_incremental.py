@@ -55,6 +55,11 @@ id — the restart-safety cursor). Eight tables:
   incrementally — each fold merges only the snapshot's pair edges via
   a contracted CC pass; component merges are recorded in the alias
   log, resolved at read (``build_cc_labels`` / ``cc_labels_frame``).
+  ``cc_health`` (r11) reports the accumulated retraction-deferral
+  damage and recommends none/compact/rebuild; compaction persists the
+  dead label names the fold-time re-add guards key on (``dead_names``
+  in the manifest's cc block), so the guards stay armed after the
+  tombstone dirs fold away.
 
 Writers stage into uniquely-named ``snap=<id>.tmp-<token>`` attempt
 dirs and commit under a manifest lock with a compare-and-swap on
