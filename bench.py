@@ -186,6 +186,62 @@ def calibration_probe() -> float:
     return round(best, 3)
 
 
+CAL_MT_TOLERANCE = 0.5  # the multi-core probe's flag threshold: wider
+                        # than the single-core tolerance because thread
+                        # scheduling adds its own jitter, and the class
+                        # it exists to catch (multi-core steal /
+                        # contention the single-core canary CANNOT see —
+                        # observed r11: per-query inflation 1.2-3x with
+                        # single-core probes dead flat) moves this probe
+                        # well past 1.5x
+
+
+def calibration_probe_mt(threads: int = 8) -> float:
+    """Multi-core twin of ``calibration_probe`` (r11): N threads run the
+    same GIL-releasing numpy kernel concurrently; the value is the wall
+    time for ALL of them to finish (min-of-4 rounds). Virtualized
+    multi-core steal or an external core hog inflates this probe while
+    the single-core probe stays flat — exactly the contamination class
+    the r11 first bench run exhibited (26 scattered suspects, isolated
+    re-times clean, single-core probes at reference). Read the PAIR:
+    single-core up ⇒ frequency/thermal decay; multi-core up alone ⇒
+    core contention — retime suspects isolated before believing any
+    per-query regression."""
+    import threading
+
+    import numpy as np
+
+    xs = [np.arange(1_000_000, dtype=np.float64) * 1e-6
+          for _ in range(threads)]
+    res = [0.0] * threads
+
+    def work(i: int) -> None:
+        y = xs[i]
+        for _ in range(4):
+            y = np.sin(y) * 1.000001 + 1e-9
+        s = float(y[::65536].sum())
+        assert s == s
+        res[i] = s
+
+    # untimed warm-up round (page faults, frequency climb)
+    ws = [threading.Thread(target=work, args=(i,)) for i in range(threads)]
+    for t in ws:
+        t.start()
+    for t in ws:
+        t.join()
+    best = float("inf")
+    for _ in range(4):
+        ts = [threading.Thread(target=work, args=(i,))
+              for i in range(threads)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def calibration_flagged(before: float, after: float, reference: float,
                         tol: float = CAL_TOLERANCE) -> bool:
     """True when BOTH probe runs sit above the rolling reference by more
@@ -250,13 +306,16 @@ def main():
         prev_cpu = _prev_full.get("cpu_wall", {})
         prev_cal = float(_prev_full.get("calibration", {})
                          .get("reference") or 0.0)
+        prev_cal_mt = float(_prev_full.get("calibration", {})
+                            .get("reference_mt") or 0.0)
     except (OSError, ValueError):
-        prev, prev_cpu, prev_cal = {}, {}, 0.0
+        prev, prev_cpu, prev_cal, prev_cal_mt = {}, {}, 0.0, 0.0
 
     # host-state canary: one probe before the sweep, one after (the pair
     # brackets the record), judged against the rolling best-known host
     # speed — a fresh repo has no reference, so the first record seeds it
     cal_before = calibration_probe()
+    cal_mt_before = calibration_probe_mt()
 
     def _rep(name):
         load1 = os.getloadavg()[0]
@@ -317,8 +376,12 @@ def main():
                 "verdict": classify_suspect(prev_ratio, now_ratio),
             }
     cal_after = calibration_probe()
+    cal_mt_after = calibration_probe_mt()
     cal_ref = min(x for x in (prev_cal, cal_before, cal_after) if x > 0)
     cal_base = prev_cal or cal_ref
+    cal_mt_ref = min(x for x in (prev_cal_mt, cal_mt_before,
+                                 cal_mt_after) if x > 0)
+    cal_mt_base = prev_cal_mt or cal_mt_ref
     cal = {
         "before": cal_before, "after": cal_after,
         "reference": cal_ref,
@@ -329,6 +392,17 @@ def main():
         "drift": round(min(cal_before, cal_after) / cal_base - 1.0, 3)
         if cal_base > 0 else None,
         "flagged": calibration_flagged(cal_before, cal_after, cal_base),
+        # multi-core twin (r11): catches core contention / steal the
+        # single-core kernel cannot see — single-core flat + multi-core
+        # inflated ⇒ retime suspects isolated before believing them
+        "before_mt": cal_mt_before, "after_mt": cal_mt_after,
+        "reference_mt": cal_mt_ref,
+        "drift_mt": round(min(cal_mt_before, cal_mt_after)
+                          / cal_mt_base - 1.0, 3)
+        if cal_mt_base > 0 else None,
+        "flagged_mt": calibration_flagged(cal_mt_before, cal_mt_after,
+                                          cal_mt_base,
+                                          tol=CAL_MT_TOLERANCE),
     }
     total = round(sum(timings.values()), 3)
     full = {

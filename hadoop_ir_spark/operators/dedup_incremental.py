@@ -1527,7 +1527,9 @@ def train_ann_index(spark: SparkSession, index_dir: str, *,
     unchanged. ``retrain=True`` is the elective periodic retrain (the
     compaction analogue): new centroids, full re-assignment, and the
     ``ann`` block is REPLACED so superseded assign dirs fall out of
-    visibility (vacuum reclaims them with the other orphans)."""
+    visibility (vacuum reclaims them with the other orphans).
+    ``ann_health`` reports fold fraction, list skew and empty lists and
+    recommends when to pay this pass."""
     from hadoop_ir_spark.operators import similarity
 
     man = _read_manifest(index_dir)
@@ -1678,7 +1680,8 @@ def train_pq_index(spark: SparkSession, index_dir: str, *,
     full re-encode, and the ``pq`` block is REPLACED so superseded code
     dirs fall out of visibility (vacuum reclaims them). PQ is
     independent of the IVF index (``train_ann_index``) — a store can
-    carry either or both."""
+    carry either or both. ``ann_health`` reports fold fraction and
+    codebook utilization and recommends when to pay this pass."""
     from hadoop_ir_spark.operators import similarity
 
     m = similarity.PQ_M if m is None else m
@@ -2231,6 +2234,94 @@ def cc_labels_frame(spark: SparkSession, index_dir: str,
             f"dedup index at {index_dir} has no visible cc_labels data "
             f"for snaps {vis}")
     return _cc_apply_aliases(rows, _cc_alias_map(spark, index_dir, lsnaps))
+
+
+def ann_health(spark: SparkSession, index_dir: str, *, snaps=None,
+               fold_retrain_threshold: float = 0.5,
+               skew_retrain_threshold: float = 8.0) -> dict:
+    """Retrain report for the persisted vector indexes — the IVF/PQ twin
+    of ``cc_health`` (r11): folding is O(snapshot) precisely because the
+    trained artifacts are FROZEN between retrains, so their fit decays
+    as the corpus drifts; this reports how far, so the elective
+    ``train_ann_index(retrain=True)`` / ``train_pq_index(retrain=True)``
+    pass is scheduled on data. Returns ``{"ivf": {...} | None,
+    "pq": {...} | None, "recommendation": "none" | "retrain"}``:
+
+    - ivf: ``n_centroids``, ``n_assigned`` (live rows),
+      ``fold_fraction`` (live rows assigned AFTER training / total —
+      the share of the corpus the centroids never saw),
+      ``list_skew`` (max list size / mean — hot lists degrade the
+      nprobe candidate bound), ``n_empty_lists``;
+    - pq: ``n_encoded`` (live docs), ``fold_fraction`` (same meaning
+      against the codebook), ``codebook_utilization`` (distinct
+      (s, code) pairs in live codes / m·k — collapsed utilization means
+      the codebook no longer spans the data);
+    - recommendation: ``retrain`` when either index's fold_fraction
+      crosses ``fold_retrain_threshold`` or the IVF skew crosses
+      ``skew_retrain_threshold``, else ``none``.
+
+    Cost: two groupBy counts over the integer assign/code tables —
+    metadata-light, safe as a weekly canary at 100 TB."""
+    man = _read_manifest(index_dir)
+    if not man.get("ann") and not man.get("pq"):
+        raise ValueError(
+            f"dedup index at {index_dir} has no trained ANN or PQ "
+            f"index — run train_ann_index / train_pq_index first")
+    vis = _visible_snaps(index_dir, snaps)
+    out: dict = {"ivf": None, "pq": None}
+    retrain = False
+
+    if man.get("ann"):
+        asnaps = [s for s in man["ann"]["assign_snaps"] if s in vis]
+        train_snaps = [s for s in asnaps
+                       if s == man["ann"]["assign_snaps"][0]]
+        fold_snaps = [s for s in asnaps if s not in train_snaps]
+        assign = _live_rows_tomb(spark, index_dir, ANN_ASSIGN, asnaps,
+                                 vis)
+        n_assigned = assign.count() if assign is not None else 0
+        folded = _live_rows_tomb(spark, index_dir, ANN_ASSIGN,
+                                 fold_snaps, vis) if fold_snaps else None
+        n_folded = folded.count() if folded is not None else 0
+        n_cents = _ann_centroid_frame(spark, index_dir, man).count()
+        skew = 0.0
+        n_empty = n_cents
+        if assign is not None and n_assigned:
+            sizes = assign.groupBy("centroid_id").count()
+            agg = sizes.agg(F.max("count").alias("mx"),
+                            F.avg("count").alias("avg"),
+                            F.count("*").alias("nonempty")).first()
+            skew = round(float(agg["mx"]) / float(agg["avg"]), 3)
+            n_empty = n_cents - int(agg["nonempty"])
+        ff = round(n_folded / n_assigned, 3) if n_assigned else 0.0
+        out["ivf"] = {"n_centroids": n_cents, "n_assigned": n_assigned,
+                      "fold_fraction": ff, "list_skew": skew,
+                      "n_empty_lists": n_empty}
+        retrain = retrain or ff >= fold_retrain_threshold \
+            or skew >= skew_retrain_threshold
+
+    if man.get("pq"):
+        csnaps = [s for s in man["pq"]["code_snaps"] if s in vis]
+        train_snaps = [s for s in csnaps
+                       if s == man["pq"]["code_snaps"][0]]
+        fold_snaps = [s for s in csnaps if s not in train_snaps]
+        codes = _live_rows_tomb(spark, index_dir, ANN_CODES, csnaps, vis)
+        n_docs = (codes.select("docno").distinct().count()
+                  if codes is not None else 0)
+        folded = _live_rows_tomb(spark, index_dir, ANN_CODES,
+                                 fold_snaps, vis) if fold_snaps else None
+        n_fold_docs = (folded.select("docno").distinct().count()
+                       if folded is not None else 0)
+        used = (codes.select("s", "code").distinct().count()
+                if codes is not None else 0)
+        total_codes = man["pq"]["m"] * man["pq"]["kk"]
+        ff = round(n_fold_docs / n_docs, 3) if n_docs else 0.0
+        out["pq"] = {"n_encoded": n_docs, "fold_fraction": ff,
+                     "codebook_utilization": round(used / total_codes,
+                                                   3)}
+        retrain = retrain or ff >= fold_retrain_threshold
+
+    out["recommendation"] = "retrain" if retrain else "none"
+    return out
 
 
 def cc_health(spark: SparkSession, index_dir: str, *, snaps=None,

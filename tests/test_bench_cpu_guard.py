@@ -116,3 +116,26 @@ def test_calibration_probe_and_flag_rule():
     # within tolerance → not flagged; no reference yet → never flagged
     assert not bench.calibration_flagged(0.54, 0.54, 0.50)
     assert not bench.calibration_flagged(9.9, 9.9, 0.0)
+
+
+def test_calibration_probe_mt_gross_sanity():
+    """r11: the multi-core twin — catches core contention / steal the
+    single-core kernel cannot see (the r11 first-bench class: 26
+    scattered suspects, isolated re-times clean, single-core probes at
+    reference). Gross sanity only, same rationale as the single-core
+    test: tight stability bounds flake under suite load; the bench run
+    brackets real stability. The flag rule is shared with the
+    single-core canary, at the wider CAL_MT_TOLERANCE."""
+    a, b = bench.calibration_probe_mt(), bench.calibration_probe_mt()
+    assert a > 0 and b > 0
+    assert max(a, b) / min(a, b) < 4.0, (
+        f"mt probe catastrophically unstable: {a} vs {b}")
+    # sustained >50% multi-core degradation, both probes → flagged
+    assert bench.calibration_flagged(0.80, 0.78, 0.50,
+                                     tol=bench.CAL_MT_TOLERANCE)
+    # thread-scheduling jitter band (<1.5x) → not flagged
+    assert not bench.calibration_flagged(0.70, 0.70, 0.50,
+                                         tol=bench.CAL_MT_TOLERANCE)
+    # one transient spike → not flagged
+    assert not bench.calibration_flagged(0.90, 0.55, 0.50,
+                                         tol=bench.CAL_MT_TOLERANCE)

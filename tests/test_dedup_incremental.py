@@ -1947,3 +1947,59 @@ def test_cc_health_reports_deferral_damage(spark, tmp_path):
     assert h["n_aliases"] == 0 and h["n_dead_names"] == 0
     assert h["n_components_touched"] == 0
     assert h["recommendation"] == "none"
+
+
+def test_ann_health_reports_retrain_inputs(spark, tmp_path):
+    """r11: ann_health makes the elective RETRAIN decision data-driven —
+    fold fraction (corpus share the frozen artifacts never saw), IVF
+    list skew / empty lists, PQ codebook utilization, with a retrain
+    recommendation when the thresholds trip; retrain resets it."""
+    old_ids = list(range(0, 20))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, old_ids), idx,
+                           embeddings=_emb_df(spark, old_ids))
+    with pytest.raises(ValueError, match="no trained ANN or PQ"):
+        dinc.ann_health(spark, idx)
+    dinc.train_ann_index(spark, idx, every=4)
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8)
+
+    h = dinc.ann_health(spark, idx)
+    assert h["ivf"]["n_assigned"] == 20 and h["ivf"]["n_centroids"] == 5
+    assert h["ivf"]["fold_fraction"] == 0.0
+    assert h["pq"]["n_encoded"] == 20 and h["pq"]["fold_fraction"] == 0.0
+    assert 0.0 < h["pq"]["codebook_utilization"] <= 1.0
+    assert h["recommendation"] == "none"
+
+    # a small fold: fraction rises but stays under the 0.5 default
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, [20, 21]),
+                            new_embeddings=_emb_df(spark, [20, 21]))
+    h = dinc.ann_health(spark, idx)
+    assert h["ivf"]["fold_fraction"] == round(2 / 22, 3)
+    assert h["pq"]["fold_fraction"] == round(2 / 22, 3)
+    assert h["recommendation"] == "none"
+    # a tightened threshold trips on the same store
+    assert dinc.ann_health(spark, idx, fold_retrain_threshold=0.05
+                           )["recommendation"] == "retrain"
+
+    # a large fold (new >> trained-on) crosses the default
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, range(30, 55)),
+                            new_embeddings=_emb_df(spark, range(30, 55)))
+    h = dinc.ann_health(spark, idx)
+    assert h["ivf"]["fold_fraction"] > 0.5
+    assert h["recommendation"] == "retrain"
+
+    # the elective retrain resets both fractions
+    dinc.train_ann_index(spark, idx, every=4, retrain=True)
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8,
+                        retrain=True)
+    h = dinc.ann_health(spark, idx)
+    assert h["ivf"]["fold_fraction"] == 0.0
+    assert h["pq"]["fold_fraction"] == 0.0
+    assert h["ivf"]["n_assigned"] == 47 and h["pq"]["n_encoded"] == 47
+    assert h["recommendation"] == "none"
+
+    # retraction flows through: tombstoned docs leave both tables
+    dinc.update_dedup_index(
+        spark, idx, removed_docs=_docs_for(spark, [20, 21]))
+    h = dinc.ann_health(spark, idx)
+    assert h["ivf"]["n_assigned"] == 45 and h["pq"]["n_encoded"] == 45
