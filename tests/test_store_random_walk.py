@@ -92,7 +92,7 @@ def _cc_scratch(spark, tmp_path, corpus, tag):
     return sorted(map(tuple, dinc.cc_labels_frame(spark, out).collect()))
 
 
-@pytest.mark.parametrize("seed", [7, 19])
+@pytest.mark.parametrize("seed", [7, 19, 31])
 def test_cc_random_walk_fold_equality(spark, tmp_path, seed):
     """cc-label walk with the documented retraction semantics: folds
     with NO retraction since the last (re)build must keep
@@ -100,8 +100,11 @@ def test_cc_random_walk_fold_equality(spark, tmp_path, seed):
     current corpus (the incremental union-find's fold ≡ rebuild claim,
     alias chains included); after a retraction the deferrals apply, so
     the walk rebuilds (the documented repair) and re-checks equality.
-    A dead-min re-add collision must raise, and rebuild-then-retry must
-    land."""
+    A re-add collision (dead-min standing label OR standing alias key —
+    the r11 guard) must raise, and rebuild-then-retry must land.
+    COMPACTION is in the op mix (r11): it must preserve the resolved
+    view exactly and keep the guards armed (dead_names persistence),
+    and cc_health must report a clean store as clean."""
     rng = random.Random(seed)
     corpus = {i: POOL[i % len(POOL)] for i in range(5)}
     next_id = 5
@@ -111,9 +114,9 @@ def test_cc_random_walk_fold_equality(spark, tmp_path, seed):
     dinc.build_cc_labels(spark, idx)
     clean = True          # no retraction since last (re)build
 
-    for step in range(10):
-        op = rng.choices(["add", "remove", "readd_all"],
-                         weights=[5, 2, 2])[0]
+    for step in range(12):
+        op = rng.choices(["add", "remove", "readd_all", "compact"],
+                         weights=[5, 2, 2, 2])[0]
         if op == "add":
             new = {}
             for _ in range(rng.randint(1, 3)):
@@ -138,11 +141,23 @@ def test_cc_random_walk_fold_equality(spark, tmp_path, seed):
             try:
                 dinc.update_dedup_index(spark, idx, _frame(spark, new))
             except ValueError as e:
-                assert "NAMES a standing" in str(e)
+                assert ("NAMES a standing" in str(e)
+                        or "ALIAS key" in str(e)), str(e)
                 dinc.build_cc_labels(spark, idx, rebuild=True)
                 clean = True
                 dinc.update_dedup_index(spark, idx, _frame(spark, new))
             corpus.update(new)
+        elif op == "compact":
+            before = sorted(map(tuple,
+                                dinc.cc_labels_frame(spark, idx)
+                                .collect()))
+            dinc.compact_dedup_index(
+                spark, idx, keep_last_snap=rng.random() < 0.5)
+            after = sorted(map(tuple,
+                               dinc.cc_labels_frame(spark, idx)
+                               .collect()))
+            assert after == before, \
+                f"seed {seed} step {step}: compaction changed the view"
         # the deferral window persists until an ELECTIVE rebuild (so
         # later re-adds can actually hit the dead-min guard above);
         # equality to from-scratch is only claimed — and checked — in
@@ -153,11 +168,18 @@ def test_cc_random_walk_fold_equality(spark, tmp_path, seed):
         # a scratch rebuild per check dominates the runtime — checking
         # every other step (and always the last) keeps the walk honest
         # at half the cost
-        if clean and (step % 2 == 1 or step == 9):
+        if clean and (step % 2 == 1 or step == 11):
             got = sorted(map(tuple,
                              dinc.cc_labels_frame(spark, idx).collect()))
             want = _cc_scratch(spark, tmp_path, corpus, f"{seed}_{step}")
             assert got == want, f"seed {seed} step {step}: cc diverged"
+            # a clean store must REPORT clean (r11): no standing re-add
+            # hazards, no retraction-touched components
+            h = dinc.cc_health(spark, idx)
+            assert h["n_dead_names"] == 0, f"seed {seed} step {step}"
+            assert h["n_components_touched"] == 0, \
+                f"seed {seed} step {step}"
+            assert h["recommendation"] in ("none", "compact")
 
 
 @pytest.mark.parametrize("seed", [11, 23, 47])
