@@ -2236,6 +2236,78 @@ def cc_labels_frame(spark: SparkSession, index_dir: str,
     return _cc_apply_aliases(rows, _cc_alias_map(spark, index_dir, lsnaps))
 
 
+def maintain_dedup_index(spark: SparkSession, index_dir: str, *,
+                         compact: bool = True,
+                         keep_last_snap: bool = True,
+                         vacuum: bool = False,
+                         cc_kwargs: dict | None = None,
+                         ann_kwargs: dict | None = None) -> dict:
+    """One-call elective maintenance driven by the health reports (r11):
+    read ``cc_health`` / ``ann_health`` where the store carries those
+    blocks, perform what they recommend, and return
+    ``{"actions": [...], "cc": report | None, "ann": report | None}``
+    (the PRE-maintenance reports, so the decision evidence is in the
+    return value). Actions, in dependency order:
+
+    - ``cc rebuild`` (``build_cc_labels(rebuild=True)``) when cc_health
+      recommends it — standing re-add hazards or possible splits;
+    - ``retrain`` (``train_ann_index``/``train_pq_index`` with
+      ``retrain=True``, re-using each block's recorded train params)
+      when ann_health recommends it;
+    - ``compact`` (``compact_dedup_index``) afterwards — after a
+      rebuild/retrain it also folds the superseded log down; run even
+      when only recommended-for-aliases. ``keep_last_snap`` defaults
+      True, the streaming-safe mode (a full collapse destroys a
+      pre-fold replay view — see ``compact_dedup_index``); pass False
+      only when no streaming fold can be awaiting its checkpoint;
+    - ``vacuum`` (opt-in: it deletes unreferenced dirs, which readers
+      holding pre-swap lazy plans may still resolve — see
+      ``vacuum_dedup_index(min_age_s=...)``).
+
+    kwargs dicts pass through to build_cc_labels / the two trainers
+    (e.g. ``cc_kwargs={"tau": 0.9}``; tau defaults to the cc block's
+    recorded value). This is the weekly pipeline's maintenance step:
+    folds stay O(snapshot) all week, and this call pays exactly the
+    elective passes the data says are due."""
+    man = _read_manifest(index_dir)
+    actions: list[str] = []
+    cc_rep = ann_rep = None
+    if man.get("cc"):
+        cc_rep = cc_health(spark, index_dir)
+        if cc_rep["recommendation"] == "rebuild":
+            kw = dict(cc_kwargs or {})
+            kw.setdefault("tau", man["cc"]["tau"])
+            build_cc_labels(spark, index_dir, rebuild=True, **kw)
+            actions.append("cc_rebuild")
+    if man.get("ann") or man.get("pq"):
+        ann_rep = ann_health(spark, index_dir)
+        if ann_rep["recommendation"] == "retrain":
+            kw = dict(ann_kwargs or {})
+            if man.get("ann"):
+                train_ann_index(spark, index_dir, retrain=True,
+                                every=man["ann"]["every"],
+                                max_k=man["ann"]["max_k"],
+                                centroids=kw.get("centroids"))
+                actions.append("ann_retrain")
+            if man.get("pq"):
+                train_pq_index(spark, index_dir, retrain=True,
+                               m=man["pq"]["m"], kk=man["pq"]["kk"],
+                               train_every=man["pq"]["train_every"],
+                               dims=man["pq"]["dims"],
+                               codebook=kw.get("codebook"))
+                actions.append("pq_retrain")
+    if compact:
+        pre = list(_read_manifest(index_dir)["snaps"])
+        compact_dedup_index(spark, index_dir,
+                            keep_last_snap=keep_last_snap)
+        if _read_manifest(index_dir)["snaps"] != pre:
+            actions.append("compact")
+    if vacuum:
+        if vacuum_dedup_index(index_dir):
+            actions.append("vacuum")
+    return {"actions": actions, "cc": cc_rep, "ann": ann_rep}
+
+
 def ann_health(spark: SparkSession, index_dir: str, *, snaps=None,
                fold_retrain_threshold: float = 0.5,
                skew_retrain_threshold: float = 8.0) -> dict:

@@ -2003,3 +2003,60 @@ def test_ann_health_reports_retrain_inputs(spark, tmp_path):
         spark, idx, removed_docs=_docs_for(spark, [20, 21]))
     h = dinc.ann_health(spark, idx)
     assert h["ivf"]["n_assigned"] == 45 and h["pq"]["n_encoded"] == 45
+
+
+def test_maintain_dedup_index_runs_recommended_passes(spark, tmp_path):
+    """r11: the one-call maintenance step performs exactly what the
+    health reports recommend — nothing on a clean store beyond the log
+    compaction, cc rebuild after a hazardous retraction, ANN/PQ retrain
+    after a large fold — and returns the pre-maintenance evidence."""
+    c = "completely separate content " + " ".join(
+        f"w{i}" for i in range(30))
+    ids = list(range(0, 12))
+    idx = str(tmp_path / "idx")
+    docs = [(i, t) for i, t in
+            ((r["docno"], r["text"]) for r in
+             _docs_for(spark, ids).collect())]
+    dinc.build_dedup_index(_df(spark, docs + [(100, c), (101, c)]), idx,
+                           embeddings=_emb_df(spark, ids))
+    dinc.build_cc_labels(spark, idx)
+    dinc.train_ann_index(spark, idx, every=4)
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8)
+
+    # clean store: only the log compaction (build+cc+2 trains = 4-snap
+    # log), no elective pass
+    out = dinc.maintain_dedup_index(spark, idx)
+    assert out["actions"] == ["compact"]
+    assert out["cc"]["recommendation"] == "none"
+    assert out["ann"]["recommendation"] == "none"
+
+    # already-compact store: nothing at all
+    out = dinc.maintain_dedup_index(spark, idx)
+    assert out["actions"] == []
+
+    # a fold builds up log; compact is the only action
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, [20, 21]),
+                            new_embeddings=_emb_df(spark, [20, 21]))
+    out = dinc.maintain_dedup_index(spark, idx)
+    assert out["actions"] == ["compact"]
+
+    # retract the {100,101} min -> cc rebuild due; a big vector fold ->
+    # retrain due; one call pays both, then compacts
+    dinc.update_dedup_index(spark, idx,
+                            removed_docs=_df(spark, [(100, c)]))
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, range(30, 70)),
+                            new_embeddings=_emb_df(spark, range(30, 70)))
+    out = dinc.maintain_dedup_index(spark, idx, keep_last_snap=False)
+    assert out["actions"] == ["cc_rebuild", "ann_retrain", "pq_retrain",
+                              "compact"]
+    assert out["cc"]["recommendation"] == "rebuild"
+    assert out["ann"]["recommendation"] == "retrain"
+    # post-state: everything clean, store fully compacted
+    h = dinc.cc_health(spark, idx)
+    assert h["recommendation"] == "none" and h["n_dead_names"] == 0
+    assert dinc.ann_health(spark, idx)["recommendation"] == "none"
+    # the hazardous re-add now lands (rebuild retired the dead name)
+    dinc.update_dedup_index(spark, idx, _df(spark, [(100, c)]))
+    got = dict((r["docno"], r["label"]) for r in
+               dinc.cc_labels_frame(spark, idx).collect())
+    assert got[100] == got[101]
