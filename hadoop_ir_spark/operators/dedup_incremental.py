@@ -788,9 +788,16 @@ def update_dedup_index(spark: SparkSession, index_dir: str,
             if man.get("pq"):
                 # O(snapshot) PQ fold-in: encode ONLY the new vectors
                 # against the persisted codebook — the standing codes
-                # are never read or rewritten
+                # are never read or rewritten. A residual store encodes
+                # x − c(x) against THIS batch's assignment to the
+                # persisted centroids (same broadcast artifacts).
+                src = ne
+                if man["pq"].get("residual"):
+                    cents = _ann_centroid_frame(spark, index_dir, man)
+                    src = _residual_frame(
+                        ne, _assign_to_centroids(ne, cents), cents)
                 att.write(_pq_encode_docs(
-                    ne, _pq_codebook_frame(spark, index_dir, man),
+                    src, _pq_codebook_frame(spark, index_dir, man),
                     man["pq"]["m"], man["pq"]["dims"]), ANN_CODES)
                 wrote_pq = True
         if removed_docs is not None:
@@ -1529,7 +1536,10 @@ def train_ann_index(spark: SparkSession, index_dir: str, *,
     ``ann`` block is REPLACED so superseded assign dirs fall out of
     visibility (vacuum reclaims them with the other orphans).
     ``ann_health`` reports fold fraction, list skew and empty lists and
-    recommends when to pay this pass."""
+    recommends when to pay this pass. NOTE: an IVF retrain INVALIDATES
+    a residual PQ block's codes (they encode x − c(x) against the OLD
+    centroids) — retrain the PQ block immediately after
+    (``maintain_dedup_index`` retrains both in order)."""
     from hadoop_ir_spark.operators import similarity
 
     man = _read_manifest(index_dir)
@@ -1642,6 +1652,23 @@ def _pq_codebook_frame(spark: SparkSession, index_dir: str,
         os.path.join(index_dir, ANN_CODEBOOK, f"snap={sid}"))
 
 
+def _residual_frame(emb: DataFrame, assign: DataFrame,
+                    cents: DataFrame) -> DataFrame:
+    """(docno, embedding): per-doc IVF residual x − c(x) — elementwise
+    subtraction, order-free per element, so an external engine's
+    ``list_transform(list_zip(x, cv), p -> p[1] - p[2])`` reproduces it
+    bit-for-bit. ``assign`` is (docno, centroid_id), ``cents`` the
+    persisted (centroid_id, cv)."""
+    return (emb.select("docno",
+                       F.col("embedding").cast("array<double>")
+                       .alias("_x"))
+            .join(assign, "docno")
+            .join(F.broadcast(cents), "centroid_id")
+            .select("docno",
+                    F.zip_with(F.col("_x"), F.col("cv"),
+                               lambda a, b: a - b).alias("embedding")))
+
+
 def _pq_encode_docs(emb: DataFrame, codebook: DataFrame,
                     m: int, dims: int) -> DataFrame:
     """(docno, s, code): PQ-encode an embedding frame against a trained
@@ -1660,6 +1687,7 @@ def train_pq_index(spark: SparkSession, index_dir: str, *,
                    m: int | None = None, kk: int | None = None,
                    train_every: int | None = None, dims: int = 64,
                    codebook: DataFrame | None = None,
+                   residual: bool = False,
                    retrain: bool = False) -> None:
     """Train the PQ index over the store's LIVE ``embeddings`` table and
     persist it: ``ann_codebook`` (the trained artifact, (s, code, cv))
@@ -1681,7 +1709,18 @@ def train_pq_index(spark: SparkSession, index_dir: str, *,
     dirs fall out of visibility (vacuum reclaims them). PQ is
     independent of the IVF index (``train_ann_index``) — a store can
     carry either or both. ``ann_health`` reports fold fraction and
-    codebook utilization and recommends when to pay this pass."""
+    codebook utilization and recommends when to pay this pass.
+
+    ``residual=True`` (r11) trains and encodes IVF RESIDUALS x − c(x)
+    instead of raw vectors — the Jégou et al. IVFADC form production
+    IVF-PQ uses: quantization error concentrates on the within-list
+    displacement, so the same codebook budget buys materially better
+    ADC distances. Requires a trained IVF index (``train_ann_index``);
+    serving is ``indexed_ivfpq_topk`` ONLY (a residual code is
+    meaningless without its doc's coarse centroid, so the flat
+    ``indexed_pq_topk`` scan refuses residual stores), and an IVF
+    retrain INVALIDATES residual codes — retrain the PQ block
+    immediately after (``maintain_dedup_index`` retrains both)."""
     from hadoop_ir_spark.operators import similarity
 
     m = similarity.PQ_M if m is None else m
@@ -1700,6 +1739,18 @@ def train_pq_index(spark: SparkSession, index_dir: str, *,
             f"dedup index at {index_dir} has no embeddings table — build "
             f"or update it with embeddings=... / new_embeddings=... "
             f"before training the PQ index")
+    if residual:
+        if not man.get("ann"):
+            raise ValueError(
+                f"dedup index at {index_dir}: residual PQ encodes "
+                f"x − c(x) against the IVF centroids — run "
+                f"train_ann_index first")
+        vis = list(man["snaps"])
+        assign = _live_rows_tomb(
+            spark, index_dir, ANN_ASSIGN,
+            [s for s in man["ann"]["assign_snaps"] if s in vis], vis)
+        emb = _residual_frame(emb, assign,
+                              _ann_centroid_frame(spark, index_dir, man))
     if codebook is None:
         codebook = similarity.pq_codebook(
             emb, m=m, k=kk, train_every=train_every, id_col="docno",
@@ -1722,8 +1773,8 @@ def train_pq_index(spark: SparkSession, index_dir: str, *,
         mn["next_snap"] = sid + 1
         mn["last_snap"] = sid
         mn["pq"] = {"m": m, "kk": kk, "train_every": train_every,
-                    "dims": dims, "codebook_snap": sid,
-                    "code_snaps": [sid]}
+                    "dims": dims, "residual": residual,
+                    "codebook_snap": sid, "code_snaps": [sid]}
         return mn
 
     att.commit(_mut)
@@ -1750,6 +1801,11 @@ def indexed_pq_topk(queries: DataFrame, index_dir: str, *,
         raise ValueError(
             f"dedup index at {index_dir} has no trained PQ index — run "
             f"train_pq_index first")
+    if man["pq"].get("residual"):
+        raise ValueError(
+            f"dedup index at {index_dir} carries RESIDUAL PQ codes "
+            f"(x − c(x)) — a flat ADC scan cannot score them without "
+            f"each doc's coarse centroid; use indexed_ivfpq_topk")
     vis = _visible_snaps(index_dir, snaps)
     if man["pq"]["codebook_snap"] not in vis:
         raise FileNotFoundError(
@@ -1830,22 +1886,58 @@ def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(vec_col).alias("qv"))
     qprobe = q.crossJoin(F.broadcast(cents)).select(
-        "qid", "centroid_id",
+        "qid", "qv", "centroid_id",
         cosine_expr(F.col("qv"), F.col("cv")).alias("csim"))
     wq = Window.partitionBy("qid").orderBy(F.desc("csim"),
                                            F.asc("centroid_id"))
     probes = (qprobe.withColumn("_r", F.row_number().over(wq))
               .filter(F.col("_r") <= nprobe)
-              .select("qid", "centroid_id"))
-    cand = assign.join(F.broadcast(probes), "centroid_id").select(
-        "qid", "docno")
-    lut = similarity.pq_lut(queries, _pq_codebook_frame(
-        spark, index_dir, man), m=man["pq"]["m"], qid_col=qid_col,
-        vec_col=vec_col, dims=man["pq"]["dims"])
-    scored = (codes.join(cand, "docno")
-              .join(F.broadcast(lut), ["qid", "s", "code"])
-              .groupBy("qid", "docno")
-              .agg(F.sum("d2_i").alias("_di")))
+              .select("qid", "qv", "centroid_id"))
+    mm, dims = man["pq"]["m"], man["pq"]["dims"]
+    if man["pq"].get("residual"):
+        # IVFADC residual path (r11): the codes encode x − c(x), so the
+        # ADC table is per (query, PROBED centroid) — rq = q − c, LUT
+        # over rq's sub-slices (|q|·nprobe·m·k rows, broadcast), and
+        # each candidate joins the LUT row of its OWN list. Same
+        # quantized-integer d2 arithmetic as similarity.pq_lut.
+        sub = dims // mm
+        rq = (probes.join(F.broadcast(cents), "centroid_id")
+              .select("qid", "centroid_id",
+                      F.zip_with(F.col("qv").cast("array<double>"),
+                                 F.col("cv"),
+                                 lambda a, b: a - b).alias("_rq")))
+        qs = rq.select(
+            "qid", "centroid_id",
+            similarity._sub_slices(F.col("_rq"), mm, sub, "qv")
+            .alias("_e")).select("qid", "centroid_id",
+                                 F.col("_e.s").alias("s"),
+                                 F.col("_e.qv").alias("qv"))
+        d2 = (similarity.dot_expr(F.col("qv"), F.col("qv"))
+              - F.lit(2.0) * similarity.dot_expr(F.col("qv"),
+                                                 F.col("cv"))
+              + similarity.dot_expr(F.col("cv"), F.col("cv")))
+        lut = qs.join(F.broadcast(_pq_codebook_frame(
+            spark, index_dir, man)), "s").select(
+            "qid", "centroid_id", "s", "code",
+            F.floor(d2 * 1e6 + F.lit(0.5)).cast("long").alias("d2_i"))
+        cand = assign.join(F.broadcast(probes.select(
+            "qid", "centroid_id")), "centroid_id").select(
+            "qid", "docno", "centroid_id")
+        scored = (codes.join(cand, "docno")
+                  .join(F.broadcast(lut),
+                        ["qid", "centroid_id", "s", "code"])
+                  .groupBy("qid", "docno")
+                  .agg(F.sum("d2_i").alias("_di")))
+    else:
+        cand = assign.join(F.broadcast(probes.select(
+            "qid", "centroid_id")), "centroid_id").select("qid", "docno")
+        lut = similarity.pq_lut(queries, _pq_codebook_frame(
+            spark, index_dir, man), m=mm, qid_col=qid_col,
+            vec_col=vec_col, dims=dims)
+        scored = (codes.join(cand, "docno")
+                  .join(F.broadcast(lut), ["qid", "s", "code"])
+                  .groupBy("qid", "docno")
+                  .agg(F.sum("d2_i").alias("_di")))
     w = Window.partitionBy("qid").orderBy(F.asc("_di"), F.desc("docno"))
     if refine is None:
         return (scored.withColumn("rank", F.row_number().over(w))
@@ -2294,6 +2386,8 @@ def maintain_dedup_index(spark: SparkSession, index_dir: str, *,
                                m=man["pq"]["m"], kk=man["pq"]["kk"],
                                train_every=man["pq"]["train_every"],
                                dims=man["pq"]["dims"],
+                               residual=man["pq"].get("residual",
+                                                      False),
                                codebook=kw.get("codebook"))
                 actions.append("pq_retrain")
     if compact:

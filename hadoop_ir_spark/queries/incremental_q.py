@@ -1006,6 +1006,175 @@ _register_indexed_pq()
 
 
 # ---------------------------------------------------------------------------
+# residual-encoded IVF-PQ (r11): the Jégou et al. IVFADC form — PQ codes
+# encode x − c(x), the within-list displacement, so the same codebook
+# budget buys materially better ADC distances than raw-vector PQ.
+# ---------------------------------------------------------------------------
+
+def _ann_res_index_dir(spark, sf_dir: str) -> str:
+    """Memoized store carrying the RESIDUAL PQ index: IVF trained on the
+    standing embeddings (id-sample, the indexed_ann_topk convention),
+    then train_pq_index(residual=True) — sub-codebooks over standing
+    residuals, codes for x − c(x) — then the new snapshot folded in
+    (assignment + residual encode against the persisted artifacts,
+    O(snapshot))."""
+    key = os.path.abspath(sf_dir) + "#annres"
+    if key not in _IDX_CACHE:
+        out = os.path.join(_TMPROOT,
+                           key.strip("/").replace("/", "_").replace("#", "_"))
+        emb = _emb(spark, sf_dir)
+        dinc.build_dedup_index(
+            _docs(spark, sf_dir).select("doc_id", "text")
+            .filter(F.col("doc_id") % 15 == 1),
+            out, min_len=INC_SPAN_LEN, id_col="doc_id",
+            embeddings=emb.filter(F.col("vec_id") % 3 != 0),
+            emb_id_col="vec_id")
+        dinc.train_ann_index(spark, out, every=ANN_IDX_EVERY)
+        dinc.train_pq_index(spark, out, residual=True)
+        dinc.update_dedup_index(
+            spark, out, min_len=INC_SPAN_LEN,
+            new_embeddings=emb.filter(F.col("vec_id") % 3 == 0),
+            emb_id_col="vec_id")
+        _IDX_CACHE[key] = out
+    return _IDX_CACHE[key]
+
+
+def _register_indexed_residual():
+    from hadoop_ir_spark.operators import similarity
+
+    sub = 64 // similarity.PQ_M
+    d2 = ("(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+          " + list_dot_product({b}, {b}))")
+    cos_ec = ("list_dot_product(e.v, c.cv)"
+              " / (sqrt(list_dot_product(e.v, e.v))"
+              " * sqrt(list_dot_product(c.cv, c.cv)))")
+
+    @register("indexed_ivfpq_residual_topk", f"""
+WITH embd AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM embd
+  WHERE vec_id % 3 <> 0 AND vec_id % {ANN_IDX_EVERY} = 0
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.cos DESC, s.cid ASC) AS rn
+    FROM (SELECT e.vec_id, c.cid, {cos_ec} AS cos
+          FROM embd e CROSS JOIN cent c) s
+  ) WHERE rn = 1
+),
+rx AS (
+  SELECT e.vec_id,
+         list_transform(list_zip(e.v, c.cv), p -> p[1] - p[2]) AS rv
+  FROM embd e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN cent c ON c.cid = a.cid
+),
+samples AS (
+  SELECT rv, rn FROM (
+    SELECT rv, row_number() OVER (ORDER BY vec_id) AS rn
+    FROM rx
+    WHERE vec_id % {similarity.PQ_TRAIN_EVERY} = 0 AND vec_id % 3 <> 0
+  ) WHERE rn <= {similarity.PQ_K}
+),
+cb AS (
+  SELECT t.s AS s, rn - 1 AS code,
+         list_slice(rv, t.s * {sub} + 1, t.s * {sub} + {sub}) AS cv
+  FROM samples, range({similarity.PQ_M}) t(s)
+),
+xs AS (
+  SELECT vec_id, t.s AS s,
+         list_slice(rv, t.s * {sub} + 1, t.s * {sub} + {sub}) AS xv
+  FROM rx, range({similarity.PQ_M}) t(s)
+),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, x.s, c.code,
+           row_number() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY {d2.format(a='x.xv', b='c.cv')} ASC, c.code ASC
+           ) AS rn
+    FROM xs x JOIN cb c ON c.s = x.s
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM embd
+      WHERE vec_id % {ANN_QUERY_EVERY} = 0),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT s.qid, s.cid,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY s.cos DESC, s.cid ASC) AS rn
+    FROM (SELECT q.qid, c.cid,
+                 list_dot_product(q.qv, c.cv)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+          FROM q CROSS JOIN cent c) s
+  ) WHERE rn <= {ANN_IDX_NPROBE}
+),
+rq AS (
+  SELECT p.qid, p.cid,
+         list_transform(list_zip(q.qv, c.cv), z -> z[1] - z[2]) AS rqv
+  FROM probes p
+  JOIN q ON q.qid = p.qid
+  JOIN cent c ON c.cid = p.cid
+),
+qs AS (
+  SELECT qid, cid, t.s AS s,
+         list_slice(rqv, t.s * {sub} + 1, t.s * {sub} + {sub}) AS qv
+  FROM rq, range({similarity.PQ_M}) t(s)
+),
+lut AS (
+  SELECT q.qid, q.cid, q.s, c.code,
+         CAST(floor({d2.format(a='q.qv', b='c.cv')} * 1e6 + 0.5)
+              AS BIGINT) AS d2_i
+  FROM qs q JOIN cb c ON c.s = q.s
+),
+cand AS (SELECT p.qid, a.vec_id, a.cid FROM probes p
+         JOIN assign a USING (cid)),
+scored AS (
+  SELECT l.qid, e.vec_id, CAST(sum(l.d2_i) AS BIGINT) AS di
+  FROM enc e
+  JOIN cand cd ON cd.vec_id = e.vec_id
+  JOIN lut l ON l.qid = cd.qid AND l.cid = cd.cid
+            AND l.s = e.s AND l.code = e.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, vec_id AS docno, di,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY di ASC, vec_id DESC) AS rank
+  FROM scored
+)
+SELECT qid, docno, round(di::DOUBLE / 1e6, 6) AS approx_d2,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_IDX_K}
+""")
+    def q_indexed_ivfpq_residual_topk(spark, sf_dir):
+        """IVF-PQ with RESIDUAL encoding served from the persisted
+        store (IVFADC): codes encode x − c(x) against the persisted
+        centroids, the per-query ADC table is built per PROBED centroid
+        from rq = q − c, and each candidate scores against the table of
+        its own list. The scan still touches only (docno, s, code)
+        ints; the residual arithmetic is elementwise subtraction + the
+        PQ family's sequential-fold dots, so the whole composed
+        pipeline remains byte-exact against the CTE oracle. Fold and
+        retraction are the store's (tests pin fold≡rebuild and the
+        IVF-retrain-invalidates-residuals discipline)."""
+        idx_dir = _ann_res_index_dir(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        return dinc.indexed_ivfpq_topk(queries, idx_dir, k=ANN_IDX_K,
+                                       nprobe=ANN_IDX_NPROBE)
+
+
+_register_indexed_residual()
+
+
+# ---------------------------------------------------------------------------
 # persisted k-means-trained IVF index (VERDICT r10 #5)
 # ---------------------------------------------------------------------------
 

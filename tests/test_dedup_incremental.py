@@ -1374,6 +1374,7 @@ def test_pq_index_retraction_and_compaction(spark, tmp_path):
     man2 = dinc._read_manifest(idx)
     sid = man2["snaps"][-1]
     assert man2["pq"] == {"m": 2, "kk": 3, "train_every": 2, "dims": 8,
+                          "residual": False,
                           "codebook_snap": sid, "code_snaps": [sid]}
     # retrained codes cover exactly the live docs, 2 subspaces each
     live2 = dinc.load_dedup_index(spark, idx)
@@ -2060,3 +2061,105 @@ def test_maintain_dedup_index_runs_recommended_passes(spark, tmp_path):
     got = dict((r["docno"], r["label"]) for r in
                dinc.cc_labels_frame(spark, idx).collect())
     assert got[100] == got[101]
+
+
+def test_residual_pq_index_fold_equals_rebuild(spark, tmp_path):
+    """r11: residual PQ (IVFADC — codes encode x − c(x) against the
+    persisted IVF centroids). Folding new vectors must equal encoding
+    the UNION corpus's residuals against the persisted codebook; the
+    flat PQ scan refuses residual stores; the composed residual query
+    equals the hand-composed expectation and the wide-open
+    probe+refine still recovers brute force."""
+    from hadoop_ir_spark.operators import similarity
+
+    old_ids = list(range(0, 20))
+    new_ids = list(range(20, 30))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, old_ids), idx,
+                           embeddings=_emb_df(spark, old_ids))
+    with pytest.raises(ValueError, match="residual PQ"):
+        dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3,
+                            dims=8, residual=True)
+    dinc.train_ann_index(spark, idx, every=4)
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8,
+                        residual=True)
+    man = dinc._read_manifest(idx)
+    assert man["pq"]["residual"] is True
+
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, new_ids),
+                            new_embeddings=_emb_df(spark, new_ids))
+    man = dinc._read_manifest(idx)
+
+    # fold == rebuild: union residuals (per-doc assignment to the
+    # persisted centroids) encoded against the persisted codebook
+    cents = dinc._ann_centroid_frame(spark, idx, man)
+    union_emb = _emb_df(spark, old_ids + new_ids)
+    union_assign = similarity.assign_centroids(
+        union_emb, cents, id_col="docno", vec_col="embedding").select(
+        F.col("vec_id").alias("docno"), "centroid_id")
+    union_res = dinc._residual_frame(union_emb, union_assign, cents)
+    cb = dinc._pq_codebook_frame(spark, idx, man)
+    want_codes = sorted(map(tuple, similarity.pq_encode(
+        union_res, cb, m=4, id_col="docno", vec_col="embedding", dims=8)
+        .select(F.col("vec_id").alias("docno"), "s", "code").collect()))
+    got_codes = sorted(map(tuple, dinc.load_dedup_index(
+        spark, idx)["ann_codes"].collect()))
+    assert got_codes == want_codes
+
+    with pytest.raises(ValueError, match="RESIDUAL"):
+        dinc.indexed_pq_topk(spark.createDataFrame(
+            [(1, _vec(3))], "qid long, embedding array<double>"), idx)
+
+    # composed residual serving == hand-composed IVFADC expectation
+    queries = spark.createDataFrame(
+        [(100, _vec(3)), (101, _vec(27))],
+        "qid long, embedding array<double>")
+    got = sorted(map(tuple, dinc.indexed_ivfpq_topk(
+        queries, idx, k=5, nprobe=2).collect()))
+    from pyspark.sql import Window
+    from hadoop_ir_spark.operators.dedup import cosine_expr
+    qp = queries.crossJoin(F.broadcast(cents)).select(
+        F.col("qid"), F.col("embedding").alias("qv"), "centroid_id",
+        cosine_expr(F.col("embedding"), F.col("cv")).alias("csim"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"),
+                                           F.asc("centroid_id"))
+    probes = (qp.withColumn("_r", F.row_number().over(wq))
+              .filter(F.col("_r") <= 2).select("qid", "qv",
+                                               "centroid_id"))
+    rq = (probes.join(F.broadcast(cents), "centroid_id")
+          .select("qid", "centroid_id",
+                  F.zip_with(F.col("qv").cast("array<double>"),
+                             F.col("cv"), lambda a, b: a - b)
+                  .alias("embedding"),
+                  F.concat(F.col("qid"), F.lit(1000000),
+                           F.col("centroid_id")).alias("_qc")))
+    lut = similarity.pq_lut(
+        rq.select(F.col("_qc").alias("qid"), "embedding"), cb, m=4,
+        dims=8).withColumnRenamed("qid", "_qc")
+    cand = (union_assign.join(
+        F.broadcast(probes.select("qid", "centroid_id")), "centroid_id")
+        .join(F.broadcast(rq.select("qid", "centroid_id", "_qc")),
+              ["qid", "centroid_id"]))
+    codes = dinc.load_dedup_index(spark, idx)["ann_codes"]
+    scored = (codes.join(cand, "docno")
+              .join(F.broadcast(lut), ["_qc", "s", "code"])
+              .groupBy("qid", "docno").agg(F.sum("d2_i").alias("_di")))
+    w = Window.partitionBy("qid").orderBy(F.asc("_di"), F.desc("docno"))
+    want = sorted(map(tuple, scored
+                      .withColumn("rank", F.row_number().over(w))
+                      .filter(F.col("rank") <= 5)
+                      .select("qid", "docno",
+                              F.round(F.col("_di").cast("double") / 1e6,
+                                      6).alias("approx_d2"),
+                              F.col("rank").cast("int").alias("rank"))
+                      .collect()))
+    assert got == want and len(got) == 10
+
+    # wide-open probe + refine recovers brute force on residual stores
+    wide = sorted(map(tuple, dinc.indexed_ivfpq_topk(
+        queries, idx, k=5, nprobe=100, refine=1000).collect()))
+    brute = sorted(map(tuple, similarity.cosine_topk(
+        union_emb, queries, k=5, id_col="docno")
+        .select("qid", F.col("vec_id").alias("docno"), "cosine", "rank")
+        .collect()))
+    assert wide == brute

@@ -148,6 +148,9 @@ PINNED_JUDGE_VERIFIED = sorted({
     # recall canary (VERDICT r10 #1), persisted k-means-trained IVF
     # index (VERDICT r10 #5); strict at sf0.001/sf0.01/sf0.1 on addition
     "indexed_ivfpq_refined", "ann_recall_ivfpq", "indexed_ann_kmeans_topk",
+    # round 11 cont.: residual-encoded IVF-PQ (IVFADC); strict at
+    # sf0.001/sf0.01/sf0.1 on addition
+    "indexed_ivfpq_residual_topk",
 })
 
 
