@@ -446,14 +446,18 @@ def _union_snaps(spark: SparkSession, index_dir: str, table: str,
                  snaps: list[int]) -> DataFrame | None:
     """Union of a table's visible snap dirs with the snap id attached.
     Missing dirs are skipped (an update that only removed docs writes
-    no row-table dir for its snap id)."""
+    no row-table dir for its snap id). allowMissingColumns tolerates
+    dirs written before an additive schema change (r12 added the
+    ``src`` provenance column to ann_assign/ann_codes — a pre-r12 dir's
+    rows surface it as null, which every consumer treats as 'train')."""
     out = None
     for sid in snaps:
         p = os.path.join(index_dir, table, f"snap={sid}")
         if not os.path.isdir(p):
             continue
         df = spark.read.parquet(p).withColumn("_snap", F.lit(sid))
-        out = df if out is None else out.unionByName(df)
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=True)
     return out
 
 
@@ -569,7 +573,9 @@ def load_dedup_index(spark: SparkSession, index_dir: str,
                 spark, index_dir, ANN_ASSIGN,
                 [s for s in man["ann"]["assign_snaps"] if s in vis], vis)
             if assign is not None:
-                out[ANN_ASSIGN] = assign
+                # the src training-provenance tag (r12) is maintenance
+                # metadata for ann_health, not logical index content
+                out[ANN_ASSIGN] = assign.drop("src")
     if man.get("pq"):
         vis = _visible_snaps(index_dir, snaps)
         if man["pq"]["codebook_snap"] in vis:
@@ -578,7 +584,7 @@ def load_dedup_index(spark: SparkSession, index_dir: str,
                 spark, index_dir, ANN_CODES,
                 [s for s in man["pq"]["code_snaps"] if s in vis], vis)
             if codes is not None:
-                out[ANN_CODES] = codes
+                out[ANN_CODES] = codes.drop("src")
     if man.get("cc"):
         try:
             out[CC_LABELS] = cc_labels_frame(spark, index_dir, snaps)
@@ -780,10 +786,11 @@ def update_dedup_index(spark: SparkSession, index_dir: str,
             if man.get("ann"):
                 # O(snapshot) ANN fold-in: assign ONLY the new vectors
                 # to the persisted centroids — the standing assignment
-                # is never read or rewritten
+                # is never read or rewritten. src='fold' marks the rows
+                # as post-training for ann_health's fold_fraction.
                 att.write(_assign_to_centroids(
-                    ne, _ann_centroid_frame(spark, index_dir, man)),
-                    ANN_ASSIGN)
+                    ne, _ann_centroid_frame(spark, index_dir, man),
+                    src="fold"), ANN_ASSIGN)
                 wrote_ann = True
             if man.get("pq"):
                 # O(snapshot) PQ fold-in: encode ONLY the new vectors
@@ -791,14 +798,15 @@ def update_dedup_index(spark: SparkSession, index_dir: str,
                 # are never read or rewritten. A residual store encodes
                 # x − c(x) against THIS batch's assignment to the
                 # persisted centroids (same broadcast artifacts).
-                src = ne
+                enc_in = ne
                 if man["pq"].get("residual"):
                     cents = _ann_centroid_frame(spark, index_dir, man)
-                    src = _residual_frame(
+                    enc_in = _residual_frame(
                         ne, _assign_to_centroids(ne, cents), cents)
                 att.write(_pq_encode_docs(
-                    src, _pq_codebook_frame(spark, index_dir, man),
-                    man["pq"]["m"], man["pq"]["dims"]), ANN_CODES)
+                    enc_in, _pq_codebook_frame(spark, index_dir, man),
+                    man["pq"]["m"], man["pq"]["dims"], src="fold"),
+                    ANN_CODES)
                 wrote_pq = True
         if removed_docs is not None:
             r = _norm(removed_docs, id_col, text_col)
@@ -1074,7 +1082,8 @@ def compact_dedup_index(spark: SparkSession, index_dir: str, *,
 
 
 def vacuum_dedup_index(index_dir: str, *, min_age_s: float = 0.0,
-                       tmp_grace_s: float = 86400.0) -> list[str]:
+                       tmp_grace_s: float = 86400.0,
+                       dry_run: bool = False) -> list:
     """Delete every snap dir the manifest no longer references —
     compaction leftovers and crashed-fold orphans — plus crashed
     attempts' ``snap=<id>.tmp-<token>`` staging dirs. Runs under the
@@ -1090,9 +1099,15 @@ def vacuum_dedup_index(index_dir: str, *, min_age_s: float = 0.0,
     ``tmp_grace_s`` protects IN-FLIGHT attempts' staging dirs (written
     OUTSIDE the lock, possibly for hours on a big snapshot) — only tmp
     dirs older than it are treated as crashed and reclaimed. Returns
-    the deleted paths."""
+    the deleted paths.
+
+    ``dry_run=True`` (r12, VERDICT r11 #4) deletes NOTHING and returns
+    ``[{"path": ..., "age_s": ...}]`` for every dir the same call would
+    reclaim — the weekly pipeline's preview before committing to the
+    irreversible delete (``maintain_dedup_index(vacuum=True)`` runs the
+    real pass)."""
     now = time.time()
-    deleted = []
+    deleted: list = []
     with _manifest_lock(index_dir):
         visible = set(_read_manifest(index_dir)["snaps"])
         for t in _ALL_TABLES:
@@ -1104,11 +1119,11 @@ def vacuum_dedup_index(index_dir: str, *, min_age_s: float = 0.0,
                     continue
                 p = os.path.join(tdir, ent)
                 tail = ent.split("=", 1)[1]
+                try:
+                    age = now - os.stat(p).st_mtime
+                except OSError:
+                    continue
                 if ".tmp-" in tail:
-                    try:
-                        age = now - os.stat(p).st_mtime
-                    except OSError:
-                        continue
                     if age <= tmp_grace_s:
                         continue
                 else:
@@ -1118,11 +1133,11 @@ def vacuum_dedup_index(index_dir: str, *, min_age_s: float = 0.0,
                         continue
                     if sid in visible:
                         continue
-                    try:
-                        if now - os.stat(p).st_mtime <= min_age_s:
-                            continue
-                    except OSError:
+                    if age <= min_age_s:
                         continue
+                if dry_run:
+                    deleted.append({"path": p, "age_s": round(age, 1)})
+                    continue
                 shutil.rmtree(p, ignore_errors=True)
                 deleted.append(p)
     return deleted
@@ -1500,17 +1515,27 @@ def _ann_centroid_frame(spark: SparkSession, index_dir: str,
         os.path.join(index_dir, ANN_CENTROIDS, f"snap={sid}"))
 
 
-def _assign_to_centroids(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(docno, centroid_id): nearest-centroid assignment of an embedding
-    frame, expression-path (``similarity.assign_centroids`` — left-fold
-    cosine an external engine reproduces bit-for-bit, so the PERSISTED
-    assignment is oracle-checkable; swap in ``similarity.ivf_assign``'s
-    BLAS kernel for production scans without changing the layout)."""
+def _assign_to_centroids(emb: DataFrame, centroids: DataFrame,
+                         src: str = "train") -> DataFrame:
+    """(docno, centroid_id, src): nearest-centroid assignment of an
+    embedding frame, expression-path (``similarity.assign_centroids`` —
+    left-fold cosine an external engine reproduces bit-for-bit, so the
+    PERSISTED assignment is oracle-checkable; swap in
+    ``similarity.ivf_assign``'s BLAS kernel for production scans without
+    changing the layout). ``src`` is the row-level training-provenance
+    tag (r12, VERDICT r11 #2): 'train' for rows written by the full
+    training pass, 'fold' for rows a later ``update_dedup_index`` folded
+    against the frozen centroids — ``ann_health`` computes fold_fraction
+    from it, so the drift signal survives compaction (which merges snap
+    dirs and destroys positional provenance) and retraction (tombstones
+    kill trained and folded rows alike, each debited from its own
+    bucket). Internal: ``load_dedup_index`` drops it."""
     from hadoop_ir_spark.operators import similarity
 
     return (similarity.assign_centroids(emb, centroids, id_col="docno",
                                         vec_col="embedding")
-            .select(F.col("vec_id").alias("docno"), "centroid_id"))
+            .select(F.col("vec_id").alias("docno"), "centroid_id",
+                    F.lit(src).alias("src")))
 
 
 def train_ann_index(spark: SparkSession, index_dir: str, *,
@@ -1539,7 +1564,12 @@ def train_ann_index(spark: SparkSession, index_dir: str, *,
     recommends when to pay this pass. NOTE: an IVF retrain INVALIDATES
     a residual PQ block's codes (they encode x − c(x) against the OLD
     centroids) — retrain the PQ block immediately after
-    (``maintain_dedup_index`` retrains both in order)."""
+    (``maintain_dedup_index`` retrains both in order). Since r12 this
+    invariant is ENFORCED, not advisory: each train bumps the ann
+    block's ``generation`` counter, residual PQ training stamps the
+    generation it encoded against, and ``indexed_ivfpq_topk`` refuses
+    to serve a mismatch (``ann_health`` reports it as
+    ``residual_stale`` → mandatory retrain)."""
     from hadoop_ir_spark.operators import similarity
 
     man = _read_manifest(index_dir)
@@ -1554,6 +1584,17 @@ def train_ann_index(spark: SparkSession, index_dir: str, *,
             f"dedup index at {index_dir} has no embeddings table — build "
             f"or update it with embeddings=... / new_embeddings=... "
             f"before training the ANN index")
+    # centroid GENERATION (r12, VERDICT r11 #1): a monotone counter the
+    # pq block stamps at residual-train time — compaction renames snap
+    # ids but never touches the generation, so staleness detection
+    # (residual codes encode x − c(x) against generation g; serving
+    # must refuse when the store now carries g' ≠ g) is positional-free.
+    gen = man["ann"].get("generation", 0) + 1 if man.get("ann") else 0
+    # training METHOD (r12, ADVICE r11): an automatic health-driven
+    # retrain must not silently replace explicit k-means centers with
+    # the default id-sample — maintain_dedup_index skips the retrain of
+    # a 'custom'-trained store unless ann_kwargs supplies centroids.
+    method = "id_sample" if centroids is None else "custom"
     if centroids is None:
         centroids = similarity.centroid_sample(
             emb, every=every, id_col="docno", vec_col="embedding",
@@ -1575,7 +1616,8 @@ def train_ann_index(spark: SparkSession, index_dir: str, *,
         m["snaps"] = m["snaps"] + [sid]
         m["next_snap"] = sid + 1
         m["last_snap"] = sid
-        m["ann"] = {"every": every, "max_k": max_k,
+        m["ann"] = {"every": every, "max_k": max_k, "method": method,
+                    "generation": gen,
                     "centroid_snap": sid, "assign_snaps": [sid]}
         return m
 
@@ -1670,17 +1712,22 @@ def _residual_frame(emb: DataFrame, assign: DataFrame,
 
 
 def _pq_encode_docs(emb: DataFrame, codebook: DataFrame,
-                    m: int, dims: int) -> DataFrame:
-    """(docno, s, code): PQ-encode an embedding frame against a trained
-    codebook (``similarity.pq_encode`` — broadcast codebook join +
-    argmin groupBy, sequential-fold d2 arithmetic an external engine
+                    m: int, dims: int, src: str = "train") -> DataFrame:
+    """(docno, s, code, src): PQ-encode an embedding frame against a
+    trained codebook (``similarity.pq_encode`` — broadcast codebook join
+    + argmin groupBy, sequential-fold d2 arithmetic an external engine
     reproduces bit-for-bit, so the PERSISTED codes are
-    oracle-checkable)."""
+    oracle-checkable). ``src`` is the same row-level training-provenance
+    tag as ``_assign_to_centroids`` (r12): 'train' from the full
+    encoding pass, 'fold' from a delta encode against the frozen
+    codebook — compaction-proof input to ``ann_health``'s
+    fold_fraction. Internal: ``load_dedup_index`` drops it."""
     from hadoop_ir_spark.operators import similarity
 
     return (similarity.pq_encode(emb, codebook, m=m, id_col="docno",
                                  vec_col="embedding", dims=dims)
-            .select(F.col("vec_id").alias("docno"), "s", "code"))
+            .select(F.col("vec_id").alias("docno"), "s", "code",
+                    F.lit(src).alias("src")))
 
 
 def train_pq_index(spark: SparkSession, index_dir: str, *,
@@ -1739,12 +1786,20 @@ def train_pq_index(spark: SparkSession, index_dir: str, *,
             f"dedup index at {index_dir} has no embeddings table — build "
             f"or update it with embeddings=... / new_embeddings=... "
             f"before training the PQ index")
+    pq_method = "deterministic" if codebook is None else "custom"
+    ivf_gen = None
     if residual:
         if not man.get("ann"):
             raise ValueError(
                 f"dedup index at {index_dir}: residual PQ encodes "
                 f"x − c(x) against the IVF centroids — run "
                 f"train_ann_index first")
+        # stamp the centroid generation the residuals are computed
+        # against (r12, VERDICT r11 #1): indexed_ivfpq_topk refuses to
+        # serve when the store's IVF generation has moved past this —
+        # the documented "IVF retrain invalidates residual codes"
+        # invariant, enforced loudly instead of by prose.
+        ivf_gen = man["ann"].get("generation", 0)
         vis = list(man["snaps"])
         assign = _live_rows_tomb(
             spark, index_dir, ANN_ASSIGN,
@@ -1774,7 +1829,10 @@ def train_pq_index(spark: SparkSession, index_dir: str, *,
         mn["last_snap"] = sid
         mn["pq"] = {"m": m, "kk": kk, "train_every": train_every,
                     "dims": dims, "residual": residual,
+                    "method": pq_method,
                     "codebook_snap": sid, "code_snaps": [sid]}
+        if ivf_gen is not None:
+            mn["pq"]["ivf_generation"] = ivf_gen
         return mn
 
     att.commit(_mut)
@@ -1871,6 +1929,24 @@ def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
             raise FileNotFoundError(
                 f"dedup index at {index_dir}: trained {blk} snap "
                 f"{man[blk][key]} is not in the visible snaps {vis}")
+    if man["pq"].get("residual"):
+        # staleness guard (r12, VERDICT r11 #1): residual codes encode
+        # x − c(x) against the centroid GENERATION recorded at PQ-train
+        # time; an IVF retrain bumps the store's generation and orphans
+        # them (decoding old residuals against new centroids is silently
+        # wrong ADC arithmetic). Refuse loudly, naming the repair.
+        pq_gen = man["pq"].get("ivf_generation", 0)
+        ann_gen = man["ann"].get("generation", 0)
+        if pq_gen != ann_gen:
+            raise ValueError(
+                f"dedup index at {index_dir}: the residual PQ codes "
+                f"were trained against IVF centroid generation "
+                f"{pq_gen} but the store now serves generation "
+                f"{ann_gen} — an IVF retrain invalidates residual "
+                f"codes (they encode x − c_old(x)); run "
+                f"train_pq_index(retrain=True, residual=True) to "
+                f"re-encode (maintain_dedup_index retrains both in "
+                f"the safe order)")
     cents = _ann_centroid_frame(spark, index_dir, man)
     assign = _live_rows_tomb(
         spark, index_dir, ANN_ASSIGN,
@@ -2329,11 +2405,14 @@ def cc_labels_frame(spark: SparkSession, index_dir: str,
 
 
 def maintain_dedup_index(spark: SparkSession, index_dir: str, *,
-                         compact: bool = True,
+                         compact: bool | str = "auto",
                          keep_last_snap: bool = True,
                          vacuum: bool = False,
+                         snap_compact_threshold: int = 25,
                          cc_kwargs: dict | None = None,
-                         ann_kwargs: dict | None = None) -> dict:
+                         ann_kwargs: dict | None = None,
+                         cc_health_kwargs: dict | None = None,
+                         ann_health_kwargs: dict | None = None) -> dict:
     """One-call elective maintenance driven by the health reports (r11):
     read ``cc_health`` / ``ann_health`` where the store carries those
     blocks, perform what they recommend, and return
@@ -2346,51 +2425,103 @@ def maintain_dedup_index(spark: SparkSession, index_dir: str, *,
     - ``retrain`` (``train_ann_index``/``train_pq_index`` with
       ``retrain=True``, re-using each block's recorded train params)
       when ann_health recommends it;
-    - ``compact`` (``compact_dedup_index``) afterwards — after a
-      rebuild/retrain it also folds the superseded log down; run even
-      when only recommended-for-aliases. ``keep_last_snap`` defaults
-      True, the streaming-safe mode (a full collapse destroys a
-      pre-fold replay view — see ``compact_dedup_index``); pass False
-      only when no streaming fold can be awaiting its checkpoint;
+    - ``compact`` (``compact_dedup_index``) afterwards — the default
+      ``"auto"`` (r12, VERDICT r11 #3) pays the corpus-proportional
+      merge only when the data says it's due: superseded dirs exist
+      from a rebuild/retrain this call, cc_health recommends compaction
+      (alias log / chain depth), or the visible snap count reaches
+      ``snap_compact_threshold``. ``True``/``False`` force/suppress it.
+      ``keep_last_snap`` defaults True, the streaming-safe mode (a full
+      collapse destroys a pre-fold replay view — see
+      ``compact_dedup_index``); pass False only when no streaming fold
+      can be awaiting its checkpoint;
     - ``vacuum`` (opt-in: it deletes unreferenced dirs, which readers
       holding pre-swap lazy plans may still resolve — see
-      ``vacuum_dedup_index(min_age_s=...)``).
+      ``vacuum_dedup_index(min_age_s=...)``; preview the reclaim with
+      ``vacuum_dedup_index(dry_run=True)``).
+
+    A store whose IVF centroids (or PQ codebook) were trained from
+    EXPLICIT artifacts (``train_ann_index(centroids=...)`` /
+    ``train_pq_index(codebook=...)``, method 'custom' in the manifest)
+    is never automatically retrained with the default id-sample /
+    deterministic method — that would silently degrade the training
+    (ADVICE r11). The retrain is skipped with an
+    ``ann_retrain_skipped_custom`` / ``pq_retrain_skipped_custom``
+    action recorded; pass ``ann_kwargs={"centroids": ...}`` /
+    ``ann_kwargs={"codebook": ...}`` to supply fresh artifacts. An IVF
+    retrain that would orphan residual codes whose re-encode must be
+    skipped is itself skipped (the staleness guard in
+    ``indexed_ivfpq_topk`` would otherwise refuse to serve).
 
     kwargs dicts pass through to build_cc_labels / the two trainers
     (e.g. ``cc_kwargs={"tau": 0.9}``; tau defaults to the cc block's
-    recorded value). This is the weekly pipeline's maintenance step:
-    folds stay O(snapshot) all week, and this call pays exactly the
-    elective passes the data says are due."""
+    recorded value); ``cc_health_kwargs`` / ``ann_health_kwargs`` tune
+    the health thresholds (e.g.
+    ``cc_health_kwargs={"touched_rebuild_threshold": 50}`` for
+    routine-takedown pipelines). This is the weekly pipeline's
+    maintenance step: folds stay O(snapshot) all week, and this call
+    pays exactly the elective passes the data says are due."""
     man = _read_manifest(index_dir)
     actions: list[str] = []
     cc_rep = ann_rep = None
     if man.get("cc"):
-        cc_rep = cc_health(spark, index_dir)
+        cc_rep = cc_health(spark, index_dir, **(cc_health_kwargs or {}))
         if cc_rep["recommendation"] == "rebuild":
             kw = dict(cc_kwargs or {})
             kw.setdefault("tau", man["cc"]["tau"])
             build_cc_labels(spark, index_dir, rebuild=True, **kw)
             actions.append("cc_rebuild")
     if man.get("ann") or man.get("pq"):
-        ann_rep = ann_health(spark, index_dir)
+        ann_rep = ann_health(spark, index_dir,
+                             **(ann_health_kwargs or {}))
         if ann_rep["recommendation"] == "retrain":
             kw = dict(ann_kwargs or {})
+            ann_ok = (man["ann"].get("method", "id_sample") != "custom"
+                      or kw.get("centroids") is not None) \
+                if man.get("ann") else False
+            pq_ok = (man["pq"].get("method",
+                                   "deterministic") != "custom"
+                     or kw.get("codebook") is not None) \
+                if man.get("pq") else False
+            if man.get("ann") and man.get("pq") \
+                    and man["pq"].get("residual") and not pq_ok:
+                # an IVF retrain would orphan the residual codes, and
+                # their re-encode must be skipped (custom codebook, none
+                # supplied) — never create the state the serving guard
+                # refuses; skip the IVF retrain too
+                ann_ok = False
             if man.get("ann"):
-                train_ann_index(spark, index_dir, retrain=True,
-                                every=man["ann"]["every"],
-                                max_k=man["ann"]["max_k"],
-                                centroids=kw.get("centroids"))
-                actions.append("ann_retrain")
+                if ann_ok:
+                    train_ann_index(spark, index_dir, retrain=True,
+                                    every=man["ann"]["every"],
+                                    max_k=man["ann"]["max_k"],
+                                    centroids=kw.get("centroids"))
+                    actions.append("ann_retrain")
+                else:
+                    actions.append("ann_retrain_skipped_custom")
             if man.get("pq"):
-                train_pq_index(spark, index_dir, retrain=True,
-                               m=man["pq"]["m"], kk=man["pq"]["kk"],
-                               train_every=man["pq"]["train_every"],
-                               dims=man["pq"]["dims"],
-                               residual=man["pq"].get("residual",
-                                                      False),
-                               codebook=kw.get("codebook"))
-                actions.append("pq_retrain")
-    if compact:
+                if pq_ok:
+                    train_pq_index(spark, index_dir, retrain=True,
+                                   m=man["pq"]["m"], kk=man["pq"]["kk"],
+                                   train_every=man["pq"]["train_every"],
+                                   dims=man["pq"]["dims"],
+                                   residual=man["pq"].get("residual",
+                                                          False),
+                                   codebook=kw.get("codebook"))
+                    actions.append("pq_retrain")
+                else:
+                    actions.append("pq_retrain_skipped_custom")
+    if compact == "auto":
+        did_work = any(a in ("cc_rebuild", "ann_retrain", "pq_retrain")
+                       for a in actions)
+        do_compact = did_work \
+            or (cc_rep is not None
+                and cc_rep["recommendation"] == "compact") \
+            or (len(_read_manifest(index_dir)["snaps"])
+                >= snap_compact_threshold)
+    else:
+        do_compact = bool(compact)
+    if do_compact:
         pre = list(_read_manifest(index_dir)["snaps"])
         compact_dedup_index(spark, index_dir,
                             keep_last_snap=keep_last_snap)
@@ -2421,10 +2552,21 @@ def ann_health(spark: SparkSession, index_dir: str, *, snaps=None,
     - pq: ``n_encoded`` (live docs), ``fold_fraction`` (same meaning
       against the codebook), ``codebook_utilization`` (distinct
       (s, code) pairs in live codes / m·k — collapsed utilization means
-      the codebook no longer spans the data);
+      the codebook no longer spans the data), ``residual_stale``
+      (r12: True iff the store's residual codes were trained against a
+      superseded IVF centroid generation — ``indexed_ivfpq_topk``
+      refuses to serve this state, so it is a MANDATORY retrain);
     - recommendation: ``retrain`` when either index's fold_fraction
-      crosses ``fold_retrain_threshold`` or the IVF skew crosses
-      ``skew_retrain_threshold``, else ``none``.
+      crosses ``fold_retrain_threshold``, the IVF skew crosses
+      ``skew_retrain_threshold``, or ``residual_stale``, else ``none``.
+
+    fold_fraction is computed from the row-level ``src`` provenance tag
+    the train/fold writers stamp (r12, VERDICT r11 #2) — NOT from snap
+    position — so it survives compaction (which merges the training
+    dirs and every fold into one snap) and retraction (a tombstoned row
+    is debited from the bucket it was written in) exactly. Pre-r12
+    stores without the column fall back to the positional first-snap
+    split.
 
     Cost: two groupBy counts over the integer assign/code tables —
     metadata-light, safe as a weekly canary at 100 TB."""
@@ -2439,15 +2581,23 @@ def ann_health(spark: SparkSession, index_dir: str, *, snaps=None,
 
     if man.get("ann"):
         asnaps = [s for s in man["ann"]["assign_snaps"] if s in vis]
-        train_snaps = [s for s in asnaps
-                       if s == man["ann"]["assign_snaps"][0]]
-        fold_snaps = [s for s in asnaps if s not in train_snaps]
         assign = _live_rows_tomb(spark, index_dir, ANN_ASSIGN, asnaps,
                                  vis)
         n_assigned = assign.count() if assign is not None else 0
-        folded = _live_rows_tomb(spark, index_dir, ANN_ASSIGN,
-                                 fold_snaps, vis) if fold_snaps else None
-        n_folded = folded.count() if folded is not None else 0
+        if assign is not None and "src" in assign.columns:
+            # row-level training provenance (r12, VERDICT r11 #2):
+            # exact across compaction (merged rows keep their tag) and
+            # retraction (a tombstone debits the bucket its row is in)
+            n_folded = assign.filter(F.col("src") == "fold").count()
+        else:
+            # pre-r12 store: positional fallback — the first assign
+            # snap is the training pass (resets across compaction)
+            fold_snaps = [s for s in asnaps
+                          if s != man["ann"]["assign_snaps"][0]]
+            folded = (_live_rows_tomb(spark, index_dir, ANN_ASSIGN,
+                                      fold_snaps, vis)
+                      if fold_snaps else None)
+            n_folded = folded.count() if folded is not None else 0
         n_cents = _ann_centroid_frame(spark, index_dir, man).count()
         skew = 0.0
         n_empty = n_cents
@@ -2467,24 +2617,35 @@ def ann_health(spark: SparkSession, index_dir: str, *, snaps=None,
 
     if man.get("pq"):
         csnaps = [s for s in man["pq"]["code_snaps"] if s in vis]
-        train_snaps = [s for s in csnaps
-                       if s == man["pq"]["code_snaps"][0]]
-        fold_snaps = [s for s in csnaps if s not in train_snaps]
         codes = _live_rows_tomb(spark, index_dir, ANN_CODES, csnaps, vis)
         n_docs = (codes.select("docno").distinct().count()
                   if codes is not None else 0)
-        folded = _live_rows_tomb(spark, index_dir, ANN_CODES,
-                                 fold_snaps, vis) if fold_snaps else None
-        n_fold_docs = (folded.select("docno").distinct().count()
-                       if folded is not None else 0)
+        if codes is not None and "src" in codes.columns:
+            n_fold_docs = (codes.filter(F.col("src") == "fold")
+                           .select("docno").distinct().count())
+        else:
+            fold_snaps = [s for s in csnaps
+                          if s != man["pq"]["code_snaps"][0]]
+            folded = (_live_rows_tomb(spark, index_dir, ANN_CODES,
+                                      fold_snaps, vis)
+                      if fold_snaps else None)
+            n_fold_docs = (folded.select("docno").distinct().count()
+                           if folded is not None else 0)
         used = (codes.select("s", "code").distinct().count()
                 if codes is not None else 0)
         total_codes = man["pq"]["m"] * man["pq"]["kk"]
         ff = round(n_fold_docs / n_docs, 3) if n_docs else 0.0
+        # mandatory-retrain state (r12, VERDICT r11 #1): residual codes
+        # orphaned by an IVF retrain — serving already refuses; the
+        # health report must say WHY and recommend the repair.
+        stale = bool(man["pq"].get("residual")) and man.get("ann") \
+            is not None and (man["pq"].get("ivf_generation", 0)
+                             != man["ann"].get("generation", 0))
         out["pq"] = {"n_encoded": n_docs, "fold_fraction": ff,
                      "codebook_utilization": round(used / total_codes,
-                                                   3)}
-        retrain = retrain or ff >= fold_retrain_threshold
+                                                   3),
+                     "residual_stale": stale}
+        retrain = retrain or ff >= fold_retrain_threshold or stale
 
     out["recommendation"] = "retrain" if retrain else "none"
     return out
@@ -2493,7 +2654,8 @@ def ann_health(spark: SparkSession, index_dir: str, *, snaps=None,
 def cc_health(spark: SparkSession, index_dir: str, *, snaps=None,
               alias_compact_threshold: int = 1000,
               chain_compact_threshold: int = 8,
-              snap_compact_threshold: int = 25) -> dict:
+              snap_compact_threshold: int = 25,
+              touched_rebuild_threshold: int = 1) -> dict:
     """Maintenance report for the standing duplicate-cluster labels —
     the data the elective-rebuild decision needs (VERDICT r10 #2:
     split repair and dead-min renames are correctly DEFERRED to
@@ -2517,9 +2679,13 @@ def cc_health(spark: SparkSession, index_dir: str, *, snaps=None,
       merged label survives until rebuild). Visible-only: tombstones a
       compaction folded away are carried as ``dead_names`` when they
       still name rows, and are genuinely repaired-or-moot otherwise;
-    - ``recommendation`` — ``rebuild`` when re-add hazards or possible
-      splits stand, else ``compact`` when the alias log / chain depth /
-      visible snap count crosses its threshold, else ``none``.
+    - ``recommendation`` — ``rebuild`` when re-add hazards stand (any
+      ``n_dead_names`` — the hard trigger) or possible splits reach
+      ``touched_rebuild_threshold`` (default 1 — maximally cautious;
+      pipelines with routine takedowns raise it, since
+      ``n_components_touched`` only upper-bounds actual splits — ADVICE
+      r11), else ``compact`` when the alias log / chain depth / visible
+      snap count crosses its threshold, else ``none``.
 
     Cost: the alias collect is merge-event-sized, everything else is a
     handful of counts over the label/tombstone tables — safe to run as
@@ -2591,7 +2757,14 @@ def cc_health(spark: SparkSession, index_dir: str, *, snaps=None,
             n_components_touched = (_cc_apply_aliases(hitrows, amap)
                                     .select("label").distinct().count())
 
-    if n_dead_names or n_components_touched:
+    # n_dead_names is the HARD rebuild trigger (standing re-add hazards
+    # fail folds loudly until retired); n_components_touched is only an
+    # UPPER BOUND on split damage (a retraction need not disconnect its
+    # component), so pipelines with routine takedowns can raise
+    # touched_rebuild_threshold to stop paying an O(corpus) rebuild per
+    # cycle for every single takedown (ADVICE r11).
+    if n_dead_names or n_components_touched >= max(
+            1, touched_rebuild_threshold):
         recommendation = "rebuild"
     elif (len(chain) >= alias_compact_threshold
           or max_alias_chain >= chain_compact_threshold

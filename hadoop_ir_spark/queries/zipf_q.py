@@ -296,3 +296,108 @@ def q_prox_pairs_zipf(spark, sf_dir):
                  F.col("u1").alias("t1"), F.col("u2").alias("t2"),
                  F.col("utf").cast("long").alias("n")))
     return o.unionByName(u)
+
+
+# ---------------------------------------------------------------------------
+# best_passage windowed-snippet tail on the Zipf fixture (r12, VERDICT
+# r11 missing #3): the main best_passage entry runs on the ~31-term
+# grading vocabulary, where EVERY position is a query-term hit — the
+# starts x members offset join's whole value (candidates are hit
+# positions only, never a scan-wide range probe) is invisible there.
+# This twin runs the identical kernel over a realistic vocabulary with
+# a fixed deterministic "run" (doc_id % ZIPF_BP_MOD picks ~195 of the
+# 8,000 docs — the top-k-run stand-in), so the hits frame is the
+# selectivity surface tests/test_zipf_surface.py pins.
+# ---------------------------------------------------------------------------
+
+ZIPF_BP_TOPICS = [("q1", "crone livid"), ("q2", "livid mutter swing")]
+ZIPF_BP_MOD = 41       # deterministic stand-in for the top-k run
+ZIPF_BP_W = 30         # window width, same as the main entry
+
+_BP_TERMS = sorted({t for _, q in ZIPF_BP_TOPICS for t in q.split()})
+_BP_TERMS_IN = ", ".join(f"'{t}'" for t in _BP_TERMS)
+_BP_QT_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, q in ZIPF_BP_TOPICS
+    for t in sorted(set(q.split())))
+_BP_QID_VALUES = ", ".join(f"('{qid}')" for qid, _ in ZIPF_BP_TOPICS)
+
+
+@register("best_passage_zipf", f"""
+WITH run AS (
+  SELECT q.qid, d.doc_id AS docno
+  FROM (VALUES {_BP_QID_VALUES}) AS q(qid)
+  CROSS JOIN (SELECT doc_id FROM read_parquet('{ZIPF_PARQUET}')
+              WHERE doc_id % {ZIPF_BP_MOD} = 0) d
+),
+words AS (
+  SELECT docno, term, ord FROM (
+    SELECT docno, unnest(toks) AS term,
+           unnest(range(1, len(toks) + 1)) AS ord
+    FROM (SELECT doc_id AS docno,
+                 list_filter(string_split_regex(lower(text),
+                                                '[^0-9a-zA-Z]+'),
+                             t -> t <> '') AS toks
+          FROM read_parquet('{ZIPF_PARQUET}')
+          WHERE doc_id % {ZIPF_BP_MOD} = 0)
+  ) WHERE term IN ({_BP_TERMS_IN})
+),
+qt AS (SELECT DISTINCT *
+       FROM (VALUES {_BP_QT_VALUES}) AS t(qid, term)),
+hits AS (
+  SELECT r.qid, w.docno, w.ord
+  FROM run r
+  JOIN qt t ON t.qid = r.qid
+  JOIN words w ON w.docno = r.docno AND w.term = t.term
+),
+wins AS (
+  SELECT a.qid, a.docno, a.ord AS win_start,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM hits a
+  JOIN hits b ON b.qid = a.qid AND b.docno = a.docno
+             AND b.ord >= a.ord AND b.ord < a.ord + {ZIPF_BP_W}
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT qid, docno, win_start, n_hits,
+         row_number() OVER (PARTITION BY qid, docno
+                            ORDER BY n_hits DESC, win_start ASC) AS rn
+  FROM wins
+)
+SELECT qid, docno, win_start, n_hits FROM best WHERE rn = 1
+""")
+def q_best_passage_zipf(spark, sf_dir):
+    """Best-passage extraction on the Zipf fixture: for every (qid,
+    docno) in the deterministic run with >= 1 query-term hit, the
+    ZIPF_BP_W-token window holding the most query-term occurrences
+    (earliest window on ties) — the exact kernel of the main
+    ``best_passage`` entry (queries/proximity_q.py: hit positions are
+    the only window-start candidates; in-window membership is an
+    offset-replica equi-join over the hits frame), run where the
+    query-vocab filter actually prunes: a handful of hits per doc out
+    of ~55 positions, vs every position on the grading vocabulary."""
+    from pyspark.sql import Window
+
+    from hadoop_ir_spark.operators import proximity
+
+    docs = _zipf_docs(spark).filter(F.col("doc_id") % ZIPF_BP_MOD == 0)
+    topics = spark.createDataFrame(
+        [(qid, t) for qid, q in ZIPF_BP_TOPICS
+         for t in sorted(set(q.split()))], "qid string, term string")
+    ptoks = proximity.positional_tokens(docs, _BP_TERMS,
+                                        id_col="doc_id")
+    hits = (ptoks.join(F.broadcast(topics), "term")
+            .select("qid", "docno", (F.col("pos") + 1).alias("ord"))
+            .localCheckpoint())   # consumed twice (starts x members)
+    offs = F.array(*[F.col("ord") + d for d in range(ZIPF_BP_W)])
+    starts = hits.select("qid", "docno",
+                         F.col("ord").alias("win_start"),
+                         F.explode(offs).alias("m_ord"))
+    members = hits.select("qid", "docno", F.col("ord").alias("m_ord"))
+    wins = (starts.join(members, ["qid", "docno", "m_ord"])
+            .groupBy("qid", "docno", "win_start")
+            .agg(F.count("*").alias("n_hits")))
+    w = Window.partitionBy("qid", "docno").orderBy(
+        F.desc("n_hits"), F.asc("win_start"))
+    return (wins.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("qid", "docno", "win_start", "n_hits"))

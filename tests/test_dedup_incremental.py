@@ -1280,6 +1280,7 @@ def test_ann_index_retraction_and_compaction(spark, tmp_path):
     man2 = dinc._read_manifest(idx)
     sid = man2["snaps"][-1]
     assert man2["ann"] == {"every": 2, "max_k": None,
+                           "method": "id_sample", "generation": 1,
                            "centroid_snap": sid, "assign_snaps": [sid]}
     # retrained assignment covers exactly the live docs, to new centroids
     live2 = dinc.load_dedup_index(spark, idx)
@@ -1374,7 +1375,7 @@ def test_pq_index_retraction_and_compaction(spark, tmp_path):
     man2 = dinc._read_manifest(idx)
     sid = man2["snaps"][-1]
     assert man2["pq"] == {"m": 2, "kk": 3, "train_every": 2, "dims": 8,
-                          "residual": False,
+                          "residual": False, "method": "deterministic",
                           "codebook_snap": sid, "code_snaps": [sid]}
     # retrained codes cover exactly the live docs, 2 subspaces each
     live2 = dinc.load_dedup_index(spark, idx)
@@ -1925,6 +1926,11 @@ def test_cc_health_reports_deferral_damage(spark, tmp_path):
     assert h["n_retracted_members"] == 1
     assert h["n_components_touched"] == 1
     assert h["recommendation"] == "rebuild"
+    # n_components_touched only UPPER-BOUNDS split damage — a
+    # routine-takedown pipeline raises the threshold so one takedown
+    # doesn't buy an O(corpus) rebuild per cycle (ADVICE r11)
+    assert dinc.cc_health(spark, idx, touched_rebuild_threshold=2
+                          )["recommendation"] == "none"
 
     # retracting the {4,8,9} min leaves a standing dead NAME too (the
     # surviving member 9 keeps its row under label 4)
@@ -1934,6 +1940,10 @@ def test_cc_health_reports_deferral_damage(spark, tmp_path):
     assert h["n_dead_names"] == 1
     assert h["n_retracted_members"] == 2
     assert h["recommendation"] == "rebuild"
+    # a standing dead NAME is the hard trigger — no threshold bypasses
+    # the re-add hazard
+    assert dinc.cc_health(spark, idx, touched_rebuild_threshold=99
+                          )["recommendation"] == "rebuild"
 
     # compaction folds the tombstones away but the evidence persists
     # (manifest dead_names + the alias keys' own liveness)
@@ -2024,21 +2034,31 @@ def test_maintain_dedup_index_runs_recommended_passes(spark, tmp_path):
     dinc.train_ann_index(spark, idx, every=4)
     dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8)
 
-    # clean store: only the log compaction (build+cc+2 trains = 4-snap
-    # log), no elective pass
-    out = dinc.maintain_dedup_index(spark, idx)
-    assert out["actions"] == ["compact"]
-    assert out["cc"]["recommendation"] == "none"
-    assert out["ann"]["recommendation"] == "none"
-
-    # already-compact store: nothing at all
+    # clean store, small log (build+cc+2 trains = 4 snaps): the default
+    # compact="auto" pays NOTHING — no elective pass is due and the
+    # visible snap count is under snap_compact_threshold (r12, VERDICT
+    # r11 #3: the weekly call must be corpus-proportional only when the
+    # data says so)
     out = dinc.maintain_dedup_index(spark, idx)
     assert out["actions"] == []
+    assert out["cc"]["recommendation"] == "none"
+    assert out["ann"]["recommendation"] == "none"
+    # ...a tightened snap threshold makes auto pay the merge
+    out = dinc.maintain_dedup_index(spark, idx, snap_compact_threshold=3)
+    assert out["actions"] == ["compact"]
 
-    # a fold builds up log; compact is the only action
+    # already-compact store: explicit compact=True forces the attempt,
+    # which finds nothing to merge
+    out = dinc.maintain_dedup_index(spark, idx, compact=True)
+    assert out["actions"] == []
+
+    # a fold builds up log; auto stays quiet below the threshold and
+    # compact=True forces the merge
     dinc.update_dedup_index(spark, idx, _docs_for(spark, [20, 21]),
                             new_embeddings=_emb_df(spark, [20, 21]))
     out = dinc.maintain_dedup_index(spark, idx)
+    assert out["actions"] == []
+    out = dinc.maintain_dedup_index(spark, idx, compact=True)
     assert out["actions"] == ["compact"]
 
     # retract the {100,101} min -> cc rebuild due; a big vector fold ->
@@ -2163,3 +2183,234 @@ def test_residual_pq_index_fold_equals_rebuild(spark, tmp_path):
         .select("qid", F.col("vec_id").alias("docno"), "cosine", "rank")
         .collect()))
     assert wide == brute
+
+
+def test_residual_stale_guard_after_ivf_retrain(spark, tmp_path):
+    """r12 (VERDICT r11 #1): residual PQ codes encode x − c(x) against
+    a specific IVF centroid GENERATION; a manual
+    train_ann_index(retrain=True) bumps the generation and orphans
+    them. Serving must refuse LOUDLY (it used to compute silently wrong
+    ADC distances), ann_health must surface the state as a mandatory
+    retrain, and the named repair must restore service."""
+    import pytest as _pt
+
+    ids = list(range(0, 20))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, ids), idx,
+                           embeddings=_emb_df(spark, ids))
+    dinc.train_ann_index(spark, idx, every=4)
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8,
+                        residual=True)
+    man = dinc._read_manifest(idx)
+    assert man["ann"]["generation"] == 0
+    assert man["pq"]["ivf_generation"] == 0
+
+    q = _emb_df(spark, [2, 7]).select(F.col("docno").alias("qid"),
+                                      "embedding")
+    assert dinc.indexed_ivfpq_topk(q, idx, k=3, nprobe=2).count() > 0
+
+    # the hazardous manual sequence: IVF retrain without the paired
+    # PQ re-encode
+    dinc.train_ann_index(spark, idx, every=4, retrain=True)
+    assert dinc._read_manifest(idx)["ann"]["generation"] == 1
+    with _pt.raises(ValueError, match="generation"):
+        dinc.indexed_ivfpq_topk(q, idx, k=3, nprobe=2)
+    with _pt.raises(ValueError, match="train_pq_index"):
+        dinc.indexed_ivfpq_topk(q, idx, k=3, nprobe=2, refine=6)
+    h = dinc.ann_health(spark, idx)
+    assert h["pq"]["residual_stale"] is True
+    assert h["recommendation"] == "retrain"
+
+    # the named repair: re-encode against the new centroids
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8,
+                        residual=True, retrain=True)
+    man = dinc._read_manifest(idx)
+    assert man["pq"]["ivf_generation"] == man["ann"]["generation"] == 1
+    h = dinc.ann_health(spark, idx)
+    assert h["pq"]["residual_stale"] is False
+    assert dinc.indexed_ivfpq_topk(q, idx, k=3, nprobe=2).count() > 0
+
+    # one-call maintenance also repairs the orphaned state (retrains
+    # IVF then PQ in the safe order)
+    dinc.train_ann_index(spark, idx, every=4, retrain=True)
+    out = dinc.maintain_dedup_index(spark, idx)
+    assert "pq_retrain" in out["actions"]
+    assert out["ann"]["pq"]["residual_stale"] is True
+    assert dinc.ann_health(spark, idx)["pq"]["residual_stale"] is False
+    assert dinc.indexed_ivfpq_topk(q, idx, k=3, nprobe=2).count() > 0
+
+
+def test_ann_health_fold_fraction_survives_compaction(spark, tmp_path):
+    """r12 (VERDICT r11 #2 / ADVICE r11 medium): fold_fraction comes
+    from row-level training provenance, not snap position — compaction
+    (which merges the training dirs and every fold into one prefix
+    snap) must leave it UNCHANGED, and a post-compaction retraction
+    must debit the bucket the dead row was written in."""
+    old_ids = list(range(0, 20))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, old_ids), idx,
+                           embeddings=_emb_df(spark, old_ids))
+    dinc.train_ann_index(spark, idx, every=4)
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8)
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, [20, 21, 22]),
+                            new_embeddings=_emb_df(spark, [20, 21, 22]))
+    h1 = dinc.ann_health(spark, idx)
+    assert h1["ivf"]["fold_fraction"] == round(3 / 23, 3)
+    assert h1["pq"]["fold_fraction"] == round(3 / 23, 3)
+
+    # the old positional inference collapsed this to 0.0 after any
+    # compaction (all rows land in the merged first snap), so
+    # maintain_dedup_index's weekly compact+report cycle could starve
+    # the retrain recommendation forever
+    dinc.compact_dedup_index(spark, idx)
+    h2 = dinc.ann_health(spark, idx)
+    assert h2["ivf"]["fold_fraction"] == h1["ivf"]["fold_fraction"]
+    assert h2["pq"]["fold_fraction"] == h1["pq"]["fold_fraction"]
+
+    # retract one TRAINED doc and one FOLDED doc: live 21, folded 2
+    dinc.update_dedup_index(spark, idx,
+                            removed_docs=_docs_for(spark, [0, 20]))
+    h3 = dinc.ann_health(spark, idx)
+    assert h3["ivf"]["n_assigned"] == 21
+    assert h3["ivf"]["fold_fraction"] == round(2 / 21, 3)
+    assert h3["pq"]["n_encoded"] == 21
+    assert h3["pq"]["fold_fraction"] == round(2 / 21, 3)
+
+    # further folds keep accumulating on the compacted store
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, range(30, 35)),
+                            new_embeddings=_emb_df(spark, range(30, 35)))
+    h4 = dinc.ann_health(spark, idx)
+    assert h4["ivf"]["fold_fraction"] == round(7 / 26, 3)
+    assert h4["pq"]["fold_fraction"] == round(7 / 26, 3)
+
+    # a second compaction after the new folds still changes nothing
+    dinc.compact_dedup_index(spark, idx)
+    assert dinc.ann_health(spark, idx)["ivf"]["fold_fraction"] \
+        == round(7 / 26, 3)
+
+
+def test_maintain_skips_custom_trained_retrain(spark, tmp_path):
+    """r12 (ADVICE r11 low): a health-driven automatic retrain must
+    not silently replace explicit (k-means-style) centroids with the
+    default id-sample — maintain skips it, records the skip, and
+    retrains when fresh centroids are supplied."""
+    ids = list(range(0, 12))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, ids), idx,
+                           embeddings=_emb_df(spark, ids))
+    cents = spark.createDataFrame(
+        [(0, _vec(1)), (1, _vec(6)), (2, _vec(11))],
+        "centroid_id int, cv array<double>")
+    dinc.train_ann_index(spark, idx, centroids=cents)
+    man = dinc._read_manifest(idx)
+    assert man["ann"]["method"] == "custom"
+    snap0 = man["ann"]["centroid_snap"]
+
+    # a big fold trips the retrain recommendation
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, range(20, 50)),
+                            new_embeddings=_emb_df(spark, range(20, 50)))
+    out = dinc.maintain_dedup_index(spark, idx)
+    assert "ann_retrain_skipped_custom" in out["actions"]
+    assert "ann_retrain" not in out["actions"]
+    man = dinc._read_manifest(idx)
+    assert man["ann"]["centroid_snap"] == snap0
+    assert man["ann"]["generation"] == 0
+
+    # supplying fresh explicit centroids unblocks the retrain
+    cents2 = spark.createDataFrame(
+        [(0, _vec(2)), (1, _vec(25)), (2, _vec(40)), (3, _vec(47))],
+        "centroid_id int, cv array<double>")
+    out = dinc.maintain_dedup_index(spark, idx,
+                                    ann_kwargs={"centroids": cents2})
+    assert "ann_retrain" in out["actions"]
+    man = dinc._read_manifest(idx)
+    assert man["ann"]["method"] == "custom"
+    assert man["ann"]["generation"] == 1
+    assert dinc.ann_health(spark, idx)["ivf"]["fold_fraction"] == 0.0
+
+
+def test_maintain_never_orphans_residual_codes(spark, tmp_path):
+    """r12: when the PQ re-encode must be skipped (custom codebook,
+    none supplied) on a RESIDUAL store, maintain must skip the IVF
+    retrain too — performing it would create exactly the stale state
+    the serving guard refuses."""
+    ids = list(range(0, 16))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, ids), idx,
+                           embeddings=_emb_df(spark, ids))
+    dinc.train_ann_index(spark, idx, every=4)
+    cb = spark.createDataFrame(
+        [(s, c, [float(s) + 0.1 * c, float(c) - 0.2 * s])
+         for s in range(4) for c in range(3)],
+        "s int, code int, cv array<double>")
+    dinc.train_pq_index(spark, idx, m=4, kk=3, train_every=3, dims=8,
+                        residual=True, codebook=cb)
+    assert dinc._read_manifest(idx)["pq"]["method"] == "custom"
+
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, range(20, 50)),
+                            new_embeddings=_emb_df(spark, range(20, 50)))
+    out = dinc.maintain_dedup_index(spark, idx)
+    assert "ann_retrain_skipped_custom" in out["actions"]
+    assert "pq_retrain_skipped_custom" in out["actions"]
+    # serving still works: nothing was orphaned
+    q = _emb_df(spark, [2, 7]).select(F.col("docno").alias("qid"),
+                                      "embedding")
+    assert dinc.indexed_ivfpq_topk(q, idx, k=3, nprobe=2).count() > 0
+
+
+def test_vacuum_dry_run(spark, tmp_path):
+    """r12 (VERDICT r11 #4): dry_run previews exactly the reclaim the
+    real pass would perform — paths with ages, nothing deleted."""
+    import os as _os
+
+    ids = list(range(0, 8))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, ids), idx)
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, [20, 21]))
+    dinc.compact_dedup_index(spark, idx)
+
+    preview = dinc.vacuum_dedup_index(idx, dry_run=True)
+    assert preview, "compaction must leave unreferenced dirs to preview"
+    for ent in preview:
+        assert _os.path.isdir(ent["path"]), "dry_run must not delete"
+        assert ent["age_s"] >= 0.0
+
+    deleted = dinc.vacuum_dedup_index(idx)
+    assert sorted(deleted) == sorted(e["path"] for e in preview)
+    assert not any(_os.path.isdir(p) for p in deleted)
+    assert dinc.vacuum_dedup_index(idx, dry_run=True) == []
+
+
+def test_ann_health_list_skew_on_skewed_embeddings(spark, tmp_path):
+    """r12 (VERDICT r11 optional #7): the list-skew retrain trigger,
+    exercised on a genuinely skewed fixture — vectors piled near one
+    centroid so max-list/mean-list crosses the threshold (hot lists
+    degrade the nprobe candidate bound; a retrain re-spreads them)."""
+    idx = str(tmp_path / "idx")
+    # 3 well-separated custom centroids; 20 of 24 vectors hug c0
+    base = {0: [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            1: [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            2: [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]}
+    vecs = []
+    for i in range(24):
+        c = 0 if i < 20 else (1 if i < 22 else 2)
+        v = list(base[c])
+        v[3 + (i % 5)] = 0.01 * (i + 1)     # tiny per-vector jitter
+        vecs.append((i, v))
+    emb = spark.createDataFrame(vecs, "docno long, embedding array<double>")
+    dinc.build_dedup_index(_docs_for(spark, range(24)), idx,
+                           embeddings=emb)
+    cents = spark.createDataFrame(
+        [(k, v) for k, v in base.items()],
+        "centroid_id int, cv array<double>")
+    dinc.train_ann_index(spark, idx, centroids=cents)
+
+    h = dinc.ann_health(spark, idx)
+    # 20/8 = 2.5x skew measured; the default 8.0 threshold stays quiet,
+    # a tightened one trips — and fold_fraction stays 0 (skew, not
+    # drift, is the trigger here)
+    assert h["ivf"]["list_skew"] == 2.5
+    assert h["ivf"]["fold_fraction"] == 0.0
+    assert h["recommendation"] == "none"
+    assert dinc.ann_health(spark, idx, skew_retrain_threshold=2.0
+                           )["recommendation"] == "retrain"

@@ -151,6 +151,10 @@ PINNED_JUDGE_VERIFIED = sorted({
     # round 11 cont.: residual-encoded IVF-PQ (IVFADC); strict at
     # sf0.001/sf0.01/sf0.1 on addition
     "indexed_ivfpq_residual_topk",
+    # round 12: best_passage windowed-snippet tail on the Zipf fixture
+    # (VERDICT r11 missing #3); hit/output counts pinned in
+    # tests/test_zipf_surface.py; strict at 3 SFs on addition
+    "best_passage_zipf",
 })
 
 

@@ -1,0 +1,141 @@
+"""Weekly-maintenance cost envelope (r12, VERDICT r11 optional #8).
+
+Everything the weekly pipeline pays OUTSIDE the O(snapshot) folds is
+elective and health-gated: cc_health / ann_health are the per-cycle
+canaries, and ``maintain_dedup_index`` executes exactly what they
+recommend. This control measures that envelope at 1x and 10x old side
+(same discipline as tools/ann_growth_control.py — the new snapshot is
+the FIXED sf0.1 split, only the standing corpus grows):
+
+- the CANARY (cc_health + ann_health on a healthy store, and the
+  maintain no-op call that wraps them): graded near-flat — counts over
+  the integer label/assign/code tables plus one metadata-light
+  anti-join (the live content_hashes probe) and a merge-event-sized
+  alias collect;
+- the ALL-DUE call (a retraction makes the cc rebuild due; a tightened
+  fold threshold makes the ANN/PQ retrain due; compaction follows):
+  corpus-proportional BY DESIGN — these are the elective passes the
+  canary exists to schedule, paid only when the data says so. Printed
+  for documentation, not graded flat.
+
+Usage: python tools/maintain_cost.py
+Prints a markdown block ready for SCALING.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ANN_EVERY = 25
+ANN_MAX_K = 200
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from hadoop_ir_spark.operators import dedup_incremental as dinc
+    from hadoop_ir_spark.queries.incremental_q import (
+        INC_SPAN_LEN,
+        _new_docs,
+        _old_docs,
+    )
+    from hadoop_ir_spark.session import get_spark
+
+    sf01 = "/root/testdata/sf0.1"
+    sf1 = os.path.join(ROOT, ".scale", "sf1")
+    if not os.path.isdir(sf1):
+        sys.exit("generate .scale/sf1 first (tools/make_sf1.py)")
+
+    spark = get_spark("maintain-cost", cpus=32)
+    tmp = tempfile.mkdtemp(prefix="maintain_cost_")
+
+    def emb(sf_dir):
+        return spark.read.parquet(os.path.join(sf_dir,
+                                               "embeddings.parquet"))
+
+    new = _new_docs(spark, sf01).localCheckpoint()
+    new_emb = (emb(sf01).filter(F.col("vec_id") % 3 == 0)
+               .localCheckpoint())
+    n_new = new.count()
+
+    rows = []
+    for label, sf_dir in (("sf0.1 old", sf01), ("sf1 old (10x)", sf1)):
+        old = _old_docs(spark, sf_dir).localCheckpoint()
+        old_emb = emb(sf_dir).filter(F.col("vec_id") % 3 != 0)
+        n_old = old.count()
+        n_vec = old_emb.count()
+        idx = os.path.join(tmp, label.split()[0])
+        dinc.build_dedup_index(old, idx, min_len=INC_SPAN_LEN,
+                               id_col="doc_id", embeddings=old_emb,
+                               emb_id_col="vec_id")
+        dinc.build_cc_labels(spark, idx)
+        dinc.train_ann_index(spark, idx, every=ANN_EVERY,
+                             max_k=ANN_MAX_K)
+        dinc.train_pq_index(spark, idx)
+        # the weekly fold, then the store is in its steady healthy state
+        dinc.update_dedup_index(spark, idx, new, min_len=INC_SPAN_LEN,
+                                id_col="doc_id", new_embeddings=new_emb,
+                                emb_id_col="vec_id")
+
+        t0 = time.time()
+        cc_rep = dinc.cc_health(spark, idx)
+        t_cc = time.time() - t0
+        t0 = time.time()
+        ann_rep = dinc.ann_health(spark, idx)
+        t_ann = time.time() - t0
+        assert cc_rep["recommendation"] == "none", cc_rep
+        assert ann_rep["recommendation"] == "none", ann_rep
+        t0 = time.time()
+        out = dinc.maintain_dedup_index(spark, idx)
+        t_noop = time.time() - t0
+        assert out["actions"] == [], out["actions"]
+
+        # make every elective pass due: retract one clustered member
+        # (cc rebuild), tighten the fold threshold so the weekly fold
+        # already counts as drift (ann/pq retrain at THIS corpus size
+        # without folding a corpus-sized batch first)
+        victim = (dinc.cc_labels_frame(spark, idx)
+                  .join(old.select(F.col("doc_id").alias("docno"),
+                                   "text"), "docno")
+                  .orderBy("docno").limit(1)
+                  .select(F.col("docno").alias("doc_id"), "text"))
+        dinc.update_dedup_index(spark, idx, removed_docs=victim,
+                                min_len=INC_SPAN_LEN, id_col="doc_id")
+        t0 = time.time()
+        out = dinc.maintain_dedup_index(
+            spark, idx, keep_last_snap=False,
+            ann_health_kwargs={"fold_retrain_threshold": 0.001})
+        t_due = time.time() - t0
+        acts = ",".join(out["actions"])
+        rows.append((label, n_old, n_vec, t_cc, t_ann, t_noop, t_due,
+                     acts))
+
+    print(f"\nFixed NEW snapshot: {n_new:,} docs + vectors "
+          f"(the sf0.1 split); centroid set pinned by id-cap "
+          f"(every={ANN_EVERY}, max_k={ANN_MAX_K}).\n")
+    print("| old corpus | old docs | old vectors | cc_health |"
+          " ann_health | maintain (no-op) | maintain (all due) |"
+          " actions |")
+    print("|---|---|---|---|---|---|---|---|")
+    for (label, n_old, n_vec, t_cc, t_ann, t_noop, t_due, acts) in rows:
+        print(f"| {label} | {n_old:,} | {n_vec:,} | {t_cc:.2f}s "
+              f"| {t_ann:.2f}s | {t_noop:.2f}s | {t_due:.1f}s "
+              f"| {acts} |")
+    a, b = rows[0], rows[1]
+    print(f"\ncanary growth at 10x old side: cc_health "
+          f"{b[3] / a[3]:.2f}x, ann_health {b[4] / a[4]:.2f}x, "
+          f"maintain no-op {b[5] / a[5]:.2f}x; the all-due call "
+          f"({b[7]}) is corpus-proportional by design "
+          f"({b[6] / a[6]:.1f}x) — the elective passes the canary "
+          f"schedules, paid only when due")
+
+
+if __name__ == "__main__":
+    main()
