@@ -2655,7 +2655,9 @@ def cc_health(spark: SparkSession, index_dir: str, *, snaps=None,
               alias_compact_threshold: int = 1000,
               chain_compact_threshold: int = 8,
               snap_compact_threshold: int = 25,
-              touched_rebuild_threshold: int = 1) -> dict:
+              touched_rebuild_threshold: int = 1,
+              verify_splits: bool = False,
+              max_verify_members: int = 500) -> dict:
     """Maintenance report for the standing duplicate-cluster labels —
     the data the elective-rebuild decision needs (VERDICT r10 #2:
     split repair and dead-min renames are correctly DEFERRED to
@@ -2686,6 +2688,22 @@ def cc_health(spark: SparkSession, index_dir: str, *, snaps=None,
       ``n_components_touched`` only upper-bounds actual splits — ADVICE
       r11), else ``compact`` when the alias log / chain depth / visible
       snap count crosses its threshold, else ``none``.
+
+    ``verify_splits=True`` (r12, the precise form of the ADVICE r11
+    gate) replaces the upper bound with a bounded EXACT check: each
+    touched component's live members are re-connected under the same
+    pair rule as the standing build (exact content-hash partners +
+    banded-LSH candidates verified at the cc tau, all pruned equi-joins
+    on the index's own tables), and ``n_components_split`` counts the
+    components whose members genuinely fall apart — a verified split is
+    a hard rebuild trigger (real conflation stands), while a touched-
+    but-still-connected component costs nothing. Components larger than
+    ``max_verify_members`` stay unverified (``n_components_unverified``)
+    and count against ``touched_rebuild_threshold`` conservatively. A
+    component reduced to <= 1 live member is dissolved, not split (no
+    conflation; rebuild would merely sweep the stale singleton row).
+    Cost: takedown-sized — member fetch and driver-side union-find are
+    bounded by touched x max_verify_members.
 
     Cost: the alias collect is merge-event-sized, everything else is a
     handful of counts over the label/tombstone tables — safe to run as
@@ -2748,23 +2766,112 @@ def cc_health(spark: SparkSession, index_dir: str, *, snaps=None,
     tsnaps = [s for s in vis if order.get(s, -1) >= base]
     tomb = _union_snaps(spark, index_dir, TOMBSTONES, tsnaps)
     n_retracted_members = n_components_touched = 0
+    touched_lab = None
     if tomb is not None:
         raw = _union_snaps(spark, index_dir, CC_LABELS, lsnaps)
         if raw is not None:
             hitrows = (raw.drop("_snap")
                        .join(tomb.select("docno").distinct(), "docno"))
             n_retracted_members = hitrows.select("docno").distinct().count()
-            n_components_touched = (_cc_apply_aliases(hitrows, amap)
-                                    .select("label").distinct().count())
+            touched_lab = (_cc_apply_aliases(hitrows, amap)
+                           .select("label").distinct())
+            n_components_touched = touched_lab.count()
+
+    # bounded SPLIT VERIFICATION (r12, ADVICE r11: n_components_touched
+    # only upper-bounds actual split damage — a retraction need not
+    # disconnect its component): recheck connectivity of each touched
+    # component's LIVE members under the SAME pair rule as the standing
+    # build (exact content-hash partners + banded-LSH candidates
+    # verified at the cc block's tau, all from the index's own tables,
+    # pruned equi-joins on the member docnos). Components larger than
+    # max_verify_members are left unverified (counted conservatively).
+    # A component reduced to <= 1 live member is dissolved, not split —
+    # no conflation stands (rebuild would also sweep the stale
+    # singleton row, a cosmetic difference). Cost: takedown-sized — the
+    # driver-side union-find sees at most
+    # touched x max_verify_members rows.
+    n_components_split = n_components_unverified = None
+    if verify_splits and n_components_touched and resolved is not None:
+        members = (resolved.join(touched_lab, "label")
+                   .select("docno", "label"))
+        msizes = members.groupBy("label").agg(F.count("*").alias("_n"))
+        n_components_unverified = msizes.filter(
+            F.col("_n") > max_verify_members).count()
+        ok_lab = msizes.filter((F.col("_n") <= max_verify_members)
+                               & (F.col("_n") >= 2)).select("label")
+        mem = members.join(ok_lab, "label").localCheckpoint()
+        n_components_split = 0
+        if mem.limit(1).count():
+            ch_m = _live_rows(spark, index_dir, "content_hashes", vis)
+            bk_m = _live_rows(spark, index_dir, "band_keys", vis)
+            sh_m = _live_rows(spark, index_dir, "shingles", vis)
+            edge_frames = []
+            if ch_m is not None:
+                wmin = Window.partitionBy("label", "content_hash")
+                edge_frames.append(
+                    ch_m.join(mem, "docno")
+                    .withColumn("_m", F.min("docno").over(wmin))
+                    .filter(F.col("docno") > F.col("_m"))
+                    .select(F.col("_m").alias("a"),
+                            F.col("docno").alias("b")))
+            if bk_m is not None and sh_m is not None:
+                cand = dedup.lsh_candidates_from_keys(
+                    bk_m.join(mem.select("docno"), "docno"))
+                cand_ids = (cand.select(F.col("docno_a").alias("docno"))
+                            .unionByName(cand.select(
+                                F.col("docno_b").alias("docno")))
+                            .distinct())
+                sets = (sh_m.join(cand_ids, "docno")
+                        .groupBy("docno")
+                        .agg(F.collect_set("shingle").alias("s"))
+                        .localCheckpoint())
+                edge_frames.append(_cc_verified(
+                    cand, sets, sets, "docno_a", "docno_b",
+                    man["cc"]["tau"]))
+            edges = []
+            if edge_frames:
+                ef = edge_frames[0]
+                for other in edge_frames[1:]:
+                    ef = ef.unionByName(other)
+                edges = [(r["a"], r["b"]) for r in
+                         ef.distinct().collect()]
+            mem_rows = [(r["docno"], r["label"])
+                        for r in mem.collect()]
+            parent = {d: d for d, _ in mem_rows}
+
+            def _find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                if a in parent and b in parent:
+                    ra, rb = _find(a), _find(b)
+                    if ra != rb:
+                        parent[ra] = rb
+            groups: dict[int, set] = {}
+            for d, lab in mem_rows:
+                groups.setdefault(lab, set()).add(_find(d))
+            n_components_split = sum(
+                1 for g in groups.values() if len(g) > 1)
 
     # n_dead_names is the HARD rebuild trigger (standing re-add hazards
     # fail folds loudly until retired); n_components_touched is only an
     # UPPER BOUND on split damage (a retraction need not disconnect its
     # component), so pipelines with routine takedowns can raise
     # touched_rebuild_threshold to stop paying an O(corpus) rebuild per
-    # cycle for every single takedown (ADVICE r11).
-    if n_dead_names or n_components_touched >= max(
-            1, touched_rebuild_threshold):
+    # cycle for every single takedown (ADVICE r11). With
+    # verify_splits=True, a VERIFIED split is itself a hard trigger
+    # (real conflation stands) and only the unverified remainder counts
+    # against the threshold.
+    if verify_splits:
+        hard = bool(n_dead_names) or bool(n_components_split)
+        bound = n_components_unverified or 0
+    else:
+        hard = bool(n_dead_names)
+        bound = n_components_touched
+    if hard or bound >= max(1, touched_rebuild_threshold):
         recommendation = "rebuild"
     elif (len(chain) >= alias_compact_threshold
           or max_alias_chain >= chain_compact_threshold
@@ -2780,6 +2887,8 @@ def cc_health(spark: SparkSession, index_dir: str, *, snaps=None,
         "n_dead_names": n_dead_names,
         "n_retracted_members": n_retracted_members,
         "n_components_touched": n_components_touched,
+        "n_components_split": n_components_split,
+        "n_components_unverified": n_components_unverified,
         "label_snaps": lsnaps,
         "recommendation": recommendation,
     }

@@ -2414,3 +2414,59 @@ def test_ann_health_list_skew_on_skewed_embeddings(spark, tmp_path):
     assert h["recommendation"] == "none"
     assert dinc.ann_health(spark, idx, skew_retrain_threshold=2.0
                            )["recommendation"] == "retrain"
+
+
+def test_cc_health_verify_splits(spark, tmp_path):
+    """r12 (ADVICE r11, the precise form): verify_splits replaces the
+    touched-components upper bound with a bounded exact connectivity
+    recheck — a touched-but-still-connected component costs nothing, a
+    verified split is a hard rebuild trigger, oversized components stay
+    conservatively unverified."""
+    # chain component 1-2-3-4: adjacent shingle-overlap Jaccard
+    # 55/61 ≈ 0.902 >= tau=0.9, skip-one 52/64 ≈ 0.813 < tau — so the
+    # only edges are the chain's; plus an exact-content triple {10,11,12}
+    ws = [f"tok{i}" for i in range(70)]
+    A = " ".join(ws[0:60])
+    B = " ".join(ws[3:63])
+    C = " ".join(ws[6:66])
+    D = " ".join(ws[9:69])
+    assert len(_shingle_set(A) & _shingle_set(B)) / \
+        len(_shingle_set(A) | _shingle_set(B)) >= 0.9
+    assert len(_shingle_set(A) & _shingle_set(C)) / \
+        len(_shingle_set(A) | _shingle_set(C)) < 0.9
+    c = "completely separate content " + " ".join(
+        f"x{i}" for i in range(30))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(
+        _df(spark, [(1, A), (2, B), (3, C), (4, D),
+                    (10, c), (11, c), (12, c)]), idx)
+    dinc.build_cc_labels(spark, idx, tau=0.9)
+    labs = {r["docno"]: r["label"] for r in
+            dinc.cc_labels_frame(spark, idx).collect()}
+    assert labs == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    # retract the chain ENDPOINT 4: touched, but 1-2-3 stays connected
+    dinc.update_dedup_index(spark, idx, removed_docs=_df(spark, [(4, D)]))
+    h = dinc.cc_health(spark, idx, verify_splits=True)
+    assert h["n_components_touched"] == 1
+    assert h["n_components_split"] == 0
+    assert h["n_components_unverified"] == 0
+    assert h["recommendation"] == "none"
+    # the unverified upper bound still says rebuild
+    assert dinc.cc_health(spark, idx)["recommendation"] == "rebuild"
+    # an oversized component falls back to the conservative bound
+    h = dinc.cc_health(spark, idx, verify_splits=True,
+                       max_verify_members=2)
+    assert h["n_components_unverified"] == 1
+    assert h["recommendation"] == "rebuild"
+
+    # retract the chain MIDDLE 2: members {1, 3} have no edge (J ≈
+    # 0.813 < tau) — a GENUINE split, hard trigger regardless of
+    # threshold; the exact triple stays connected when 11 goes
+    dinc.update_dedup_index(spark, idx, removed_docs=_df(
+        spark, [(2, B), (11, c)]))
+    h = dinc.cc_health(spark, idx, verify_splits=True,
+                       touched_rebuild_threshold=99)
+    assert h["n_components_touched"] == 2
+    assert h["n_components_split"] == 1
+    assert h["recommendation"] == "rebuild"

@@ -2,16 +2,21 @@
 store (r10). Two real ordering bugs were found by hand-constructed
 sequences (the r9 keep-last compaction resurrection; the r10 dead-min
 cc re-add) — this test hunts the next one automatically: a seeded walk
-of add / remove / replace / re-add / compact(full|keep-last) / vacuum
-ops against a store carrying embeddings AND both trained ANN indexes,
-with three invariants checked mid-walk and at the end:
+of add / remove / replace / re-add / compact(full|keep-last) / vacuum /
+retrain(IVF|PQ) / maintain ops against a store carrying embeddings AND
+both trained ANN indexes, with four invariants checked mid-walk and at
+the end:
 
 1. the store's logical fingerprint/embedding content equals a
    from-scratch ``build_dedup_index`` over the surviving corpus;
 2. ``ann_assign`` equals assigning the live embeddings to the PERSISTED
    centroids (fold ≡ rebuild under the trained artifact);
 3. ``ann_codes`` equals encoding the live embeddings against the
-   PERSISTED codebook.
+   PERSISTED codebook;
+4. (r12) ``ann_health``'s src-based fold_fraction equals the walk's own
+   train/fold bookkeeping exactly — retrains reset it, folds/replaces
+   raise it, removals debit the right bucket, compaction and vacuum
+   change NOTHING.
 
 The walk deliberately reuses a small text pool so exact-duplicate
 groups, near-duplicate shingle sets, and below-min-length docs (the
@@ -58,7 +63,7 @@ def _emb(spark, ids):
         "docno long, embedding array<double>")
 
 
-def _check(spark, tmp_path, idx, corpus, tag):
+def _check(spark, tmp_path, idx, corpus, tag, exp_src=None):
     scratch = str(tmp_path / f"scratch_{tag}")
     dinc.build_dedup_index(_frame(spark, corpus), scratch,
                            embeddings=_emb(spark, corpus))
@@ -83,6 +88,24 @@ def _check(spark, tmp_path, idx, corpus, tag):
         .select(F.col("vec_id").alias("docno"), "s", "code").collect()))
     assert sorted(map(tuple, live["ann_codes"].collect())) \
         == want_codes, f"{tag}: ann_codes diverged"
+    if exp_src is not None:
+        # r12 invariant 4: ann_health's fold_fraction tracks the walk's
+        # OWN train/fold bookkeeping exactly — retrains reset a table's
+        # provenance, folds/replaces mark 'fold', removals debit the
+        # bucket the row was in, and compaction/vacuum change NOTHING
+        # (the compaction-proof row-level src tag, VERDICT r11 #2)
+        a_exp, c_exp = exp_src
+        h = dinc.ann_health(spark, idx)
+        na = len(a_exp)
+        nfa = sum(1 for v in a_exp.values() if v == "fold")
+        assert h["ivf"]["fold_fraction"] == \
+            (round(nfa / na, 3) if na else 0.0), f"{tag}: ivf ff"
+        assert h["ivf"]["n_assigned"] == na, f"{tag}: ivf n"
+        nc = len(c_exp)
+        nfc = sum(1 for v in c_exp.values() if v == "fold")
+        assert h["pq"]["fold_fraction"] == \
+            (round(nfc / nc, 3) if nc else 0.0), f"{tag}: pq ff"
+        assert h["pq"]["n_encoded"] == nc, f"{tag}: pq n"
 
 
 def _cc_scratch(spark, tmp_path, corpus, tag):
@@ -194,13 +217,18 @@ def test_store_random_walk_rebuild_equality(spark, tmp_path, seed):
                            embeddings=_emb(spark, corpus))
     dinc.train_ann_index(spark, idx, every=3)
     dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=2, dims=8)
+    # the walk's own training-provenance bookkeeping (r12): what
+    # ann_health's src-based fold_fraction must report at every check
+    a_src = {d: "train" for d in corpus}
+    c_src = dict(a_src)
 
     n_ops = 12
     for step in range(n_ops):
         op = rng.choices(
             ["add", "readd", "remove", "replace", "compact_full",
-             "compact_keep", "vacuum"],
-            weights=[4, 2, 3, 2, 1, 2, 1])[0]
+             "compact_keep", "vacuum", "retrain_ann", "retrain_pq",
+             "maintain"],
+            weights=[4, 2, 3, 2, 1, 2, 1, 1, 1, 1])[0]
         if op == "add":
             new = {}
             for _ in range(rng.randint(1, 3)):
@@ -210,6 +238,8 @@ def test_store_random_walk_rebuild_equality(spark, tmp_path, seed):
                 spark, idx, _frame(spark, new),
                 new_embeddings=_emb(spark, new))
             corpus.update(new)
+            for d in new:
+                a_src[d] = c_src[d] = "fold"
         elif op == "readd" and removed_texts:
             d = rng.choice(sorted(removed_texts))
             new = {d: rng.choice(POOL)}
@@ -218,6 +248,7 @@ def test_store_random_walk_rebuild_equality(spark, tmp_path, seed):
                 new_embeddings=_emb(spark, new))
             corpus.update(new)
             del removed_texts[d]
+            a_src[d] = c_src[d] = "fold"
         elif op == "remove" and len(corpus) > 2:
             victims = rng.sample(sorted(corpus), rng.randint(1, 2))
             rm = {d: corpus[d] for d in victims}
@@ -225,6 +256,8 @@ def test_store_random_walk_rebuild_equality(spark, tmp_path, seed):
                                     removed_docs=_frame(spark, rm))
             for d in victims:
                 removed_texts[d] = corpus.pop(d)
+                a_src.pop(d, None)
+                c_src.pop(d, None)
         elif op == "replace" and corpus:
             d = rng.choice(sorted(corpus))
             old_text = corpus[d]
@@ -234,13 +267,29 @@ def test_store_random_walk_rebuild_equality(spark, tmp_path, seed):
                 removed_docs=_frame(spark, {d: old_text}),
                 new_embeddings=_emb(spark, [d]))
             corpus[d] = new_text
+            a_src[d] = c_src[d] = "fold"
         elif op == "compact_full":
             dinc.compact_dedup_index(spark, idx)
         elif op == "compact_keep":
             dinc.compact_dedup_index(spark, idx, keep_last_snap=True)
         elif op == "vacuum":
             dinc.vacuum_dedup_index(idx)
+        elif op == "retrain_ann":
+            dinc.train_ann_index(spark, idx, every=3, retrain=True)
+            a_src = {d: "train" for d in corpus}
+        elif op == "retrain_pq":
+            dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=2,
+                                dims=8, retrain=True)
+            c_src = {d: "train" for d in corpus}
+        elif op == "maintain":
+            out = dinc.maintain_dedup_index(spark, idx)
+            if "ann_retrain" in out["actions"]:
+                a_src = {d: "train" for d in corpus}
+            if "pq_retrain" in out["actions"]:
+                c_src = {d: "train" for d in corpus}
         if step == n_ops // 2:
-            _check(spark, tmp_path, idx, corpus, f"s{seed}_mid")
+            _check(spark, tmp_path, idx, corpus, f"s{seed}_mid",
+                   exp_src=(a_src, c_src))
 
-    _check(spark, tmp_path, idx, corpus, f"s{seed}_end")
+    _check(spark, tmp_path, idx, corpus, f"s{seed}_end",
+           exp_src=(a_src, c_src))
