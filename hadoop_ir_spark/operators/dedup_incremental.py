@@ -2894,6 +2894,75 @@ def cc_health(spark: SparkSession, index_dir: str, *, snaps=None,
     }
 
 
+def cc_split_report(spark: SparkSession, index_dir: str, *,
+                    snaps=None) -> DataFrame:
+    """(label, n_members, n_subcomponents) for every standing resolved
+    component with >= 1 live member: re-derive connectivity of the LIVE
+    members under the standing build's own pair rule (exact
+    content-hash partners — re-starred over the surviving group — plus
+    banded-LSH candidates verified at the cc block's tau, all from the
+    index's own tables, never the text) and count the connected
+    subcomponents each standing label now covers.
+    ``n_subcomponents > 1`` is a component a retraction genuinely SPLIT
+    — the standing merged label conflates the parts until
+    ``build_cc_labels(rebuild=True)``; ``== 1`` with ``n_members > 1``
+    is touched-but-intact; ``n_members == 1`` is a dissolved
+    near-singleton (no conflation; rebuild would sweep the stale row).
+
+    This is the distributed, corpus-proportional AUDIT twin of
+    ``cc_health(verify_splits=True)``'s takedown-bounded driver check:
+    one CC pass over the within-component edge graph (edges never cross
+    standing components — the standing labels are closed over the pair
+    rule), run it when the split inventory itself is the deliverable.
+    The weekly canary stays bounded. The DuckDB oracle
+    (queries/incremental_q.py: ``incremental_cc_splits``) replays
+    standing components over the ORIGINAL corpus and current
+    connectivity over the SURVIVORS as two recursive-CTE reachability
+    passes over the same per-pair edge rule — per-pair, so restricting
+    the near edges to survivors is exact, while exact-content star
+    edges are re-derived over the surviving group (a star through a
+    retracted min would otherwise fake a split)."""
+    man = _read_manifest(index_dir)
+    if not man.get("cc"):
+        raise ValueError(
+            f"dedup index at {index_dir} has no cc labels — run "
+            f"build_cc_labels first")
+    vis = _visible_snaps(index_dir, snaps)
+    members = (cc_labels_frame(spark, index_dir, snaps)
+               .select("docno", "label").localCheckpoint())
+    ch = _live_rows(spark, index_dir, "content_hashes", vis)
+    bk = _live_rows(spark, index_dir, "band_keys", vis)
+    sh = _live_rows(spark, index_dir, "shingles", vis)
+    if ch is None or bk is None or sh is None:
+        raise FileNotFoundError(
+            f"dedup index at {index_dir} has no visible fingerprint "
+            f"data for snaps {vis}")
+    wmin = Window.partitionBy("content_hash")
+    ex = (ch.join(members.select("docno"), "docno")
+          .withColumn("_m", F.min("docno").over(wmin))
+          .filter(F.col("docno") > F.col("_m"))
+          .select(F.col("_m").alias("a"), F.col("docno").alias("b")))
+    cand = dedup.lsh_candidates_from_keys(
+        bk.join(members.select("docno"), "docno"))
+    cand_ids = (cand.select(F.col("docno_a").alias("docno"))
+                .unionByName(cand.select(F.col("docno_b").alias("docno")))
+                .distinct())
+    sets = (sh.join(cand_ids, "docno")
+            .groupBy("docno").agg(F.collect_set("shingle").alias("s"))
+            .localCheckpoint())
+    near = _cc_verified(cand, sets, sets, "docno_a", "docno_b",
+                        man["cc"]["tau"])
+    comp = dedup.connected_components(
+        ex.unionByName(near).distinct(), "a", "b", algorithm="star")
+    sub = (members.join(comp.select(F.col("node").alias("docno"),
+                                    "cluster_id"), "docno", "left")
+           .select("label", F.coalesce("cluster_id", F.col("docno"))
+                   .alias("_sub")))
+    return (sub.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.countDistinct("_sub").alias("n_subcomponents")))
+
+
 def incremental_winnow_pairs(new_docs: DataFrame, index_dir: str, *,
                              max_df: int = 50, min_shared: int = 2,
                              id_col: str = "docno",

@@ -1396,3 +1396,137 @@ def q_incremental_dedup_clusters(spark, sf_dir):
     idx_dir = _cc_index_dir(spark, sf_dir)
     return (dinc.cc_labels_frame(spark, idx_dir)
             .select("docno", F.col("label").alias("cluster_id")))
+
+
+# ---------------------------------------------------------------------------
+# split audit over a retracted label store (r12): the catalog-graded
+# form of the cc_health(verify_splits=...) math — standing components
+# vs re-derived live connectivity, both fully replayed by the oracle.
+# ---------------------------------------------------------------------------
+
+_CC_SPLIT_MOD = 17      # deterministic takedown set: docno % 17 == 3
+_CC_SPLIT_REM = 3
+
+# a planted 3-doc near-dup CHAIN guaranteeing the audit's split branch
+# is exercised at every SF: adjacent shingle-overlap Jaccard 55/61 ≈
+# 0.902 >= tau=0.9, skip-one 52/64 ≈ 0.813 < tau, so the only edges are
+# a-b and b-c — and the middle id is ≡ 3 (mod 17), so the takedown
+# batch retracts exactly the articulation point: the standing merged
+# label conflates {a} and {c} until a rebuild. Ids sit above the
+# re-crawl inject offset; texts are built from a dedicated token
+# alphabet so they pair with nothing else.
+_CC_CHAIN_TOKS = [f"ccs{i}" for i in range(66)]
+_CC_CHAIN = [
+    (20_000_009, " ".join(_CC_CHAIN_TOKS[0:60])),
+    (20_000_010, " ".join(_CC_CHAIN_TOKS[3:63])),   # % 17 == 3: retracted
+    (20_000_011, " ".join(_CC_CHAIN_TOKS[6:66])),
+]
+_CC_CHAIN_VALUES = ", ".join(f"({i}, '{t}', 1)" for i, t in _CC_CHAIN)
+
+
+def _cc_split_index_dir(spark, sf_dir: str) -> str:
+    """Memoized label store with a RETRACTION history per (process,
+    sf_dir): the _cc_index_dir protocol (build old → standing labels →
+    fold new) followed by a deterministic takedown batch (docno % 17 ==
+    3 of the union corpus, removed with their indexed text) — the state
+    whose deferred split damage cc_split_report audits."""
+    key = os.path.abspath(sf_dir) + "#ccsplit"
+    if key not in _IDX_CACHE:
+        _assert_offset(spark, sf_dir)
+        out = os.path.join(_TMPROOT,
+                           key.strip("/").replace("/", "_").replace("#", "_"))
+        dinc.build_dedup_index(_old_docs(spark, sf_dir), out,
+                               min_len=INC_SPAN_LEN, id_col="doc_id")
+        dinc.build_cc_labels(spark, out, tau=INC_TAU)
+        dinc.update_dedup_index(spark, out, _new_docs(spark, sf_dir),
+                                min_len=INC_SPAN_LEN, id_col="doc_id")
+        chain = spark.createDataFrame(_CC_CHAIN,
+                                      "doc_id long, text string")
+        dinc.update_dedup_index(spark, out, chain,
+                                min_len=INC_SPAN_LEN, id_col="doc_id")
+        rm = (_old_docs(spark, sf_dir)
+              .unionByName(_new_docs(spark, sf_dir))
+              .unionByName(chain)
+              .filter(F.col("doc_id") % _CC_SPLIT_MOD == _CC_SPLIT_REM))
+        dinc.update_dedup_index(spark, out, removed_docs=rm,
+                                min_len=INC_SPAN_LEN, id_col="doc_id")
+        _IDX_CACHE[key] = out
+    return _IDX_CACHE[key]
+
+
+def _cc_split_oracle_sql(num_hashes: int = 24, bands: int = 8) -> str:
+    """Standing components over the ORIGINAL union corpus (recursive-CTE
+    reachability — the incremental_dedup_clusters oracle) and current
+    connectivity over the SURVIVORS, from ONE shared per-pair edge set:
+    the pair rule (content equality / Jaccard >= tau of the two docs) is
+    corpus-independent, so near edges restrict to survivors exactly,
+    while exact-content star edges are RE-DERIVED over each surviving
+    text group (a star through a retracted min would fake a split)."""
+    from hadoop_ir_spark.queries.minhash_replay import replay_cte_block
+
+    return f"""
+WITH RECURSIVE {_SQL_SPLIT},
+uni2 AS (SELECT docno, text, isn FROM uni
+         UNION ALL
+         SELECT * FROM (VALUES {_CC_CHAIN_VALUES}) AS q(docno, text, isn)),
+docsrc AS (SELECT docno, text FROM uni2),
+{replay_cte_block(num_hashes, bands)},
+np AS (
+  SELECT i.da AS a, i.db AS b FROM inter i
+  JOIN sizes sa ON sa.docno = i.da
+  JOIN sizes sb ON sb.docno = i.db
+  WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= {INC_TAU}
+),
+exg AS (SELECT docno, min(docno) OVER (PARTITION BY text) AS m FROM uni2),
+exs AS (SELECT m AS a, docno AS b FROM exg WHERE docno > m),
+allp AS (SELECT a, b FROM np UNION SELECT a, b FROM exs),
+edges AS (SELECT a, b FROM allp UNION SELECT b, a FROM allp),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+stand AS (SELECT node AS docno, min(root) AS label
+          FROM reach GROUP BY node),
+surv AS (SELECT docno FROM uni2
+         WHERE docno % {_CC_SPLIT_MOD} <> {_CC_SPLIT_REM}),
+smem AS (SELECT s.docno, s.label
+         FROM stand s JOIN surv v ON v.docno = s.docno),
+sexg AS (SELECT u.docno, min(u.docno) OVER (PARTITION BY u.text) AS m
+         FROM uni2 u JOIN surv v ON v.docno = u.docno),
+sexs AS (SELECT m AS a, docno AS b FROM sexg WHERE docno > m),
+snp AS (SELECT n.a, n.b FROM np n
+        JOIN surv va ON va.docno = n.a
+        JOIN surv vb ON vb.docno = n.b),
+sallp AS (SELECT a, b FROM snp UNION SELECT a, b FROM sexs),
+sedges AS (SELECT a, b FROM sallp UNION SELECT b, a FROM sallp),
+sreach(node, root) AS (
+  SELECT docno, docno FROM smem
+  UNION
+  SELECT e.b, r.root FROM sreach r JOIN sedges e ON e.a = r.node
+),
+scur AS (SELECT node, min(root) AS sub FROM sreach GROUP BY node)
+SELECT CAST(m.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(DISTINCT c.sub) AS BIGINT) AS n_subcomponents
+FROM smem m JOIN scur c ON c.node = m.docno
+GROUP BY m.label
+"""
+
+
+@register("incremental_cc_splits", _cc_split_oracle_sql())
+def q_incremental_cc_splits(spark, sf_dir):
+    """Deferred-split audit of the standing duplicate-cluster labels
+    after a takedown batch (r12 — the catalog-graded form of
+    ``cc_health(verify_splits=True)``'s math): for every standing
+    resolved component with a live member, re-derive the live members'
+    connectivity under the standing build's own pair rule and count the
+    subcomponents the merged label now conflates
+    (``dedup_incremental.cc_split_report``; n_subcomponents > 1 ⇒ a
+    retraction genuinely split the component — the state
+    build_cc_labels(rebuild=True) repairs). Oracle = two recursive-CTE
+    reachability passes (standing over the original corpus, current
+    over the survivors) sharing one per-pair edge replay."""
+    idx_dir = _cc_split_index_dir(spark, sf_dir)
+    return dinc.cc_split_report(spark, idx_dir)

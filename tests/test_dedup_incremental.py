@@ -2470,3 +2470,9 @@ def test_cc_health_verify_splits(spark, tmp_path):
     assert h["n_components_touched"] == 2
     assert h["n_components_split"] == 1
     assert h["recommendation"] == "rebuild"
+
+    # the distributed audit twin agrees: chain label 1 now covers two
+    # subcomponents ({1}, {3}), the exact triple stays one ({10, 12})
+    rep = {r["label"]: (r["n_members"], r["n_subcomponents"])
+           for r in dinc.cc_split_report(spark, idx).collect()}
+    assert rep == {1: (2, 2), 10: (2, 1)}

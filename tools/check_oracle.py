@@ -155,6 +155,11 @@ PINNED_JUDGE_VERIFIED = sorted({
     # (VERDICT r11 missing #3); hit/output counts pinned in
     # tests/test_zipf_surface.py; strict at 3 SFs on addition
     "best_passage_zipf",
+    # round 12: deferred-split audit over a retracted label store (the
+    # catalog-graded form of cc_health(verify_splits=True)'s math, with
+    # a planted articulation-point chain so the split branch is
+    # exercised at every SF); strict at 3 SFs on addition
+    "incremental_cc_splits",
 })
 
 
