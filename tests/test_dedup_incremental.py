@@ -2476,3 +2476,62 @@ def test_cc_health_verify_splits(spark, tmp_path):
     rep = {r["label"]: (r["n_members"], r["n_subcomponents"])
            for r in dinc.cc_split_report(spark, idx).collect()}
     assert rep == {1: (2, 2), 10: (2, 1)}
+
+
+def test_maintain_loses_race_loudly_and_retries_clean(spark, tmp_path,
+                                                      monkeypatch):
+    """r12: the one-call maintenance step inherits the store's
+    optimistic-concurrency contract — a fold committing while maintain
+    stages its retrain makes maintain's CAS lose LOUDLY
+    (ConcurrentWriteError), the fold's snapshot survives, no staged
+    dirs leak, and a retry performs the due passes cleanly."""
+    ids = list(range(0, 10))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, ids), idx,
+                           embeddings=_emb_df(spark, ids))
+    dinc.train_ann_index(spark, idx, every=3)
+    dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=2, dims=8)
+    # a big fold makes the ANN/PQ retrain due
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, range(20, 40)),
+                            new_embeddings=_emb_df(spark, range(20, 40)))
+
+    fired = {"done": False}
+    orig_write = dinc._SnapAttempt.write
+
+    def interleaved(self, df, table):
+        if not fired["done"]:
+            fired["done"] = True
+            # a writer lands a COMPLETE fold while maintain's retrain
+            # is mid-stage
+            dinc.update_dedup_index(spark, idx, _docs_for(spark, [50]),
+                                    new_embeddings=_emb_df(spark, [50]))
+        return orig_write(self, df, table)
+
+    monkeypatch.setattr(dinc._SnapAttempt, "write", interleaved)
+    with pytest.raises(dinc.ConcurrentWriteError, match="concurrent"):
+        dinc.maintain_dedup_index(spark, idx)
+    monkeypatch.setattr(dinc._SnapAttempt, "write", orig_write)
+
+    # the interleaved fold survived; maintain's aborted attempt left no
+    # staged dirs; the store still serves
+    import os as _os
+    live = dinc.load_dedup_index(spark, idx)
+    assert 50 in {r["docno"] for r in live["embeddings"].collect()}
+    leftovers = [_os.path.join(t, e)
+                 for t in _os.listdir(idx)
+                 if _os.path.isdir(_os.path.join(idx, t))
+                 for e in _os.listdir(_os.path.join(idx, t))
+                 if ".tmp-" in e]
+    assert not leftovers, leftovers
+    q = _emb_df(spark, [2]).select(F.col("docno").alias("qid"),
+                                   "embedding")
+    assert dinc.indexed_ivfpq_topk(q, idx, k=3, nprobe=2).count() > 0
+
+    # the retry pays the due passes and leaves a clean store
+    out = dinc.maintain_dedup_index(spark, idx)
+    assert "ann_retrain" in out["actions"]
+    assert "pq_retrain" in out["actions"]
+    h = dinc.ann_health(spark, idx)
+    assert h["recommendation"] == "none"
+    assert h["ivf"]["fold_fraction"] == 0.0
+    assert h["ivf"]["n_assigned"] == 31   # 10 + 20 + doc 50
