@@ -1049,7 +1049,7 @@ def _register_indexed_residual():
               " / (sqrt(list_dot_product(e.v, e.v))"
               " * sqrt(list_dot_product(c.cv, c.cv)))")
 
-    @register("indexed_ivfpq_residual_topk", f"""
+    res_ctes = f"""
 WITH embd AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
@@ -1148,10 +1148,14 @@ ranked AS (
                             ORDER BY di ASC, vec_id DESC) AS rank
   FROM scored
 )
+"""
+    res_sql = res_ctes + f"""
 SELECT qid, docno, round(di::DOUBLE / 1e6, 6) AS approx_d2,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {ANN_IDX_K}
-""")
+"""
+
+    @register("indexed_ivfpq_residual_topk", res_sql)
     def q_indexed_ivfpq_residual_topk(spark, sf_dir):
         """IVF-PQ with RESIDUAL encoding served from the persisted
         store (IVFADC): codes encode x − c(x) against the persisted
@@ -1169,6 +1173,109 @@ FROM ranked WHERE rank <= {ANN_IDX_K}
             F.col("vec_id").alias("qid"), "embedding")
         return dinc.indexed_ivfpq_topk(queries, idx_dir, k=ANN_IDX_K,
                                        nprobe=ANN_IDX_NPROBE)
+
+    # residual serving WITH the exact re-rank stage (r12): the measured
+    # production configuration — SCALING r11 put its recall at 0.670 vs
+    # 0.570 raw-PQ refined at sf0.1 — now catalog-graded: the oracle
+    # composes the residual ADC CTEs with the exact-cosine tail over
+    # the same deterministic shortlist.
+    _cos_res_ref = ("list_dot_product(e.v, q.qv)"
+                    " / (sqrt(list_dot_product(e.v, e.v))"
+                    " * sqrt(list_dot_product(q.qv, q.qv)))")
+    res_refined_sql = res_ctes.rstrip() + f""",
+short AS (SELECT qid, docno FROM ranked WHERE rank <= {ANN_REFINE}),
+ex AS (
+  SELECT s.qid, s.docno, round({_cos_res_ref}, 6) AS cosine
+  FROM short s
+  JOIN embd e ON e.vec_id = s.docno
+  JOIN q ON q.qid = s.qid
+),
+rr AS (
+  SELECT qid, docno, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, docno DESC) AS rank
+  FROM ex
+)
+SELECT qid, docno, cosine, CAST(rank AS INT) AS rank
+FROM rr WHERE rank <= {ANN_IDX_K}
+"""
+
+    @register("indexed_ivfpq_residual_refined", res_refined_sql)
+    def q_indexed_ivfpq_residual_refined(spark, sf_dir):
+        """Residual IVF-PQ (IVFADC) with the exact re-rank stage — the
+        store's best-measured serving configuration: top ANN_REFINE
+        residual-ADC candidates per query re-scored by TRUE rounded
+        cosine via the pruned docno equi-join on the store's
+        embeddings, standard tie-break. Same bounded-fetch cost story
+        as indexed_ivfpq_refined; the residual codes buy the better
+        shortlist."""
+        idx_dir = _ann_res_index_dir(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        return dinc.indexed_ivfpq_topk(queries, idx_dir, k=ANN_IDX_K,
+                                       nprobe=ANN_IDX_NPROBE,
+                                       refine=ANN_REFINE)
+
+    # recall@k of the residual paths vs brute force (r12): grades the
+    # IVFADC recall claim itself at every SF, next to ann_recall_ivfpq's
+    # raw-PQ curve — the two entries together pin "residual encoding
+    # lifts recall at equal serving cost" as catalog data.
+    inv_k = f"CAST({float(ANN_IDX_K)!r} AS DOUBLE)"
+    recall_res_sql = f"""
+WITH brute AS ({ORACLES["ann_cosine_topk"]}),
+adc AS ({res_sql}),
+refd AS ({res_refined_sql}),
+qset AS (SELECT DISTINCT qid FROM brute),
+h1 AS (
+  SELECT b.qid, count(*) AS n FROM brute b
+  JOIN adc a ON a.qid = b.qid AND a.docno = b.vec_id
+  GROUP BY b.qid
+),
+h2 AS (
+  SELECT b.qid, count(*) AS n FROM brute b
+  JOIN refd r ON r.qid = b.qid AND r.docno = b.vec_id
+  GROUP BY b.qid
+)
+SELECT qs.qid,
+       CAST(coalesce(h1.n, 0) AS BIGINT) AS n_hits_adc,
+       round(coalesce(h1.n, 0) / {inv_k}, 6) AS recall_adc,
+       CAST(coalesce(h2.n, 0) AS BIGINT) AS n_hits_refined,
+       round(coalesce(h2.n, 0) / {inv_k}, 6) AS recall_refined
+FROM qset qs
+LEFT JOIN h1 ON h1.qid = qs.qid
+LEFT JOIN h2 ON h2.qid = qs.qid
+"""
+
+    @register("ann_recall_ivfpq_residual", recall_res_sql)
+    def q_ann_recall_ivfpq_residual(spark, sf_dir):
+        """Per-query recall@k of the RESIDUAL (IVFADC) serving paths
+        against exact brute force, ADC-only and refined side by side —
+        the residual twin of ann_recall_ivfpq. The evaluation join is
+        O(|queries|·k), corpus-independent."""
+        from hadoop_ir_spark.operators import similarity as sim
+
+        idx_dir = _ann_res_index_dir(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        exact = QUERIES["ann_cosine_topk"](spark, sf_dir)
+        adc = (dinc.indexed_ivfpq_topk(queries, idx_dir, k=ANN_IDX_K,
+                                       nprobe=ANN_IDX_NPROBE)
+               .withColumnRenamed("docno", "vec_id"))
+        refd = (dinc.indexed_ivfpq_topk(queries, idx_dir, k=ANN_IDX_K,
+                                        nprobe=ANN_IDX_NPROBE,
+                                        refine=ANN_REFINE)
+                .withColumnRenamed("docno", "vec_id"))
+        r1 = sim.recall_vs_exact(exact, adc, k=ANN_IDX_K)
+        r2 = sim.recall_vs_exact(exact, refd, k=ANN_IDX_K)
+        return (r1.select("qid",
+                          F.col("n_hits").alias("n_hits_adc"),
+                          F.col("recall").alias("recall_adc"))
+                .join(r2.select("qid",
+                                F.col("n_hits").alias("n_hits_refined"),
+                                F.col("recall").alias("recall_refined")),
+                      "qid"))
 
 
 _register_indexed_residual()

@@ -160,6 +160,11 @@ PINNED_JUDGE_VERIFIED = sorted({
     # a planted articulation-point chain so the split branch is
     # exercised at every SF); strict at 3 SFs on addition
     "incremental_cc_splits",
+    # round 12: residual (IVFADC) serving with the exact re-rank stage
+    # + its recall canary — the SCALING r11 residual-recall claim
+    # (adc 0.288->0.325, refined 0.570->0.670 at sf0.1) is now catalog
+    # data; strict at 3 SFs on addition
+    "indexed_ivfpq_residual_refined", "ann_recall_ivfpq_residual",
 })
 
 
