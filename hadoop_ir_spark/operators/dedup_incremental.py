@@ -41,25 +41,34 @@ id — the restart-safety cursor). Eight tables:
   store serving ``embedding_incremental`` (VERDICT r8 #3), retracted
   through the same tombstones as every other per-doc table;
 - ``ann_centroids(centroid_id, cv)`` / ``ann_assign(docno,
-  centroid_id)`` — optional (r10): the persisted IVF index —
+  centroid_id, src)`` — optional (r10): the persisted IVF index —
   centroids trained once over the live embeddings, per-doc assignment
   folded O(snapshot) and tombstone-retracted (``train_ann_index`` /
-  ``indexed_ann_topk``);
-- ``ann_codebook(s, code, cv)`` / ``ann_codes(docno, s, code)`` —
+  ``indexed_ann_topk``). ``src`` (r12) is the row-level train/fold
+  provenance tag ``ann_health`` computes its compaction-proof
+  fold_fraction from; the ann manifest block carries a ``generation``
+  counter bumped per retrain;
+- ``ann_codebook(s, code, cv)`` / ``ann_codes(docno, s, code, src)`` —
   optional (r10): the persisted PQ index — sub-codebooks trained once,
   per-doc compressed codes folded O(snapshot) (the delta is encoded
   against the persisted codebook) and tombstone-retracted
-  (``train_pq_index`` / ``indexed_pq_topk``);
+  (``train_pq_index`` / ``indexed_pq_topk``). A residual (IVFADC)
+  block stamps the IVF ``generation`` it encoded against (r12):
+  ``indexed_ivfpq_topk`` refuses to serve residual codes an IVF
+  retrain has orphaned;
 - ``cc_labels(docno, label)`` / ``cc_alias(from_label, to_label)`` —
   optional (r10): standing duplicate-cluster labels maintained
   incrementally — each fold merges only the snapshot's pair edges via
   a contracted CC pass; component merges are recorded in the alias
   log, resolved at read (``build_cc_labels`` / ``cc_labels_frame``).
   ``cc_health`` (r11) reports the accumulated retraction-deferral
-  damage and recommends none/compact/rebuild; compaction persists the
-  dead label names the fold-time re-add guards key on (``dead_names``
-  in the manifest's cc block), so the guards stay armed after the
-  tombstone dirs fold away.
+  damage and recommends none/compact/rebuild (r12:
+  ``verify_splits=True`` replaces the touched-components upper bound
+  with a bounded exact connectivity recheck, and
+  ``cc_split_report`` is its corpus-proportional audit twin);
+  compaction persists the dead label names the fold-time re-add
+  guards key on (``dead_names`` in the manifest's cc block), so the
+  guards stay armed after the tombstone dirs fold away.
 
 Writers stage into uniquely-named ``snap=<id>.tmp-<token>`` attempt
 dirs and commit under a manifest lock with a compare-and-swap on
@@ -2458,9 +2467,11 @@ def maintain_dedup_index(spark: SparkSession, index_dir: str, *,
     recorded value); ``cc_health_kwargs`` / ``ann_health_kwargs`` tune
     the health thresholds (e.g.
     ``cc_health_kwargs={"touched_rebuild_threshold": 50}`` for
-    routine-takedown pipelines). This is the weekly pipeline's
-    maintenance step: folds stay O(snapshot) all week, and this call
-    pays exactly the elective passes the data says are due."""
+    routine-takedown pipelines, or ``{"verify_splits": True}`` to pay
+    the O(corpus) cc rebuild only for VERIFIED splits — the bounded
+    exact gate). This is the weekly pipeline's maintenance step: folds
+    stay O(snapshot) all week, and this call pays exactly the elective
+    passes the data says are due."""
     man = _read_manifest(index_dir)
     actions: list[str] = []
     cc_rep = ann_rep = None
