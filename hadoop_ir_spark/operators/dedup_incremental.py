@@ -1633,9 +1633,23 @@ def train_ann_index(spark: SparkSession, index_dir: str, *,
     att.commit(_mut)
 
 
+def _filter_docnos(filter_docs: DataFrame) -> DataFrame:
+    """Normalize a caller-supplied metadata-filter allowlist to a
+    distinct single-column (docno) frame: the column named ``docno`` if
+    present, else the frame's first column. The serving paths apply it
+    as a semi-join on docno — a plain (non-broadcast-forced) join, so
+    AQE broadcasts a small allowlist (a tenant, a date range) while a
+    corpus-scale one shuffle-hash-joins against the already-bounded
+    candidate set; either way the filter never widens a plan."""
+    col = ("docno" if "docno" in filter_docs.columns
+           else filter_docs.columns[0])
+    return filter_docs.select(F.col(col).alias("docno")).distinct()
+
+
 def indexed_ann_topk(queries: DataFrame, index_dir: str, *,
                      k: int = 10, nprobe: int = 4,
                      qid_col: str = "qid", vec_col: str = "embedding",
+                     filter_docs: DataFrame | None = None,
                      snaps=None) -> DataFrame:
     """IVF approximate top-k served ENTIRELY from the persisted index:
     (qid, docno, cosine, rank) — probe the ``nprobe`` centroids nearest
@@ -1646,7 +1660,18 @@ def indexed_ann_topk(queries: DataFrame, index_dir: str, *,
     story is the store's, and the only old-side touches are the pruned
     centroid_id equi-join on ann_assign (range-partitioned on
     centroid_id, ~nprobe/|C| of the files) plus the embedding fetch for
-    the candidate docnos."""
+    the candidate docnos.
+
+    ``filter_docs`` (r12) is metadata-filtered vector search: an
+    allowlist frame (docno, or first column) semi-joined into the
+    candidate set BEFORE the embedding fetch — the filtered search is
+    exact over the probed lists (every allowed candidate in a probed
+    list is scored; results are the true filtered top-k of the probed
+    set), and the fetch/score cost SHRINKS with filter selectivity.
+    This is the pre-filter strategy; the post-filter trap (filtering a
+    fixed-size unfiltered shortlist) exists only on the shortlist-based
+    ``indexed_ivfpq_topk`` path, where both modes are offered and
+    ``ann_recall_filtered`` measures the gap."""
     from hadoop_ir_spark.operators.dedup import cosine_expr
 
     spark = queries.sparkSession
@@ -1681,9 +1706,11 @@ def indexed_ann_topk(queries: DataFrame, index_dir: str, *,
     probes = (qprobe.withColumn("_r", F.row_number().over(wq))
               .filter(F.col("_r") <= nprobe)
               .select("qid", "qv", "centroid_id"))
-    cand = (assign.join(F.broadcast(probes), "centroid_id")
-            .join(emb.select("docno", F.col("embedding").alias("v")),
-                  "docno"))
+    cand = assign.join(F.broadcast(probes), "centroid_id")
+    if filter_docs is not None:
+        cand = cand.join(_filter_docnos(filter_docs), "docno", "semi")
+    cand = cand.join(emb.select("docno", F.col("embedding").alias("v")),
+                     "docno")
     scored = cand.select(
         "qid", "docno",
         F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cosine"))
@@ -1899,6 +1926,8 @@ def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
                        refine: int | None = None,
                        qid_col: str = "qid",
                        vec_col: str = "embedding",
+                       filter_docs: DataFrame | None = None,
+                       filter_mode: str = "pre",
                        snaps=None) -> DataFrame:
     """IVF-PQ approximate top-k — the composition of the store's two
     persisted indexes and the 100 TB serving path: probe the ``nprobe``
@@ -1922,7 +1951,30 @@ def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
     cosine with the standard docno-desc tie-break. Returns (qid, docno,
     cosine, rank) in that mode: the recall the codebook quantization
     loses is recovered at the cost of one bounded fetch
-    (``ann_recall_ivfpq`` in the catalog measures the gap)."""
+    (``ann_recall_ivfpq`` in the catalog measures the gap).
+
+    ``filter_docs`` + ``filter_mode`` (r12) is metadata-filtered vector
+    search, the production trade every filtered-ANN system exposes:
+
+    - ``"pre"`` (default): the allowlist is semi-joined into the probed
+      candidate set BEFORE the ADC scan — every allowed candidate in a
+      probed list is scored, results are the true filtered top-k of the
+      probed set, and the compressed scan SHRINKS with filter
+      selectivity. Filtered recall matches unfiltered recall.
+    - ``"post"``: the ADC shortlist is drawn UNFILTERED (top ``refine``
+      — or top ``k`` when no refine stage — by quantized distance) and
+      the allowlist is applied to that fixed-size shortlist afterwards:
+      allowed docs pushed out of the shortlist by disallowed ones are
+      LOST, so queries may return fewer than k rows and recall decays
+      with filter selectivity. This is the mode a filter-oblivious
+      index forces; ``refine`` doubles as its oversampling mitigation
+      (draw refine ≫ k, then filter + exact re-rank).
+
+    ``ann_recall_filtered`` in the catalog measures pre vs post recall
+    against the brute-force filtered ground truth at every SF. The
+    allowlist join is a plain semi-join on docno (AQE broadcasts small
+    allowlists; corpus-scale ones shuffle-hash against the bounded
+    candidate/shortlist side)."""
     from hadoop_ir_spark.operators import similarity
     from hadoop_ir_spark.operators.dedup import cosine_expr
 
@@ -1968,6 +2020,14 @@ def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
             f"dedup index at {index_dir} has no visible ann_assign/"
             f"ann_codes data for snaps {vis}")
 
+    fd = None
+    if filter_docs is not None:
+        if filter_mode not in ("pre", "post"):
+            raise ValueError(
+                f"filter_mode must be 'pre' or 'post', got "
+                f"{filter_mode!r}")
+        fd = _filter_docnos(filter_docs)
+
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(vec_col).alias("qv"))
     qprobe = q.crossJoin(F.broadcast(cents)).select(
@@ -2008,6 +2068,8 @@ def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
         cand = assign.join(F.broadcast(probes.select(
             "qid", "centroid_id")), "centroid_id").select(
             "qid", "docno", "centroid_id")
+        if fd is not None and filter_mode == "pre":
+            cand = cand.join(fd, "docno", "semi")
         scored = (codes.join(cand, "docno")
                   .join(F.broadcast(lut),
                         ["qid", "centroid_id", "s", "code"])
@@ -2016,6 +2078,8 @@ def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
     else:
         cand = assign.join(F.broadcast(probes.select(
             "qid", "centroid_id")), "centroid_id").select("qid", "docno")
+        if fd is not None and filter_mode == "pre":
+            cand = cand.join(fd, "docno", "semi")
         lut = similarity.pq_lut(queries, _pq_codebook_frame(
             spark, index_dir, man), m=mm, qid_col=qid_col,
             vec_col=vec_col, dims=dims)
@@ -2025,12 +2089,18 @@ def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
                   .agg(F.sum("d2_i").alias("_di")))
     w = Window.partitionBy("qid").orderBy(F.asc("_di"), F.desc("docno"))
     if refine is None:
-        return (scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("qid", "docno",
-                        F.round(F.col("_di").cast("double") / 1e6, 6)
-                        .alias("approx_d2"),
-                        F.col("rank").cast("int").alias("rank")))
+        out = (scored.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k))
+        if fd is not None and filter_mode == "post":
+            # the post-filter trap, faithfully: the top-k shortlist is
+            # drawn filter-blind, THEN filtered — survivors re-numbered
+            # (same (_di, docno) ordering), queries may return < k rows.
+            out = (out.join(fd, "docno", "semi")
+                   .withColumn("rank", F.row_number().over(w)))
+        return out.select("qid", "docno",
+                          F.round(F.col("_di").cast("double") / 1e6, 6)
+                          .alias("approx_d2"),
+                          F.col("rank").cast("int").alias("rank"))
     emb = _live_rows(spark, index_dir, EMBEDDINGS_TABLE, vis)
     if emb is None:
         raise FileNotFoundError(
@@ -2039,6 +2109,12 @@ def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
     shortlist = (scored.withColumn("_r", F.row_number().over(w))
                  .filter(F.col("_r") <= int(refine))
                  .select("qid", "docno"))
+    if fd is not None and filter_mode == "post":
+        # post-filter with oversampling: the refine-sized shortlist is
+        # drawn filter-blind, the allowlist prunes it, and the exact
+        # re-rank runs on the survivors — refine ≫ k is the standard
+        # mitigation for post-filter recall decay.
+        shortlist = shortlist.join(fd, "docno", "semi")
     exact = (shortlist
              .join(emb.select("docno", F.col("embedding").alias("v")),
                    "docno")

@@ -2535,3 +2535,100 @@ def test_maintain_loses_race_loudly_and_retries_clean(spark, tmp_path,
     assert h["recommendation"] == "none"
     assert h["ivf"]["fold_fraction"] == 0.0
     assert h["ivf"]["n_assigned"] == 31   # 10 + 20 + doc 50
+
+
+def test_filtered_ann_pre_post_and_oversampling(spark, tmp_path):
+    """r12 metadata-filtered vector search, the three pinned claims:
+    (1) pre-filter is EXACT over the probed set — it equals scoring
+    every probed candidate and dropping disallowed docs afterwards;
+    (2) post-filter draws the shortlist filter-blind, so with no
+    oversampling it returns a strict subset of the unfiltered top-k
+    (fewer than k rows when the filter bites) while pre still fills k;
+    (3) with the probe and shortlist opened wide, BOTH modes converge
+    to the brute-force filtered exact top-k (post's refine is exactly
+    the oversampling mitigation)."""
+    from hadoop_ir_spark.operators.dedup import cosine_expr
+    from pyspark.sql import Window
+
+    ids = list(range(0, 40))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, ids), idx,
+                           embeddings=_emb_df(spark, ids))
+    dinc.train_ann_index(spark, idx, every=5)
+    dinc.train_pq_index(spark, idx)
+    queries = spark.createDataFrame(
+        [(100, _vec(3)), (101, _vec(27)), (102, _vec(11))],
+        "qid long, embedding array<double>")
+    # allowlist via a NON-docno column name (first-column normalization)
+    allow = spark.createDataFrame(
+        [(i,) for i in ids if i % 2 == 1], "vec_id long")
+
+    k = 5
+    # (1) pre ≡ score-everything-then-filter: unfiltered with k wide
+    # open, drop disallowed, re-rank, cut to k
+    pre = dinc.indexed_ivfpq_topk(queries, idx, k=k, nprobe=2,
+                                  filter_docs=allow)
+    wide = dinc.indexed_ivfpq_topk(queries, idx, k=len(ids), nprobe=2)
+    w = Window.partitionBy("qid").orderBy(
+        F.asc("approx_d2"), F.desc("docno"))
+    want = (wide.filter(F.col("docno") % 2 == 1)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "docno", "approx_d2",
+                    F.col("rank").cast("int").alias("rank")))
+    assert sorted(map(tuple, pre.collect())) \
+        == sorted(map(tuple, want.collect()))
+    assert pre.groupBy("qid").count().filter(
+        F.col("count") != k).count() == 0
+
+    # (2) the post-filter trap: filter-blind top-k, then filter — a
+    # strict subset of the unfiltered top-k, short of k rows
+    unf = dinc.indexed_ivfpq_topk(queries, idx, k=k, nprobe=2)
+    post = dinc.indexed_ivfpq_topk(queries, idx, k=k, nprobe=2,
+                                   filter_docs=allow,
+                                   filter_mode="post")
+    u = {(r["qid"], r["docno"]) for r in unf.collect()}
+    p = {(r["qid"], r["docno"]) for r in post.collect()}
+    assert p <= u
+    assert len(p) < 3 * k          # the filter bit somewhere
+    assert post.filter(F.col("docno") % 2 == 0).count() == 0
+
+    # (3) wide-open convergence: both modes == brute filtered exact
+    emb = _emb_df(spark, ids)
+    brute = (emb.filter(F.col("docno") % 2 == 1)
+             .crossJoin(queries.select(F.col("qid"),
+                                       F.col("embedding").alias("qv")))
+             .select("qid", "docno",
+                     F.round(cosine_expr(F.col("embedding"),
+                                         F.col("qv")), 6)
+                     .alias("cosine")))
+    wb = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                           F.desc("docno"))
+    brute_k = (brute.withColumn("rank", F.row_number().over(wb))
+               .filter(F.col("rank") <= k)
+               .select("qid", "docno", "cosine",
+                       F.col("rank").cast("int").alias("rank")))
+    want_b = sorted(map(tuple, brute_k.collect()))
+    for mode in ("pre", "post"):
+        got = dinc.indexed_ivfpq_topk(
+            queries, idx, k=k, nprobe=8, refine=len(ids),
+            filter_docs=allow, filter_mode=mode)
+        assert sorted(map(tuple, got.collect())) == want_b, mode
+
+    # indexed_ann_topk pre-filter: ≡ wide-k unfiltered, filtered,
+    # re-ranked (exact over the probed lists)
+    aft = dinc.indexed_ann_topk(queries, idx, k=k, nprobe=2,
+                                filter_docs=allow)
+    awide = dinc.indexed_ann_topk(queries, idx, k=len(ids), nprobe=2)
+    want_a = (awide.filter(F.col("docno") % 2 == 1)
+              .withColumn("rank", F.row_number().over(wb))
+              .filter(F.col("rank") <= k)
+              .select("qid", "docno", "cosine",
+                      F.col("rank").cast("int").alias("rank")))
+    assert sorted(map(tuple, aft.collect())) \
+        == sorted(map(tuple, want_a.collect()))
+
+    # unknown mode refuses loudly
+    with pytest.raises(ValueError, match="filter_mode"):
+        dinc.indexed_ivfpq_topk(queries, idx, filter_docs=allow,
+                                filter_mode="during")
