@@ -165,6 +165,12 @@ PINNED_JUDGE_VERIFIED = sorted({
     # (adc 0.288->0.325, refined 0.570->0.670 at sf0.1) is now catalog
     # data; strict at 3 SFs on addition
     "indexed_ivfpq_residual_refined", "ann_recall_ivfpq_residual",
+    # round 12: metadata-filtered vector search — pre-filter pushed into
+    # the cand CTE vs post-filter on the filter-blind shortlist, with
+    # the recall gap graded against brute-force filtered ground truth
+    # (sf0.1: pre 0.580 ≈ unfiltered 0.570, post 0.455 at equal refine
+    # budget); strict at 3 SFs on addition
+    "indexed_ivfpq_filtered_topk", "ann_recall_filtered",
 })
 
 
