@@ -47,7 +47,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from hadoop_ir_spark.catalog import ORACLES, QUERIES, _docs, register
 from hadoop_ir_spark.operators import dedup_incremental as dinc
@@ -1121,6 +1121,180 @@ LEFT JOIN h2 ON h2.qid = qs.qid
                                 F.col("n_hits").alias("n_hits_post"),
                                 F.col("recall").alias("recall_post")),
                       "qid"))
+
+    # ---- hybrid retrieval (r12): RRF fusion of a lexical BM25 leg and
+    # the IVF-PQ-refined vector leg over the SAME corpus (doc_id ≡
+    # vec_id in the fixture — every doc has text and an embedding), in
+    # the more-like-this shape: each query IS a document, its lexical
+    # query is its top tf·idf terms (Lucene MLT's selection rule), its
+    # vector query is its embedding, and the self-match is excluded
+    # from both legs. This is the serving shape production RAG /
+    # related-items pipelines run: two index-served candidate
+    # generators, fused by rank.
+    from hadoop_ir_spark.catalog import BM25_B, BM25_K1, SQL_TOK
+
+    MLT_TERMS = 8
+    HY_RRF_C = 60
+
+    _txt_sql = f"""
+WITH {SQL_TOK},
+gstat AS (
+  SELECT count(DISTINCT docno) AS n_docs,
+         sum(tf)::DOUBLE / count(DISTINCT docno) AS avg_len
+  FROM post
+),
+tstats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+mlt AS (
+  SELECT qid, term FROM (
+    SELECT p.docno AS qid, p.term,
+           row_number() OVER (
+             PARTITION BY p.docno
+             ORDER BY round(p.tf * ln((SELECT n_docs FROM gstat)::DOUBLE
+                                      / s.df), 6) DESC, p.term ASC
+           ) AS rn
+    FROM post p JOIN tstats s USING (term)
+    WHERE p.docno % {ANN_QUERY_EVERY} = 0
+  ) WHERE rn <= {MLT_TERMS}
+),
+matched AS (
+  SELECT t.qid, p.docno, p.tf, s.df, d.doc_len
+  FROM post p
+  JOIN mlt t USING (term)
+  JOIN tstats s ON s.term = p.term
+  JOIN dlen d ON d.docno = p.docno
+  WHERE p.docno <> t.qid
+),
+bscored AS (
+  SELECT qid, docno,
+         round(sum(
+           (({BM25_K1} + 1) * tf)
+           / ({BM25_K1} * ((1 - {BM25_B}) + {BM25_B} * doc_len
+              / (SELECT avg_len FROM gstat)) + tf)
+           * ln(((SELECT n_docs FROM gstat) - df + 0.5) / (df + 0.5))
+         ), 6) AS score
+  FROM matched GROUP BY qid, docno
+)
+SELECT qid, docno, rank FROM (
+  SELECT qid, docno,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, docno DESC) AS rank
+  FROM bscored
+) WHERE rank <= {ANN_IDX_K}
+"""
+
+    # vector leg: refined ivfpq at k+1, self excluded, re-ranked
+    _vec_sql = ivfpq_ctes.rstrip() + f""",
+short AS (SELECT qid, docno FROM ranked WHERE rank <= {ANN_REFINE}),
+ex AS (
+  SELECT s.qid, s.docno, round({_cos_ref}, 6) AS cosine
+  FROM short s
+  JOIN embd e ON e.vec_id = s.docno
+  JOIN q ON q.qid = s.qid
+),
+rr AS (
+  SELECT qid, docno, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, docno DESC) AS rank
+  FROM ex
+),
+noself AS (
+  SELECT qid, docno, cosine FROM rr
+  WHERE rank <= {ANN_IDX_K + 1} AND docno <> qid
+)
+SELECT qid, docno, rank FROM (
+  SELECT qid, docno,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, docno DESC) AS rank
+  FROM noself
+) WHERE rank <= {ANN_IDX_K}
+"""
+
+    hybrid_sql = f"""
+WITH txt AS ({_txt_sql}),
+vec AS ({_vec_sql}),
+contrib AS (
+  SELECT qid, docno, 1.0 / ({HY_RRF_C} + rank) AS contrib FROM txt
+  UNION ALL
+  SELECT qid, docno, 1.0 / ({HY_RRF_C} + rank) FROM vec
+),
+fused AS (
+  SELECT qid, docno, round(sum(contrib), 6) AS rrf
+  FROM contrib GROUP BY qid, docno
+)
+SELECT qid, docno, rrf, CAST(rank AS INT) AS rank FROM (
+  SELECT qid, docno, rrf,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf DESC, docno DESC) AS rank
+  FROM fused
+) WHERE rank <= {ANN_IDX_K}
+"""
+
+    @register("indexed_hybrid_topk", hybrid_sql)
+    def q_indexed_hybrid_topk(spark, sf_dir):
+        """Hybrid more-like-this: RRF fusion (Cormack et al., SIGIR'09,
+        c=60) of (a) a lexical BM25 leg — each query doc's top
+        {MLT_TERMS} tf·idf terms (the Lucene MoreLikeThis selection
+        rule) scored with the reference's BM25 over the full postings —
+        and (b) the vector leg served by the persisted IVF-PQ index
+        with the exact re-rank stage. Self-matches are excluded from
+        both legs before their top-k. Scale: the lexical leg is the
+        broadcast-topics BM25 plan (J1 — postings never shuffle), the
+        vector leg is the pruned-probe compressed scan; fusion touches
+        k rows per query per leg."""
+        from hadoop_ir_spark.operators import (evaluate, rank, scoring,
+                                               stats)
+
+        idx_dir = _ann_index_dir(spark, sf_dir)
+        docs = _docs(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
+            F.col("vec_id").alias("qid"), "embedding")
+
+        # --- lexical leg (MLT term selection + BM25) ---
+        post = stats.postings(docs, id_col="doc_id").localCheckpoint()
+        dlen = stats.doc_lengths(docs, id_col="doc_id")
+        glob = dlen.filter(F.col("doc_len") > 0).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_len").alias("n_tokens")).collect()[0]
+        n_docs = glob["n_docs"]
+        avg_len = glob["n_tokens"] / glob["n_docs"]
+        tstats = post.groupBy("term").agg(F.count("*").alias("df"))
+        wsel = Window.partitionBy("docno").orderBy(
+            F.desc("_w"), F.asc("term"))
+        topics = (post.filter(F.col("docno") % ANN_QUERY_EVERY == 0)
+                  .join(tstats, "term")
+                  .withColumn("_w", F.round(
+                      F.col("tf") * F.log(F.lit(float(n_docs))
+                                          / F.col("df")), 6))
+                  .withColumn("_r", F.row_number().over(wsel))
+                  .filter(F.col("_r") <= MLT_TERMS)
+                  .select(F.col("docno").alias("qid"), "term",
+                          F.lit(1).alias("qtf")))
+        topic_terms = topics.select("term").distinct()
+        tstats_q = tstats.join(F.broadcast(topic_terms), "term")
+        matched = scoring.matched_terms(post, topics, doc_len=dlen,
+                                        stats=tstats_q)
+        matched = matched.filter(F.col("docno") != F.col("qid"))
+        bscored = scoring.score_bm25(matched, n_docs, avg_len,
+                                     BM25_K1, BM25_B)
+        bscored = bscored.withColumn("score", F.round("score", 6))
+        txt = rank.topk(bscored, k=ANN_IDX_K).select(
+            "qid", "docno", "rank")
+
+        # --- vector leg (refined ivfpq, self excluded, re-ranked) ---
+        v0 = dinc.indexed_ivfpq_topk(
+            queries, idx_dir, k=ANN_IDX_K + 1, nprobe=ANN_IDX_NPROBE,
+            refine=ANN_REFINE)
+        wv = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                               F.desc("docno"))
+        vec = (v0.filter(F.col("docno") != F.col("qid"))
+               .withColumn("rank", F.row_number().over(wv))
+               .filter(F.col("rank") <= ANN_IDX_K)
+               .select("qid", "docno", "rank"))
+
+        fused = evaluate.rrf_fusion([txt, vec], k=ANN_IDX_K, c=HY_RRF_C)
+        return fused.select("qid", "docno", "rrf",
+                            F.col("rank").cast("int").alias("rank"))
 
 
 _register_indexed_pq()

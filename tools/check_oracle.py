@@ -171,6 +171,11 @@ PINNED_JUDGE_VERIFIED = sorted({
     # (sf0.1: pre 0.580 ≈ unfiltered 0.570, post 0.455 at equal refine
     # budget); strict at 3 SFs on addition
     "indexed_ivfpq_filtered_topk", "ann_recall_filtered",
+    # round 12: hybrid more-like-this — RRF fusion of a lexical BM25 leg
+    # (top tf·idf terms per query doc, the Lucene MLT selection rule)
+    # with the IVF-PQ-refined vector leg over the same corpus, self
+    # excluded from both; strict at 3 SFs on addition
+    "indexed_hybrid_topk",
 })
 
 
