@@ -1296,6 +1296,65 @@ SELECT qid, docno, rrf, CAST(rank AS INT) AS rank FROM (
         return fused.select("qid", "docno", "rrf",
                             F.col("rank").cast("int").alias("rank"))
 
+    # ---- recall-vs-nprobe sweep (r12): the cost/recall knob every IVF
+    # deployment tunes, graded as catalog data — per-query recall@k of
+    # the refined serving path at nprobe ∈ {1, 2, 4, 8}. Probe cost is
+    # linear in nprobe (nprobe/|C| of the assign files + that share of
+    # the compressed scan); the sweep is the measured Pareto curve.
+    _probe_pred = f" WHERE rn <= {ANN_IDX_NPROBE}\n"
+    assert refined_sql.count(_probe_pred) == 1
+    _sweep_arms = {
+        np_: refined_sql.replace(_probe_pred, f" WHERE rn <= {np_}\n")
+        for np_ in (1, 2, 4, 8)
+    }
+    _arm_ctes = ",\n".join(
+        f"arm{np_} AS ({sql})" for np_, sql in _sweep_arms.items())
+    _hit_ctes = ",\n".join(
+        f"h{np_} AS (SELECT b.qid, count(*) AS n FROM brute b "
+        f"JOIN arm{np_} a ON a.qid = b.qid AND a.docno = b.vec_id "
+        f"GROUP BY b.qid)" for np_ in _sweep_arms)
+    _arm_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({np_} AS INT) AS nprobe, qs.qid, "
+        f"CAST(coalesce(h{np_}.n, 0) AS BIGINT) AS n_hits, "
+        f"round(coalesce(h{np_}.n, 0) / {inv_k}, 6) AS recall "
+        f"FROM qset qs LEFT JOIN h{np_} ON h{np_}.qid = qs.qid"
+        for np_ in _sweep_arms)
+    sweep_sql = f"""
+WITH brute AS ({ORACLES["ann_cosine_topk"]}),
+{_arm_ctes},
+qset AS (SELECT DISTINCT qid FROM brute),
+{_hit_ctes}
+{_arm_rows}
+"""
+
+    @register("ann_recall_sweep", sweep_sql)
+    def q_ann_recall_sweep(spark, sf_dir):
+        """Recall@k of the refined IVF-PQ serving path at nprobe 1, 2,
+        4, 8 against exact brute force — the recall-vs-cost Pareto
+        curve as a strict catalog entry (probe cost is linear in
+        nprobe: that share of the assign files and of the compressed
+        scan). One brute-force ground truth, four composed pipelines,
+        O(|queries|·k) evaluation joins."""
+        from functools import reduce
+
+        from hadoop_ir_spark.operators import similarity as sim
+
+        idx_dir = _ann_index_dir(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        exact = QUERIES["ann_cosine_topk"](spark, sf_dir).localCheckpoint()
+        outs = []
+        for np_ in (1, 2, 4, 8):
+            refd = (dinc.indexed_ivfpq_topk(
+                queries, idx_dir, k=ANN_IDX_K, nprobe=np_,
+                refine=ANN_REFINE)
+                .withColumnRenamed("docno", "vec_id"))
+            outs.append(sim.recall_vs_exact(exact, refd, k=ANN_IDX_K)
+                        .select(F.lit(np_).cast("int").alias("nprobe"),
+                                "qid", "n_hits", "recall"))
+        return reduce(lambda a, b: a.unionByName(b), outs)
+
 
 _register_indexed_pq()
 

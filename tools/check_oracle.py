@@ -176,6 +176,12 @@ PINNED_JUDGE_VERIFIED = sorted({
     # with the IVF-PQ-refined vector leg over the same corpus, self
     # excluded from both; strict at 3 SFs on addition
     "indexed_hybrid_topk",
+    # round 12: recall-vs-nprobe sweep of the refined serving path —
+    # the IVF cost/recall knob as graded catalog data; measured (sf0.1,
+    # refine=40): 0.622/0.607/0.570/0.523 at nprobe 1/2/4/8 — at a
+    # FIXED refine budget extra probes dilute the shortlist with
+    # ADC-noise candidates, the canary's whole point; strict at 3 SFs
+    "ann_recall_sweep",
 })
 
 
