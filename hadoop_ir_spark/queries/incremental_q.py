@@ -1241,60 +1241,17 @@ SELECT qid, docno, rrf, CAST(rank AS INT) AS rank FROM (
         broadcast-topics BM25 plan (J1 — postings never shuffle), the
         vector leg is the pruned-probe compressed scan; fusion touches
         k rows per query per leg."""
-        from hadoop_ir_spark.operators import (evaluate, rank, scoring,
-                                               stats)
+        from hadoop_ir_spark.operators import hybrid
 
         idx_dir = _ann_index_dir(spark, sf_dir)
         docs = _docs(spark, sf_dir)
         emb = _emb(spark, sf_dir)
         queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
             F.col("vec_id").alias("qid"), "embedding")
-
-        # --- lexical leg (MLT term selection + BM25) ---
-        post = stats.postings(docs, id_col="doc_id").localCheckpoint()
-        dlen = stats.doc_lengths(docs, id_col="doc_id")
-        glob = dlen.filter(F.col("doc_len") > 0).agg(
-            F.count("*").alias("n_docs"),
-            F.sum("doc_len").alias("n_tokens")).collect()[0]
-        n_docs = glob["n_docs"]
-        avg_len = glob["n_tokens"] / glob["n_docs"]
-        tstats = post.groupBy("term").agg(F.count("*").alias("df"))
-        wsel = Window.partitionBy("docno").orderBy(
-            F.desc("_w"), F.asc("term"))
-        topics = (post.filter(F.col("docno") % ANN_QUERY_EVERY == 0)
-                  .join(tstats, "term")
-                  .withColumn("_w", F.round(
-                      F.col("tf") * F.log(F.lit(float(n_docs))
-                                          / F.col("df")), 6))
-                  .withColumn("_r", F.row_number().over(wsel))
-                  .filter(F.col("_r") <= MLT_TERMS)
-                  .select(F.col("docno").alias("qid"), "term",
-                          F.lit(1).alias("qtf")))
-        topic_terms = topics.select("term").distinct()
-        tstats_q = tstats.join(F.broadcast(topic_terms), "term")
-        matched = scoring.matched_terms(post, topics, doc_len=dlen,
-                                        stats=tstats_q)
-        matched = matched.filter(F.col("docno") != F.col("qid"))
-        bscored = scoring.score_bm25(matched, n_docs, avg_len,
-                                     BM25_K1, BM25_B)
-        bscored = bscored.withColumn("score", F.round("score", 6))
-        txt = rank.topk(bscored, k=ANN_IDX_K).select(
-            "qid", "docno", "rank")
-
-        # --- vector leg (refined ivfpq, self excluded, re-ranked) ---
-        v0 = dinc.indexed_ivfpq_topk(
-            queries, idx_dir, k=ANN_IDX_K + 1, nprobe=ANN_IDX_NPROBE,
-            refine=ANN_REFINE)
-        wv = Window.partitionBy("qid").orderBy(F.desc("cosine"),
-                                               F.desc("docno"))
-        vec = (v0.filter(F.col("docno") != F.col("qid"))
-               .withColumn("rank", F.row_number().over(wv))
-               .filter(F.col("rank") <= ANN_IDX_K)
-               .select("qid", "docno", "rank"))
-
-        fused = evaluate.rrf_fusion([txt, vec], k=ANN_IDX_K, c=HY_RRF_C)
-        return fused.select("qid", "docno", "rrf",
-                            F.col("rank").cast("int").alias("rank"))
+        return hybrid.hybrid_mlt_topk(
+            docs, queries, idx_dir, k=ANN_IDX_K, n_terms=MLT_TERMS,
+            nprobe=ANN_IDX_NPROBE, refine=ANN_REFINE, rrf_c=HY_RRF_C,
+            k1=BM25_K1, b=BM25_B, id_col="doc_id")
 
     # ---- recall-vs-nprobe sweep (r12): the cost/recall knob every IVF
     # deployment tunes, graded as catalog data — per-query recall@k of

@@ -2632,3 +2632,44 @@ def test_filtered_ann_pre_post_and_oversampling(spark, tmp_path):
     with pytest.raises(ValueError, match="filter_mode"):
         dinc.indexed_ivfpq_topk(queries, idx, filter_docs=allow,
                                 filter_mode="during")
+
+
+def test_hybrid_mlt_operator_composes_legs(spark, tmp_path):
+    """r12 hybrid retrieval API (operators/hybrid.py): the fused output
+    must equal rrf_fusion of the two leg functions run separately, the
+    self-match must be absent from both legs and the fusion, and each
+    leg must fill k when the corpus allows."""
+    from hadoop_ir_spark.operators import evaluate, hybrid
+
+    ids = list(range(0, 30))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, ids), idx,
+                           embeddings=_emb_df(spark, ids))
+    dinc.train_ann_index(spark, idx, every=5)
+    dinc.train_pq_index(spark, idx)
+
+    docs = _docs_for(spark, ids)
+    queries = _emb_df(spark, [0, 7, 14]).select(
+        F.col("docno").alias("qid"), "embedding")
+    k = 4
+    fused = hybrid.hybrid_mlt_topk(docs, queries, idx, k=k, n_terms=5,
+                                   nprobe=3, refine=12)
+    rows = fused.collect()
+    assert all(r["docno"] != r["qid"] for r in rows)
+    assert fused.groupBy("qid").count().filter(
+        F.col("count") > k).count() == 0
+
+    txt = hybrid.bm25_mlt_run(docs, queries.select("qid"), k=k,
+                              n_terms=5).select("qid", "docno", "rank")
+    vec = hybrid.ivfpq_mlt_run(queries, idx, k=k, nprobe=3,
+                               refine=12).select("qid", "docno", "rank")
+    assert txt.filter(F.col("docno") == F.col("qid")).count() == 0
+    assert vec.filter(F.col("docno") == F.col("qid")).count() == 0
+    want = evaluate.rrf_fusion([txt, vec], k=k, c=60).select(
+        "qid", "docno", "rrf",
+        F.col("rank").cast("int").alias("rank"))
+    assert sorted(map(tuple, fused.collect())) \
+        == sorted(map(tuple, want.collect()))
+    # the vector leg fills k (30 vectors, nprobe 3 of 6 lists)
+    assert vec.groupBy("qid").count().filter(
+        F.col("count") == k).count() == 3
