@@ -1948,3 +1948,184 @@ def q_incremental_cc_splits(spark, sf_dir):
     over the survivors) sharing one per-pair edge replay."""
     idx_dir = _cc_split_index_dir(spark, sf_dir)
     return dinc.cc_split_report(spark, idx_dir)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized serving (r12): the third persisted codec — 8
+# bits/dim (64 B/vec vs PQ's 8 B/vec and the raw vector's 512 B), near-
+# exact cosine, no re-rank stage needed. ann_recall_sq grades the
+# memory/recall trade next to ann_recall_ivfpq's PQ curve.
+# ---------------------------------------------------------------------------
+
+SQ_DIMS = 64
+
+
+def _sq_index_dir(spark, sf_dir: str) -> str:
+    """Memoized store carrying IVF + SQ8: both trained on the standing
+    embeddings (vec_id % 3 != 0), the new snapshot folded in
+    (assignment + SQ encode against the frozen artifacts,
+    O(snapshot))."""
+    key = os.path.abspath(sf_dir) + "#annsq"
+    if key not in _IDX_CACHE:
+        out = os.path.join(_TMPROOT,
+                           key.strip("/").replace("/", "_").replace("#", "_"))
+        emb = _emb(spark, sf_dir)
+        dinc.build_dedup_index(
+            _docs(spark, sf_dir).select("doc_id", "text")
+            .filter(F.col("doc_id") % 15 == 1),
+            out, min_len=INC_SPAN_LEN, id_col="doc_id",
+            embeddings=emb.filter(F.col("vec_id") % 3 != 0),
+            emb_id_col="vec_id")
+        dinc.train_ann_index(spark, out, every=ANN_IDX_EVERY)
+        dinc.train_sq_index(spark, out)
+        dinc.update_dedup_index(
+            spark, out, min_len=INC_SPAN_LEN,
+            new_embeddings=emb.filter(F.col("vec_id") % 3 == 0),
+            emb_id_col="vec_id")
+        _IDX_CACHE[key] = out
+    return _IDX_CACHE[key]
+
+
+def _register_indexed_sq():
+    _code_lambda = (
+        "p -> CASE WHEN p[3] - p[2] > 0 THEN CAST(least(greatest("
+        "floor((p[1] - p[2]) / (p[3] - p[2]) * 255.0 + 0.5), 0), 255)"
+        " AS INT) ELSE 0 END")
+    _dec_lambda = "p -> p[2] + p[1] * (p[3] - p[2]) / 255.0"
+
+    ivfsq_sql = f"""
+WITH embd AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM embd
+  WHERE vec_id % 3 <> 0 AND vec_id % {ANN_IDX_EVERY} = 0
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.cos DESC, s.cid ASC) AS rn
+    FROM (SELECT e.vec_id, c.cid,
+                 list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+          FROM embd e CROSS JOIN cent c) s
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM embd
+      WHERE vec_id % {ANN_QUERY_EVERY} = 0),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT s.qid, s.cid,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY s.cos DESC, s.cid ASC) AS rn
+    FROM (SELECT q.qid, c.cid,
+                 list_dot_product(q.qv, c.cv)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+          FROM q CROSS JOIN cent c) s
+  ) WHERE rn <= {ANN_IDX_NPROBE}
+),
+cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a USING (cid)),
+bounds AS (
+  SELECT t.d AS d, min(e.v[t.d + 1]) AS lo, max(e.v[t.d + 1]) AS hi
+  FROM embd e, range({SQ_DIMS}) t(d)
+  WHERE e.vec_id % 3 <> 0
+  GROUP BY t.d
+),
+bl AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi
+       FROM bounds),
+enc AS (
+  SELECT e.vec_id,
+         list_transform(list_zip(e.v, b.lo, b.hi),
+                        {_code_lambda}) AS codes
+  FROM embd e, bl b
+),
+dec AS (
+  SELECT e.vec_id,
+         list_transform(list_zip(e.codes, b.lo, b.hi),
+                        {_dec_lambda}) AS xh
+  FROM enc e, bl b
+),
+scored AS (
+  SELECT cd.qid, cd.vec_id,
+         round(list_dot_product(d.xh, q.qv)
+           / (sqrt(list_dot_product(d.xh, d.xh))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM cand cd
+  JOIN dec d ON d.vec_id = cd.vec_id
+  JOIN q ON q.qid = cd.qid
+),
+ranked AS (
+  SELECT qid, vec_id AS docno, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id DESC) AS rank
+  FROM scored
+)
+SELECT qid, docno, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_IDX_K}
+"""
+
+    @register("indexed_ivfsq_topk", ivfsq_sql)
+    def q_indexed_ivfsq_topk(spark, sf_dir):
+        """IVF + SQ8 served from the persisted store: probe nprobe
+        centroid lists, dequantize ONLY the probed candidates' 8-bit
+        code arrays against the trained per-dim bounds (64 B/vec read
+        instead of the 512 B raw vector), rank by rounded cosine.
+        Oracle replays the whole pipeline — standing-side bounds CTE,
+        zip-lambda encode/decode identical to the store's arithmetic,
+        probe/candidate CTEs shared with the IVF family — so a strict
+        pass proves the PERSISTED codes byte-match an external
+        engine's encode (the fold≡rebuild tests carry the
+        fold-vs-union half)."""
+        idx_dir = _sq_index_dir(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        return dinc.indexed_ivfsq_topk(queries, idx_dir, k=ANN_IDX_K,
+                                       nprobe=ANN_IDX_NPROBE)
+
+    inv_k = f"CAST({float(ANN_IDX_K)!r} AS DOUBLE)"
+    recall_sq_sql = f"""
+WITH brute AS ({ORACLES["ann_cosine_topk"]}),
+sqr AS ({ivfsq_sql}),
+qset AS (SELECT DISTINCT qid FROM brute),
+h1 AS (
+  SELECT b.qid, count(*) AS n FROM brute b
+  JOIN sqr s ON s.qid = b.qid AND s.docno = b.vec_id
+  GROUP BY b.qid
+)
+SELECT qs.qid,
+       CAST(coalesce(h1.n, 0) AS BIGINT) AS n_hits_sq,
+       round(coalesce(h1.n, 0) / {inv_k}, 6) AS recall_sq
+FROM qset qs
+LEFT JOIN h1 ON h1.qid = qs.qid
+"""
+
+    @register("ann_recall_sq", recall_sq_sql)
+    def q_ann_recall_sq(spark, sf_dir):
+        """Per-query recall@k of IVF+SQ8 against exact brute force —
+        the memory/recall trade graded: SQ8 keeps 8 bits/dim (64 B/vec,
+        8× smaller than the raw vector) and its cosine tracks the exact
+        cosine closely, so its recall sits at the IVF probe ceiling
+        with NO exact re-rank stage, where the 8 B/vec PQ codes need
+        the refine fetch to recover (compare ann_recall_ivfpq's
+        recall_adc/recall_refined columns over the same query set)."""
+        from hadoop_ir_spark.operators import similarity as sim
+
+        idx_dir = _sq_index_dir(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
+            F.col("vec_id").alias("qid"), "embedding")
+        exact = QUERIES["ann_cosine_topk"](spark, sf_dir)
+        sqr = (dinc.indexed_ivfsq_topk(queries, idx_dir, k=ANN_IDX_K,
+                                       nprobe=ANN_IDX_NPROBE)
+               .withColumnRenamed("docno", "vec_id"))
+        r = sim.recall_vs_exact(exact, sqr, k=ANN_IDX_K)
+        return r.select("qid",
+                        F.col("n_hits").alias("n_hits_sq"),
+                        F.col("recall").alias("recall_sq"))
+
+
+_register_indexed_sq()

@@ -1969,7 +1969,7 @@ def test_ann_health_reports_retrain_inputs(spark, tmp_path):
     idx = str(tmp_path / "idx")
     dinc.build_dedup_index(_docs_for(spark, old_ids), idx,
                            embeddings=_emb_df(spark, old_ids))
-    with pytest.raises(ValueError, match="no trained ANN or PQ"):
+    with pytest.raises(ValueError, match="no trained ANN, PQ or SQ"):
         dinc.ann_health(spark, idx)
     dinc.train_ann_index(spark, idx, every=4)
     dinc.train_pq_index(spark, idx, m=4, kk=4, train_every=3, dims=8)
@@ -2673,3 +2673,168 @@ def test_hybrid_mlt_operator_composes_legs(spark, tmp_path):
     # the vector leg fills k (30 vectors, nprobe 3 of 6 lists)
     assert vec.groupBy("qid").count().filter(
         F.col("count") == k).count() == 3
+
+
+def test_sq_index_fold_equals_rebuild(spark, tmp_path):
+    """r12 SQ8: train_sq_index persists per-dim bounds + code arrays;
+    folding new vectors must equal encoding the UNION corpus against
+    the SAME frozen bounds (the O(snapshot) claim's correctness half),
+    and indexed_sq_topk must equal the session-side decode + cosine
+    top-k over those codes. Out-of-range folds must CLIP (codes stay
+    in [0, 255])."""
+    from hadoop_ir_spark.operators.dedup import cosine_expr
+    from pyspark.sql import Window
+
+    old_ids = list(range(0, 20))
+    new_ids = list(range(20, 30))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, old_ids), idx,
+                           embeddings=_emb_df(spark, old_ids))
+    dinc.train_sq_index(spark, idx)
+    man = dinc._read_manifest(idx)
+    assert man["sq"]["bounds_snap"] == 1 \
+        and man["sq"]["code_snaps"] == [1] \
+        and man["sq"]["dims"] == 8
+
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, new_ids),
+                            new_embeddings=_emb_df(spark, new_ids))
+    man = dinc._read_manifest(idx)
+    assert man["sq"]["code_snaps"] == [1, 2]
+
+    lo, hi, _ = dinc._sq_bound_arrays(
+        dinc._sq_bounds_frame(spark, idx, man))
+    union = _emb_df(spark, old_ids + new_ids)
+    want_codes = sorted(
+        (r["docno"], tuple(r["codes"]))
+        for r in dinc._sq_encode_docs(union, lo, hi).collect())
+    got_codes = sorted(
+        (r["docno"], tuple(r["codes"]))
+        for r in dinc.load_dedup_index(spark, idx)["sq_codes"].collect())
+    assert got_codes == want_codes
+    assert all(0 <= c <= 255 for _, cs in got_codes for c in cs)
+    # the fold clipped: new vectors exceed the standing range somewhere
+    folded = dict(got_codes)
+    assert any(c in (0, 255) for i in new_ids for c in folded[i])
+
+    queries = spark.createDataFrame(
+        [(100, _vec(3)), (101, _vec(27))],
+        "qid long, embedding array<double>")
+    got = sorted(map(tuple, dinc.indexed_sq_topk(
+        queries, idx, k=5).collect()))
+    dec = dinc._sq_encode_docs(union, lo, hi).select(
+        "docno", dinc._sq_decode_expr(F.col("codes"), lo, hi).alias("xh"))
+    q = queries.select("qid", F.col("embedding").alias("qv"))
+    sc = dec.crossJoin(F.broadcast(q)).select(
+        "qid", "docno",
+        F.round(cosine_expr(F.col("xh"), F.col("qv")), 6).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                          F.desc("docno"))
+    want = sorted(map(tuple, sc.withColumn(
+        "rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+        .collect()))
+    assert got == want and len(got) == 10
+
+
+def test_sq_index_retraction_compaction_and_maintain(spark, tmp_path):
+    """r12 SQ8 store discipline: tombstones retract code rows; the
+    compaction merge carries tables, manifest block AND the src-tag
+    fold_fraction; ann_health reports the sq section; a health-driven
+    maintain retrains the bounds and resets the drift to zero; the
+    degenerate single-value dimension encodes 0."""
+    ids = list(range(0, 16))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, ids), idx,
+                           embeddings=_emb_df(spark, ids))
+    dinc.train_sq_index(spark, idx)
+    dinc.update_dedup_index(spark, idx, _docs_for(spark, [20, 21]),
+                            new_embeddings=_emb_df(spark, [20, 21]))
+    dinc.update_dedup_index(spark, idx,
+                            removed_docs=_docs_for(spark, [5, 20]))
+
+    h = dinc.ann_health(spark, idx)
+    assert h["sq"]["n_encoded"] == 16   # 16 + 2 - 2
+    assert h["sq"]["fold_fraction"] == round(1 / 16, 3)
+    assert h["recommendation"] == "none"
+
+    queries = spark.createDataFrame(
+        [(100, _vec(2))], "qid long, embedding array<double>")
+    pre = sorted(map(tuple, dinc.indexed_sq_topk(
+        queries, idx, k=20).collect()))
+    assert {5, 20}.isdisjoint({r[1] for r in pre})
+
+    dinc.compact_dedup_index(spark, idx)
+    man = dinc._read_manifest(idx)
+    assert man["sq"]["code_snaps"] == [man["sq"]["bounds_snap"]]
+    post = sorted(map(tuple, dinc.indexed_sq_topk(
+        queries, idx, k=20).collect()))
+    assert post == pre
+    h2 = dinc.ann_health(spark, idx)
+    assert h2["sq"] == h["sq"]   # compaction-proof provenance
+
+    out = dinc.maintain_dedup_index(
+        spark, idx, ann_health_kwargs={"fold_retrain_threshold": 0.05})
+    assert "sq_retrain" in out["actions"]
+    assert out["ann"]["sq"]["fold_fraction"] == round(1 / 16, 3)
+    h3 = dinc.ann_health(spark, idx)
+    assert h3["sq"]["fold_fraction"] == 0.0
+
+    # degenerate dimension: constant column encodes 0 everywhere
+    idx2 = str(tmp_path / "idx2")
+    const = spark.createDataFrame(
+        [(i, [1.5, float(i)]) for i in range(4)],
+        "docno long, embedding array<double>")
+    dinc.build_dedup_index(_docs_for(spark, list(range(4))), idx2,
+                           embeddings=const)
+    dinc.train_sq_index(spark, idx2)
+    codes = {r["docno"]: r["codes"] for r in dinc.load_dedup_index(
+        spark, idx2)["sq_codes"].collect()}
+    assert all(cs[0] == 0 for cs in codes.values())
+    assert codes[0][1] == 0 and codes[3][1] == 255
+
+
+def test_ivfsq_equals_sq_restricted_to_probed(spark, tmp_path):
+    """r12 IVF+SQ8 composition: indexed_ivfsq_topk must equal the flat
+    SQ scan restricted to the probed candidate set (filter_docs makes
+    the restriction expressible), and with the probe wide open it must
+    equal the flat scan exactly."""
+    ids = list(range(0, 30))
+    idx = str(tmp_path / "idx")
+    dinc.build_dedup_index(_docs_for(spark, ids), idx,
+                           embeddings=_emb_df(spark, ids))
+    dinc.train_ann_index(spark, idx, every=5)
+    dinc.train_sq_index(spark, idx)
+    queries = spark.createDataFrame(
+        [(100, _vec(3)), (101, _vec(27))],
+        "qid long, embedding array<double>")
+
+    wide = sorted(map(tuple, dinc.indexed_ivfsq_topk(
+        queries, idx, k=6, nprobe=6).collect()))
+    flat = sorted(map(tuple, dinc.indexed_sq_topk(
+        queries, idx, k=6).collect()))
+    assert wide == flat
+
+    # narrow probe: per-query equality against the flat scan restricted
+    # to that query's probed lists
+    man = dinc._read_manifest(idx)
+    cents = dinc._ann_centroid_frame(spark, idx, man)
+    assign = dinc.load_dedup_index(spark, idx)["ann_assign"]
+    narrow = dinc.indexed_ivfsq_topk(queries, idx, k=6, nprobe=2)
+    for qid, vec in ((100, _vec(3)), (101, _vec(27))):
+        one = spark.createDataFrame(
+            [(qid, vec)], "qid long, embedding array<double>")
+        from hadoop_ir_spark.operators.dedup import cosine_expr
+        sims = sorted(((r["centroid_id"],
+                        round(sum(a * b for a, b in zip(vec, r["cv"]))
+                              / ((sum(a * a for a in vec) ** 0.5)
+                                 * (sum(b * b for b in r["cv"]) ** 0.5)),
+                              9))
+                       for r in cents.collect()),
+                      key=lambda t: (-t[1], t[0]))
+        probed = {c for c, _ in sims[:2]}
+        allow = assign.filter(F.col("centroid_id").isin(probed)) \
+            .select("docno")
+        want = sorted(map(tuple, dinc.indexed_sq_topk(
+            one, idx, k=6, filter_docs=allow).collect()))
+        got = sorted(map(tuple, narrow.filter(
+            F.col("qid") == qid).collect()))
+        assert got == want, qid

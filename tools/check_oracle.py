@@ -182,6 +182,14 @@ PINNED_JUDGE_VERIFIED = sorted({
     # FIXED refine budget extra probes dilute the shortlist with
     # ADC-noise candidates, the canary's whole point; strict at 3 SFs
     "ann_recall_sweep",
+    # round 12: SQ8 scalar-quantized serving (third persisted codec —
+    # 8 bits/dim) + its recall canary; measured sf0.1 nprobe=4: 0.700
+    # with NO refine stage vs PQ ADC 0.283 / PQ+refine 0.575 /
+    # residual-PQ+refine 0.670 — the memory/recall trade graded;
+    # strict at 3 SFs on addition (the oracle re-derives bounds,
+    # encode and decode, so strict == persisted codes byte-match an
+    # external engine's encode)
+    "indexed_ivfsq_topk", "ann_recall_sq",
 })
 
 
