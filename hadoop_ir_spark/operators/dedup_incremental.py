@@ -2814,9 +2814,9 @@ def maintain_dedup_index(spark: SparkSession, index_dir: str, *,
 
     - ``cc rebuild`` (``build_cc_labels(rebuild=True)``) when cc_health
       recommends it — standing re-add hazards or possible splits;
-    - ``retrain`` (``train_ann_index``/``train_pq_index`` with
-      ``retrain=True``, re-using each block's recorded train params)
-      when ann_health recommends it;
+    - ``retrain`` (``train_ann_index``/``train_pq_index``/
+      ``train_sq_index`` with ``retrain=True``, re-using each block's
+      recorded train params) when ann_health recommends it;
     - ``compact`` (``compact_dedup_index``) afterwards — the default
       ``"auto"`` (r12, VERDICT r11 #3) pays the corpus-proportional
       merge only when the data says it's due: superseded dirs exist

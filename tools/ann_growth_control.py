@@ -32,6 +32,12 @@ corpus-proportional by design (every (s, code) int pair), the graded
 claim being no-training-rescan and ints-not-vectors, not flat
 wall-clock.
 
+r12 SQ8 extension: the same control covers the scalar-quantized index —
+``train_sq_index`` (O(corpus), one-time) persists per-dim bounds + the
+full uint8 encoding; the FOLD-IN encodes only the snapshot against the
+frozen bounds; ``indexed_ivfsq_topk`` decodes only the probed
+candidates (64 B/vec read), its recall measured next to the PQ curves.
+
 Usage: python tools/ann_growth_control.py
 Prints a markdown block ready for SCALING.md.
 """
@@ -96,6 +102,9 @@ def main() -> None:
         t0 = time.time()
         dinc.train_pq_index(spark, idx)
         t_train_pq = time.time() - t0
+        t0 = time.time()
+        dinc.train_sq_index(spark, idx)
+        t_train_sq = time.time() - t0
         n_cents = dinc._ann_centroid_frame(
             spark, idx, dinc._read_manifest(idx)).count()
 
@@ -115,6 +124,10 @@ def main() -> None:
                                            nprobe=NPROBE,
                                            refine=REFINE).count()
 
+        def qsq():
+            return dinc.indexed_ivfsq_topk(queries, idx, k=TOP_K,
+                                           nprobe=NPROBE).count()
+
         q()                                    # warm
         t0 = time.time()
         q()
@@ -131,6 +144,10 @@ def main() -> None:
         t0 = time.time()
         qref()
         t_query_ref = time.time() - t0
+        qsq()                                  # warm
+        t0 = time.time()
+        qsq()
+        t_query_sq = time.time() - t0
         # recall@k vs brute force over the standing corpus: the refine
         # stage's recovery of the quantization loss, measured (r11,
         # VERDICT r10 #1)
@@ -147,29 +164,35 @@ def main() -> None:
             queries, idx, k=TOP_K, nprobe=NPROBE))
         r_ref = _mean_recall(dinc.indexed_ivfpq_topk(
             queries, idx, k=TOP_K, nprobe=NPROBE, refine=REFINE))
-        # one fold maintains BOTH indexes (assign + encode) — the
-        # realistic weekly cycle with the full maintenance surface on
+        r_sq = _mean_recall(dinc.indexed_ivfsq_topk(
+            queries, idx, k=TOP_K, nprobe=NPROBE))
+        # one fold maintains ALL THREE indexes (assign + PQ encode +
+        # SQ encode) — the realistic weekly cycle, full surface on
         t0 = time.time()
         dinc.update_dedup_index(spark, idx, new_embeddings=new,
                                 emb_id_col="vec_id")
         t_fold = time.time() - t0
         rows.append((label, n_old, n_cents, t_train, t_train_pq,
                      t_query, t_query_pq, t_query_ivfpq, t_query_ref,
-                     r_adc, r_ref, t_fold))
+                     r_adc, r_ref, t_fold, t_train_sq, t_query_sq,
+                     r_sq))
 
     print(f"\nFixed NEW vector snapshot: {n_new:,} vectors; "
           f"{n_q} queries; centroid set pinned by id-cap "
           f"(every={ANN_EVERY}, max_k={ANN_MAX_K}).\n")
     print("| old corpus | old vectors | centroids | IVF train | PQ train |"
-          " indexed_ann_topk | indexed_pq_topk | indexed_ivfpq_topk |"
-          " ivfpq refined | recall adc | recall refined |"
-          " fold-in (both) |")
-    print("|---|---|---|---|---|---|---|---|---|---|---|---|")
+          " SQ train | indexed_ann_topk | indexed_pq_topk |"
+          " indexed_ivfpq_topk | ivfpq refined | indexed_ivfsq_topk |"
+          " recall adc | recall refined | recall sq |"
+          " fold-in (all three) |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     for (label, n_old, n_c, t_tr, t_tpq, t_q, t_qpq, t_qi, t_qr,
-         r_a, r_r, t_f) in rows:
+         r_a, r_r, t_f, t_tsq, t_qsq, r_s) in rows:
         print(f"| {label} | {n_old:,} | {n_c} | {t_tr:.1f}s | {t_tpq:.1f}s "
+              f"| {t_tsq:.1f}s "
               f"| {t_q:.2f}s | {t_qpq:.2f}s | {t_qi:.2f}s | {t_qr:.2f}s "
-              f"| {r_a:.3f} | {r_r:.3f} | {t_f:.2f}s |")
+              f"| {t_qsq:.2f}s "
+              f"| {r_a:.3f} | {r_r:.3f} | {r_s:.3f} | {t_f:.2f}s |")
     a, b = rows[0], rows[1]
     scale = b[1] // a[1]
     print(f"\nper-snapshot growth at {scale}x old side: "
@@ -179,7 +202,9 @@ def main() -> None:
           f"refined {b[8] / a[8]:.2f}x "
           f"(recall adc {a[9]:.3f}->{b[9]:.3f} vs refined "
           f"{a[10]:.3f}->{b[10]:.3f} at {b[8] / b[7]:.2f}x the ADC cost), "
-          f"FOLD-IN {b[11] / a[11]:.2f}x for BOTH maintenance paths "
+          f"IVF-SQ query {b[13] / a[13]:.2f}x "
+          f"(recall sq {a[14]:.3f}->{b[14]:.3f} with no refine stage), "
+          f"FOLD-IN {b[11] / a[11]:.2f}x for ALL THREE maintenance paths "
           f"(re-deriving centroids/codebooks per session — the r9 state — "
           f"would grow with the training scan ~{scale}x; train is "
           f"O(corpus) by design: IVF {b[3] / a[3]:.1f}x, "
