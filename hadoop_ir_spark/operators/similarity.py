@@ -173,13 +173,19 @@ def kmeans_spherical(emb: DataFrame, init: DataFrame, iters: int = 3,
 
     Per iteration: one broadcast crossJoin + argmin (assignment), one
     centroid-update aggregate. New centroids are rounded to
-    ``round_digits`` and collected (k·dim doubles — the standard
-    Lloyd's broadcast scalar traffic), so the trajectory is
-    bit-reproducible regardless of partitioning/summation order. Empty
-    clusters keep their previous centroid. Centroids are NOT
-    re-normalized between iterations — cosine assignment is
-    scale-invariant, so normalization would only add float ops without
-    changing any assignment.
+    ``round_digits``, so the trajectory is bit-reproducible regardless
+    of partitioning/summation order. Empty clusters keep their previous
+    centroid. Centroids are NOT re-normalized between iterations —
+    cosine assignment is scale-invariant, so normalization would only
+    add float ops without changing any assignment.
+
+    r12 (optimization): the whole trajectory is ONE lazy plan — each
+    iteration's k·dim centroid aggregate stays a (broadcast) DataFrame
+    instead of being collected to the driver and re-parallelized, so
+    Lloyd's runs without any per-iteration driver barrier (guide §5:
+    the driver does no data work; §2.6: no synchronous supersteps).
+    The rounded means are the same doubles either way, so the
+    trajectory — and every downstream catalog oracle — is unchanged.
 
     The update is width-conditional (``wide_update=None`` → auto at
     dim > WIDE_UPDATE_DIM): narrow vectors use ``dim`` per-dimension
@@ -189,7 +195,6 @@ def kmeans_spherical(emb: DataFrame, init: DataFrame, iters: int = 3,
     fall back to interpreted mode. Both paths round identically, so the
     trajectory is bit-identical either way (tested at dim=256).
     """
-    spark = emb.sparkSession
     # cache the (id, vector) projection once: every iteration re-scans it
     # for assignment AND update, and parquet array decode dominates
     # per-iteration latency otherwise
@@ -199,8 +204,8 @@ def kmeans_spherical(emb: DataFrame, init: DataFrame, iters: int = 3,
     cents = init.select(
         "centroid_id", F.col("cv").cast("array<double>").alias("cv")
     )
-    prev = {r["centroid_id"]: list(r["cv"]) for r in cents.collect()}
-    dim = len(next(iter(prev.values())))
+    # plan-time probe: one row, column width only (no corpus pass)
+    dim = cents.select(F.size("cv").alias("d")).first()["d"]
 
     if wide_update is None:
         wide_update = dim > WIDE_UPDATE_DIM
@@ -216,17 +221,17 @@ def kmeans_spherical(emb: DataFrame, init: DataFrame, iters: int = 3,
     ]
 
     def update(assign):
+        """Lazy (centroid_id, mv array<double>) means of the assignment."""
         joined = assign.select("vec_id", "centroid_id").join(emb2, "vec_id")
         if not wide_update:
             means = joined.groupBy("centroid_id").agg(*mean_aggs)
-            return {
-                r["centroid_id"]: [r[f"d{i}"] for i in range(dim)]
-                for r in means.collect()
-            }
+            return means.select(
+                "centroid_id",
+                F.array(*[F.col(f"d{i}") for i in range(dim)]).alias("mv"),
+            )
         # wide update: skinny (cid, pos, val) rows keep codegen alive at
-        # any dim; k·dim result rows to the driver — same scalar traffic
-        # as the wide rows, just unpivoted
-        means = (
+        # any dim; the array is reassembled by position afterwards
+        return (
             joined.select(
                 "centroid_id",
                 F.posexplode(F.col("embedding").cast("array<double>"))
@@ -234,24 +239,25 @@ def kmeans_spherical(emb: DataFrame, init: DataFrame, iters: int = 3,
             )
             .groupBy("centroid_id", "pos")
             .agg(F.round(F.avg("val"), round_digits).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("mv")
+            )
         )
-        out: dict[int, list] = {}
-        for r in means.collect():
-            out.setdefault(r["centroid_id"], [None] * dim)[r["pos"]] = r["m"]
-        return out
 
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            sorted(prev.items()), "centroid_id long, cv array<double>"
+        assign = assign_centroids(emb2, cents)
+        means = update(assign)
+        # empty clusters keep their previous centroid (left join + coalesce
+        # replaces the old driver-side dict merge — same semantics)
+        cents = cents.join(means, "centroid_id", "left").select(
+            "centroid_id", F.coalesce("mv", "cv").alias("cv")
         )
-        assign = assign_centroids(emb2, cdf)
-        new = update(assign)
-        prev = {cid: new.get(cid, cv) for cid, cv in prev.items()}
 
-    final = spark.createDataFrame(
-        sorted(prev.items()), "centroid_id long, cv array<double>"
-    )
-    return assign_centroids(emb2, final), final
+    return assign_centroids(emb2, cents), cents
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,

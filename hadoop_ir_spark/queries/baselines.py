@@ -121,17 +121,18 @@ def q_mirex_baselines(spark, sf_dir):
     joins run once, each model is another aggregate over the same frame
     (the reference computes all models per document in a single mapper
     pass)."""
-    _, dlen, post, tstats, topics, coll_len = sm._prep(spark, sf_dir)
+    prep = sm._prep(spark, sf_dir)
+    _, dlen, post, tstats, topics, coll_len = prep
     qstats = topics.join(
         tstats.select("term", "cf"), "term", "left"
     ).fillna({"cf": 0})
     matched = scoring.matched_terms(post, topics, doc_len=dlen,
                                     stats=tstats).localCheckpoint()
 
-    glob = dlen.filter(F.col("doc_len") > 0).agg(
-        F.count("*").alias("n_docs"), F.sum("doc_len").alias("n_tokens")
-    ).collect()[0]
-    n_docs, avg_len = glob["n_docs"], glob["n_tokens"] / glob["n_docs"]
+    # globals come from _prep's single collect (doc_lengths already
+    # drops empty docs, so the old doc_len > 0 re-filter was a no-op
+    # second corpus pass)
+    n_docs, avg_len = prep.n_docs, prep.avg_len
 
     outs = [
         scoring.score_lm_no_smoothing(matched, qstats)

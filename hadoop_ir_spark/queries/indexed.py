@@ -326,9 +326,8 @@ def q_indexed_best_passage(spark, sf_dir):
     (hit join, window expansion, per-(qid, docno) argmax) is identical
     to the scan twin. Equivalent materialization ⇒ reuses
     best_passage's oracle verbatim."""
-    from pyspark.sql import Window
-
     from hadoop_ir_spark.catalog import _topics_df
+    from hadoop_ir_spark.operators import proximity
     from hadoop_ir_spark.queries.proximity_q import _QTERMS, PASSAGE_W
 
     run = q_indexed_dirichlet(spark, sf_dir).select("qid", "docno")
@@ -342,24 +341,8 @@ def q_indexed_best_passage(spark, sf_dir):
         run.join(F.broadcast(topics), "qid")
         .join(ptoks, ["docno", "term"])
         .select("qid", "docno", (F.col("pos") + 1).alias("ord"))
-        .localCheckpoint()   # consumed twice (starts x members)
     )
-    offs = F.array(*[F.col("ord") + d for d in range(PASSAGE_W)])
-    starts = hits.select("qid", "docno", F.col("ord").alias("win_start"),
-                         F.explode(offs).alias("m_ord"))
-    members = hits.select("qid", "docno", F.col("ord").alias("m_ord"))
-    wins = (
-        starts.join(members, ["qid", "docno", "m_ord"])
-        .groupBy("qid", "docno", "win_start")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    w = Window.partitionBy("qid", "docno").orderBy(
-        F.desc("n_hits"), F.asc("win_start"))
-    return (
-        wins.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("qid", "docno", "win_start", "n_hits")
-    )
+    return proximity.best_passage_windows(hits, PASSAGE_W)
 
 
 # the oracle aliases (same SQL as sdm_topk / best_passage) are installed

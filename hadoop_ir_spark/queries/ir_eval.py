@@ -365,7 +365,12 @@ def q_ltr_features(spark, sf_dir):
     dlen = stats.doc_lengths(docs, id_col="doc_id").cache()
     qterms = sorted({t for _, q in TOPICS for t in q.split()})
     post = stats.postings_for_terms(docs, qterms, id_col="doc_id").cache()
-    coll_len = dlen.agg(F.sum("doc_len")).collect()[0][0]
+    # one collect for every scalar global (coll_len, n_docs, avg_len):
+    # doc_lengths already drops empty docs, so count(*) matches the old
+    # separate filtered aggregate — one corpus pass instead of two
+    glob = dlen.agg(F.sum("doc_len").alias("n_tokens"),
+                    F.count("*").alias("n_docs")).collect()[0]
+    coll_len = glob["n_tokens"]
 
     run = dirichlet_topk(spark, sf_dir, k=TOP_K).localCheckpoint()
 
@@ -378,9 +383,7 @@ def q_ltr_features(spark, sf_dir):
                              model="jm", lambda_=GSLIS_LAMBDA)
     jm = jm.select("qid", "docno", F.round("score", 6).alias("score_jm"))
 
-    # BM25 scores (matched docs only)
-    glob = dlen.agg(F.count("*").alias("n_docs"),
-                    F.sum("doc_len").alias("n_tokens")).collect()[0]
+    # BM25 scores (matched docs only) — globals from the single collect
     n_docs, avg_len = glob["n_docs"], glob["n_tokens"] / glob["n_docs"]
     topics_t = _topics_df(spark).withColumn("qtf", F.lit(1))
     tstats_df = post.groupBy("term").agg(F.count("*").alias("df"))

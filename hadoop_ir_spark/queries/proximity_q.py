@@ -400,11 +400,10 @@ def q_best_passage(spark, sf_dir):
     query-term occurrences (earliest window on ties; ord is 1-based to
     match the oracle's unnest ordinality). The optimal window always
     starts at a hit position, so candidates are hit positions and the
-    in-window count is an offset-replica equi-join over the hits frame —
-    hits are query-term occurrences inside top-k docs only (k x |q| x tf
-    rows, corpus-size independent), never a scan-wide range probe."""
-    from pyspark.sql import Window
-
+    in-window count is a lead() successor scan over the ord-sorted hits
+    (proximity.best_passage_windows) — hits are query-term occurrences
+    inside top-k docs only (k x |q| x tf rows, corpus-size independent),
+    never a scan-wide range probe."""
     from hadoop_ir_spark.catalog import _topics_df, dirichlet_topk
 
     run = dirichlet_topk(spark, sf_dir, k=TOP_K).select("qid", "docno")
@@ -415,24 +414,8 @@ def q_best_passage(spark, sf_dir):
         run.join(F.broadcast(topics), "qid")
         .join(ptoks, ["docno", "term"])
         .select("qid", "docno", (F.col("pos") + 1).alias("ord"))
-        .localCheckpoint()   # consumed twice (starts x members)
     )
-    offs = F.array(*[F.col("ord") + d for d in range(PASSAGE_W)])
-    starts = hits.select("qid", "docno", F.col("ord").alias("win_start"),
-                         F.explode(offs).alias("m_ord"))
-    members = hits.select("qid", "docno", F.col("ord").alias("m_ord"))
-    wins = (
-        starts.join(members, ["qid", "docno", "m_ord"])
-        .groupBy("qid", "docno", "win_start")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    w = Window.partitionBy("qid", "docno").orderBy(
-        F.desc("n_hits"), F.asc("win_start"))
-    return (
-        wins.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("qid", "docno", "win_start", "n_hits")
-    )
+    return proximity.best_passage_windows(hits, PASSAGE_W)
 
 
 # indexed_phrase_topk (queries/indexed.py) is an equivalent materialization

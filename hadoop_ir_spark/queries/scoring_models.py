@@ -54,9 +54,18 @@ SELECT qid, docno, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {T
 
 
 def _prep(spark, sf_dir, with_weights: bool = False):
-    """Shared Spark-side inputs: query-term postings, doc lengths, stats."""
+    """Shared Spark-side inputs: query-term postings, doc lengths, stats.
+
+    r12 optimization: ``dlen`` is cached, so the scalar-globals collect
+    below both materializes it (one tokenize pass) and leaves the
+    per-doc lengths in memory for the main job — the query no longer
+    re-tokenizes the corpus for every dlen consumer. The collect also
+    gathers n_docs in the SAME job (``doc_lengths`` already drops empty
+    docs, so count(*) == the old filtered count), replacing the second
+    full-corpus aggregate pass the BM25-family queries used to pay
+    (guide §1.2: remove unnecessary passes)."""
     docs = _docs(spark, sf_dir)
-    dlen = stats.doc_lengths(docs, id_col="doc_id")
+    dlen = stats.doc_lengths(docs, id_col="doc_id").cache()
     post = stats.postings_for_terms(docs, _QTERMS, id_col="doc_id")
     tstats = post.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
@@ -66,8 +75,23 @@ def _prep(spark, sf_dir, with_weights: bool = False):
         topics = topics.withColumn("qweight", F.lit(1.0))
     else:
         topics = topics.withColumn("qtf", F.lit(1))
-    coll_len = dlen.agg(F.sum("doc_len")).collect()[0][0]
-    return docs, dlen, post, tstats, topics, coll_len
+    glob = dlen.agg(F.sum("doc_len").alias("n_tokens"),
+                    F.count("*").alias("n_docs")).collect()[0]
+    return _Prep(docs, dlen, post, tstats, topics,
+                 glob["n_tokens"], glob["n_docs"])
+
+
+class _Prep(tuple):
+    """6-tuple-compatible result of ``_prep`` (docs, dlen, post, tstats,
+    topics, coll_len) that also carries the globals gathered in the same
+    collect: ``n_docs`` and ``avg_len``."""
+
+    def __new__(cls, docs, dlen, post, tstats, topics, coll_len, n_docs):
+        self = super().__new__(cls, (docs, dlen, post, tstats, topics,
+                                     coll_len))
+        self.n_docs = n_docs
+        self.avg_len = coll_len / n_docs
+        return self
 
 
 def _finish(scored, k: int = TOP_K):
@@ -492,10 +516,9 @@ scored AS (
 {SQL_RANK}
 """)
 def q_pl2(spark, sf_dir):
-    _, dlen, post, tstats, topics, coll_len = _prep(spark, sf_dir)
-    glob = dlen.agg(F.count("*").alias("n_docs"),
-                    F.sum("doc_len").alias("n_tokens")).collect()[0]
-    n_docs, avg_len = glob["n_docs"], glob["n_tokens"] / glob["n_docs"]
+    prep = _prep(spark, sf_dir)
+    _, dlen, post, tstats, topics, coll_len = prep
+    n_docs, avg_len = prep.n_docs, prep.avg_len
     matched = scoring.matched_terms(
         post, topics.select("qid", "term", "qtf"),
         doc_len=dlen, stats=tstats.select("term", "cf"))

@@ -375,8 +375,6 @@ def q_best_passage_zipf(spark, sf_dir):
     offset-replica equi-join over the hits frame), run where the
     query-vocab filter actually prunes: a handful of hits per doc out
     of ~55 positions, vs every position on the grading vocabulary."""
-    from pyspark.sql import Window
-
     from hadoop_ir_spark.operators import proximity
 
     docs = _zipf_docs(spark).filter(F.col("doc_id") % ZIPF_BP_MOD == 0)
@@ -386,18 +384,5 @@ def q_best_passage_zipf(spark, sf_dir):
     ptoks = proximity.positional_tokens(docs, _BP_TERMS,
                                         id_col="doc_id")
     hits = (ptoks.join(F.broadcast(topics), "term")
-            .select("qid", "docno", (F.col("pos") + 1).alias("ord"))
-            .localCheckpoint())   # consumed twice (starts x members)
-    offs = F.array(*[F.col("ord") + d for d in range(ZIPF_BP_W)])
-    starts = hits.select("qid", "docno",
-                         F.col("ord").alias("win_start"),
-                         F.explode(offs).alias("m_ord"))
-    members = hits.select("qid", "docno", F.col("ord").alias("m_ord"))
-    wins = (starts.join(members, ["qid", "docno", "m_ord"])
-            .groupBy("qid", "docno", "win_start")
-            .agg(F.count("*").alias("n_hits")))
-    w = Window.partitionBy("qid", "docno").orderBy(
-        F.desc("n_hits"), F.asc("win_start"))
-    return (wins.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("qid", "docno", "win_start", "n_hits"))
+            .select("qid", "docno", (F.col("pos") + 1).alias("ord")))
+    return proximity.best_passage_windows(hits, ZIPF_BP_W)

@@ -1,0 +1,40 @@
+"""Capture .explain('formatted') for catalog queries WITHOUT executing
+them (plan-only; build-time collects some queries do still run).
+
+Usage: python tools/capture_plans.py <out_dir> <suffix> [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    out_dir, suffix, *names = sys.argv[1:]
+    os.makedirs(out_dir, exist_ok=True)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from hadoop_ir_spark.session import get_spark
+    from hadoop_ir_spark import catalog
+
+    spark = get_spark("plans", cpus=cpus)
+    names = names or list(catalog.QUERIES)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    for name in names:
+        try:
+            df = catalog.QUERIES[name](spark, sf_dir)
+            txt = df._jdf.queryExecution().explainString(mode)
+        except Exception as e:  # noqa: BLE001 — record, keep going
+            txt = f"ERROR building plan: {e}"
+        with open(os.path.join(out_dir, f"{name}{suffix}.txt"), "w") as f:
+            f.write(txt)
+        print(name, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Per-query profiling for the optimization rounds (guide §1: measure first).
+
+For every catalog query (or the names given on argv) this records, in one
+warm session at $SPARK_GRAFT_SF_DIR:
+
+- build_s:   wall seconds for QUERIES[name](spark, sf_dir) — pure Python
+             plan construction (no Spark work except tiny collects some
+             queries do while building, which is exactly what we want to
+             see here).
+- opt_s:     wall seconds to force analysis + optimization of the final
+             frame (queryExecution().optimizedPlan()) — driver-side
+             planning cost.
+- exec1_s:   first .count() (cold for this query's plan).
+- exec2_s:   second .count() of a FRESH build (what bench.py's min-of-2
+             effectively reports).
+- jobs:      Spark jobs launched during exec1 (job-group delta) — the
+             superstep/action count; each extra job is a scheduling
+             barrier.
+- plan:      .explain('formatted') text, written to --plans-dir when given.
+
+Output: one JSON line per query to stdout plus a sorted summary to stderr.
+
+Usage:
+  python tools/profile_queries.py [--plans-dir plans/r12] [name ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    plans_dir = None
+    if "--plans-dir" in args:
+        i = args.index("--plans-dir")
+        plans_dir = args[i + 1]
+        del args[i:i + 2]
+        os.makedirs(plans_dir, exist_ok=True)
+    suffix = "_before"
+    if "--suffix" in args:
+        i = args.index("--suffix")
+        suffix = args[i + 1]
+        del args[i:i + 2]
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from hadoop_ir_spark.session import get_spark
+    from hadoop_ir_spark import catalog
+
+    spark = get_spark("profile", cpus=cpus)
+    sc = spark.sparkContext
+
+    names = args or list(catalog.QUERIES)
+    unknown = [n for n in names if n not in catalog.QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
+    # warm the JVM like bench.py does
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        catalog.QUERIES["dirichlet_topk"](spark, warm_dir).count()
+
+    rows = []
+    for name in names:
+        fn = catalog.QUERIES[name]
+        sc.setJobGroup(f"prof:{name}", name)
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        t1 = time.perf_counter()
+        df._jdf.queryExecution().optimizedPlan()
+        t2 = time.perf_counter()
+        n = df.count()
+        t3 = time.perf_counter()
+        jobs = len(sc.statusTracker().getJobIdsForGroup(f"prof:{name}"))
+        # fresh build for the warm rep (mirrors bench.py's second rep)
+        t4 = time.perf_counter()
+        n2 = fn(spark, sf_dir).count()
+        t5 = time.perf_counter()
+        sc.setJobGroup("prof:idle", "idle")
+        assert n2 == n, (name, n, n2)
+        rec = {
+            "name": name,
+            "build_s": round(t1 - t0, 3),
+            "opt_s": round(t2 - t1, 3),
+            "exec1_s": round(t3 - t2, 3),
+            "exec2_s": round(t5 - t4, 3),
+            "total1_s": round(t3 - t0, 3),
+            "jobs": jobs,
+            "rows": n,
+        }
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+        if plans_dir:
+            with open(os.path.join(plans_dir, f"{name}{suffix}.txt"), "w") as f:
+                f.write(df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution
+                    .ExplainMode.fromString("formatted")))
+    rows.sort(key=lambda r: -(r["total1_s"]))
+    print("\n#  total1  build   opt  exec1  exec2  jobs  name", file=sys.stderr)
+    for r in rows:
+        print(f"# {r['total1_s']:7.2f} {r['build_s']:6.2f} {r['opt_s']:5.2f} "
+              f"{r['exec1_s']:6.2f} {r['exec2_s']:6.2f} {r['jobs']:5d}  "
+              f"{r['name']}", file=sys.stderr)
+    tot = {k: round(sum(r[k] for r in rows), 1)
+           for k in ("build_s", "opt_s", "exec1_s", "exec2_s", "total1_s")}
+    print(f"# totals: {tot}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
