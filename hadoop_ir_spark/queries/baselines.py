@@ -15,6 +15,7 @@ from hadoop_ir_spark.catalog import (
     SQL_RUN_DIRICHLET,
     TOP_K,
     dirichlet_topk,
+    parallel_frames,
     qrels_df,
     register,
 )
@@ -183,8 +184,9 @@ FROM pr
 def q_eval_f1_utility(spark, sf_dir):
     """E3 + E4 over the Dirichlet run (recall denominator num_rel; missing
     qrels → recall 0 → F1 0, the Eval.java:82-111 degenerate-case rule)."""
-    run = dirichlet_topk(spark, sf_dir).localCheckpoint()
-    qrels = qrels_df(spark, sf_dir).localCheckpoint()
+    run, qrels = parallel_frames(
+        lambda: dirichlet_topk(spark, sf_dir).localCheckpoint(),
+        lambda: qrels_df(spark, sf_dir).localCheckpoint())
     out = evaluate.f1_utility(run, qrels)
     return out.select(
         "qid",

@@ -16,6 +16,7 @@ from hadoop_ir_spark.catalog import (
     SQL_RUN_DIRICHLET,
     TOP_K,
     dirichlet_topk,
+    parallel_frames,
     qrels_df,
     register,
     sql_run_dirichlet,
@@ -63,8 +64,9 @@ def q_eval_precision_recall(spark, sf_dir):
     # materialized few-rows-per-query frame instead of re-planning the
     # whole retrieval (r2 plan audit: 79 exchanges for eval_map_pk).
     # On a cluster this is exactly where the run would be checkpointed.
-    run = dirichlet_topk(spark, sf_dir).localCheckpoint()
-    qrels = qrels_df(spark, sf_dir).localCheckpoint()
+    run, qrels = parallel_frames(
+        lambda: dirichlet_topk(spark, sf_dir).localCheckpoint(),
+        lambda: qrels_df(spark, sf_dir).localCheckpoint())
     out = evaluate.precision_recall(run, qrels)
     return out.select(
         "qid",
@@ -121,8 +123,9 @@ FROM ap LEFT JOIN pk10 USING (qid) LEFT JOIN pk20 USING (qid)
 """)
 def q_eval_map_pk(spark, sf_dir):
     # compute-once fan-out: see evaluate.evaluate_run's scale note
-    run = dirichlet_topk(spark, sf_dir).localCheckpoint()
-    qrels = qrels_df(spark, sf_dir).localCheckpoint()
+    run, qrels = parallel_frames(
+        lambda: dirichlet_topk(spark, sf_dir).localCheckpoint(),
+        lambda: qrels_df(spark, sf_dir).localCheckpoint())
     out = evaluate.evaluate_run(run, qrels, ks=(10, 20))
     return out.select(
         "qid",
@@ -279,8 +282,9 @@ FROM qids q LEFT JOIN dcg d USING (qid) LEFT JOIN idcg i USING (qid)
 def q_eval_ndcg(spark, sf_dir):
     """nDCG@10 with graded qrels over the Dirichlet flagship run —
     the graded companion to eval_map_pk (same compute-once fan-out)."""
-    run = dirichlet_topk(spark, sf_dir).localCheckpoint()
-    qrels = qrels_df(spark, sf_dir).localCheckpoint()
+    run, qrels = parallel_frames(
+        lambda: dirichlet_topk(spark, sf_dir).localCheckpoint(),
+        lambda: qrels_df(spark, sf_dir).localCheckpoint())
     out = evaluate.ndcg(run, qrels, k=NDCG_K)
     return out.select(
         "qid",
@@ -316,8 +320,9 @@ def q_rrf_fusion_topk(spark, sf_dir):
     rank_correlation's rank-comparison."""
     from hadoop_ir_spark.catalog import QUERIES
 
-    run_d = dirichlet_topk(spark, sf_dir).localCheckpoint()
-    run_b = QUERIES["bm25_topk"](spark, sf_dir).localCheckpoint()
+    run_d, run_b = parallel_frames(
+        lambda: dirichlet_topk(spark, sf_dir).localCheckpoint(),
+        lambda: QUERIES["bm25_topk"](spark, sf_dir).localCheckpoint())
     out = evaluate.rrf_fusion([run_d, run_b], k=TOP_K, c=RRF_C)
     return out.withColumn("rank", F.col("rank").cast("int"))
 

@@ -177,9 +177,17 @@ def _sdm_features(spark, sf_dir, prox=None):
     final; this shape spends it only on matched postings)."""
     _, dlen, qpost, ordered, unord, bigrams = (
         prox if prox is not None else _spark_prox(spark, sf_dir))
-    qpost = qpost.localCheckpoint()
-    ordered = ordered.localCheckpoint()
-    unord = unord.localCheckpoint()
+    # r12 optimization: the qpost/ordered/unord localCheckpoints are
+    # gone. They were sized for the OLD pair extraction (offset-explode
+    # self-joins), where each frame was expensive to recompute; with the
+    # window successor scan all three frames branch off ONE docno
+    # exchange, so the cf aggregate and the feature join reuse it
+    # (ReusedExchange) instead of re-materializing corpus-scale pair
+    # frames to executor disk — the shape that matters at 100 TB, where
+    # a localCheckpoint of per-doc pair counts is an extra full write +
+    # read of a corpus-sized intermediate. dlen is cached (per-doc ints)
+    # so the coll_len collect also materializes it for the final join.
+    dlen = dlen.cache()
     coll_len = dlen.agg(F.sum("doc_len")).collect()[0][0]
     c = float(coll_len)
 
