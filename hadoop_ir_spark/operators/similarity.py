@@ -533,7 +533,7 @@ def rp_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def recall_vs_exact(exact: DataFrame, approx: DataFrame,
-                    k: int = 10) -> DataFrame:
+                    k: int = 10, qids: DataFrame | None = None) -> DataFrame:
     """ANN quality evaluation: per-query recall@k of an approximate
     result against the exact brute-force result — (qid, n_hits, recall).
 
@@ -543,15 +543,27 @@ def recall_vs_exact(exact: DataFrame, approx: DataFrame,
     side's query set. The evaluation cost is O(|queries|·k), independent
     of corpus size — safe to run continuously as an index-quality canary
     at 100 TB.
+
+    ``qids`` (optional): the query-id universe as a cheap frame. Without
+    it the universe is derived as ``exact.select("qid").distinct()``,
+    which re-plans the whole brute-force pipeline a second time just to
+    list qids — the column-pruned subtree no longer matches the scoring
+    subtree, so runtime exchange reuse cannot dedupe it (r12 profile:
+    the recall canaries were paying the exact scan twice). Callers that
+    know their query set (every Nth vector) pass it directly. Both
+    post-top-k sides are O(|queries|·k) rows, so the evaluation joins
+    are explicit broadcasts — never sort-merge — at any corpus size.
     """
     hits = (
         exact.select("qid", "vec_id")
-        .join(approx.select("qid", "vec_id"), ["qid", "vec_id"])
+        .join(F.broadcast(approx.select("qid", "vec_id")),
+              ["qid", "vec_id"])
         .groupBy("qid")
         .agg(F.count("*").alias("n_hits"))
     )
-    qids = exact.select("qid").distinct()
-    return qids.join(hits, "qid", "left").select(
+    if qids is None:
+        qids = exact.select("qid").distinct()
+    return qids.join(F.broadcast(hits), "qid", "left").select(
         "qid",
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / float(k), 6).alias("recall"),

@@ -991,8 +991,9 @@ LEFT JOIN h2 ON h2.qid = qs.qid
                                         nprobe=ANN_IDX_NPROBE,
                                         refine=ANN_REFINE)
                 .withColumnRenamed("docno", "vec_id"))
-        r1 = sim.recall_vs_exact(exact, adc, k=ANN_IDX_K)
-        r2 = sim.recall_vs_exact(exact, refd, k=ANN_IDX_K)
+        qids = queries.select("qid")
+        r1 = sim.recall_vs_exact(exact, adc, k=ANN_IDX_K, qids=qids)
+        r2 = sim.recall_vs_exact(exact, refd, k=ANN_IDX_K, qids=qids)
         return (r1.select("qid",
                           F.col("n_hits").alias("n_hits_adc"),
                           F.col("recall").alias("recall_adc"))
@@ -1112,8 +1113,9 @@ LEFT JOIN h2 ON h2.qid = qs.qid
             queries, idx_dir, k=ANN_IDX_K, nprobe=ANN_IDX_NPROBE,
             refine=ANN_REFINE, filter_docs=allow, filter_mode="post")
             .withColumnRenamed("docno", "vec_id"))
-        r1 = sim.recall_vs_exact(exact_f, pre, k=ANN_IDX_K)
-        r2 = sim.recall_vs_exact(exact_f, post, k=ANN_IDX_K)
+        qids = queries.select("qid")
+        r1 = sim.recall_vs_exact(exact_f, pre, k=ANN_IDX_K, qids=qids)
+        r2 = sim.recall_vs_exact(exact_f, post, k=ANN_IDX_K, qids=qids)
         return (r1.select("qid",
                           F.col("n_hits").alias("n_hits_pre"),
                           F.col("recall").alias("recall_pre"))
@@ -1307,7 +1309,8 @@ qset AS (SELECT DISTINCT qid FROM brute),
                 queries, idx_dir, k=ANN_IDX_K, nprobe=np_,
                 refine=ANN_REFINE)
                 .withColumnRenamed("docno", "vec_id"))
-            outs.append(sim.recall_vs_exact(exact, refd, k=ANN_IDX_K)
+            outs.append(sim.recall_vs_exact(exact, refd, k=ANN_IDX_K,
+                                            qids=queries.select("qid"))
                         .select(F.lit(np_).cast("int").alias("nprobe"),
                                 "qid", "n_hits", "recall"))
         return reduce(lambda a, b: a.unionByName(b), outs)
@@ -1578,8 +1581,9 @@ LEFT JOIN h2 ON h2.qid = qs.qid
                                         nprobe=ANN_IDX_NPROBE,
                                         refine=ANN_REFINE)
                 .withColumnRenamed("docno", "vec_id"))
-        r1 = sim.recall_vs_exact(exact, adc, k=ANN_IDX_K)
-        r2 = sim.recall_vs_exact(exact, refd, k=ANN_IDX_K)
+        qids = queries.select("qid")
+        r1 = sim.recall_vs_exact(exact, adc, k=ANN_IDX_K, qids=qids)
+        r2 = sim.recall_vs_exact(exact, refd, k=ANN_IDX_K, qids=qids)
         return (r1.select("qid",
                           F.col("n_hits").alias("n_hits_adc"),
                           F.col("recall").alias("recall_adc"))
@@ -2122,7 +2126,8 @@ LEFT JOIN h1 ON h1.qid = qs.qid
         sqr = (dinc.indexed_ivfsq_topk(queries, idx_dir, k=ANN_IDX_K,
                                        nprobe=ANN_IDX_NPROBE)
                .withColumnRenamed("docno", "vec_id"))
-        r = sim.recall_vs_exact(exact, sqr, k=ANN_IDX_K)
+        r = sim.recall_vs_exact(exact, sqr, k=ANN_IDX_K,
+                                qids=queries.select("qid"))
         return r.select("qid",
                         F.col("n_hits").alias("n_hits_sq"),
                         F.col("recall").alias("recall_sq"))

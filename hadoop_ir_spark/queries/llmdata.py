@@ -140,9 +140,14 @@ LEFT JOIN hits h ON h.qid = q.qid
 
     @register("ann_recall_ivf", oracle)
     def q_ann_recall_ivf(spark, sf_dir):
+        from hadoop_ir_spark.queries.similarity import QUERY_EVERY, _emb
+
         exact = QUERIES["ann_cosine_topk"](spark, sf_dir)
         approx = QUERIES["ann_ivf_topk"](spark, sf_dir)
-        return sim.recall_vs_exact(exact, approx, k=ANN_K)
+        qids = (_emb(spark, sf_dir)
+                .filter(F.col("vec_id") % QUERY_EVERY == 0)
+                .select(F.col("vec_id").alias("qid")))
+        return sim.recall_vs_exact(exact, approx, k=ANN_K, qids=qids)
 
     return q_ann_recall_ivf
 
@@ -388,13 +393,21 @@ FROM (SELECT DISTINCT qid FROM brute) q
 LEFT JOIN hits h ON h.qid = q.qid
 """
 
+    def _qids(spark, sf_dir):
+        from hadoop_ir_spark.queries.similarity import QUERY_EVERY, _emb
+
+        return (_emb(spark, sf_dir)
+                .filter(F.col("vec_id") % QUERY_EVERY == 0)
+                .select(F.col("vec_id").alias("qid")))
+
     @register("ann_recall_lsh", recall_oracle("rp_lsh_ann_topk"))
     def q_ann_recall_lsh(spark, sf_dir):
         """Index-quality canary for the RP-LSH index: recall@k vs brute
         force, same O(queries·k) join as ann_recall_ivf."""
         exact = QUERIES["ann_cosine_topk"](spark, sf_dir)
         approx = QUERIES["rp_lsh_ann_topk"](spark, sf_dir)
-        return sim.recall_vs_exact(exact, approx, k=ANN_K)
+        return sim.recall_vs_exact(exact, approx, k=ANN_K,
+                                   qids=_qids(spark, sf_dir))
 
     @register("ann_recall_pq", recall_oracle("pq_ann_topk"))
     def q_ann_recall_pq(spark, sf_dir):
@@ -402,7 +415,8 @@ LEFT JOIN hits h ON h.qid = q.qid
         recall@k of the integer-ADC ranking vs exact cosine."""
         exact = QUERIES["ann_cosine_topk"](spark, sf_dir)
         approx = QUERIES["pq_ann_topk"](spark, sf_dir)
-        return sim.recall_vs_exact(exact, approx, k=ANN_K)
+        return sim.recall_vs_exact(exact, approx, k=ANN_K,
+                                   qids=_qids(spark, sf_dir))
 
 
 _register_more_recalls()
