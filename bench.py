@@ -271,6 +271,24 @@ def classify_suspect(prev_ratio: float | None, now_ratio: float,
     return "regression"
 
 
+def printed_subset(timings: dict[str, float], prev_printed: list[str],
+                   char_budget: int = 1700) -> list[str]:
+    """The STABLE printed-line query subset (VERDICT r12 #3): previous
+    record's printed names first (in their recorded order), then the
+    remaining queries by current time desc — additions only — trimmed
+    from the END until a compact {name: sec} dict fits the budget. A
+    query can only leave the printed set when the budget forces it,
+    never because it got faster."""
+    base = [n for n in prev_printed if n in timings]
+    extras = sorted((n for n in timings if n not in set(base)),
+                    key=timings.get, reverse=True)
+    kept = base + extras
+    while kept and len(json.dumps({k: timings[k] for k in kept},
+                                  separators=(",", ":"))) > char_budget:
+        kept.pop()
+    return kept
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -309,6 +327,7 @@ def main():
         prev_cal_mt = float(_prev_full.get("calibration", {})
                             .get("reference_mt") or 0.0)
     except (OSError, ValueError):
+        _prev_full = {}
         prev, prev_cpu, prev_cal, prev_cal_mt = {}, {}, 0.0, 0.0
 
     # host-state canary: one probe before the sweep, one after (the pair
@@ -424,15 +443,31 @@ def main():
         "calibration": cal,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # Full per-query detail on disk: the driver keeps only the last 2000
-    # chars of stdout, so a 106-query JSON line (~4.5k chars) gets its head
-    # truncated and fails to parse (this is exactly what produced
-    # BENCH_r03.json "parsed": null). Persist everything here ...
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
-    # ... and keep the printed line comfortably under the tail window by
-    # eliding the fastest queries from the inline dict (slowest stay, since
-    # those are what a perf review reads first).
+    # ... and keep the printed line comfortably under the tail window.
+    # Printed-line STABILITY (r13, VERDICT r12 #3): the driver's PERF
+    # diff compares the printed `queries` dict round-over-round, so the
+    # printed SUBSET must be stable — the old rule ("elide whatever is
+    # fastest this run") churned the compared set every round (phantom
+    # dropped_from_bench entries, and queries that got FASTER vanishing
+    # from the comparison). The printed set is now FIXED: the previous
+    # record's printed set (persisted as "printed_set" in
+    # BENCH_FULL.json; seeded, on the first run after this change, from
+    # the newest committed BENCH_r*.json printed line so the very next
+    # PERF diff sees zero phantom drops), then any remaining queries by
+    # current time desc — ADDITIONS ONLY — while the line fits the
+    # driver's 2000-char stdout window. Full detail, as before, lands
+    # in BENCH_FULL.json.
+    prev_printed = _prev_full.get("printed_set") or []
+    if not prev_printed:
+        import glob
+        recs = sorted(glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
+        if recs:
+            try:
+                with open(recs[-1]) as f:
+                    prev_printed = list((json.load(f).get("parsed") or {})
+                                        .get("queries", {}))
+            except (OSError, ValueError):
+                prev_printed = []
     out = dict(full)
     del out["first_run"]          # detail lives in BENCH_FULL.json
     del out["load_avg"]
@@ -442,11 +477,22 @@ def main():
     out["n_regression_suspects"] = len(suspects)
     out["n_queries"] = len(timings)
     out["full_detail"] = "BENCH_FULL.json"
-    kept = sorted(timings, key=timings.get, reverse=True)
+    kept = printed_subset(timings, prev_printed,
+                          char_budget=10 ** 9)   # order only; trim below
+    out["queries"] = {k: timings[k] for k in kept}
+    out["n_elided"] = len(timings) - len(kept)
     while len(json.dumps(out, separators=(",", ":"))) > 1700 and kept:
         kept.pop()
         out["queries"] = {k: timings[k] for k in kept}
         out["n_elided"] = len(timings) - len(kept)
+    # the NEXT record prints this same set (plus whatever extras fit)
+    full["printed_set"] = kept
+    # Full per-query detail on disk: the driver keeps only the last 2000
+    # chars of stdout, so a 106-query JSON line (~4.5k chars) gets its head
+    # truncated and fails to parse (this is exactly what produced
+    # BENCH_r03.json "parsed": null). Persist everything here.
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
     print(json.dumps(out, separators=(",", ":")))
 
 

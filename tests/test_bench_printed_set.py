@@ -1,0 +1,40 @@
+"""The bench's printed-line subset must be STABLE round-over-round
+(VERDICT r12 #3): the driver's PERF diff compares the printed `queries`
+dict between records, so a query that merely got FASTER must not leave
+the printed set (that churn fabricated `dropped_from_bench` entries and
+removed wins from the comparison)."""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_prev_printed_names_stay_first_and_in_order():
+    timings = {"a": 1.0, "b": 9.0, "c": 0.1, "d": 5.0}
+    kept = bench.printed_subset(timings, ["c", "a"])
+    # prev printed set leads, in its recorded order, even though c is
+    # now the fastest query of the catalog
+    assert kept[:2] == ["c", "a"]
+    # the rest are additions by current time desc
+    assert kept[2:] == ["b", "d"]
+
+
+def test_additions_only_new_catalog_queries_append():
+    timings = {"a": 1.0, "new_slow": 9.0}
+    kept = bench.printed_subset(timings, ["a"])
+    assert kept == ["a", "new_slow"]
+
+
+def test_budget_trims_from_the_end_never_the_prev_set_first():
+    timings = {f"q{i}": float(i) for i in range(20)}
+    prev = ["q1", "q2"]
+    tight = bench.printed_subset(timings, prev, char_budget=40)
+    # whatever fits, the prev names survive ahead of any extra
+    assert tight[: len([n for n in prev if n in tight])] == \
+        [n for n in prev if n in tight]
+    assert tight and tight[0] == "q1"
+
+
+def test_dropped_catalog_query_is_skipped_without_error():
+    timings = {"a": 1.0}
+    assert bench.printed_subset(timings, ["gone", "a"]) == ["a"]
