@@ -175,20 +175,32 @@ def _sdm_features(spark, sf_dir, prox=None):
     every (candidate, feature) combination, which at sf1 halves the
     feature-frame cost (the fan-out plan spent ~5.5s in cand/st/so/su/
     final; this shape spends it only on matched postings)."""
+    from hadoop_ir_spark.catalog import parallel_frames
+
     _, dlen, qpost, ordered, unord, bigrams = (
         prox if prox is not None else _spark_prox(spark, sf_dir))
-    # r12 optimization: the qpost/ordered/unord localCheckpoints are
-    # gone. They were sized for the OLD pair extraction (offset-explode
-    # self-joins), where each frame was expensive to recompute; with the
-    # window successor scan all three frames branch off ONE docno
-    # exchange, so the cf aggregate and the feature join reuse it
-    # (ReusedExchange) instead of re-materializing corpus-scale pair
-    # frames to executor disk — the shape that matters at 100 TB, where
-    # a localCheckpoint of per-doc pair counts is an extra full write +
-    # read of a corpus-sized intermediate. dlen is cached (per-doc ints)
-    # so the coll_len collect also materializes it for the final join.
+    # r13 fix (VERDICT r12 #1): each of qpost/ordered/unord feeds BOTH a
+    # collection-frequency aggregate and a matched-feature join. The r12
+    # checkpoint removal claimed the two consumers would share one docno
+    # exchange via ReusedExchange; the after-plan disproved that (the
+    # per-branch column pruning/aliasing makes the subtrees non-identical
+    # — 6 independent Exchange+Sort+Window replicas, and the driver
+    # measured sdm_topk 1.86x slower). So the three per-doc count frames
+    # are MATERIALIZED once again — but concurrently (guide §2.6), not as
+    # r11's three serial barriers, and on top of the r12 lead()-window
+    # pair extraction, which stays (it is the cheap way to PRODUCE the
+    # frames; materialization is the cheap way to CONSUME them twice).
+    # The frames are per-doc query-vocab counts: tiny at any scale next
+    # to the positional stream they collapse. dlen is cached (per-doc
+    # ints) so the coll_len collect also materializes it for the final
+    # join.
     dlen = dlen.cache()
     coll_len = dlen.agg(F.sum("doc_len")).collect()[0][0]
+    qpost, ordered, unord = parallel_frames(
+        lambda f=qpost: f.localCheckpoint(),
+        lambda f=ordered: f.localCheckpoint(),
+        lambda f=unord: f.localCheckpoint(),
+    )
     c = float(coll_len)
 
     topics = (
