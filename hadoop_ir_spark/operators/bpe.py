@@ -101,45 +101,93 @@ def merge_seq_expr(left: str, right: str):
 def train_bpe(tokens: DataFrame, num_merges: int = 10,
               term_col: str = "term", return_seqs: bool = False):
     """Learn ``num_merges`` BPE merge rules from a token stream:
-    (merge_rank, left, right, merged, pair_count).
+    (merge_rank, left, right, merged, pair_count). Deterministic: ties
+    break on the lexicographically smallest pair key.
 
-    Each iteration collects ONE (pair, count) row — the argmax — to the
-    driver; everything else stays distributed. Deterministic: ties break
-    on the lexicographically smallest pair.
+    r13 (guide §2.6/§5, VERDICT r12 #5): training is ONE single-
+    partition pass. The old loop ran 10 supersteps — per merge, an
+    argmax ``collect()`` barrier plus an eager ``localCheckpoint`` of
+    the rewritten vocabulary (~21 driver-scheduled jobs for a frame
+    that was ALREADY ``coalesce(1)``: the whole algorithm was local,
+    only the barriers were distributed). The distributed part that
+    matters — collapsing the corpus to the word-frequency table — stays
+    a Spark aggregation; the merge loop itself runs where the old shape
+    already placed the data, on the vocabulary's single partition
+    (``mapInPandas``), emitting the rules AND the final segmentations
+    in one job. (A fully in-plan unroll was rejected: the per-merge
+    argmax would re-enter the plan as a broadcast scalar, nesting the
+    vocabulary subtree ~2^num_merges times — the winnowing
+    projection-collapse disease.) Same arithmetic, same tie-break,
+    same greedy boundary-aligned fold as the DuckDB oracle's CTE chain.
 
     With ``return_seqs`` also returns the post-training vocabulary frame
     (term, cnt, seq) whose ``seq`` column is each word's final symbol
     segmentation — the tokenizer-APPLY side (see :func:`encode_lens`)
     reuses it instead of refolding every merge per document.
     """
-    spark = tokens.sparkSession
-    # the vocabulary table is tiny relative to the corpus (distinct words
-    # only) — collapse it to few partitions so each of the num_merges
-    # iterations is a handful of tasks, not 32-partition shuffles of a
-    # 43-row frame. For web-scale vocabularies raise the divisor.
-    seqs = word_seqs(tokens, term_col).coalesce(1).localCheckpoint()
-    rules = []
-    for rank in range(1, num_merges + 1):
-        best = (
-            _pair_counts(seqs)
-            .orderBy(F.desc("pair_cnt"), F.asc("pair"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        pair, cnt = best[0]["pair"], best[0]["pair_cnt"]
-        left, right = pair.split(PAIR_SEP)
-        rules.append((rank, left, right, left + right, cnt))
-        seqs = seqs.withColumn(
-            "seq", merge_seq_expr(left, right)
-        ).localCheckpoint()  # rules chain; cut the growing lineage
-    rules_df = spark.createDataFrame(
-        rules,
+    nm = int(num_merges)
+    seqs0 = word_seqs(tokens, term_col).coalesce(1)
+    union_schema = (
         "merge_rank int, left_s string, right_s string, merged string,"
-        " pair_count bigint",
+        " pair_count bigint, term string, cnt bigint, seq string"
+    )
+
+    def _train(batches):
+        import pandas as pd
+
+        words: list[tuple[str, int, list[str]]] = []
+        for b in batches:
+            for t, c, s in zip(b["term"], b["cnt"], b["seq"]):
+                words.append((t, int(c), s.split(SEP)))
+        rules: list[tuple] = []
+        for rank in range(1, nm + 1):
+            counts: dict[str, int] = {}
+            for _, c, syms in words:
+                for i in range(len(syms) - 1):
+                    key = syms[i] + PAIR_SEP + syms[i + 1]
+                    counts[key] = counts.get(key, 0) + c
+            if not counts:
+                break
+            # argmax with the oracle's exact tie-break: highest count,
+            # then lexicographically smallest PAIR KEY (the joined
+            # 'A\\x02B' string — \\x02 sorts below every [0-9a-z] symbol
+            # char, so the key order equals the SQL ORDER BY pair ASC)
+            best_pair, best_cnt = "", -1
+            for p in sorted(counts):
+                if counts[p] > best_cnt:
+                    best_pair, best_cnt = p, counts[p]
+            a, b2 = best_pair.split(PAIR_SEP)
+            ab = a + b2
+            rules.append((rank, a, b2, ab, best_cnt,
+                          None, None, None))
+            # greedy left-to-right boundary-aligned fold (the
+            # merge_seq_expr semantics): fuse when the accumulator's
+            # last symbol is exactly `a` and the incoming symbol is
+            # exactly `b2`; the just-fused AB != a can never re-fuse
+            for idx, (t, c, syms) in enumerate(words):
+                out: list[str] = []
+                for x in syms:
+                    if out and out[-1] == a and x == b2:
+                        out[-1] = ab
+                    else:
+                        out.append(x)
+                words[idx] = (t, c, out)
+        rows = rules + [
+            (None, None, None, None, None, t, c, SEP.join(syms))
+            for t, c, syms in words
+        ]
+        yield pd.DataFrame(rows, columns=[
+            "merge_rank", "left_s", "right_s", "merged", "pair_count",
+            "term", "cnt", "seq"])
+
+    both = seqs0.mapInPandas(_train, union_schema)
+    rules_df = (
+        both.filter(F.col("merge_rank").isNotNull())
+        .select("merge_rank", "left_s", "right_s", "merged", "pair_count")
     )
     if return_seqs:
+        seqs = (both.filter(F.col("merge_rank").isNull())
+                .select("term", "cnt", "seq"))
         return rules_df, seqs
     return rules_df
 
