@@ -532,10 +532,19 @@ def q_mmr_rerank(spark, sf_dir):
     lam, om = MMR_LAMBDA, 1.0 - MMR_LAMBDA
     docs = _docs(spark, sf_dir)
     run = dirichlet_topk(spark, sf_dir, k=10).localCheckpoint()
-    post = statsops.postings(docs, id_col="doc_id")
     rdocs = run.select("qid", "docno").distinct()
+    # r13 (guide §2.3): restrict the CORPUS to the <= k·|q| run docs
+    # BEFORE tokenizing — the pair cosines and norms only ever read run
+    # docs' postings, so the old full-corpus (docno, term) aggregate +
+    # full-corpus lnc norms did corpus-scale work to use ~40 rows of it.
+    # Norms are per-doc functions of that doc's own tf vector, so
+    # restricting first is exact.
+    rdocs_ids = rdocs.select("docno").distinct()
+    docs_r = docs.join(F.broadcast(rdocs_ids),
+                       docs["doc_id"] == rdocs_ids["docno"], "left_semi")
+    post = statsops.postings(docs_r, id_col="doc_id")
     dnorm = scoringops.doc_norms_lnc(post)
-    # postings restricted to run docs BEFORE the pair join
+    # postings fanned out to (qid, docno) run pairs for the pair join
     rp = (post.join(F.broadcast(rdocs), "docno")
           .join(dnorm, "docno")
           .select("qid", "docno", "term", "tf", "dn"))
