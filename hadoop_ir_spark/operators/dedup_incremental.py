@@ -1981,6 +1981,33 @@ def indexed_pq_topk(queries: DataFrame, index_dir: str, *,
         .withColumnRenamed("vec_id", "docno"))
 
 
+def ivfpq_ranked_probes(queries: DataFrame, index_dir: str, *,
+                        qid_col: str = "qid",
+                        vec_col: str = "embedding") -> DataFrame:
+    """The FULL per-query centroid ranking ``(qid, qv, centroid_id,
+    _r)`` — the subtree every ``indexed_ivfpq_topk`` call re-derives
+    before filtering ``_r <= nprobe``. An nprobe SWEEP (the
+    ``ann_recall_sweep`` catalog query) ranks once, materializes this
+    frame, and hands it to each arm via ``ranked_probes=`` so the four
+    arms share one ranking instead of four identical
+    crossJoin+window subtrees (r13, VERDICT r12 #7). |queries| x |C|
+    rows — the same size the per-arm subtree always produced."""
+    from hadoop_ir_spark.operators.dedup import cosine_expr
+
+    spark = queries.sparkSession
+    man = _read_manifest(index_dir)
+    cents = _ann_centroid_frame(spark, index_dir, man)
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(vec_col).alias("qv"))
+    qprobe = q.crossJoin(F.broadcast(cents)).select(
+        "qid", "qv", "centroid_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("csim"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"),
+                                           F.asc("centroid_id"))
+    return (qprobe.withColumn("_r", F.row_number().over(wq))
+            .select("qid", "qv", "centroid_id", "_r"))
+
+
 def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
                        k: int = 10, nprobe: int = 4,
                        refine: int | None = None,
@@ -1988,6 +2015,7 @@ def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
                        vec_col: str = "embedding",
                        filter_docs: DataFrame | None = None,
                        filter_mode: str = "pre",
+                       ranked_probes: DataFrame | None = None,
                        snaps=None) -> DataFrame:
     """IVF-PQ approximate top-k — the composition of the store's two
     persisted indexes and the 100 TB serving path: probe the ``nprobe``
@@ -2098,6 +2126,12 @@ def indexed_ivfpq_topk(queries: DataFrame, index_dir: str, *,
     probes = (qprobe.withColumn("_r", F.row_number().over(wq))
               .filter(F.col("_r") <= nprobe)
               .select("qid", "qv", "centroid_id"))
+    if ranked_probes is not None:
+        # pre-ranked (qid, qv, centroid_id, _r) from ivfpq_ranked_probes
+        # — identical ranking, shared across an nprobe sweep's arms
+        # instead of re-deriving the crossJoin+window subtree per arm
+        probes = (ranked_probes.filter(F.col("_r") <= nprobe)
+                  .select("qid", "qv", "centroid_id"))
     mm, dims = man["pq"]["m"], man["pq"]["dims"]
     if man["pq"].get("residual"):
         # IVFADC residual path (r11): the codes encode x − c(x), so the

@@ -1303,11 +1303,16 @@ qset AS (SELECT DISTINCT qid FROM brute),
         queries = emb.filter(F.col("vec_id") % ANN_QUERY_EVERY == 0).select(
             F.col("vec_id").alias("qid"), "embedding")
         exact = QUERIES["ann_cosine_topk"](spark, sf_dir).localCheckpoint()
+        # rank the centroid distances ONCE (r13, VERDICT r12 #7): the
+        # four arms differ only in the `rn <= nprobe` cut, so they share
+        # one materialized ranking instead of four identical
+        # crossJoin+window subtrees
+        ranked = dinc.ivfpq_ranked_probes(queries, idx_dir).localCheckpoint()
         outs = []
         for np_ in (1, 2, 4, 8):
             refd = (dinc.indexed_ivfpq_topk(
                 queries, idx_dir, k=ANN_IDX_K, nprobe=np_,
-                refine=ANN_REFINE)
+                refine=ANN_REFINE, ranked_probes=ranked)
                 .withColumnRenamed("docno", "vec_id"))
             outs.append(sim.recall_vs_exact(exact, refd, k=ANN_IDX_K,
                                             qids=queries.select("qid"))
