@@ -257,6 +257,11 @@ def kmeans_spherical(emb: DataFrame, init: DataFrame, iters: int = 3,
             "centroid_id", F.coalesce("mv", "cv").alias("cv")
         )
 
+    # pin ONE materialized trajectory (ADVICE r12): the returned
+    # assignment and centroid frames would otherwise each re-execute the
+    # whole Lloyd's lineage per action; the cache makes the first action
+    # freeze the k·dim result both returns (and repeated actions) read
+    cents = cents.cache()
     return assign_centroids(emb2, cents), cents
 
 

@@ -90,7 +90,11 @@ class _Prep(tuple):
         self = super().__new__(cls, (docs, dlen, post, tstats, topics,
                                      coll_len))
         self.n_docs = n_docs
-        self.avg_len = coll_len / n_docs
+        # guard n_docs == 0 (ADVICE r12): an empty / all-empty-doc corpus
+        # must not raise inside _prep for the many consumers that never
+        # read avg_len; the two that do get 0.0 on a corpus with no
+        # scoreable documents (their matched frame is empty anyway)
+        self.avg_len = coll_len / n_docs if n_docs else 0.0
         return self
 
 
