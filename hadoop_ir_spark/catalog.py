@@ -198,16 +198,21 @@ def dirichlet_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFram
     per-query top-k with SearchResult tie-break.
     """
     docs = _docs(spark, sf_dir)
-    dlen = stats.doc_lengths(docs, id_col="doc_id").cache()
     topics = _topics_df(spark).withColumn("qweight", F.lit(1.0))
 
+    # r13 (guide §1.2/§2.4): ONE cached tokenize pass serves the length
+    # prior AND the query-term postings — dlen + postings_for_terms were
+    # two full corpus scans, and the cached per-doc scan row (ints + a
+    # few query-term tokens) is smaller than the old cached postings
+    qterm_list = sorted({t for _, q in TOPICS for t in q.split()})
+    scan = stats.scan_stats(docs, qterm_list, id_col="doc_id").cache()
+    dlen = stats.scan_doc_lengths(scan)
+
     # coll_len from per-doc lengths: map-side only, no explode+shuffle
+    # (this collect also materializes the scan cache)
     coll_len = dlen.agg(F.sum("doc_len")).collect()[0][0]
 
-    # postings restricted to query terms *before* the (docno,term) agg —
-    # the one shuffle carries only query-term rows (TrecRun.java:124-136)
-    qterm_list = sorted({t for _, q in TOPICS for t in q.split()})
-    post = stats.postings_for_terms(docs, qterm_list, id_col="doc_id").cache()
+    post = stats.scan_postings(scan)
     tstats = post.groupBy("term").agg(F.sum("tf").alias("cf"))
     qstats = topics.join(tstats, "term", "left").fillna({"cf": 0})
 
@@ -298,16 +303,19 @@ def q_bm25_topk(spark, sf_dir):
 def bm25_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """M4 BM25 run at a chosen depth (shared with run-comparison queries)."""
     docs = _docs(spark, sf_dir)
-    dlen = stats.doc_lengths(docs, id_col="doc_id").cache()
     topics = _topics_df(spark).withColumn("qtf", F.lit(1))
 
-    glob = dlen.filter(F.col("doc_len") > 0).agg(
+    # one cached tokenize pass for dlen + postings (r13, guide §1.2/§2.4)
+    qterm_list = sorted({t for _, q in TOPICS for t in q.split()})
+    scan = stats.scan_stats(docs, qterm_list, id_col="doc_id").cache()
+    dlen = stats.scan_doc_lengths(scan)
+
+    glob = dlen.agg(
         F.count("*").alias("n_docs"), F.sum("doc_len").alias("n_tokens")
     ).collect()[0]
     n_docs, avg_len = glob["n_docs"], glob["n_tokens"] / glob["n_docs"]
 
-    qterm_list = sorted({t for _, q in TOPICS for t in q.split()})
-    post = stats.postings_for_terms(docs, qterm_list, id_col="doc_id")
+    post = stats.scan_postings(scan)
     tstats = post.groupBy("term").agg(F.count("*").alias("df"))
     matched = scoring.matched_terms(post, topics, doc_len=dlen, stats=tstats)
     scored = scoring.score_bm25(matched, n_docs, avg_len, BM25_K1, BM25_B)

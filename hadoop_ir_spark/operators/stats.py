@@ -48,6 +48,64 @@ def postings_for_terms(docs: DataFrame, terms: list[str], id_col: str = "docno",
     return toks.groupBy("docno", "term").agg(F.count("*").alias("tf"))
 
 
+def scan_stats(docs: DataFrame, terms: list[str], id_col: str = "docno",
+               text_col: str = "text", positional: bool = False) -> DataFrame:
+    """ONE tokenize pass serving BOTH ``doc_lengths`` and
+    ``postings_for_terms`` (r13, guide §1.2/§2.4: every scan-scoring
+    query used to tokenize the corpus once for the length prior and
+    again — sometimes twice, column pruning defeats exchange reuse —
+    for the query-term postings): ``(docno, doc_len, qtoks)`` where
+    ``qtoks`` is the query-vocabulary projection of the token stream —
+    term strings, or (pos, term) structs with the 0-based ordinal in
+    the FULL stream when ``positional`` (the ``positional_tokens``
+    contract: adjacency means true adjacency, non-query terms still
+    occupy their positions).
+
+    Callers derive, from one (cached) frame:
+
+    - doc lengths:     ``scan_doc_lengths(scan)``
+    - postings:        ``scan_postings(scan)``
+    - positional toks: ``scan.select("docno", F.explode("qtoks"))``
+
+    Caching THIS frame holds per-doc ints plus a few query-term tokens
+    — strictly smaller than exploded postings or a positional stream —
+    and the corpus text is read and tokenized exactly once no matter
+    how many consumers follow.
+    """
+    toks = tokens_col(text_col)
+    if positional:
+        q = F.filter(
+            F.transform(
+                toks,
+                lambda t, i: F.struct(i.alias("pos"), t.alias("term"))),
+            lambda s: s["term"].isin(terms))
+    else:
+        q = F.filter(toks, lambda t: t.isin(terms))
+    return docs.select(
+        F.col(id_col).alias("docno"),
+        F.size(toks).alias("doc_len"),
+        q.alias("qtoks"),
+    )
+
+
+def scan_doc_lengths(scan: DataFrame, skip_empty: bool = True) -> DataFrame:
+    """``doc_lengths`` from a :func:`scan_stats` frame (identical rows:
+    size over the same filtered token array, same T9 empty-doc guard)."""
+    out = scan.select("docno", "doc_len")
+    if skip_empty:
+        out = out.filter(F.col("doc_len") > 0)
+    return out
+
+
+def scan_postings(scan: DataFrame) -> DataFrame:
+    """``postings_for_terms`` from a :func:`scan_stats` frame (identical
+    rows: explode(filter(toks)) ≡ filter(explode(toks)) as multisets)."""
+    return (
+        scan.select("docno", F.explode("qtoks").alias("term"))
+        .groupBy("docno", "term").agg(F.count("*").alias("tf"))
+    )
+
+
 def doc_lengths(docs: DataFrame, id_col: str = "docno",
                 text_col: str = "text",
                 skip_empty: bool = True) -> DataFrame:

@@ -100,11 +100,21 @@ unord AS (
 
 
 def _spark_prox(spark, sf_dir):
-    """Shared Spark-side inputs mirroring SQL_PROX."""
+    """Shared Spark-side inputs mirroring SQL_PROX.
+
+    r13 (guide §1.2/§2.4): ONE cached tokenize pass (scan_stats
+    positional=True) serves doc lengths AND the query-vocab positional
+    stream — dlen and ptoks were two separate corpus scans, and the
+    cached per-doc scan row (ints + a few (pos, term) structs) is
+    smaller than the old cached exploded ptoks."""
     docs = _docs(spark, sf_dir)
-    dlen = stats.doc_lengths(docs, id_col="doc_id")
-    ptoks = proximity.positional_tokens(docs, _QTERMS, id_col="doc_id")
-    ptoks = ptoks.cache()   # reused by unigram tf + two pair joins
+    scan = stats.scan_stats(docs, _QTERMS, id_col="doc_id",
+                            positional=True).cache()
+    dlen = stats.scan_doc_lengths(scan)
+    ptoks = scan.select(
+        "docno", F.explode("qtoks").alias("_q")
+    ).select("docno", F.col("_q.pos").alias("pos"),
+             F.col("_q.term").alias("term"))
     qpost = ptoks.groupBy("docno", "term").agg(F.count("*").alias("tf"))
     pairs = spark.createDataFrame(_PAIRS, "t1 string, t2 string")
     upairs = spark.createDataFrame(_UPAIRS, "u1 string, u2 string")

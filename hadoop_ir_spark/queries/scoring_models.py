@@ -56,17 +56,22 @@ SELECT qid, docno, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {T
 def _prep(spark, sf_dir, with_weights: bool = False):
     """Shared Spark-side inputs: query-term postings, doc lengths, stats.
 
-    r12 optimization: ``dlen`` is cached, so the scalar-globals collect
-    below both materializes it (one tokenize pass) and leaves the
-    per-doc lengths in memory for the main job — the query no longer
-    re-tokenizes the corpus for every dlen consumer. The collect also
-    gathers n_docs in the SAME job (``doc_lengths`` already drops empty
-    docs, so count(*) == the old filtered count), replacing the second
+    r12 optimization: the scalar-globals collect gathers coll_len AND
+    n_docs in one job (``doc_lengths`` already drops empty docs, so
+    count(*) == the old filtered count), replacing the second
     full-corpus aggregate pass the BM25-family queries used to pay
-    (guide §1.2: remove unnecessary passes)."""
+    (guide §1.2: remove unnecessary passes).
+
+    r13: ONE cached tokenize pass (``stats.scan_stats``) now serves the
+    length prior and the query-term postings — previously dlen and post
+    were separate corpus scans, and post's two consumers (tstats + the
+    matched join) could not share an exchange (column pruning defeats
+    reuse), so a scoring query tokenized the corpus up to three times.
+    The globals collect below materializes the scan cache."""
     docs = _docs(spark, sf_dir)
-    dlen = stats.doc_lengths(docs, id_col="doc_id").cache()
-    post = stats.postings_for_terms(docs, _QTERMS, id_col="doc_id")
+    scan = stats.scan_stats(docs, _QTERMS, id_col="doc_id").cache()
+    dlen = stats.scan_doc_lengths(scan)
+    post = stats.scan_postings(scan)
     tstats = post.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
