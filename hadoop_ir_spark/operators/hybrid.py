@@ -58,21 +58,44 @@ def bm25_mlt_run(docs: DataFrame, query_ids: DataFrame, *,
     """The lexical more-like-this leg: MLT term selection over the
     query docs, then the reference's BM25 over the full postings with
     the selected terms as topics, self-matches excluded, per-query
-    top-k with the K3 tie-break. → (qid, docno, score, rank)."""
-    post = stats.postings(docs, id_col=id_col,
-                          text_col=text_col).localCheckpoint()
+    top-k with the K3 tie-break. → (qid, docno, score, rank).
+
+    r13 (guide §2.3/§5): the FULL (docno, term) postings table is never
+    built or materialized — the old shape aggregated and
+    localCheckpointed every posting of the corpus per call just to read
+    back the rows of ~|queries| docs' terms. Now the query docs'
+    postings come from a semi-joined (tiny) corpus slice, and the
+    corpus-side postings are restricted to the query docs' TERM
+    vocabulary before the (docno, term) aggregation (broadcast semi
+    join on the exploded tokens), so the one heavy shuffle carries only
+    those rows. Same BM25 inputs row-for-row: df/tf values of terms
+    outside the query vocabulary never reach the score."""
     dlen = stats.doc_lengths(docs, id_col=id_col, text_col=text_col)
-    glob = dlen.filter(F.col("doc_len") > 0).agg(
+    glob = dlen.agg(
         F.count("*").alias("n_docs"),
         F.sum("doc_len").alias("n_tokens")).collect()[0]
     n_docs = glob["n_docs"]
     avg_len = glob["n_tokens"] / glob["n_docs"]
-    tstats = post.groupBy("term").agg(F.count("*").alias("df"))
-    topics = mlt_query_terms(post, tstats, n_docs, query_ids,
+    qcol = query_ids.columns[0]
+    qids = query_ids.select(F.col(qcol).alias("_qid")).distinct()
+    qdocs = (docs.join(F.broadcast(qids),
+                       F.col(id_col) == F.col("_qid"), "left_semi"))
+    qpost = stats.postings(qdocs, id_col=id_col,
+                           text_col=text_col).localCheckpoint()
+    # the query docs' vocabulary as literals (bounded by the query
+    # BATCH, not the corpus), so the corpus-side postings take the
+    # proven pruned-scan shape
+    terms = sorted(r["term"]
+                   for r in qpost.select("term").distinct().collect())
+    post_q = stats.postings_for_terms(
+        docs, terms, id_col=id_col,
+        text_col=text_col).localCheckpoint()
+    tstats = post_q.groupBy("term").agg(F.count("*").alias("df"))
+    topics = mlt_query_terms(qpost, tstats, n_docs, query_ids,
                              n_terms=n_terms)
     topic_terms = topics.select("term").distinct()
     tstats_q = tstats.join(F.broadcast(topic_terms), "term")
-    matched = scoring.matched_terms(post, topics, doc_len=dlen,
+    matched = scoring.matched_terms(post_q, topics, doc_len=dlen,
                                     stats=tstats_q)
     matched = matched.filter(F.col("docno") != F.col("qid"))
     bscored = scoring.score_bm25(matched, n_docs, avg_len, k1, b)
