@@ -276,6 +276,7 @@ def test_keep_first_after_retraction(spark, tmp_path):
 # streaming: sequential equivalence + replay idempotence (ADVICE r8)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_streaming_dedup_incremental_sequential_equivalence(
         spark, tmp_path):
     """The foreachBatch packaging: batch 2 must see batch 1 as part of
@@ -316,6 +317,7 @@ def test_streaming_dedup_incremental_sequential_equivalence(
         assert a[t] == b[t], t
 
 
+@pytest.mark.slow
 def test_streaming_fold_maintains_vector_side(spark, tmp_path):
     """emb_col: a stream carrying an embedding column folds vectors into
     the embeddings table per batch and maintains the trained ANN + PQ
@@ -484,6 +486,7 @@ def test_embedding_incremental_equals_from_scratch(spark, tmp_path):
     assert got[100] == "dropped" and got[103] == "dropped"
 
 
+@pytest.mark.slow
 def test_embedding_fold_and_retraction(spark, tmp_path):
     """Vectors ride the same fold-in and tombstones as the text tables
     (VERDICT r8 #3): fold new vectors in, retract one OLD vector, and
@@ -516,6 +519,7 @@ def test_embedding_fold_and_retraction(spark, tmp_path):
     assert got2 == {500: "dropped"}
 
 
+@pytest.mark.slow
 def test_update_index_with_removals_equals_rebuild(spark, tmp_path,
                                                    snapshots):
     """The retraction path: update(add batch, remove bad docs) must
@@ -591,6 +595,7 @@ def test_compaction_preserves_logical_content(spark, tmp_path, snapshots):
     assert got == {900: "dropped"}
 
 
+@pytest.mark.slow
 def test_compaction_keep_last_snap(spark, tmp_path, snapshots):
     """keep_last_snap=True merges every snap EXCEPT the newest (with all
     tombstones applied to the merged part), so the pre-fold view a
@@ -642,6 +647,7 @@ def test_compaction_keep_last_snap(spark, tmp_path, snapshots):
     assert _index_content(spark, idx) == after
 
 
+@pytest.mark.slow
 def test_streaming_auto_compaction(spark, tmp_path):
     """compact_every keeps the log bounded under streaming without
     breaking replay: after each compacting fold the index still equals
@@ -782,6 +788,7 @@ def test_replace_doc_in_one_update(spark, tmp_path):
         assert a[t] == b[t], t
 
 
+@pytest.mark.slow
 def test_compaction_keep_last_after_manual_window(spark, tmp_path):
     """The VERDICT r9 #1 resurrection repro: build → batch fold →
     MANUAL retraction of a batch doc → MANUAL add →
@@ -967,6 +974,7 @@ def test_mass_retraction_shuffle_path(spark, tmp_path, snapshots,
     assert "ResolvedHint" in analyzed(rows)
 
 
+@pytest.mark.slow
 def test_concurrent_writers_serialize_or_raise(spark, tmp_path, snapshots,
                                                monkeypatch):
     """VERDICT r9 missing #1: two concurrent update_dedup_index calls
@@ -1335,6 +1343,7 @@ def test_pq_index_fold_equals_rebuild(spark, tmp_path):
     assert got == want and len(got) == 10
 
 
+@pytest.mark.slow
 def test_pq_index_retraction_and_compaction(spark, tmp_path):
     """A tombstone retracts a doc's code rows (shared-tombstone claim);
     compaction carries the PQ tables and the manifest pq block through
@@ -1402,6 +1411,7 @@ def _cc_scratch(spark, tmp_path, docs, name):
     return _cc_frame(spark, out)
 
 
+@pytest.mark.slow
 def test_cc_labels_fold_equals_rebuild(spark, tmp_path):
     """Incremental union-find: per snapshot, only the new pair edges are
     computed and merged into the standing labels (contracted CC + alias
@@ -1485,6 +1495,7 @@ def test_cc_labels_retraction_and_repair(spark, tmp_path):
     assert _cc_frame(spark, idx) == want
 
 
+@pytest.mark.slow
 def test_cc_dead_min_readd_fails_loudly(spark, tmp_path):
     """Re-adding a doc whose id still NAMES a standing component (it was
     the component's min-id label when retracted, and its partners' rows
@@ -1537,6 +1548,7 @@ def test_cc_dead_min_readd_fails_loudly(spark, tmp_path):
     assert _cc_frame(spark, idx) == want
 
 
+@pytest.mark.slow
 def test_cc_alias_key_readd_as_new_min_fails_loudly(spark, tmp_path):
     """ADVICE r10 medium #2: the alias log re-points label VALUES at
     read time with no snapshot scoping. A retracted doc whose id is a
@@ -1578,6 +1590,7 @@ def test_cc_alias_key_readd_as_new_min_fails_loudly(spark, tmp_path):
     assert got[4] == 4 and got[7] == 4      # the new cluster keeps 4
 
 
+@pytest.mark.slow
 def test_cc_dead_min_guard_survives_compaction(spark, tmp_path):
     """ADVICE r10 medium #1: compaction folds merged tombstone dirs out
     of visibility while stale dead-min label rows survive the merge —
@@ -1662,6 +1675,7 @@ def test_cc_dead_min_guard_survives_compaction(spark, tmp_path):
         spark, tmp_path, [(2, c), (8, c), (4, x), (7, x)], "s3")
 
 
+@pytest.mark.slow
 def test_cc_alias_log_empty_after_full_compaction(spark, tmp_path):
     """VERDICT r10 #7: a FULL compaction folds every visible alias into
     the merged rows, so the post-compaction alias log is empty and the
@@ -1743,6 +1757,7 @@ def test_ivfpq_refine_equals_exact_rerank(spark, tmp_path):
     assert wide == brute
 
 
+@pytest.mark.slow
 def test_ann_kmeans_trained_fold_equals_rebuild(spark, tmp_path):
     """VERDICT r10 #5: k-means centers persisted via
     train_ann_index(centroids=...) behave exactly like the id-sample
@@ -1792,6 +1807,7 @@ def test_ann_kmeans_trained_fold_equals_rebuild(spark, tmp_path):
     assert got == want and len(got) == 10
 
 
+@pytest.mark.slow
 def test_streaming_fold_with_manual_writer_between_batches(
         spark, tmp_path):
     """VERDICT r10 #4 (a): a manual update_dedup_index landing BETWEEN
@@ -1833,6 +1849,7 @@ def test_streaming_fold_with_manual_writer_between_batches(
         assert a[t] == b[t], t
 
 
+@pytest.mark.slow
 def test_streaming_fold_colliding_with_manual_writer(spark, tmp_path,
                                                      monkeypatch):
     """VERDICT r10 #4 (b): a manual writer committing INSIDE the batch
@@ -1885,6 +1902,7 @@ def test_streaming_fold_colliding_with_manual_writer(spark, tmp_path,
         assert a[t] == b[t], t
 
 
+@pytest.mark.slow
 def test_cc_health_reports_deferral_damage(spark, tmp_path):
     """VERDICT r10 #2: cc_health makes the elective-rebuild decision
     data-driven — each counter is driven through its deferral window
@@ -1960,6 +1978,7 @@ def test_cc_health_reports_deferral_damage(spark, tmp_path):
     assert h["recommendation"] == "none"
 
 
+@pytest.mark.slow
 def test_ann_health_reports_retrain_inputs(spark, tmp_path):
     """r11: ann_health makes the elective RETRAIN decision data-driven —
     fold fraction (corpus share the frozen artifacts never saw), IVF
@@ -2016,6 +2035,7 @@ def test_ann_health_reports_retrain_inputs(spark, tmp_path):
     assert h["ivf"]["n_assigned"] == 45 and h["pq"]["n_encoded"] == 45
 
 
+@pytest.mark.slow
 def test_maintain_dedup_index_runs_recommended_passes(spark, tmp_path):
     """r11: the one-call maintenance step performs exactly what the
     health reports recommend — nothing on a clean store beyond the log
@@ -2083,6 +2103,7 @@ def test_maintain_dedup_index_runs_recommended_passes(spark, tmp_path):
     assert got[100] == got[101]
 
 
+@pytest.mark.slow
 def test_residual_pq_index_fold_equals_rebuild(spark, tmp_path):
     """r11: residual PQ (IVFADC — codes encode x − c(x) against the
     persisted IVF centroids). Folding new vectors must equal encoding
@@ -2185,6 +2206,7 @@ def test_residual_pq_index_fold_equals_rebuild(spark, tmp_path):
     assert wide == brute
 
 
+@pytest.mark.slow
 def test_residual_stale_guard_after_ivf_retrain(spark, tmp_path):
     """r12 (VERDICT r11 #1): residual PQ codes encode x − c(x) against
     a specific IVF centroid GENERATION; a manual
@@ -2240,6 +2262,7 @@ def test_residual_stale_guard_after_ivf_retrain(spark, tmp_path):
     assert dinc.indexed_ivfpq_topk(q, idx, k=3, nprobe=2).count() > 0
 
 
+@pytest.mark.slow
 def test_ann_health_fold_fraction_survives_compaction(spark, tmp_path):
     """r12 (VERDICT r11 #2 / ADVICE r11 medium): fold_fraction comes
     from row-level training provenance, not snap position — compaction
@@ -2289,6 +2312,7 @@ def test_ann_health_fold_fraction_survives_compaction(spark, tmp_path):
         == round(7 / 26, 3)
 
 
+@pytest.mark.slow
 def test_maintain_skips_custom_trained_retrain(spark, tmp_path):
     """r12 (ADVICE r11 low): a health-driven automatic retrain must
     not silently replace explicit (k-means-style) centroids with the
@@ -2329,6 +2353,7 @@ def test_maintain_skips_custom_trained_retrain(spark, tmp_path):
     assert dinc.ann_health(spark, idx)["ivf"]["fold_fraction"] == 0.0
 
 
+@pytest.mark.slow
 def test_maintain_never_orphans_residual_codes(spark, tmp_path):
     """r12: when the PQ re-encode must be skipped (custom codebook,
     none supplied) on a RESIDUAL store, maintain must skip the IVF
@@ -2358,6 +2383,7 @@ def test_maintain_never_orphans_residual_codes(spark, tmp_path):
     assert dinc.indexed_ivfpq_topk(q, idx, k=3, nprobe=2).count() > 0
 
 
+@pytest.mark.slow
 def test_vacuum_dry_run(spark, tmp_path):
     """r12 (VERDICT r11 #4): dry_run previews exactly the reclaim the
     real pass would perform — paths with ages, nothing deleted."""
@@ -2416,6 +2442,7 @@ def test_ann_health_list_skew_on_skewed_embeddings(spark, tmp_path):
                            )["recommendation"] == "retrain"
 
 
+@pytest.mark.slow
 def test_cc_health_verify_splits(spark, tmp_path):
     """r12 (ADVICE r11, the precise form): verify_splits replaces the
     touched-components upper bound with a bounded exact connectivity
@@ -2478,6 +2505,7 @@ def test_cc_health_verify_splits(spark, tmp_path):
     assert rep == {1: (2, 2), 10: (2, 1)}
 
 
+@pytest.mark.slow
 def test_maintain_loses_race_loudly_and_retries_clean(spark, tmp_path,
                                                       monkeypatch):
     """r12: the one-call maintenance step inherits the store's
@@ -2537,6 +2565,7 @@ def test_maintain_loses_race_loudly_and_retries_clean(spark, tmp_path,
     assert h["ivf"]["n_assigned"] == 31   # 10 + 20 + doc 50
 
 
+@pytest.mark.slow
 def test_filtered_ann_pre_post_and_oversampling(spark, tmp_path):
     """r12 metadata-filtered vector search, the three pinned claims:
     (1) pre-filter is EXACT over the probed set — it equals scoring
@@ -2634,6 +2663,7 @@ def test_filtered_ann_pre_post_and_oversampling(spark, tmp_path):
                                 filter_mode="during")
 
 
+@pytest.mark.slow
 def test_hybrid_mlt_operator_composes_legs(spark, tmp_path):
     """r12 hybrid retrieval API (operators/hybrid.py): the fused output
     must equal rrf_fusion of the two leg functions run separately, the
@@ -2735,6 +2765,7 @@ def test_sq_index_fold_equals_rebuild(spark, tmp_path):
     assert got == want and len(got) == 10
 
 
+@pytest.mark.slow
 def test_sq_index_retraction_compaction_and_maintain(spark, tmp_path):
     """r12 SQ8 store discipline: tombstones retract code rows; the
     compaction merge carries tables, manifest block AND the src-tag

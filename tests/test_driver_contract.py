@@ -47,6 +47,8 @@ def test_entry_smoke_under_bare_session(bare):
     assert df.count() >= 0
 
 
+@pytest.mark.slow  # ~7 min: every catalog query under a bare session; the
+# strict-oracle gate (tools/check_oracle.py) covers the same surface faster.
 def test_all_catalog_queries_run_under_bare_session(bare, sf_dir):
     failures = {}
     for name, fn in _queries().items():

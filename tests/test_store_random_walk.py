@@ -30,6 +30,10 @@ from __future__ import annotations
 import random
 
 import pytest
+
+# Multi-minute seeded fuzz walks (~17 min total): deselected by the
+# fast default profile, run by `-m slow` / `-m ""` and the round-close gate.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from hadoop_ir_spark.operators import dedup_incremental as dinc
