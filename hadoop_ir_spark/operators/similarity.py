@@ -555,20 +555,26 @@ def recall_vs_exact(exact: DataFrame, approx: DataFrame,
     list qids — the column-pruned subtree no longer matches the scoring
     subtree, so runtime exchange reuse cannot dedupe it (r12 profile:
     the recall canaries were paying the exact scan twice). Callers that
-    know their query set (every Nth vector) pass it directly. Both
-    post-top-k sides are O(|queries|·k) rows, so the evaluation joins
-    are explicit broadcasts — never sort-merge — at any corpus size.
+    know their query set (every Nth vector) pass it directly.
+
+    Join strategy (r13, ADVICE r12): both sides are O(|queries|·k)
+    rows, but |queries| is a fixed FRACTION of the corpus at every call
+    site (every Nth vector), so a forced broadcast would hit the 8 GB /
+    512M-row broadcast cap at the 100 TB target and fail outright. No
+    hint: AQE converts the exchanges to a broadcast join at runtime
+    from the ACTUAL post-top-k sizes while they fit, and degrades to a
+    partitioned join when they no longer do.
     """
     hits = (
         exact.select("qid", "vec_id")
-        .join(F.broadcast(approx.select("qid", "vec_id")),
+        .join(approx.select("qid", "vec_id"),
               ["qid", "vec_id"])
         .groupBy("qid")
         .agg(F.count("*").alias("n_hits"))
     )
     if qids is None:
         qids = exact.select("qid").distinct()
-    return qids.join(F.broadcast(hits), "qid", "left").select(
+    return qids.join(hits, "qid", "left").select(
         "qid",
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / float(k), 6).alias("recall"),
