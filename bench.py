@@ -460,7 +460,9 @@ def main():
     prev_printed = _prev_full.get("printed_set") or []
     if not prev_printed:
         import glob
-        recs = sorted(glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
+        # two-digit rounds only: BENCH_r12_c8.json (the low-core scaling
+        # record) must not win the lexicographic sort over BENCH_r12.json
+        recs = sorted(glob.glob(os.path.join(here, "BENCH_r[0-9][0-9].json")))
         if recs:
             try:
                 with open(recs[-1]) as f:
